@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for the engine.
+  *
+  * Config stance (scale-aware, see SURVEY.md §4):
+  *  - AQE on: runtime coalescing of shuffle partitions + skew-join
+  *    handling is the 100 TB safety net; locally it trims empty tasks.
+  *  - `ansi=false`: the reference's JS semantics are "garbage -> null",
+  *    never "garbage -> error" (`utils/parser.ts`, `utils/date.ts`);
+  *    library code still uses `try_cast`/`try_to_date` explicitly so it
+  *    stays correct under either setting.
+  *  - UTC session TZ: all reference timestamps are UTC
+  *    (`model.sql:18-19` `now() AT TIME ZONE 'UTC'`), and the DuckDB
+  *    oracle compares in UTC.
+  *  - shuffle partitions default to cores locally; a real cluster
+  *    deployment overrides via `--conf` (AQE re-coalesces anyway).
+  */
+object GraftSession {
+  def builder(master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
+              shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which parquet-mr maps to
+      // no Spark type; read as Long (ns since epoch) and convert at use
+      // sites (Tables.eventTs).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def create(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Apply graft defaults to an externally-created session (e.g. the
+    * driver's Verify/Bench sessions). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark)
+    spark
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made `Column(expr)` / `Column.expr` private to the sql package
+  * (Column is now a Connect-agnostic wrapper over ColumnNode). This tiny
+  * bridge lives in an `org.apache.spark.sql` subpackage solely to expose
+  * the classic Expression <-> Column conversion to the graft library —
+  * the standard approach extension libraries use on Spark 4.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's scalar-function library — the Spark re-expression of the
+  * reference's expression surface (SURVEY.md §2.F). Everything here is a
+  * composition of codegen'd built-ins except the RUT pair, which is a
+  * native Catalyst expression ([[RutIsValid]], [[RutFormat]]).
+  *
+  * Reference semantics cited per function; all are null-tolerant the way
+  * the reference's JS is (falsy -> null / false, garbage -> null).
+  */
+object GraftFunctions {
+
+  /** F1 `normalizeSpaces` (`utils/string.ts:8-9`): collapse whitespace
+    * runs to a single space and trim. Null passes through. */
+  def normalize_spaces(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Silver variant of F1: additionally maps empty-after-trim to null —
+    * the reference collapses falsy to null via `|| null`
+    * (`services/conductor.ts:137-140`, SURVEY §7 risk 6). */
+  def clean_text(c: Column): Column = {
+    val n = normalize_spaces(c)
+    when(length(n) === 0, lit(null).cast(StringType)).otherwise(n)
+  }
+
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
+  /** F2 `rut_is_valid` — see [[RutIsValid]]. */
+  def rut_is_valid(c: Column): Column = toCol(RutIsValid(toExpr(c)))
+
+  /** F2 `rut_format` — canonical RUT or null. See [[RutFormat]]. */
+  def rut_format(c: Column): Column = toCol(RutFormat(toExpr(c)))
+
+  /** F3 `safeParseDate` (`utils/date.ts:5-34`): keep text before the
+    * first ',' (drops a `, HH:MM` time suffix), accept `/` or `-`
+    * separators; a 4-char first token means year-first `YYYY-MM-DD`,
+    * anything else is day-first `DD-MM-YYYY`. Unparseable -> null.
+    *
+    * Day-first must NOT fall through to year-first or `03-04-2025`
+    * (April 3) would mis-hit (SURVEY §7 risk 4) — hence the explicit
+    * branch on first-token length instead of a coalesce chain.
+    */
+  def safe_to_date(c: Column): Column = {
+    val pre  = trim(split(c, ",").getItem(0))
+    val norm = regexp_replace(pre, "/", "-")
+    when(length(split(norm, "-").getItem(0)) === 4,
+      try_to_date(norm, "y-M-d"))
+      .otherwise(try_to_date(norm, "d-M-y"))
+  }
+
+  /** F4 `statusToBoolean` (`utils/parser.ts:7-11`): case/space-insensitive
+    * equality with "aprobada" -> true; everything else, including null,
+    * -> false (never null). */
+  def status_to_bool(c: Column): Column =
+    coalesce(lower(normalize_spaces(c)) === "aprobada", lit(false))
+
+  /** F5 `stringToBoolean` (`utils/parser.ts:16-19`): lowercase in
+    * {true, verdadero, si} -> true else false (never null). */
+  def string_to_bool(c: Column): Column =
+    coalesce(lower(normalize_spaces(c)).isin("true", "verdadero", "si"),
+      lit(false))
+
+  /** F6 guarded int coercion (`services/vehiculo.ts:215,222,229`):
+    * garbage -> null (stricter than JS prefix-parse, documented
+    * divergence SURVEY §7 risk 3). The reference's `|| null` also maps
+    * 0 -> null; we keep 0 (saner; divergence documented). */
+  def try_int(c: Column): Column = c.try_cast(IntegerType)
+
+  /** F6 guarded float coercion (`services/vehiculo.ts:224-227`). */
+  def try_double(c: Column): Column = c.try_cast(DoubleType)
+
+  def try_long(c: Column): Column = c.try_cast(LongType)
+
+  /** F9 filename classifier (`etl-gcs-cloudsql/src/index.ts:24-42`):
+    * lowercase substring match + `.csv` suffix. */
+  def filename_matches(fileCol: Column, token: String): Column = {
+    val lower_ = lower(fileCol)
+    lower_.contains(token) && lower_.endsWith(".csv")
+  }
+
+  /** Register the SQL-callable subset so `spark.sql("rut_format(...)")`
+    * works alongside the DataFrame API. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "rut_is_valid", es => RutIsValid(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rut_format", es => RutFormat(es.head), "scala_udf")
+  }
+}
