@@ -1,0 +1,98 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** MERGE-equivalent upserts over parquet snapshots (SURVEY §2 H1-H3) —
+  * the reference's `INSERT ... ON CONFLICT (naturalKey) DO UPDATE`
+  * re-expressed as dedup + full-outer join + snapshot rewrite.
+  */
+object MergeOps {
+
+  /** D4 last-wins dedup: the reference processes rows in file order and
+    * later rows overwrite earlier upserts; MERGE needs unique source
+    * keys, so collapse to the row with the highest `orderCol` per key
+    * (`_row_id` from BronzeReader = file order). */
+  def lastWins(df: DataFrame, keys: Seq[String], orderCol: String = "_row_id"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol).desc)
+    df.withColumn("_lw_rn", row_number().over(w))
+      .filter(col("_lw_rn") === 1)
+      .drop("_lw_rn")
+  }
+
+  /** Upsert `source` into `target` on natural key `keys`.
+    *
+    * - matched rows: columns in `updateCols` come from source, the rest
+    *   (surrogate id, excluded columns like vehiculo.carrier_id —
+    *   `services/vehiculo.ts:209` — and `date_created`) stay from
+    *   target; `date_updated` bumps only when any updated column
+    *   actually changed (H8 trigger semantics, `model.sql:2-11`).
+    * - unmatched source rows: inserted with fresh surrogate ids
+    *   `maxId + row_number` (replaces SERIAL + RETURNING).
+    * - unmatched target rows: kept as-is.
+    *
+    * `source` must be unique on `keys` (apply [[lastWins]] first) and
+    * contain `keys ++ updateCols ++ insertOnlyCols`.
+    *
+    * Scale: one shuffle on the natural key (the join); at cluster scale
+    * the target side can be bucketed on the key to make this a
+    * shuffle-free sort-merge join. The id-assignment window runs on the
+    * inserted delta only — never on the full table.
+    */
+  def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
+            idCol: String, updateCols: Seq[String],
+            insertOnlyCols: Seq[String] = Nil): DataFrame = {
+    val now = current_timestamp()
+    val allCols = target.columns.toSeq
+    val srcCols = keys ++ updateCols ++ insertOnlyCols
+
+    // Prefix non-key source columns to sidestep name resolution after
+    // the USING-style join (keys coalesce into single output columns).
+    val s = srcCols.filterNot(keys.contains)
+      .foldLeft(source.select(srcCols.map(col): _*)) {
+        (df, c) => df.withColumnRenamed(c, s"_s_$c")
+      }
+      .withColumn("_s_present", lit(true))
+
+    val joined = target.withColumn("_t_present", lit(true))
+      .join(s, keys, "full_outer")
+
+    val tgtPresent = coalesce(col("_t_present"), lit(false))
+    val srcPresent = coalesce(col("_s_present"), lit(false))
+
+    val changed = updateCols.map(c =>
+      !(col(s"_s_$c") <=> col(c))).reduceOption(_ || _).getOrElse(lit(false))
+
+    // Matched + target-only rows: no id assignment, no window.
+    val keptCols: Seq[Column] = allCols.map {
+      case k if keys.contains(k) => col(k)
+      case "date_updated" =>
+        when(srcPresent && changed, now).otherwise(col("date_updated"))
+          .as("date_updated")
+      case c if updateCols.contains(c) =>
+        when(srcPresent, col(s"_s_$c")).otherwise(col(c)).as(c)
+      case c => col(c)
+    }
+    val kept = joined.filter(tgtPresent).select(keptCols: _*)
+
+    // Source-only rows: fresh ids over the (small) inserted delta.
+    val maxId: Int = target.agg(coalesce(max(col(idCol)), lit(0)))
+      .collect()(0).getInt(0)
+    val insertW = Window.orderBy(keys.map(col): _*)
+    val insertCols: Seq[Column] = allCols.map {
+      case k if keys.contains(k) => col(k)
+      case `idCol` =>
+        (row_number().over(insertW) + lit(maxId)).cast(IntegerType).as(idCol)
+      case "date_created" => now.as("date_created")
+      case "date_updated" => now.as("date_updated")
+      case c if updateCols.contains(c) || insertOnlyCols.contains(c) =>
+        col(s"_s_$c").as(c)
+      case c => lit(null).cast(target.schema(c).dataType).as(c)
+    }
+    val inserted = joined.filter(!tgtPresent).select(insertCols: _*)
+
+    kept.unionByName(inserted)
+  }
+}

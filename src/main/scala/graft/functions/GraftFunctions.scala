@@ -29,6 +29,12 @@ object GraftFunctions {
 
   import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
 
+  /** JSON-field variant of the `|| null` pattern
+    * (`services/conductor.ts:156-163`): no whitespace normalization,
+    * just empty-string -> null (JS falsy collapse). */
+  def clean_json_text(c: Column): Column =
+    when(length(c) === 0, lit(null).cast(StringType)).otherwise(c)
+
   /** F2 `rut_is_valid` — see [[RutIsValid]]. */
   def rut_is_valid(c: Column): Column = toCol(RutIsValid(toExpr(c)))
 

@@ -1,0 +1,221 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end ETL tests over the FIXTURES.md corpus: the three CSV
+  * contracts incl. adversarial rows (bad RUT, unknown carrier, dup
+  * natural keys, empty payloads), asserting Silver table states and
+  * reject counts (SURVEY §5.4). */
+class EtlSpec extends SparkSpec {
+
+  private def mkTmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeCsv(dir: String, name: String, content: String): String = {
+    val p = Paths.get(dir, name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  // JSON payloads, CSV-quoted (RFC4180 doubled quotes)
+  private def q(json: String): String = "\"" + json.replace("\"", "\"\"") + "\""
+
+  private val hojaVidaJson = q(
+    """{"certificado":{"folio":"F123","fechaEmision":"24-06-2025, 09:21","codigoVerificacion":"CV9"},
+      |"persona":{"comuna":"SANTIAGO","domicilio":"CALLE 1 #23",
+      |"restriccionesLicencia":[{"fechaAnotacion":"01-02-2020","bloqueRestriccionLicencia":"LENTES"}],
+      |"duracionesRestringidas":[{"fechaAnotacion":"03/04/2021","bloqueDuracionRestringida":"2 ANOS"}],
+      |"infraccionesRegistradas":[{"procesoNumero":"P-1","tribunal":"JPL STGO","fechaDenuncia":"2019-05-06","infraccion":"EXCESO VELOCIDAD","resolucion":"MULTA"}]}}"""
+      .stripMargin.replace("\n", ""))
+  private val licFrontalJson = q(
+    """{"clase":["A2","B"],"municipalidad":"PROVIDENCIA","fecha_de_control":"10-01-2024","fecha_ultimo_control":"10-01-2030"}""")
+  private val licReversoJson = q("""{"codigo":"XYZ-77"}""")
+
+  private val empresasCsv =
+    """carrier_bp;carrier_name;carrier_tin;carrier_type
+      |1111111;EMPRESA  UNO   SPA;"11.111.111-1";Spot
+      |2222222;EMPRESA 2;"22222222-2";Licitada
+      |3333333;EMPRESA 3;"22222222-9";Spot
+      |;EMPRESA 4;"44444444-4";Spot
+      |1111111;EMPRESA UNO RENOMBRADA;"11111111-1";Spot
+      |""".stripMargin
+
+  test("empresa pipeline: cleanse, validate, get-or-create, last-wins upsert") {
+    val dir = mkTmp("etl-emp")
+    val store = new SilverStore(spark, mkTmp("silver-emp"))
+    val path = writeCsv(dir, "empresas_20251001.csv", empresasCsv)
+
+    val r = EtlRunner.processFile(store, path).get
+    assert(r.rowCount == 5 && r.processed == 3 && r.errors == 2)
+
+    val emp = store.read("empresa", SilverSchemas.empresa)
+      .orderBy("carrier_bp").collect()
+    assert(emp.length == 2)
+    val e1 = emp(0)
+    assert(e1.getAs[String]("carrier_bp") == "1111111")
+    assert(e1.getAs[String]("carrier_name") == "EMPRESA UNO RENOMBRADA") // last wins
+    assert(e1.getAs[String]("carrier_rut") == "11111111-1")              // canonical
+    assert(emp(1).getAs[String]("carrier_name") == "EMPRESA 2")
+
+    val tipos = store.read("tipo_empresa").orderBy("carrier_type_id").collect()
+    assert(tipos.map(_.getAs[String]("carrier_type")).toSeq == Seq("Licitada", "Spot"))
+
+    val rejects = r.rejects.collect()
+    assert(rejects.exists(_.getAs[String]("error_reason").contains("RUT inválido")))
+    assert(rejects.exists(_.getAs[String]("error_reason") == "carrier_bp vacío"))
+
+    // replay: idempotent upsert (H1), same ids, no new rows
+    val ids1 = store.read("empresa").select("carrier_bp", "carrier_id")
+      .orderBy("carrier_bp").collect().map(_.toSeq).toSeq
+    EtlRunner.processFile(store, path)
+    val ids2 = store.read("empresa").select("carrier_bp", "carrier_id")
+      .orderBy("carrier_bp").collect().map(_.toSeq).toSeq
+    assert(ids1 == ids2)
+  }
+
+  test("conductor pipeline: lookup join, dims, children explode, historized append") {
+    val dir = mkTmp("etl-con")
+    val store = new SilverStore(spark, mkTmp("silver-con"))
+    writeCsv(dir, "empresas_1.csv", empresasCsv)
+
+    val condCsv =
+      s"""driver_name;national_id;birth_date;phone_number;email;carrier_bp;driver_role;hoja_de_vida_data;licencia_frontal_data;licencia_reverso_data
+         |JUAN  PEREZ;12345678-5;24-06-1990;+569111;j@x.cl;1111111;Titular;$hojaVidaJson;$licFrontalJson;$licReversoJson
+         |MAL RUT;12345678-9;01-01-1990;;;1111111;Titular;;;
+         |SIN EMPRESA;11111111-1;01-01-1990;;;9999999;Titular;;;
+         |SIN ROL;22222222-2;01-01-1990;;;1111111;;;;
+         |JUAN ACTUALIZADO;12.345.678-5;25/06/1990;+569222;;1111111;Suplente;;;
+         |""".stripMargin
+    writeCsv(dir, "conductores_1.csv", condCsv)
+
+    val results = EtlRunner.processDirectory(store, dir)
+    val r = results("conductores_1.csv")
+    assert(r.rowCount == 5 && r.processed == 2 && r.errors == 3, s"got $r")
+
+    val cond = store.read("conductor", SilverSchemas.conductor).collect()
+    assert(cond.length == 1)
+    val c = cond(0)
+    assert(c.getAs[String]("conductor_rut") == "12345678-5")
+    assert(c.getAs[String]("conductor_nombre") == "JUAN ACTUALIZADO") // last wins
+    assert(c.getAs[java.sql.Date]("conductor_fecha_nacimiento") ==
+      java.sql.Date.valueOf("1990-06-25"))
+    assert(c.getAs[String]("conductor_email") == null)                // empty -> null
+
+    val roles = store.read("conductor_rol").collect()
+      .map(_.getAs[String]("conductor_rol")).toSet
+    assert(roles == Set("Titular", "Suplente"))
+
+    // children appended for BOTH accepted rows of the same rut that
+    // carry payloads — here only row 1 has payloads
+    val hv = store.read("hoja_vida", SilverSchemas.hojaVida).collect()
+    assert(hv.length == 1)
+    assert(hv(0).getAs[String]("folio") == "F123")
+    assert(hv(0).getAs[java.sql.Date]("fecha_emision") ==
+      java.sql.Date.valueOf("2025-06-24"))
+    assert(hv(0).getAs[String]("comuna") == "SANTIAGO")
+    assert(hv(0).getAs[Int]("conductor_id") == c.getAs[Int]("conductor_id"))
+
+    val rest = store.read("hoja_vida_restriccion", SilverSchemas.hojaVidaRestriccion)
+      .orderBy("hoja_vida_restriccion_id").collect()
+    assert(rest.length == 2) // restriccion + duracion, same table (G1+G2)
+    assert(rest(0).getAs[String]("restriccion") == "LENTES")
+    assert(rest(0).getAs[java.sql.Date]("fecha_anotacion") ==
+      java.sql.Date.valueOf("2020-02-01"))
+    assert(rest(1).getAs[String]("restriccion") == "2 ANOS")
+    assert(rest(1).getAs[java.sql.Date]("fecha_anotacion") ==
+      java.sql.Date.valueOf("2021-04-03"))
+
+    val infr = store.read("hoja_vida_infraccion", SilverSchemas.hojaVidaInfraccion).collect()
+    assert(infr.length == 1 && infr(0).getAs[String]("proceso") == "P-1")
+    assert(infr(0).getAs[java.sql.Date]("fecha_denuncia") ==
+      java.sql.Date.valueOf("2019-05-06"))
+
+    val lic = store.read("licencia", SilverSchemas.licencia).collect()
+    assert(lic.length == 1 && lic(0).getAs[String]("codigo") == "XYZ-77")
+    assert(lic(0).getAs[java.sql.Date]("fecha_de_control") ==
+      java.sql.Date.valueOf("2024-01-10"))
+
+    val clases = store.read("clase_licencia").collect()
+      .map(_.getAs[String]("clase_licencia")).toSet
+    assert(clases == Set("A2", "B"))
+    val bridge = store.read("licencia_clase", SilverSchemas.licenciaClase).collect()
+    assert(bridge.length == 2)
+
+    // replay duplicates historized children (faithful, SURVEY §2 I)
+    EtlRunner.processFile(store, s"$dir/conductores_1.csv")
+    assert(store.read("hoja_vida").count() == 2)
+    assert(store.read("conductor").count() == 1) // entity still deduped
+  }
+
+  test("vehiculo pipeline: typed projection, 4 dims, carrier_id not updated, children") {
+    val dir = mkTmp("etl-veh")
+    val store = new SilverStore(spark, mkTmp("silver-veh"))
+    writeCsv(dir, "empresas_1.csv", empresasCsv)
+
+    val pcJson = q("""{"municipalidad":"MAIPU","fecha_emision":"01-03-2025","fecha_vencimiento":"31-03-2026"}""")
+    val soapJson = q("""{"numero_poliza":987654321,"institucion_aseguradora":"ASEG 1","fecha_vencimiento_poliza":"31-03-2026"}""")
+    val cavJson = q("""{"folio":"CAV-1","codigo_verificacion":"K2","fecha_emision":"15-02-2025","limitaciones_al_dominio":"NINGUNA","datos_propietario_actual":{"nombre":"EMPRESA 1","rut":"11111111-1","fecha_adquisicion":"10-10-2020"}}""")
+
+    val header = "registration_plate;carrier_bp;year_of_manufacture;gps;engine_number;chassis_number;vin;odometer_km;cortina;instalacion_cortina;vehicle_type;vehicle_designation;parrilla;peso;largo;ancho;alto;mop_clasification;nominal_pallet;vehicle_make;vehicle_model;fecha_revision_tecnica;fecha_vencimiento_revision_tecnica;emissions_crt_status;identification_status;visual_status;lights_status;alignment_status;brakes_status;clearances_status;emissions_status;opacity_status;steering_angle_status;noise_status;suspension_status;permiso_circulacion_data;certificado_anotaciones_vigentes_data;soap_data"
+    val v1 = s"ABCD12;1111111;2020;si;ENG1;CHS1;VIN1;123456;Lona;05-07-2021;Camion;Carga;true;12000.5;10.2;2.5;3.1;MOP-A;20;VOLVO;FH 500;01-06-2025;01-06-2026;Aprobada;Aprobada;Rechazada;Aprobada;No Aplica;Aprobada;Aprobada;Aprobada;Aprobada;Aprobada;Rechazada;Aprobada;$pcJson;$cavJson;$soapJson"
+    val v2 = "NOCARRIER1;9999999;2019;no;;;;;;;Camion;Carga;false;;;;;;;VOLVO;FH 500;;;;;;;;;;;;;;;;;"
+    val v3 = ";1111111;2019;no;;;;;;;Camion;Carga;false;;;;;;;VOLVO;FH 500;;;;;;;;;;;;;;;;;"
+    // same plate, different carrier: carrier_id must NOT change (H3)
+    val v4 = s"ABCD12;2222222;2021;verdadero;ENG2;CHS1;VIN1;99;Lona;05-07-2021;Camion;Carga;si;12000.5;10.2;2.5;3.1;MOP-A;20;VOLVO;FH 500;01-06-2025;01-06-2026;Aprobada;Aprobada;Rechazada;Aprobada;No Aplica;Aprobada;Aprobada;Aprobada;Aprobada;Aprobada;Rechazada;Aprobada;;;"
+    writeCsv(dir, "vehiculos_1.csv",
+      (header +: Seq(v1, v2, v3, v4)).mkString("", "\n", "\n"))
+
+    val results = EtlRunner.processDirectory(store, dir)
+    val r = results("vehiculos_1.csv")
+    assert(r.rowCount == 4 && r.processed == 2 && r.errors == 2, s"got $r")
+
+    val veh = store.read("vehiculo", SilverSchemas.vehiculo).collect()
+    assert(veh.length == 1)
+    val v = veh(0)
+    assert(v.getAs[String]("registration_plate") == "ABCD12")
+    assert(v.getAs[Int]("year_of_manufacture") == 2021)   // updated by v4
+    assert(v.getAs[Boolean]("gps"))                        // "verdadero"
+    assert(v.getAs[String]("engine_number") == "ENG2")
+    assert(v.getAs[Double]("peso") == 12000.5)
+    assert(v.getAs[java.sql.Date]("instalacion_cortina") ==
+      java.sql.Date.valueOf("2021-07-05"))
+    // carrier_id: from v1's empresa 1111111, NOT updated by v4
+    val emp1 = store.read("empresa").filter(col("carrier_bp") === "1111111")
+      .select("carrier_id").collect()(0).getInt(0)
+    assert(v.getAs[Int]("carrier_id") == emp1)
+
+    Seq("tipo_vehiculo" -> "Camion", "tipo_designacion" -> "Carga",
+      "vehiculo_marca" -> "VOLVO").foreach { case (t, expect) =>
+      val rows = store.read(t).collect()
+      assert(rows.length == 1, s"$t: ${rows.length}")
+    }
+    val modelo = store.read("vehiculo_modelo", SilverSchemas.vehiculoModelo).collect()
+    assert(modelo.length == 1 && modelo(0).getAs[String]("vehicle_model") == "FH 500")
+
+    // revision_tecnica appended per accepted row (2 rows: v1, v4)
+    val rt = store.read("revision_tecnica", SilverSchemas.revisionTecnica)
+      .orderBy("revision_tecnica_id").collect()
+    assert(rt.length == 2)
+    assert(rt(0).getAs[Boolean]("emissions_crt_status"))
+    assert(!rt(0).getAs[Boolean]("visual_status"))          // Rechazada
+    assert(!rt(0).getAs[Boolean]("alignment_status"))       // No Aplica
+
+    val so = store.read("soap", SilverSchemas.soap).collect()
+    assert(so.length == 1 && so(0).getAs[Long]("numero_poliza") == 987654321L)
+    val cav = store.read("certificado_anotaciones_vigentes", SilverSchemas.cav).collect()
+    assert(cav.length == 1)
+    assert(cav(0).getAs[String]("nombre_propietario") == "EMPRESA 1")
+    assert(cav(0).getAs[java.sql.Date]("fecha_adquisicion") ==
+      java.sql.Date.valueOf("2020-10-10"))
+    val pc = store.read("permiso_circulacion", SilverSchemas.permisoCirculacion).collect()
+    assert(pc.length == 1 && pc(0).getAs[String]("municipalidad") == "MAIPU")
+  }
+
+  test("router: unknown files skipped") {
+    assert(BronzeReader.classify("otros_datos.csv").isEmpty)
+    assert(BronzeReader.classify("empresas_1.txt").isEmpty)
+    assert(BronzeReader.classify("EMPRESAS_2025.CSV").isDefined)
+  }
+}
