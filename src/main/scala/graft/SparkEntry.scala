@@ -12,7 +12,9 @@ object SparkEntry {
 
   /** All registered query specs (name -> spec). */
   def specs: Map[String, QuerySpec] =
-    graft.analytics.RelationalQueries.queries
+    graft.analytics.RelationalQueries.queries ++
+    graft.text.TextQueries.queries ++
+    graft.similarity.SimilarityQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

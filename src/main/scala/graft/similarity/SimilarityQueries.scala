@@ -1,0 +1,154 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analytics.{QuerySpec, Tables}
+import VectorFunctions._
+
+/** Similarity search over the `embeddings` table (`array<float>` 64-d):
+  * brute-force cosine top-k as the exact baseline, IVF as the pruned
+  * scale path, plus embedding-cosine near-dup (dedup family).
+  *
+  * Scale design: brute-force is a broadcast-join of the (small) query
+  * set against the corpus — linear scan, no shuffle of the big side;
+  * IVF prunes the scanned fraction to nprobe/ncentroid. Both agree
+  * exactly with the DuckDB oracle because cosine is computed in double
+  * with identical summation order.
+  */
+object SimilarityQueries {
+
+  private val duckCos =
+    "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+
+  /** Deterministic centroid choice for IVF: the first 16 vectors. A
+    * production build would k-means these; the index mechanics
+    * (assign -> probe -> rerank) are identical. */
+  private val nCentroids = 16
+  private val nProbe = 2
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    // ── embedding-cosine near-dup (blocked by label) ───────────────
+    "q27_embedding_neardup" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("va"), col("label"),
+          col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vb"), col("label").as("_lb"),
+          col("embedding").as("eb"))
+        a.join(b, col("label") === col("_lb") && col("va") < col("vb"))
+          .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))))
+          .filter(col("cos") > 0.4)
+          .select(col("va"), col("vb"), col("label"), col("cos"))
+          .orderBy("va", "vb")
+      },
+      oracle = Some(s"""
+        SELECT a.vec_id va, b.vec_id vb, a.label,
+               floor(($duckCos) * 10000 + 0.5) / 10000 AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE floor(($duckCos) * 10000 + 0.5) / 10000 > 0.4
+        ORDER BY va, vb""")),
+
+    // ── brute-force cosine top-k (exact ANN baseline) ──────────────
+    "q28_ann_bruteforce" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+                   WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, b.vec_id, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) rk FROM scored)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""),
+      bench = true),
+
+    // ── IVF-pruned ANN: assign to nearest centroid, probe top-2 ────
+    "q29_ann_ivf" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cent = e.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+        // corpus assignment: argmax-cosine centroid per vector
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("ccos").desc, col("cid"))
+        val assigned = e.join(broadcast(cent), lit(true))
+          .withColumn("ccos", graft.analytics.StableRound.r4(cosine(col("ce"), col("embedding"))))
+          .withColumn("crk", row_number().over(wAssign))
+          .filter(col("crk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+
+        // queries probe their nProbe nearest centroids
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val wProbe = Window.partitionBy(col("query_id"))
+          .orderBy(col("pcos").desc, col("cid"))
+        val probes = q.join(broadcast(cent), lit(true))
+          .withColumn("pcos", graft.analytics.StableRound.r4(cosine(col("ce"), col("qe"))))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= nProbe)
+          .select(col("query_id"), col("qe"), col("cid"))
+
+        // search only the probed inverted lists, rerank exact
+        val wTop = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        assigned.join(probes, Seq("cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                      WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qe, cid FROM (
+            SELECT q.query_id, q.qe, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        hits AS (
+          SELECT p.query_id, a.vec_id, floor(list_cosine_similarity(
+              p.qe::DOUBLE[], a.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
+          FROM assigned a JOIN probes p ON a.cid = p.cid
+          WHERE a.vec_id != p.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) rk FROM hits)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines:
+  * tokenization, counting, quality scoring, language ID, fingerprinting,
+  * shingling. Everything is a composition of codegen'd built-ins and is
+  * expressed identically in DuckDB SQL for the oracle — hashes are md5
+  * (both engines agree bit-for-bit), so even the sketch-based operators
+  * get exact cross-engine checks.
+  *
+  * Scale: all functions are per-row narrow transforms — no shuffle, no
+  * UDF, fully whole-stage-codegen'd; they stream over 100 TB as fast as
+  * the scan goes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (training-pipeline convention: pre-split on
+    * runs of whitespace after trim). */
+  def tokens(text: Column): Column =
+    split(trim(text), "\\s+")
+
+  def token_count(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words are split greedily into <=4-char
+    * pieces (a cheap stand-in for byte-pair merges): sum of
+    * ceil(len(w)/4) over words. */
+  def subword_count(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+
+  /** Count of tokens that appear in `vocab` (used for stopword ratios
+    * and language scoring). */
+  def vocab_hits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*)))
+
+  /** Punctuation character count. */
+  def punct_count(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Mean token length, 4 decimals. */
+  def mean_token_len(text: Column): Column =
+    graft.analytics.StableRound.r4(
+      aggregate(tokens(text), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / token_count(text))
+
+  /** Stopword lists for the language-ID heuristic. Deterministic,
+    * shared verbatim with the oracle SQL. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr" -> Seq("le", "les", "des", "et", "une", "est", "dans", "pour", "sur", "avec"))
+
+  /** N-gram language ID heuristic: score = stopword hits per language;
+    * argmax with first-listed language winning ties (en > es > de > fr).
+    */
+  def lang_id(text: Column): Column = {
+    val scores = stopwords.map { case (lang, words) =>
+      lang -> vocab_hits(text, words)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      when(score === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Composite quality score in [0,1]: length saturation (30%), low
+    * punctuation density (40%), stopword presence (30%). 4 decimals. */
+  def quality_score(text: Column): Column = {
+    val nTok = token_count(text).cast("double")
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val punctRatio = punct_count(text).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+    val stopRatio = least(
+      vocab_hits(text, stopwords.flatMap(_._2)).cast("double") /
+        greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
+    graft.analytics.StableRound.r4(
+      lit(0.3) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) +
+      lit(0.3) * stopRatio)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Identical in DuckDB: `md5(lower(regexp_replace(trim(text),
+    * '\s+', ' ', 'g')))`. */
+  def doc_fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Word k-shingles as space-joined strings: the canonical input to
+    * MinHash/Jaccard dedup. Empty when the document has < k tokens. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    // NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
+    // docs shorter than k tokens need an explicit empty branch.
+    when(n >= k,
+      transform(sequence(lit(1), n - lit(k - 1)),
+        i => array_join(slice(toks, i, lit(k)), " ")))
+      .otherwise(typedlit(Array.empty[String]))
+  }
+}

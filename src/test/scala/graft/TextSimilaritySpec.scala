@@ -1,0 +1,71 @@
+package graft
+
+import graft.text.TextFunctions._
+import graft.similarity.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the LLM-pipeline text/vector functions; the heavy
+  * cross-engine checks live in the DuckDB-oracled queries (q20-q29). */
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / counts / shingles") {
+    val df = Seq("the quick brown fox jumps").toDF("text")
+    val r = df.select(
+      token_count($"text").as("n"),
+      subword_count($"text").as("sw"),
+      shingles($"text", 3).as("sh")).collect()(0)
+    assert(r.getAs[Int]("n") == 5)
+    // ceil: the=1 quick=2 brown=2 fox=1 jumps=2
+    assert(r.getAs[Long]("sw") == 8)
+    assert(r.getAs[scala.collection.Seq[String]]("sh").toSeq == Seq(
+      "the quick brown", "quick brown fox", "brown fox jumps"))
+    // short doc: no 3-shingles
+    val r2 = Seq("one two").toDF("text")
+      .select(shingles($"text", 3).as("sh")).collect()(0)
+    assert(r2.getAs[scala.collection.Seq[String]]("sh").isEmpty)
+  }
+
+  test("lang_id picks stopword-dominant language, und when none") {
+    val df = Seq(
+      "el perro y la casa de que un dia",   // es
+      "the cat of the house and it was",    // en
+      "der hund und die katze ist ein",     // de
+      "zzz qqq xxx").toDF("text")
+    assert(df.select(lang_id($"text")).collect().map(_.getString(0)).toSeq ==
+      Seq("es", "en", "de", "und"))
+  }
+
+  test("quality_score bounded and fingerprint normalizes") {
+    val df = Seq("The  Quick   Fox", "the quick fox").toDF("text")
+    val fps = df.select(doc_fingerprint($"text").as("fp")).collect()
+    assert(fps(0).getString(0) == fps(1).getString(0)) // case+space insensitive
+    val q = Seq("some reasonable text with the and of it")
+      .toDF("text").select(quality_score($"text")).collect()(0).getDouble(0)
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("cosine: orthogonal, identical, opposite") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+    val r = df.select(round(cosine($"a", $"b"), 6).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(r == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("minhash lsh finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, base, "en"), (1L, nearDup, "en"), (2L, other, "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+      .build(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 2L || a == 2L })
+  }
+}
