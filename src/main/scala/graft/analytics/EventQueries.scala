@@ -1,0 +1,202 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Event-time operators over the harness `events` table: as-of join,
+  * gap sessionization, session windows, tumbling windows, range join.
+  * The reference has no temporal operators (SURVEY §2 E/I — "entirely
+  * absent") — these are the extension surface a training-data /
+  * telemetry pipeline needs, each with a DuckDB oracle.
+  *
+  * Precision note: `events.ts` is parquet TIMESTAMP(NANOS). DuckDB
+  * truncates to µs on read; Spark (with nanosAsLong) reads the raw ns
+  * Long. Every temporal comparison here is therefore done on **epoch
+  * micros** (`ts_us = ts div 1000`) so both engines order and bucket
+  * identically — sub-µs ordering would otherwise diverge.
+  */
+object EventQueries {
+  import Tables._
+
+  private val US_PER_HOUR = 3600L * 1000000L
+
+  /** events with `ts_us` (epoch micros, Long) — the canonical clock. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_us", (col("ts") / 1000).cast("long"))
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    // ── as-of join (backward, inclusive) ───────────────────────────
+    // For every click, the value of the user's latest purchase at or
+    // before the click. Union + running-last-value trick: ONE shuffle
+    // on user_id (operators/AsOfJoin.scala) vs the theta-join
+    // explosion a naive formulation gives.
+    "q30_asof_join" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        // dedupe right per (user, µs): ns ties collapse under µs
+        // truncation; keep the highest event_id like the oracle
+        val w = Window.partitionBy(col("user_id"), col("ts_us"))
+          .orderBy(col("event_id").desc)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value"))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .drop("_rn")
+          .withColumnRenamed("value", "last_purchase_value")
+        AsOfJoin.backward(clicks, "user_id", "ts_us",
+            purchases, "user_id", "ts_us", Seq("last_purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            col("last_purchase_value"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, ts, user_id, event_type, value,
+                          epoch_us(ts) AS ts_us FROM events),
+        p AS (
+          SELECT user_id AS u, ts_us AS t, value AS v
+          FROM (SELECT user_id, ts_us, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+                FROM e WHERE event_type = 'purchase')
+          WHERE rn = 1)
+        SELECT event_id, user_id, p.v AS last_purchase_value
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        ASOF LEFT JOIN p ON c.user_id = p.u AND c.ts_us >= p.t
+        ORDER BY event_id"""),
+      bench = true),
+
+    // ── gap sessionization (manual: lag + cumulative flag sum) ─────
+    // New session when the gap since the previous event of the same
+    // user exceeds 30 min. One shuffle on user_id; both window passes
+    // share the same (user_id | ts) sort.
+    "q31_sessionize" -> QuerySpec(
+      build = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        val sessions = ev(s, d)
+          .withColumn("_prev", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("_new",
+            when(col("_prev").isNull ||
+              col("ts_us") - col("_prev") > gapUs, 1).otherwise(0))
+          .withColumn("session_id",
+            sum(col("_new")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        sessions.groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"),
+            max(col("n")).as("max_session_events"),
+            sum(col("n")).as("n_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        flagged AS (
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                        OR lag(ts_us) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        sess AS (
+          SELECT user_id,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM flagged),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n
+          FROM sess GROUP BY user_id, session_id)
+        SELECT user_id, count(*) AS n_sessions,
+               max(n) AS max_session_events, sum(n) AS n_events
+        FROM per_session GROUP BY user_id ORDER BY user_id""")),
+
+    // ── session_window (Spark-native session windows, batch) ───────
+    // Spark semantics: events merge while next_ts < prev_ts + gap, so
+    // a NEW session starts at diff >= gap; window end = last ts + gap.
+    "q32_session_window" -> QuerySpec(
+      build = (s, d) => ev(s, d)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      oracle = Some("""
+        WITH t AS (
+          SELECT user_id, epoch_us(ts) AS ts_us, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                        OR lag(epoch_us(ts)) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+        sess AS (
+          SELECT user_id, ts_us, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM t)
+        SELECT user_id,
+               make_timestamp(min(ts_us)) AS session_start,
+               make_timestamp(max(ts_us) + 1800000000) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
+    // ── tumbling event-time windows ────────────────────────────────
+    "q33_hourly_windows" -> QuerySpec(
+      build = (s, d) => ev(s, d)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour", "event_type"),
+      oracle = Some("""
+        SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""),
+      bench = true),
+
+    // ── range join (point-in-interval, bucketed equi-join) ─────────
+    // Clicks landing inside the 1-hour window after each purchase of
+    // the same user. operators/RangeJoin.scala: grid-bucketed so it's
+    // a hash join, not a nested loop (the oracle's theta join is the
+    // semantics, not the plan).
+    "q34_range_join" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"),
+            col("event_id").as("click_id"))
+        val intervals = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_us").as("p_start"),
+            (col("ts_us") + lit(US_PER_HOUR)).as("p_end"),
+            col("event_id").as("purchase_id"))
+        RangeJoin.pointInInterval(
+            clicks, "user_id", "ts_us",
+            intervals, "p_user", "p_start", "p_end",
+            Seq("purchase_id"), bucketWidth = US_PER_HOUR)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("click_id")).as("n_clicks"),
+            countDistinct(col("purchase_id")).as("n_purchases"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS ts_us FROM events)
+        SELECT c.user_id, count(*) AS n_pairs,
+               count(DISTINCT c.event_id) AS n_clicks,
+               count(DISTINCT p.event_id) AS n_purchases
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id
+         AND c.ts_us >= p.ts_us AND c.ts_us < p.ts_us + 3600000000
+        GROUP BY c.user_id ORDER BY c.user_id"""))
+  )
+}
