@@ -22,9 +22,13 @@ object EventQueries {
 
   private val US_PER_HOUR = 3600L * 1000000L
 
-  /** events with `ts_us` (epoch micros, Long) — the canonical clock. */
+  /** events with `ts_us` (epoch micros, Long) — the canonical clock.
+    * `div` (integer division) keeps the arithmetic in Long: `ts/1000`
+    * would round-trip through Double and lose precision (epoch ns
+    * ~1.7e18 >> 2^53), shifting session boundaries by ±1 µs vs the
+    * oracle's exact `epoch_us`. */
   private def ev(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("ts_us", (col("ts") / 1000).cast("long"))
+    events(s, d).withColumn("ts_us", expr("ts div 1000"))
 
   val queries: Map[String, QuerySpec] = Map(
 
@@ -43,9 +47,9 @@ object EventQueries {
         val w = Window.partitionBy(col("user_id"), col("ts_us"))
           .orderBy(col("event_id").desc)
         val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"), col("value"))
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
           .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .drop("_rn")
+          .drop("_rn", "event_id")
           .withColumnRenamed("value", "last_purchase_value")
         AsOfJoin.backward(clicks, "user_id", "ts_us",
             purchases, "user_id", "ts_us", Seq("last_purchase_value"))
@@ -110,7 +114,8 @@ object EventQueries {
           SELECT user_id, session_id, count(*) AS n
           FROM sess GROUP BY user_id, session_id)
         SELECT user_id, count(*) AS n_sessions,
-               max(n) AS max_session_events, sum(n) AS n_events
+               max(n) AS max_session_events,
+               CAST(sum(n) AS BIGINT) AS n_events
         FROM per_session GROUP BY user_id ORDER BY user_id""")),
 
     // ── session_window (Spark-native session windows, batch) ───────

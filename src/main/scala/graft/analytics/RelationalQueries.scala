@@ -288,7 +288,8 @@ object RelationalQueries {
         .orderBy("event_type"),
       oracle = Some("""
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
                count(*) AS n, round(avg(value), 4) AS avg_value
         FROM events GROUP BY event_type ORDER BY event_type""")),
 

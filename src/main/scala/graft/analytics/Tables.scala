@@ -12,10 +12,11 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), read as Long ns-since-epoch
     * (see GraftSession nanosAsLong); convert to a microsecond timestamp
-    * the same way DuckDB truncates ns -> µs. */
+    * the same way DuckDB truncates ns -> µs. Integer `div` — `/` would
+    * go through Double and lose sub-µs exactness (ns epoch >> 2^53). */
   def eventTs: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    timestamp_micros((col("ts") / 1000).cast("long"))
+    timestamp_micros(expr("ts div 1000"))
   }
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")

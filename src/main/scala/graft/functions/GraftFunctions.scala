@@ -92,9 +92,14 @@ object GraftFunctions {
     * works alongside the DataFrame API. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "rut_is_valid", es => RutIsValid(es.head), "scala_udf")
-    reg.createOrReplaceTempFunction(
-      "rut_format", es => RutFormat(es.head), "scala_udf")
+    // idempotent: re-registering logs a WARN per call, and configure()
+    // runs once per query build
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("rut_is_valid"))) {
+      reg.createOrReplaceTempFunction(
+        "rut_is_valid", es => RutIsValid(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "rut_format", es => RutFormat(es.head), "scala_udf")
+    }
   }
 }

@@ -128,10 +128,10 @@ object TextQueries {
       build = (s, d) => {
         val sh = sparkShingles(s, d)
         val a = sh.select(col("doc_id").as("da"), col("lang"),
-          col("s"), col("n").as("na"))
+          col("s").as("sa"), col("n").as("na"))
         val b = sh.select(col("doc_id").as("db"), col("lang").as("_lb"),
-          col("s"), col("n").as("nb"))
-        a.join(b, a("s") === b("s") && col("lang") === col("_lb") &&
+          col("s").as("sb"), col("n").as("nb"))
+        a.join(b, col("sa") === col("sb") && col("lang") === col("_lb") &&
             col("da") < col("db"))
           .groupBy(col("da"), col("db"))
           .agg(count(lit(1)).as("shared"),
