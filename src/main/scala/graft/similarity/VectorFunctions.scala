@@ -18,10 +18,12 @@ object VectorFunctions {
 
   def l2_norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Native codegen'd kernel ([[CosineSimilarity]]); same arithmetic
+    * order as the HOF formulation it replaced, so oracle hashes are
+    * unchanged. */
   def cosine(a: Column, b: Column): Column = {
-    val ad = as_double(a)
-    val bd = as_double(b)
-    dot(ad, bd) / (l2_norm(ad) * l2_norm(bd))
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(CosineSimilarity(expression(a), expression(b)))
   }
 
   def l2_distance(a: Column, b: Column): Column = {

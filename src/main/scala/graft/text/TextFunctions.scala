@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  import org.apache.spark.sql.graft.ColumnBridge.{column => toCol, expression => toExpr}
+
   /** Whitespace tokenizer (training-pipeline convention: pre-split on
-    * runs of whitespace after trim). */
+    * runs of whitespace after trim). Native kernel [[WsTokenize]] with
+    * the exact semantics of `split(trim(text), "\\s+")`. */
   def tokens(text: Column): Column =
-    split(trim(text), "\\s+")
+    toCol(WsTokenize(toExpr(text)))
 
   def token_count(text: Column): Column = size(tokens(text))
 
@@ -33,7 +36,14 @@ object TextFunctions {
   /** Count of tokens that appear in `vocab` (used for stopword ratios
     * and language scoring). */
   def vocab_hits(text: Column, vocab: Seq[String]): Column =
-    size(filter(tokens(text), t => t.isin(vocab.map(lit(_)): _*)))
+    vocab_hits_t(tokens(text), vocab)
+
+  /** [[vocab_hits]] over a pre-tokenized column — callers scoring
+    * several vocabularies split once and reuse (regex split is the
+    * dominant per-row cost, and CollapseProject would otherwise inline
+    * one `split` per use). */
+  def vocab_hits_t(toks: Column, vocab: Seq[String]): Column =
+    toCol(VocabHitsExpr(toExpr(toks), vocab))
 
   /** Punctuation character count. */
   def punct_count(text: Column): Column =
@@ -56,9 +66,12 @@ object TextFunctions {
   /** N-gram language ID heuristic: score = stopword hits per language;
     * argmax with first-listed language winning ties (en > es > de > fr).
     */
-  def lang_id(text: Column): Column = {
+  def lang_id(text: Column): Column = lang_id_t(tokens(text))
+
+  /** [[lang_id]] over a pre-tokenized column. */
+  def lang_id_t(toks: Column): Column = {
     val scores = stopwords.map { case (lang, words) =>
-      lang -> vocab_hits(text, words)
+      lang -> vocab_hits_t(toks, words)
     }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((lang, score), acc) =>
@@ -68,13 +81,18 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: length saturation (30%), low
     * punctuation density (40%), stopword presence (30%). 4 decimals. */
-  def quality_score(text: Column): Column = {
-    val nTok = token_count(text).cast("double")
+  def quality_score(text: Column): Column =
+    quality_score_t(text, tokens(text))
+
+  /** [[quality_score]] with a pre-tokenized column (text still needed
+    * for the punctuation-density term). */
+  def quality_score_t(text: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
     val lenScore = least(nTok / lit(100.0), lit(1.0))
     val punctRatio = punct_count(text).cast("double") /
       greatest(length(text).cast("double"), lit(1.0))
     val stopRatio = least(
-      vocab_hits(text, stopwords.flatMap(_._2)).cast("double") /
+      vocab_hits_t(toks, stopwords.flatMap(_._2)).cast("double") /
         greatest(nTok, lit(1.0)) * lit(5.0), lit(1.0))
     graft.analytics.StableRound.r4(
       lit(0.3) * lenScore + lit(0.4) * (lit(1.0) - punctRatio) +
@@ -89,14 +107,6 @@ object TextFunctions {
 
   /** Word k-shingles as space-joined strings: the canonical input to
     * MinHash/Jaccard dedup. Empty when the document has < k tokens. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    // NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not empty —
-    // docs shorter than k tokens need an explicit empty branch.
-    when(n >= k,
-      transform(sequence(lit(1), n - lit(k - 1)),
-        i => array_join(slice(toks, i, lit(k)), " ")))
-      .otherwise(typedlit(Array.empty[String]))
-  }
+  def shingles(text: Column, k: Int): Column =
+    toCol(WordShingles(toExpr(tokens(text)), k))
 }

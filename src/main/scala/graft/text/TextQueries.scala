@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.analytics.{QuerySpec, Tables}
@@ -42,6 +42,16 @@ object TextQueries {
         size(col("dsh")).as("n"))
   }
 
+  /** All pairs (x, y) with x before y from a sorted array column —
+    * posting-list pair expansion. Replaces a self-join: one groupBy +
+    * explode instead of shuffling (and recomputing!) the build subtree
+    * twice. `slice` is 1-based; element i (0-based) pairs with the tail
+    * starting at i+2. */
+  private def pairExpand(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + lit(2), size(arr)),
+        y => struct(x.as("x"), y.as("y")))))
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── token statistics (token counting, BPE-ish subwords) ────────
@@ -66,10 +76,15 @@ object TextQueries {
 
     // ── language ID heuristic + quality scoring ────────────────────
     "q21_lang_quality" -> QuerySpec(
-      build = (s, d) => Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        lang_id(col("text")).as("lang_guess"),
-        quality_score(col("text")).as("quality"))
+      // tokenize ONCE per row into `_toks`: CollapseProject keeps the
+      // split un-inlined (it's non-cheap + multiply referenced), so the
+      // 6 vocab/length scorers share one regex split
+      build = (s, d) => Tables.documents(s, d)
+        .withColumn("_toks", tokens(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          lang_id_t(col("_toks")).as("lang_guess"),
+          quality_score_t(col("text"), col("_toks")).as("quality"))
         .orderBy("doc_id"),
       oracle = Some {
         val hits = stopwords.map { case (l, v) => l -> duckVocabHits(v) }
@@ -126,13 +141,16 @@ object TextQueries {
     // posting-list blowup of the naive join).
     "q24_jaccard_pairs" -> QuerySpec(
       build = (s, d) => {
-        val sh = sparkShingles(s, d)
-        val a = sh.select(col("doc_id").as("da"), col("lang"),
-          col("s").as("sa"), col("n").as("na"))
-        val b = sh.select(col("doc_id").as("db"), col("lang").as("_lb"),
-          col("s").as("sb"), col("n").as("nb"))
-        a.join(b, col("sa") === col("sb") && col("lang") === col("_lb") &&
-            col("da") < col("db"))
+        // inverted index: shingle -> sorted posting list of (doc_id, n);
+        // pairs sharing >=1 shingle come from per-list pair expansion
+        val posts = sparkShingles(s, d)
+          .groupBy(col("lang"), col("s"))
+          .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
+            .as("docs"))
+          .filter(size(col("docs")) > 1)
+        posts.select(explode(pairExpand(col("docs"))).as("p"))
+          .select(col("p.x.doc_id").as("da"), col("p.y.doc_id").as("db"),
+            col("p.x.n").as("na"), col("p.y.n").as("nb"))
           .groupBy(col("da"), col("db"))
           .agg(count(lit(1)).as("shared"),
             first(col("na")).as("_na"), first(col("nb")).as("_nb"))
@@ -156,46 +174,48 @@ object TextQueries {
         ORDER BY da, db""")),
 
     // ── MinHash + LSH banding near-dup (the 100 TB dedup path) ─────
-    // 16 md5-derived min-hashes per doc, 8 bands of 2; candidates =
-    // bucket collisions. Linear in corpus size: shingle explode ->
-    // per-(doc, seed) min -> band hash -> self-join on tiny buckets.
+    // 16 min-hash functions from 4 md5s per shingle (each 128-bit md5
+    // split into 4 32-bit hex pieces), 8 bands of 2; candidates = LSH
+    // bucket collisions via posting-list pair expansion. Linear in
+    // corpus size: one narrow pass per shingle (no 16x row explosion),
+    // one groupBy(doc) with map-side combine, one groupBy(bucket) —
+    // never a self-join, so the sketch subtree is computed once.
     "q25_minhash_lsh" -> QuerySpec(
       build = (s, d) => {
-        val seeds = (0 until 16)
-        val sh = sparkShingles(s, d)
-          .select(col("doc_id"), col("s"),
-            explode(typedlit(seeds.toArray)).as("seed"))
-          .select(col("doc_id"), col("seed"),
-            md5(concat(col("seed").cast("string"), lit("|"), col("s"))).as("h"))
-        val mh = sh.groupBy(col("doc_id"), col("seed")).agg(min(col("h")).as("mh"))
-        val bands = mh
-          .withColumn("band", floor(col("seed") / 2).cast("int"))
-          .groupBy(col("doc_id"), col("band"))
-          // deterministic within-band order: seed asc == mh of even seed
-          // first; md5 of 'mh0|mh1'
-          .agg(md5(concat_ws("|",
-            array_sort(collect_list(struct(col("seed"), col("mh"))))
-              .getField("mh"))).as("bh"))
-        val x = bands.select(col("doc_id").as("da"), col("band"), col("bh"))
-        val y = bands.select(col("doc_id").as("db"), col("band").as("_b2"),
-          col("bh").as("_bh2"))
-        x.join(y, col("band") === col("_b2") && col("bh") === col("_bh2") &&
-            col("da") < col("db"))
-          .select("da", "db").distinct()
+        val withH = sparkShingles(s, d).select(
+          col("doc_id") +: (0 until 4).map(seed =>
+            md5(concat(lit(s"$seed|"), col("s"))).as(s"m$seed")): _*)
+        val mins = (0 until 16).map(i =>
+          min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+        val mh = withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        val bands = mh.select(col("doc_id"), posexplode(array(
+          (0 until 8).map(bn => concat(col(s"h${2 * bn}"), col(s"h${2 * bn + 1}"))): _*
+        )).as(Seq("band", "bh")))
+        bands.groupBy(col("band"), col("bh"))
+          .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) > 1)
+          .select(explode(pairExpand(col("docs"))).as("p"))
+          .select(col("p.x").as("da"), col("p.y").as("db"))
+          .distinct()
           .orderBy("da", "db")
       },
-      oracle = Some(s"""
+      oracle = Some {
+        val minCols = (0 until 16).map(i =>
+          s"min(substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) h$i").mkString(", ")
+        val bandSelects = (0 until 8).map(bn =>
+          s"SELECT doc_id, $bn band, h${2 * bn} || h${2 * bn + 1} bh FROM mh")
+          .mkString(" UNION ALL ")
+        s"""
         WITH $duckShingles,
-        mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || s)) mh
-               FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) seed) seeds
-               GROUP BY doc_id, seed),
-        bands AS (SELECT doc_id, seed // 2 band,
-                         md5(string_agg(mh, '|' ORDER BY seed)) bh
-                  FROM mh GROUP BY doc_id, seed // 2)
+        h AS (SELECT doc_id, md5('0|' || s) m0, md5('1|' || s) m1,
+                     md5('2|' || s) m2, md5('3|' || s) m3 FROM sh),
+        mh AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+        bands AS ($bandSelects)
         SELECT DISTINCT a.doc_id da, b.doc_id db
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-        ORDER BY da, db"""),
+        ORDER BY da, db"""
+      },
       bench = true),
 
     // ── SimHash (16-bit, md5-derived) per document ─────────────────
