@@ -15,7 +15,8 @@ object SparkEntry {
     graft.analytics.RelationalQueries.queries ++
     graft.analytics.EventQueries.queries ++
     graft.text.TextQueries.queries ++
-    graft.similarity.SimilarityQueries.queries
+    graft.similarity.SimilarityQueries.queries ++
+    graft.multimodal.MediaQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

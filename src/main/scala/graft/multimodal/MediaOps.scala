@@ -1,0 +1,160 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: image/audio/video
+  * as opaque `binary` columns with typed metadata, plus the
+  * decode / feature-extract / resize / frame-sample operators.
+  *
+  * Execution model: the Spark-side plumbing — schema, partition sizing,
+  * per-partition batched processing, frame explode — is real and tested.
+  * The codec itself is STUBBED (`DecodeStub`): this environment has no
+  * image/audio libraries, so the stub derives deterministic fake pixels/
+  * samples from the bytes. Swapping in a real codec changes ONE function
+  * and nothing about the distributed plan.
+  *
+  * Scale notes:
+  *  - media rows are large (MBs); [[repartitionBySize]] packs partitions
+  *    to a byte budget instead of a row count so one task neither OOMs on
+  *    4K video nor starves on thumbnails;
+  *  - decode runs via `mapPartitions` in batches of `batchSize` — the
+  *    shape a vectorized/native decoder wants (amortized init per batch,
+  *    bounded memory per task);
+  *  - frame sampling is a `explode(sequence(...))` — pure narrow codegen,
+  *    no shuffle; downstream per-frame ops inherit the parallelism.
+  */
+object MediaOps {
+
+  /** Typed metadata carried alongside the opaque bytes. */
+  case class MediaMeta(format: String, width: Int, height: Int,
+                       sampleRate: Int, durationMs: Long)
+
+  case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
+                         meta: MediaMeta)
+
+  /** Decoded (stub) representation: a fixed-length feature payload per
+    * media item. A real pipeline would hold pixels / PCM samples here. */
+  case class DecodedMedia(media_id: Long, kind: String, width: Int,
+                          height: Int, features: Array[Float])
+
+  case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long,
+                   frame_bytes: Array[Byte])
+
+  // ───────────────────────── stubbed codec ─────────────────────────
+
+  /** STUB decoder — deterministic fake standing in for libjpeg/ffmpeg
+    * (not available in this environment). Real implementation: decode
+    * `bytes` per `meta.format`; everything distributed about the
+    * operator (batching, schema, partitioning) stays identical. */
+  object DecodeStub {
+    /** Fake "decode": a `dim`-length float feature vector from a rolling
+      * hash over the bytes — deterministic, cheap, collision-spread. */
+    def features(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // large prime seed
+      var i = 0
+      while (i < bytes.length) {
+        h = 31 * h + bytes(i)
+        out(math.floorMod(i, dim).toInt) += (h % 1000L) / 1000.0f
+        i += 1
+      }
+      out
+    }
+
+    /** Fake resize: metadata change + deterministic byte payload of the
+      * target size (real impl: bilinear/lanczos over decoded pixels). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte]((w.toLong * h % 4096).toInt.max(1))
+      var i = 0
+      while (i < out.length) {
+        out(i) = bytes(math.floorMod(i * 31, bytes.length.max(1)))
+        i += 1
+      }
+      out
+    }
+  }
+
+  // ─────────────────────── distributed plumbing ───────────────────────
+
+  /** Pack media rows into partitions of ~`targetBytes` payload each —
+    * size-aware parallelism for heavy binary rows. One narrow pass
+    * computes cumulative size per range bucket; the shuffle is a single
+    * repartitionByRange on the running-size bucket. */
+  def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
+    val sized = df.withColumn("_sz", length(col("bytes")).cast("long"))
+    val total = sized.agg(coalesce(sum(col("_sz")), lit(0L))).head.getLong(0)
+    val parts = math.max(1, (total / targetBytes).toInt)
+    sized.repartitionByRange(parts, col("media_id")).drop("_sz")
+  }
+
+  /** Batched decode via mapPartitions: the iterator is consumed in
+    * `batchSize` groups so a native decoder can amortize per-batch init
+    * and memory stays bounded regardless of partition size. */
+  def decode(media: Dataset[MediaRecord], dim: Int = 64,
+             batchSize: Int = 32): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // real codec: init once per batch, decode the whole batch
+        batch.iterator.map { m =>
+          DecodedMedia(m.media_id, m.kind, m.meta.width, m.meta.height,
+            DecodeStub.features(m.bytes, dim))
+        }
+      }
+    }
+  }
+
+  /** Resize images (stub pixels, real metadata + plan). */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.kind == "image")
+        m.copy(bytes = DecodeStub.resize(m.bytes, w, h),
+          meta = m.meta.copy(width = w, height = h))
+      else m
+    }
+  }
+
+  /** Sample one frame every `everyMs` from video rows: pure narrow
+    * explode — each media row becomes duration/everyMs frame rows with
+    * deterministic (stub) frame bytes. */
+  def frameSample(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val n = (m.meta.durationMs / everyMs).toInt
+      (0 until n).iterator.map { i =>
+        val start = math.floorMod(i * 257, m.bytes.length.max(1))
+        val len = math.min(64, m.bytes.length - start).max(0)
+        Frame(m.media_id, i, i * everyMs,
+          java.util.Arrays.copyOfRange(m.bytes, start, start + len))
+      }
+    }
+  }
+
+  /** Feature extraction to an embedding column — output plugs straight
+    * into the similarity surface (cosine / ANN operators). */
+  def embed(media: Dataset[MediaRecord], dim: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    decode(media, dim).select(col("media_id").as("vec_id"),
+      col("features").as("embedding"))
+  }
+
+  /** Deterministic media view derived from the harness `documents`
+    * table (bytes = UTF-8 text payload) — lets the binary-column
+    * operators run against oracle-checkable data. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(
+        col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("text").cast("binary").as("bytes"),
+        struct(
+          lit("stub").as("format"),
+          (col("doc_id") % 640 + 1).cast("int").as("width"),
+          (col("doc_id") % 480 + 1).cast("int").as("height"),
+          lit(16000).as("sampleRate"),
+          (length(col("text")) * 4).cast("long").as("durationMs")
+        ).as("meta"))
+}

@@ -1,0 +1,56 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import graft.analytics.QuerySpec
+
+/** Oracle-checked queries over the binary media view (multimodal
+  * surface). The bytes are real `binary` columns; DuckDB mirrors the
+  * view with `encode(text)` so byte lengths and frame math check
+  * exactly. The stubbed codec paths (decode/resize) are covered by
+  * MultimodalSpec instead — a fake codec has no SQL oracle.
+  */
+object MediaQueries {
+
+  private val duckKind =
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    // ── binary columns + typed metadata: per-kind byte statistics ──
+    "q45_media_meta" -> QuerySpec(
+      build = (s, d) => MediaOps.mediaFromDocuments(s, d)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("bytes"))).as("sum_bytes"),
+          max(col("meta.durationMs")).as("max_duration_ms"),
+          min(length(col("bytes"))).as("min_bytes"))
+        .orderBy("kind"),
+      oracle = Some(s"""
+        SELECT $duckKind AS kind, count(*) AS n,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+               CAST(max(length(text) * 4) AS BIGINT) AS max_duration_ms,
+               CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes
+        FROM documents GROUP BY 1 ORDER BY kind""")),
+
+    // ── frame sampling: video -> one row per sampled frame ─────────
+    // narrow explode(sequence) — frame math is integral on both sides
+    "q46_frame_sample" -> QuerySpec(
+      build = (s, d) => MediaOps.mediaFromDocuments(s, d)
+        .filter(col("kind") === "video")
+        .withColumn("n_frames", expr("meta.durationMs div 1000"))
+        .filter(col("n_frames") >= 1)
+        .select(col("media_id"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(col("media_id")).as("n_videos"),
+          sum(col("frame_idx")).as("sum_idx")),
+      oracle = Some(s"""
+        WITH v AS (
+          SELECT doc_id AS media_id, (length(text) * 4) // 1000 AS n
+          FROM documents WHERE ($duckKind) = 'video' AND (length(text) * 4) // 1000 >= 1),
+        f AS (SELECT media_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS frame_idx FROM v)
+        SELECT count(*) AS n_frames, count(DISTINCT media_id) AS n_videos,
+               CAST(sum(frame_idx) AS BIGINT) AS sum_idx
+        FROM f"""))
+  )
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators (SURVEY §2 I — absent from the
+  * reference; the extension surface a telemetry / training-data
+  * pipeline needs). Batch twins of the windowed operators live in
+  * [[graft.analytics.EventQueries]] (q32/q33) and are oracle-checked;
+  * these run the same semantics over unbounded streams with
+  * watermark-driven state eviction.
+  */
+object EventStreams {
+
+  /** Input event for the typed stateful operators. `ts_us` = event time
+    * in epoch micros (the engine's canonical clock, see EventQueries). */
+  case class Ev(user_id: Long, ts_us: Long, value: Double)
+
+  /** A closed session emitted by [[sessionizeStateful]]. */
+  case class Session(user_id: Long, session_start_us: Long,
+                     session_end_us: Long, n_events: Long, sum_value: Double)
+
+  /** State-store record for [[sessionizeStateful]] — public: the state
+    * encoder's generated code must be able to call the accessors. */
+  case class OpenSession(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling event-time windows with a watermark: late events beyond
+    * `lateness` are dropped and window state is evicted — bounded state
+    * on an unbounded stream. Works identically on a batch DataFrame
+    * (watermark is a no-op there; q33 is the oracle-checked twin). */
+  def hourlyWindows(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Native session windows (30-min gap) with watermark state eviction;
+    * q32 is the batch oracle-checked twin. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+                     lateness: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", lateness)
+      .groupBy(col("user_id"), session_window(col("ts_t"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState`: one
+    * [[OpenSession]] per user in the state store, closed + emitted when
+    * the gap is exceeded inside a batch or when the event-time timeout
+    * fires (watermark passed last_event + gap). This is the operator to
+    * reach for when session semantics outgrow `session_window` (e.g.
+    * emitting per-event session ids, caps on session length, custom
+    * merge logic).
+    *
+    * Scale: state is one small record per active user, partitioned by
+    * the group key — the shuffle is on user_id only, and the state
+    * store evicts via the timeout.
+    */
+  def sessionizeStateful(events: Dataset[Ev],
+                         gapUs: Long = 30L * 60 * 1000000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: OpenSession): Session =
+      Session(uid, s.start, s.last + gapUs, s.n, s.total)
+
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "2 hours")
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.ts_us - s.last < gapUs =>
+                  open = Some(OpenSession(s.start, e.ts_us, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fire once the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.MediaOps
+import graft.multimodal.MediaOps.{MediaMeta, MediaRecord}
+
+class MultimodalSpec extends SparkSpec {
+
+  private def sample(): Seq[MediaRecord] = Seq(
+    MediaRecord(1, "image", Array.tabulate(300)(_.toByte),
+      MediaMeta("png", 640, 480, 0, 0)),
+    MediaRecord(2, "video", Array.tabulate(5000)(i => (i * 7).toByte),
+      MediaMeta("mp4", 1920, 1080, 0, 4500)),
+    MediaRecord(3, "audio", Array.tabulate(800)(i => (i * 3).toByte),
+      MediaMeta("wav", 0, 0, 16000, 2000)))
+
+  test("decode: batched mapPartitions yields one fixed-dim vector per row") {
+    import spark.implicits._
+    val ds = spark.createDataset(sample()).repartition(2)
+    val out = MediaOps.decode(ds, dim = 16, batchSize = 2).collect()
+    assert(out.length === 3)
+    assert(out.forall(_.features.length === 16))
+    // determinism: same bytes -> same features
+    val again = MediaOps.decode(spark.createDataset(sample()), dim = 16).collect()
+    assert(out.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("resize touches only images and rewrites metadata") {
+    import spark.implicits._
+    val out = MediaOps.resize(spark.createDataset(sample()), 100, 50)
+      .collect().sortBy(_.media_id)
+    assert(out(0).meta.width === 100 && out(0).meta.height === 50)
+    assert(out(1).meta.width === 1920, "video must be untouched")
+    assert(out(2).meta === sample()(2).meta)
+  }
+
+  test("frameSample explodes video into ts-stamped frames") {
+    import spark.implicits._
+    val frames = MediaOps.frameSample(spark.createDataset(sample()), 1000)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 4) // 4500ms / 1000
+    assert(frames.map(_.media_id).distinct.toSeq === Seq(2L))
+    assert(frames.map(_.frame_ts_ms).toSeq === Seq(0L, 1000L, 2000L, 3000L))
+    assert(frames.forall(_.frame_bytes.nonEmpty))
+  }
+
+  test("embed output plugs into the cosine similarity surface") {
+    import spark.implicits._
+    val emb = MediaOps.embed(spark.createDataset(sample()), dim = 8)
+    val joined = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.similarity.VectorFunctions.cosine(
+          col("a.embedding"), col("b.embedding")).as("cos"))
+      .collect()
+    assert(joined.length === 3)
+    assert(joined.forall(r => !r.isNullAt(2) && math.abs(r.getDouble(2)) <= 1.000001))
+  }
+
+  test("repartitionBySize packs by byte budget") {
+    val df = MediaOps.mediaFromDocuments(spark, "/root/testdata/sf0.001")
+    val packed = MediaOps.repartitionBySize(df, targetBytes = 16 * 1024)
+    assert(packed.rdd.getNumPartitions >= 2)
+    assert(packed.count() === df.count())
+  }
+}

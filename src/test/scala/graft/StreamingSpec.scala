@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{EventStreams, StreamingIngest}
+import graft.streaming.EventStreams.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  test("file-source bronze stream: AvailableNow processes each file exactly once") {
+    val landing = tmp("landing")
+    val silver = tmp("silver")
+    val ckpt = tmp("ckpt")
+
+    def writeCsv(name: String, rows: Seq[String]): Unit = {
+      val f = new java.io.File(landing, name)
+      val w = new java.io.PrintWriter(f)
+      w.println("carrier_bp;carrier_name")
+      rows.foreach(w.println)
+      w.close()
+    }
+    writeCsv("empresas_1.csv", Seq("BP1;Acme", "BP2;Globex"))
+    writeCsv("empresas_2.csv", Seq("BP3;Initech"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("carrier_bp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("carrier_name",
+        org.apache.spark.sql.types.StringType)))
+
+    def run(): Unit = {
+      val bronze = StreamingIngest.bronzeStream(spark, landing, schema)
+      val q = StreamingIngest.runAvailableNow(bronze, ckpt) { (batch, _) =>
+        if (!batch.isEmpty)
+          batch.select("carrier_bp", "carrier_name", "_source_file")
+            .write.mode("append").parquet(silver)
+      }
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(silver)
+    assert(first.count() === 3)
+    assert(first.select("_source_file").distinct().count() === 2)
+
+    // a third file lands; the checkpoint must skip the two already done
+    writeCsv("empresas_3.csv", Seq("BP4;Umbrella"))
+    run()
+    val second = spark.read.parquet(silver)
+    assert(second.count() === 4)
+    assert(second.filter(col("carrier_bp") === "BP1").count() === 1,
+      "already-processed file was re-ingested")
+  }
+
+  test("stateful sessionization: gap splits sessions, timeout closes them") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    // epoch-0 timestamps are at the initial watermark and get dropped
+    // as late — anchor the clock in 2020 like real data
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionizeStateful(input.toDS(), gapUs = 30 * min)
+    val q = sessions.writeStream.format("memory")
+      .queryName("sessions_out").outputMode("append").start()
+
+    // user 1: two bursts 40 min apart -> first burst closes in-batch
+    input.addData(
+      Ev(1, t0, 1.0), Ev(1, t0 + 10 * min, 2.0),
+      Ev(1, t0 + 50 * min, 3.0),
+      Ev(2, t0, 5.0))
+    q.processAllAvailable()
+
+    val inBatch = spark.table("sessions_out").as[EventStreams.Session].collect()
+    assert(inBatch.toSet === Set(
+      EventStreams.Session(1, t0, t0 + 10 * min + 30 * min, 2, 3.0)))
+
+    // watermark advance (far-future event) times out the open sessions
+    input.addData(Ev(99, t0 + 1000 * min, 0.0))
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 2000 * min, 0.0))
+    q.processAllAvailable()
+
+    val all = spark.table("sessions_out").as[EventStreams.Session].collect()
+    assert(all.toSet.contains(
+      EventStreams.Session(1, t0 + 50 * min, t0 + 80 * min, 1, 3.0)))
+    assert(all.toSet.contains(
+      EventStreams.Session(2, t0, t0 + 30 * min, 1, 5.0)))
+    q.stop()
+  }
+
+  test("streaming session_window + watermark emits closed sessions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val df = input.toDS().toDF()
+    val out = EventStreams.sessionWindows(df, gap = "30 minutes",
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("sw_out").outputMode("append").start()
+
+    input.addData(Ev(7, t0, 1.0), Ev(7, t0 + 5 * min, 2.0))
+    q.processAllAvailable()
+    // nothing emitted yet: watermark has not passed session end
+    assert(spark.table("sw_out").count() === 0)
+
+    // event 10h later pushes the watermark far past the session
+    input.addData(Ev(8, t0 + 600 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(8, t0 + 1200 * min, 1.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("sw_out")
+      .select(col("user_id"), col("n_events"), col("sum_value")).collect()
+    assert(rows.exists(r => r.getLong(0) == 7 && r.getLong(1) == 2 &&
+      r.getDouble(2) == 3.0))
+    q.stop()
+  }
+}
