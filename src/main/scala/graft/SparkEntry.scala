@@ -13,6 +13,7 @@ object SparkEntry {
   /** All registered query specs (name -> spec). */
   def specs: Map[String, QuerySpec] =
     graft.analytics.RelationalQueries.queries ++
+    graft.analytics.ExtendedQueries.queries ++
     graft.analytics.EventQueries.queries ++
     graft.text.TextQueries.queries ++
     graft.similarity.SimilarityQueries.queries ++

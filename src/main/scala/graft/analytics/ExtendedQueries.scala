@@ -1,0 +1,324 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{AsOfJoin, SaltedJoin}
+
+/** Second wave of the relational surface: pivot, cube, exact
+  * percentiles, lead/lag/ntile windows, correlated + scalar subqueries,
+  * full-outer join, fuzzy matching, date arithmetic, ordered string
+  * aggregation, forward as-of, salted skew join. Same conventions as
+  * RelationalQueries (aliased columns, rounded doubles, total ORDER BY).
+  */
+object ExtendedQueries {
+  import Tables._
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    events(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    // ── pivot: months x order status ───────────────────────────────
+    "q10_pivot" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+        .groupBy(col("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .orderBy("month"),
+      oracle = Some("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+               round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+        FROM orders GROUP BY 1 ORDER BY month""")),
+
+    // ── cube (all grouping-set combinations) ───────────────────────
+    "q35_cube" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")),
+
+    // ── exact interpolated percentiles ─────────────────────────────
+    "q36_percentiles" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          StableRound.r4(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+          StableRound.r4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+          StableRound.r4(expr("percentile(o_totalprice, 0.75)")).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      oracle = Some(s"""
+        SELECT o_orderpriority,
+               ${StableRound.sql4("quantile_cont(o_totalprice, 0.25)")} AS p25,
+               ${StableRound.sql4("quantile_cont(o_totalprice, 0.5)")} AS p50,
+               ${StableRound.sql4("quantile_cont(o_totalprice, 0.75)")} AS p75,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── lead / lag / first_value over a ship sequence ──────────────
+    "q37_lead_lag" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .withColumn("next_qty", lead(col("l_quantity"), 1).over(w))
+          .withColumn("first_qty", first(col("l_quantity")).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("l_suppkey"), col("rn"),
+            round(col("l_quantity"), 2).as("qty"),
+            round(col("prev_qty"), 2).as("prev_qty"),
+            round(col("next_qty"), 2).as("next_qty"),
+            round(col("first_qty"), 2).as("first_qty"))
+          .orderBy("l_suppkey", "rn")
+      },
+      oracle = Some("""
+        SELECT l_suppkey, rn, round(l_quantity, 2) AS qty,
+               round(prev_qty, 2) AS prev_qty, round(next_qty, 2) AS next_qty,
+               round(first_qty, 2) AS first_qty
+        FROM (SELECT l_suppkey, l_quantity,
+                lag(l_quantity, 1) OVER w AS prev_qty,
+                lead(l_quantity, 1) OVER w AS next_qty,
+                first_value(l_quantity) OVER (w ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS first_qty,
+                ROW_NUMBER() OVER w AS rn
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        WHERE rn <= 3 ORDER BY l_suppkey, rn""")),
+
+    // ── ntile / percent_rank / cume_dist / dense_rank ──────────────
+    "q38_ntile_rank" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        orders(s, d)
+          .filter(col("o_orderkey") % 97 === 0)
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("pct_rank", StableRound.r4(percent_rank().over(w)))
+          .withColumn("cume", StableRound.r4(cume_dist().over(w)))
+          .withColumn("drank", dense_rank().over(w))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("quartile"), col("pct_rank"), col("cume"), col("drank"))
+          .orderBy("o_orderkey")
+      },
+      oracle = Some(s"""
+        SELECT o_orderkey, o_orderpriority, quartile,
+               ${StableRound.sql4("pr")} AS pct_rank,
+               ${StableRound.sql4("cd")} AS cume, drank
+        FROM (SELECT o_orderkey, o_orderpriority,
+                ntile(4) OVER w AS quartile,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                dense_rank() OVER w AS drank
+              FROM orders WHERE o_orderkey % 97 = 0
+              WINDOW w AS (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice, o_orderkey))
+        ORDER BY o_orderkey""")),
+
+    // ── correlated subquery: orders above their customer's average ─
+    "q39_corr_subquery" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        orders(s, d)
+          .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders o
+        WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── full outer join with unmatched sides ───────────────────────
+    "q40_full_outer" -> QuerySpec(
+      build = (s, d) => {
+        val rich = customer(s, d).filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val big = orders(s, d).filter(col("o_totalprice") > 400000)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+        rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+          .withColumn("side", when(
+            col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "left_only")
+            .otherwise("right_only"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(col("n_big")), lit(0)).cast("long").as("sum_big"))
+          .orderBy("side")
+      },
+      oracle = Some("""
+        WITH rich AS (SELECT c_custkey, c_acctbal FROM customer
+                      WHERE c_acctbal > 9000),
+        big AS (SELECT o_custkey, count(*) AS n_big FROM orders
+                WHERE o_totalprice > 400000 GROUP BY o_custkey)
+        SELECT CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+                    THEN 'both'
+                    WHEN c_custkey IS NOT NULL THEN 'left_only'
+                    ELSE 'right_only' END AS side,
+               count(*) AS n,
+               CAST(coalesce(sum(n_big), 0) AS BIGINT) AS sum_big
+        FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+        GROUP BY 1 ORDER BY side""")),
+
+    // ── fuzzy matching: Levenshtein over distinct part types ───────
+    "q41_levenshtein" -> QuerySpec(
+      build = (s, d) => {
+        val types = part(s, d).select(col("p_type")).distinct()
+        val a = types.select(col("p_type").as("ta"))
+        val b = types.select(col("p_type").as("tb"))
+        a.join(b, col("ta") < col("tb"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")))
+          .filter(col("dist") <= 4)
+          .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy("dist")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT DISTINCT p_type FROM part)
+        SELECT levenshtein(a.p_type, b.p_type) AS dist, count(*) AS n_pairs
+        FROM t a JOIN t b ON a.p_type < b.p_type
+        WHERE levenshtein(a.p_type, b.p_type) <= 4
+        GROUP BY 1 ORDER BY dist""")),
+
+    // ── date arithmetic ────────────────────────────────────────────
+    "q42_date_arith" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .withColumn("od", col("o_orderdate").cast("date"))
+        .groupBy(year(col("od")).as("yr"), quarter(col("od")).as("qtr"))
+        .agg(count(lit(1)).as("n"),
+          StableRound.r4(avg(datediff(lit("1998-12-31").cast("date"),
+            col("od")))).as("avg_days_to_eoy"),
+          max(dayofyear(col("od"))).as("max_doy"),
+          min(dayofmonth(col("od"))).as("min_dom"))
+        .orderBy("yr", "qtr"),
+      oracle = Some(s"""
+        SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+               CAST(date_part('quarter', o_orderdate) AS BIGINT) AS qtr,
+               count(*) AS n,
+               ${StableRound.sql4(
+                 "avg(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31'))")}
+                 AS avg_days_to_eoy,
+               CAST(max(date_part('doy', o_orderdate)) AS INT) AS max_doy,
+               CAST(min(date_part('day', o_orderdate)) AS INT) AS min_dom
+        FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""")),
+
+    // ── ordered, deduplicated string aggregation ───────────────────
+    "q43_array_agg" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          concat_ws(",", sort_array(collect_set(col("o_orderpriority"))))
+            .as("priolist"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy("o_orderstatus"),
+      oracle = Some("""
+        WITH d AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        SELECT o_orderstatus,
+               string_agg(o_orderpriority, ',' ORDER BY o_orderpriority)
+                 AS priolist,
+               count(*) AS n_prio
+        FROM d GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ── scalar subquery: share of total ────────────────────────────
+    "q44_scalar_subquery" -> QuerySpec(
+      build = (s, d) => {
+        val regional = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+        regional
+          .withColumn("share", StableRound.r4(
+            col("revenue") / sum(col("revenue")).over(Window.partitionBy())))
+          .orderBy("r_name")
+      },
+      oracle = Some(s"""
+        WITH regional AS (
+          SELECT r_name, round(sum(l_extendedprice), 2) AS revenue
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          GROUP BY r_name)
+        SELECT r_name, revenue,
+               ${StableRound.sql4("revenue / (SELECT sum(revenue) FROM regional)")}
+                 AS share
+        FROM regional ORDER BY r_name""")),
+
+    // ── forward as-of join (next purchase at/after each click) ─────
+    "q47_asof_forward" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val w = Window.partitionBy(col("user_id"), col("ts_us"))
+          .orderBy(col("event_id").desc)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .drop("_rn", "event_id")
+          .withColumnRenamed("value", "next_purchase_value")
+        AsOfJoin.forward(clicks, "user_id", "ts_us",
+            purchases, "user_id", "ts_us", Seq("next_purchase_value"))
+          .select(col("event_id"), col("user_id"),
+            col("next_purchase_value"))
+          .orderBy("event_id")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_id, user_id, event_type, value,
+                          epoch_us(ts) AS ts_us FROM events),
+        p AS (
+          SELECT user_id AS u, ts_us AS t, value AS v
+          FROM (SELECT user_id, ts_us, value, ROW_NUMBER() OVER (
+                  PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+                FROM e WHERE event_type = 'purchase')
+          WHERE rn = 1)
+        SELECT event_id, user_id, p.v AS next_purchase_value
+        FROM (SELECT * FROM e WHERE event_type = 'click') c
+        ASOF LEFT JOIN p ON c.user_id = p.u AND c.ts_us <= p.t
+        ORDER BY event_id""")),
+
+    // ── salted skew join (same semantics as the plain join) ────────
+    "q48_salted_join" -> QuerySpec(
+      build = (s, d) => {
+        val fact = ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"))
+        val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        SaltedJoin.inner(fact, "user_id", dim, "c_custkey",
+            xxhash64(col("event_id")), numSalts = 8)
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      bench = true)
+  )
+}

@@ -47,4 +47,34 @@ object AsOfJoin {
       df.withColumn(c, col("_pl").getField(c))
     }.drop("_p", "_pl", "_k", "_t", "_side")
   }
+
+  /** Forward as-of join: for each left row, the payload of the EARLIEST
+    * right row with the same key and `rightTime >= leftTime` (inclusive).
+    * Same single-shuffle union trick, mirrored: first non-null payload
+    * over the frame [current row, end of partition], with right rows
+    * ordered after left rows at equal time so exact matches count. */
+  def forward(left: DataFrame, leftKey: String, leftTime: String,
+              right: DataFrame, rightKey: String, rightTime: String,
+              payload: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("_k", col(leftKey))
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_ord", lit(0))
+    val rightTagged = right
+      .select(col(rightKey).as("_k"), col(rightTime).as("_t"),
+        lit(0).as("_side"), lit(1).as("_ord"),
+        struct(payload.map(col): _*).as("_p"))
+
+    val combined = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_ord"))
+      .rowsBetween(0, Window.unboundedFollowing)
+
+    val withPayload = combined
+      .withColumn("_pl", first(col("_p"), ignoreNulls = true).over(w))
+    payload.foldLeft(withPayload.filter(col("_side") === 1)) { (df, c) =>
+      df.withColumn(c, col("_pl").getField(c))
+    }.drop("_p", "_pl", "_k", "_t", "_side", "_ord")
+  }
 }
