@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
+
+class OperatorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, "a"), (1L, 20L, "b"), (1L, 35L, "c"), (2L, 5L, "d"))
+    .toDF("k", "t", "tag")
+
+  private def right = Seq(
+    (1L, 10L, 100.0), (1L, 30L, 300.0), (3L, 1L, 999.0))
+    .toDF("k", "t", "payload")
+
+  test("as-of backward: latest right at-or-before, inclusive, null when none") {
+    val out = AsOfJoin.backward(left, "k", "t", right, "k", "t", Seq("payload"))
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map("a" -> 100.0, "b" -> 100.0, "c" -> 300.0, "d" -> null))
+  }
+
+  test("as-of forward: earliest right at-or-after, inclusive, null when none") {
+    val out = AsOfJoin.forward(left, "k", "t", right, "k", "t", Seq("payload"))
+      .select("tag", "payload").collect().map(r =>
+        r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out === Map("a" -> 100.0, "b" -> 300.0, "c" -> null, "d" -> null))
+  }
+
+  test("range join: half-open [start, end), bucket-boundary straddle") {
+    val points = Seq((1L, 0L), (1L, 99L), (1L, 100L), (1L, 150L), (1L, 250L))
+      .toDF("k", "t")
+    // [100, 200) straddles buckets with width 64; [0, 100) exact edge
+    val ivals = Seq((1L, 0L, 100L, "i1"), (1L, 100L, 200L, "i2"))
+      .toDF("k", "s", "e", "iv")
+    val out = RangeJoin.pointInInterval(points, "k", "t", ivals, "k",
+        "s", "e", Seq("iv"), bucketWidth = 64)
+      .select("t", "iv").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out === Set((0L, "i1"), (99L, "i1"), (100L, "i2"), (150L, "i2")))
+  }
+
+  test("salted join: identical result to the plain join, spread over salts") {
+    val fact = spark.range(1000).select(
+      col("id").as("event_id"), (col("id") % 3).as("key"))
+    val dim = Seq((0L, "x"), (1L, "y"), (2L, "z")).toDF("dkey", "name")
+    val salted = SaltedJoin.inner(fact, "key", dim, "dkey",
+      xxhash64(col("event_id")), numSalts = 4)
+    val plain = fact.join(dim, col("key") === col("dkey"))
+    assert(salted.count() === plain.count())
+    val a = salted.groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}

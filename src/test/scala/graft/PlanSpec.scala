@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * predicate pushdown into the parquet scan, column pruning, broadcast
+  * joins for dims, whole-stage codegen coverage — must hold, not just
+  * "the query returns correct rows". These tests freeze them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q02 filter+project: predicates pushed to parquet, columns pruned") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), p.take(800))
+    assert(p.contains("IsNotNull(o_orderstatus)") ||
+      p.contains("EqualTo(o_orderstatus,F)"), "status filter not pushed")
+    assert(p.contains("GreaterThan(o_totalprice,100000.0)"),
+      "price filter not pushed")
+    // projection pruning: o_orderpriority is never read
+    assert(!p.contains("o_orderpriority"), "unused column not pruned from scan")
+  }
+
+  test("q03 multi-way join: dimension side broadcasts") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "nation dim should broadcast")
+  }
+
+  test("q01 aggregation: partial (map-side) aggregation before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+    // partial agg happens below the exchange: scan→filter→project→agg→exchange
+    assert(p.indexOf("partial_sum") > p.indexOf("Exchange"),
+      "partial agg should sit under the shuffle in the tree")
+  }
+
+  test("q05 lookup-miss split keeps the big side shuffle-free") {
+    val p = plan("q05_lookup_miss_split")
+    assert(p.contains("BroadcastHashJoin"), "small filtered dim should broadcast")
+    // lineitem side must not be exchanged before the join
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val preJoin = p.substring(0, joinIdx)
+    assert(!preJoin.contains("Exchange hashpartitioning(l_partkey"),
+      "fact side should not shuffle for a broadcast join")
+  }
+
+  test("q25 minhash: sketch subtree evaluated once (no self-join recompute)") {
+    val df = SparkEntry.queries("q25_minhash_lsh")(spark, sf)
+    // one scan of documents, not two: posting-list pair expansion
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().length
+    assert(scans === 1, s"expected a single documents scan, got $scans")
+  }
+
+  test("q28 ANN brute-force: corpus scan is never shuffled") {
+    val p = plan("q28_ann_bruteforce")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query set should broadcast against the corpus")
+  }
+
+  test("text kernels stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the tokenizer feeds codegen'd projections — no fallback markers
+    assert(!p.contains("!Project"), "projection fell back to interpreted mode")
+    assert("ws_tokenize".r.findAllIn(p).length === 1,
+      "text must be tokenized exactly once per row")
+  }
+}
