@@ -319,6 +319,81 @@ object ExtendedQueries {
                count(DISTINCT user_id) AS n_users
         FROM events JOIN customer ON user_id = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      bench = true),
+
+    // ── RUT validation round-trip (reference F2, oracle-cross-checked) ─
+    // RUTs are synthesized from c_custkey; every c_custkey % 7 == 0 row
+    // gets a deliberately wrong check digit. The DuckDB oracle computes
+    // the mod-11 digit with INDEPENDENT SQL arithmetic, so this
+    // cross-checks RutUtil's algorithm end to end, including dotted-
+    // input canonicalization (`utils/validations.ts:54-109`).
+    "q49_rut_roundtrip" -> QuerySpec(
+      build = (s, d) => {
+        import graft.functions.GraftFunctions.{rut_format, rut_is_valid}
+        val bodyS = col("body").cast("string")
+        customer(s, d)
+          .withColumn("body", col("c_custkey") + 10000000L)
+          .withColumn("m", expr(
+            """(body % 10)*2 + (body div 10 % 10)*3 + (body div 100 % 10)*4
+              | + (body div 1000 % 10)*5 + (body div 10000 % 10)*6
+              | + (body div 100000 % 10)*7 + (body div 1000000 % 10)*2
+              | + (body div 10000000 % 10)*3""".stripMargin))
+          .withColumn("r", lit(11) - col("m") % 11)
+          .withColumn("dv", when(col("r") === 11, "0")
+            .when(col("r") === 10, "K").otherwise(col("r").cast("string")))
+          .withColumn("dv_used", when(col("c_custkey") % 7 === 0,
+            when(col("dv") === "5", "6").otherwise("5")).otherwise(col("dv")))
+          .withColumn("raw", concat(bodyS, lit("-"), col("dv_used")))
+          .withColumn("dotted", concat(
+            substring(bodyS, 1, 2), lit("."), substring(bodyS, 3, 3),
+            lit("."), substring(bodyS, 6, 3), lit("-"), col("dv_used")))
+          .withColumn("valid", rut_is_valid(col("raw")))
+          .withColumn("fmt", rut_format(col("raw")))
+          .withColumn("dotted_ok",
+            col("valid") && rut_format(col("dotted")) === col("fmt"))
+          .groupBy(col("valid"))
+          .agg(count(lit(1)).as("n"),
+            min(col("fmt")).as("min_rut"), max(col("fmt")).as("max_rut"),
+            sum(col("dotted_ok").cast("int")).cast("long").as("n_dotted_ok"))
+          .orderBy("valid")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT c_custkey, c_custkey + 10000000 AS body FROM customer),
+        s AS (SELECT c_custkey, body,
+                (body % 10)*2 + (body // 10 % 10)*3 + (body // 100 % 10)*4
+                + (body // 1000 % 10)*5 + (body // 10000 % 10)*6
+                + (body // 100000 % 10)*7 + (body // 1000000 % 10)*2
+                + (body // 10000000 % 10)*3 AS m
+              FROM b),
+        d AS (SELECT c_custkey, body,
+                CASE 11 - m % 11 WHEN 11 THEN '0' WHEN 10 THEN 'K'
+                     ELSE CAST(11 - m % 11 AS VARCHAR) END AS dv
+              FROM s),
+        u AS (SELECT c_custkey, body, dv,
+                CASE WHEN c_custkey % 7 = 0
+                     THEN (CASE WHEN dv = '5' THEN '6' ELSE '5' END)
+                     ELSE dv END AS dv_used
+              FROM d)
+        SELECT (dv = dv_used) AS valid, count(*) AS n,
+               min(CASE WHEN dv = dv_used THEN body || '-' || dv END) AS min_rut,
+               max(CASE WHEN dv = dv_used THEN body || '-' || dv END) AS max_rut,
+               CAST(sum(CASE WHEN dv = dv_used THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dotted_ok
+        FROM u GROUP BY 1 ORDER BY valid""")),
+
+    // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
+    // No DuckDB oracle: sketch internals differ by engine; the driver
+    // records a rows-only check. The exact twins are q15 (distinct)
+    // and q36 (percentiles).
+    "q50_approx_agg" -> QuerySpec(
+      build = (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      oracle = None,
       bench = true)
   )
 }
