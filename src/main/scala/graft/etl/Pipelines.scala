@@ -43,9 +43,14 @@ private[etl] object PipelineUtil {
     }.toIndexedSeq: _*)
   }
 
-  def counts(bronze: DataFrame, accepted: DataFrame, rejects: DataFrame): (Long, Long, Long) = {
-    val total = bronze.count()
-    val errs = rejects.count()
+  /** D3 run counters in ONE aggregation job over the flagged frame
+    * (count(col) counts non-nulls) — separate `bronze.count()` +
+    * `rejects.count()` would re-execute the scan+validate subtree
+    * twice. */
+  def counts(flagged: DataFrame): (Long, Long, Long) = {
+    val row = flagged.agg(count(lit(1)), count(col("error_reason"))).head
+    val total = row.getLong(0)
+    val errs = row.getLong(1)
     (total, total - errs, errs)
   }
 }
@@ -99,7 +104,7 @@ object EmpresaPipeline {
       "carrier_id", Seq("carrier_name", "carrier_rut", "carrier_type_id"))
     store.overwrite("empresa", merged)
 
-    val (total, processed, errors) = counts(bronze, accepted, rejects)
+    val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }
 }
@@ -168,7 +173,7 @@ object ConductorPipeline {
     appendHojaVida(store, withId)
     appendLicencia(store, withId)
 
-    val (total, processed, errors) = counts(bronze, accepted, rejects)
+    val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }
 

@@ -131,7 +131,7 @@ object VehiculoPipeline {
 
     appendChildren(store, withVid)
 
-    val (total, processed, errors) = counts(bronze, accepted, rejects)
+    val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }
 
