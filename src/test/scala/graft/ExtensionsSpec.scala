@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL-only user path: a session created with GraftExtensions can
+  * call every custom expression from pure SQL — no Column API, no
+  * manual registry pokes. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("spark.sql can call all injected functions") {
+    val base = spark // ensure the shared context exists first
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session over the SAME SparkContext, with extensions applied
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s ne base, "expected a fresh SparkSession with extensions")
+
+      val row = s.sql("""
+        SELECT rut_is_valid('12345678-5')          AS v_ok,
+               rut_is_valid('12345678-0')          AS v_bad,
+               rut_format('12.345.678-5')          AS fmt,
+               cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos_same,
+               ws_tokenize('  a  b\tc ')           AS toks,
+               word_shingles(ws_tokenize('a b c d'), 3) AS sh,
+               vocab_hits(ws_tokenize('the cat the'), array('the')) AS hits
+      """).head()
+
+      assert(row.getBoolean(0) === true)
+      assert(row.getBoolean(1) === false)
+      assert(row.getString(2) === "12345678-5")
+      assert(math.abs(row.getDouble(3) - 1.0) < 1e-12)
+      assert(row.getSeq[String](4) === Seq("a", "b", "c"))
+      assert(row.getSeq[String](5) === Seq("a b c", "b c d"))
+      assert(row.getInt(6) === 2)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+}
