@@ -46,6 +46,40 @@ object TextKernels {
     hits
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 16 minhash pieces for one shingle: md5 over "0|s".."3|s", each
+    * 128-bit digest split into four big-endian uint32s (as Longs) —
+    * piece 4a+b == hex chars [8b+1, 8b+8] of digest a, so DuckDB
+    * mirrors it with `('0x' || substring(md5(a||'|'||s), 8b+1, 8))::BIGINT`.
+    * One expression evaluation replaces 4 md5 + 16 substring calls and
+    * lets the min-aggregation run on longs instead of strings. */
+  def minhashPieces(s: UTF8String): ArrayData = {
+    val md = md5Local.get()
+    val sBytes = s.getBytes
+    val out = new Array[Any](16)
+    var seed = 0
+    while (seed < 4) {
+      md.reset()
+      md.update(('0' + seed).toByte)
+      md.update('|'.toByte)
+      md.update(sBytes)
+      val dig = md.digest()
+      var p = 0
+      while (p < 4) {
+        out(seed * 4 + p) =
+          ((dig(p * 4) & 0xffL) << 24) | ((dig(p * 4 + 1) & 0xffL) << 16) |
+          ((dig(p * 4 + 2) & 0xffL) << 8) | (dig(p * 4 + 3) & 0xffL)
+        p += 1
+      }
+      seed += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Space-joined word k-grams from a token array; n-k+1 shingles,
     * empty array when n < k (mirrors TextFunctions.shingles). */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
@@ -108,6 +142,22 @@ case class VocabHitsExpr(child: Expression, vocab: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): VocabHitsExpr =
+    copy(child = newChild)
+}
+
+/** `minhash_pieces(shingle)` — 16 md5-derived uint32 hash values. */
+case class MinhashPieces(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minhash_pieces"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashPieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.minhashPieces($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashPieces =
     copy(child = newChild)
 }
 

@@ -109,4 +109,9 @@ object TextFunctions {
     * MinHash/Jaccard dedup. Empty when the document has < k tokens. */
   def shingles(text: Column, k: Int): Column =
     toCol(WordShingles(toExpr(tokens(text)), k))
+
+  /** 16 md5-derived uint32 minhash values per shingle ([[MinhashPieces]]);
+    * numeric so the per-doc min-aggregation runs on longs. */
+  def minhash_pieces(shingle: Column): Column =
+    toCol(MinhashPieces(toExpr(shingle)))
 }

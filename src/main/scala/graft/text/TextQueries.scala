@@ -142,8 +142,13 @@ object TextQueries {
     "q24_jaccard_pairs" -> QuerySpec(
       build = (s, d) => {
         // inverted index: shingle -> sorted posting list of (doc_id, n);
-        // pairs sharing >=1 shingle come from per-list pair expansion
+        // pairs sharing >=1 shingle come from per-list pair expansion.
+        // The index key is a 60-bit md5 prefix (identical arithmetic in
+        // the oracle, so grouping is bit-equal cross-engine): an 8-byte
+        // shuffle key instead of the full shingle string.
         val posts = sparkShingles(s, d)
+          .withColumn("s",
+            conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
           .groupBy(col("lang"), col("s"))
           .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
             .as("docs"))
@@ -163,9 +168,12 @@ object TextQueries {
       },
       oracle = Some(s"""
         WITH $duckShingles,
+        sk AS (SELECT doc_id, lang, n,
+                      ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+               FROM sh),
         p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
                      any_value(a.n) na, any_value(b.n) nb
-              FROM sh a JOIN sh b
+              FROM sk a JOIN sk b
                 ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
         SELECT da, db, shared,
@@ -182,16 +190,17 @@ object TextQueries {
     // never a self-join, so the sketch subtree is computed once.
     "q25_minhash_lsh" -> QuerySpec(
       build = (s, d) => {
-        val withH = sparkShingles(s, d).select(
-          col("doc_id") +: (0 until 4).map(seed =>
-            md5(concat(lit(s"$seed|"), col("s"))).as(s"m$seed")): _*)
-        val mins = (0 until 16).map(i =>
-          min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
-        val mh = withH.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        val withP = sparkShingles(s, d).select(col("doc_id"),
+          minhash_pieces(col("s")).as("p"))
+        val mins = (0 until 16).map(i => min(col("p").getItem(i)).as(s"h$i"))
+        val mh = withP.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
         val bands = mh.select(col("doc_id"), posexplode(array(
-          (0 until 8).map(bn => concat(col(s"h${2 * bn}"), col(s"h${2 * bn + 1}"))): _*
+          (0 until 8).map(bn => struct(col(s"h${2 * bn}").as("ha"),
+            col(s"h${2 * bn + 1}").as("hb"))): _*
         )).as(Seq("band", "bh")))
-        bands.groupBy(col("band"), col("bh"))
+          .select(col("doc_id"), col("band"),
+            col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+        bands.groupBy(col("band"), col("ha"), col("hb"))
           .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) > 1)
           .select(explode(pairExpand(col("docs"))).as("p"))
@@ -200,10 +209,13 @@ object TextQueries {
           .orderBy("da", "db")
       },
       oracle = Some {
+        // piece 4a+b == hex chars [8b+1 .. 8b+8] of md5(a || '|' || s),
+        // parsed as a big-endian uint32 (matches TextKernels.minhashPieces)
         val minCols = (0 until 16).map(i =>
-          s"min(substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8)) h$i").mkString(", ")
+          s"min(('0x' || substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8))::BIGINT) h$i")
+          .mkString(", ")
         val bandSelects = (0 until 8).map(bn =>
-          s"SELECT doc_id, $bn band, h${2 * bn} || h${2 * bn + 1} bh FROM mh")
+          s"SELECT doc_id, $bn band, h${2 * bn} ha, h${2 * bn + 1} hb FROM mh")
           .mkString(" UNION ALL ")
         s"""
         WITH $duckShingles,
@@ -213,7 +225,8 @@ object TextQueries {
         bands AS ($bandSelects)
         SELECT DISTINCT a.doc_id da, b.doc_id db
         FROM bands a JOIN bands b
-          ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+          ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
+             AND a.doc_id < b.doc_id
         ORDER BY da, db"""
       },
       bench = true),
