@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** The native text kernels must be drop-in replacements for the
+  * built-in compositions they replaced — these properties pin that
+  * equivalence on adversarial generated inputs (whitespace runs,
+  * unicode, empties), plus an independent re-derivation of the
+  * minhash pieces. Each property evaluates every sample in ONE Spark
+  * job: both formulations as adjacent columns, compared row by row.
+  */
+class TextKernelsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i =>
+      gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val weird = Gen.oneOf(" ", "\t", "\n", "a", "bb", "ü", "日本", ".",
+    "word", "  ", "x y")
+  private val texts: Gen[String] = Gen.listOf(weird).map(_.mkString)
+
+  test("ws_tokenize == split(trim(text), '\\\\s+') on arbitrary strings") {
+    val df = samples(texts, 300).toDF("text")
+    val bad = df.select(col("text"),
+        graft.text.TextFunctions.tokens(col("text")).as("native"),
+        split(trim(col("text")), "\\s+").as("builtin"))
+      .filter(not(col("native") <=> col("builtin")))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("word_shingles == transform/slice/array_join composition") {
+    for (k <- 1 to 4) {
+      val df = samples(texts, 150).toDF("text")
+      val toks = split(trim(col("text")), "\\s+")
+      val builtin = when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - lit(k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(typedlit(Array.empty[String]))
+      val bad = df.select(col("text"),
+          graft.text.TextFunctions.shingles(col("text"), k).as("native"),
+          builtin.as("builtin"))
+        .filter(not(col("native") <=> col("builtin")))
+      assert(bad.count() === 0, s"k=$k: " + bad.collect().take(3).mkString("; "))
+    }
+  }
+
+  test("vocab_hits == size(filter(isin))") {
+    val vocab = Seq("the", "a", "ü")
+    val df = samples(texts, 300).toDF("text")
+    val toks = graft.text.TextFunctions.tokens(col("text"))
+    val bad = df.select(col("text"),
+        graft.text.TextFunctions.vocab_hits_t(toks, vocab).as("native"),
+        size(filter(toks, x => x.isin(vocab.map(lit(_)): _*))).as("builtin"))
+      .filter(not(col("native") <=> col("builtin")))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+  }
+
+  test("minhash_pieces matches independent hex-substring arithmetic") {
+    // the oracle's route: md5 hex string -> substring(8b+1, 8) -> parse
+    def expected(s: String): Seq[Long] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (0 until 4).flatMap { seed =>
+        val hex = md.digest(s"$seed|$s".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (0 until 4).map(p =>
+          java.lang.Long.parseLong(hex.substring(p * 8, p * 8 + 8), 16))
+      }
+    }
+    val inputs = samples(Gen.alphaNumStr, 200).distinct
+    val got = inputs.toDF("s")
+      .select(col("s"), graft.text.TextFunctions.minhash_pieces(col("s")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    inputs.foreach(s => assert(got(s) === expected(s), s"input='$s'"))
+  }
+
+  test("cosine expression == HOF formulation to the last ulp") {
+    import graft.similarity.VectorFunctions
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(_.exists(_ != 0f)).map(_.toArray)
+    val pairs = samples(Gen.zip(vec, vec), 200)
+    val df = pairs.toDF("a", "b")
+    val ad = transform(col("a"), _.cast("double"))
+    val bd = transform(col("b"), _.cast("double"))
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val rows = df.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      (dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+}
