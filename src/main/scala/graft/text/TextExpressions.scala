@@ -80,6 +80,42 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing fingerprints (Schleimer et al.): polynomial rolling hash
+    * over character k-grams (base 31, mod 1e9+7, Unicode code points),
+    * then the distinct minima of every w-hash window. Arithmetic chosen
+    * to be expressible verbatim in SQL so the DuckDB oracle recomputes
+    * it independently. Returns the distinct fingerprints in first-seen
+    * order; empty when the text has fewer than k+w-1 code points. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
+    if (n < k + w - 1) return new GenericArrayData(Array.empty[Any])
+    val nH = n - k + 1
+    val h = new Array[Long](nH)
+    var i = 0
+    while (i < nH) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = acc * 31 + cps(i + j); j += 1 }
+      h(i) = acc % 1000000007L
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i <= nH - w) {
+      var m = h(i)
+      var j = 1
+      while (j < w) { if (h(i + j) < m) m = h(i + j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Space-joined word k-grams from a token array; n-k+1 shingles,
     * empty array when n < k (mirrors TextFunctions.shingles). */
   def shingles(toks: ArrayData, k: Int): ArrayData = {
@@ -158,6 +194,23 @@ case class MinhashPieces(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.minhashPieces($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashPieces =
+    copy(child = newChild)
+}
+
+/** `winnow(text, k, w)` — winnowing fingerprint set (rolling hash). */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k >= 1 && w >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "winnow"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.winnow(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.winnow($c, $k, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
 }
 

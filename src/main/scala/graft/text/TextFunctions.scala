@@ -114,4 +114,10 @@ object TextFunctions {
     * numeric so the per-doc min-aggregation runs on longs. */
   def minhash_pieces(shingle: Column): Column =
     toCol(MinhashPieces(toExpr(shingle)))
+
+  /** Winnowing fingerprints over normalized text ([[Winnow]]): rolling
+    * k-gram hash, distinct window minima — the near-dup sketch robust
+    * to local edits (vs [[doc_fingerprint]]'s whole-document hash). */
+  def winnow_fingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    toCol(Winnow(toExpr(lower(regexp_replace(trim(text), "\\s+", " "))), k, w))
 }

@@ -231,6 +231,60 @@ object TextQueries {
       },
       bench = true),
 
+    // ── winnowing fingerprints (rolling-hash, local-edit-robust) ───
+    // The oracle recomputes the k-gram polynomial hash + window minima
+    // with independent SQL arithmetic (base 31, mod 1e9+7, k=5, w=4).
+    "q51_winnowing" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          winnow_fingerprints(col("text"), 5, 4).as("fps"))
+        .filter(size(col("fps")) > 0)
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+        .orderBy("doc_id"),
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                     lower(regexp_replace(trim(text), '\s+', ' ', 'g')) t
+                   FROM documents),
+        dd AS (SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 8),
+        idx AS (SELECT doc_id, t, n,
+                  unnest(generate_series(1, CAST(n - 4 AS BIGINT))) AS i
+                FROM dd),
+        h AS (SELECT doc_id, n, i,
+                (unicode(substring(t, CAST(i AS INT), 1)) * 923521
+                 + unicode(substring(t, CAST(i + 1 AS INT), 1)) * 29791
+                 + unicode(substring(t, CAST(i + 2 AS INT), 1)) * 961
+                 + unicode(substring(t, CAST(i + 3 AS INT), 1)) * 31
+                 + unicode(substring(t, CAST(i + 4 AS INT), 1))) % 1000000007
+                  AS hv
+              FROM idx),
+        w AS (SELECT a.doc_id, a.i, min(b.hv) AS fp
+              FROM h a JOIN h b ON b.doc_id = a.doc_id
+                AND b.i BETWEEN a.i AND a.i + 3
+              WHERE a.i <= a.n - 7
+              GROUP BY a.doc_id, a.i)
+        SELECT doc_id, CAST(count(DISTINCT fp) AS INT) AS n_fp,
+               min(fp) AS min_fp, max(fp) AS max_fp
+        FROM w GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── BPE-ish regex pre-tokenizer (GPT-2 style word/number/punct) ─
+    "q52_regex_tokens" -> QuerySpec(
+      build = (s, d) => {
+        val pat = " ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables.documents(s, d).select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("n_pieces"),
+          token_count(col("text")).as("n_ws_tokens"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 ' ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                 AS INT) AS n_pieces,
+               len($duckToks) AS n_ws_tokens
+        FROM documents ORDER BY doc_id""")),
+
     // ── SimHash (16-bit, md5-derived) per document ─────────────────
     "q26_simhash" -> QuerySpec(
       build = (s, d) => {

@@ -56,6 +56,38 @@ class StreamingSpec extends SparkSpec {
       "already-processed file was re-ingested")
   }
 
+  test("streaming ETL end-to-end: landed CSVs flow through the Silver pipelines") {
+    import graft.etl.SilverStore
+    val landing = tmp("etl-landing")
+    val silverRoot = tmp("etl-silver")
+    val ckpt = tmp("etl-ckpt")
+    val store = new SilverStore(spark, silverRoot)
+
+    Files.writeString(java.nio.file.Paths.get(landing, "empresas_1.csv"),
+      """carrier_bp;carrier_name;carrier_tin;carrier_type
+        |1111111;EMPRESA UNO;"11.111.111-1";Spot
+        |2222222;EMPRESA DOS;"22222222-2";Licitada
+        |;SIN BP;"33333333-3";Spot
+        |""".stripMargin)
+
+    graft.streaming.StreamingEtl.start(store, landing, ckpt).awaitTermination()
+    val empresa = store.read("empresa")
+    assert(empresa.count() === 2)
+    assert(empresa.filter(col("carrier_rut") === "11111111-1").count() === 1)
+
+    // second file lands: upsert existing, insert new, checkpoint skips file 1
+    Files.writeString(java.nio.file.Paths.get(landing, "empresas_2.csv"),
+      """carrier_bp;carrier_name;carrier_tin;carrier_type
+        |1111111;EMPRESA UNO RENOMBRADA;"11.111.111-1";Spot
+        |4444444;EMPRESA CUATRO;"44444444-4";Spot
+        |""".stripMargin)
+    graft.streaming.StreamingEtl.start(store, landing, ckpt).awaitTermination()
+    val after = store.read("empresa")
+    assert(after.count() === 3)
+    assert(after.filter(col("carrier_bp") === "1111111")
+      .head.getAs[String]("carrier_name") === "EMPRESA UNO RENOMBRADA")
+  }
+
   test("stateful sessionization: gap splits sessions, timeout closes them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
