@@ -381,6 +381,28 @@ object ExtendedQueries {
                  AS n_dotted_ok
         FROM u GROUP BY 1 ORDER BY valid""")),
 
+    // ── SQL frontend passthrough: spark.sql over temp views, with the
+    // engine's registered scalar functions available in-line ──────────
+    "q53_sql_frontend" -> QuerySpec(
+      build = (s, d) => {
+        orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT o_orderpriority,
+                 count(*) AS n,
+                 round(sum(o_totalprice), 2) AS sum_price,
+                 rut_format('12.345.678-5') AS canonical_rut
+          FROM orders_v
+          WHERE o_totalprice > 100000
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS sum_price,
+               '12345678-5' AS canonical_rut
+        FROM orders WHERE o_totalprice > 100000
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)
