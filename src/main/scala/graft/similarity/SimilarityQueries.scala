@@ -27,6 +27,22 @@ object SimilarityQueries {
   private val nCentroids = 16
   private val nProbe = 2
 
+  /** Random-hyperplane LSH planes: 8 planes x 64 dims, components in
+    * [-1, 1] derived from md5 so they are reproducible anywhere (the
+    * oracle embeds the same literals). */
+  private val nPlanes = 8
+  private val dim = 64
+  private lazy val planes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"plane:$p:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -149,6 +165,56 @@ object SimilarityQueries {
         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cos DESC, vec_id) rk FROM hits)
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rk"""))
+        ORDER BY query_id, rk""")),
+
+    // ── LSH-bucketed ANN: random-hyperplane signatures ─────────────
+    // sign(dot(v, plane)) == sign(cosine(v, plane)) — the codegen'd
+    // cosine computes the bits; bucket = 8-bit signature; queries probe
+    // only their own bucket, then exact rerank. Linear scan + one
+    // narrow groupBy key: the locality-sensitive alternative to q29's
+    // IVF at corpus scales where centroids are too coarse.
+    "q54_ann_lsh" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        def sig(v: org.apache.spark.sql.Column) =
+          (0 until nPlanes).map { p =>
+            val plane = typedlit(planes(p))
+            when(cosine(v, plane) >= 0, lit(1 << p)).otherwise(lit(0))
+          }.reduce(_ + _)
+        val bucketed = e.withColumn("bucket", sig(col("embedding")))
+        val q = bucketed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("bucket"))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("vec_id"))
+        bucketed.join(broadcast(q), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.analytics.StableRound.r4(
+            cosine(col("qe"), col("embedding"))))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some {
+        def sqlPlane(p: Int) =
+          "[" + planes(p).map(v => f"$v%.3f").mkString(", ") + "]::DOUBLE[]"
+        val sigExpr = (0 until nPlanes).map(p =>
+          s"(CASE WHEN list_cosine_similarity(embedding::DOUBLE[], ${sqlPlane(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH b AS (SELECT vec_id, embedding, $sigExpr AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+              WHERE vec_id < 10),
+        hits AS (
+          SELECT q.query_id, b.vec_id, floor(list_cosine_similarity(
+              q.qe::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 AS cos
+          FROM b JOIN q ON b.bucket = q.bucket
+          WHERE b.vec_id != q.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) AS rk FROM hits)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""
+      })
   )
 }
