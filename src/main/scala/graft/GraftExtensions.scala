@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -38,9 +38,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Evaluate a foldable string-array argument (e.g. `array('a','b')`). */
   private def constStrings(e: Expression, fn: String): Seq[String] = {
     require(e.foldable, s"$fn expects a literal array of strings")
-    e.eval(null).asInstanceOf[ArrayData]
+    val v = e.eval(null)
+    require(v != null, s"$fn: vocabulary array must not be NULL")
+    v.asInstanceOf[ArrayData]
       .toObjectArray(org.apache.spark.sql.types.StringType)
-      .map(_.asInstanceOf[UTF8String].toString).toSeq
+      .map { s =>
+        require(s != null, s"$fn: vocabulary entries must not be NULL")
+        s.asInstanceOf[UTF8String].toString
+      }.toSeq
+  }
+
+  /** Evaluate a foldable integral argument with a clear error. */
+  private def constInt(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn expects a literal integer")
+    e.eval(null) match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long    => l.intValue()
+      case s: java.lang.Short   => s.intValue()
+      case b: java.lang.Byte    => b.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal integer, got $other")
+    }
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -55,17 +73,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine", "cosine(arr, arr) - cosine similarity in double"),
       (es: Seq[Expression]) => {
         require(es.length == 2, "cosine expects 2 arguments")
-        CosineSimilarity(es.head, es(1))
+        // widen int/long/decimal arrays so SQL `cosine(array(1,2), ...)`
+        // computes in double instead of failing the type check
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+        def widen(e: Expression): Expression =
+          if (!e.resolved) e
+          else e.dataType match {
+            case ArrayType(FloatType | DoubleType, _) => e
+            case ArrayType(_, n) => Cast(e, ArrayType(DoubleType, n))
+            case _ => e
+          }
+        CosineSimilarity(widen(es.head), widen(es(1)))
       }))
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(toks, k) - space-joined k-grams"),
       (es: Seq[Expression]) => {
         require(es.length == 2, "word_shingles expects (tokens, k)")
-        val k = es(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval(null).asInstanceOf[Int]
-        }
+        val k = constInt(es(1), "word_shingles")
+        require(k >= 1, s"word_shingles: k must be >= 1, got $k")
         WordShingles(es.head, k)
       }))
 

@@ -26,9 +26,25 @@ object EventQueries {
     * `div` (integer division) keeps the arithmetic in Long: `ts/1000`
     * would round-trip through Double and lose precision (epoch ns
     * ~1.7e18 >> 2^53), shifting session boundaries by ±1 µs vs the
-    * oracle's exact `epoch_us`. */
-  private def ev(s: SparkSession, d: String): DataFrame =
+    * oracle's exact `epoch_us`. Shared with ExtendedQueries — the
+    * micro-second convention must have exactly one definition. */
+  private[analytics] def ev(s: SparkSession, d: String): DataFrame =
     events(s, d).withColumn("ts_us", expr("ts div 1000"))
+
+  /** Purchases deduped per (user_id, ts_us) keeping the highest
+    * event_id — ns ties collapse under µs truncation; both as-of joins
+    * (q30 backward, q47 forward) and their oracles use this exact
+    * tiebreak. */
+  private[analytics] def purchasesDeduped(e: DataFrame,
+                                          valueAlias: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("ts_us"))
+      .orderBy(col("event_id").desc)
+    e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .drop("_rn", "event_id")
+      .withColumnRenamed("value", valueAlias)
+  }
 
   val queries: Map[String, QuerySpec] = Map(
 
@@ -42,15 +58,7 @@ object EventQueries {
         val e = ev(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts_us"))
-        // dedupe right per (user, µs): ns ties collapse under µs
-        // truncation; keep the highest event_id like the oracle
-        val w = Window.partitionBy(col("user_id"), col("ts_us"))
-          .orderBy(col("event_id").desc)
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .drop("_rn", "event_id")
-          .withColumnRenamed("value", "last_purchase_value")
+        val purchases = purchasesDeduped(e, "last_purchase_value")
         AsOfJoin.backward(clicks, "user_id", "ts_us",
             purchases, "user_id", "ts_us", Seq("last_purchase_value"))
           .select(col("event_id"), col("user_id"),

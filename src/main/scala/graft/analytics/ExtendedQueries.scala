@@ -14,8 +14,10 @@ import graft.operators.{AsOfJoin, SaltedJoin}
 object ExtendedQueries {
   import Tables._
 
+  // canonical µs clock + purchase dedup live in EventQueries (one
+  // definition of the convention)
   private def ev(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    EventQueries.ev(s, d)
 
   val queries: Map[String, QuerySpec] = Map(
 
@@ -274,13 +276,7 @@ object ExtendedQueries {
         val e = ev(s, d)
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id"), col("user_id"), col("ts_us"))
-        val w = Window.partitionBy(col("user_id"), col("ts_us"))
-          .orderBy(col("event_id").desc)
-        val purchases = e.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"), col("value"), col("event_id"))
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-          .drop("_rn", "event_id")
-          .withColumnRenamed("value", "next_purchase_value")
+        val purchases = EventQueries.purchasesDeduped(e, "next_purchase_value")
         AsOfJoin.forward(clicks, "user_id", "ts_us",
             purchases, "user_id", "ts_us", Seq("next_purchase_value"))
           .select(col("event_id"), col("user_id"),

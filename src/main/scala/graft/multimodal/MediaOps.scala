@@ -65,10 +65,11 @@ object MediaOps {
     /** Fake resize: metadata change + deterministic byte payload of the
       * target size (real impl: bilinear/lanczos over decoded pixels). */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (bytes.isEmpty) return bytes // nothing to resample
       val out = new Array[Byte]((w.toLong * h % 4096).toInt.max(1))
       var i = 0
       while (i < out.length) {
-        out(i) = bytes(math.floorMod(i * 31, bytes.length.max(1)))
+        out(i) = bytes(math.floorMod(i * 31, bytes.length))
         i += 1
       }
       out
@@ -78,14 +79,36 @@ object MediaOps {
   // ─────────────────────── distributed plumbing ───────────────────────
 
   /** Pack media rows into partitions of ~`targetBytes` payload each —
-    * size-aware parallelism for heavy binary rows. One narrow pass
-    * computes cumulative size per range bucket; the shuffle is a single
-    * repartitionByRange on the running-size bucket. */
+    * size-aware parallelism for heavy binary rows. Greedy bin-packing
+    * runs independently per input partition (fully distributed, no
+    * global sort): rows accumulate into a bin until the byte budget is
+    * exceeded, then the bins are shuffled one-bin-per-reducer
+    * (approximately — bins hash onto ~total/target reducers, so an
+    * occasional reducer holds two bins; a single oversized row gets a
+    * bin of its own rather than OOMing a packed partition). One stats
+    * pass sizes the reducer count. */
   def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
+    val spark = df.sparkSession
     val sized = df.withColumn("_sz", length(col("bytes")).cast("long"))
     val total = sized.agg(coalesce(sum(col("_sz")), lit(0L))).head.getLong(0)
-    val parts = math.max(1, (total / targetBytes).toInt)
-    sized.repartitionByRange(parts, col("media_id")).drop("_sz")
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+
+    val schema = sized.schema.add("_bin", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val szIdx = sized.schema.fieldIndex("_sz")
+    val binned = sized.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = 0L
+      var bin = 0L
+      it.map { r =>
+        val sz = math.max(r.getLong(szIdx), 0L)
+        if (acc > 0 && acc + sz > targetBytes) { bin += 1; acc = 0L }
+        acc += sz
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ ((pid.toLong << 24) | bin))
+      }
+    }
+    spark.createDataFrame(binned, schema)
+      .repartition(parts, col("_bin"))
+      .drop("_sz", "_bin")
   }
 
   /** Batched decode via mapPartitions: the iterator is consumed in

@@ -50,9 +50,12 @@ object AsOfJoin {
 
   /** Forward as-of join: for each left row, the payload of the EARLIEST
     * right row with the same key and `rightTime >= leftTime` (inclusive).
-    * Same single-shuffle union trick, mirrored: first non-null payload
-    * over the frame [current row, end of partition], with right rows
-    * ordered after left rows at equal time so exact matches count. */
+    * Same single-shuffle union trick, mirrored by sorting time
+    * DESCENDING and carrying the last non-null payload — a running
+    * [unbounded preceding, current] frame, which Spark executes in one
+    * linear pass per partition (an [current, unbounded following]
+    * frame would be O(n²) per key). Right rows sort before left rows
+    * at equal time so exact matches count (inclusive). */
   def forward(left: DataFrame, leftKey: String, leftTime: String,
               right: DataFrame, rightKey: String, rightTime: String,
               payload: Seq[String]): DataFrame = {
@@ -67,12 +70,15 @@ object AsOfJoin {
         struct(payload.map(col): _*).as("_p"))
 
     val combined = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    // descending time: "earliest right at-or-after" becomes "last right
+    // seen so far"; at equal _t, right (_ord=1) sorts first (desc) so
+    // it is already in the running frame when the left row arrives
     val w = Window.partitionBy(col("_k"))
-      .orderBy(col("_t"), col("_ord"))
-      .rowsBetween(0, Window.unboundedFollowing)
+      .orderBy(col("_t").desc, col("_ord").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
 
     val withPayload = combined
-      .withColumn("_pl", first(col("_p"), ignoreNulls = true).over(w))
+      .withColumn("_pl", last(col("_p"), ignoreNulls = true).over(w))
     payload.foldLeft(withPayload.filter(col("_side") === 1)) { (df, c) =>
       df.withColumn(c, col("_pl").getField(c))
     }.drop("_p", "_pl", "_k", "_t", "_side", "_ord")

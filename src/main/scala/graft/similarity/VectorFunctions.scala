@@ -20,10 +20,23 @@ object VectorFunctions {
 
   /** Native codegen'd kernel ([[CosineSimilarity]]); same arithmetic
     * order as the HOF formulation it replaced, so oracle hashes are
-    * unchanged. */
+    * unchanged. Non-float/double element types are widened to double
+    * first (the kernel reads elements positionally). */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    column(CosineSimilarity(expression(a), expression(b)))
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    // dataType is only known pre-analysis for resolved/literal inputs
+    // (e.g. typedlit planes); unresolved columns pass through and are
+    // validated by checkInputDataTypes after resolution
+    def widen(e: Expression): Expression =
+      if (!e.resolved) e
+      else e.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => e
+        case ArrayType(_, n) => Cast(e, ArrayType(DoubleType, n))
+        case _ => e // non-array: let checkInputDataTypes report it
+      }
+    column(CosineSimilarity(widen(expression(a)), widen(expression(b))))
   }
 
   def l2_distance(a: Column, b: Column): Column = {

@@ -88,8 +88,16 @@ object EventStreams {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               open match {
+                // late-but-within-watermark events from a later batch may
+                // precede the open session: more than a gap BEFORE it they
+                // form their own already-closed session; inside
+                // [start-gap, last+gap) they merge (never regressing
+                // `last`, extending `start` backward)
+                case Some(s) if e.ts_us < s.start - gapUs =>
+                  closed += Session(uid, e.ts_us, e.ts_us + gapUs, 1, e.value)
                 case Some(s) if e.ts_us - s.last < gapUs =>
-                  open = Some(OpenSession(s.start, e.ts_us, s.n + 1, s.total + e.value))
+                  open = Some(OpenSession(math.min(s.start, e.ts_us),
+                    math.max(s.last, e.ts_us), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed += close(uid, s)
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.functions.{col, input_file_name}
+import org.apache.spark.sql.functions.col
 
 import graft.etl.{BronzeReader, EtlRunner, SilverStore}
 
@@ -25,14 +25,20 @@ object StreamingEtl {
   def start(store: SilverStore, landingDir: String, checkpointDir: String,
             maxFilesPerTrigger: Int = 100): StreamingQuery = {
     val spark = store.spark
-    // schema-free pass-through stream: we only need the file names per
-    // micro-batch; each file is then re-read with its contract schema
-    // (cheap: one file) so routing stays identical to the batch path
+    // binaryFile source: exactly ONE row per landed file, and since only
+    // `path` is selected, column pruning keeps the file CONTENT unread —
+    // discovery cost scales with file count, not data volume (a text
+    // source would stream every line just to learn the name, and would
+    // silently swallow zero-byte files: no rows -> never routed). Each
+    // file is then re-read with its contract schema by the batch path.
     val names = spark.readStream
-      .format("text")
+      .format("binaryFile")
+      // streaming file sources require an explicit schema; this is
+      // binaryFile's fixed one
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(landingDir)
-      .select(input_file_name().as("path"))
+      .select(col("path"))
 
     names.writeStream
       .trigger(Trigger.AvailableNow())

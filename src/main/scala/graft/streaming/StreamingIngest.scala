@@ -47,6 +47,7 @@ object StreamingIngest {
       .option("columnNameOfCorruptRecord", "_corrupt")
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
+      .option("enforceSchema", "false")
       .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
     val archived = archiveDir match {
       case Some(dir) =>
@@ -57,17 +58,27 @@ object StreamingIngest {
       .withColumn("_source_file",
         element_at(split(input_file_name(), "/"), -1))
       .withColumn("_load_date", current_date())
+    // NB: no `_row_id` here — monotonically_increasing_id is rejected
+    // on streaming frames; runAvailableNow stamps it per micro-batch.
   }
 
   /** Run `transform` over every pending file batch and stop — the
     * replayable per-file micro-batch loop of the reference ETL. The
     * checkpoint gives exactly-once per file: a crashed run re-processes
-    * only unacknowledged batches. */
+    * only unacknowledged batches. Each micro-batch (a plain batch
+    * DataFrame) gets file-order `_row_id`s here — the Silver pipelines'
+    * last-wins dedup and child ordering depend on them, and the id
+    * expression is not allowed on the unbounded frame itself. */
   def runAvailableNow(bronze: DataFrame, checkpointDir: String)
                      (transform: (DataFrame, Long) => Unit): StreamingQuery =
     bronze.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, id: Long) => transform(batch, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val withIds =
+          if (batch.columns.contains("_row_id")) batch
+          else batch.withColumn("_row_id", monotonically_increasing_id())
+        transform(withIds, id)
+      }
       .start()
 }

@@ -127,6 +127,50 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful sessionization: late in-watermark events merge without state regression") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val q = EventStreams.sessionizeStateful(input.toDS(), gapUs = 30 * min)
+      .writeStream.format("memory")
+      .queryName("late_out").outputMode("append").start()
+
+    // batch 1: open sessions
+    input.addData(Ev(5, t0 + 60 * min, 1.0), Ev(6, t0 + 100 * min, 9.0))
+    q.processAllAvailable()
+
+    // batch 2: user 5 gets a LATE event (55min < open start 60min) that
+    // must merge extending start backward WITHOUT regressing `last` —
+    // the following 86min event is 26min after the true last (60min)
+    // and must stay in the same session (a regressed last of 55min
+    // would fake a 31min gap and wrongly split). User 6's event is
+    // more than a gap BEFORE its open session: an orphan session.
+    input.addData(Ev(5, t0 + 55 * min, 2.0), Ev(5, t0 + 86 * min, 3.0),
+      Ev(6, t0 + 10 * min, 7.0))
+    q.processAllAvailable()
+
+    // close everything via watermark advance
+    input.addData(Ev(99, t0 + 2000 * min, 0.0))
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 4000 * min, 0.0))
+    q.processAllAvailable()
+
+    val all = spark.table("late_out").as[EventStreams.Session].collect().toSet
+    assert(all.contains(
+      EventStreams.Session(5, t0 + 55 * min, t0 + 86 * min + 30 * min, 3, 6.0)),
+      s"user 5 must be ONE merged session; got $all")
+    assert(all.contains(
+      EventStreams.Session(6, t0 + 10 * min, t0 + 40 * min, 1, 7.0)),
+      "orphan late event must close as its own session")
+    assert(all.contains(
+      EventStreams.Session(6, t0 + 100 * min, t0 + 130 * min, 1, 9.0)))
+    q.stop()
+  }
+
   test("streaming session_window + watermark emits closed sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
