@@ -80,6 +80,56 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Full minhash signature of a token array in ONE per-row pass: the
+    * distinct k-shingles are enumerated locally and each updates the 16
+    * running minima ([[minhashPieces]] math, so the DuckDB mirror is
+    * unchanged). Turns the sketch from explode → 750k-row shuffle →
+    * 16-column min-agg into a narrow projection: per-row work, zero
+    * shuffle — the shape that streams over 100 TB at scan speed.
+    * Returns null when the document has fewer than k tokens. */
+  def minhashSignature(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return null
+    val seen = new java.util.HashSet[String]()
+    val mins = Array.fill(16)(Long.MaxValue)
+    val md = md5Local.get()
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        val t = toks.getUTF8String(i + j)
+        sb.append(if (t == null) "" else t.toString)
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val sBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var seed = 0
+        while (seed < 4) {
+          md.reset()
+          md.update(('0' + seed).toByte)
+          md.update('|'.toByte)
+          md.update(sBytes)
+          val dig = md.digest()
+          var p = 0
+          while (p < 4) {
+            val v =
+              ((dig(p * 4) & 0xffL) << 24) | ((dig(p * 4 + 1) & 0xffL) << 16) |
+              ((dig(p * 4 + 2) & 0xffL) << 8) | (dig(p * 4 + 3) & 0xffL)
+            val idx = seed * 4 + p
+            if (v < mins(idx)) mins(idx) = v
+            p += 1
+          }
+          seed += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): polynomial rolling hash
     * over character k-grams (base 31, mod 1e9+7, Unicode code points),
     * then the distinct minima of every w-hash window. Arithmetic chosen
@@ -194,6 +244,33 @@ case class MinhashPieces(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.minhashPieces($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashPieces =
+    copy(child = newChild)
+}
+
+/** `minhash_signature(toks, k)` — 16 minima over the document's
+  * k-shingle hash values, computed per row. Null for docs with < k
+  * tokens. */
+case class MinhashSignature(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sig")
+      s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+          graft.text.TextKernels.minhashSignature($c, $k);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
     copy(child = newChild)
 }
 

@@ -115,6 +115,11 @@ object TextFunctions {
   def minhash_pieces(shingle: Column): Column =
     toCol(MinhashPieces(toExpr(shingle)))
 
+  /** Per-document minhash signature ([[MinhashSignature]]): 16 minima
+    * over k-shingle hashes in one narrow pass — no explode, no shuffle. */
+  def minhash_signature(text: Column, k: Int = 3): Column =
+    toCol(MinhashSignature(toExpr(tokens(text)), k))
+
   /** Winnowing fingerprints over normalized text ([[Winnow]]): rolling
     * k-gram hash, distinct window minima — the near-dup sketch robust
     * to local edits (vs [[doc_fingerprint]]'s whole-document hash). */

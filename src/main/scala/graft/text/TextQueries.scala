@@ -190,13 +190,16 @@ object TextQueries {
     // never a self-join, so the sketch subtree is computed once.
     "q25_minhash_lsh" -> QuerySpec(
       build = (s, d) => {
-        val withP = sparkShingles(s, d).select(col("doc_id"),
-          minhash_pieces(col("s")).as("p"))
-        val mins = (0 until 16).map(i => min(col("p").getItem(i)).as(s"h$i"))
-        val mh = withP.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+        // signature is a NARROW per-row kernel (distinct shingles +
+        // 16 running minima inside one expression): the only shuffle in
+        // the whole sketch is the final tiny bucket groupBy
+        val mh = Tables.documents(s, d)
+          .select(col("doc_id"),
+            minhash_signature(col("text"), 3).as("sig"))
+          .filter(col("sig").isNotNull)
         val bands = mh.select(col("doc_id"), posexplode(array(
-          (0 until 8).map(bn => struct(col(s"h${2 * bn}").as("ha"),
-            col(s"h${2 * bn + 1}").as("hb"))): _*
+          (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
+            col("sig").getItem(2 * bn + 1).as("hb"))): _*
         )).as(Seq("band", "bh")))
           .select(col("doc_id"), col("band"),
             col("bh.ha").as("ha"), col("bh.hb").as("hb"))
