@@ -80,6 +80,45 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct k-shingle hash values of a token array, one per-row pass:
+    * each shingle's hash is the first 15 hex chars (60 bits) of its
+    * md5, i.e. bytes 0-6 and the high nibble of byte 7 — identical to
+    * `conv(substring(md5(s), 1, 15), 16, 10)` and to DuckDB's
+    * `('0x' || substring(md5(s), 1, 15))::BIGINT`. Replaces
+    * string-shingle explode + per-row md5/conv with one kernel call;
+    * the inverted index then shuffles 8-byte keys. */
+  def shingleHashes(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val md = md5Local.get()
+    var i = 0
+    while (i <= n - k) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        val t = toks.getUTF8String(i + j)
+        sb.append(if (t == null) "" else t.toString)
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      seen.add(v)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Full minhash signature of a token array in ONE per-row pass: the
     * distinct k-shingles are enumerated locally and each updates the 16
     * running minima ([[minhashPieces]] math, so the DuckDB mirror is
@@ -244,6 +283,24 @@ case class MinhashPieces(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.minhashPieces($c)")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashPieces =
+    copy(child = newChild)
+}
+
+/** `shingle_hashes(toks, k)` — distinct 60-bit md5-prefix hashes of the
+  * k-shingles. */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.shingleHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
 

@@ -115,6 +115,11 @@ object TextFunctions {
   def minhash_pieces(shingle: Column): Column =
     toCol(MinhashPieces(toExpr(shingle)))
 
+  /** Distinct 60-bit k-shingle hashes per document ([[ShingleHashes]]);
+    * the narrow front half of the n-gram Jaccard inverted index. */
+  def shingle_hashes(text: Column, k: Int = 3): Column =
+    toCol(ShingleHashes(toExpr(tokens(text)), k))
+
   /** Per-document minhash signature ([[MinhashSignature]]): 16 minima
     * over k-shingle hashes in one narrow pass — no explode, no shuffle. */
   def minhash_signature(text: Column, k: Int = 3): Column =

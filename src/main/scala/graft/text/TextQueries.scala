@@ -33,15 +33,6 @@ object TextQueries {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) dsh
       |  FROM t))""".stripMargin
 
-  /** Spark-side distinct 3-shingles exploded: (doc_id, lang, s, n). */
-  private def sparkShingles(s: SparkSession, d: String): DataFrame = {
-    val dsh = array_distinct(shingles(col("text"), 3))
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), dsh.as("dsh"))
-      .select(col("doc_id"), col("lang"), explode(col("dsh")).as("s"),
-        size(col("dsh")).as("n"))
-  }
-
   /** All pairs (x, y) with x before y from a sorted array column —
     * posting-list pair expansion. Replaces a self-join: one groupBy +
     * explode instead of shuffling (and recomputing!) the build subtree
@@ -143,12 +134,16 @@ object TextQueries {
       build = (s, d) => {
         // inverted index: shingle -> sorted posting list of (doc_id, n);
         // pairs sharing >=1 shingle come from per-list pair expansion.
-        // The index key is a 60-bit md5 prefix (identical arithmetic in
-        // the oracle, so grouping is bit-equal cross-engine): an 8-byte
-        // shuffle key instead of the full shingle string.
-        val posts = sparkShingles(s, d)
-          .withColumn("s",
-            conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+        // The index key is a 60-bit md5 prefix computed inside the
+        // per-row shingle_hashes kernel (identical arithmetic in the
+        // oracle, so grouping is bit-equal cross-engine): an 8-byte
+        // shuffle key, and the shingle strings never leave the row.
+        val hs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            shingle_hashes(col("text"), 3).as("hs"))
+          .select(col("doc_id"), col("lang"), explode(col("hs")).as("s"),
+            size(col("hs")).as("n"))
+        val posts = hs
           .groupBy(col("lang"), col("s"))
           .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
             .as("docs"))
