@@ -41,6 +41,60 @@ class OperatorSpec extends SparkSpec {
     assert(out === Set((0L, "i1"), (99L, "i1"), (100L, "i2"), (150L, "i2")))
   }
 
+  test("as-of joins match a naive per-row scan on random data") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rightRows = Seq.tabulate(120)(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(1000).toLong, i * 1.5))
+      // operator contract: right side unique per (key, time)
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    val l = leftRows.toDF("k", "t", "row_id")
+    val r = rightRows.toDF("k", "t", "payload")
+
+    val back = AsOfJoin.backward(l, "k", "t", r, "k", "t", Seq("payload"))
+      .select("row_id", "payload").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+    val fwd = AsOfJoin.forward(l, "k", "t", r, "k", "t", Seq("payload"))
+      .select("row_id", "payload").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None else Some(x.getDouble(1))))
+      .toMap
+
+    leftRows.foreach { case (k, t, id) =>
+      val naiveBack = rightRows.filter(x => x._1 == k && x._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+      val naiveFwd = rightRows.filter(x => x._1 == k && x._2 >= t)
+        .sortBy(_._2).headOption.map(_._3)
+      assert(back(id) === naiveBack, s"backward k=$k t=$t")
+      assert(fwd(id) === naiveFwd, s"forward k=$k t=$t")
+    }
+  }
+
+  test("range join matches a naive theta join on random data") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(2000).toLong, i.toLong))
+    val ivs = Seq.tabulate(80) { i =>
+      val s = rnd.nextInt(2000).toLong
+      (rnd.nextInt(5).toLong, s, s + rnd.nextInt(300).toLong, i.toLong)
+    }
+    val p = pts.toDF("k", "t", "pid")
+    val iv = ivs.toDF("k", "s", "e", "iid")
+    for (width <- Seq(64L, 128L, 1024L)) {
+      val got = RangeJoin.pointInInterval(p, "k", "t", iv, "k", "s", "e",
+          Seq("iid"), bucketWidth = width)
+        .select("pid", "iid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        (pk, pt, pid) <- pts
+        (ik, is, ie, iid) <- ivs
+        if pk == ik && pt >= is && pt < ie
+      } yield (pid, iid)).toSet
+      assert(got === want, s"bucketWidth=$width")
+    }
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
