@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom physical operator: sessions created with these extensions
+    // plan graft.plans.TopKPerKey without touching experimental config
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+
     ext.injectFunction(oneArg("rut_is_valid",
       "rut_is_valid(str) - true iff str is a valid Chilean RUT", RutIsValid))
     ext.injectFunction(oneArg("rut_format",

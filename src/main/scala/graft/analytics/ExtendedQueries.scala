@@ -399,6 +399,25 @@ object ExtendedQueries {
         FROM orders WHERE o_totalprice > 100000
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ── custom physical operator: bounded-heap top-k per key ───────
+    // graft.plans.TopKPerKey: partial+final heap execs around one
+    // shuffle, no sort (see TopKSpec for the plan assertions); the
+    // oracle states the row_number-window semantics it implements.
+    "q55_topk_per_key" -> QuerySpec(
+      build = (s, d) => graft.operators.TopK.perKey(
+          orders(s, d), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey")),
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""),
+      bench = true),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)

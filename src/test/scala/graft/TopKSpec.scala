@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.TopK
+
+class TopKSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def orders = spark.read
+    .parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("TopK.perKey == row_number window formulation") {
+    val viaOp = TopK.perKey(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    assert(viaOp === viaWindow)
+  }
+
+  test("TopK plan: partial + final exec around one exchange, no sort") {
+    val df = TopK.perKey(orders, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).length === 2,
+      s"expected partial+final TopKPerKeyExec:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(o_orderpriority"),
+      "final exec must cluster by the key")
+    assert(!plan.contains("Sort "), s"bounded-heap top-k must not sort:\n$plan")
+  }
+
+  test("TopK handles k larger than group size and multiple keys") {
+    val df = Seq((1, "a", 10), (1, "a", 20), (2, "b", 5))
+      .toDF("g1", "g2", "v")
+    val out = TopK.perKey(df, Seq("g1", "g2"), Seq(col("v").desc), 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSet
+    assert(out === Set((1, "a", 10), (1, "a", 20), (2, "b", 5)))
+  }
+}
