@@ -213,6 +213,23 @@ class EtlSpec extends SparkSpec {
     assert(pc.length == 1 && pc(0).getAs[String]("municipalidad") == "MAIPU")
   }
 
+  test("typed Silver API: Dataset[T] views over the entity tables") {
+    val dir = mkTmp("typed")
+    val store = new SilverStore(spark, mkTmp("typed-silver"))
+    EtlRunner.processFile(store,
+      writeCsv(dir, "empresas_t.csv", empresasCsv))
+    val ds = SilverApi.empresas(store)
+    // fixture: rows 3 (bad RUT) and 4 (empty bp) are rejects; row 5
+    // last-wins-overwrites row 1 -> two Silver carriers
+    val byBp = ds.collect().map(e => e.carrier_bp.get -> e).toMap
+    assert(byBp.size === 2)
+    assert(byBp("1111111").carrier_name === Some("EMPRESA UNO RENOMBRADA"))
+    assert(byBp("1111111").carrier_rut === Some("11111111-1"))
+    assert(byBp("1111111").carrier_type_id.isDefined)
+    // typed filter/map compile and run against the encoder
+    assert(ds.filter(_.carrier_rut.isDefined).count() === 2)
+  }
+
   test("router: unknown files skipped") {
     assert(BronzeReader.classify("otros_datos.csv").isEmpty)
     assert(BronzeReader.classify("empresas_1.txt").isEmpty)
