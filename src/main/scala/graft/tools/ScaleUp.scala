@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-experiment data generator: replicates the harness tables N
+  * times with shifted keys so per-key cardinalities stay realistic
+  * (10x the data should mean 10x the keys, not 10x-hotter keys).
+  * Document texts get a per-replica salt token so near-dup candidates
+  * don't explode quadratically across replicas. Usage:
+  *
+  *   runMain graft.tools.ScaleUp <srcSfDir> <outDir> <factor>
+  *
+  * Output feeds Bench via SPARK_GRAFT_SF_DIR to answer "does the plan
+  * survive a 10x scale-up" with measurements instead of claims.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args
+    val factor = factorS.toInt
+    val spark = graft.GraftSession.create()
+
+    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val replicas = (0 until factor).map(i => f(base, i))
+      replicas.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name x$factor")
+    }
+
+    // key shift constants comfortably above the sf0.1 key ranges
+    val K = 100000000L
+    replicate("region", (df, _) => df)
+    replicate("nation", (df, _) => df)
+    replicate("customer", (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * K)))
+    replicate("supplier", (df, i) =>
+      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * K)))
+    replicate("part", (df, i) =>
+      df.withColumn("p_partkey", col("p_partkey") + lit(i * K)))
+    replicate("orders", (df, i) => df
+      .withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+      .withColumn("o_custkey", col("o_custkey") + lit(i * K)))
+    replicate("lineitem", (df, i) => df
+      .withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+      .withColumn("l_partkey", col("l_partkey") + lit(i * K))
+      .withColumn("l_suppkey", col("l_suppkey") + lit(i * K)))
+    replicate("events", (df, i) => df
+      .withColumn("event_id", col("event_id") + lit(i * K))
+      .withColumn("user_id", col("user_id") + lit(i * K)))
+    replicate("documents", (df, i) => df
+      .withColumn("doc_id", col("doc_id") + lit(i * K))
+      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+    replicate("embeddings", (df, i) => df
+      .withColumn("vec_id", col("vec_id") + lit(i * K))
+      .withColumn("label", col("label") + lit(i * 1000)))
+    spark.stop()
+  }
+}
