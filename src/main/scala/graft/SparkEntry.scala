@@ -14,6 +14,7 @@ object SparkEntry {
   def specs: Map[String, QuerySpec] =
     graft.analytics.RelationalQueries.queries ++
     graft.analytics.ExtendedQueries.queries ++
+    graft.analytics.TypedQueries.queries ++
     graft.analytics.EventQueries.queries ++
     graft.text.TextQueries.queries ++
     graft.similarity.SimilarityQueries.queries ++
