@@ -10,16 +10,20 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup: run every query shape once at the smallest SF so codegen
-    // compilation + JIT happen outside the timed region (plan shape, and
-    // therefore generated code, is SF-independent). Without this the
-    // first timed query absorbs multi-second JVM warmup.
+    // Headline queries only (QuerySpec.bench) — one representative per
+    // operator family; correctness of the full surface is Verify's job.
+    val headline = SparkEntry.specs.filter(_._2.bench).keySet
+    val timed = SparkEntry.queries.filter { case (n, _) => headline(n) }
+    // Warmup: run every timed query shape once at the smallest SF so
+    // codegen compilation + JIT happen outside the timed region (plan
+    // shape, and therefore generated code, is SF-independent). Without
+    // this the first timed query absorbs multi-second JVM warmup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      timed.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = timed.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -65,7 +65,8 @@ object SimilarityQueries {
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
         WHERE floor(($duckCos) * 10000 + 0.5) / 10000 > 0.4
-        ORDER BY va, vb""")),
+        ORDER BY va, vb"""),
+      bench = true),
 
     // ── brute-force cosine top-k (exact ANN baseline) ──────────────
     "q28_ann_bruteforce" -> QuerySpec(

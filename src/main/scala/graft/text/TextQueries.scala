@@ -174,7 +174,8 @@ object TextQueries {
         SELECT da, db, shared,
                floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 AS jaccard
         FROM p WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 >= 0.3
-        ORDER BY da, db""")),
+        ORDER BY da, db"""),
+      bench = true),
 
     // ── MinHash + LSH banding near-dup (the 100 TB dedup path) ─────
     // 16 min-hash functions from 4 md5s per shingle (each 128-bit md5
