@@ -53,6 +53,13 @@ private[etl] object PipelineUtil {
     val errs = row.getLong(1)
     (total, total - errs, errs)
   }
+
+  /** H6/H7: persist rejects to an append-only quarantine table (the
+    * Spark-native generalization of the reference's per-row error log,
+    * `services/empresa.ts:110-116`) — all Bronze columns as landed,
+    * plus `error_reason` and the file/row provenance. */
+  def quarantine(store: SilverStore, entity: String, rejects: DataFrame): Unit =
+    store.append(s"quarantine_$entity", rejects)
 }
 
 /** Companies ETL (`services/empresa.ts:1-131`, SURVEY §2 B1/B4/D1/H1).
@@ -104,6 +111,7 @@ object EmpresaPipeline {
       "carrier_id", Seq("carrier_name", "carrier_rut", "carrier_type_id"))
     store.overwrite("empresa", merged)
 
+    quarantine(store, "empresa", rejects)
     val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }
@@ -173,6 +181,7 @@ object ConductorPipeline {
     appendHojaVida(store, withId)
     appendLicencia(store, withId)
 
+    quarantine(store, "conductor", rejects)
     val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }

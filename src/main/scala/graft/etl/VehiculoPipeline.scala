@@ -131,6 +131,7 @@ object VehiculoPipeline {
 
     appendChildren(store, withVid)
 
+    quarantine(store, "vehiculo", rejects)
     val (total, processed, errors) = counts(flagged)
     EtlResult(total, processed, errors, rejects)
   }

@@ -230,6 +230,48 @@ class EtlSpec extends SparkSpec {
     assert(ds.filter(_.carrier_rut.isDefined).count() === 2)
   }
 
+  test("rejects persist to an append-only quarantine table with reasons") {
+    val dir = mkTmp("quar")
+    val store = new SilverStore(spark, mkTmp("quar-silver"))
+    EtlRunner.processFile(store, writeCsv(dir, "empresas_q.csv", empresasCsv))
+    val q = store.read("quarantine_empresa")
+    assert(q.count() === 2)
+    val reasons = q.select("error_reason").collect().map(_.getString(0)).toSet
+    assert(reasons.exists(_.contains("RUT inválido")))
+    assert(reasons.contains("carrier_bp vacío"))
+    // provenance travels with the reject
+    assert(q.columns.contains("_source_file") && q.columns.contains("_row_id"))
+
+    // a second bad file APPENDS (historized error log, never overwritten)
+    EtlRunner.processFile(store, writeCsv(dir, "empresas_q2.csv",
+      "carrier_bp;carrier_name;carrier_tin;carrier_type\n;X;\"11111111-1\";Spot\n"))
+    assert(store.read("quarantine_empresa").count() === 3)
+  }
+
+  test("replay: upserts idempotent, historized children duplicate (faithful)") {
+    val dir = mkTmp("replay")
+    val store = new SilverStore(spark, mkTmp("replay-silver"))
+    val emp = writeCsv(dir, "empresas_r.csv", empresasCsv)
+    val cond = writeCsv(dir, "conductores_r.csv",
+      s"""driver_name;national_id;birth_date;phone_number;email;carrier_bp;driver_role;hoja_de_vida_data;licencia_frontal_data;licencia_reverso_data
+         |JUAN PEREZ;11111111-1;01-02-1990;+569;j@x.cl;1111111;Principal;$hojaVidaJson;$licFrontalJson;$licReversoJson
+         |""".stripMargin)
+    EtlRunner.processFile(store, emp)
+    EtlRunner.processFile(store, cond)
+    val conductores1 = store.read("conductor").count()
+    val hojas1 = store.read("hoja_vida").count()
+
+    // replay BOTH files (the reference's at-least-once redelivery)
+    EtlRunner.processFile(store, emp)
+    EtlRunner.processFile(store, cond)
+    assert(store.read("conductor").count() === conductores1,
+      "conductor upsert must be idempotent on replay")
+    assert(store.read("empresa").count() === 2)
+    assert(store.read("hoja_vida").count() === 2 * hojas1,
+      "historized children duplicate on replay — faithful to the reference " +
+        "(SURVEY §2 I); dedupe by (source_file, row) is the documented fix")
+  }
+
   test("router: unknown files skipped") {
     assert(BronzeReader.classify("otros_datos.csv").isEmpty)
     assert(BronzeReader.classify("empresas_1.txt").isEmpty)
