@@ -37,10 +37,14 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     spark.read.parquet(tablePath(table).toString)
 
   /** Atomically replace the table with `df` (materializes to a temp
-    * dir first, so `df` may read from the table it replaces). */
-  def overwrite(table: String, df: DataFrame): Unit = {
+    * dir first, so `df` may read from the table it replaces).
+    * `partitionCols` preserves a partitioned directory layout. */
+  def overwrite(table: String, df: DataFrame,
+                partitionCols: Seq[String] = Nil): Unit = {
     val tmp = new Path(root, s"_tmp/$table-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(tmp.toString)
     val live = tablePath(table)
     val f = fs
     if (f.exists(live)) f.delete(live, true)
@@ -52,4 +56,42 @@ final class SilverStore(val spark: SparkSession, val root: String) {
   /** Historized append (H4/H5): children tables only grow. */
   def append(table: String, df: DataFrame): Unit =
     df.write.mode("append").parquet(tablePath(table).toString)
+
+  /** Append partitioned by `partitionCols` (e.g. `_load_date`): at
+    * scale, historized tables are laid out so date-ranged reads prune
+    * at the FileIndex — `read(table).filter(col("_load_date") === d)`
+    * touches one partition directory, not the table. */
+  def appendPartitioned(table: String, df: DataFrame,
+                        partitionCols: Seq[String]): Unit =
+    df.write.mode("append").partitionBy(partitionCols: _*)
+      .parquet(tablePath(table).toString)
+
+  /** Compact an append-only table: per-file micro-batches accumulate
+    * one small parquet file per append (the classic small-files
+    * problem — at 10⁶ landed files the NAMENODE/listing cost dwarfs the
+    * data). Rewrites the table to ~`targetFileBytes` files via the same
+    * atomic snapshot swap as `overwrite`, so readers never see a
+    * partial compaction. Returns (files_before, files_after). */
+  def compact(table: String, partitionCols: Seq[String] = Nil,
+              targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val live = tablePath(table)
+    val f = fs
+    def parquetFiles(p: Path): Int = {
+      val it = f.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = parquetFiles(live)
+    val totalBytes = f.getContentSummary(live).getLength
+    val parts = math.max(1, (totalBytes / targetFileBytes).toInt)
+    val compacted =
+      if (partitionCols.isEmpty) read(table).repartition(parts)
+      // partition-local shuffle: each output file holds one partition
+      // value, so the rewrite keeps pruning AND packs within partitions
+      else read(table).repartition(parts,
+        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    overwrite(table, compacted, partitionCols)
+    (before, parquetFiles(live))
+  }
 }

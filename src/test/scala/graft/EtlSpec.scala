@@ -272,6 +272,37 @@ class EtlSpec extends SparkSpec {
         "(SURVEY §2 I); dedupe by (source_file, row) is the documented fix")
   }
 
+  test("partitioned append prunes at the scan; compaction merges small files") {
+    import org.apache.spark.sql.functions._
+    val store = new SilverStore(spark, mkTmp("part-silver"))
+    val spark2 = spark
+    import spark2.implicits._
+
+    // 6 per-file micro-batches across 2 load dates -> 2 partition dirs
+    (1 to 6).foreach { i =>
+      val d = if (i <= 3) "2026-01-01" else "2026-01-02"
+      store.appendPartitioned("hist",
+        Seq((i.toLong, d)).toDF("v", "_load_date"), Seq("_load_date"))
+    }
+    val pruned = store.read("hist").filter(col("_load_date") === "2026-01-01")
+    assert(pruned.count() === 3)
+    val scanned = pruned.queryExecution.executedPlan.toString
+    assert(scanned.contains("PartitionFilters: [isnotnull(_load_date"),
+      s"partition filter must reach the scan:\n$scanned")
+
+    // 6 appends -> >= 6 small files; compaction collapses them AND
+    // keeps the partition layout (pruning still works afterwards)
+    val (before, after) = store.compact("hist", Seq("_load_date"))
+    assert(before >= 6 && after < before, s"before=$before after=$after")
+    assert(store.read("hist").count() === 6, "compaction must not lose rows")
+    val prunedAfter = store.read("hist")
+      .filter(col("_load_date") === "2026-01-02")
+    assert(prunedAfter.count() === 3)
+    assert(prunedAfter.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(_load_date"),
+      "compaction must preserve the partitioned layout")
+  }
+
   test("router: unknown files skipped") {
     assert(BronzeReader.classify("otros_datos.csv").isEmpty)
     assert(BronzeReader.classify("empresas_1.txt").isEmpty)
