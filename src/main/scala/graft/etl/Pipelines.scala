@@ -86,6 +86,9 @@ object EmpresaPipeline {
         concat(lit("RUT inválido: '"), coalesce(col("carrier_tin"), lit("")), lit("'")))
       .when(col("carrier_bp_c").isNull, "carrier_bp vacío")
     val flagged = conformed.withColumn("error_reason", reason)
+      // one materialization feeds counts, quarantine, and the merge
+      // source instead of three scan+validate re-executions
+      .persist()
     val rejects = flagged.filter(col("error_reason").isNotNull)
       .select((bronze.columns.map(col) :+ col("error_reason")).toIndexedSeq: _*)
     val accepted = flagged.filter(col("error_reason").isNull)
@@ -111,8 +114,9 @@ object EmpresaPipeline {
       "carrier_id", Seq("carrier_name", "carrier_rut", "carrier_type_id"))
     store.overwrite("empresa", merged)
 
-    quarantine(store, "empresa", rejects)
     val (total, processed, errors) = counts(flagged)
+    if (errors > 0) quarantine(store, "empresa", rejects)
+    flagged.unpersist()
     EtlResult(total, processed, errors, rejects)
   }
 }
@@ -143,6 +147,9 @@ object ConductorPipeline {
           lit("' no encontrada.")))
       .when(col("driver_role_c").isNull, "'driver_role' está vacío.")
     val flagged = conformed.withColumn("error_reason", reason)
+      // one materialization feeds counts, quarantine, and the merge
+      // source instead of three scan+validate re-executions
+      .persist()
     val rejects = flagged.filter(col("error_reason").isNotNull)
       .select((bronze.columns.map(col) :+ col("error_reason")).toIndexedSeq: _*)
     val accepted = flagged.filter(col("error_reason").isNull)
@@ -181,8 +188,9 @@ object ConductorPipeline {
     appendHojaVida(store, withId)
     appendLicencia(store, withId)
 
-    quarantine(store, "conductor", rejects)
     val (total, processed, errors) = counts(flagged)
+    if (errors > 0) quarantine(store, "conductor", rejects)
+    flagged.unpersist()
     EtlResult(total, processed, errors, rejects)
   }
 

@@ -85,12 +85,23 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     val before = parquetFiles(live)
     val totalBytes = f.getContentSummary(live).getLength
     val parts = math.max(1, (totalBytes / targetFileBytes).toInt)
+    import org.apache.spark.sql.functions._
     val compacted =
       if (partitionCols.isEmpty) read(table).repartition(parts)
-      // partition-local shuffle: each output file holds one partition
-      // value, so the rewrite keeps pruning AND packs within partitions
-      else read(table).repartition(parts,
-        partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      else {
+        // shuffle on (partition value, salt): repartitioning on the
+        // partition columns ALONE would send every row of a hot
+        // partition value to one task and emit one oversized file per
+        // value; the salt spreads each value over up to `parts` tasks
+        // while the write's partitionBy keeps the directory layout
+        val df = read(table)
+        val dataCols = df.columns.filterNot(partitionCols.contains)
+        df.withColumn("_salt",
+            pmod(xxhash64(dataCols.map(col).toIndexedSeq: _*), lit(parts)))
+          .repartition(parts,
+            (partitionCols :+ "_salt").map(col).toIndexedSeq: _*)
+          .drop("_salt")
+      }
     overwrite(table, compacted, partitionCols)
     (before, parquetFiles(live))
   }

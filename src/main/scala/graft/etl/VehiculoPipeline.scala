@@ -46,6 +46,9 @@ object VehiculoPipeline {
       .when(col("vehicle_brand_c").isNull, "vehicle_make vacío")
       .when(col("vehicle_model_c").isNull, "vehicle_model vacío")
     val flagged = conformed.withColumn("error_reason", reason)
+      // one materialization feeds counts, quarantine, and the merge
+      // source instead of three scan+validate re-executions
+      .persist()
     val rejects = flagged.filter(col("error_reason").isNotNull)
       .select((bronze.columns.map(col) :+ col("error_reason")).toIndexedSeq: _*)
     val accepted = flagged.filter(col("error_reason").isNull)
@@ -131,8 +134,9 @@ object VehiculoPipeline {
 
     appendChildren(store, withVid)
 
-    quarantine(store, "vehiculo", rejects)
     val (total, processed, errors) = counts(flagged)
+    if (errors > 0) quarantine(store, "vehiculo", rejects)
+    flagged.unpersist()
     EtlResult(total, processed, errors, rejects)
   }
 

@@ -13,6 +13,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** private[sql] normalizer exposed for custom operators whose
+    * grouping uses binary row equality (-0.0/0.0, NaN bit patterns). */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
 }
 
 /** Same bridge for LogicalPlan -> DataFrame (Dataset.ofRows is

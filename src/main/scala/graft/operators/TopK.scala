@@ -19,9 +19,16 @@ object TopK {
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
              k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    // registration guard looks at the PLANNER's effective strategies —
+    // that covers GraftExtensions' injectPlannerStrategy too, which
+    // never shows up in experimental.extraStrategies; the mutation is
+    // synchronized because extraStrategies is a bare var on the session
+    spark.synchronized {
+      if (!spark.sessionState.planner.strategies.contains(TopKStrategy) &&
+          !spark.experimental.extraStrategies.contains(TopKStrategy)) {
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+      }
     }
     // Spark 4 Columns carry lazy ColumnNode trees; run them through the
     // analyzer (via a throwaway Sort plan) to obtain fully-resolved

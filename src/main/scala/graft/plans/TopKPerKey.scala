@@ -14,9 +14,16 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * shuffle writes all rows and the window operator sorts each
   * partition, O(n log n) memory/spill-bound work for output of size
   * keys×k. This operator keeps a bounded heap of k rows per key:
-  * O(n log k) comparisons, memory keys×k, no sort, no spill — at
-  * 100 TB the difference between a top-10-per-user query spilling
-  * terabytes and one that streams.
+  * O(n log k) comparisons, no sort, no spill needed while the
+  * retained set fits.
+  *
+  * MEMORY CONTRACT: each task holds (distinct keys it sees) × k rows
+  * on the JVM heap, untracked by Spark's memory manager — the right
+  * operator when key cardinality is bounded (categories, tenants,
+  * buckets). For unbounded keys (per-user over the open internet),
+  * prefer the window formulation, which degrades via external-sort
+  * spill instead of OOM; a spill-aware version of this operator would
+  * register with TaskMemoryManager.
   *
   * Spark-first wiring, the (c) route of the design rules: logical node
   * → [[TopKStrategy]] (planner strategy, injectable via
@@ -38,9 +45,14 @@ case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(keys, order, k, child) =>
+      // normalize float/double keys (-0.0 == 0.0, canonical NaN) the
+      // way Window.partitionBy gets normalized — UnsafeRow byte
+      // equality in the heap map would otherwise split such groups
+      val normKeys = keys.map(
+        org.apache.spark.sql.graft.ColumnBridge.normalizeFloats)
       // partial (pre-shuffle) + final, exactly like partial aggregation
-      TopKPerKeyExec(keys, order, k, partial = false,
-        TopKPerKeyExec(keys, order, k, partial = true,
+      TopKPerKeyExec(normKeys, order, k, partial = false,
+        TopKPerKeyExec(normKeys, order, k, partial = true,
           planLater(child))) :: Nil
     case _ => Nil
   }

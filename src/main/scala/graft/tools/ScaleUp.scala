@@ -28,10 +28,20 @@ object ScaleUp {
       println(s"[scaleup] $name x$factor")
     }
 
+    /** Key-less dimensions are copied ONCE — replicating them would
+      * duplicate every dim row `factor`-fold and inflate every
+      * nation/region join `factor`-fold (a semantic corruption, not a
+      * scale-up: fact rows keep their original nationkeys). */
+    def copyOnce(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scaleup] $name x1 (dimension)")
+    }
+
     // key shift constants comfortably above the sf0.1 key ranges
     val K = 100000000L
-    replicate("region", (df, _) => df)
-    replicate("nation", (df, _) => df)
+    copyOnce("region")
+    copyOnce("nation")
     replicate("customer", (df, i) =>
       df.withColumn("c_custkey", col("c_custkey") + lit(i * K)))
     replicate("supplier", (df, i) =>
@@ -48,9 +58,13 @@ object ScaleUp {
     replicate("events", (df, i) => df
       .withColumn("event_id", col("event_id") + lit(i * K))
       .withColumn("user_id", col("user_id") + lit(i * K)))
+    // every TOKEN gets a replica prefix, so clones share NO word
+    // shingles across replicas — a trailing salt token would leave
+    // near-identical clones and blow candidate pairs up O(factor²)
     replicate("documents", (df, i) => df
       .withColumn("doc_id", col("doc_id") + lit(i * K))
-      .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+      .withColumn("text",
+        concat(lit(s"r$i"), regexp_replace(col("text"), " ", s" r$i"))))
     replicate("embeddings", (df, i) => df
       .withColumn("vec_id", col("vec_id") + lit(i * K))
       .withColumn("label", col("label") + lit(i * 1000)))
