@@ -19,6 +19,9 @@ object ExtendedQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     EventQueries.ev(s, d)
 
+  /** DuckDB twin of `split(trim(text), "\\s+")`. */
+  private val duckEqToks = """string_split_regex(trim(text), '\s+')"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── pivot: months x order status ───────────────────────────────
@@ -417,6 +420,48 @@ object ExtendedQueries {
         WHERE rn <= 3
         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""),
       bench = true),
+
+    // ── array/collection functions over tokenized text ─────────────
+    "q58_array_funcs" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .select(col("doc_id"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          array_contains(col("toks"), "the").cast("boolean").as("has_the"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("first3"),
+          element_at(array_sort(array_distinct(col("toks"))), 1).as("min_tok"),
+          reverse(element_at(col("toks"), 1)).as("rev_first"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $duckEqToks AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+               list_contains(toks, 'the') AS has_the,
+               array_to_string(list_slice(toks, 1, 3), ' ') AS first3,
+               list_sort(list_distinct(toks))[1] AS min_tok,
+               reverse(toks[1]) AS rev_first
+        FROM t ORDER BY doc_id""")),
+
+    // ── string functions ───────────────────────────────────────────
+    "q59_string_funcs" -> QuerySpec(
+      build = (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded"),
+          translate(col("c_name"), "#", "-").as("translated"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          length(col("c_name")).as("name_len"),
+          upper(col("c_mktsegment")).as("seg_upper"),
+          repeat(lit("ab"), 3).as("repeated"))
+        .orderBy("c_custkey").limit(1000),
+      oracle = Some("""
+        SELECT c_custkey,
+               lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+               replace(c_name, '#', '-') AS translated,
+               substring(c_name, 1, 8) AS prefix,
+               CAST(length(c_name) AS INT) AS name_len,
+               upper(c_mktsegment) AS seg_upper,
+               repeat('ab', 3) AS repeated
+        FROM customer ORDER BY c_custkey LIMIT 1000""")),
 
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
