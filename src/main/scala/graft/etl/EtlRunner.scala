@@ -8,6 +8,15 @@ import graft.etl.BronzeReader._
   * (`etl-gcs-cloudsql/src/index.ts:8-53`, SURVEY §2 A8, §3.2).
   * One call = one micro-batch (one landed file), exactly like one
   * `object.finalize` event invocation.
+  *
+  * Failure/atomicity contract (SURVEY §2 H6): each TABLE write is
+  * atomic (snapshot swap / append), and writes are ordered
+  * parents-before-children, so a crash mid-file leaves a prefix-
+  * consistent state that a replay repairs: parent upserts are
+  * idempotent and the re-run re-derives child rows from the same
+  * batch. This matches the reference's per-row-transaction guarantee
+  * at batch granularity (cross-TABLE atomicity, like the reference's
+  * cross-ROW atomicity, is not promised).
   */
 object EtlRunner {
 
