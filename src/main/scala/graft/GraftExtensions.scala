@@ -51,14 +51,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Evaluate a foldable integral argument with a clear error. */
   private def constInt(e: Expression, fn: String): Int = {
     require(e.foldable, s"$fn expects a literal integer")
-    e.eval(null) match {
-      case i: java.lang.Integer => i.intValue()
-      case l: java.lang.Long    => l.intValue()
-      case s: java.lang.Short   => s.intValue()
-      case b: java.lang.Byte    => b.intValue()
+    val long = e.eval(null) match {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long    => l.longValue()
+      case s: java.lang.Short   => s.longValue()
+      case b: java.lang.Byte    => b.longValue()
       case other => throw new IllegalArgumentException(
         s"$fn expects a literal integer, got $other")
     }
+    // range-check BEFORE narrowing: a long literal must not silently
+    // wrap into a wrong small value
+    require(long >= Int.MinValue && long <= Int.MaxValue,
+      s"$fn: argument $long out of Int range")
+    long.toInt
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -77,18 +82,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine", "cosine(arr, arr) - cosine similarity in double"),
       (es: Seq[Expression]) => {
         require(es.length == 2, "cosine expects 2 arguments")
-        // widen int/long/decimal arrays so SQL `cosine(array(1,2), ...)`
-        // computes in double instead of failing the type check
-        import org.apache.spark.sql.catalyst.expressions.Cast
-        import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-        def widen(e: Expression): Expression =
-          if (!e.resolved) e
-          else e.dataType match {
-            case ArrayType(FloatType | DoubleType, _) => e
-            case ArrayType(_, n) => Cast(e, ArrayType(DoubleType, n))
-            case _ => e
-          }
-        CosineSimilarity(widen(es.head), widen(es(1)))
+        // int/long/decimal arrays widen via the expression's
+        // ImplicitCastInputTypes during resolution
+        CosineSimilarity(es.head, es(1))
       }))
 
     ext.injectFunction((FunctionIdentifier("word_shingles"),

@@ -331,7 +331,11 @@ object ExtendedQueries {
         import graft.functions.GraftFunctions.{rut_format, rut_is_valid}
         val bodyS = col("body").cast("string")
         customer(s, d)
-          .withColumn("body", col("c_custkey") + 10000000L)
+          // mod keeps the body exactly 8 digits for ANY key range (the
+          // weighted-sum expansion below is fixed-width; ScaleUp shifts
+          // keys past 1e8, which would otherwise grow a 9th digit the
+          // expansion ignores)
+          .withColumn("body", col("c_custkey") % 10000000L + 10000000L)
           .withColumn("m", expr(
             """(body % 10)*2 + (body div 10 % 10)*3 + (body div 100 % 10)*4
               | + (body div 1000 % 10)*5 + (body div 10000 % 10)*6
@@ -357,7 +361,8 @@ object ExtendedQueries {
           .orderBy("valid")
       },
       oracle = Some("""
-        WITH b AS (SELECT c_custkey, c_custkey + 10000000 AS body FROM customer),
+        WITH b AS (SELECT c_custkey, c_custkey % 10000000 + 10000000 AS body
+                   FROM customer),
         s AS (SELECT c_custkey, body,
                 (body % 10)*2 + (body // 10 % 10)*3 + (body // 100 % 10)*4
                 + (body // 1000 % 10)*5 + (body // 10000 % 10)*6

@@ -18,6 +18,14 @@ object ColumnBridge {
     * grouping uses binary row equality (-0.0/0.0, NaN bit patterns). */
   def normalizeFloats(e: Expression): Expression =
     org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
+  /** `array<double> | array<float>` input spec for ImplicitCastInputTypes
+    * (TypeCollection/AbstractDataType are private[sql]): exact float/
+    * double arrays pass uncast, other numeric arrays widen to double. */
+  def floatOrDoubleArray: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
 }
 
 /** Same bridge for LogicalPlan -> DataFrame (Dataset.ofRows is

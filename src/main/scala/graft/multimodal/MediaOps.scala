@@ -89,7 +89,9 @@ object MediaOps {
     * pass sizes the reducer count. */
   def repartitionBySize(df: DataFrame, targetBytes: Long): DataFrame = {
     val spark = df.sparkSession
-    val sized = df.withColumn("_sz", length(col("bytes")).cast("long"))
+    // coalesce: a null bytes cell must count as 0, not NPE getLong below
+    val sized = df.withColumn("_sz",
+      coalesce(length(col("bytes")).cast("long"), lit(0L)))
     val total = sized.agg(coalesce(sum(col("_sz")), lit(0L))).head.getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
 

@@ -28,8 +28,10 @@ object SaltedJoin {
   def inner(fact: DataFrame, factKey: String,
             dim: DataFrame, dimKey: String,
             saltSrc: Column, numSalts: Int): DataFrame = {
+    // null salt source must not drop the row (the contract is
+    // plain-join semantics): null rows all land on salt 0
     val saltedFact = fact.withColumn("_salt",
-      pmod(saltSrc, lit(numSalts)).cast("int"))
+      coalesce(pmod(saltSrc, lit(numSalts)), lit(0)).cast("int"))
     val saltedDim = dim.withColumn("_salt",
       explode(typedlit((0 until numSalts).toArray)))
     saltedFact.join(saltedDim,

@@ -1,7 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -45,29 +45,22 @@ object VectorUtil {
   * allocates nothing.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine"
 
-  // reject anything but array<float>/array<double> at ANALYSIS time —
-  // the kernel reads elements positionally, so an un-widened
-  // array<int> would be garbage (UnsafeArrayData) or a CCE. Callers
-  // with other numeric arrays cast first (VectorFunctions/extensions
-  // do it automatically).
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(e: Expression) = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
-      case _                                    => false
-    }
-    if (ok(left) && ok(right))
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-    else
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"$prettyName expects array<float> or array<double> inputs, got " +
-          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  /** Analyzer-driven widening: array<float>/array<double> pass through
+    * unchanged (exact member match — the float fast path stays
+    * cast-free); any other numeric array is implicitly cast to
+    * array<double>, and non-castable inputs fail analysis with the
+    * standard type-check error. This runs during RESOLUTION, so it
+    * covers plain `col(...)` inputs that are unresolved when the
+    * Column is built. */
+  override def inputTypes = {
+    val accepted = org.apache.spark.sql.graft.ColumnBridge.floatOrDoubleArray
+    Seq(accepted, accepted)
   }
 
   private def elemIsFloat(e: Expression): Boolean = e.dataType match {

@@ -199,7 +199,10 @@ object SimilarityQueries {
       },
       oracle = Some {
         def sqlPlane(p: Int) =
-          "[" + planes(p).map(v => f"$v%.3f").mkString(", ") + "]::DOUBLE[]"
+          // Locale.ROOT: the f-interpolator uses the default locale, and
+          // a comma-decimal locale would corrupt the SQL array literal
+          "[" + planes(p).map(v => String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(v))).mkString(", ") + "]::DOUBLE[]"
         val sigExpr = (0 until nPlanes).map(p =>
           s"(CASE WHEN list_cosine_similarity(embedding::DOUBLE[], ${sqlPlane(p)}) >= 0 THEN ${1 << p} ELSE 0 END)")
           .mkString(" + ")

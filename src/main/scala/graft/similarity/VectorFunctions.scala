@@ -20,23 +20,12 @@ object VectorFunctions {
 
   /** Native codegen'd kernel ([[CosineSimilarity]]); same arithmetic
     * order as the HOF formulation it replaced, so oracle hashes are
-    * unchanged. Non-float/double element types are widened to double
-    * first (the kernel reads elements positionally). */
+    * unchanged. Non-float/double numeric arrays are widened to
+    * array<double> by the analyzer (ImplicitCastInputTypes on the
+    * expression), so this works on unresolved `col(...)` inputs too. */
   def cosine(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-    // dataType is only known pre-analysis for resolved/literal inputs
-    // (e.g. typedlit planes); unresolved columns pass through and are
-    // validated by checkInputDataTypes after resolution
-    def widen(e: Expression): Expression =
-      if (!e.resolved) e
-      else e.dataType match {
-        case ArrayType(FloatType | DoubleType, _) => e
-        case ArrayType(_, n) => Cast(e, ArrayType(DoubleType, n))
-        case _ => e // non-array: let checkInputDataTypes report it
-      }
-    column(CosineSimilarity(widen(expression(a)), widen(expression(b))))
+    column(CosineSimilarity(expression(a), expression(b)))
   }
 
   def l2_distance(a: Column, b: Column): Column = {

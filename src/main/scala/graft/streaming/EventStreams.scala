@@ -85,17 +85,29 @@ object EventStreams {
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
             var open = state.getOption
+            // late-but-within-watermark events from a later batch that
+            // fall more than a gap BEFORE the open session accumulate
+            // into their own chain of earlier sessions (consecutive
+            // late events within a gap of each other must merge, like
+            // the batch session_window twin would merge them)
+            var pending: Option[OpenSession] = None
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               open match {
-                // late-but-within-watermark events from a later batch may
-                // precede the open session: more than a gap BEFORE it they
-                // form their own already-closed session; inside
-                // [start-gap, last+gap) they merge (never regressing
-                // `last`, extending `start` backward)
                 case Some(s) if e.ts_us < s.start - gapUs =>
-                  closed += Session(uid, e.ts_us, e.ts_us + gapUs, 1, e.value)
+                  pending match {
+                    case Some(p) if e.ts_us - p.last < gapUs =>
+                      pending = Some(OpenSession(math.min(p.start, e.ts_us),
+                        math.max(p.last, e.ts_us), p.n + 1, p.total + e.value))
+                    case Some(p) =>
+                      closed += close(uid, p)
+                      pending = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                    case None =>
+                      pending = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
+                  }
                 case Some(s) if e.ts_us - s.last < gapUs =>
+                  // merge; never regress `last` (a regressed last fakes
+                  // a gap for the next event), extend `start` backward
                   open = Some(OpenSession(math.min(s.start, e.ts_us),
                     math.max(s.last, e.ts_us), s.n + 1, s.total + e.value))
                 case Some(s) =>
@@ -104,6 +116,16 @@ object EventStreams {
                 case None =>
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
               }
+            }
+            // pending chain: merge into the open session when it now
+            // reaches within a gap of it, otherwise close it
+            (pending, open) match {
+              case (Some(p), Some(s)) if s.start - p.last < gapUs =>
+                open = Some(OpenSession(p.start, math.max(p.last, s.last),
+                  p.n + s.n, p.total + s.total))
+              case (Some(p), _) =>
+                closed += close(uid, p)
+              case _ => ()
             }
             open.foreach { s =>
               state.update(s)

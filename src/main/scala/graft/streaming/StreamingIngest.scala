@@ -75,9 +75,21 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // File-order ids: within a file, monotonically_increasing_id
+        // follows split offsets; ACROSS files Spark packs partitions by
+        // size (largest first), so the raw id would scramble file order
+        // and break last-wins dedup between a stale file and its newer
+        // correction. Ranking by (_source_file, in-file id) restores the
+        // reference's landing order (file names carry dates). The global
+        // window is acceptable for one bounded micro-batch (the batch
+        // pipelines see one file per call).
         val withIds =
           if (batch.columns.contains("_row_id")) batch
-          else batch.withColumn("_row_id", monotonically_increasing_id())
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .orderBy(col("_source_file"), monotonically_increasing_id())
+            batch.withColumn("_row_id", row_number().over(w).cast("long"))
+          }
         transform(withIds, id)
       }
       .start()

@@ -153,6 +153,16 @@ class StreamingSpec extends SparkSpec {
       Ev(6, t0 + 10 * min, 7.0))
     q.processAllAvailable()
 
+    // user 7: session opens at +300min; a later batch delivers THREE
+    // consecutive late events (+200, +210, +218min) that must merge
+    // into ONE earlier session, exactly as the batch session_window
+    // twin would merge them
+    input.addData(Ev(7, t0 + 300 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(7, t0 + 200 * min, 1.0), Ev(7, t0 + 210 * min, 1.0),
+      Ev(7, t0 + 218 * min, 1.0))
+    q.processAllAvailable()
+
     // close everything via watermark advance
     input.addData(Ev(99, t0 + 2000 * min, 0.0))
     q.processAllAvailable()
@@ -168,6 +178,11 @@ class StreamingSpec extends SparkSpec {
       "orphan late event must close as its own session")
     assert(all.contains(
       EventStreams.Session(6, t0 + 100 * min, t0 + 130 * min, 1, 9.0)))
+    assert(all.contains(
+      EventStreams.Session(7, t0 + 200 * min, t0 + 218 * min + 30 * min, 3, 3.0)),
+      s"consecutive late events must merge into one session; got $all")
+    assert(all.contains(
+      EventStreams.Session(7, t0 + 300 * min, t0 + 330 * min, 1, 1.0)))
     q.stop()
   }
 

@@ -77,6 +77,14 @@ class TextKernelsSpec extends SparkSpec {
     inputs.foreach(s => assert(got(s) === expected(s), s"input='$s'"))
   }
 
+  test("cosine widens int/long arrays via implicit cast (col inputs too)") {
+    import graft.similarity.VectorFunctions
+    val df = Seq((Array(1, 2, 2), Array(2L, 4L, 4L))).toDF("ia", "la")
+    val got = df.select(VectorFunctions.cosine(col("ia"), col("la")))
+      .head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
   test("cosine expression == HOF formulation to the last ulp") {
     import graft.similarity.VectorFunctions
     val vec = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
