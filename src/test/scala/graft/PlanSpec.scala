@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
       "query set should broadcast against the corpus")
   }
 
+  test("q30 as-of join: single-shuffle union trick, no nested-loop join") {
+    val p = plan("q30_asof_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "as-of must not theta-join")
+    assert(p.contains("Window"), "expected the running-last-value window")
+  }
+
+  test("q34 range join: bucketed equi-join, never a nested loop") {
+    val p = plan("q34_range_join")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join must be an equi-join on (key, bucket):\n${p.take(1500)}")
+  }
+
+  test("q25 minhash: NO join anywhere — sketch + bucket groupBy only") {
+    val p = plan("q25_minhash_lsh")
+    assert(!p.contains("Join"), s"LSH path must be join-free:\n${p.take(1500)}")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
