@@ -468,6 +468,38 @@ object ExtendedQueries {
                repeat('ab', 3) AS repeated
         FROM customer ORDER BY c_custkey LIMIT 1000""")),
 
+    // ── unpivot / melt (wide -> long), the inverse of q10 ──────────
+    "q60_unpivot" -> QuerySpec(
+      build = (s, d) => {
+        val wide = orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("F"),
+            round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("O"),
+            round(sum(when(col("o_orderstatus") === "P", col("o_totalprice"))), 2).as("P"))
+        wide.unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")),
+            "status", "sum_price")
+          .filter(col("sum_price").isNotNull)
+          .orderBy("o_orderpriority", "status")
+      },
+      oracle = Some("""
+        WITH wide AS (
+          SELECT o_orderpriority,
+                 round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS "F",
+                 round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS "O",
+                 round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS "P"
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, status, sum_price FROM (
+          SELECT o_orderpriority, 'F' AS status, "F" AS sum_price FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'O', "O" FROM wide
+          UNION ALL
+          SELECT o_orderpriority, 'P', "P" FROM wide)
+        WHERE sum_price IS NOT NULL
+        ORDER BY o_orderpriority, status""")),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)
