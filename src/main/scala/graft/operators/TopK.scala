@@ -44,4 +44,42 @@ object TopK {
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
       TopKPerKey(keyExprs, analyzedSort.order, k, child))
   }
+
+  /** Spill-SAFE variant: plans through Spark's aggregate machinery
+    * ([[graft.plans.TopKRowsAgg]], a TypedImperativeAggregate), so
+    * ObjectHashAggregateExec degrades to sort-based external
+    * aggregation under memory pressure instead of OOMing — the choice
+    * for UNBOUNDED key cardinality; [[perKey]]'s dedicated physical
+    * operator is leaner for bounded keys. Identical results. */
+  def perKeySpillable(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    val spark = df.sparkSession
+    val analyzedSort = df.sortWithinPartitions(orderBy: _*)
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
+    val child = analyzedSort.child
+    val order = analyzedSort.order
+    val base = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, child)
+
+    // input struct: ranking fields first (aliased, may duplicate
+    // payload columns), then every output column as payload
+    val nOrder = order.length
+    val structCol = org.apache.spark.sql.functions.struct(
+      (order.map(_.child) ++ child.output).zipWithIndex.map {
+        case (e, i) => column(e).as(s"_f$i")
+      }: _*)
+    val agg = column(
+      graft.plans.TopKRowsAgg(expression(structCol), k,
+        order.map(_.direction == org.apache.spark.sql.catalyst.expressions.Ascending))
+        .toAggregateExpression())
+
+    base.groupBy(keys.map(col): _*)
+      .agg(agg.as("_top"))
+      .select(explode(col("_top")).as("_row"))
+      .select(child.output.zipWithIndex.map { case (a, i) =>
+        col(s"_row._f${nOrder + i}").as(a.name)
+      }: _*)
+  }
 }

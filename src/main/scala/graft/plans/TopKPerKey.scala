@@ -21,9 +21,10 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * on the JVM heap, untracked by Spark's memory manager — the right
   * operator when key cardinality is bounded (categories, tenants,
   * buckets). For unbounded keys (per-user over the open internet),
-  * prefer the window formulation, which degrades via external-sort
-  * spill instead of OOM; a spill-aware version of this operator would
-  * register with TaskMemoryManager.
+  * use [[graft.operators.TopK.perKeySpillable]] — the same semantics
+  * as a TypedImperativeAggregate ([[TopKRowsAgg]]) riding
+  * ObjectHashAggregateExec's sort-based external fallback, which
+  * degrades gracefully instead of OOMing.
   *
   * Spark-first wiring, the (c) route of the design rules: logical node
   * → [[TopKStrategy]] (planner strategy, injectable via

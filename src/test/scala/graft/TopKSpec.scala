@@ -38,6 +38,32 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"bounded-heap top-k must not sort:\n$plan")
   }
 
+  test("perKeySpillable == perKey == window formulation") {
+    val viaAgg = TopK.perKeySpillable(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val viaOp = TopK.perKey(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select("o_orderpriority", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(viaAgg === viaOp)
+    // output schema must be the original columns, in order
+    val cols = TopK.perKeySpillable(orders, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc), 1).columns.toSeq
+    assert(cols === orders.columns.toSeq)
+  }
+
+  test("perKeySpillable plans through ObjectHashAggregate (spillable path)") {
+    val df = TopK.perKeySpillable(orders, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the sort-fallback-capable aggregate:\n${plan.take(1200)}")
+    assert(plan.contains("partial_top_k_rows"),
+      "partial aggregation must bound the shuffle at k rows per mapper key")
+  }
+
   test("TopK handles k larger than group size and multiple keys") {
     val df = Seq((1, "a", 10), (1, "a", 20), (2, "b", 5))
       .toDF("g1", "g2", "v")
