@@ -500,6 +500,24 @@ object ExtendedQueries {
         WHERE sum_price IS NOT NULL
         ORDER BY o_orderpriority, status""")),
 
+    // ── spill-safe top-k (TypedImperativeAggregate path) ───────────
+    // same semantics as q55, planned through ObjectHashAggregate with
+    // sort-based external fallback — the unbounded-key-cardinality
+    // route (TopKSpec pins the plan shape)
+    "q61_topk_spillable" -> QuerySpec(
+      build = (s, d) => graft.operators.TopK.perKeySpillable(
+          orders(s, d), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey")),
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)
