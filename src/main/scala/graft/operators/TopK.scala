@@ -16,6 +16,27 @@ import graft.plans.{TopKPerKey, TopKStrategy}
   */
 object TopK {
 
+  /** Spark 4 Columns carry lazy ColumnNode trees; run them through the
+    * analyzer (via a throwaway Sort plan) to obtain fully-resolved
+    * catalyst SortOrders + a child plan whose attributes they
+    * reference, and validate the key names against it. Shared by both
+    * top-k planning routes. */
+  private def analyzedSortOf(df: DataFrame, keys: Seq[String],
+                             orderBy: Seq[Column])
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+         Seq[SortOrder],
+         Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val analyzedSort = df.sortWithinPartitions(orderBy: _*)
+      .queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
+    val child = analyzedSort.child
+    val attrByName = child.output.map(a => a.name -> a).toMap
+    val keyAttrs = keys.map(n => attrByName.getOrElse(n,
+      throw new IllegalArgumentException(
+        s"TopK: no column '$n' in ${child.output.map(_.name)}")))
+    (child, analyzedSort.order, keyAttrs)
+  }
+
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
              k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -30,19 +51,9 @@ object TopK {
           spark.experimental.extraStrategies :+ TopKStrategy
       }
     }
-    // Spark 4 Columns carry lazy ColumnNode trees; run them through the
-    // analyzer (via a throwaway Sort plan) to obtain fully-resolved
-    // catalyst SortOrders + key attributes consistent with df's plan
-    val analyzedSort = df.sortWithinPartitions(orderBy: _*)
-      .queryExecution.analyzed
-      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
-    val child = analyzedSort.child
-    val attrByName = child.output.map(a => a.name -> a).toMap
-    val keyExprs = keys.map(n => attrByName.getOrElse(n,
-      throw new IllegalArgumentException(
-        s"TopK.perKey: no column '$n' in ${child.output.map(_.name)}")))
+    val (child, order, keyAttrs) = analyzedSortOf(df, keys, orderBy)
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
-      TopKPerKey(keyExprs, analyzedSort.order, k, child))
+      TopKPerKey(keyAttrs, order, k, child))
   }
 
   /** Spill-SAFE variant: plans through Spark's aggregate machinery
@@ -55,12 +66,9 @@ object TopK {
                       k: Int): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode}
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst}
     val spark = df.sparkSession
-    val analyzedSort = df.sortWithinPartitions(orderBy: _*)
-      .queryExecution.analyzed
-      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Sort]
-    val child = analyzedSort.child
-    val order = analyzedSort.order
+    val (child, order, _) = analyzedSortOf(df, keys, orderBy)
     val base = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, child)
 
     // input struct: ranking fields first (aliased, may duplicate
@@ -72,7 +80,9 @@ object TopK {
       }: _*)
     val agg = column(
       graft.plans.TopKRowsAgg(expression(structCol), k,
-        order.map(_.direction == org.apache.spark.sql.catalyst.expressions.Ascending))
+        // (isAscending, nullsFirst): full SortOrder semantics survive
+        order.map(o => (o.direction == Ascending,
+          o.nullOrdering == NullsFirst)))
         .toAggregateExpression())
 
     base.groupBy(keys.map(col): _*)

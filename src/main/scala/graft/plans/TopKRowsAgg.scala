@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, Expression, NullsFirst, NullsLast, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
@@ -18,12 +18,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   * operator documents away. Partial aggregation still bounds the
   * shuffle at k rows per (mapper, key).
   *
-  * Input is a struct whose FIRST `numOrderFields` fields are the
-  * ranking key (directions in `ascending`), remaining fields the
-  * payload; the buffer keeps the k first rows under that ordering as a
-  * reverse-ordered heap (head = worst retained).
+  * Input is a struct whose FIRST `order.length` fields are the ranking
+  * key — `order` carries (isAscending, nullsFirst) per field so the
+  * full SortOrder semantics (incl. desc_nulls_first etc.) survive —
+  * remaining fields the payload; the buffer keeps the k first rows
+  * under that ordering as a reverse-ordered heap (head = worst
+  * retained).
   */
-case class TopKRowsAgg(child: Expression, k: Int, ascending: Seq[Boolean],
+case class TopKRowsAgg(child: Expression, k: Int,
+                       order: Seq[(Boolean, Boolean)],
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]] {
@@ -38,11 +41,12 @@ case class TopKRowsAgg(child: Expression, k: Int, ascending: Seq[Boolean],
 
   @transient private lazy val ordering = {
     val fields = structType.fields
-    val order = ascending.zipWithIndex.map { case (asc, i) =>
+    val sortOrders = order.zipWithIndex.map { case ((asc, nullsFirst), i) =>
       SortOrder(BoundReference(i, fields(i).dataType, fields(i).nullable),
-        if (asc) Ascending else Descending)
+        if (asc) Ascending else Descending,
+        if (nullsFirst) NullsFirst else NullsLast, Seq.empty)
     }
-    RowOrdering.create(order, Seq.empty)
+    RowOrdering.create(sortOrders, Seq.empty)
   }
 
   @transient private lazy val toUnsafe = UnsafeProjection.create(structType)

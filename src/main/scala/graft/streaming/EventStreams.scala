@@ -86,15 +86,34 @@ object EventStreams {
             val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
             var open = state.getOption
             // late-but-within-watermark events from a later batch that
-            // fall more than a gap BEFORE the open session accumulate
-            // into their own chain of earlier sessions (consecutive
-            // late events within a gap of each other must merge, like
-            // the batch session_window twin would merge them)
+            // fall a full gap (or more) BEFORE the open session
+            // accumulate into their own chain of earlier sessions
+            // (consecutive late events within a gap of each other must
+            // merge, like the batch session_window twin merges them)
             var pending: Option[OpenSession] = None
             val closed = Seq.newBuilder[Session]
+
+            // fold the pending chain into `s` if it reaches within a
+            // gap of s.start, else close the chain — MUST run before s
+            // is closed or extended past reach of the chain
+            def reconciled(s: OpenSession): OpenSession = pending match {
+              case Some(p) if s.start - p.last < gapUs =>
+                pending = None
+                OpenSession(p.start, math.max(p.last, s.last),
+                  p.n + s.n, p.total + s.total)
+              case Some(p) =>
+                closed += close(uid, p)
+                pending = None
+                s
+              case None => s
+            }
+
             sorted.foreach { e =>
               open match {
-                case Some(s) if e.ts_us < s.start - gapUs =>
+                // >= one full gap before the open start: session_window
+                // semantics treat exactly-gap as separate (merge iff
+                // distance < gap), so <= here
+                case Some(s) if e.ts_us <= s.start - gapUs =>
                   pending match {
                     case Some(p) if e.ts_us - p.last < gapUs =>
                       pending = Some(OpenSession(math.min(p.start, e.ts_us),
@@ -111,22 +130,14 @@ object EventStreams {
                   open = Some(OpenSession(math.min(s.start, e.ts_us),
                     math.max(s.last, e.ts_us), s.n + 1, s.total + e.value))
                 case Some(s) =>
-                  closed += close(uid, s)
+                  closed += close(uid, reconciled(s))
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
                 case None =>
                   open = Some(OpenSession(e.ts_us, e.ts_us, 1, e.value))
               }
             }
-            // pending chain: merge into the open session when it now
-            // reaches within a gap of it, otherwise close it
-            (pending, open) match {
-              case (Some(p), Some(s)) if s.start - p.last < gapUs =>
-                open = Some(OpenSession(p.start, math.max(p.last, s.last),
-                  p.n + s.n, p.total + s.total))
-              case (Some(p), _) =>
-                closed += close(uid, p)
-              case _ => ()
-            }
+            open = open.map(reconciled)
+            pending.foreach { p => closed += close(uid, p) }
             open.foreach { s =>
               state.update(s)
               // fire once the watermark passes the session's gap horizon

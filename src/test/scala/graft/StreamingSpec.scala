@@ -163,6 +163,17 @@ class StreamingSpec extends SparkSpec {
       Ev(7, t0 + 218 * min, 1.0))
     q.processAllAvailable()
 
+    // user 8: chain bridging — open at +300; a later batch has a late
+    // event at +265 (pending), one at +290 (merges open to [290,300]),
+    // then +340 closes the open session, which must FIRST reconcile
+    // with the pending chain: 290-265 < gap, so ONE session
+    // [265, 300+gap) n=3 closes, and +340 stays open
+    input.addData(Ev(8, t0 + 300 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(8, t0 + 265 * min, 1.0), Ev(8, t0 + 290 * min, 1.0),
+      Ev(8, t0 + 340 * min, 1.0))
+    q.processAllAvailable()
+
     // close everything via watermark advance
     input.addData(Ev(99, t0 + 2000 * min, 0.0))
     q.processAllAvailable()
@@ -183,6 +194,11 @@ class StreamingSpec extends SparkSpec {
       s"consecutive late events must merge into one session; got $all")
     assert(all.contains(
       EventStreams.Session(7, t0 + 300 * min, t0 + 330 * min, 1, 1.0)))
+    assert(all.contains(
+      EventStreams.Session(8, t0 + 265 * min, t0 + 330 * min, 3, 3.0)),
+      s"pending chain must reconcile into the closing session; got $all")
+    assert(all.contains(
+      EventStreams.Session(8, t0 + 340 * min, t0 + 370 * min, 1, 1.0)))
     q.stop()
   }
 

@@ -64,6 +64,17 @@ class TopKSpec extends SparkSpec {
       "partial aggregation must bound the shuffle at k rows per mapper key")
   }
 
+  test("perKeySpillable honors null orderings (desc_nulls_first)") {
+    val df = Seq((1, Some(10.0)), (1, None), (1, Some(20.0)), (2, Some(5.0)))
+      .toDF("g", "v")
+    val got = TopK.perKeySpillable(df, Seq("g"),
+        Seq(col("v").desc_nulls_first), 2)
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toSet
+    // nulls first: group 1 keeps (null, 20.0), not (20.0, 10.0)
+    assert(got === Set((1, None), (1, Some(20.0)), (2, Some(5.0))))
+  }
+
   test("TopK handles k larger than group size and multiple keys") {
     val df = Seq((1, "a", 10), (1, "a", 20), (2, "b", 5))
       .toDF("g1", "g2", "v")
