@@ -57,9 +57,11 @@ private[etl] object PipelineUtil {
   /** H6/H7: persist rejects to an append-only quarantine table (the
     * Spark-native generalization of the reference's per-row error log,
     * `services/empresa.ts:110-116`) — all Bronze columns as landed,
-    * plus `error_reason` and the file/row provenance. */
+    * plus `error_reason` and the file/row provenance. Partitioned by
+    * `_load_date` so "show me yesterday's rejects" prunes to one
+    * partition directory. */
   def quarantine(store: SilverStore, entity: String, rejects: DataFrame): Unit =
-    store.append(s"quarantine_$entity", rejects)
+    store.appendPartitioned(s"quarantine_$entity", rejects, Seq("_load_date"))
 }
 
 /** Companies ETL (`services/empresa.ts:1-131`, SURVEY §2 B1/B4/D1/H1).

@@ -202,6 +202,42 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val out = EventStreams.hourlyWindows(
+      input.toDS().toDF().withColumn("event_type", lit("e")),
+      lateness = "10 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("wm_out").outputMode("append").start()
+
+    input.addData(Ev(1, t0, 5.0))
+    q.processAllAvailable()
+    // advance the watermark far past t0's hour
+    input.addData(Ev(1, t0 + 600 * min, 1.0))
+    q.processAllAvailable()
+    // this event is WAY older than watermark - lateness: must be dropped
+    input.addData(Ev(1, t0 + 1 * min, 100.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, t0 + 1200 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, t0 + 1800 * min, 1.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("wm_out").select("n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // t0's hour closed with ONLY the on-time event; the 100.0 late
+    // arrival never entered the aggregate
+    assert(rows.contains((1L, 5.0)), rows.mkString(", "))
+    assert(!rows.exists(_._2 == 105.0), "late event leaked past the watermark")
+    q.stop()
+  }
+
   test("streaming session_window + watermark emits closed sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
