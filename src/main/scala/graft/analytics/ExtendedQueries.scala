@@ -518,6 +518,62 @@ object ExtendedQueries {
         WHERE rn <= 3
         ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
 
+    // ── histogram binning (floor-bucketed, engine-identical math) ──
+    "q62_histogram" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .withColumn("bin", (floor(col("o_totalprice") / 50000) * 50000).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy("bin"),
+      oracle = Some("""
+        SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin,
+               count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        FROM orders GROUP BY 1 ORDER BY bin""")),
+
+    // ── conditional scalar functions ───────────────────────────────
+    "q63_conditionals" -> QuerySpec(
+      build = (s, d) => customer(s, d)
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          nvl2(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("other"), lit("building")).as("seg_class"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap"))
+        .orderBy("c_custkey").limit(1000),
+      oracle = Some("""
+        SELECT c_custkey,
+               nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+               CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NOT NULL
+                    THEN 'other' ELSE 'building' END AS seg_class,
+               greatest(c_acctbal, 0.0) AS bal_floor,
+               least(c_acctbal, 1000.0) AS bal_cap
+        FROM customer ORDER BY c_custkey LIMIT 1000""")),
+
+    // ── moving average (bounded ROWS frame) ────────────────────────
+    "q64_moving_avg" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        lineitem(s, d)
+          .withColumn("mov_avg", StableRound.r4(avg(col("l_quantity"))
+            .over(w.rowsBetween(-6, 0))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") % 50 === 0)
+          .select(col("l_suppkey"), col("rn"), col("mov_avg"))
+          .orderBy("l_suppkey", "rn")
+      },
+      oracle = Some(s"""
+        SELECT l_suppkey, rn, ${StableRound.sql4("ma")} AS mov_avg
+        FROM (SELECT l_suppkey,
+                avg(l_quantity) OVER (w ROWS BETWEEN 6 PRECEDING
+                  AND CURRENT ROW) AS ma,
+                ROW_NUMBER() OVER w AS rn
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        WHERE rn % 50 = 0 ORDER BY l_suppkey, rn""")),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)
