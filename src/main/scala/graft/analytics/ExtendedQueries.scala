@@ -574,6 +574,39 @@ object ExtendedQueries {
                 ORDER BY l_shipdate, l_orderkey, l_linenumber))
         WHERE rn % 50 = 0 ORDER BY l_suppkey, rn""")),
 
+    // ── supplier-side join (completes harness table coverage) ──────
+    "q65_supplier_volume" -> QuerySpec(
+      build = (s, d) => lineitem(s, d)
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(countDistinct(col("s_suppkey")).as("n_suppliers"),
+          round(sum(col("l_extendedprice")), 2).as("supply_value"))
+        .orderBy("n_name"),
+      oracle = Some("""
+        SELECT n_name, count(DISTINCT s_suppkey) AS n_suppliers,
+               round(sum(l_extendedprice), 2) AS supply_value
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name""")),
+
+    // ── documents metadata integrity (source + n_chars columns) ────
+    "q66_doc_integrity" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"),
+          sum(when(col("n_chars") =!= length(col("text")), 1)
+            .otherwise(0)).cast("long").as("n_mismatched"))
+        .orderBy("source"),
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_mismatched
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
     // No DuckDB oracle: sketch internals differ by engine; the driver
     // records a rows-only check. The exact twins are q15 (distinct)
