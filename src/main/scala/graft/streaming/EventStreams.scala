@@ -51,6 +51,34 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream inner join: attribute each purchase to the clicks of
+    * the same user in the preceding `windowMinutes`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can evict join state for rows no click/purchase can still
+    * match — the state stays proportional to the window, not the
+    * stream. Inputs: streaming frames with (user_id, ts_us, event_id,
+    * value) shape. */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       windowMinutes: Int = 30,
+                       lateness: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("c_ts", lateness)
+      .select(col("user_id").as("c_user"), col("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("p_ts", lateness)
+      .select(col("user_id").as("p_user"), col("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("value"))
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState`: one
     * [[OpenSession]] per user in the state store, closed + emitted when
     * the gap is exceeded inside a batch or when the event-time timeout

@@ -202,6 +202,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream join attributes purchases to in-window clicks") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    case class E(user_id: Long, ts_us: Long, event_id: Long, value: Double)
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1600000000L * us
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    // Ev has no event_id; synthesize one from ts for the join payload
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_id", col("ts_us"))
+
+    val out = EventStreams.clickAttribution(
+      withId(clicks.toDS().toDF()), withId(purchases.toDS().toDF()),
+      windowMinutes = 30)
+    val q = out.writeStream.format("memory")
+      .queryName("attr_out").outputMode("append").start()
+
+    clicks.addData(Ev(1, t0, 0), Ev(1, t0 + 50 * min, 0), Ev(2, t0, 0))
+    purchases.addData(
+      Ev(1, t0 + 10 * min, 9.0),  // within 30min of click@t0
+      Ev(1, t0 + 45 * min, 7.0),  // within 30min of click@t0+50? NO: before it
+      Ev(2, t0 + 40 * min, 5.0))  // outside user 2's click window
+    q.processAllAvailable()
+
+    val rows = spark.table("attr_out")
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((1L, t0, t0 + 10 * min)),
+      s"only the in-window (click, purchase) pair must join; got $rows")
+    q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
