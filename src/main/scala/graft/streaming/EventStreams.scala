@@ -79,6 +79,19 @@ object EventStreams {
         col("purchase_id"), col("value"))
   }
 
+  /** Streaming exact dedup — the unbounded twin of the batch
+    * fingerprint dedup (q23): keeps the first row per `keys` while
+    * holding dedup state only within the watermark horizon, so
+    * duplicates arriving within `lateness` of each other collapse and
+    * state is evicted afterwards (at-least-once sources like the
+    * file-ingest replay path become effectively-once downstream). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Custom stateful sessionization via `flatMapGroupsWithState`: one
     * [[OpenSession]] per user in the state store, closed + emitted when
     * the gap is exceeded inside a batch or when the event-time timeout

@@ -237,6 +237,34 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup collapses duplicates within the watermark horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val out = EventStreams.dedupWithinWatermark(
+      input.toDS().toDF().withColumn("k",
+        concat_ws("-", col("user_id"), col("value"))),
+      keys = Seq("k"), lateness = "30 minutes")
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+
+    // same logical record delivered twice in one batch + again in the
+    // next (replay): must survive exactly once
+    input.addData(Ev(1, t0, 42.0), Ev(1, t0 + 1 * min, 42.0),
+      Ev(2, t0, 7.0))
+    q.processAllAvailable()
+    input.addData(Ev(1, t0 + 2 * min, 42.0))
+    q.processAllAvailable()
+
+    assert(spark.table("dedup_out").count() === 2,
+      "duplicates within the watermark must collapse to one row each")
+    q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
