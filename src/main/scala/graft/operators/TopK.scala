@@ -38,7 +38,18 @@ object TopK {
   }
 
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
-             k: Int): DataFrame = {
+             k: Int): DataFrame = topK(df, keys, orderBy, k, None)
+
+  /** [[perKey]] plus a 1-based rank column (1 = best under `orderBy`) —
+    * the drop-in replacement for the `row_number().over(...)  <= k`
+    * idiom INCLUDING the rank output, still without any Sort or Window:
+    * the final heap (≤ k rows per key) is sorted in O(k log k). */
+  def perKeyRanked(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                   k: Int, rankCol: String): DataFrame =
+    topK(df, keys, orderBy, k, Some(rankCol))
+
+  private def topK(df: DataFrame, keys: Seq[String], orderBy: Seq[Column],
+                   k: Int, rankCol: Option[String]): DataFrame = {
     val spark = df.sparkSession
     // registration guard looks at the PLANNER's effective strategies —
     // that covers GraftExtensions' injectPlannerStrategy too, which
@@ -52,8 +63,11 @@ object TopK {
       }
     }
     val (child, order, keyAttrs) = analyzedSortOf(df, keys, orderBy)
+    val rankAttr = rankCol.map(n =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        n, org.apache.spark.sql.types.IntegerType, nullable = false)())
     org.apache.spark.sql.graft.DatasetBridge.ofRows(spark,
-      TopKPerKey(keyAttrs, order, k, child))
+      TopKPerKey(keyAttrs, order, k, child, rankAttr))
   }
 
   /** Spill-SAFE variant: plans through Spark's aggregate machinery

@@ -36,34 +36,48 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * partial aggregate).
   */
 case class TopKPerKey(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                      child: LogicalPlan) extends UnaryNode {
+                      child: LogicalPlan,
+                      rankAttr: Option[Attribute] = None) extends UnaryNode {
   require(k >= 1)
-  override def output: Seq[Attribute] = child.output
+  // rankAttr is a constructor field (minted once by the TopK API), NOT
+  // derived here — optimizer copies of this node must keep the exprId
+  // or downstream references stop resolving
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+  // rankAttr is born here, not consumed — without this the TreeNode
+  // machinery counts the Attribute field as a reference and CheckAnalysis
+  // reports it "missing from input"
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
     copy(child = newChild)
 }
 
 object TopKStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child) =>
+    case t @ TopKPerKey(keys, order, k, child, _) =>
       // normalize float/double keys (-0.0 == 0.0, canonical NaN) the
       // way Window.partitionBy gets normalized — UnsafeRow byte
       // equality in the heap map would otherwise split such groups
       val normKeys = keys.map(
         org.apache.spark.sql.graft.ColumnBridge.normalizeFloats)
-      // partial (pre-shuffle) + final, exactly like partial aggregation
+      // partial (pre-shuffle) + final, exactly like partial aggregation;
+      // only the final emits the optional rank column (1 = best)
       TopKPerKeyExec(normKeys, order, k, partial = false,
         TopKPerKeyExec(normKeys, order, k, partial = true,
-          planLater(child))) :: Nil
+          planLater(child)), rankAttr = t.rankAttr) :: Nil
     case _ => Nil
   }
 }
 
 case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
-                          partial: Boolean, child: SparkPlan)
+                          partial: Boolean, child: SparkPlan,
+                          rankAttr: Option[Attribute] = None)
     extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] = child.output ++ rankAttr
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
@@ -74,6 +88,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val emitRank = rankAttr.isDefined
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowProj = UnsafeProjection.create(childOutput, childOutput)
@@ -97,8 +112,29 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
-        .map(_.asInstanceOf[InternalRow])
+      if (!emitRank) {
+        heaps.values().asScala.iterator.flatMap(_.iterator().asScala)
+          .map(_.asInstanceOf[InternalRow])
+      } else {
+        // final stage with a rank column: each heap holds <= k rows, so
+        // sorting it is O(k log k) per key — the full-partition Sort a
+        // row_number window would need is exactly what this avoids
+        val outTypes = (childOutput.map(_.dataType) :+
+          org.apache.spark.sql.types.IntegerType).toArray
+        val proj = UnsafeProjection.create(outTypes)
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val rankRow = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(1)
+        heaps.values().asScala.iterator.flatMap { heap =>
+          val arr = heap.toArray(new Array[UnsafeRow](heap.size))
+          java.util.Arrays.sort(arr,
+            ordering.asInstanceOf[java.util.Comparator[_ >: UnsafeRow]])
+          arr.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.setInt(0, i + 1)
+            proj(joined(r, rankRow)).asInstanceOf[InternalRow]
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 

@@ -1,9 +1,9 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.analytics.{QuerySpec, Tables}
+import graft.operators.TopK
 import VectorFunctions._
 
 /** Similarity search over the `embeddings` table (`array<float>` 64-d):
@@ -43,6 +43,27 @@ object SimilarityQueries {
     }
   }
 
+  /** Centroid literals for q29, collected once at plan-build time (16
+    * rows — bounded, driver-safe) so corpus→centroid assignment is a
+    * NARROW per-row argmax over in-closure literals: zero shuffle and
+    * zero row expansion, vs the former cross-join + row_number window
+    * that shuffled 16× the corpus bytes. */
+  private def centroids(e: DataFrame): Seq[(Long, Array[Float])] =
+    e.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  /** `array<struct<c: r4(cos(centroid, v)), n: -cid>>` — struct ordering
+    * makes max/sort rank by (cosine desc, cid asc), the exact order the
+    * old window used; same cosine kernel + rounding, so hashes are
+    * unchanged. */
+  private def centScores(cents: Seq[(Long, Array[Float])], v: Column): Column =
+    array(cents.map { case (cid, vec) =>
+      struct(graft.analytics.StableRound.r4(cosine(typedlit(vec), v)).as("c"),
+        lit(-cid).as("n"))
+    }: _*)
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -69,17 +90,20 @@ object SimilarityQueries {
       bench = true),
 
     // ── brute-force cosine top-k (exact ANN baseline) ──────────────
+    // Rerank = TopKPerKey (bounded heaps around ONE shuffle of ≤
+    // queries×k rows), not row_number().over(partitionBy(query_id)) —
+    // the window would hash all candidates onto ~|queries| reducers and
+    // full-sort them, a reducer-count bottleneck at corpus scale.
     "q28_ann_bruteforce" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
           .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
           .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
           .orderBy("query_id", "rk")
       },
@@ -101,37 +125,31 @@ object SimilarityQueries {
     "q29_ann_ivf" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cent = e.filter(col("vec_id") < nCentroids)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val cents = centroids(e)
 
-        // corpus assignment: argmax-cosine centroid per vector
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("ccos").desc, col("cid"))
-        val assigned = e.join(broadcast(cent), lit(true))
-          .withColumn("ccos", graft.analytics.StableRound.r4(cosine(col("ce"), col("embedding"))))
-          .withColumn("crk", row_number().over(wAssign))
-          .filter(col("crk") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+        // corpus assignment: argmax-cosine centroid as a narrow per-row
+        // expression — the corpus is never expanded or shuffled
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          (-array_max(centScores(cents, col("embedding"))).getField("n"))
+            .as("cid"))
 
-        // queries probe their nProbe nearest centroids
+        // queries probe their nProbe nearest centroids (same narrow
+        // math: sort the 16 scores per row, take the best nProbe)
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-        val wProbe = Window.partitionBy(col("query_id"))
-          .orderBy(col("pcos").desc, col("cid"))
-        val probes = q.join(broadcast(cent), lit(true))
-          .withColumn("pcos", graft.analytics.StableRound.r4(cosine(col("ce"), col("qe"))))
-          .withColumn("prk", row_number().over(wProbe))
-          .filter(col("prk") <= nProbe)
-          .select(col("query_id"), col("qe"), col("cid"))
+        val probes = q.select(col("query_id"), col("qe"),
+            explode(slice(reverse(array_sort(centScores(cents, col("qe")))),
+              1, nProbe)).as("p"))
+          .select(col("query_id"), col("qe"), (-col("p.n")).as("cid"))
 
-        // search only the probed inverted lists, rerank exact
-        val wTop = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        assigned.join(probes, Seq("cid"))
+        // search only the probed inverted lists (probes broadcast: the
+        // corpus side stays un-shuffled), rerank exact via TopKPerKey
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
-          .withColumn("rk", row_number().over(wTop))
-          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
           .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
           .orderBy("query_id", "rk")
       },
@@ -186,14 +204,13 @@ object SimilarityQueries {
         val q = bucketed.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("bucket"))
-        val w = Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("vec_id"))
-        bucketed.join(broadcast(q), Seq("bucket"))
+        val cand = bucketed.join(broadcast(q), Seq("bucket"))
           .filter(col("vec_id") =!= col("query_id"))
           .withColumn("cos", graft.analytics.StableRound.r4(
             cosine(col("qe"), col("embedding"))))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
           .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
           .orderBy("query_id", "rk")
       },

@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
       "query set should broadcast against the corpus")
   }
 
+  test("q29 IVF: narrow centroid assignment — no Window, no corpus-expanding shuffle") {
+    val p = plan("q29_ann_ivf")
+    assert(!p.contains("Window"), s"assignment/rerank must not window:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning(vec_id"),
+      "corpus must not be shuffled for centroid assignment")
+    assert(p.contains("TopKPerKey"), "rerank should plan through TopKPerKey")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "assignment must not cross-join the centroid table")
+  }
+
+  test("q28/q54 rerank: TopKPerKey bounded heaps, not a row_number window") {
+    for (q <- Seq("q28_ann_bruteforce", "q54_ann_lsh")) {
+      val p = plan(q)
+      assert(p.contains("TopKPerKey"), s"$q: rerank should plan through TopKPerKey")
+      assert(!p.contains("Window"), s"$q: no window rerank expected:\n${p.take(1500)}")
+    }
+  }
+
   test("q30 as-of join: single-shuffle union trick, no nested-loop join") {
     val p = plan("q30_asof_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -38,6 +38,32 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("Sort "), s"bounded-heap top-k must not sort:\n$plan")
   }
 
+  test("perKeyRanked == row_number window formulation, rank included") {
+    val viaOp = TopK.perKeyRanked(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3, "rn")
+      .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_orderpriority", "rn", "o_orderkey")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    assert(viaOp === viaWindow)
+  }
+
+  test("perKeyRanked plan: no Sort, no Window — heaps emit the rank") {
+    val df = TopK.perKeyRanked(orders, Seq("o_orderpriority"),
+      Seq(col("o_totalprice").desc, col("o_orderkey")), 3, "rn")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey \\[".r.findAllIn(plan).length === 2,
+      s"expected partial+final TopKPerKeyExec:\n$plan")
+    assert(!plan.contains("Sort ") && !plan.contains("Window"),
+      s"ranked top-k must not sort or window:\n$plan")
+  }
+
   test("perKeySpillable == perKey == window formulation") {
     val viaAgg = TopK.perKeySpillable(orders, Seq("o_orderpriority"),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
