@@ -169,6 +169,41 @@ object TextKernels {
     new GenericArrayData(mins.map(x => x: Any))
   }
 
+  /** 16-bit SimHash over the DISTINCT tokens of a token array in one
+    * per-row pass. Bit b of the result derives from hex char b/4 of
+    * each distinct token's md5: nibble bit b%4 votes ±1 into a counter,
+    * bit set in the output when the final count is positive — the exact
+    * arithmetic of the explode(doc×token×16) + two-groupBy formulation
+    * it replaces (q26), which pushed 16× the corpus rows through two
+    * shuffles; this is per-row work and zero shuffles. */
+  def simhash16(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[UTF8String]()
+    val counts = new Array[Int](16)
+    val md = md5Local.get()
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (t != null && seen.add(t)) {
+        md.reset()
+        val dig = md.digest(t.getBytes)
+        var b = 0
+        while (b < 16) {
+          val p = b / 4 // hex char index; char 2j = high nibble of byte j
+          val nib =
+            if ((p & 1) == 0) (dig(p / 2) >> 4) & 0xf else dig(p / 2) & 0xf
+          counts(b) += (((nib >> (b % 4)) & 1) * 2) - 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < 16) { if (counts(b) > 0) res |= 1L << b; b += 1 }
+    res
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): polynomial rolling hash
     * over character k-grams (base 31, mod 1e9+7, Unicode code points),
     * then the distinct minima of every w-hash window. Arithmetic chosen
@@ -328,6 +363,23 @@ case class MinhashSignature(child: Expression, k: Int)
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash16(toks)` — 16-bit md5-derived SimHash of the distinct
+  * tokens. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.simhash16(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.simhash16($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
 

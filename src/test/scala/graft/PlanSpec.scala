@@ -82,6 +82,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q26 simhash: one narrow kernel pass — no shuffle before the final sort") {
+    val df = SparkEntry.queries("q26_simhash")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("simhash16"), "expected the native simhash16 kernel")
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"only the final orderBy range exchange expected:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate"), "no groupBy expected in the sketch")
+  }
+
   test("q30 as-of join: single-shuffle union trick, no nested-loop join") {
     val p = plan("q30_asof_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

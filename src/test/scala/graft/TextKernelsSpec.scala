@@ -77,6 +77,34 @@ class TextKernelsSpec extends SparkSpec {
     inputs.foreach(s => assert(got(s) === expected(s), s"input='$s'"))
   }
 
+  test("simhash16 kernel == explode + two-groupBy formulation") {
+    val df = samples(texts, 200).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val viaKernel = df.select(col("doc_id"),
+        graft.text.TextFunctions.simhash(col("text")).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // the formulation q26 used before the kernel existed
+    val tok = df.select(col("doc_id"),
+        explode(array_distinct(graft.text.TextFunctions.tokens(col("text"))))
+          .as("t"))
+      .withColumn("h", md5(col("t")))
+      .select(col("doc_id"), col("h"),
+        explode(typedlit((0 until 16).toArray)).as("b"))
+      .withColumn("bit", expr(
+        """shiftright(instr('0123456789abcdef',
+          |  substring(h, cast(b/4 as int) + 1, 1)) - 1,
+          |  cast(b % 4 as int)) % 2""".stripMargin))
+    val viaExplode = tok.groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(cast(1 as bigint), b)")).otherwise(0L)).as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(viaKernel === viaExplode)
+  }
+
   test("cosine widens int/long arrays via implicit cast (col inputs too)") {
     import graft.similarity.VectorFunctions
     val df = Seq((Array(1, 2, 2), Array(2L, 4L, 4L))).toDF("ia", "la")
