@@ -1,7 +1,8 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 import graft.functions.{GraftFunctions => F}
 
 /** Vehicles ETL (`services/vehiculo.ts:1-343`, SURVEY §2 B3/B6/C2/C3/
@@ -22,7 +23,17 @@ import graft.functions.{GraftFunctions => F}
 object VehiculoPipeline {
   import PipelineUtil._
 
-  def run(store: SilverStore, bronze: DataFrame): EtlResult = {
+  /** `jsCoercion = true` replays the reference's numeric quirks exactly
+    * — `parseInt`/`parseFloat` prefix-parse with `|| null` folding 0 to
+    * null ([[graft.functions.GraftFunctions.js_int]]) — for byte-level
+    * parity when migrating a dataset the reference already loaded. The
+    * default keeps the saner strict `try_cast` semantics. */
+  def run(store: SilverStore, bronze: DataFrame,
+          jsCoercion: Boolean = false): EtlResult = {
+    val toInt: Column => Column =
+      if (jsCoercion) c => F.js_int(c).cast(IntegerType) else F.try_int
+    val toDouble: Column => Column =
+      if (jsCoercion) c => F.js_float(c) else F.try_double
     val empresa = store.read("empresa", SilverSchemas.empresa)
       .select(col("carrier_id"), col("carrier_bp").as("_emp_bp"))
 
@@ -97,21 +108,21 @@ object VehiculoPipeline {
       .select(
         col("plate_c").as("registration_plate"),
         col("carrier_id"),
-        F.try_int(col("year_of_manufacture")).as("year_of_manufacture"),
+        toInt(col("year_of_manufacture")).as("year_of_manufacture"),
         F.string_to_bool(col("gps")).as("gps"),
         F.clean_json_text(col("engine_number")).as("engine_number"),
         F.clean_json_text(col("chassis_number")).as("chassis_number"),
         F.clean_json_text(col("vin")).as("vin"),
-        F.try_int(col("odometer_km")).as("odometer_km"),
+        toInt(col("odometer_km")).as("odometer_km"),
         F.clean_json_text(col("cortina")).as("cortina"),
         F.safe_to_date(col("instalacion_cortina")).as("instalacion_cortina"),
         F.string_to_bool(col("parrilla")).as("parrilla"),
-        F.try_double(col("peso")).as("peso"),
-        F.try_double(col("largo")).as("largo"),
-        F.try_double(col("ancho")).as("ancho"),
-        F.try_double(col("alto")).as("alto"),
+        toDouble(col("peso")).as("peso"),
+        toDouble(col("largo")).as("largo"),
+        toDouble(col("ancho")).as("ancho"),
+        toDouble(col("alto")).as("alto"),
         F.clean_json_text(col("mop_clasification")).as("mop_clasification"),
-        F.try_int(col("nominal_pallet")).as("nominal_pallet"),
+        toInt(col("nominal_pallet")).as("nominal_pallet"),
         col("vehicle_type_id"), col("vehicle_designation_id"),
         col("vehicle_model_id"))
 

@@ -71,15 +71,54 @@ object GraftFunctions {
       lit(false))
 
   /** F6 guarded int coercion (`services/vehiculo.ts:215,222,229`):
-    * garbage -> null (stricter than JS prefix-parse, documented
-    * divergence SURVEY §7 risk 3). The reference's `|| null` also maps
-    * 0 -> null; we keep 0 (saner; divergence documented). */
+    * garbage -> null. Stricter than JS prefix-parse and keeps 0 —
+    * the saner default; [[js_int]]/[[js_float]] provide exact
+    * reference parity when replaying reference data byte-for-byte. */
   def try_int(c: Column): Column = c.try_cast(IntegerType)
 
   /** F6 guarded float coercion (`services/vehiculo.ts:224-227`). */
   def try_double(c: Column): Column = c.try_cast(DoubleType)
 
   def try_long(c: Column): Column = c.try_cast(LongType)
+
+  /** F6 exact-parity `parseInt(x)` (`services/vehiculo.ts:215,222,229`):
+    * skip leading whitespace, optional sign, then parse the longest
+    * decimal-digit prefix ("12abc" -> 12, "-7.9" -> -7); a `0x`/`0X`
+    * prefix switches to hex, matching JS's radix inference with no
+    * radix argument. No parseable prefix -> null (JS NaN). */
+  def js_parse_int(c: Column): Column = {
+    val s = regexp_replace(c.cast(StringType), "^\\s+", "")
+    val hexBody = regexp_extract(s, "^[+-]?0[xX]([0-9a-fA-F]+)", 1)
+    val hexSign = when(s.startsWith("-"), lit(-1L)).otherwise(lit(1L))
+    val dec = regexp_extract(s, "^[+-]?\\d+", 0)
+    // hex first: "0xFF" also matches the decimal regex (as "0")
+    when(hexBody =!= "", hexSign * conv(hexBody, 16, 10).cast(LongType))
+      .when(dec =!= "", dec.cast(LongType))
+      .otherwise(lit(null).cast(LongType))
+  }
+
+  /** F6 exact-parity `parseFloat(x)` (`services/vehiculo.ts:224-227`):
+    * longest float-literal prefix incl. exponent and `Infinity`
+    * ("3.5kg" -> 3.5, "1e3m" -> 1000.0, "1e+" -> 1.0). No parseable
+    * prefix -> null (JS NaN). */
+  def js_parse_float(c: Column): Column = {
+    val s = regexp_replace(c.cast(StringType), "^\\s+", "")
+    val num = regexp_extract(s,
+      "^[+-]?(Infinity|\\d+\\.?\\d*(?:[eE][+-]?\\d+)?|\\.\\d+(?:[eE][+-]?\\d+)?)", 0)
+    when(num =!= "", num.cast(DoubleType))
+      .otherwise(lit(null).cast(DoubleType))
+  }
+
+  /** JS `x || null` falsiness on numbers: 0, -0, and NaN -> null
+    * (`vehiculo.ts:215-229` applies it to every parsed numeric). */
+  def js_or_null(c: Column): Column =
+    when(c === 0 || isnan(c.cast(DoubleType)), lit(null)).otherwise(c)
+
+  /** `parseInt(x) || null` — the reference's full int coercion. */
+  def js_int(c: Column): Column = js_or_null(js_parse_int(c))
+
+  /** `parseFloat(x) || null` — the reference's full float coercion. */
+  def js_float(c: Column): Column = js_or_null(js_parse_float(c))
 
   /** F9 filename classifier (`etl-gcs-cloudsql/src/index.ts:24-42`):
     * lowercase substring match + `.csv` suffix. */

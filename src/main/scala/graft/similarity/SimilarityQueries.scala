@@ -67,6 +67,11 @@ object SimilarityQueries {
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
+    // Exact small-scale twin: all-pairs within a label block is
+    // O(Σ block²) — correct as an oracle-checked reference, NOT the
+    // path to run at corpus scale. The scale path is q67 (LSH candidate
+    // generation + exact rerank), which agrees with this query on every
+    // pair its buckets recall.
     "q27_embedding_neardup" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -185,6 +190,69 @@ object SimilarityQueries {
                      ORDER BY cos DESC, vec_id) rk FROM hits)
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk""")),
+
+    // ── embedding near-dup at scale: LSH candidates + exact rerank ──
+    // The 100 TB twin of q27: q27's blocked all-pairs cosine is
+    // O(Σ block²) and dies when labels are coarse; here candidates come
+    // from random-hyperplane LSH collisions — 2 bands × 4 planes, so a
+    // pair is a candidate when ALL 4 signs agree in either band — and
+    // only candidates pay the exact cosine. Like q25, the bucket
+    // groupBy carries the vectors in its posting lists and pairs come
+    // from per-list expansion: ONE shuffle of corpus bytes, never a
+    // self-join, pair work bounded by bucket sizes. Recall on planted
+    // near-dups is pinned in TextSimilaritySpec; q27 remains the exact
+    // small-scale oracle twin.
+    "q67_neardup_lsh" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        def bandSig(v: Column, band: Int): Column =
+          (0 until 4).map { j =>
+            val plane = typedlit(planes(band * 4 + j))
+            when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
+          }.reduce(_ + _)
+        val banded = e.select(col("vec_id"), col("label"), col("embedding"),
+          posexplode(array(bandSig(col("embedding"), 0),
+            bandSig(col("embedding"), 1))).as(Seq("band", "bucket")))
+        val pairs = banded
+          .groupBy(col("band"), col("bucket"), col("label"))
+          .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+            .as("docs"))
+          .filter(size(col("docs")) > 1)
+          .select(col("label"),
+            explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
+          .select(col("p.x.vec_id").as("va"), col("p.y.vec_id").as("vb"),
+            col("label"),
+            graft.analytics.StableRound.r4(
+              cosine(col("p.x.embedding"), col("p.y.embedding"))).as("cos"))
+        pairs.distinct() // same pair may collide in both bands
+          .filter(col("cos") > 0.4)
+          .orderBy("va", "vb")
+      },
+      oracle = Some {
+        def sqlPlane(p: Int) =
+          "[" + planes(p).map(v => String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(v))).mkString(", ") + "]::DOUBLE[]"
+        def bandExpr(band: Int) = (0 until 4).map(j =>
+          s"(CASE WHEN list_cosine_similarity(embedding::DOUBLE[], ${sqlPlane(band * 4 + j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH b AS (
+          SELECT vec_id, label, embedding, 0 AS band, ${bandExpr(0)} AS bucket
+          FROM embeddings
+          UNION ALL
+          SELECT vec_id, label, embedding, 1 AS band, ${bandExpr(1)} AS bucket
+          FROM embeddings),
+        cand AS (
+          SELECT DISTINCT x.vec_id va, y.vec_id vb, x.label,
+                 floor(list_cosine_similarity(x.embedding::DOUBLE[],
+                   y.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 AS cos
+          FROM b x JOIN b y
+            ON x.band = y.band AND x.bucket = y.bucket
+               AND x.label = y.label AND x.vec_id < y.vec_id)
+        SELECT va, vb, label, cos FROM cand WHERE cos > 0.4
+        ORDER BY va, vb"""
+      },
+      bench = true),
 
     // ── LSH-bucketed ANN: random-hyperplane signatures ─────────────
     // sign(dot(v, plane)) == sign(cosine(v, plane)) — the codegen'd

@@ -43,7 +43,7 @@ object TextQueries {
     * explode instead of shuffling (and recomputing!) the build subtree
     * twice. `slice` is 1-based; element i (0-based) pairs with the tail
     * starting at i+2. */
-  private def pairExpand(arr: Column): Column =
+  private[graft] def pairExpand(arr: Column): Column =
     flatten(transform(arr, (x, i) =>
       transform(slice(arr, i + lit(2), size(arr)),
         y => struct(x.as("x"), y.as("y")))))

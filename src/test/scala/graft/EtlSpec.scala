@@ -213,6 +213,33 @@ class EtlSpec extends SparkSpec {
     assert(pc.length == 1 && pc(0).getAs[String]("municipalidad") == "MAIPU")
   }
 
+  test("vehiculo jsCoercion flag replays the reference's parseInt/parseFloat quirks") {
+    val dir = mkTmp("etl-jsc")
+    writeCsv(dir, "empresas_1.csv", empresasCsv)
+    // year "2020modelo" -> prefix-parse 2020; odometer "0" -> `|| null`
+    // folds to null; peso "12000,5" -> JS parseFloat stops at the comma
+    val header = "registration_plate;carrier_bp;year_of_manufacture;gps;engine_number;chassis_number;vin;odometer_km;cortina;instalacion_cortina;vehicle_type;vehicle_designation;parrilla;peso;largo;ancho;alto;mop_clasification;nominal_pallet;vehicle_make;vehicle_model;fecha_revision_tecnica;fecha_vencimiento_revision_tecnica;emissions_crt_status;identification_status;visual_status;lights_status;alignment_status;brakes_status;clearances_status;emissions_status;opacity_status;steering_angle_status;noise_status;suspension_status;permiso_circulacion_data;certificado_anotaciones_vigentes_data;soap_data"
+    val row = "QRST34;1111111;2020modelo;si;E;C;V;0;;;Camion;Carga;no;12000,5;;;;;;VOLVO;FH 500;;;;;;;;;;;;;;;;;"
+    val csv = writeCsv(dir, "vehiculos_1.csv", s"$header\n$row\n")
+
+    for (js <- Seq(false, true)) {
+      val store = new SilverStore(spark, mkTmp(s"silver-jsc-$js"))
+      EtlRunner.processFile(store, s"$dir/empresas_1.csv")
+      VehiculoPipeline.run(store,
+        BronzeReader.read(spark, csv, BronzeSchemas.vehiculo), jsCoercion = js)
+      val v = store.read("vehiculo", SilverSchemas.vehiculo).collect()(0)
+      if (js) {
+        assert(v.getAs[Integer]("year_of_manufacture") == 2020) // prefix parse
+        assert(v.getAs[Integer]("odometer_km") == null)         // 0 || null
+        assert(v.getAs[java.lang.Double]("peso") == 12000.0)    // stops at ','
+      } else {
+        assert(v.getAs[Integer]("year_of_manufacture") == null) // strict cast
+        assert(v.getAs[Integer]("odometer_km") == 0)            // 0 kept
+        assert(v.getAs[java.lang.Double]("peso") == null)
+      }
+    }
+  }
+
   test("typed Silver API: Dataset[T] views over the entity tables") {
     val dir = mkTmp("typed")
     val store = new SilverStore(spark, mkTmp("typed-silver"))

@@ -102,6 +102,31 @@ class FunctionsSpec extends SparkSpec {
       (12, 12.0), (null, null), (null, 3.5), (null, null), (null, null)))
   }
 
+  test("js_parse_int: JS parseInt prefix-parse incl. 0x radix inference") {
+    val cases = Seq(
+      "12" -> 12L, "12abc" -> 12L, " \t42" -> 42L, "-7.9" -> -7L,
+      "+8" -> 8L, "0" -> 0L, "0x1A" -> 26L, "-0x10" -> -16L,
+      "abc" -> null, "" -> null, "." -> null, (null: String) -> null)
+    val df = cases.map(_._1).toDF("s").select(F.js_parse_int($"s").as("i"))
+    assert(df.collect().map(_.get(0)).toSeq === cases.map(_._2))
+  }
+
+  test("js_parse_float: JS parseFloat prefix-parse incl. exponent/Infinity") {
+    val cases = Seq(
+      "3.5kg" -> 3.5, ".5" -> 0.5, "1e3m" -> 1000.0, "1e+" -> 1.0,
+      "-2.5e-1x" -> -0.25, "1.2.3" -> 1.2, "Infinity!" -> Double.PositiveInfinity,
+      "e5" -> null, "" -> null, (null: String) -> null)
+    val df = cases.map(_._1).toDF("s").select(F.js_parse_float($"s").as("d"))
+    assert(df.collect().map(_.get(0)).toSeq === cases.map(_._2))
+  }
+
+  test("js_int / js_float: the `|| null` quirk folds 0 to null") {
+    val df = Seq("0", "0.0", "12abc", "garbage").toDF("s")
+      .select(F.js_int($"s").as("i"), F.js_float($"s").as("d"))
+    assert(df.collect().map(r => (r.get(0), r.get(1))).toSeq === Seq(
+      (null, null), (null, null), (12L, 12.0), (null, null)))
+  }
+
   test("SQL registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql("SELECT rut_format('12.345.678-5') f, rut_is_valid('x') v")

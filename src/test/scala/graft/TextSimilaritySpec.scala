@@ -68,4 +68,33 @@ class TextSimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(!pairs.exists { case (a, b) => b == 2L || a == 2L })
   }
+
+  test("q67 LSH near-dup finds planted duplicates and agrees with exact q27") {
+    // planted: vec 1 is a tiny perturbation of vec 0 (cos ≈ 1, same LSH
+    // signs), vec 2 is its negation (cos = -1, opposite bucket)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val near = base.map(v => v * 1.01f + 0.001f)
+    val far = base.map(v => -v)
+    val others = (3L to 20L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat), 1))
+    val rows = Seq((0L, base, 1), (1L, near, 1), (2L, far, 1)) ++ others
+    val dir = java.nio.file.Files.createTempDirectory("lshnd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val lsh = graft.similarity.SimilarityQueries.queries("q67_neardup_lsh")
+      .build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 1L)), s"planted near-dup not recalled: $lsh")
+    assert(!lsh.exists { case (a, b) => a == 2L || b == 2L },
+      "negated vector must not pair with anything above threshold")
+
+    // every LSH pair must also be an exact-q27 pair (same threshold):
+    // candidates are a subset, the rerank is the same exact cosine
+    val exact = graft.similarity.SimilarityQueries.queries("q27_embedding_neardup")
+      .build(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH pairs not a subset of exact: ${lsh -- exact}")
+  }
 }
