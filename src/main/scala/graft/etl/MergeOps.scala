@@ -43,7 +43,8 @@ object MergeOps {
     */
   def merge(target: DataFrame, source: DataFrame, keys: Seq[String],
             idCol: String, updateCols: Seq[String],
-            insertOnlyCols: Seq[String] = Nil): DataFrame = {
+            insertOnlyCols: Seq[String] = Nil,
+            knownMaxId: Option[Int] = None): DataFrame = {
     val now = current_timestamp()
     val allCols = target.columns.toSeq
     val srcCols = keys ++ updateCols ++ insertOnlyCols
@@ -78,8 +79,10 @@ object MergeOps {
     val kept = joined.filter(tgtPresent).select(keptCols: _*)
 
     // Source-only rows: fresh ids over the (small) inserted delta.
-    val maxId: Int = target.agg(coalesce(max(col(idCol)), lit(0)))
-      .collect()(0).getInt(0)
+    // knownMaxId lets a caller that sees only a SLICE of the table
+    // (mergeBucketed's pruned target) pass the true global max.
+    val maxId: Int = knownMaxId.getOrElse(
+      target.agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0))
     val insertW = Window.orderBy(keys.map(col): _*)
     val insertCols: Seq[Column] = allCols.map {
       case k if keys.contains(k) => col(k)
@@ -94,5 +97,58 @@ object MergeOps {
     val inserted = joined.filter(!tgtPresent).select(insertCols: _*)
 
     kept.unionByName(inserted)
+  }
+
+  /** [[merge]] against a bucket-partitioned stored table, scanning and
+    * rewriting ONLY the buckets that contain source keys — the
+    * reference's `ON CONFLICT DO UPDATE` at table scale. The snapshot-
+    * rewrite merge is O(table) per batch; this is O(touched buckets):
+    * a 10⁴-row file against a 10⁹-row table touches at most
+    * min(10⁴, nBuckets) buckets ≈ nBuckets/table-size of the bytes.
+    *
+    * Layout: `_bucket = pmod(xxhash64(keys), nBuckets)` as a partition
+    * directory — the target scan prunes at the FileIndex (untouched
+    * bucket dirs are never listed) and the write swaps only touched
+    * bucket dirs, so untouched files stay byte-identical (EtlSpec pins
+    * this). Surrogate-id assignment needs the GLOBAL max id, which a
+    * pruned scan cannot see: a `_graft_maxid` sidecar carries it
+    * across batches (recomputed from touched buckets after each write).
+    *
+    * Atomicity is per bucket — the same consistency unit as the
+    * reference's per-row transactions (see SilverStore.overwriteBuckets).
+    */
+  def mergeBucketed(store: SilverStore, table: String,
+                    schema: org.apache.spark.sql.types.StructType,
+                    source: DataFrame, keys: Seq[String], idCol: String,
+                    updateCols: Seq[String],
+                    insertOnlyCols: Seq[String] = Nil,
+                    nBuckets: Int = 32): Unit = {
+    require(nBuckets >= 1)
+    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
+      .cast(IntegerType)
+    val bcol = store.bucketCol
+    def touchedMax(buckets: Seq[Int]): Int =
+      store.readBucketed(table, schema)
+        .filter(col(bcol).isin(buckets: _*))
+        .agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0)
+
+    if (!store.exists(table)) {
+      val merged = merge(store.read(table, schema), source, keys, idCol,
+        updateCols, insertOnlyCols, knownMaxId = Some(0))
+      store.overwrite(table, merged.withColumn(bcol, bucketOf), Seq(bcol))
+      store.writeMaxId(table, touchedMax((0 until nBuckets).toSeq))
+    } else {
+      val touched = source.select(bucketOf.as(bcol)).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val maxId = store.readMaxId(table).getOrElse(
+        store.read(table, schema).agg(coalesce(max(col(idCol)), lit(0)))
+          .collect()(0).getInt(0))
+      val targetSub = store.readBucketed(table, schema)
+        .filter(col(bcol).isin(touched: _*)).drop(bcol)
+      val merged = merge(targetSub, source, keys, idCol, updateCols,
+        insertOnlyCols, knownMaxId = Some(maxId))
+      store.overwriteBuckets(table, merged.withColumn(bcol, bucketOf), touched)
+      store.writeMaxId(table, math.max(maxId, touchedMax(touched)))
+    }
   }
 }

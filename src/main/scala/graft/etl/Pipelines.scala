@@ -111,10 +111,11 @@ object EmpresaPipeline {
         col("carrier_rut"),
         col("carrier_type_id"))
 
-    val target = store.read("empresa", SilverSchemas.empresa)
-    val merged = MergeOps.merge(target, source, Seq("carrier_bp"),
-      "carrier_id", Seq("carrier_name", "carrier_rut", "carrier_type_id"))
-    store.overwrite("empresa", merged)
+    // bucketed MERGE: scans + rewrites only buckets with source keys,
+    // not the whole table (MergeOps.mergeBucketed)
+    MergeOps.mergeBucketed(store, "empresa", SilverSchemas.empresa, source,
+      Seq("carrier_bp"), "carrier_id",
+      Seq("carrier_name", "carrier_rut", "carrier_type_id"))
 
     val (total, processed, errors) = counts(flagged)
     if (errors > 0) quarantine(store, "empresa", rejects)
@@ -174,11 +175,10 @@ object ConductorPipeline {
         col("conductor_nombre"), col("conductor_fecha_nacimiento"),
         col("conductor_telefono"), col("conductor_email"))
 
-    val target = store.read("conductor", SilverSchemas.conductor)
-    val merged = MergeOps.merge(target, source, Seq("conductor_rut"),
-      "conductor_id", Seq("carrier_id", "conductor_rol_id", "conductor_nombre",
+    MergeOps.mergeBucketed(store, "conductor", SilverSchemas.conductor, source,
+      Seq("conductor_rut"), "conductor_id",
+      Seq("carrier_id", "conductor_rol_id", "conductor_nombre",
         "conductor_fecha_nacimiento", "conductor_telefono", "conductor_email"))
-    store.overwrite("conductor", merged)
 
     // RETURNING conductor_id -> join-back on natural key (SURVEY §7)
     val conductorIds = store.read("conductor", SilverSchemas.conductor)

@@ -126,17 +126,16 @@ object VehiculoPipeline {
         col("vehicle_type_id"), col("vehicle_designation_id"),
         col("vehicle_model_id"))
 
-    // H3 merge — carrier_id set on insert, never updated
-    val target = store.read("vehiculo", SilverSchemas.vehiculo)
-    val merged = MergeOps.merge(target, source, Seq("registration_plate"),
-      "vehicle_id",
+    // H3 merge — carrier_id set on insert, never updated; bucketed so
+    // only buckets containing this batch's plates are scanned/rewritten
+    MergeOps.mergeBucketed(store, "vehiculo", SilverSchemas.vehiculo, source,
+      Seq("registration_plate"), "vehicle_id",
       updateCols = Seq("year_of_manufacture", "gps", "engine_number",
         "chassis_number", "vin", "odometer_km", "cortina",
         "instalacion_cortina", "parrilla", "peso", "largo", "ancho", "alto",
         "mop_clasification", "nominal_pallet", "vehicle_type_id",
         "vehicle_designation_id", "vehicle_model_id"),
       insertOnlyCols = Seq("carrier_id"))
-    store.overwrite("vehiculo", merged)
 
     // vehicle_id join-back for children (replaces RETURNING)
     val vehicleIds = store.read("vehiculo", SilverSchemas.vehiculo)

@@ -240,6 +240,66 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("bucketed merge rewrites only buckets containing changed keys") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = new SilverStore(spark, mkTmp("silver-bmerge"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("k", StringType),
+      StructField("v", StringType),
+      StructField("date_created", TimestampType),
+      StructField("date_updated", TimestampType)))
+    def src(rows: (String, String)*) = rows.toDF("k", "v")
+
+    // seed 120 keys so most of the 32 buckets are populated
+    MergeOps.mergeBucketed(store, "t", schema,
+      src((1 to 120).map(i => s"key$i" -> s"v$i"): _*),
+      Seq("k"), "id", Seq("v"))
+    assert(store.isBucketed("t"))
+    assert(store.read("t", schema).count() === 120)
+    val ids0 = store.read("t", schema).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ids0.values.toSeq.sorted === (1 to 120))
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store.root, "t"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    val before = fileState()
+
+    // touch ONE existing key + insert one new key
+    MergeOps.mergeBucketed(store, "t", schema,
+      src("key7" -> "v7-updated", "brandnew" -> "nv"),
+      Seq("k"), "id", Seq("v"))
+    val after = fileState()
+
+    // the two source keys land in <= 2 buckets; every other bucket's
+    // files must be untouched — same paths, same mtime, same size
+    val changed = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    val touchedDirs = changed.map(p =>
+      p.split('/').find(_.startsWith("_bucket=")).getOrElse(p))
+    assert(touchedDirs.size <= 2, s"too many buckets rewritten: $touchedDirs")
+    val untouched = before.keySet.filter(p =>
+      !touchedDirs.exists(p.contains)) // paths outside touched buckets
+    assert(untouched.nonEmpty, "test needs untouched buckets to prove pruning")
+    untouched.foreach(p => assert(before(p) === after(p), s"$p was rewritten"))
+
+    // content equals a full-table merge: update applied, ids stable,
+    // new key got max+1
+    val rows = store.read("t", schema).select("k", "v", "id").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(rows.size === 121)
+    assert(rows("key7")._1 === "v7-updated")
+    assert(rows("key7")._2 === ids0("key7"), "surrogate id must not change")
+    assert(rows("brandnew") === ("nv", 121), "insert takes global max+1")
+    (1 to 120).filter(_ != 7).foreach(i =>
+      assert(rows(s"key$i") === (s"v$i", ids0(s"key$i"))))
+  }
+
   test("typed Silver API: Dataset[T] views over the entity tables") {
     val dir = mkTmp("typed")
     val store = new SilverStore(spark, mkTmp("typed-silver"))
