@@ -1,0 +1,105 @@
+package graft.etl
+
+import java.sql.Connection
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Relational (JDBC) Silver sink — A7 parity with the reference's only
+  * sink, Cloud SQL Postgres (`etl-gcs-cloudsql/src/db.ts:24-46`: pooled
+  * connections, per-schema search_path, per-row
+  * `INSERT ... ON CONFLICT DO UPDATE`).
+  *
+  * Spark-first shape: the reference upserts ROW BY ROW over the pool —
+  * hundreds of rows/s. Here each batch bulk-loads into a staging table
+  * through Spark's JDBC writer (executor-parallel via `numPartitions`,
+  * batched inserts via `batchsize`), then ONE set-based
+  * `MERGE INTO target USING staging` statement applies the upsert —
+  * the standard bulk pattern that keeps the database doing one big
+  * join instead of 10⁴ round-trips.
+  *
+  * Works against any MERGE-capable JDBC database; exercised in tests
+  * with embedded Derby (the only JDBC engine in this sandbox — the
+  * SQL is ANSI MERGE, which Postgres 15+ also speaks verbatim).
+  * Surrogate ids come from a `GENERATED ... AS IDENTITY` column, the
+  * JDBC twin of the reference's SERIAL.
+  */
+final class JdbcSink(spark: SparkSession, url: String,
+                     numPartitions: Int = 4, batchSize: Int = 1000) {
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def q(ident: String): String = "\"" + ident + "\""
+
+  private def sqlType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(1024)"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
+  }
+
+  private def tableExists(c: Connection, table: String): Boolean = {
+    val rs = c.getMetaData.getTables(null, null, table.toUpperCase, null)
+    try rs.next() finally rs.close()
+  }
+
+  /** Upsert `df` into `table` on `keys`. Creates the target on first
+    * use with an identity `idCol`. Matched rows update every non-key
+    * data column; unmatched insert (id assigned by the database). */
+  def upsert(table: String, df: DataFrame, keys: Seq[String],
+             idCol: String): Unit = {
+    val dataCols = df.columns.toSeq
+    require(keys.forall(dataCols.contains), s"keys $keys not all in $dataCols")
+    val staging = s"stg_$table"
+
+    // Spark's Derby dialect maps StringType to CLOB, which Derby cannot
+    // compare in a MERGE join — force VARCHAR for the staging strings.
+    val stringCols = df.schema.fields.filter(_.dataType == StringType)
+    val colTypes = stringCols.map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
+    val w = df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", staging)
+      .option("numPartitions", numPartitions)
+      .option("batchsize", batchSize)
+      .mode("overwrite")
+    (if (colTypes.nonEmpty) w.option("createTableColumnTypes", colTypes) else w)
+      .save()
+
+    withConn { c =>
+      if (!tableExists(c, table)) {
+        val cols = df.schema.fields
+          .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
+        c.createStatement().execute(
+          s"""CREATE TABLE $table (
+              ${q(idCol)} INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY
+                PRIMARY KEY, $cols)""")
+      }
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val setCols = dataCols.filterNot(keys.contains)
+      val set = setCols.map(cn => s"t.${q(cn)} = s.${q(cn)}").mkString(", ")
+      val insCols = dataCols.map(q).mkString(", ")
+      val insVals = dataCols.map(cn => s"s.${q(cn)}").mkString(", ")
+      val matched =
+        if (setCols.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set" else ""
+      c.createStatement().execute(
+        s"""MERGE INTO $table t USING $staging s ON $on
+            $matched
+            WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)""")
+    }
+  }
+
+  /** Read a sink table back as a DataFrame (partitionable via the
+    * standard JDBC read options by callers that need parallelism). */
+  def read(table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+}

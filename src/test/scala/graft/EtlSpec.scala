@@ -300,6 +300,38 @@ class EtlSpec extends SparkSpec {
       assert(rows(s"key$i") === (s"v$i", ids0(s"key$i"))))
   }
 
+  test("JDBC sink: staging + MERGE upsert round-trips through Derby") {
+    import spark.implicits._
+    val db = mkTmp("derby") + "/db"
+    val sink = new JdbcSink(spark, s"jdbc:derby:$db;create=true")
+
+    sink.upsert("empresa_jdbc",
+      Seq(("1111111", "EMPRESA UNO", "11111111-1"),
+        ("2222222", "EMPRESA DOS", "22222222-2"))
+        .toDF("carrier_bp", "carrier_name", "carrier_rut"),
+      Seq("carrier_bp"), "carrier_id")
+    def snapshot() = sink.read("empresa_jdbc").collect()
+      .map(r => r.getAs[String]("carrier_bp") ->
+        (r.getAs[Int]("carrier_id"), r.getAs[String]("carrier_name"))).toMap
+    val ids0 = snapshot().map { case (k, (id, _)) => k -> id }
+    assert(ids0.values.toSeq.sorted === Seq(1, 2))
+
+    // second batch: update one, insert one — existing ids must be stable
+    sink.upsert("empresa_jdbc",
+      Seq(("1111111", "EMPRESA UNO RENOMBRADA", "11111111-1"),
+        ("3333333", "EMPRESA TRES", "33333333-3"))
+        .toDF("carrier_bp", "carrier_name", "carrier_rut"),
+      Seq("carrier_bp"), "carrier_id")
+
+    val rows = snapshot()
+    assert(rows.size === 3)
+    assert(rows("1111111")._2 === "EMPRESA UNO RENOMBRADA")
+    assert(rows("3333333")._2 === "EMPRESA TRES")
+    assert(rows("1111111")._1 === ids0("1111111"), "update must not change id")
+    assert(rows("2222222")._1 === ids0("2222222"))
+    assert(rows("3333333")._1 > 2, "insert takes a fresh identity id")
+  }
+
   test("typed Silver API: Dataset[T] views over the entity tables") {
     val dir = mkTmp("typed")
     val store = new SilverStore(spark, mkTmp("typed-silver"))
