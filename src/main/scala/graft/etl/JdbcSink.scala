@@ -47,10 +47,13 @@ final class JdbcSink(spark: SparkSession, url: String,
     case other => throw new IllegalArgumentException(s"no JDBC mapping for $other")
   }
 
-  private def tableExists(c: Connection, table: String): Boolean = {
-    val rs = c.getMetaData.getTables(null, null, table.toUpperCase, null)
-    try rs.next() finally rs.close()
-  }
+  private def tableExists(c: Connection, table: String): Boolean =
+    // unquoted identifiers case-fold differently per engine (Derby
+    // upper-cases, Postgres lower-cases) — probe all foldings
+    Seq(table, table.toUpperCase, table.toLowerCase).distinct.exists { t =>
+      val rs = c.getMetaData.getTables(null, null, t, null)
+      try rs.next() finally rs.close()
+    }
 
   /** Upsert `df` into `table` on `keys`. Creates the target on first
     * use with an identity `idCol`. Matched rows update every non-key

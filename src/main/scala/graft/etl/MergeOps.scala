@@ -124,31 +124,59 @@ object MergeOps {
                     insertOnlyCols: Seq[String] = Nil,
                     nBuckets: Int = 32): Unit = {
     require(nBuckets >= 1)
-    val bucketOf = pmod(xxhash64(keys.map(col): _*), lit(nBuckets))
-      .cast(IntegerType)
     val bcol = store.bucketCol
-    def touchedMax(buckets: Seq[Int]): Int =
-      store.readBucketed(table, schema)
-        .filter(col(bcol).isin(buckets: _*))
-        .agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0)
+    def bucketOf(n: Int) =
+      pmod(xxhash64(keys.map(col): _*), lit(n)).cast(IntegerType)
+    def fullMax(df: DataFrame): Int =
+      df.agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0)
 
-    if (!store.exists(table)) {
+    if (store.exists(table) && !store.isBucketed(table)) {
+      // one-time migration from the flat snapshot layout: a flat table
+      // must not be merged bucket-pruned (its files carry no _bucket,
+      // the pruned scan would see nothing and every key would
+      // re-insert) — do one last full merge + atomic snapshot swap
+      // INTO the bucketed layout, then write the sidecar
       val merged = merge(store.read(table, schema), source, keys, idCol,
-        updateCols, insertOnlyCols, knownMaxId = Some(0))
-      store.overwrite(table, merged.withColumn(bcol, bucketOf), Seq(bcol))
-      store.writeMaxId(table, touchedMax((0 until nBuckets).toSeq))
-    } else {
-      val touched = source.select(bucketOf.as(bcol)).distinct()
-        .collect().map(_.getInt(0)).toSeq.sorted
-      val maxId = store.readMaxId(table).getOrElse(
-        store.read(table, schema).agg(coalesce(max(col(idCol)), lit(0)))
-          .collect()(0).getInt(0))
-      val targetSub = store.readBucketed(table, schema)
-        .filter(col(bcol).isin(touched: _*)).drop(bcol)
-      val merged = merge(targetSub, source, keys, idCol, updateCols,
-        insertOnlyCols, knownMaxId = Some(maxId))
-      store.overwriteBuckets(table, merged.withColumn(bcol, bucketOf), touched)
-      store.writeMaxId(table, math.max(maxId, touchedMax(touched)))
+        updateCols, insertOnlyCols)
+      store.overwrite(table, merged.withColumn(bcol, bucketOf(nBuckets)),
+        Seq(bcol))
+      store.writeMeta(table, fullMax(store.read(table, schema)), nBuckets)
+      return
     }
+
+    // the STORED layout's bucket count wins over the parameter: merging
+    // mod-64 into a mod-32 layout would miss every existing key.
+    // Sidecar-absent fallbacks (crash windows): layout from the
+    // parameter, max id from a full column-pruned scan — gaps in the
+    // id sequence are possible after a crash, collisions are not.
+    val nb = store.readMeta(table).map(_._2).getOrElse(nBuckets)
+    val maxId0 =
+      if (!store.exists(table)) 0
+      else store.readMeta(table).map(_._1)
+        .getOrElse(fullMax(store.read(table, schema)))
+
+    val touched: Seq[Int] =
+      if (!store.exists(table)) (0 until nb)
+      else source.select(bucketOf(nb).as(bcol)).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+    val targetSub = store.readBucketed(table, schema)
+      .filter(col(bcol).isin(touched: _*)).drop(bcol)
+    val merged = merge(targetSub, source, keys, idCol, updateCols,
+      insertOnlyCols, knownMaxId = Some(maxId0))
+
+    // stage -> meta -> commit: the new high-water mark is derived from
+    // the STAGED delta (a scan of touched-bucket bytes only) and made
+    // durable before any bucket becomes visible, so a crash at any
+    // point can only leave the mark high (id gaps), never low
+    // (id collisions)
+    val tmp = store.stageBuckets(table, merged.withColumn(bcol, bucketOf(nb)))
+    val stagedMax = fullMax(
+      store.spark.read.schema(
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(bcol,
+            org.apache.spark.sql.types.IntegerType, nullable = true)))
+        .parquet(tmp.toString))
+    store.writeMeta(table, math.max(maxId0, stagedMax), nb)
+    store.commitBuckets(table, tmp, touched)
   }
 }

@@ -34,9 +34,17 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     * layout, not schema: every logical read drops it. */
   val bucketCol = "_bucket"
 
+  // bucketedness is a layout property that only this store's writes can
+  // change — cache it so hot read paths don't pay exists()+LIST per call
+  private val bucketedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   def isBucketed(table: String): Boolean =
-    exists(table) && fs.listStatus(tablePath(table))
-      .exists(_.getPath.getName.startsWith(s"$bucketCol="))
+    bucketedCache.computeIfAbsent(table, _ =>
+      exists(table) && fs.listStatus(tablePath(table))
+        .exists(_.getPath.getName.startsWith(s"$bucketCol="))).booleanValue()
+
+  private def invalidate(table: String): Unit = bucketedCache.remove(table)
 
   /** Read a table; empty DataFrame with the given schema when absent. */
   def read(table: String, schema: StructType): DataFrame =
@@ -63,53 +71,89 @@ final class SilverStore(val spark: SparkSession, val root: String) {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withBucket)
   }
 
-  /** Swap ONLY the given `_bucket=NN` subdirectories with the matching
-    * partitions of `df` (which must carry `_bucket`): the bucketed
-    * MERGE's write path. Untouched bucket directories are not listed,
-    * read, or rewritten — their files stay byte-identical.
-    *
-    * Atomicity is PER BUCKET (rename per partition dir): a concurrent
-    * reader can see bucket A new while bucket B is still old. That is
-    * the reference's own consistency unit — its per-row
-    * `INSERT ... ON CONFLICT` transactions commit row by row — so
-    * cross-bucket readers were never promised a snapshot there either.
-    * Use [[overwrite]] when a whole-table snapshot swap is required. */
-  def overwriteBuckets(table: String, df: DataFrame, buckets: Seq[Int]): Unit = {
+  /** Stage a bucketed write: materialize `df` (which must carry
+    * `_bucket`) under `_tmp`, partitioned by bucket. Returns the temp
+    * path for [[commitBuckets]] — the split lets the caller derive
+    * facts from the STAGED data (e.g. the new max id) before anything
+    * becomes visible. */
+  def stageBuckets(table: String, df: DataFrame): Path = {
     val tmp = new Path(root, s"_tmp/$table-${java.util.UUID.randomUUID}")
     df.write.mode("overwrite").partitionBy(bucketCol).parquet(tmp.toString)
+    tmp
+  }
+
+  /** Swap ONLY the given `_bucket=NN` subdirectories of the staged
+    * write into the live table: the bucketed MERGE's commit. Untouched
+    * bucket directories are not listed, read, or rewritten — their
+    * files stay byte-identical.
+    *
+    * Each bucket swaps via rename-aside (old dir is moved aside, new
+    * renamed in, aside deleted; a failed rename-in restores the aside)
+    * so no failure mode leaves a bucket with its data deleted.
+    * Atomicity is PER BUCKET: a concurrent reader can see bucket A new
+    * while bucket B is still old. That is the reference's own
+    * consistency unit — its per-row `INSERT ... ON CONFLICT`
+    * transactions commit row by row — so cross-bucket readers were
+    * never promised a snapshot there either. Use [[overwrite]] when a
+    * whole-table snapshot swap is required. */
+  def commitBuckets(table: String, tmp: Path, buckets: Seq[Int]): Unit = {
     val f = fs
     val live = tablePath(table)
     f.mkdirs(live)
     buckets.foreach { b =>
       val src = new Path(tmp, s"$bucketCol=$b")
       val dst = new Path(live, s"$bucketCol=$b")
-      if (f.exists(dst)) f.delete(dst, true)
+      val aside = new Path(live, s".$bucketCol=$b-old")
+      val hadOld = f.exists(dst)
+      if (hadOld && !f.rename(dst, aside))
+        throw new java.io.IOException(s"bucket aside-rename failed for $table/$b")
       // a touched bucket can end up empty (all its rows deleted
       // upstream); absent src then simply leaves the bucket removed
-      if (f.exists(src) && !f.rename(src, dst))
+      if (f.exists(src) && !f.rename(src, dst)) {
+        if (hadOld) f.rename(aside, dst) // restore — no data lost
         throw new java.io.IOException(s"bucket swap failed for $table/$b")
+      }
+      if (hadOld) f.delete(aside, true)
     }
     f.delete(tmp, true)
+    invalidate(table)
   }
 
-  /** Max-surrogate-id sidecar for bucketed tables: avoids a full-table
-    * id scan per merge batch. Underscore prefix keeps it invisible to
-    * parquet readers. */
-  private def maxIdPath(table: String) = new Path(tablePath(table), "_graft_maxid")
+  /** Sidecar for bucketed tables: the surrogate-id high-water mark
+    * (avoids a full-table id scan per merge batch) and the bucket
+    * count the layout was created with (a later caller passing a
+    * different nBuckets must not shear the layout). Written atomically
+    * (temp + rename); the dot prefix keeps it invisible to parquet
+    * readers. Crash contract: the meta is written BEFORE the bucket
+    * commit with the staged max, so a crash between the two leaves the
+    * mark too HIGH — id gaps, never id collisions. */
+  private def metaPath(table: String) = new Path(tablePath(table), ".graft_meta")
 
-  def writeMaxId(table: String, v: Int): Unit = {
-    val out = fs.create(maxIdPath(table), true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  def writeMeta(table: String, maxId: Int, nBuckets: Int): Unit = {
+    val f = fs
+    f.mkdirs(tablePath(table))
+    val tmp = new Path(tablePath(table), s".graft_meta-${java.util.UUID.randomUUID}")
+    val out = f.create(tmp, true)
+    try out.write(s"$maxId,$nBuckets".getBytes("UTF-8")) finally out.close()
+    if (f.exists(metaPath(table))) f.delete(metaPath(table), false)
+    if (!f.rename(tmp, metaPath(table)))
+      throw new java.io.IOException(s"meta write failed for $table")
   }
 
-  def readMaxId(table: String): Option[Int] =
-    if (!fs.exists(maxIdPath(table))) None
-    else {
-      val in = fs.open(maxIdPath(table))
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
-      finally in.close()
-    }
+  /** (maxId, nBuckets); None when absent or unreadable — callers fall
+    * back to a full scan + the default layout, never crash. */
+  def readMeta(table: String): Option[(Int, Int)] =
+    try {
+      if (!fs.exists(metaPath(table))) None
+      else {
+        val in = fs.open(metaPath(table))
+        val s = try new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+        val Array(m, n) = s.trim.split(',')
+        Some((m.toInt, n.toInt))
+      }
+    } catch { case _: Exception => None }
 
   /** Atomically replace the table with `df` (materializes to a temp
     * dir first, so `df` may read from the table it replaces).
@@ -126,6 +170,7 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     f.mkdirs(live.getParent)
     if (!f.rename(tmp, live))
       throw new java.io.IOException(s"atomic swap failed for $table")
+    invalidate(table)
   }
 
   /** Historized append (H4/H5): children tables only grow. */
@@ -182,9 +227,9 @@ final class SilverStore(val spark: SparkSession, val root: String) {
             (partitionCols0 :+ "_salt").map(col).toIndexedSeq: _*)
           .drop("_salt")
       }
-    val savedMaxId = readMaxId(table) // snapshot swap drops the sidecar
+    val savedMeta = readMeta(table) // snapshot swap drops the sidecar
     overwrite(table, compacted, partitionCols0)
-    savedMaxId.foreach(writeMaxId(table, _))
+    savedMeta.foreach { case (m, n) => writeMeta(table, m, n) }
     (before, parquetFiles(live))
   }
 }

@@ -31,7 +31,14 @@ object VehiculoPipeline {
   def run(store: SilverStore, bronze: DataFrame,
           jsCoercion: Boolean = false): EtlResult = {
     val toInt: Column => Column =
-      if (jsCoercion) c => F.js_int(c).cast(IntegerType) else F.try_int
+      if (jsCoercion) { c =>
+        val l = F.js_int(c)
+        // a bare cast would WRAP out-of-int-range longs (ANSI off); the
+        // reference's INTEGER column rejects such rows — null is the
+        // honest mapping, never a fabricated wrapped value
+        when(l.between(Int.MinValue.toLong, Int.MaxValue.toLong),
+          l.cast(IntegerType))
+      } else F.try_int
     val toDouble: Column => Column =
       if (jsCoercion) c => F.js_float(c) else F.try_double
     val empresa = store.read("empresa", SilverSchemas.empresa)

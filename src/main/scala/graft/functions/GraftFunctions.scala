@@ -88,11 +88,14 @@ object GraftFunctions {
     * radix argument. No parseable prefix -> null (JS NaN). */
   def js_parse_int(c: Column): Column = {
     val s = regexp_replace(c.cast(StringType), "^\\s+", "")
+    val isHex = s.rlike("^[+-]?0[xX]")
     val hexBody = regexp_extract(s, "^[+-]?0[xX]([0-9a-fA-F]+)", 1)
     val hexSign = when(s.startsWith("-"), lit(-1L)).otherwise(lit(1L))
     val dec = regexp_extract(s, "^[+-]?\\d+", 0)
-    // hex first: "0xFF" also matches the decimal regex (as "0")
-    when(hexBody =!= "", hexSign * conv(hexBody, 16, 10).cast(LongType))
+    // a 0x/0X prefix commits to hex: "0x" with no hex digits is NaN in
+    // JS, NOT the decimal prefix-parse of its leading "0"
+    when(isHex,
+        when(hexBody =!= "", hexSign * conv(hexBody, 16, 10).cast(LongType)))
       .when(dec =!= "", dec.cast(LongType))
       .otherwise(lit(null).cast(LongType))
   }

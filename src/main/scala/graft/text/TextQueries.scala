@@ -306,7 +306,11 @@ object TextQueries {
     // pushed 16× the corpus rows through two shuffles for the same
     // answer (TextKernelsSpec pins kernel == explode formulation).
     "q26_simhash" -> QuerySpec(
+      // null-text docs drop (the explode formulation and the oracle's
+      // unnest both emit no row for them; the kernel would null-propagate
+      // and keep the row — a cross-engine divergence without the filter)
       build = (s, d) => Tables.documents(s, d)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), simhash(col("text")).as("simhash"))
         .orderBy("doc_id"),
       oracle = Some("""

@@ -300,6 +300,44 @@ class EtlSpec extends SparkSpec {
       assert(rows(s"key$i") === (s"v$i", ids0(s"key$i"))))
   }
 
+  test("bucketed merge migrates a flat-layout table and pins its bucket count") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = new SilverStore(spark, mkTmp("silver-bmig"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("k", StringType),
+      StructField("v", StringType)))
+    def src(rows: (String, String)*) = rows.toDF("k", "v")
+
+    // seed the PREVIOUS release's layout: flat snapshot, no _bucket dirs
+    val flat = MergeOps.merge(store.read("t", schema),
+      src("a" -> "1", "b" -> "2"), Seq("k"), "id", Seq("v"))
+    store.overwrite("t", flat)
+    assert(!store.isBucketed("t"))
+    val ids0 = store.read("t", schema).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    // first bucketed merge migrates: no duplicate keys, ids preserved
+    MergeOps.mergeBucketed(store, "t", schema, src("b" -> "2x", "c" -> "3"),
+      Seq("k"), "id", Seq("v"))
+    assert(store.isBucketed("t"))
+    val rows = store.read("t", schema).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("v"), r.getAs[Int]("id")))
+    assert(rows.length === 3, s"migration must not duplicate keys: ${rows.toSeq}")
+    val byK = rows.map(r => r._1 -> r).toMap
+    assert(byK("a") === (("a", "1", ids0("a"))))
+    assert(byK("b")._2 === "2x" && byK("b")._3 === ids0("b"))
+
+    // a later caller passing a DIFFERENT nBuckets must not shear the
+    // stored mod-32 layout — the sidecar's count wins
+    MergeOps.mergeBucketed(store, "t", schema, src("b" -> "2y"),
+      Seq("k"), "id", Seq("v"), nBuckets = 7)
+    val after = store.read("t", schema).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("v"), r.getAs[Int]("id")))
+    assert(after.length === 3, s"mismatched nBuckets duplicated keys: ${after.toSeq}")
+    assert(after.find(_._1 == "b").get._2 === "2y")
+  }
+
   test("JDBC sink: staging + MERGE upsert round-trips through Derby") {
     import spark.implicits._
     val db = mkTmp("derby") + "/db"

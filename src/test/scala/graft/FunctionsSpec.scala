@@ -106,6 +106,7 @@ class FunctionsSpec extends SparkSpec {
     val cases = Seq(
       "12" -> 12L, "12abc" -> 12L, " \t42" -> 42L, "-7.9" -> -7L,
       "+8" -> 8L, "0" -> 0L, "0x1A" -> 26L, "-0x10" -> -16L,
+      "0x" -> null, // hex prefix with no digits is NaN, not 0
       "abc" -> null, "" -> null, "." -> null, (null: String) -> null)
     val df = cases.map(_._1).toDF("s").select(F.js_parse_int($"s").as("i"))
     assert(df.collect().map(_.get(0)).toSeq === cases.map(_._2))
