@@ -65,15 +65,24 @@ object RelationalQueries {
 
     // ── C: multi-way join + agg (broadcast dims, shuffled fact join) ─
     "q03_revenue_by_nation" -> QuerySpec(
+      // lineitem pre-aggregates per orderkey BELOW the join (partial
+      // aggregation pushdown): the orders join then matches ~15M
+      // pre-agg rows instead of ~60M raw lineitems, and the shuffle
+      // carries (key, sum, count) instead of every item row. Safe under
+      // the 2-decimal round: addition order already varies with
+      // partitioning, which the round absorbs (bit-identical across
+      // thread counts is pinned by the harness).
       build = (s, d) => lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("_rev_o"), count(lit(1)).as("_n_o"))
         .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(customer(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"),
-          count(lit(1)).as("n_items"))
+          round(sum(col("_rev_o")), 2).as("revenue"),
+          sum(col("_n_o")).as("n_items"))
         .orderBy("n_name"),
       oracle = Some("""
         SELECT n_name,
