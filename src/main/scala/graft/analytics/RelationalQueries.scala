@@ -274,6 +274,26 @@ object RelationalQueries {
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // ── E: GROUPING SETS (the general form rollup/cube specialize) ──
+    // Spark 4's Dataset.groupingSets — one shuffle, Expand below the
+    // partial aggregate, exactly like q14/q35's rollup/cube plans.
+    "q68_grouping_sets" -> QuerySpec(
+      build = (s, d) => orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      oracle = Some("""
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")),
+
     // ── D: distinct aggregation ────────────────────────────────────
     "q15_distinct_agg" -> QuerySpec(
       build = (s, d) => lineitem(s, d)

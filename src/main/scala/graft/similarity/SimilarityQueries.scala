@@ -254,6 +254,42 @@ object SimilarityQueries {
       },
       bench = true),
 
+    // ── int8 scalar quantization (embedding compression) ───────────
+    // The storage/ANN-compression op of an embedding pipeline:
+    // symmetric per-vector quantization to int8 (scale = amax/127),
+    // reporting the max reconstruction error. Narrow per-row math
+    // only — quantization is a scan-speed transform at any scale. The
+    // floor(x+0.5) round is used on BOTH engines (plain round() ties
+    // differ cross-engine), and all arithmetic is double with
+    // identical operation order, so errors hash-match exactly.
+    "q70_quantize_int8" -> QuerySpec(
+      build = (s, d) => {
+        val vd = transform(col("embedding"), _.cast("double"))
+        val amax = array_max(transform(vd, x => abs(x)))
+        val scale = greatest(amax, lit(1e-12)) / lit(127.0)
+        val err = array_max(zip_with(
+          transform(vd, x => floor(x / scale + lit(0.5))), vd,
+          (qi, xi) => abs(qi * scale - xi)))
+        Tables.embeddings(s, d).select(col("vec_id"),
+          graft.analytics.StableRound.r4(amax).as("amax"),
+          graft.analytics.StableRound.r4(err).as("qerr"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] v,
+                 greatest(list_max(list_transform(embedding::DOUBLE[],
+                   x -> abs(x))), 1e-12) / 127.0 AS s,
+                 list_max(list_transform(embedding::DOUBLE[],
+                   x -> abs(x))) AS amax
+          FROM embeddings)
+        SELECT vec_id,
+               floor(amax * 10000 + 0.5) / 10000 AS amax,
+               floor(list_max(list_transform(v,
+                 x -> abs(floor(x / s + 0.5) * s - x))) * 10000 + 0.5)
+                 / 10000 AS qerr
+        FROM c ORDER BY vec_id""")),
+
     // ── LSH-bucketed ANN: random-hyperplane signatures ─────────────
     // sign(dot(v, plane)) == sign(cosine(v, plane)) — the codegen'd
     // cosine computes the bits; bucket = 8-bit signature; queries probe

@@ -51,6 +51,24 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static dimension enrichment: join each micro-batch against
+    * a (small) static dimension frame with a broadcast hash join — the
+    * streaming twin of the batch pipelines' dim preload (SURVEY §2 A6/
+    * C1). No watermark is needed because the static side holds no
+    * streaming state. Unmatched events pass through with null dim
+    * columns (left join — the miss-split pattern downstream operators
+    * filter on).
+    *
+    * Dim freshness: for a plain parquet static side the FILE LISTING is
+    * pinned when the streaming query starts — an in-place dim overwrite
+    * mid-query breaks the scan (stale file paths). A dim that must
+    * update during the query's lifetime belongs in `foreachBatch` with
+    * a per-batch read (the [[StreamingEtl]] route) or in a table format
+    * with snapshot isolation. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
   /** Stream-stream inner join: attribute each purchase to the clicks of
     * the same user in the preceding `windowMinutes`. Both sides carry
     * watermarks and the join condition bounds event-time distance, so

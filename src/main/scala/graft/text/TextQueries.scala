@@ -300,6 +300,26 @@ object TextQueries {
                len($duckToks) AS n_ws_tokens
         FROM documents ORDER BY doc_id""")),
 
+    // ── vocabulary statistics: document frequency + term frequency ─
+    // The vocab-building pass of a training-data pipeline: explode →
+    // one groupBy(token) with map-side partial agg → global top-k via
+    // TakeOrderedAndProject (orderBy+limit never sorts the full
+    // token stream). df = distinct docs containing the token.
+    "q69_vocab_df" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy(col("t"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("t"))
+        .limit(20),
+      oracle = Some(s"""
+        SELECT t, count(DISTINCT doc_id) AS df, count(*) AS tf
+        FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+        GROUP BY t
+        ORDER BY df DESC, tf DESC, t
+        LIMIT 20""")),
+
     // ── SimHash (16-bit, md5-derived) per document ─────────────────
     // One narrow kernel call per row ([[TextKernels.simhash16]]): the
     // former explode(doc × distinct-token × 16 bits) + two groupBys

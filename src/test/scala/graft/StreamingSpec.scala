@@ -265,6 +265,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val dimDir = tmp("dim")
+    Seq((1L, "gold"), (2L, "silver")).toDF("dim_user", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+
+    val input = MemoryStream[Ev]
+    val out = EventStreams.enrichWithDim(
+      input.toDS().toDF(), spark.read.parquet(dimDir), "user_id", "dim_user")
+    val q = out.writeStream.format("memory")
+      .queryName("enrich_out").outputMode("append").start()
+
+    input.addData(Ev(1, 1600000000000000L, 1.0), Ev(3, 1600000000000000L, 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out")
+      .select("user_id", "tier").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows === Map(1L -> "gold", 3L -> null),
+      "match enriches, miss passes through with null dim columns")
+
+    // a later micro-batch joins the same pinned dim snapshot
+    input.addData(Ev(2, 1600000060000000L, 3.0))
+    q.processAllAvailable()
+    val tier2 = spark.table("enrich_out")
+      .filter(col("value") === 3.0).select("tier").collect()(0).getString(0)
+    assert(tier2 === "silver")
+    q.stop()
+  }
+
   test("watermark drops events later than the lateness bound") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
