@@ -320,6 +320,37 @@ object TextQueries {
         ORDER BY df DESC, tf DESC, t
         LIMIT 20""")),
 
+    // ── deterministic hash split (reproducible train/val/test) ─────
+    // Sampling for dataset splits must be a PURE FUNCTION of the key —
+    // rand() resamples per run/engine and can't be oracle-checked or
+    // reproduced across reshards. Split = md5(doc_id) mod 100 banded
+    // 80/10/10: any engine, any partitioning, any day produces the
+    // same assignment. Narrow per-row math + one partial-agg groupBy.
+    "q71_hash_split" -> QuerySpec(
+      build = (s, d) => {
+        val h = expr(
+          "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 100
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .groupBy(col("lang"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("n_chars"))
+          .orderBy("lang", "split")
+      },
+      oracle = Some("""
+        SELECT lang,
+               CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM (SELECT lang, n_chars,
+                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                  AS h
+              FROM documents)
+        GROUP BY 1, 2 ORDER BY lang, split""")),
+
     // ── SimHash (16-bit, md5-derived) per document ─────────────────
     // One narrow kernel call per row ([[TextKernels.simhash16]]): the
     // former explode(doc × distinct-token × 16 bits) + two groupBys
