@@ -130,12 +130,20 @@ object MergeOps {
     def fullMax(df: DataFrame): Int =
       df.agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0)
 
-    if (store.exists(table) && !store.isBucketed(table)) {
-      // one-time migration from the flat snapshot layout: a flat table
-      // must not be merged bucket-pruned (its files carry no _bucket,
-      // the pruned scan would see nothing and every key would
-      // re-insert) — do one last full merge + atomic snapshot swap
-      // INTO the bucketed layout, then write the sidecar
+    val meta = store.readMeta(table)
+    if (store.exists(table) && (!store.isBucketed(table) || meta.isEmpty)) {
+      // full merge + atomic snapshot swap, two cases:
+      // - one-time migration from the flat snapshot layout (a flat
+      //   table must not be merged bucket-pruned: its files carry no
+      //   _bucket, the pruned scan would see nothing and every key
+      //   would re-insert);
+      // - bucketed table whose sidecar is lost/corrupt: the TRUE
+      //   bucket count is unknowable (bucket dirs can be sparse), and
+      //   pruning with a guessed count that differs from the stored
+      //   layout would shear it — duplicate keys, mixed mod layouts.
+      //   One full rewrite re-establishes a known layout + sidecar.
+      // Both read the whole table regardless of layout (read() drops
+      // _bucket), so the merge itself is layout-agnostic.
       val merged = merge(store.read(table, schema), source, keys, idCol,
         updateCols, insertOnlyCols)
       store.overwrite(table, merged.withColumn(bcol, bucketOf(nBuckets)),
@@ -144,16 +152,12 @@ object MergeOps {
       return
     }
 
-    // the STORED layout's bucket count wins over the parameter: merging
-    // mod-64 into a mod-32 layout would miss every existing key.
-    // Sidecar-absent fallbacks (crash windows): layout from the
-    // parameter, max id from a full column-pruned scan — gaps in the
-    // id sequence are possible after a crash, collisions are not.
-    val nb = store.readMeta(table).map(_._2).getOrElse(nBuckets)
-    val maxId0 =
-      if (!store.exists(table)) 0
-      else store.readMeta(table).map(_._1)
-        .getOrElse(fullMax(store.read(table, schema)))
+    // the STORED layout's bucket count (sidecar) wins over the
+    // parameter: merging mod-64 into a mod-32 layout would miss every
+    // existing key. Reaching here with a missing sidecar means the
+    // table doesn't exist yet — initial create.
+    val nb = meta.map(_._2).getOrElse(nBuckets)
+    val maxId0 = meta.map(_._1).getOrElse(0)
 
     val touched: Seq[Int] =
       if (!store.exists(table)) (0 until nb)

@@ -276,13 +276,12 @@ object SimilarityQueries {
           .orderBy("vec_id")
       },
       oracle = Some("""
-        WITH c AS (
+        WITH c0 AS (
           SELECT vec_id, embedding::DOUBLE[] v,
-                 greatest(list_max(list_transform(embedding::DOUBLE[],
-                   x -> abs(x))), 1e-12) / 127.0 AS s,
                  list_max(list_transform(embedding::DOUBLE[],
                    x -> abs(x))) AS amax
-          FROM embeddings)
+          FROM embeddings),
+        c AS (SELECT *, greatest(amax, 1e-12) / 127.0 AS s FROM c0)
         SELECT vec_id,
                floor(amax * 10000 + 0.5) / 10000 AS amax,
                floor(list_max(list_transform(v,

@@ -67,7 +67,10 @@ object EventStreams {
     * with snapshot isolation. */
   def enrichWithDim(events: DataFrame, dim: DataFrame,
                     eventKey: String, dimKey: String): DataFrame =
-    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+    // dataset-qualified keys: bare col() would be AMBIGUOUS_REFERENCE
+    // the moment both sides name their key the same way (the standard
+    // dim-table shape)
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
 
   /** Stream-stream inner join: attribute each purchase to the clicks of
     * the same user in the preceding `windowMinutes`. Both sides carry

@@ -360,14 +360,19 @@ class EtlSpec extends SparkSpec {
     assert(ids.length === ids.distinct.length, s"id collision: ${ids.sorted.toSeq}")
     assert(ids.contains(51), "insert must take ids above the durable mark")
 
-    // corrupt sidecar: must fall back to a full scan, not crash
+    // corrupt sidecar: the true bucket count is unknowable, so the
+    // merge must take the full-rewrite recovery path (re-establishing
+    // layout + sidecar) rather than prune with a guessed count — even
+    // when the caller passes a DIFFERENT nBuckets than the layout had
     val metaFile = new java.io.File(store.root + "/t/.graft_meta")
     java.nio.file.Files.writeString(metaFile.toPath, "garbage")
     MergeOps.mergeBucketed(store, "t", schema,
-      src("fresh2" -> "y"), Seq("k"), "id", Seq("v"))
+      src("fresh2" -> "y"), Seq("k"), "id", Seq("v"), nBuckets = 7)
     val ids2 = store.read("t", schema).select("id").collect().map(_.getInt(0))
+    assert(ids2.length === 12, s"recovery must not duplicate keys: ${ids2.length}")
     assert(ids2.length === ids2.distinct.length)
-    assert(ids2.max === 52, "fallback max-scan resumes right after the true max")
+    assert(ids2.max === 52, "recovery max-scan resumes right after the true max")
+    assert(store.readMeta("t") === Some((52, 7)), "sidecar re-established")
   }
 
   test("JDBC sink: staging + MERGE upsert round-trips through Derby") {

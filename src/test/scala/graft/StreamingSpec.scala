@@ -294,6 +294,13 @@ class StreamingSpec extends SparkSpec {
       .filter(col("value") === 3.0).select("tier").collect()(0).getString(0)
     assert(tier2 === "silver")
     q.stop()
+
+    // both sides naming the key identically (the standard dim shape)
+    // must resolve — dataset-qualified join keys, no AMBIGUOUS_REFERENCE
+    val dimSame = Seq((1L, "x")).toDF("user_id", "tag")
+    val out2 = EventStreams.enrichWithDim(
+      input.toDS().toDF(), dimSame, "user_id", "user_id")
+    assert(out2.queryExecution.analyzed.resolved)
   }
 
   test("watermark drops events later than the lateness bound") {
