@@ -320,6 +320,50 @@ object TextQueries {
         ORDER BY df DESC, tf DESC, t
         LIMIT 20""")),
 
+    // ── repetition metrics (Gopher-style quality filters) ──────────
+    // Training-data quality signals: fraction of tokens that are
+    // distinct, and the share of bigram occurrences taken by the most
+    // frequent bigram — high top-bigram share flags boilerplate/spam.
+    // Shape: one narrow pass for the per-doc ratios + one explode →
+    // two-level groupBy (partial-agg both levels) for the bigram mode.
+    "q72_repetition" -> QuerySpec(
+      build = (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tok"),
+            size(array_distinct(col("toks"))).as("n_uniq"))
+        val bg = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+          .groupBy(col("doc_id"), col("bg"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+        base.join(bg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tok"),
+            graft.analytics.StableRound.r4(
+              col("n_uniq") / col("n_tok")).as("uniq_ratio"),
+            graft.analytics.StableRound.r4(coalesce(
+              col("max_bg") / col("n_bg"), lit(0.0))).as("top_bigram_frac"))
+          .orderBy("doc_id")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        b AS (SELECT doc_id, len(toks) n_tok,
+                     len(list_distinct(toks)) n_uniq FROM t),
+        bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+               FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 1)) i
+                     FROM t)),
+        bgc AS (SELECT doc_id, bg, count(*) c FROM bg GROUP BY 1, 2),
+        bga AS (SELECT doc_id, max(c) max_bg,
+                       CAST(sum(c) AS BIGINT) n_bg FROM bgc GROUP BY 1)
+        SELECT b.doc_id AS doc_id, n_tok,
+               floor(n_uniq * 1.0 / n_tok * 10000 + 0.5) / 10000 AS uniq_ratio,
+               floor(coalesce(max_bg * 1.0 / n_bg, 0) * 10000 + 0.5) / 10000
+                 AS top_bigram_frac
+        FROM b LEFT JOIN bga ON b.doc_id = bga.doc_id
+        ORDER BY b.doc_id""")),
+
     // ── deterministic hash split (reproducible train/val/test) ─────
     // Sampling for dataset splits must be a PURE FUNCTION of the key —
     // rand() resamples per run/engine and can't be oracle-checked or

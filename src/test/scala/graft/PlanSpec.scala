@@ -91,6 +91,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "no groupBy expected in the sketch")
   }
 
+  test("q69 vocab top-k: global orderBy+limit plans as TakeOrdered, no full sort") {
+    val df = SparkEntry.queries("q69_vocab_df")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n${p.take(1200)}")
+  }
+
   test("q30 as-of join: single-shuffle union trick, no nested-loop join") {
     val p = plan("q30_asof_join")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
