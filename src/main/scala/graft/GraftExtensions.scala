@@ -8,7 +8,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{RutFormat, RutIsValid}
 import graft.similarity.CosineSimilarity
-import graft.text.{VocabHitsExpr, WordShingles, WsTokenize}
+import graft.text.{MinhashSignature, ShingleHashes, SimHash16, VocabHitsExpr,
+  Winnow, WordShingles, WsTokenize}
 
 /** Spark-native registration of the engine's custom expressions:
   *
@@ -101,6 +102,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => {
         require(es.length == 2, "vocab_hits expects (tokens, vocab array)")
         VocabHitsExpr(es.head, constStrings(es(1), "vocab_hits"))
+      }))
+
+    ext.injectFunction(oneArg("simhash16",
+      "simhash16(toks) - 16-bit md5 SimHash of the distinct tokens", SimHash16))
+
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(toks, k) - distinct 60-bit k-shingle hashes"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "shingle_hashes expects (tokens, k)")
+        val k = constInt(es(1), "shingle_hashes")
+        require(k >= 1, s"shingle_hashes: k must be >= 1, got $k")
+        ShingleHashes(es.head, k)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(toks, k) - 16 minhash minima over k-shingles"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "minhash_signature expects (tokens, k)")
+        val k = constInt(es(1), "minhash_signature")
+        require(k >= 1, s"minhash_signature: k must be >= 1, got $k")
+        MinhashSignature(es.head, k)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("winnow"),
+      info("winnow", "winnow(str, k, w) - winnowing fingerprints (k-gram rolling hash, window w)"),
+      (es: Seq[Expression]) => {
+        require(es.length == 3, "winnow expects (text, k, w)")
+        val k = constInt(es(1), "winnow")
+        val w = constInt(es(2), "winnow")
+        require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got ($k, $w)")
+        Winnow(es.head, k, w)
       }))
   }
 }

@@ -81,7 +81,23 @@ object EventStreams {
     * value) shape. */
   def clickAttribution(clicks: DataFrame, purchases: DataFrame,
                        windowMinutes: Int = 30,
-                       lateness: String = "1 hour"): DataFrame = {
+                       lateness: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, windowMinutes, lateness, "inner")
+
+  /** LEFT OUTER variant: purchases emit immediately when a click
+    * matches; a purchase with NO in-window click is emitted with null
+    * click columns once the watermark passes the point where a
+    * matching click could still arrive — the "unattributed conversions"
+    * stream. Same bounded state as the inner join. (Outer side =
+    * purchases: the left frame below.) */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+                            windowMinutes: Int = 30,
+                            lateness: String = "1 hour"): DataFrame =
+    attributionJoin(clicks, purchases, windowMinutes, lateness, "left_outer")
+
+  private def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+                              windowMinutes: Int, lateness: String,
+                              joinType: String): DataFrame = {
     val c = clicks
       .withColumn("c_ts", timestamp_micros(col("ts_us")))
       .withWatermark("c_ts", lateness)
@@ -92,12 +108,22 @@ object EventStreams {
       .withWatermark("p_ts", lateness)
       .select(col("user_id").as("p_user"), col("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
-    c.join(p,
-      col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
-      .select(col("c_user").as("user_id"), col("click_id"),
-        col("purchase_id"), col("value"))
+    val joined =
+      if (joinType == "inner")
+        c.join(p,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      else
+        // outer side must be the LEFT input of the left_outer join
+        p.join(c,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+          joinType)
+    joined.select(
+      coalesce(col("p_user"), col("c_user")).as("user_id"),
+      col("click_id"), col("purchase_id"), col("value"))
   }
 
   /** Streaming exact dedup — the unbounded twin of the batch

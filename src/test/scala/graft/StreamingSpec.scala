@@ -237,6 +237,52 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer stream-stream join emits unattributed purchases after watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val hour = 60 * min
+    val t0 = 1600000000L * us
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    def withId(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("event_id", col("ts_us"))
+
+    val out = EventStreams.clickAttributionOuter(
+      withId(clicks.toDS().toDF()), withId(purchases.toDS().toDF()),
+      windowMinutes = 30, lateness = "1 hour")
+    val q = out.writeStream.format("memory")
+      .queryName("attr_outer_out").outputMode("append").start()
+
+    clicks.addData(Ev(1, t0, 0))
+    purchases.addData(
+      Ev(1, t0 + 10 * min, 9.0), // attributed to click@t0
+      Ev(2, t0 + 10 * min, 5.0)) // user 2 never clicks
+    q.processAllAvailable()
+
+    // advance BOTH watermarks far past t0+10min+window+lateness so the
+    // unmatched purchase can no longer find a click and must emit
+    clicks.addData(Ev(9, t0 + 5 * hour, 0))
+    purchases.addData(Ev(9, t0 + 5 * hour, 1.0))
+    q.processAllAvailable()
+    clicks.addData(Ev(9, t0 + 6 * hour, 0))
+    purchases.addData(Ev(9, t0 + 6 * hour, 1.0))
+    q.processAllAvailable()
+
+    val rows = spark.table("attr_outer_out")
+      .filter(col("user_id").isin(1L, 2L))
+      .select("user_id", "click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getLong(2))).toSet
+    assert(rows === Set(
+      (1L, t0, t0 + 10 * min),          // matched: click columns filled
+      (2L, -1L, t0 + 10 * min)),        // unmatched: null click after watermark
+      s"got $rows")
+    q.stop()
+  }
+
   test("streaming dedup collapses duplicates within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
