@@ -320,6 +320,109 @@ object TextQueries {
         ORDER BY df DESC, tf DESC, t
         LIMIT 20""")),
 
+    // ── the cleaning funnel, end to end ────────────────────────────
+    // The composition a real training-data pipeline runs, as ONE
+    // declarative plan: quality floor → exact-fingerprint dedup among
+    // survivors → MinHash-LSH near-dup removal among those (drop the
+    // higher doc_id of each candidate pair). Per-language counts at
+    // every stage. Each stage reuses the already-oracle-checked pieces
+    // (q21 quality, q22 fingerprint, q25 LSH), so the oracle replays
+    // the identical math; the funnel itself stays linear — the only
+    // non-narrow steps are the fp window and the LSH bucket groupBy.
+    "q73_clean_funnel" -> QuerySpec(
+      build = (s, d) => {
+        val qmin = 0.55
+        val staged = Tables.documents(s, d)
+          .withColumn("_toks", tokens(col("text")))
+          .select(col("doc_id"), col("lang"),
+            quality_score_t(col("text"), col("_toks")).as("q"),
+            doc_fingerprint(col("text")).as("fp"),
+            minhash_signature(col("text"), 3).as("sig"))
+        val qual = staged.filter(col("q") >= qmin)
+        val exact = qual
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        val bands = exact.filter(col("sig").isNotNull)
+          .select(col("doc_id"), posexplode(array(
+            (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
+              col("sig").getItem(2 * bn + 1).as("hb"))): _*
+          )).as(Seq("band", "bh")))
+        val removal = bands
+          .groupBy(col("band"), col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+          .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+          .filter(size(col("docs")) > 1)
+          .select(explode(pairExpand(col("docs"))).as("p"))
+          .select(col("p.y").as("doc_id")).distinct()
+        val fin = exact.join(removal, Seq("doc_id"), "left_anti")
+
+        def cnt(df: DataFrame, as: String) =
+          df.groupBy(col("lang")).agg(count(lit(1)).as(as))
+        cnt(Tables.documents(s, d), "n_raw")
+          .join(cnt(qual, "n_quality"), Seq("lang"), "left")
+          .join(cnt(exact, "n_exact"), Seq("lang"), "left")
+          .join(cnt(fin, "n_final"), Seq("lang"), "left")
+          .select(col("lang"),
+            col("n_raw"),
+            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_final"), lit(0L)).as("n_final"))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val allStops = duckVocabHits(stopwords.flatMap(_._2))
+        val quality = s"""floor((0.3 * least(len($duckToks) / 100.0, 1.0)
+          + 0.4 * (1.0 - ($duckPunct) * 1.0 / greatest(length(text), 1))
+          + 0.3 * least($allStops * 1.0 / greatest(len($duckToks), 1) * 5.0, 1.0))
+          * 10000 + 0.5) / 10000"""
+        val minCols = (0 until 16).map(i =>
+          s"min(('0x' || substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8))::BIGINT) h$i")
+          .mkString(", ")
+        val bandSelects = (0 until 8).map(bn =>
+          s"SELECT doc_id, $bn band, h${2 * bn} ha, h${2 * bn + 1} hb FROM mh")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH q0 AS (
+          SELECT doc_id, lang, text, $quality AS q,
+                 md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+          FROM documents),
+        qual AS (SELECT * FROM q0 WHERE q >= 0.55),
+        exact AS (SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) rn
+            FROM qual) WHERE rn = 1),
+        t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') toks
+              FROM exact),
+        sh AS (SELECT doc_id, unnest(dsh) s FROM (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(toks)-2, 0)),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) dsh
+          FROM t)),
+        h AS (SELECT doc_id, md5('0|' || s) m0, md5('1|' || s) m1,
+                     md5('2|' || s) m2, md5('3|' || s) m3 FROM sh),
+        mh AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        removal AS (
+          SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+            ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
+               AND a.doc_id < b.doc_id),
+        fin AS (SELECT * FROM exact
+                WHERE doc_id NOT IN (SELECT doc_id FROM removal)),
+        raw AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+        qc  AS (SELECT lang, count(*) n FROM qual GROUP BY 1),
+        ec  AS (SELECT lang, count(*) n FROM exact GROUP BY 1),
+        fc  AS (SELECT lang, count(*) n FROM fin GROUP BY 1)
+        SELECT raw.lang AS lang,
+               CAST(raw.n AS BIGINT) AS n_raw,
+               CAST(coalesce(qc.n, 0) AS BIGINT) AS n_quality,
+               CAST(coalesce(ec.n, 0) AS BIGINT) AS n_exact,
+               CAST(coalesce(fc.n, 0) AS BIGINT) AS n_final
+        FROM raw LEFT JOIN qc ON raw.lang = qc.lang
+                 LEFT JOIN ec ON raw.lang = ec.lang
+                 LEFT JOIN fc ON raw.lang = fc.lang
+        ORDER BY lang"""
+      },
+      bench = true),
+
     // ── repetition metrics (Gopher-style quality filters) ──────────
     // Training-data quality signals: fraction of tokens that are
     // distinct, and the share of bigram occurrences taken by the most
