@@ -356,18 +356,19 @@ object TextQueries {
           .select(col("p.y").as("doc_id")).distinct()
         val fin = exact.join(removal, Seq("doc_id"), "left_anti")
 
-        def cnt(df: DataFrame, as: String) =
-          df.groupBy(col("lang")).agg(count(lit(1)).as(as))
-        cnt(Tables.documents(s, d), "n_raw")
-          .join(cnt(qual, "n_quality"), Seq("lang"), "left")
-          .join(cnt(exact, "n_exact"), Seq("lang"), "left")
-          .join(cnt(fin, "n_final"), Seq("lang"), "left")
-          .select(col("lang"),
-            col("n_raw"),
-            coalesce(col("n_quality"), lit(0L)).as("n_quality"),
-            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-            coalesce(col("n_final"), lit(0L)).as("n_final"))
-          .orderBy("lang")
+        // one row per (stage, lang) via UNION, not per-lang left joins:
+        // a left-join shape lets count()-style consumers prune the
+        // entire funnel (row count = raw side's); with the union every
+        // branch's row count depends on its own stage actually running
+        def cnt(df: DataFrame, stage: Int, name: String) =
+          df.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+            .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+              col("lang"), col("n_docs"))
+        cnt(Tables.documents(s, d), 1, "raw")
+          .unionByName(cnt(qual, 2, "quality"))
+          .unionByName(cnt(exact, 3, "exact_dedup"))
+          .unionByName(cnt(fin, 4, "near_dedup"))
+          .orderBy("stage", "lang")
       },
       oracle = Some {
         val allStops = duckVocabHits(stopwords.flatMap(_._2))
@@ -406,20 +407,18 @@ object TextQueries {
             ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
                AND a.doc_id < b.doc_id),
         fin AS (SELECT * FROM exact
-                WHERE doc_id NOT IN (SELECT doc_id FROM removal)),
-        raw AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
-        qc  AS (SELECT lang, count(*) n FROM qual GROUP BY 1),
-        ec  AS (SELECT lang, count(*) n FROM exact GROUP BY 1),
-        fc  AS (SELECT lang, count(*) n FROM fin GROUP BY 1)
-        SELECT raw.lang AS lang,
-               CAST(raw.n AS BIGINT) AS n_raw,
-               CAST(coalesce(qc.n, 0) AS BIGINT) AS n_quality,
-               CAST(coalesce(ec.n, 0) AS BIGINT) AS n_exact,
-               CAST(coalesce(fc.n, 0) AS BIGINT) AS n_final
-        FROM raw LEFT JOIN qc ON raw.lang = qc.lang
-                 LEFT JOIN ec ON raw.lang = ec.lang
-                 LEFT JOIN fc ON raw.lang = fc.lang
-        ORDER BY lang"""
+                WHERE doc_id NOT IN (SELECT doc_id FROM removal))
+        SELECT stage, stage_name, lang, CAST(n_docs AS BIGINT) AS n_docs
+        FROM (
+          SELECT 1 stage, 'raw' stage_name, lang, count(*) n_docs
+          FROM documents GROUP BY 3
+          UNION ALL
+          SELECT 2, 'quality', lang, count(*) FROM qual GROUP BY 3
+          UNION ALL
+          SELECT 3, 'exact_dedup', lang, count(*) FROM exact GROUP BY 3
+          UNION ALL
+          SELECT 4, 'near_dedup', lang, count(*) FROM fin GROUP BY 3)
+        ORDER BY stage, lang"""
       },
       bench = true),
 
