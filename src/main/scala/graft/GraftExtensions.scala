@@ -125,6 +125,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinhashSignature(es.head, k)
       }))
 
+    ext.injectFunction((FunctionIdentifier("explode_shingles"),
+      info("explode_shingles",
+        "explode_shingles(toks, k) - generator: one (pos, shingle) row per k-gram"),
+      (es: Seq[Expression]) => {
+        require(es.length == 2, "explode_shingles expects (tokens, k)")
+        val k = constInt(es(1), "explode_shingles")
+        require(k >= 1, s"explode_shingles: k must be >= 1, got $k")
+        graft.text.ExplodeShingles(es.head, k)
+      }))
+
     ext.injectFunction((FunctionIdentifier("winnow"),
       info("winnow", "winnow(str, k, w) - winnowing fingerprints (k-gram rolling hash, window w)"),
       (es: Seq[Expression]) => {

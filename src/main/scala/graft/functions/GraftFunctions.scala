@@ -142,6 +142,15 @@ object GraftFunctions {
         "rut_is_valid", es => RutIsValid(es.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "rut_format", es => RutFormat(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "ws_tokenize", es => graft.text.WsTokenize(es.head), "scala_udf")
+      reg.createOrReplaceTempFunction(
+        "explode_shingles", es => {
+          require(es.length == 2 && es(1).foldable,
+            "explode_shingles expects (tokens, literal k)")
+          graft.text.ExplodeShingles(es.head,
+            es(1).eval(null).asInstanceOf[Number].intValue())
+        }, "scala_udf")
     }
   }
 }

@@ -400,6 +400,58 @@ case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `explode_shingles(toks, k)` — the UDTF leg of the custom-function
+  * surface: a native Catalyst [[Generator]] emitting one (pos, shingle)
+  * row per contiguous k-gram, usable from SQL as a generator
+  * (`SELECT ... FROM t LATERAL VIEW explode_shingles(toks, 3) s AS pos,
+  * shingle`) exactly like `explode`/`posexplode`. Planned through
+  * `GenerateExec` — rows stream out per input row with no intermediate
+  * array allocation in the plan (vs `posexplode(word_shingles(...))`,
+  * which materializes the full shingle array per row first). */
+case class ExplodeShingles(child: Expression, k: Int)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1)
+  override def prettyName: String = "explode_shingles"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("shingle", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val toks = child.eval(input)
+    if (toks == null) Nil
+    else {
+      val n = toks.asInstanceOf[ArrayData].numElements()
+      if (n < k) Nil
+      else new Iterator[InternalRow] {
+        private val arr = toks.asInstanceOf[ArrayData]
+        private var i = 0
+        override def hasNext: Boolean = i <= n - k
+        override def next(): InternalRow = {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) {
+            if (j > 0) sb.append(' ')
+            val t = arr.getUTF8String(i + j)
+            sb.append(if (t == null) "" else t.toString)
+            j += 1
+          }
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(
+              Array[Any](i, UTF8String.fromString(sb.toString)))
+          i += 1
+          row
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExplodeShingles =
+    copy(child = newChild)
+}
+
 /** `word_shingles(toks, k)` — contiguous k-grams joined with spaces. */
 case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   require(k >= 1)

@@ -320,6 +320,32 @@ object TextQueries {
         ORDER BY df DESC, tf DESC, t
         LIMIT 20""")),
 
+    // ── custom Generator (UDTF): explode_shingles as LATERAL VIEW ──
+    // The table-function leg of the custom-function triad (expressions
+    // = UDF, TopKRowsAgg/GeoMean = UDAF, this = UDTF): a native
+    // Catalyst Generator planned through GenerateExec, called from SQL
+    // exactly like explode. Streams one (pos, shingle) row per k-gram
+    // with no per-row intermediate array.
+    "q74_generator_shingles" -> QuerySpec(
+      build = (s, d) => {
+        Tables.documents(s, d).filter(col("doc_id") < 3)
+          .createOrReplaceTempView("docs_gen_v")
+        s.sql("""
+          SELECT doc_id, s.pos, s.shingle
+          FROM docs_gen_v
+          LATERAL VIEW explode_shingles(ws_tokenize(text), 3) s AS pos, shingle
+          ORDER BY doc_id, pos""")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') toks
+                   FROM documents WHERE doc_id < 3)
+        SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, greatest(len(toks) - 2, 0))) i
+              FROM t)
+        ORDER BY doc_id, pos""")),
+
     // ── the cleaning funnel, end to end ────────────────────────────
     // The composition a real training-data pipeline runs, as ONE
     // declarative plan: quality floor → exact-fingerprint dedup among

@@ -56,6 +56,14 @@ class ExtensionsSpec extends SparkSpec {
       assert(row2.getSeq[Long](1) === viaCols.getSeq[Long](1))
       assert(row2.getSeq[Long](2) === viaCols.getSeq[Long](2))
       assert(row2.getSeq[Long](3) === viaCols.getSeq[Long](3))
+
+      // the generator (UDTF) path: LATERAL VIEW over the injected fn
+      val gen = s.sql("""
+        SELECT pos, shingle
+        FROM (SELECT 'a b c d' AS t)
+        LATERAL VIEW explode_shingles(ws_tokenize(t), 2) g AS pos, shingle
+      """).collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(gen === Seq((0, "a b"), (1, "b c"), (2, "c d")))
     } finally {
       prev.foreach { p =>
         SparkSession.setActiveSession(p)
