@@ -36,36 +36,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         f(es.head)
       })
 
-  /** Evaluate a foldable string-array argument (e.g. `array('a','b')`). */
-  private def constStrings(e: Expression, fn: String): Seq[String] = {
-    require(e.foldable, s"$fn expects a literal array of strings")
-    val v = e.eval(null)
-    require(v != null, s"$fn: vocabulary array must not be NULL")
-    v.asInstanceOf[ArrayData]
-      .toObjectArray(org.apache.spark.sql.types.StringType)
-      .map { s =>
-        require(s != null, s"$fn: vocabulary entries must not be NULL")
-        s.asInstanceOf[UTF8String].toString
-      }.toSeq
-  }
-
-  /** Evaluate a foldable integral argument with a clear error. */
-  private def constInt(e: Expression, fn: String): Int = {
-    require(e.foldable, s"$fn expects a literal integer")
-    val long = e.eval(null) match {
-      case i: java.lang.Integer => i.longValue()
-      case l: java.lang.Long    => l.longValue()
-      case s: java.lang.Short   => s.longValue()
-      case b: java.lang.Byte    => b.longValue()
-      case other => throw new IllegalArgumentException(
-        s"$fn expects a literal integer, got $other")
-    }
-    // range-check BEFORE narrowing: a long literal must not silently
-    // wrap into a wrong small value
-    require(long >= Int.MinValue && long <= Int.MaxValue,
-      s"$fn: argument $long out of Int range")
-    long.toInt
-  }
+  // literal-argument extraction shared with the session-registry
+  // registration route — see graft.functions.ExprLits
+  private def constStrings(e: Expression, fn: String): Seq[String] =
+    graft.functions.ExprLits.constStrings(e, fn)
+  private def constInt(e: Expression, fn: String): Int =
+    graft.functions.ExprLits.constInt(e, fn)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom physical operator: sessions created with these extensions
@@ -142,7 +118,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = constInt(es(1), "winnow")
         val w = constInt(es(2), "winnow")
         require(k >= 1 && w >= 1, s"winnow: k and w must be >= 1, got ($k, $w)")
-        Winnow(es.head, k, w)
+        // SAME normalization as the Column API (winnow_fingerprints)
+        // and the q51 oracle — a raw-text Winnow would silently produce
+        // different fingerprints for the same document. Built from raw
+        // catalyst nodes: ColumnBridge.expression() yields a LAZY
+        // ColumnNodeExpression that never resolves inside a
+        // registry-built tree (Unevaluable at codegen)
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Lower, RegExpReplace, StringTrim}
+        Winnow(Lower(RegExpReplace(StringTrim(es.head, None),
+          Literal("\\s+"), Literal(" "))), k, w)
       }))
   }
 }

@@ -146,10 +146,10 @@ object GraftFunctions {
         "ws_tokenize", es => graft.text.WsTokenize(es.head), "scala_udf")
       reg.createOrReplaceTempFunction(
         "explode_shingles", es => {
-          require(es.length == 2 && es(1).foldable,
-            "explode_shingles expects (tokens, literal k)")
-          graft.text.ExplodeShingles(es.head,
-            es(1).eval(null).asInstanceOf[Number].intValue())
+          require(es.length == 2, "explode_shingles expects (tokens, k)")
+          val k = ExprLits.constInt(es(1), "explode_shingles")
+          require(k >= 1, s"explode_shingles: k must be >= 1, got $k")
+          graft.text.ExplodeShingles(es.head, k)
         }, "scala_udf")
     }
   }

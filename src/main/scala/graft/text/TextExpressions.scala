@@ -51,6 +51,23 @@ object TextKernels {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** The ONE definition of "the k-gram starting at i": tokens joined
+    * with single spaces, null tokens as empty strings. Every shingle
+    * consumer ([[shingles]], [[shingleHashes]], [[minhashSignature]],
+    * the [[ExplodeShingles]] generator) goes through here so they stay
+    * bit-identical by construction. */
+  def shingleAt(toks: ArrayData, i: Int, k: Int): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < k) {
+      if (j > 0) sb.append(' ')
+      val t = toks.getUTF8String(i + j)
+      sb.append(if (t == null) "" else t.toString)
+      j += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** 16 minhash pieces for one shingle: md5 over "0|s".."3|s", each
     * 128-bit digest split into four big-endian uint32s (as Longs) —
     * piece 4a+b == hex chars [8b+1, 8b+8] of digest a, so DuckDB
@@ -94,17 +111,8 @@ object TextKernels {
     val md = md5Local.get()
     var i = 0
     while (i <= n - k) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        val t = toks.getUTF8String(i + j)
-        sb.append(if (t == null) "" else t.toString)
-        j += 1
-      }
       md.reset()
-      val dig = md.digest(
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val dig = md.digest(shingleAt(toks, i, k).getBytes)
       var v = 0L
       var b = 0
       while (b < 7) { v = (v << 8) | (dig(b) & 0xffL); b += 1 }
@@ -134,15 +142,7 @@ object TextKernels {
     val md = md5Local.get()
     var i = 0
     while (i <= n - k) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        val t = toks.getUTF8String(i + j)
-        sb.append(if (t == null) "" else t.toString)
-        j += 1
-      }
-      val s = sb.toString
+      val s = shingleAt(toks, i, k).toString
       if (seen.add(s)) {
         val sBytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         var seed = 0
@@ -248,15 +248,7 @@ object TextKernels {
     val out = new Array[Any](n - k + 1)
     var i = 0
     while (i <= n - k) {
-      val sb = new java.lang.StringBuilder
-      var j = 0
-      while (j < k) {
-        if (j > 0) sb.append(' ')
-        val t = toks.getUTF8String(i + j)
-        sb.append(if (t == null) "" else t.toString)
-        j += 1
-      }
-      out(i) = UTF8String.fromString(sb.toString)
+      out(i) = shingleAt(toks, i, k)
       i += 1
     }
     new GenericArrayData(out)
@@ -430,17 +422,9 @@ case class ExplodeShingles(child: Expression, k: Int)
         private var i = 0
         override def hasNext: Boolean = i <= n - k
         override def next(): InternalRow = {
-          val sb = new java.lang.StringBuilder
-          var j = 0
-          while (j < k) {
-            if (j > 0) sb.append(' ')
-            val t = arr.getUTF8String(i + j)
-            sb.append(if (t == null) "" else t.toString)
-            j += 1
-          }
           val row = new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(
-              Array[Any](i, UTF8String.fromString(sb.toString)))
+              Array[Any](i, TextKernels.shingleAt(arr, i, k)))
           i += 1
           row
         }

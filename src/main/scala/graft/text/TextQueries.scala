@@ -456,11 +456,15 @@ object TextQueries {
     // two-level groupBy (partial-agg both levels) for the bigram mode.
     "q72_repetition" -> QuerySpec(
       build = (s, d) => {
-        val base = Tables.documents(s, d)
+        // null-text docs drop on BOTH engines (legacy size(null) = -1
+        // would emit (-1, -1, 1.0) here where the oracle emits NULLs —
+        // same cross-engine divergence class q26 filters against)
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val base = docs
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"), size(col("toks")).as("n_tok"),
             size(array_distinct(col("toks"))).as("n_uniq"))
-        val bg = Tables.documents(s, d)
+        val bg = docs
           .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
           .groupBy(col("doc_id"), col("bg"))
           .agg(count(lit(1)).as("c"))
@@ -475,7 +479,8 @@ object TextQueries {
           .orderBy("doc_id")
       },
       oracle = Some(s"""
-        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+        WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents
+                   WHERE text IS NOT NULL),
         b AS (SELECT doc_id, len(toks) n_tok,
                      len(list_distinct(toks)) n_uniq FROM t),
         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg

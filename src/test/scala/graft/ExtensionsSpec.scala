@@ -39,18 +39,21 @@ class ExtensionsSpec extends SparkSpec {
       assert(row.getInt(6) === 2)
 
       // the sketch kernels: values must agree with the Column API
+      // mixed case + whitespace runs: the SQL winnow must apply the
+      // SAME text normalization as the Column API (a raw-text variant
+      // would only agree on already-normalized inputs)
       val row2 = s.sql("""
         SELECT simhash16(ws_tokenize('a b c'))                AS sh16,
                shingle_hashes(ws_tokenize('a b c d'), 3)      AS shh,
                minhash_signature(ws_tokenize('a b c d e'), 3) AS mh,
-               winnow('abcdefghij', 5, 4)                     AS wf
+               winnow(' AbC  deFGhij ', 5, 4)                 AS wf
       """).head()
       import org.apache.spark.sql.functions.{col, lit}
       val viaCols = s.createDataFrame(Seq(Tuple1("x"))).toDF("t").select(
         graft.text.TextFunctions.simhash(lit("a b c")).as("sh16"),
         graft.text.TextFunctions.shingle_hashes(lit("a b c d"), 3).as("shh"),
         graft.text.TextFunctions.minhash_signature(lit("a b c d e"), 3).as("mh"),
-        graft.text.TextFunctions.winnow_fingerprints(lit("abcdefghij"), 5, 4).as("wf"))
+        graft.text.TextFunctions.winnow_fingerprints(lit(" AbC  deFGhij "), 5, 4).as("wf"))
         .head()
       assert(row2.getLong(0) === viaCols.getLong(0))
       assert(row2.getSeq[Long](1) === viaCols.getSeq[Long](1))
