@@ -448,6 +448,52 @@ object TextQueries {
       },
       bench = true),
 
+    // ── stratified mixture sampling (dataset mixing) ───────────────
+    // Composing a training mix: each source stratum keeps a different
+    // deterministic fraction (hash-banded per doc_id like q71, so the
+    // mix is reproducible across engines, reshards, and reruns).
+    // Reports kept/total docs and kept token mass per source — the
+    // numbers a mixture designer actually balances.
+    "q75_mixture_sample" -> QuerySpec(
+      build = (s, d) => {
+        val h = expr(
+          "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("long") % 100
+        val rate = when(col("source").isin("src0", "src1", "src2", "src3",
+            "src4"), lit(100))
+          .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
+            lit(70))
+          .when(col("source").isin("src10", "src11", "src12", "src13",
+            "src14"), lit(40))
+          .otherwise(lit(20))
+        Tables.documents(s, d)
+          .withColumn("kept", (h < rate).cast("int"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            sum(when(col("kept") === 1, col("n_chars"))
+              .otherwise(0L)).as("kept_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+                 AS BIGINT) AS kept_chars
+        FROM (SELECT source, n_chars,
+                CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 100 <
+                     (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                             THEN 100
+                           WHEN source IN ('src5','src6','src7','src8','src9')
+                             THEN 70
+                           WHEN source IN ('src10','src11','src12','src13','src14')
+                             THEN 40
+                           ELSE 20 END)
+                     THEN 1 ELSE 0 END AS kept
+              FROM documents)
+        GROUP BY source ORDER BY source""")),
+
     // ── repetition metrics (Gopher-style quality filters) ──────────
     // Training-data quality signals: fraction of tokens that are
     // distinct, and the share of bigram occurrences taken by the most
