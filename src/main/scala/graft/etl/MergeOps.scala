@@ -102,9 +102,17 @@ object MergeOps {
   /** [[merge]] against a bucket-partitioned stored table, scanning and
     * rewriting ONLY the buckets that contain source keys — the
     * reference's `ON CONFLICT DO UPDATE` at table scale. The snapshot-
-    * rewrite merge is O(table) per batch; this is O(touched buckets):
-    * a 10⁴-row file against a 10⁹-row table touches at most
-    * min(10⁴, nBuckets) buckets ≈ nBuckets/table-size of the bytes.
+    * rewrite merge is O(table) per batch; this is O(touched buckets).
+    *
+    * SIZING nBuckets (measured, tools/MergeBench): random batch keys
+    * touch ~min(batchKeys, nBuckets) buckets, so the rewrite fraction
+    * is ≈ batchKeys/nBuckets — a 20-key batch against 32 buckets
+    * rewrites ~50% of the table, against 512 buckets ~4%. Pick
+    * nBuckets ≫ the typical batch's distinct-key count AND so one
+    * bucket ≈ 128-256 MB at expected table volume (10⁴ buckets for a
+    * TB-scale entity table). The default 32 suits THIS reference's
+    * catalog-sized entity tables; the value is pinned per table in the
+    * sidecar at creation, so choose it then.
     *
     * Layout: `_bucket = pmod(xxhash64(keys), nBuckets)` as a partition
     * directory — the target scan prunes at the FileIndex (untouched
