@@ -28,6 +28,18 @@ object TextQueries {
     * See the q24 comment for the rationale. */
   private val jaccardDfCap = 128
 
+  /** Deterministic 0-99 hash band of doc_id — THE banding primitive
+    * for reproducible splits (q71) and mixtures (q75): a pure function
+    * of the key, identical on both engines, so assignments survive
+    * reshards, reruns, and engine swaps. Keep [[duckHashBand]] in
+    * byte-lockstep. */
+  private def hashBand100: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr(
+      "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+      .cast("long") % 100
+  private val duckHashBand =
+    "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
+
   /** Shared shingle CTE: distinct 3-word shingles per doc. */
   private val duckShingles =
     """t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks
@@ -452,13 +464,11 @@ object TextQueries {
     // Composing a training mix: each source stratum keeps a different
     // deterministic fraction (hash-banded per doc_id like q71, so the
     // mix is reproducible across engines, reshards, and reruns).
-    // Reports kept/total docs and kept token mass per source — the
-    // numbers a mixture designer actually balances.
+    // Reports kept/total docs and kept character mass per source —
+    // the numbers a mixture designer actually balances.
     "q75_mixture_sample" -> QuerySpec(
       build = (s, d) => {
-        val h = expr(
-          "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-          .cast("long") % 100
+        val h = hashBand100
         val rate = when(col("source").isin("src0", "src1", "src2", "src3",
             "src4"), lit(100))
           .when(col("source").isin("src5", "src6", "src7", "src8", "src9"),
@@ -475,14 +485,13 @@ object TextQueries {
               .otherwise(0L)).as("kept_chars"))
           .orderBy("source")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT source, count(*) AS n_docs,
                CAST(sum(kept) AS BIGINT) AS n_kept,
                CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
                  AS BIGINT) AS kept_chars
         FROM (SELECT source, n_chars,
-                CASE WHEN ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
-                       % 100 <
+                CASE WHEN $duckHashBand <
                      (CASE WHEN source IN ('src0','src1','src2','src3','src4')
                              THEN 100
                            WHEN source IN ('src5','src6','src7','src8','src9')
@@ -551,9 +560,7 @@ object TextQueries {
     // same assignment. Narrow per-row math + one partial-agg groupBy.
     "q71_hash_split" -> QuerySpec(
       build = (s, d) => {
-        val h = expr(
-          "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-          .cast("long") % 100
+        val h = hashBand100
         Tables.documents(s, d)
           .withColumn("split",
             when(h < 80, "train").when(h < 90, "val").otherwise("test"))
@@ -562,15 +569,13 @@ object TextQueries {
             sum(col("n_chars")).as("n_chars"))
           .orderBy("lang", "split")
       },
-      oracle = Some("""
+      oracle = Some(s"""
         SELECT lang,
                CASE WHEN h < 80 THEN 'train'
                     WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
                count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
-        FROM (SELECT lang, n_chars,
-                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
-                  AS h
+        FROM (SELECT lang, n_chars, $duckHashBand AS h
               FROM documents)
         GROUP BY 1, 2 ORDER BY lang, split""")),
 

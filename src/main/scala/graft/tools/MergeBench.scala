@@ -18,18 +18,18 @@ object MergeBench {
     val schema = StructType(Seq(
       StructField("id", IntegerType), StructField("k", StringType),
       StructField("v", StringType)))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    def parquets(root: String): Seq[java.io.File] =
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
     def dirBytes(root: String): (Long, Int) = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      val fs = walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+      val fs = parquets(root)
       (fs.map(_.length).sum, fs.length)
     }
-    def fileState(root: String): Map[String, Long] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getPath -> f.lastModified).toMap
-    }
+    def fileState(root: String): Map[String, Long] =
+      parquets(root).map(f => f.getPath -> f.lastModified).toMap
 
     val root = java.nio.file.Files.createTempDirectory("mergebench").toString
     val store = new SilverStore(spark, root)
@@ -54,6 +54,12 @@ object MergeBench {
     println(f"[mergebench] $batch-row batch: $secs%.2f s, rewrote " +
       f"${rewritten.size} files / $rewrittenBytes bytes " +
       f"(${rewrittenBytes * 100.0 / tableBytes}%.1f%% of table)")
+    // scratch data only — don't leave a 200k-row table per run in /tmp
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete()
+    }
+    deleteRec(new java.io.File(root))
     spark.stop()
   }
 }
