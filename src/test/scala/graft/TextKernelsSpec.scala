@@ -77,6 +77,25 @@ class TextKernelsSpec extends SparkSpec {
     inputs.foreach(s => assert(got(s) === expected(s), s"input='$s'"))
   }
 
+  test("explode_shingles generator == posexplode(word_shingles) on arbitrary text") {
+    graft.functions.GraftFunctions.register(spark)
+    for (k <- 1 to 3) {
+      val df = samples(texts, 100).toDF("text")
+        .withColumn("doc_id", monotonically_increasing_id())
+      df.createOrReplaceTempView("gen_prop_v")
+      val viaGen = spark.sql(
+        s"""SELECT doc_id, s.pos, s.shingle FROM gen_prop_v
+            LATERAL VIEW explode_shingles(ws_tokenize(text), $k) s
+              AS pos, shingle""")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val viaArr = df.select(col("doc_id"),
+          posexplode(graft.text.TextFunctions.shingles(col("text"), k))
+            .as(Seq("pos", "shingle")))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(viaGen === viaArr, s"k=$k")
+    }
+  }
+
   test("simhash16 kernel == explode + two-groupBy formulation") {
     val df = samples(texts, 200).toDF("text")
       .withColumn("doc_id", monotonically_increasing_id())
