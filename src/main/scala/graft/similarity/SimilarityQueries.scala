@@ -254,6 +254,129 @@ object SimilarityQueries {
       },
       bench = true),
 
+    // ── IVF with REAL k-means centroids (sample-trained Lloyd's) ───
+    // q29 uses "first 16 vectors" as centroids; this is the production
+    // build: train k=8 centroids on a deterministic sample (vec_id<64)
+    // with 2 Lloyd's iterations — assignment by r4-cosine argmax,
+    // update = element-wise mean (r4-rounded so both engines agree to
+    // the bit; empty clusters keep their previous centroid) — then
+    // assign the FULL corpus with the same narrow literal-argmax as
+    // q29 (zero shuffle), probe 2 lists, TopKPerKey rerank. Training
+    // cost is bounded by the sample (the standard IVF recipe); corpus
+    // cost is one scan.
+    "q76_ann_ivf_kmeans" -> QuerySpec(
+      build = (s, d) => {
+        val kC = 8
+        val e = Tables.embeddings(s, d)
+        val train = e.filter(col("vec_id") < 64)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+        def collectCents(rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Array[Double])] =
+          rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            .sortBy(_._1).toSeq
+        var cents: Seq[(Long, Array[Double])] = collectCents(
+          train.filter(col("vec_id") < kC).collect())
+
+        def centScoresD(cs: Seq[(Long, Array[Double])], v: Column): Column =
+          array(cs.map { case (cid, vec) =>
+            struct(graft.analytics.StableRound.r4(cosine(typedlit(vec), v)).as("c"),
+              lit(-cid).as("n"))
+          }: _*)
+
+        for (_ <- 1 to 2) {
+          val assigned = train.select(col("vec_id"), col("v"),
+            (-array_max(centScoresD(cents, col("v"))).getField("n")).as("cid"))
+          // element-wise mean per cluster, r4-rounded for cross-engine
+          // bit-stability; clusters that lost every member keep their
+          // previous centroid
+          val means = assigned
+            .select(col("cid"), posexplode(col("v")).as(Seq("idx", "x")))
+            .groupBy(col("cid"), col("idx"))
+            .agg(graft.analytics.StableRound.r4(avg(col("x"))).as("m"))
+            .groupBy(col("cid"))
+            .agg(array_sort(collect_list(struct(col("idx"), col("m")))).as("ims"))
+            .select(col("cid"), col("ims.m").as("vm"))
+            .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+          cents = cents.map { case (cid, old) =>
+            cid -> means.getOrElse(cid, old) }
+        }
+
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          (-array_max(centScoresD(cents, col("embedding"))).getField("n"))
+            .as("cid"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val probes = q.select(col("query_id"), col("qe"),
+            explode(slice(reverse(array_sort(centScoresD(cents, col("qe")))),
+              1, nProbe)).as("p"))
+          .select(col("query_id"), col("qe"), (-col("p.n")).as("cid"))
+        val cand = assigned.join(broadcast(probes), Seq("cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH train AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings
+                       WHERE vec_id < 64),
+        c0 AS (SELECT vec_id cid, v ce FROM train WHERE vec_id < 8),
+        a1 AS (SELECT vec_id, v, cid FROM (
+            SELECT t.vec_id, t.v, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY floor(list_cosine_similarity(c.ce, t.v)
+                  * 10000 + 0.5) / 10000 DESC, c.cid) rk
+            FROM train t CROSS JOIN c0 c) WHERE rk = 1),
+        m1 AS (SELECT cid, idx, floor(avg(x) * 10000 + 0.5) / 10000 m
+               FROM (SELECT cid, unnest(v) x,
+                       generate_subscripts(v, 1) idx FROM a1)
+               GROUP BY cid, idx),
+        c1 AS (SELECT c0.cid,
+                 coalesce(lm.vm, c0.ce) ce
+               FROM c0 LEFT JOIN (
+                 SELECT cid, list(m ORDER BY idx) vm FROM m1 GROUP BY cid) lm
+                 ON c0.cid = lm.cid),
+        a2 AS (SELECT vec_id, v, cid FROM (
+            SELECT t.vec_id, t.v, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY t.vec_id
+                ORDER BY floor(list_cosine_similarity(c.ce, t.v)
+                  * 10000 + 0.5) / 10000 DESC, c.cid) rk
+            FROM train t CROSS JOIN c1 c) WHERE rk = 1),
+        m2 AS (SELECT cid, idx, floor(avg(x) * 10000 + 0.5) / 10000 m
+               FROM (SELECT cid, unnest(v) x,
+                       generate_subscripts(v, 1) idx FROM a2)
+               GROUP BY cid, idx),
+        c2 AS (SELECT c1.cid,
+                 coalesce(lm.vm, c1.ce) ce
+               FROM c1 LEFT JOIN (
+                 SELECT cid, list(m ORDER BY idx) vm FROM m2 GROUP BY cid) lm
+                 ON c1.cid = lm.cid),
+        assigned AS (SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(c.ce,
+                  b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 DESC, c.cid) rk
+            FROM embeddings b CROSS JOIN c2 c) WHERE rk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (SELECT query_id, qe, cid FROM (
+            SELECT q.query_id, q.qe, c.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(c.ce,
+                  q.qe::DOUBLE[]) * 10000 + 0.5) / 10000 DESC, c.cid) prk
+            FROM q CROSS JOIN c2 c) WHERE prk <= $nProbe),
+        hits AS (
+          SELECT p.query_id, a.vec_id, floor(list_cosine_similarity(
+              p.qe::DOUBLE[], a.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
+          FROM assigned a JOIN probes p ON a.cid = p.cid
+          WHERE a.vec_id != p.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) rk FROM hits)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk""")),
+
     // ── int8 scalar quantization (embedding compression) ───────────
     // The storage/ANN-compression op of an embedding pipeline:
     // symmetric per-vector quantization to int8 (scale = amax/127),

@@ -74,8 +74,8 @@ class PlanSpec extends SparkSpec {
       "assignment must not cross-join the centroid table")
   }
 
-  test("q28/q54 rerank: TopKPerKey bounded heaps, not a row_number window") {
-    for (q <- Seq("q28_ann_bruteforce", "q54_ann_lsh")) {
+  test("q28/q54/q76 rerank: TopKPerKey bounded heaps, not a row_number window") {
+    for (q <- Seq("q28_ann_bruteforce", "q54_ann_lsh", "q76_ann_ivf_kmeans")) {
       val p = plan(q)
       assert(p.contains("TopKPerKey"), s"$q: rerank should plan through TopKPerKey")
       assert(!p.contains("Window"), s"$q: no window rerank expected:\n${p.take(1500)}")
