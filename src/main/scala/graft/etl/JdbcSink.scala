@@ -56,8 +56,13 @@ final class JdbcSink(spark: SparkSession, url: String,
     }
 
   /** Upsert `df` into `table` on `keys`. Creates the target on first
-    * use with an identity `idCol`. Matched rows update every non-key
-    * data column; unmatched insert (id assigned by the database). */
+    * use with a sequence-assigned `idCol` (an ANSI SEQUENCE rather
+    * than GENERATED ALWAYS AS IDENTITY: Derby's MERGE implementation
+    * NPEs on identity-column targets once the insert set exceeds a
+    * handful of rows — a Derby bug the sequence route sidesteps with
+    * identical semantics; Postgres speaks both). Matched rows update
+    * every non-key data column; unmatched insert with the next
+    * sequence value. */
   def upsert(table: String, df: DataFrame, keys: Seq[String],
              idCol: String): Unit = {
     val dataCols = df.columns.toSeq
@@ -83,14 +88,16 @@ final class JdbcSink(spark: SparkSession, url: String,
           .map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
         c.createStatement().execute(
           s"""CREATE TABLE $table (
-              ${q(idCol)} INTEGER NOT NULL GENERATED ALWAYS AS IDENTITY
-                PRIMARY KEY, $cols)""")
+              ${q(idCol)} INTEGER NOT NULL PRIMARY KEY, $cols)""")
+        c.createStatement().execute(
+          s"CREATE SEQUENCE seq_$table AS INTEGER START WITH 1")
       }
       val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
       val setCols = dataCols.filterNot(keys.contains)
       val set = setCols.map(cn => s"t.${q(cn)} = s.${q(cn)}").mkString(", ")
-      val insCols = dataCols.map(q).mkString(", ")
-      val insVals = dataCols.map(cn => s"s.${q(cn)}").mkString(", ")
+      val insCols = (idCol +: dataCols).map(q).mkString(", ")
+      val insVals = (s"NEXT VALUE FOR seq_$table" +:
+        dataCols.map(cn => s"s.${q(cn)}")).mkString(", ")
       val matched =
         if (setCols.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $set" else ""
       c.createStatement().execute(

@@ -407,6 +407,28 @@ class EtlSpec extends SparkSpec {
     assert(rows("3333333")._1 > 2, "insert takes a fresh identity id")
   }
 
+  test("JDBC sink handles a multi-partition bulk batch with update overlap") {
+    import spark.implicits._
+    val db = mkTmp("derby-bulk") + "/db"
+    val sink = new JdbcSink(spark, s"jdbc:derby:$db;create=true",
+      numPartitions = 4, batchSize = 500)
+    def batch(n: Int, tag: String) = (1 to n).toDF("i")
+      .select(concat(lit("bp"), col("i")).as("carrier_bp"),
+        concat(lit(tag), col("i")).as("carrier_name"))
+    sink.upsert("bulk_jdbc", batch(5000, "v1"), Seq("carrier_bp"), "id")
+    assert(sink.read("bulk_jdbc").count() === 5000)
+
+    // second batch updates bp2501..bp5000 and inserts bp5001..bp7500
+    val b2 = (2501 to 7500).toDF("i")
+      .select(concat(lit("bp"), col("i")).as("carrier_bp"),
+        concat(lit("v2"), col("i")).as("carrier_name"))
+    sink.upsert("bulk_jdbc", b2, Seq("carrier_bp"), "id")
+    val out = sink.read("bulk_jdbc")
+    assert(out.count() === 7500)
+    assert(out.filter(col("carrier_name").startsWith("v2")).count() === 5000)
+    assert(out.filter(col("carrier_name").startsWith("v1")).count() === 2500)
+  }
+
   test("typed Silver API: Dataset[T] views over the entity tables") {
     val dir = mkTmp("typed")
     val store = new SilverStore(spark, mkTmp("typed-silver"))
