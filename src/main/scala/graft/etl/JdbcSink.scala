@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
   * join instead of 10⁴ round-trips.
   *
   * Works against any MERGE-capable JDBC database; exercised in tests
-  * with embedded Derby (the only JDBC engine in this sandbox — the
-  * SQL is ANSI MERGE, which Postgres 15+ also speaks verbatim).
+  * with embedded Derby (the only JDBC engine in this sandbox). The
+  * MERGE statement itself is ANSI and Postgres 15+ speaks it verbatim;
+  * the first-use DDL sticks to spellings both engines accept (e.g.
+  * DOUBLE PRECISION), except sequence access — ANSI/Derby
+  * `NEXT VALUE FOR` vs Postgres `nextval()` — which a Postgres
+  * deployment would swap in the insert branch.
   * Surrogate ids come from a `GENERATED ... AS IDENTITY` column, the
   * JDBC twin of the reference's SERIAL.
   */
@@ -38,7 +42,9 @@ final class JdbcSink(spark: SparkSession, url: String,
     case StringType => "VARCHAR(1024)"
     case IntegerType => "INTEGER"
     case LongType => "BIGINT"
-    case DoubleType => "DOUBLE"
+    // DOUBLE PRECISION is the spelling both Derby and Postgres accept
+    // (bare DOUBLE is Derby-only)
+    case DoubleType => "DOUBLE PRECISION"
     case FloatType => "REAL"
     case BooleanType => "BOOLEAN"
     case DateType => "DATE"
@@ -63,10 +69,23 @@ final class JdbcSink(spark: SparkSession, url: String,
     * identical semantics; Postgres speaks both). Matched rows update
     * every non-key data column; unmatched insert with the next
     * sequence value. */
-  def upsert(table: String, df: DataFrame, keys: Seq[String],
+  def upsert(table: String, df0: DataFrame, keys: Seq[String],
              idCol: String): Unit = {
+    require(keys.forall(df0.columns.contains),
+      s"keys $keys not all in ${df0.columns.toSeq}")
+    // A set-based MERGE requires a source unique on the join keys
+    // (duplicates either raise a cardinality violation or insert
+    // duplicate natural keys, depending on the engine). The reference's
+    // row-by-row ON CONFLICT resolves intra-batch duplicates last-wins
+    // in file order — replicate that: `_row_id` (BronzeReader file
+    // order) when the batch carries it, else a batch ordinal.
+    val df =
+      if (df0.columns.contains("_row_id")) MergeOps.lastWins(df0, keys)
+      else MergeOps.lastWins(
+        df0.withColumn("_row_id",
+          org.apache.spark.sql.functions.monotonically_increasing_id()),
+        keys).drop("_row_id")
     val dataCols = df.columns.toSeq
-    require(keys.forall(dataCols.contains), s"keys $keys not all in $dataCols")
     val staging = s"stg_$table"
 
     // Spark's Derby dialect maps StringType to CLOB, which Derby cannot

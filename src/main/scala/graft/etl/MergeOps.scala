@@ -138,6 +138,11 @@ object MergeOps {
     def fullMax(df: DataFrame): Int =
       df.agg(coalesce(max(col(idCol)), lit(0))).collect()(0).getInt(0)
 
+    // heal any crash-orphaned aside dirs BEFORE reading the target: an
+    // unrepaired aside means a bucket's rows are invisible, and this
+    // merge would re-insert its keys with fresh surrogate ids
+    store.repairBuckets(table)
+
     val meta = store.readMeta(table)
     if (store.exists(table) && (!store.isBucketed(table) || meta.isEmpty)) {
       // full merge + atomic snapshot swap, two cases:
@@ -182,13 +187,20 @@ object MergeOps {
     // point can only leave the mark high (id gaps), never low
     // (id collisions)
     val tmp = store.stageBuckets(table, merged.withColumn(bcol, bucketOf(nb)))
-    val stagedMax = fullMax(
-      store.spark.read.schema(
-        org.apache.spark.sql.types.StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField(bcol,
-            org.apache.spark.sql.types.IntegerType, nullable = true)))
-        .parquet(tmp.toString))
-    store.writeMeta(table, math.max(maxId0, stagedMax), nb)
-    store.commitBuckets(table, tmp, touched)
+    try {
+      val stagedMax = fullMax(
+        store.spark.read.schema(
+          org.apache.spark.sql.types.StructType(schema.fields :+
+            org.apache.spark.sql.types.StructField(bcol,
+              org.apache.spark.sql.types.IntegerType, nullable = true)))
+          .parquet(tmp.toString))
+      store.writeMeta(table, math.max(maxId0, stagedMax), nb)
+      store.commitBuckets(table, tmp, touched)
+    } catch {
+      // commitBuckets deletes tmp on success; on any failure between
+      // staging and commit the staged copy would leak under _tmp
+      // forever (live buckets stay consistent, so it is safe to drop)
+      case e: Throwable => store.discardStaged(tmp); throw e
+    }
   }
 }

@@ -89,7 +89,13 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     *
     * Each bucket swaps via rename-aside (old dir is moved aside, new
     * renamed in, aside deleted; a failed rename-in restores the aside)
-    * so no failure mode leaves a bucket with its data deleted.
+    * so no IN-PROCESS failure mode leaves a bucket with its data
+    * deleted. A PROCESS CRASH between the aside-rename and the
+    * rename-in leaves the bucket's only copy in the dot-prefixed aside
+    * dir — invisible to parquet readers until [[repairBuckets]] (run at
+    * the start of every bucketed merge) restores it; with a
+    * single-writer merge discipline the window therefore closes before
+    * the next merge can re-insert the bucket's keys.
     * Atomicity is PER BUCKET: a concurrent reader can see bucket A new
     * while bucket B is still old. That is the reference's own
     * consistency unit — its per-row `INSERT ... ON CONFLICT`
@@ -118,6 +124,57 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     f.delete(tmp, true)
     invalidate(table)
   }
+
+  /** Repair the [[commitBuckets]] crash window: a process death between
+    * the aside-rename and the rename-in strands the bucket's only copy
+    * in `.{_bucket=N}-old`. For each orphaned aside dir: live bucket
+    * missing → restore the aside (old data comes back; the interrupted
+    * merge re-runs later); live bucket present → the swap completed
+    * and only the aside-delete was lost → drop the aside. Idempotent;
+    * MergeOps.mergeBucketed calls it before every merge. */
+  def repairBuckets(table: String): Int = {
+    val live = tablePath(table)
+    val f = fs
+    if (!f.exists(live)) return 0
+    var repaired = 0
+    f.listStatus(live).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(s".$bucketCol=") && name.endsWith("-old")) {
+        val dst = new Path(live, name.stripPrefix(".").stripSuffix("-old"))
+        if (!f.exists(dst)) {
+          if (!f.rename(st.getPath, dst))
+            throw new java.io.IOException(
+              s"aside restore failed for $table/$name")
+        } else f.delete(st.getPath, true)
+        repaired += 1
+        invalidate(table)
+      }
+    }
+    repaired
+  }
+
+  /** Discard a staged-but-uncommitted write (failure cleanup): live
+    * buckets are consistent per bucket, so the staged copy is never
+    * the only copy of anything. */
+  def discardStaged(tmp: Path): Unit =
+    try fs.delete(tmp, true) catch { case _: Exception => () }
+
+  /** Sweep stale entries under `root/_tmp`: a crash between staging
+    * and commit leaks the whole staged dataset there. Only entries
+    * older than `olderThanMs` go (a fresh entry may belong to an
+    * in-flight writer). Run on store construction. */
+  def sweepTmp(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val tmpRoot = new Path(root, "_tmp")
+    val f = fs
+    if (!f.exists(tmpRoot)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val stale = f.listStatus(tmpRoot).filter(_.getModificationTime < cutoff)
+      stale.foreach(st => f.delete(st.getPath, true))
+      stale.length
+    }
+  }
+  sweepTmp()
 
   /** Sidecar for bucketed tables: the surrogate-id high-water mark
     * (avoids a full-table id scan per merge batch) and the bucket

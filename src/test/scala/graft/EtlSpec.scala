@@ -429,6 +429,89 @@ class EtlSpec extends SparkSpec {
     assert(out.filter(col("carrier_name").startsWith("v1")).count() === 2500)
   }
 
+  test("JDBC sink resolves intra-batch duplicate keys last-wins") {
+    import spark.implicits._
+    val db = mkTmp("derby-dup") + "/db"
+    val sink = new JdbcSink(spark, s"jdbc:derby:$db;create=true")
+    // duplicate natural keys within one batch: the reference's
+    // row-by-row ON CONFLICT makes the LAST file row win — `_row_id`
+    // carries file order into the set-based MERGE. The double column
+    // also exercises the DOUBLE PRECISION DDL spelling.
+    sink.upsert("dup_jdbc",
+      Seq(("bp1", "first", 1.5, 1L), ("bp2", "only", 2.5, 2L),
+        ("bp1", "last", 9.5, 3L))
+        .toDF("carrier_bp", "carrier_name", "score", "_row_id"),
+      Seq("carrier_bp"), "id")
+    val rows = sink.read("dup_jdbc").collect()
+      .map(r => r.getAs[String]("carrier_bp") ->
+        (r.getAs[String]("carrier_name"), r.getAs[Double]("score"))).toMap
+    assert(rows.size === 2)
+    assert(rows("bp1") === (("last", 9.5)))
+    assert(rows("bp2") === (("only", 2.5)))
+
+    // without _row_id the sink still dedups (batch-ordinal fallback)
+    sink.upsert("dup2_jdbc",
+      Seq(("x", "a"), ("x", "b")).toDF("k", "v"), Seq("k"), "id")
+    assert(sink.read("dup2_jdbc").count() === 1)
+  }
+
+  test("bucketed merge repairs a crash-orphaned aside bucket dir") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = new SilverStore(spark, mkTmp("silver-aside"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("k", StringType),
+      StructField("v", StringType)))
+    def src(rows: (String, String)*) = rows.toDF("k", "v")
+    MergeOps.mergeBucketed(store, "t", schema,
+      src((1 to 40).map(i => s"k$i" -> s"v$i"): _*), Seq("k"), "id", Seq("v"))
+    val ids0 = store.read("t", schema).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    // simulate a crash between aside-rename and rename-in: the live
+    // bucket dir exists only as its dot-prefixed aside
+    val tdir = new java.io.File(store.root, "t")
+    val bucket = tdir.listFiles().find(_.getName.startsWith("_bucket=")).get
+    val aside = new java.io.File(tdir, "." + bucket.getName + "-old")
+    assert(bucket.renameTo(aside))
+    val visible = store.read("t", schema).count()
+    assert(visible < 40, "orphaned bucket rows must be invisible pre-repair")
+
+    // the next merge heals FIRST, so the orphaned keys are seen again:
+    // full row count restored, updated key keeps its surrogate id,
+    // nothing re-inserted under a fresh id
+    MergeOps.mergeBucketed(store, "t", schema, src("k3" -> "v3x"),
+      Seq("k"), "id", Seq("v"))
+    val rows = store.read("t", schema).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("v"), r.getAs[Int]("id")))
+    assert(rows.length === 40, s"repair must restore all rows: ${rows.length}")
+    assert(rows.map(_._3).distinct.length === 40, "no duplicate surrogate ids")
+    assert(rows.find(_._1 == "k3").get._2 === "v3x")
+    rows.foreach { case (k, _, id) => assert(id === ids0(k), s"id churn for $k") }
+
+    // completed-swap shape: aside left behind NEXT TO a live bucket
+    // (crash after rename-in, before aside delete) is just dropped
+    val b2 = tdir.listFiles().find(_.getName.startsWith("_bucket=")).get
+    val stray = new java.io.File(tdir, "." + b2.getName + "-old")
+    assert(stray.mkdir())
+    assert(store.repairBuckets("t") === 1)
+    assert(!stray.exists())
+    assert(store.read("t", schema).count() === 40)
+  }
+
+  test("stale staged copies under _tmp are swept on store construction") {
+    val root = mkTmp("silver-sweep")
+    new SilverStore(spark, root) // creates nothing; sweep is a no-op
+    val stale = new java.io.File(root, "_tmp/t-stale")
+    val fresh = new java.io.File(root, "_tmp/t-fresh")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    Files.writeString(Paths.get(stale.getPath, "part-0.parquet"), "x")
+    assert(stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+    new SilverStore(spark, root)
+    assert(!stale.exists(), "entry older than the horizon must be swept")
+    assert(fresh.exists(), "a fresh entry may belong to an in-flight writer")
+  }
+
   test("typed Silver API: Dataset[T] views over the entity tables") {
     val dir = mkTmp("typed")
     val store = new SilverStore(spark, mkTmp("typed-silver"))
