@@ -17,6 +17,7 @@ object SparkEntry {
     graft.analytics.TypedQueries.queries ++
     graft.analytics.EventQueries.queries ++
     graft.text.TextQueries.queries ++
+    graft.text.CurationQueries.queries ++
     graft.similarity.SimilarityQueries.queries ++
     graft.multimodal.MediaQueries.queries
 

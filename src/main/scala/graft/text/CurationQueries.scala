@@ -1,0 +1,286 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analytics.{QuerySpec, StableRound, Tables}
+import TextFunctions._
+
+/** Data-curation operators for LLM training pipelines, on top of the
+  * text surface in [[TextQueries]]: benchmark decontamination, PII
+  * scrubbing, token-budget sequence packing, count-based bigram LM
+  * statistics, and exact length percentiles.
+  *
+  * Same contract as the rest of the query surface: every operator is a
+  * composition of codegen'd built-ins + the native text kernels, each
+  * with a DuckDB oracle that replicates it bit-for-bit (md5-derived
+  * hash bands, [[StableRound]] on doubles).
+  *
+  * The reference has no analytics surface (it is a row-at-a-time ETL,
+  * see SURVEY §2.K); these extend the engine toward the BASELINE north
+  * star the same way TextQueries q20-q27 do.
+  */
+object CurationQueries {
+
+  import TextQueries.{hashBand100, duckHashBand}
+
+  // PII patterns, spelled to mean the same thing under Java regex
+  // (Spark) and RE2 (DuckDB): explicit character classes, no
+  // lookaround, no backreferences.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+[0-9][0-9 ]{6,}[0-9]"
+
+  /** Redact emails and phone numbers; the building block q78 audits. */
+  def scrubPii(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+
+  /** Shared DuckDB fragment: tokenized non-null documents. */
+  private val duckToks =
+    """SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks
+      |FROM documents WHERE text IS NOT NULL""".stripMargin
+
+  val queries: Map[String, QuerySpec] = Map(
+
+    // ── benchmark decontamination (test-set overlap) ───────────────
+    // The canonical pre-training hygiene step: drop training documents
+    // that share long n-grams with an evaluation set. The "benchmark"
+    // here is the deterministic 3% hash-band slice of the corpus (the
+    // same banding primitive as the q71 splits), the overlap unit a
+    // 5-word shingle.
+    //
+    // Scale shape: the benchmark side is small BY CONSTRUCTION (an
+    // eval suite is a few thousand documents), so its distinct-shingle
+    // set broadcasts; the corpus side is one narrow shingle explode +
+    // one broadcast hash join + one partial-agg groupBy — the corpus
+    // is never shuffled by value. Output is per (source, contaminated)
+    // so the row count depends on the join's findings (honest under
+    // count()-style consumers).
+    "q77_decontaminate" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("band", hashBand100)
+        val benchShingles = docs.filter(col("band") < 3)
+          .select(explode(array_distinct(shingles(col("text"), 5))).as("sh"))
+          .distinct()
+        val corpus = docs.filter(col("band") >= 3)
+        val hits = corpus
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("text"), 5))).as("sh"))
+          .join(broadcast(benchShingles), Seq("sh"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        corpus.select(col("doc_id"), col("source"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+          .groupBy(col("source"),
+            (col("n_hit") > 0).cast("int").as("contaminated"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_hit")).as("total_hits"))
+          .orderBy("source", "contaminated")
+      },
+      oracle = Some(s"""
+        WITH docs AS (
+          SELECT doc_id, source, text, $duckHashBand AS band
+          FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, source, band,
+                  string_split_regex(trim(text), '\\s+') toks FROM docs),
+        sh AS (SELECT doc_id, source, band, unnest(list_distinct(
+                 list_transform(
+                   generate_series(1, greatest(len(toks)-4, 0)),
+                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                        || ' ' || toks[i+3] || ' ' || toks[i+4]))) s
+               FROM tok),
+        bench AS (SELECT DISTINCT s FROM sh WHERE band < 3),
+        hits AS (SELECT doc_id, count(*) n_hit
+                 FROM (SELECT doc_id, s FROM sh WHERE band >= 3) c
+                 JOIN bench USING (s) GROUP BY 1),
+        perdoc AS (
+          SELECT d.source, coalesce(h.n_hit, 0) n_hit
+          FROM (SELECT doc_id, source FROM docs WHERE band >= 3) d
+          LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        SELECT source,
+               CAST(CASE WHEN n_hit > 0 THEN 1 ELSE 0 END AS INTEGER)
+                 AS contaminated,
+               count(*) AS n_docs, CAST(sum(n_hit) AS BIGINT) AS total_hits
+        FROM perdoc GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true),
+
+    // ── PII scrubbing audit ────────────────────────────────────────
+    // Redaction as a per-row narrow transform (two regexp_replace
+    // passes — codegen'd, no shuffle; streams at scan speed at 100 TB).
+    // The synthetic corpus carries no organic PII, so the query plants
+    // deterministic emails/phones into hash-banded slices first, then
+    // proves the scrubber removes exactly what was planted
+    // (n_residual must come back 0 for every source).
+    "q78_pii_scrub" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("band", hashBand100)
+        val planted = docs.withColumn("t",
+          concat(col("text"),
+            when(col("band") < 30,
+              concat(lit(" contacto doc"), col("doc_id"),
+                lit("@mail.example.com")))
+            .when(col("band") < 50,
+              concat(lit(" llame +56 9 "),
+                lpad(pmod(col("doc_id"), lit(100000000)).cast("string"),
+                  8, "0")))
+            .otherwise(lit(""))))
+        planted
+          .withColumn("n_email", regexp_count(col("t"), lit(emailRe)))
+          .withColumn("n_phone", regexp_count(col("t"), lit(phoneRe)))
+          .withColumn("scrubbed", scrubPii(col("t")))
+          .withColumn("n_residual",
+            regexp_count(col("scrubbed"), lit(emailRe)) +
+            regexp_count(col("scrubbed"), lit(phoneRe)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_email")).cast("long").as("emails_redacted"),
+            sum(col("n_phone")).cast("long").as("phones_redacted"),
+            sum(col("n_residual")).cast("long").as("n_residual"),
+            sum(length(col("t")) - length(col("scrubbed")))
+              .cast("long").as("chars_delta"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH planted AS (
+          SELECT source, text ||
+            CASE WHEN band < 30
+                   THEN ' contacto doc' || doc_id::VARCHAR
+                        || '@mail.example.com'
+                 WHEN band < 50
+                   THEN ' llame +56 9 '
+                        || lpad((doc_id % 100000000)::VARCHAR, 8, '0')
+                 ELSE '' END AS t
+          FROM (SELECT doc_id, source, text, $duckHashBand AS band
+                FROM documents WHERE text IS NOT NULL)),
+        m AS (
+          SELECT source, t,
+            regexp_replace(regexp_replace(t, '$emailRe', '<EMAIL>', 'g'),
+              '$phoneRe', '<PHONE>', 'g') AS scrubbed,
+            len(regexp_extract_all(t, '$emailRe')) n_email,
+            len(regexp_extract_all(t, '$phoneRe')) n_phone
+          FROM planted)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+               CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+               CAST(sum(len(regexp_extract_all(scrubbed, '$emailRe'))
+                 + len(regexp_extract_all(scrubbed, '$phoneRe')))
+                 AS BIGINT) AS n_residual,
+               CAST(sum(length(t) - length(scrubbed)) AS BIGINT)
+                 AS chars_delta
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // ── token-budget sequence packing ──────────────────────────────
+    // Pre-training batches want documents packed into fixed token
+    // budgets. Deterministic streaming packing: within each source,
+    // documents in doc_id order are assigned to the 512-token bin
+    // their cumulative token count STARTS in (a document crossing a
+    // boundary spills into its starting bin — the standard greedy
+    // variant that is pure window arithmetic, so it needs exactly one
+    // shuffle on the partition key and replays identically on both
+    // engines and any cluster size).
+    "q79_pack_chunks" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            token_count(col("text")).as("n_tok"))
+          .withColumn("bin",
+            floor((sum(col("n_tok")).over(w) - col("n_tok")) / lit(512))
+              .cast("long"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok")).cast("long").as("n_tokens"))
+          .orderBy("source", "bin")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        c AS (SELECT source,
+                CAST(floor((sum(len(toks)) OVER (PARTITION BY source
+                    ORDER BY doc_id) - len(toks)) / 512) AS BIGINT) AS bin,
+                len(toks) AS n_tok
+              FROM t)
+        SELECT source, bin, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+      bench = true),
+
+    // ── count-based bigram LM statistics ───────────────────────────
+    // The classic n-gram table behind perplexity-style quality
+    // scoring: for every head token seen >= 100 times as a bigram
+    // head, its most likely continuation and that continuation's
+    // conditional probability (ties broken lexicographically).
+    // Shape: one shingle(k=2) explode, a two-level partial-agg
+    // groupBy, then ONE window shuffle on `head` shared by the total
+    // and the argmax rank. Vocabulary-sized output — bounded no
+    // matter the corpus size.
+    "q80_bigram_lm" -> QuerySpec(
+      build = (s, d) => {
+        val bi = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(explode(shingles(col("text"), 2)).as("sh"))
+          .select(split(col("sh"), " ").getItem(0).as("head"),
+            split(col("sh"), " ").getItem(1).as("next_tok"))
+        val cnt = bi.groupBy(col("head"), col("next_tok"))
+          .agg(count(lit(1)).as("cnt"))
+        val part = Window.partitionBy(col("head"))
+        cnt
+          .withColumn("head_total", sum(col("cnt")).over(part))
+          .withColumn("rn", row_number().over(
+            part.orderBy(col("cnt").desc, col("next_tok").asc)))
+          .filter(col("rn") === 1 && col("head_total") >= 100)
+          .select(col("head"), col("head_total").cast("long").as("head_total"),
+            col("next_tok").as("top_next"), col("cnt").cast("long").as("top_cnt"),
+            StableRound.r4(col("cnt").cast("double") / col("head_total"))
+              .as("prob"))
+          .orderBy("head")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        bi AS (SELECT unnest(list_transform(
+                 generate_series(1, greatest(len(toks)-1, 0)),
+                 i -> [toks[i], toks[i+1]])) AS pr FROM t),
+        cnt AS (SELECT pr[1] head, pr[2] next_tok, count(*) cnt
+                FROM bi GROUP BY 1, 2),
+        r AS (SELECT head, next_tok, cnt,
+                sum(cnt) OVER (PARTITION BY head) head_total,
+                row_number() OVER (PARTITION BY head
+                  ORDER BY cnt DESC, next_tok) rn
+              FROM cnt)
+        SELECT head, CAST(head_total AS BIGINT) AS head_total,
+               next_tok AS top_next, CAST(cnt AS BIGINT) AS top_cnt,
+               ${StableRound.sql4("cnt * 1.0 / head_total")} AS prob
+        FROM r WHERE rn = 1 AND head_total >= 100 ORDER BY head""")),
+
+    // ── exact length percentiles ───────────────────────────────────
+    // Exact per-source p50/p90/p99 of document length — the profiling
+    // twin of q50's sketched percentiles. Exact percentile buffers a
+    // group's values, so this is the small-group/profiling path; at
+    // 100 TB fact scale the approx_percentile in q50 is the operator
+    // of record (same split as q15/q36 exact vs sketched distincts).
+    "q81_length_percentiles" -> QuerySpec(
+      build = (s, d) => {
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            percentile(col("n_chars"), lit(0.5)).as("p50_raw"),
+            percentile(col("n_chars"), lit(0.9)).as("p90_raw"),
+            percentile(col("n_chars"), lit(0.99)).as("p99_raw"))
+          .select(col("source"), col("n_docs"),
+            col("min_chars"), col("max_chars"),
+            StableRound.r4(col("p50_raw")).as("p50"),
+            StableRound.r4(col("p90_raw")).as("p90"),
+            StableRound.r4(col("p99_raw")).as("p99"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        SELECT source, count(*) AS n_docs,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+               ${StableRound.sql4("quantile_cont(n_chars, 0.5)")} AS p50,
+               ${StableRound.sql4("quantile_cont(n_chars, 0.9)")} AS p90,
+               ${StableRound.sql4("quantile_cont(n_chars, 0.99)")} AS p99
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}

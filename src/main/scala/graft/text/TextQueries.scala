@@ -33,11 +33,11 @@ object TextQueries {
     * of the key, identical on both engines, so assignments survive
     * reshards, reruns, and engine swaps. Keep [[duckHashBand]] in
     * byte-lockstep. */
-  private def hashBand100: org.apache.spark.sql.Column =
+  private[text] def hashBand100: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
       .cast("long") % 100
-  private val duckHashBand =
+  private[text] val duckHashBand =
     "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
   /** Shared shingle CTE: distinct 3-word shingles per doc. */

@@ -1,0 +1,120 @@
+package graft
+
+import graft.text.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Unit + invariant tests for the curation operators (q77-q81); the
+  * cross-engine value checks live in their DuckDB oracles. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def run(name: String) =
+    CurationQueries.queries(name).build(spark, sf)
+
+  test("scrubPii redacts emails and phones, leaves clean text alone") {
+    val rows = Seq(
+      "write to maria.lopez+spam@sub.example.org today",
+      "call +56 9 8765 4321 or +1 415 555 0000 now",
+      "mixed a@b.co and +12 3456 789 here",
+      "nothing sensitive in this sentence 42")
+      .toDF("t").select(CurationQueries.scrubPii($"t").as("s"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "write to <EMAIL> today")
+    assert(rows(1) == "call <PHONE> or <PHONE> now")
+    assert(rows(2) == "mixed <EMAIL> and <PHONE> here")
+    assert(rows(3) == "nothing sensitive in this sentence 42")
+  }
+
+  test("q78 scrub audit: everything planted is redacted, residual zero") {
+    val out = run("q78_pii_scrub").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_residual") === 0L,
+        s"residual PII for ${r.getAs[String]("source")}")
+    }
+    // bands 0-29 plant emails, 30-49 phones: both classes must appear
+    assert(out.map(_.getAs[Long]("emails_redacted")).sum > 0)
+    assert(out.map(_.getAs[Long]("phones_redacted")).sum > 0)
+  }
+
+  test("q79 packing bins reproduce a sequential reference packing") {
+    // collect one source's (doc_id, n_tok) stream and replay the
+    // packing rule sequentially; the window formulation must agree
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull && col("source") === "src3")
+      .select(col("doc_id"),
+        graft.text.TextFunctions.token_count(col("text")).as("n_tok"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assert(docs.length > 10)
+    var cum = 0L
+    val expected = scala.collection.mutable.Map[Long, (Long, Long)]()
+    docs.foreach { case (_, n) =>
+      val bin = cum / 512 // bin the doc STARTS in
+      val (c, t) = expected.getOrElse(bin, (0L, 0L))
+      expected(bin) = (c + 1, t + n)
+      cum += n
+    }
+    val got = run("q79_pack_chunks").filter(col("source") === "src3")
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(got === expected.toMap)
+  }
+
+  test("q80 bigram argmax matches a recomputed count table") {
+    val toks = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(graft.text.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(_.getAs[scala.collection.Seq[String]]("t").toSeq)
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    toks.foreach(ts => ts.sliding(2).foreach {
+      case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+      case _ =>
+    })
+    val byHead = counts.groupBy(_._1._1)
+    val out = run("q80_bigram_lm").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val head = r.getAs[String]("head")
+      val hc = byHead(head)
+      assert(r.getAs[Long]("head_total") === hc.values.sum)
+      // argmax with lexicographic tiebreak
+      val best = hc.toSeq.map { case ((_, nx), c) => (nx, c) }
+        .sortBy { case (nx, c) => (-c, nx) }.head
+      assert((r.getAs[String]("top_next"), r.getAs[Long]("top_cnt")) === best)
+    }
+    // and every head above threshold is present
+    assert(out.length ===
+      byHead.count(_._2.values.sum >= 100))
+  }
+
+  test("q77 decontamination accounting is complete and disjoint") {
+    val out = run("q77_decontaminate").collect()
+    val corpus = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .filter(expr(
+        "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+        .cast("long") % 100 >= 3)
+      .count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === corpus,
+      "every corpus doc lands in exactly one (source, flag) cell")
+    out.foreach { r =>
+      val cont = r.getAs[Int]("contaminated")
+      assert(cont == 0 || cont == 1)
+      if (cont == 0) assert(r.getAs[Long]("total_hits") === 0L)
+      else assert(r.getAs[Long]("total_hits") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q81 exact percentiles bracket min/max and are ordered") {
+    val out = run("q81_length_percentiles").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_chars"), r.getAs[Long]("max_chars"))
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
+}

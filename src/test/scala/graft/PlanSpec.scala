@@ -116,6 +116,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"LSH path must be join-free:\n${p.take(1500)}")
   }
 
+  test("q77 decontamination: benchmark shingle set broadcasts, corpus never shuffled by value") {
+    val p = plan("q77_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark shingles (eval-suite-sized) must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join: the corpus side must not shuffle on shingle")
+  }
+
+  test("q79 packing: exactly one exchange feeds both the window and the groupBy") {
+    val p = plan("q79_pack_chunks")
+    // window partitions by source; the groupBy(source, bin) reuses that
+    // partitioning (hashpartitioning(source) clusters (source, bin)),
+    // so the whole query needs ONE hash exchange — the only other
+    // exchange is the rangepartitioning of the final presentation sort
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"expected 1 hash exchange, got $hashEx:\n" +
+      p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
