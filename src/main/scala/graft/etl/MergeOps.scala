@@ -110,7 +110,8 @@ object MergeOps {
     * rewrites ~50% of the table, against 512 buckets ~4%. Pick
     * nBuckets ≫ the typical batch's distinct-key count AND so one
     * bucket ≈ 128-256 MB at expected table volume (10⁴ buckets for a
-    * TB-scale entity table). The default 32 suits THIS reference's
+    * TB-scale entity table) — [[suggestBuckets]] mechanizes exactly
+    * this trade. The default 32 suits THIS reference's
     * catalog-sized entity tables; the value is pinned per table in the
     * sidecar at creation, so choose it then.
     *
@@ -125,6 +126,35 @@ object MergeOps {
     * Atomicity is per bucket — the same consistency unit as the
     * reference's per-row transactions (see SilverStore.overwriteBuckets).
     */
+  /** Bucket-count sizing for [[mergeBucketed]], mechanizing the
+    * measured model (tools/MergeBench, SURVEY §8): a merge rewrites
+    * ~min(batchKeys, nBuckets) buckets, so the rewrite fraction is
+    * ≈ batchKeys/nBuckets — and a bucket should hold roughly
+    * `targetBucketBytes` at the expected table volume so commit units
+    * stay HDFS-block-sized. Takes whichever pressure demands more
+    * buckets, rounds up to a power of two (stable as estimates drift),
+    * and floors at 32. The count is pinned in the table sidecar at
+    * creation — call this when CREATING a table, with the volume you
+    * expect it to reach, not the volume it starts at. */
+  def suggestBuckets(expectedTableBytes: Long,
+                     typicalBatchKeys: Long = 1000,
+                     targetBucketBytes: Long = 192L << 20,
+                     maxRewriteFraction: Double = 0.05,
+                     minBucketBytes: Long = 4L << 20): Int = {
+    require(expectedTableBytes >= 0 && typicalBatchKeys >= 0)
+    require(targetBucketBytes > 0 && maxRewriteFraction > 0 && minBucketBytes > 0)
+    val bySize = expectedTableBytes.toDouble / targetBucketBytes
+    // rewrite amplification only matters while buckets stay above
+    // minBucketBytes: a small table rewriting half its (small) self is
+    // cheaper than shattering into thousands of tiny files
+    val byRewrite = math.min(typicalBatchKeys / maxRewriteFraction,
+      expectedTableBytes.toDouble / minBucketBytes)
+    val n = math.max(32.0, math.max(bySize, byRewrite))
+    val capped = math.min(n, (1 << 20).toDouble).ceil.toInt
+    if (Integer.bitCount(capped) == 1) capped
+    else Integer.highestOneBit(capped) * 2
+  }
+
   def mergeBucketed(store: SilverStore, table: String,
                     schema: org.apache.spark.sql.types.StructType,
                     source: DataFrame, keys: Seq[String], idCol: String,

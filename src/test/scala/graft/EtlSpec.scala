@@ -499,6 +499,26 @@ class EtlSpec extends SparkSpec {
     assert(store.read("t", schema).count() === 40)
   }
 
+  test("suggestBuckets balances bucket size against rewrite amplification") {
+    import MergeOps.suggestBuckets
+    // catalog-sized table: the floor wins (a 10 MB table must not
+    // shatter into hundreds of files to chase a rewrite fraction)
+    assert(suggestBuckets(10L << 20, typicalBatchKeys = 20) === 32)
+    // 1 TB at ~192 MB/bucket needs ~5461 -> next pow2 (rewrite
+    // pressure at 20-key batches asks for only 400)
+    assert(suggestBuckets(1L << 40, typicalBatchKeys = 20) === 8192)
+    // 1000-key batches at <=5% rewrite demand 20000 buckets once the
+    // table is big enough to afford them
+    assert(suggestBuckets(1L << 40, typicalBatchKeys = 1000) === 32768)
+    // ...but a 1 GB table caps at 4 MB buckets (256) first
+    assert(suggestBuckets(1L << 30, typicalBatchKeys = 1000) === 256)
+    // always a power of two, monotone in volume
+    val ns = Seq(1L << 28, 1L << 32, 1L << 36, 1L << 40, 1L << 44)
+      .map(suggestBuckets(_, typicalBatchKeys = 0))
+    assert(ns.forall(n => Integer.bitCount(n) == 1))
+    assert(ns === ns.sorted)
+  }
+
   test("stale staged copies under _tmp are swept on store construction") {
     val root = mkTmp("silver-sweep")
     new SilverStore(spark, root) // creates nothing; sweep is a no-op

@@ -416,4 +416,71 @@ class StreamingSpec extends SparkSpec {
       r.getDouble(2) == 3.0))
     q.stop()
   }
+
+  test("streaming near-dup suppresses LSH collisions within and across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+
+    val src = tmp("nd-src")
+    val ckpt = tmp("nd-ckpt")
+    val state = tmp("nd-state")
+    val kept = tmp("nd-kept")
+
+    // every token carries the doc index so distinct docs share ZERO
+    // shingles (the template words alone would make everything a
+    // legitimate near-dup of everything)
+    def sentence(i: Int) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1)
+        .write.mode("overwrite").parquet(s"$src/$name")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def run(): Unit = {
+      val docs = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      StreamingNearDup.runAvailableNow(docs, ckpt, state, kept)
+        .awaitTermination()
+    }
+
+    // batch 1: ten originals + doc 11 an exact near-dup of doc 1
+    // (identical text -> identical signature -> every band collides)
+    writeBatch("b1", (1L to 10L).map(i => i -> sentence(i.toInt))
+      :+ (11L -> sentence(1)))
+    run()
+    val kept1 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept1.toSeq === (1L to 10L), s"in-batch dup must drop: ${kept1.toSeq}")
+
+    // batch 2: doc 21 duplicates doc 2 (previous batch -> registered
+    // bucket hit), doc 22 is fresh
+    writeBatch("b2", Seq(21L -> sentence(2), 22L -> sentence(22)))
+    run()
+    val kept2 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq === ((1L to 10L) :+ 22L),
+      s"cross-batch dup must drop, fresh doc must survive: ${kept2.toSeq}")
+
+    // replaying with the same checkpoint is a no-op (exactly-once)
+    run()
+    assert(spark.read.parquet(kept).count() === 11)
+
+    // the streamed result equals the batch q25 rule on the full corpus
+    val all = ((1L to 10L).map(i => i -> sentence(i.toInt))
+      :+ (11L -> sentence(1)) :+ (21L -> sentence(2)) :+ (22L -> sentence(22)))
+      .toDF("doc_id", "text")
+    val removedBatch = StreamingNearDup.bandBuckets(all)
+      .groupBy(col("band"), col("ha"), col("hb"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(slice(col("docs"), 2, Int.MaxValue)).as("doc_id"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(kept2.toSet === all.select("doc_id").collect()
+      .map(_.getLong(0)).toSet -- removedBatch,
+      "streamed kept set must equal the one-shot batch rule")
+  }
 }
