@@ -77,14 +77,24 @@ final class JdbcSink(spark: SparkSession, url: String,
     // (duplicates either raise a cardinality violation or insert
     // duplicate natural keys, depending on the engine). The reference's
     // row-by-row ON CONFLICT resolves intra-batch duplicates last-wins
-    // in file order — replicate that: `_row_id` (BronzeReader file
-    // order) when the batch carries it, else a batch ordinal.
-    val df =
-      if (df0.columns.contains("_row_id")) MergeOps.lastWins(df0, keys)
-      else MergeOps.lastWins(
-        df0.withColumn("_row_id",
-          org.apache.spark.sql.functions.monotonically_increasing_id()),
-        keys).drop("_row_id")
+    // in file order — replicate that with `_row_id` (BronzeReader file
+    // order) when the batch carries it. Without one there IS no file
+    // order, so the winner is the row with the greatest hashed value —
+    // arbitrary but DETERMINISTIC across reruns and partition layouts
+    // (a partition-dependent ordinal like monotonically_increasing_id
+    // would pick a different winner per replay and break idempotence).
+    // `_row_id` is dedup metadata either way, never a target column.
+    val df = {
+      val ordered =
+        if (df0.columns.contains("_row_id")) df0
+        else {
+          import org.apache.spark.sql.functions.{col, xxhash64}
+          val nonKey = df0.columns.filterNot(keys.contains)
+          df0.withColumn("_row_id",
+            xxhash64((keys ++ nonKey).map(col).toIndexedSeq: _*))
+        }
+      MergeOps.lastWins(ordered, keys).drop("_row_id")
+    }
     val dataCols = df.columns.toSeq
     val staging = s"stg_$table"
 

@@ -170,8 +170,12 @@ object MergeOps {
 
     // heal any crash-orphaned aside dirs BEFORE reading the target: an
     // unrepaired aside means a bucket's rows are invisible, and this
-    // merge would re-insert its keys with fresh surrogate ids
+    // merge would re-insert its keys with fresh surrogate ids.
+    // Also reap day-old staged leftovers — safe here (and only here)
+    // because merges are single-writer: nothing else can have an
+    // in-flight staging on this root
     store.repairBuckets(table)
+    store.sweepTmp()
 
     val meta = store.readMeta(table)
     if (store.exists(table) && (!store.isBucketed(table) || meta.isEmpty)) {

@@ -104,6 +104,13 @@ final class SilverStore(val spark: SparkSession, val root: String) {
     * whole-table snapshot swap is required. */
   def commitBuckets(table: String, tmp: Path, buckets: Seq[Int]): Unit = {
     val f = fs
+    // the staged root must exist: an individual missing bucket dir
+    // under it means "bucket intentionally emptied", but a missing
+    // ROOT means the staging was lost (crashed writer, misfired
+    // sweep) — proceeding would delete every touched bucket's data
+    if (!f.exists(tmp))
+      throw new java.io.IOException(
+        s"staged dir $tmp is gone — refusing to commit $table")
     val live = tablePath(table)
     f.mkdirs(live)
     buckets.foreach { b =>
@@ -162,7 +169,11 @@ final class SilverStore(val spark: SparkSession, val root: String) {
   /** Sweep stale entries under `root/_tmp`: a crash between staging
     * and commit leaks the whole staged dataset there. Only entries
     * older than `olderThanMs` go (a fresh entry may belong to an
-    * in-flight writer). Run on store construction. */
+    * in-flight writer). Called from the WRITER path (mergeBucketed)
+    * under the store's single-writer discipline — NOT from the
+    * constructor: a read-only store reaping a paused writer's staging
+    * would turn that writer's commit into data loss (commitBuckets
+    * also guards by refusing a vanished staged root). */
   def sweepTmp(olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val tmpRoot = new Path(root, "_tmp")
     val f = fs
@@ -174,7 +185,6 @@ final class SilverStore(val spark: SparkSession, val root: String) {
       stale.length
     }
   }
-  sweepTmp()
 
   /** Sidecar for bucketed tables: the surrogate-id high-water mark
     * (avoids a full-table id scan per merge batch) and the bucket

@@ -40,18 +40,14 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingNearDup {
 
-  /** (doc_id, band, ha, hb) band buckets — q25's banding verbatim:
-    * 16 minhash pieces, 8 bands of 2. */
+  /** (doc_id, band, ha, hb) band buckets — q25's banding via the ONE
+    * shared definition (TextQueries.explodeBands): 16 minhash pieces,
+    * 8 bands of 2. */
   def bandBuckets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        graft.text.TextFunctions.minhash_signature(col("text"), 3).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), posexplode(array(
-        (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
-          col("sig").getItem(2 * bn + 1).as("hb"))): _*
-      )).as(Seq("band", "bh")))
-      .select(col("doc_id"), col("band"),
-        col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+    graft.text.TextQueries.explodeBands(
+      docs.select(col("doc_id"),
+          graft.text.TextFunctions.minhash_signature(col("text"), 3).as("sig"))
+        .filter(col("sig").isNotNull))
 
   /** One micro-batch of near-dup suppression: returns nothing, appends
     * survivors to `keptDir` and their buckets to `stateDir` (both under
@@ -65,7 +61,13 @@ object StreamingNearDup {
         val p = new Path(stateDir)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-          Some(spark.read.parquet(stateDir))
+          // a REPLAYED batch (crash between write and checkpoint
+          // commit) finds its own _batch=<id> partition already
+          // registered; reading it back would make every document
+          // self-collide and overwrite the kept output as empty —
+          // exclude the current batch id from the state read
+          Some(spark.read.parquet(stateDir)
+            .filter(col("_batch") =!= batchId))
         else None
       }
       // suppressed by an earlier batch: any bucket already registered
@@ -82,7 +84,10 @@ object StreamingNearDup {
         .groupBy(col("band"), col("ha"), col("hb"))
         .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
         .filter(size(col("docs")) > 1)
-        .select(explode(slice(col("docs"), 2, Int.MaxValue)).as("doc_id"))
+        // length = size(docs): slice clamps to the array end; an
+        // Int.MaxValue length would overflow to empty under
+        // interpreted (non-codegen) evaluation
+        .select(explode(slice(col("docs"), lit(2), size(col("docs")))).as("doc_id"))
         .distinct()
       val removed = hitBatch.unionByName(hitState).distinct()
       val kept = batch.join(removed, Seq("doc_id"), "left_anti")

@@ -50,6 +50,20 @@ object TextQueries {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) dsh
       |  FROM t))""".stripMargin
 
+  /** THE minhash banding: explode a frame carrying `doc_id` and a
+    * 16-piece `sig` into its 8 two-piece band keys, one row per
+    * (doc_id, band, ha, hb). The single definition shared by q25, the
+    * q73 funnel stage, and the streaming near-dup — a band-layout
+    * change here changes all three together (the streaming path's
+    * "single batch == batch operator" equivalence depends on that). */
+  private[graft] def explodeBands(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), posexplode(array(
+      (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
+        col("sig").getItem(2 * bn + 1).as("hb"))): _*
+    )).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("band"),
+        col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+
   /** All pairs (x, y) with x before y from a sorted array column —
     * posting-list pair expansion. Replaces a self-join: one groupBy +
     * explode instead of shuffling (and recomputing!) the build subtree
@@ -221,12 +235,7 @@ object TextQueries {
           .select(col("doc_id"),
             minhash_signature(col("text"), 3).as("sig"))
           .filter(col("sig").isNotNull)
-        val bands = mh.select(col("doc_id"), posexplode(array(
-          (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
-            col("sig").getItem(2 * bn + 1).as("hb"))): _*
-        )).as(Seq("band", "bh")))
-          .select(col("doc_id"), col("band"),
-            col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+        val bands = explodeBands(mh)
         bands.groupBy(col("band"), col("ha"), col("hb"))
           .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) > 1)
@@ -381,13 +390,9 @@ object TextQueries {
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
           .filter(col("rn") === 1)
-        val bands = exact.filter(col("sig").isNotNull)
-          .select(col("doc_id"), posexplode(array(
-            (0 until 8).map(bn => struct(col("sig").getItem(2 * bn).as("ha"),
-              col("sig").getItem(2 * bn + 1).as("hb"))): _*
-          )).as(Seq("band", "bh")))
+        val bands = explodeBands(exact.filter(col("sig").isNotNull))
         val removal = bands
-          .groupBy(col("band"), col("bh.ha").as("ha"), col("bh.hb").as("hb"))
+          .groupBy(col("band"), col("ha"), col("hb"))
           .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
           .filter(size(col("docs")) > 1)
           .select(explode(pairExpand(col("docs"))).as("p"))

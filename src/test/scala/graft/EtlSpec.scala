@@ -519,15 +519,29 @@ class EtlSpec extends SparkSpec {
     assert(ns === ns.sorted)
   }
 
-  test("stale staged copies under _tmp are swept on store construction") {
+  test("stale staged copies under _tmp are swept by the writer path, not by readers") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
     val root = mkTmp("silver-sweep")
-    new SilverStore(spark, root) // creates nothing; sweep is a no-op
+    val store = new SilverStore(spark, root)
     val stale = new java.io.File(root, "_tmp/t-stale")
     val fresh = new java.io.File(root, "_tmp/t-fresh")
     assert(stale.mkdirs() && fresh.mkdirs())
     Files.writeString(Paths.get(stale.getPath, "part-0.parquet"), "x")
     assert(stale.setLastModified(System.currentTimeMillis() - 25L * 3600 * 1000))
+
+    // constructing or reading must NOT sweep: a read-only store reaping
+    // a paused writer's staging would turn that writer's commit into
+    // data loss
     new SilverStore(spark, root)
+    assert(stale.exists(), "a reader must never reap staged data")
+
+    // the single-writer merge path does sweep stale entries
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("k", StringType),
+      StructField("v", StringType)))
+    MergeOps.mergeBucketed(store, "t", schema,
+      Seq("a" -> "1").toDF("k", "v"), Seq("k"), "id", Seq("v"))
     assert(!stale.exists(), "entry older than the horizon must be swept")
     assert(fresh.exists(), "a fresh entry may belong to an in-flight writer")
   }

@@ -469,6 +469,18 @@ class StreamingSpec extends SparkSpec {
     run()
     assert(spark.read.parquet(kept).count() === 11)
 
+    // a REPLAYED micro-batch (crash between write and checkpoint
+    // commit) re-runs dedupBatch with the same id — it must reproduce
+    // its output, not self-collide with its own registered buckets
+    // and erase it
+    val rState = tmp("nd-rstate"); val rKept = tmp("nd-rkept")
+    val rb = Seq(31L -> sentence(31), 32L -> sentence(32)).toDF("doc_id", "text")
+    StreamingNearDup.dedupBatch(rb, 7L, rState, rKept)
+    StreamingNearDup.dedupBatch(rb, 7L, rState, rKept)
+    assert(spark.read.parquet(rKept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(31L, 32L),
+      "replayed batch must keep its survivors")
+
     // the streamed result equals the batch q25 rule on the full corpus
     val all = ((1L to 10L).map(i => i -> sentence(i.toInt))
       :+ (11L -> sentence(1)) :+ (21L -> sentence(2)) :+ (22L -> sentence(22)))
@@ -477,7 +489,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy(col("band"), col("ha"), col("hb"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(slice(col("docs"), 2, Int.MaxValue)).as("doc_id"))
+      .select(explode(slice(col("docs"), lit(2), size(col("docs")))).as("doc_id"))
       .distinct().collect().map(_.getLong(0)).toSet
     assert(kept2.toSet === all.select("doc_id").collect()
       .map(_.getLong(0)).toSet -- removedBatch,
