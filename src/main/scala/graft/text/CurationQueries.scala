@@ -251,6 +251,101 @@ object CurationQueries {
                ${StableRound.sql4("cnt * 1.0 / head_total")} AS prob
         FROM r WHERE rn = 1 AND head_total >= 100 ORDER BY head""")),
 
+    // ── duplicate-cluster resolution (connected components) ────────
+    // LSH pairs say "these two are near-dups"; the DELETE decision
+    // needs clusters — the transitive closure of pairs — so one
+    // representative per component survives. Spark-first iterative
+    // min-label propagation over the q25 pair edges: each round every
+    // node takes the min label among itself and its neighbors; stops
+    // when a round changes nothing (≤ component-diameter rounds — dup
+    // clusters are shallow, so 2-4 in practice). Per round: one join +
+    // one partial-agg groupBy on the EDGE set (pairs only, not the
+    // corpus — singletons never enter). The oracle replays the closure
+    // with a recursive CTE. The convergence loop's per-round count()
+    // is a driver-side scalar, not a collect of data.
+    "q82_dup_clusters" -> QuerySpec(
+      build = (s, d) => {
+        val pairs = TextQueries.queries("q25_minhash_lsh").build(s, d)
+          .select(col("da"), col("db"))
+        val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+          .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+          .persist()
+        var labels = edges.select(col("src").as("doc_id")).distinct()
+          .withColumn("rep", col("doc_id")).persist()
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val prop = labels.join(edges, col("doc_id") === col("src"))
+            .select(col("dst").as("doc_id"), col("rep"))
+          val next = labels.unionByName(prop)
+            .groupBy("doc_id").agg(min("rep").as("rep")).persist()
+          changed = next
+            .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+            .filter(col("rep") =!= col("prev")).count()
+          labels.unpersist()
+          labels = next
+          rounds += 1
+        }
+        edges.unpersist()
+        labels.groupBy(col("rep").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+          .orderBy("cluster_rep")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${TextQueries.duckMinhashPairsCtes},
+        edges AS (SELECT da a, db b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                   FROM reach GROUP BY a)
+        SELECT rep AS cluster_rep, count(*) AS n_docs,
+               max(doc_id) AS max_doc
+        FROM labels GROUP BY 1 ORDER BY 1""")),
+
+    // ── overlapping chunking (RAG / context-window prep) ───────────
+    // Split each document into 64-token chunks with a 48-token stride
+    // (16-token overlap) — the retrieval-indexing cut. Pure per-row
+    // arithmetic: tokenize once, explode chunk indices, fingerprint
+    // each chunk (md5 of the joined tokens, so the oracle checks the
+    // chunk CONTENT, not just counts). No shuffle until the
+    // presentation sort.
+    "q83_chunk_overlap" -> QuerySpec(
+      build = (s, d) => {
+        val ck = 64
+        val stride = 48
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n_tok", size(col("toks")))
+          .withColumn("chunk_id", explode(sequence(lit(0),
+            ceil(greatest(col("n_tok") - ck, lit(0)).cast("double") / stride)
+              .cast("int"))))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            least(lit(ck), col("n_tok") - col("chunk_id") * stride)
+              .as("n_chunk_tok"),
+            md5(array_join(
+              slice(col("toks"), col("chunk_id") * stride + 1, lit(ck)), " "))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        d AS (SELECT doc_id, toks, len(toks) n_tok FROM t),
+        c AS (SELECT doc_id, toks, n_tok,
+                unnest(generate_series(0,
+                  CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS BIGINT)))
+                  AS chunk_id
+              FROM d)
+        SELECT doc_id, chunk_id,
+               CAST(least(64, n_tok - chunk_id * 48) AS INTEGER)
+                 AS n_chunk_tok,
+               md5(array_to_string(
+                 toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' '))
+                 AS chunk_md5
+        FROM c ORDER BY doc_id, chunk_id""")),
+
     // ── exact length percentiles ───────────────────────────────────
     // Exact per-source p50/p90/p99 of document length — the profiling
     // twin of q50's sketched percentiles. Exact percentile buffers a

@@ -50,6 +50,30 @@ object TextQueries {
       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) dsh
       |  FROM t))""".stripMargin
 
+  /** DuckDB CTE chain ending in `pairs(da, db)` — the q25 MinHash-LSH
+    * candidate pairs (da < db), shared by the q25 oracle and the q82
+    * dup-cluster oracle. Piece 4a+b == hex chars [8b+1 .. 8b+8] of
+    * md5(a || '|' || s), parsed as a big-endian uint32 (matches
+    * TextKernels.minhashPieces). */
+  private[text] val duckMinhashPairsCtes: String = {
+    val minCols = (0 until 16).map(i =>
+      s"min(('0x' || substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8))::BIGINT) h$i")
+      .mkString(", ")
+    val bandSelects = (0 until 8).map(bn =>
+      s"SELECT doc_id, $bn band, h${2 * bn} ha, h${2 * bn + 1} hb FROM mh")
+      .mkString(" UNION ALL ")
+    s"""$duckShingles,
+        h AS (SELECT doc_id, md5('0|' || s) m0, md5('1|' || s) m1,
+                     md5('2|' || s) m2, md5('3|' || s) m3 FROM sh),
+        mh AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
+        bands AS ($bandSelects),
+        pairs AS (
+          SELECT DISTINCT a.doc_id da, b.doc_id db
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
+               AND a.doc_id < b.doc_id)"""
+  }
+
   /** THE minhash banding: explode a frame carrying `doc_id` and a
     * 16-piece `sig` into its 8 two-piece band keys, one row per
     * (doc_id, band, ha, hb). The single definition shared by q25, the
@@ -244,27 +268,11 @@ object TextQueries {
           .distinct()
           .orderBy("da", "db")
       },
-      oracle = Some {
-        // piece 4a+b == hex chars [8b+1 .. 8b+8] of md5(a || '|' || s),
-        // parsed as a big-endian uint32 (matches TextKernels.minhashPieces)
-        val minCols = (0 until 16).map(i =>
-          s"min(('0x' || substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8))::BIGINT) h$i")
-          .mkString(", ")
-        val bandSelects = (0 until 8).map(bn =>
-          s"SELECT doc_id, $bn band, h${2 * bn} ha, h${2 * bn + 1} hb FROM mh")
-          .mkString(" UNION ALL ")
+      oracle = Some(
         s"""
-        WITH $duckShingles,
-        h AS (SELECT doc_id, md5('0|' || s) m0, md5('1|' || s) m1,
-                     md5('2|' || s) m2, md5('3|' || s) m3 FROM sh),
-        mh AS (SELECT doc_id, $minCols FROM h GROUP BY doc_id),
-        bands AS ($bandSelects)
-        SELECT DISTINCT a.doc_id da, b.doc_id db
-        FROM bands a JOIN bands b
-          ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
-             AND a.doc_id < b.doc_id
-        ORDER BY da, db"""
-      },
+        WITH $duckMinhashPairsCtes
+        SELECT da, db FROM pairs
+        ORDER BY da, db"""),
       bench = true),
 
     // ── winnowing fingerprints (rolling-hash, local-edit-robust) ───

@@ -107,6 +107,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q82 clusters equal union-find over the q25 pairs") {
+    val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = members.groupBy(find).map { case (_, ms) =>
+      ms.min -> ms.length }
+    val got = run("q82_dup_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_rep") -> r.getAs[Long]("n_docs").toInt)
+      .toMap
+    assert(got === expected)
+  }
+
+  test("q83 chunks overlap by 16 tokens and cover every token") {
+    val out = run("q83_chunk_overlap").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Int]("n_chunk_tok")))
+      .groupBy(_._1)
+    val nTok = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.token_count(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.keySet === nTok.keySet, "every non-null doc is chunked")
+    out.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong),
+        s"doc $doc chunk ids must be dense")
+      // chunk i covers tokens [i*48+1, i*48+len]; the last must reach
+      // the document end, every earlier one is the full 64
+      sorted.init.foreach { case (_, _, len) => assert(len === 64) }
+      val (_, lastId, lastLen) = sorted.last
+      assert(lastId * 48 + lastLen === nTok(doc).toLong,
+        s"doc $doc chunks must cover exactly n_tok=${nTok(doc)}")
+    }
+  }
+
   test("q81 exact percentiles bracket min/max and are ordered") {
     val out = run("q81_length_percentiles").collect()
     assert(out.nonEmpty)
