@@ -102,6 +102,30 @@ object StreamingNearDup {
     } finally buckets.unpersist()
   }
 
+  /** Compact the registered-buckets state: one `_batch=N` dir lands
+    * per micro-batch, so a long-lived stream accumulates 10⁶ small
+    * dirs and listing cost eats the semi-join (the same small-files
+    * problem SilverStore.compact solves for Silver tables). Rewrites
+    * the whole state as ONE deduplicated `_batch=-1` partition (-1 is
+    * never a real batch id, so the replay exclusion filter is
+    * unaffected) via write-aside + atomic rename. Run while the
+    * stream is STOPPED — it is the state's single writer then.
+    * Returns (dirs_before, rows_after). */
+  def compactState(spark: SparkSession, stateDir: String): (Int, Long) = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return (0, 0L)
+    val before = fs.listStatus(p).count(_.isDirectory)
+    val tmp = new Path(p.getParent, p.getName + s"-compact-${java.util.UUID.randomUUID}")
+    spark.read.parquet(stateDir).select("band", "ha", "hb").distinct()
+      .write.parquet(new Path(tmp, "_batch=-1").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"state compaction swap failed for $stateDir")
+    (before, rows)
+  }
+
   /** Drain everything pending from `docs` (a streaming frame with
     * doc_id/text) through the near-dup filter and stop. */
   def runAvailableNow(docs: DataFrame, checkpointDir: String,

@@ -481,6 +481,19 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(31L, 32L),
       "replayed batch must keep its survivors")
 
+    // compaction folds the per-batch state dirs into one partition and
+    // suppression keeps working: doc 41 duplicates doc 3 from batch 1
+    val (dirsBefore, _) = StreamingNearDup.compactState(spark, state)
+    assert(dirsBefore >= 2, "test needs multiple per-batch state dirs")
+    assert(new java.io.File(state).listFiles().count(_.isDirectory) === 1)
+    StreamingNearDup.dedupBatch(
+      Seq(41L -> sentence(3), 42L -> sentence(42)).toDF("doc_id", "text"),
+      8L, state, kept)
+    val kept3 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept3.toSeq === ((1L to 10L) :+ 22L :+ 42L),
+      "suppression must survive state compaction")
+
     // the streamed result equals the batch q25 rule on the full corpus
     val all = ((1L to 10L).map(i => i -> sentence(i.toInt))
       :+ (11L -> sentence(1)) :+ (21L -> sentence(2)) :+ (22L -> sentence(22)))
