@@ -346,6 +346,61 @@ object CurationQueries {
                  AS chunk_md5
         FROM c ORDER BY doc_id, chunk_id""")),
 
+    // ── bigram predictability scoring (LM-based quality filter) ────
+    // The count-based cousin of perplexity filtering: score each
+    // document by the mean conditional probability P(next | head) of
+    // its bigrams under the corpus's own bigram table (q80's counts).
+    // Predictable docs ≈ templated/boilerplate; surprising docs ≈
+    // novel or noisy — both tails are what a curation pass inspects.
+    // Probabilities are pure count ratios (no log), so the oracle
+    // agrees bit-for-bit under StableRound.
+    //
+    // Scale shape: the bigram-probability table is vocabulary²-bounded
+    // (tiny next to the corpus) and BROADCASTS to the per-doc join;
+    // the corpus side is one shingle(k=2) pass + two partial-agg
+    // groupBys — never shuffled by bigram.
+    "q84_bigram_predictability" -> QuerySpec(
+      build = (s, d) => {
+        val bi = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(col("text"), 2)).as("sh"))
+          .select(col("doc_id"), col("source"),
+            split(col("sh"), " ").getItem(0).as("head"),
+            split(col("sh"), " ").getItem(1).as("next_tok"))
+        val probs = bi.groupBy(col("head"), col("next_tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("p", col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy(col("head"))))
+          .select(col("head"), col("next_tok"), col("p"))
+        bi.join(broadcast(probs), Seq("head", "next_tok"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(StableRound.r4(avg(col("p"))).as("pred"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            StableRound.r4(avg(col("pred"))).as("avg_pred"),
+            StableRound.r4(min(col("pred"))).as("min_pred"),
+            StableRound.r4(max(col("pred"))).as("max_pred"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        bi AS (SELECT doc_id, source, pr[1] head, pr[2] next_tok FROM (
+          SELECT doc_id, source, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-1, 0)),
+            i -> [toks[i], toks[i+1]])) pr FROM t)),
+        cnt AS (SELECT head, next_tok, count(*) cnt FROM bi GROUP BY 1, 2),
+        p AS (SELECT head, next_tok,
+                cnt * 1.0 / sum(cnt) OVER (PARTITION BY head) AS p
+              FROM cnt),
+        pd AS (SELECT doc_id, source,
+                 ${StableRound.sql4("avg(p)")} AS pred
+               FROM bi JOIN p USING (head, next_tok) GROUP BY 1, 2)
+        SELECT source, count(*) AS n_docs,
+               ${StableRound.sql4("avg(pred)")} AS avg_pred,
+               ${StableRound.sql4("min(pred)")} AS min_pred,
+               ${StableRound.sql4("max(pred)")} AS max_pred
+        FROM pd GROUP BY 1 ORDER BY 1""")),
+
     // ── exact length percentiles ───────────────────────────────────
     // Exact per-source p50/p90/p99 of document length — the profiling
     // twin of q50's sketched percentiles. Exact percentile buffers a

@@ -154,6 +154,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q84 predictability matches a recomputed bigram model") {
+    // rebuild the bigram model and per-doc means from collected tokens
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextFunctions.tokens(col("text")).as("t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[scala.collection.Seq[String]]("t").toSeq))
+    val counts = scala.collection.mutable.Map[(String, String), Long]()
+    docs.foreach(d => d._3.sliding(2).foreach {
+      case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+      case _ =>
+    })
+    val headTotal = counts.groupBy(_._1._1).map { case (h, m) =>
+      h -> m.values.sum }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val perDoc = docs.flatMap { case (_, src, toks) =>
+      val ps = toks.sliding(2).collect {
+        case Seq(a, b) => counts((a, b)).toDouble / headTotal(a)
+      }.toSeq
+      if (ps.isEmpty) None else Some(src -> r4(ps.sum / ps.length))
+    }
+    val expected = perDoc.groupBy(_._1).map { case (src, xs) =>
+      src -> (xs.length.toLong, r4(xs.map(_._2).min), r4(xs.map(_._2).max))
+    }
+    val got = run("q84_bigram_predictability").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("min_pred"),
+          r.getAs[Double]("max_pred"))).toMap
+    assert(got === expected)
+  }
+
   test("q81 exact percentiles bracket min/max and are ordered") {
     val out = run("q81_length_percentiles").collect()
     assert(out.nonEmpty)
