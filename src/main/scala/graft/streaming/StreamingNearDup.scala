@@ -49,6 +49,17 @@ object StreamingNearDup {
           graft.text.TextFunctions.minhash_signature(col("text"), 3).as("sig"))
         .filter(col("sig").isNotNull))
 
+  /** doc_ids of batch documents whose band buckets are already
+    * registered. Join order is the scale contract (StreamingSpec pins
+    * the plan): the state side is 8 rows per document EVER seen and
+    * must stream through a hash probe built from a BROADCAST of the
+    * micro-batch's buckets — never be shuffled. */
+  private[graft] def stateHits(st: DataFrame,
+                               buckets: DataFrame): DataFrame =
+    st.select("band", "ha", "hb")
+      .join(broadcast(buckets), Seq("band", "ha", "hb"))
+      .select(col("doc_id")).distinct()
+
   /** One micro-batch of near-dup suppression: returns nothing, appends
     * survivors to `keptDir` and their buckets to `stateDir` (both under
     * `_batch=<batchId>` for idempotent replay). */
@@ -70,12 +81,15 @@ object StreamingNearDup {
             .filter(col("_batch") =!= batchId))
         else None
       }
-      // suppressed by an earlier batch: any bucket already registered
+      // suppressed by an earlier batch: any bucket already registered.
+      // Join ORDER matters at scale: the state is 8 rows per document
+      // EVER seen, the batch is one micro-batch — so probe the state
+      // scan with a BROADCAST of the batch's buckets (state-side rows
+      // stream through the hash probe, never shuffled). The naive
+      // `batch left_semi state` would shuffle the entire state table
+      // every trigger (left-semi can only broadcast its right side).
       val hitState = registered match {
-        case Some(st) => buckets
-          .join(st.select("band", "ha", "hb"), Seq("band", "ha", "hb"),
-            "left_semi")
-          .select(col("doc_id")).distinct()
+        case Some(st) => stateHits(st, buckets)
         case None => spark.range(0).select(col("id").as("doc_id"))
       }
       // suppressed within the batch: q25's rule — every doc in a bucket

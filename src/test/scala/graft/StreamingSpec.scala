@@ -494,6 +494,19 @@ class StreamingSpec extends SparkSpec {
     assert(kept3.toSeq === ((1L to 10L) :+ 22L :+ 42L),
       "suppression must survive state compaction")
 
+    // scale contract: the state scan streams through a broadcast hash
+    // probe of the batch's buckets — the (unbounded) state side is
+    // never shuffled for the hit check
+    val plan = StreamingNearDup.stateHits(
+      spark.read.parquet(state),
+      StreamingNearDup.bandBuckets(rb)).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "batch buckets must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "state side must not shuffle for the hit check")
+
     // the streamed result equals the batch q25 rule on the full corpus
     val all = ((1L to 10L).map(i => i -> sentence(i.toInt))
       :+ (11L -> sentence(1)) :+ (21L -> sentence(2)) :+ (22L -> sentence(22)))
