@@ -200,42 +200,56 @@ object TextQueries {
         // per-row shingle_hashes kernel (identical arithmetic in the
         // oracle, so grouping is bit-equal cross-engine): an 8-byte
         // shuffle key, and the shingle strings never leave the row.
+        // The index-build shuffle dominates q24 (26M exploded rows at
+        // 100×, ~2/3 of the query's wall time), so the shuffled row is
+        // squeezed to TWO longs: `lang` folds into the 60-bit shingle
+        // key by xor (same md5 arithmetic both engines, so even the
+        // astronomically-unlikely fused-key collisions match the
+        // oracle bit-for-bit), and (doc_id, per-doc shingle count)
+        // pack into one long — n < 2^20 always holds because the
+        // kernel emits DISTINCT shingles of a bounded-length document.
+        // doc order survives packing (doc_id in the high bits), so the
+        // sorted posting lists and the x<y pair rule are unchanged.
         val hs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"),
             shingle_hashes(col("text"), 3).as("hs"))
-          .select(col("doc_id"), col("lang"), explode(col("hs")).as("s"),
-            size(col("hs")).as("n"))
+          .select(
+            (shiftleft(col("doc_id"), 20) + size(col("hs"))).as("dn"),
+            explode(col("hs")).as("sh"),
+            expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
+              .as("lk"))
+          .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
         val posts = hs
-          .groupBy(col("lang"), col("s"))
-          .agg(array_sort(collect_list(struct(col("doc_id"), col("n"))))
-            .as("docs"))
+          .groupBy(col("skey"))
+          .agg(array_sort(collect_list(col("dn"))).as("docs"))
           .filter(size(col("docs")) > 1 &&
             size(col("docs")) <= jaccardDfCap)
         posts.select(explode(pairExpand(col("docs"))).as("p"))
-          .select(col("p.x.doc_id").as("da"), col("p.y.doc_id").as("db"),
-            col("p.x.n").as("na"), col("p.y.n").as("nb"))
-          .groupBy(col("da"), col("db"))
-          .agg(count(lit(1)).as("shared"),
-            first(col("na")).as("_na"), first(col("nb")).as("_nb"))
-          .withColumn("jaccard", graft.analytics.StableRound.r4(
-            col("shared").cast("double") /
-            (col("_na") + col("_nb") - col("shared"))))
+          .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
+          .agg(count(lit(1)).as("shared"))
+          .select(shiftright(col("dx"), 20).as("da"),
+            shiftright(col("dy"), 20).as("db"), col("shared"),
+            graft.analytics.StableRound.r4(col("shared").cast("double") /
+              (col("dx").bitwiseAND(lit(1048575L)) +
+               col("dy").bitwiseAND(lit(1048575L)) - col("shared")))
+              .as("jaccard"))
           .filter(col("jaccard") >= 0.3)
-          .select(col("da"), col("db"), col("shared"), col("jaccard"))
           .orderBy("da", "db")
       },
       oracle = Some(s"""
         WITH $duckShingles,
-        sk0 AS (SELECT doc_id, lang, n,
-                       ('0x' || substring(md5(s), 1, 15))::BIGINT AS s
+        sk0 AS (SELECT doc_id, n,
+                       xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
+                           ('0x' || substring(md5(lang), 1, 15))::BIGINT)
+                         AS skey
                 FROM sh),
         sk AS (SELECT * FROM (
-                 SELECT *, count(*) OVER (PARTITION BY lang, s) df FROM sk0)
+                 SELECT *, count(*) OVER (PARTITION BY skey) df FROM sk0)
                WHERE df <= $jaccardDfCap),
         p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
                      any_value(a.n) na, any_value(b.n) nb
               FROM sk a JOIN sk b
-                ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+                ON a.skey = b.skey AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
         SELECT da, db, shared,
                floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 AS jaccard
