@@ -63,9 +63,18 @@ object StreamingNearDup {
   /** One micro-batch of near-dup suppression: returns nothing, appends
     * survivors to `keptDir` and their buckets to `stateDir` (both under
     * `_batch=<batchId>` for idempotent replay). */
+  /** Above this many batch bucket rows the broadcast probe gives way
+    * to a shuffle semi-join: an unbounded AvailableNow backfill batch
+    * (no source rate limit) must not be forced through the driver as
+    * a broadcast. ~4M rows × 3 longs ≈ 100 MB, comfortably inside the
+    * broadcast limit; bound your source (maxFilesPerTrigger) to stay
+    * on the fast path. */
+  val maxBroadcastBuckets: Long = 4L * 1000 * 1000
+
   def dedupBatch(batch: DataFrame, batchId: Long,
                  stateDir: String, keptDir: String): Unit = {
     val spark = batch.sparkSession
+    repairState(spark, stateDir)
     val buckets = bandBuckets(batch).cache()
     try {
       val registered: Option[DataFrame] = {
@@ -89,7 +98,12 @@ object StreamingNearDup {
       // `batch left_semi state` would shuffle the entire state table
       // every trigger (left-semi can only broadcast its right side).
       val hitState = registered match {
-        case Some(st) => stateHits(st, buckets)
+        case Some(st) if buckets.count() <= maxBroadcastBuckets =>
+          stateHits(st, buckets)
+        case Some(st) => // oversized backfill batch: shuffle semi-join
+          buckets.join(st.select("band", "ha", "hb"),
+            Seq("band", "ha", "hb"), "left_semi")
+            .select(col("doc_id")).distinct()
         case None => spark.range(0).select(col("id").as("doc_id"))
       }
       // suppressed within the batch: q25's rule — every doc in a bucket
@@ -119,25 +133,73 @@ object StreamingNearDup {
   /** Compact the registered-buckets state: one `_batch=N` dir lands
     * per micro-batch, so a long-lived stream accumulates 10⁶ small
     * dirs and listing cost eats the semi-join (the same small-files
-    * problem SilverStore.compact solves for Silver tables). Rewrites
-    * the whole state as ONE deduplicated `_batch=-1` partition (-1 is
-    * never a real batch id, so the replay exclusion filter is
-    * unaffected) via write-aside + atomic rename. Run while the
+    * problem SilverStore.compact solves for Silver tables).
+    *
+    * Folds every batch partition EXCEPT the highest id into ONE
+    * deduplicated `_batch=-1` partition (-1 is never a real batch id).
+    * The highest partition is carried over verbatim: it may belong to
+    * a batch whose checkpoint commit never landed, and a replay of
+    * that batch relies on `_batch =!= id` excluding its own buckets —
+    * folding them into -1 would make every replayed doc self-collide
+    * and erase the batch's kept output.
+    *
+    * Swap is rename-aside (state -> .old, tmp -> state, drop .old),
+    * and [[repairState]] heals the crash window between the two
+    * renames; dedupBatch calls it before every read. Run while the
     * stream is STOPPED — it is the state's single writer then.
     * Returns (dirs_before, rows_after). */
   def compactState(spark: SparkSession, stateDir: String): (Int, Long) = {
     val p = new Path(stateDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) return (0, 0L)
-    val before = fs.listStatus(p).count(_.isDirectory)
-    val tmp = new Path(p.getParent, p.getName + s"-compact-${java.util.UUID.randomUUID}")
-    spark.read.parquet(stateDir).select("band", "ha", "hb").distinct()
+    repairState(spark, stateDir)
+    if (!fs.exists(p) || fs.listStatus(p).isEmpty) return (0, 0L)
+    val dirs = fs.listStatus(p).filter(_.isDirectory)
+    val batchIds = dirs.map(_.getPath.getName)
+      .collect { case n if n.startsWith("_batch=") =>
+        n.stripPrefix("_batch=").toLong }
+    if (batchIds.isEmpty) return (0, 0L)
+    val newest = batchIds.max
+    val tmp = new Path(p.getParent,
+      p.getName + s"-compact-${java.util.UUID.randomUUID}")
+    spark.read.parquet(stateDir)
+      .filter(col("_batch") =!= newest)
+      .select("band", "ha", "hb").distinct()
       .write.parquet(new Path(tmp, "_batch=-1").toString)
+    // COPY (not move) the newest partition into the staged layout: a
+    // crash before the swap must leave the live state complete
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs,
+        new Path(p, s"_batch=$newest"), fs,
+        new Path(tmp, s"_batch=$newest"), false,
+        spark.sessionState.newHadoopConf()))
+      throw new java.io.IOException(
+        s"could not carry newest batch over for $stateDir")
     val rows = spark.read.parquet(tmp.toString).count()
-    fs.delete(p, true)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"state compaction swap failed for $stateDir")
-    (before, rows)
+    val aside = new Path(p.getParent, p.getName + ".old")
+    fs.delete(aside, true)
+    if (!fs.rename(p, aside))
+      throw new java.io.IOException(s"compaction aside failed for $stateDir")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(aside, p) // restore — no data lost
+      throw new java.io.IOException(s"compaction swap failed for $stateDir")
+    }
+    fs.delete(aside, true)
+    (dirs.length, rows)
+  }
+
+  /** Heal compactState's crash window: a death between the two swap
+    * renames leaves the state only in `<state>.old`. If the live dir
+    * is missing but the aside exists, restore it; if both exist the
+    * swap completed and the aside is dropped. Idempotent. */
+  def repairState(spark: SparkSession, stateDir: String): Unit = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val aside = new Path(p.getParent, p.getName + ".old")
+    if (fs.exists(aside)) {
+      if (!fs.exists(p)) {
+        if (!fs.rename(aside, p))
+          throw new java.io.IOException(s"state restore failed for $stateDir")
+      } else fs.delete(aside, true)
+    }
   }
 
   /** Drain everything pending from `docs` (a streaming frame with

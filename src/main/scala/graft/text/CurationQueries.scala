@@ -274,7 +274,8 @@ object CurationQueries {
           .withColumn("rep", col("doc_id")).persist()
         var changed = 1L
         var rounds = 0
-        while (changed > 0 && rounds < 50) {
+        val maxRounds = 50 // >= any real component diameter; see guard
+        while (changed > 0 && rounds < maxRounds) {
           val prop = labels.join(edges, col("doc_id") === col("src"))
             .select(col("dst").as("doc_id"), col("rep"))
           val next = labels.unionByName(prop)
@@ -286,10 +287,22 @@ object CurationQueries {
           labels = next
           rounds += 1
         }
-        edges.unpersist()
-        labels.groupBy(col("rep").as("cluster_rep"))
+        // partially-propagated labels are WRONG clusters, and only the
+        // oracle-checked SFs would notice — fail loudly, never return
+        // silently-split components (a >50-diameter chain wants
+        // pointer-doubling, not a bigger cap)
+        if (changed > 0)
+          throw new IllegalStateException(
+            s"q82 label propagation did not converge in $maxRounds rounds")
+        // the result is cluster-count-sized; localCheckpoint it so the
+        // loop's cached label table can be released instead of leaking
+        // one corpus-sized cache per invocation
+        val out = labels.groupBy(col("rep").as("cluster_rep"))
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
-          .orderBy("cluster_rep")
+          .localCheckpoint(true)
+        labels.unpersist()
+        edges.unpersist()
+        out.orderBy("cluster_rep")
       },
       oracle = Some(s"""
         WITH RECURSIVE ${TextQueries.duckMinhashPairsCtes},
@@ -356,9 +369,12 @@ object CurationQueries {
     // agrees bit-for-bit under StableRound.
     //
     // Scale shape: the bigram-probability table is vocabulary²-bounded
-    // (tiny next to the corpus) and BROADCASTS to the per-doc join;
-    // the corpus side is one shingle(k=2) pass + two partial-agg
-    // groupBys — never shuffled by bigram.
+    // (tiny next to the corpus) and BROADCASTS to the per-doc join.
+    // The corpus pays TWO tokenize+shingle passes — one building the
+    // table, one scoring against it — because recomputing the narrow
+    // codegen'd explode is the right trade against caching the
+    // exploded bigrams (corpus-sized × expansion in executor memory).
+    // Only partial-aggregated (head, next, cnt) rows ever shuffle.
     "q84_bigram_predictability" -> QuerySpec(
       build = (s, d) => {
         val bi = Tables.documents(s, d).filter(col("text").isNotNull)

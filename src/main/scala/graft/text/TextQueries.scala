@@ -74,6 +74,35 @@ object TextQueries {
                AND a.doc_id < b.doc_id)"""
   }
 
+  /** q24's inverted-index rows, squeezed to TWO longs per row because
+    * the index-build shuffle dominates the query (26M exploded rows at
+    * 100×, ~2/3 of wall time): `lang` folds into the 60-bit shingle
+    * key by xor (same md5 arithmetic both engines, so even the
+    * astronomically-unlikely fused-key collisions match the oracle
+    * bit-for-bit), and (doc_id, per-doc shingle count) pack into one
+    * long — n < 2^20 always holds because the kernel emits DISTINCT
+    * shingles of a bounded-length document. Doc order survives packing
+    * (doc_id in the high bits), so sorted posting lists and the x<y
+    * pair rule are unchanged. Shared with tools.Q24Probe so the
+    * probe's stage timings can never drift from the shipped query. */
+  private[graft] def jaccardIndexRows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        shingle_hashes(col("text"), 3).as("hs"))
+      .select(
+        (shiftleft(col("doc_id"), 20) + size(col("hs"))).as("dn"),
+        explode(col("hs")).as("sh"),
+        expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
+          .as("lk"))
+      .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
+
+  /** Posting lists over [[jaccardIndexRows]], df-capped. */
+  private[graft] def jaccardPostings(hs: DataFrame): DataFrame =
+    hs.groupBy(col("skey"))
+      .agg(array_sort(collect_list(col("dn"))).as("docs"))
+      .filter(size(col("docs")) > 1 &&
+        size(col("docs")) <= jaccardDfCap)
+
   /** THE minhash banding: explode a frame carrying `doc_id` and a
     * 16-piece `sig` into its 8 two-piece band keys, one row per
     * (doc_id, band, ha, hb). The single definition shared by q25, the
@@ -200,31 +229,8 @@ object TextQueries {
         // per-row shingle_hashes kernel (identical arithmetic in the
         // oracle, so grouping is bit-equal cross-engine): an 8-byte
         // shuffle key, and the shingle strings never leave the row.
-        // The index-build shuffle dominates q24 (26M exploded rows at
-        // 100×, ~2/3 of the query's wall time), so the shuffled row is
-        // squeezed to TWO longs: `lang` folds into the 60-bit shingle
-        // key by xor (same md5 arithmetic both engines, so even the
-        // astronomically-unlikely fused-key collisions match the
-        // oracle bit-for-bit), and (doc_id, per-doc shingle count)
-        // pack into one long — n < 2^20 always holds because the
-        // kernel emits DISTINCT shingles of a bounded-length document.
-        // doc order survives packing (doc_id in the high bits), so the
-        // sorted posting lists and the x<y pair rule are unchanged.
-        val hs = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            shingle_hashes(col("text"), 3).as("hs"))
-          .select(
-            (shiftleft(col("doc_id"), 20) + size(col("hs"))).as("dn"),
-            explode(col("hs")).as("sh"),
-            expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
-              .as("lk"))
-          .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
-        val posts = hs
-          .groupBy(col("skey"))
-          .agg(array_sort(collect_list(col("dn"))).as("docs"))
-          .filter(size(col("docs")) > 1 &&
-            size(col("docs")) <= jaccardDfCap)
-        posts.select(explode(pairExpand(col("docs"))).as("p"))
+        jaccardPostings(jaccardIndexRows(Tables.documents(s, d)))
+          .select(explode(pairExpand(col("docs"))).as("p"))
           .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
           .agg(count(lit(1)).as("shared"))
           .select(shiftright(col("dx"), 20).as("da"),

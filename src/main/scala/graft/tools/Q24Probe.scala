@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.text.TextFunctions._
 
 /** Stage-cost probe for q24's packed-long index (mirrors the shipped
   * formulation so optimization effort goes where the seconds are; the
@@ -25,21 +23,13 @@ object Q24Probe {
       println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
     }
 
-    val hs = spark.read.parquet(s"$d/documents.parquet")
-      .select(col("doc_id"), col("lang"),
-        shingle_hashes(col("text"), 3).as("hs"))
-      .select(
-        (shiftleft(col("doc_id"), 20) + size(col("hs"))).as("dn"),
-        explode(col("hs")).as("sh"),
-        expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
-          .as("lk"))
-      .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
+    // the EXACT shipped stages, via the shared helpers — no drift
+    val hs = graft.text.TextQueries.jaccardIndexRows(
+      spark.read.parquet(s"$d/documents.parquet"))
     time("explode only (no shuffle)") { hs.count() }
-
-    val posts = hs.groupBy(col("skey"))
-      .agg(array_sort(collect_list(col("dn"))).as("docs"))
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= 128)
-    time("index build (1st shuffle)") { posts.count() }
+    time("index build (1st shuffle)") {
+      graft.text.TextQueries.jaccardPostings(hs).count()
+    }
 
     time("full q24 (both shuffles)") {
       graft.SparkEntry.queries("q24_jaccard_pairs")(spark, d).count()

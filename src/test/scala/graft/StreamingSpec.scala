@@ -481,11 +481,16 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(31L, 32L),
       "replayed batch must keep its survivors")
 
-    // compaction folds the per-batch state dirs into one partition and
-    // suppression keeps working: doc 41 duplicates doc 3 from batch 1
+    // compaction folds older batch dirs into _batch=-1 but carries the
+    // NEWEST batch partition verbatim — it may be an uncommitted tail
+    // whose replay depends on excluding its own id — and suppression
+    // keeps working: doc 41 duplicates doc 3 from batch 1
     val (dirsBefore, _) = StreamingNearDup.compactState(spark, state)
     assert(dirsBefore >= 2, "test needs multiple per-batch state dirs")
-    assert(new java.io.File(state).listFiles().count(_.isDirectory) === 1)
+    val dirNames = new java.io.File(state).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirNames.length === 2 && dirNames.head === "_batch=-1",
+      s"compacted + carried newest expected, got ${dirNames.toSeq}")
     StreamingNearDup.dedupBatch(
       Seq(41L -> sentence(3), 42L -> sentence(42)).toDF("doc_id", "text"),
       8L, state, kept)
@@ -493,6 +498,20 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(kept3.toSeq === ((1L to 10L) :+ 22L :+ 42L),
       "suppression must survive state compaction")
+
+    // crash window between the two swap renames: state exists only as
+    // <state>.old — the next batch heals it before reading
+    val stDir = new java.io.File(state)
+    val asideDir = new java.io.File(state + ".old")
+    assert(stDir.renameTo(asideDir))
+    StreamingNearDup.dedupBatch(
+      Seq(51L -> sentence(4), 52L -> sentence(52)).toDF("doc_id", "text"),
+      9L, state, kept)
+    assert(!asideDir.exists(), "aside must be consumed by the repair")
+    val kept4 = spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept4.toSeq === ((1L to 10L) :+ 22L :+ 42L :+ 52L),
+      "restored state must still suppress doc 51 (dup of doc 4)")
 
     // scale contract: the state scan streams through a broadcast hash
     // probe of the batch's buckets — the (unbounded) state side is
