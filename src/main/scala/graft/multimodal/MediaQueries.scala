@@ -51,6 +51,47 @@ object MediaQueries {
         f AS (SELECT media_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS frame_idx FROM v)
         SELECT count(*) AS n_frames, count(DISTINCT media_id) AS n_videos,
                CAST(sum(frame_idx) AS BIGINT) AS sum_idx
-        FROM f"""))
+        FROM f""")),
+
+    // ── media near-dup: stub decode → hyperplane LSH → cosine ──────
+    // The multimodal twin of q67: embed every asset (batched
+    // mapPartitions decode — the STUB feature extractor stands in for
+    // a real vision/audio encoder, the distributed shape is real),
+    // bucket by random-hyperplane bands, exact-cosine only the bucket
+    // collisions. Identical bytes → identical features → cos 1.0, so
+    // exact-duplicate assets always pair. No SQL oracle — the feature
+    // extraction is Scala-side (driver records the weaker rows-only
+    // check, like q50); MultimodalSpec pins planted-dup behavior.
+    "q85_media_neardup" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        mediaNearDupPairs(MediaOps.embed(
+          MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord]))
+      },
+      oracle = None)
   )
+
+  /** LSH near-dup pairs over a (vec_id, embedding) frame — factored so
+    * MultimodalSpec drives it with planted duplicates. Same shape as
+    * q67: one bucket groupBy, posting-list pair expansion, never a
+    * self-join. */
+  def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.similarity.SimilarityQueries.hyperplaneBand
+    import graft.similarity.VectorFunctions.cosine
+    emb.select(col("vec_id"), col("embedding"),
+        posexplode(array(hyperplaneBand(col("embedding"), 0),
+          hyperplaneBand(col("embedding"), 1))).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
+      .select(col("p.x.vec_id").as("ma"), col("p.y.vec_id").as("mb"),
+        graft.analytics.StableRound.r4(
+          cosine(col("p.x.embedding"), col("p.y.embedding"))).as("cos"))
+      .distinct() // a pair can collide in both bands
+      .filter(col("cos") > 0.9)
+      .orderBy("ma", "mb")
+  }
 }

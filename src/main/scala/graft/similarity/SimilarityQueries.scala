@@ -32,7 +32,7 @@ object SimilarityQueries {
     * oracle embeds the same literals). */
   private val nPlanes = 8
   private val dim = 64
-  private lazy val planes: Array[Array[Double]] = {
+  private[graft] lazy val planes: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nPlanes) { p =>
       Array.tabulate(dim) { j =>
@@ -42,6 +42,15 @@ object SimilarityQueries {
       }
     }
   }
+
+  /** 4-bit random-hyperplane band signature (band b uses planes
+    * 4b..4b+3): a pair is an LSH candidate when all 4 signs agree in
+    * some band. Shared by q67 and the media near-dup (q85). */
+  private[graft] def hyperplaneBand(v: Column, band: Int): Column =
+    (0 until 4).map { j =>
+      val plane = typedlit(planes(band * 4 + j))
+      when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
 
   /** Centroid literals for q29, collected once at plan-build time (16
     * rows — bounded, driver-safe) so corpus→centroid assignment is a
@@ -205,14 +214,9 @@ object SimilarityQueries {
     "q67_neardup_lsh" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
-        def bandSig(v: Column, band: Int): Column =
-          (0 until 4).map { j =>
-            val plane = typedlit(planes(band * 4 + j))
-            when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
-          }.reduce(_ + _)
         val banded = e.select(col("vec_id"), col("label"), col("embedding"),
-          posexplode(array(bandSig(col("embedding"), 0),
-            bandSig(col("embedding"), 1))).as(Seq("band", "bucket")))
+          posexplode(array(hyperplaneBand(col("embedding"), 0),
+            hyperplaneBand(col("embedding"), 1))).as(Seq("band", "bucket")))
         val pairs = banded
           .groupBy(col("band"), col("bucket"), col("label"))
           .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))

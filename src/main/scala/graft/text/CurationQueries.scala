@@ -417,6 +417,45 @@ object CurationQueries {
                ${StableRound.sql4("max(pred)")} AS max_pred
         FROM pd GROUP BY 1 ORDER BY 1""")),
 
+    // ── BPE merge induction (first training iteration) ─────────────
+    // Byte-pair-encoding training starts from the word-frequency
+    // table: the most frequent ADJACENT character pair (weighted by
+    // word count) becomes the first merge rule. This computes that
+    // first iteration — the top-20 merge candidates.
+    //
+    // Scale shape: the corpus collapses to the distinct-word frequency
+    // table FIRST (one partial-agg groupBy — vocabulary-bounded
+    // output); the character-pair explode then runs over the VOCAB,
+    // not the corpus, exactly how real BPE trainers are implemented.
+    // Ties break lexicographically so the top-20 cut is total-ordered.
+    "q86_bpe_first_merge" -> QuerySpec(
+      build = (s, d) => {
+        val words = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(explode(tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("w")) >= 2)
+        words
+          .select(col("wc"),
+            explode(sequence(lit(1), length(col("w")) - 1)).as("i"),
+            col("w"))
+          .select(expr("substring(w, i, 2)").as("pair"), col("wc"))
+          .groupBy(col("pair")).agg(sum(col("wc")).as("freq"))
+          .orderBy(col("freq").desc, col("pair").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH w AS (
+          SELECT w, count(*) wc FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) w
+            FROM documents WHERE text IS NOT NULL)
+          GROUP BY 1),
+        p AS (
+          SELECT substring(w, CAST(i AS INTEGER), 2) pair, wc FROM (
+            SELECT w, wc, unnest(generate_series(1, length(w) - 1)) i
+            FROM w WHERE length(w) >= 2))
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+        FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""")),
+
     // ── exact length percentiles ───────────────────────────────────
     // Exact per-source p50/p90/p99 of document length — the profiling
     // twin of q50's sketched percentiles. Exact percentile buffers a

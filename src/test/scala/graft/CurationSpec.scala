@@ -187,6 +187,23 @@ class CurationSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q86 first BPE merge matches a recomputed pair table") {
+    val words = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    val wc = words.groupBy(identity).map { case (w, ws) => w -> ws.length }
+    val freq = scala.collection.mutable.Map[String, Long]()
+    wc.foreach { case (w, c) =>
+      if (w.length >= 2) w.sliding(2).foreach(p =>
+        freq(p) = freq.getOrElse(p, 0L) + c)
+    }
+    val expected = freq.toSeq.sortBy { case (p, f) => (-f, p) }.take(20)
+    val got = run("q86_bpe_first_merge").collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("freq")).toSeq
+    assert(got === expected)
+  }
+
   test("q81 exact percentiles bracket min/max and are ordered") {
     val out = run("q81_length_percentiles").collect()
     assert(out.nonEmpty)

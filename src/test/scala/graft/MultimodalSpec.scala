@@ -58,6 +58,27 @@ class MultimodalSpec extends SparkSpec {
     assert(joined.forall(r => !r.isNullAt(2) && math.abs(r.getDouble(2)) <= 1.000001))
   }
 
+  test("media near-dup pairs planted byte-duplicates, not distinct assets") {
+    import spark.implicits._
+    // asset 10 duplicates asset 1's bytes exactly (identical features,
+    // cosine 1.0 — must pair); 2/3 are unrelated payloads
+    val ds = spark.createDataset(sample() :+
+      MediaRecord(10, "image", Array.tabulate(300)(_.toByte),
+        MediaMeta("png", 640, 480, 0, 0)))
+    val pairs = graft.multimodal.MediaQueries
+      .mediaNearDupPairs(MediaOps.embed(ds)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1 && p._2 == 10 && p._3 == 1.0),
+      s"exact byte-dup must pair at cosine 1.0; got ${pairs.toSeq}")
+    assert(!pairs.exists(p => Set(p._1, p._2).subsetOf(Set(1L, 2L, 3L))),
+      s"distinct assets must not pair: ${pairs.toSeq}")
+    // determinism: the stub features + md5 planes reproduce exactly
+    val again = graft.multimodal.MediaQueries
+      .mediaNearDupPairs(MediaOps.embed(ds)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === again.toSeq)
+  }
+
   test("repartitionBySize packs by byte budget") {
     val df = MediaOps.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val packed = MediaOps.repartitionBySize(df, targetBytes = 16 * 1024)
