@@ -65,33 +65,46 @@ object MediaQueries {
     "q85_media_neardup" -> QuerySpec(
       build = (s, d) => {
         import s.implicits._
-        mediaNearDupPairs(MediaOps.embed(
-          MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord]))
+        val media = MediaOps.mediaFromDocuments(s, d)
+        val emb = MediaOps.embed(
+          media.as[MediaOps.MediaRecord])
+          .join(media.select(col("media_id").as("vec_id"), col("kind")),
+            Seq("vec_id"))
+        mediaNearDupPairs(emb)
       },
       oracle = None)
   )
 
-  /** LSH near-dup pairs over a (vec_id, embedding) frame — factored so
-    * MultimodalSpec drives it with planted duplicates. Same shape as
-    * q67: one bucket groupBy, posting-list pair expansion, never a
-    * self-join. */
+  /** LSH near-dup pairs over a (vec_id, kind, embedding) frame —
+    * factored so MultimodalSpec drives it with planted duplicates.
+    * One bucket groupBy + posting-list pair expansion, never a
+    * self-join — and unlike q67 (which blocks on `label`), the media
+    * corpus has no small natural blocking key, so the pair-expansion
+    * quadratic is tamed by (a) blocking on `kind` (cross-kind pairs
+    * are meaningless anyway), (b) 8-bit bands — 256 buckets each from
+    * the wider plane family — and (c) a hard per-bucket occupancy cap
+    * (q24's df-cap trick): a degenerate corpus of near-identical
+    * assets drops its hottest buckets instead of OOMing an executor. */
+  val maxBucketOccupancy = 1024
+
   def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.similarity.SimilarityQueries.hyperplaneBand
+    import graft.similarity.SimilarityQueries.hyperplaneBand8
     import graft.similarity.VectorFunctions.cosine
-    emb.select(col("vec_id"), col("embedding"),
-        posexplode(array(hyperplaneBand(col("embedding"), 0),
-          hyperplaneBand(col("embedding"), 1))).as(Seq("band", "bucket")))
-      .groupBy(col("band"), col("bucket"))
+    emb.select(col("vec_id"), col("kind"), col("embedding"),
+        posexplode(array(hyperplaneBand8(col("embedding"), 0),
+          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+      .groupBy(col("kind"), col("band"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("docs"))
-      .filter(size(col("docs")) > 1)
+      .filter(size(col("docs")) > 1 &&
+        size(col("docs")) <= maxBucketOccupancy)
       .select(explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
       .select(col("p.x.vec_id").as("ma"), col("p.y.vec_id").as("mb"),
         graft.analytics.StableRound.r4(
           cosine(col("p.x.embedding"), col("p.y.embedding"))).as("cos"))
-      .distinct() // a pair can collide in both bands
       .filter(col("cos") > 0.9)
+      .distinct() // a pair can collide in both bands
       .orderBy("ma", "mb")
   }
 }

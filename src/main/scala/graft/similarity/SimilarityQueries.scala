@@ -45,10 +45,33 @@ object SimilarityQueries {
 
   /** 4-bit random-hyperplane band signature (band b uses planes
     * 4b..4b+3): a pair is an LSH candidate when all 4 signs agree in
-    * some band. Shared by q67 and the media near-dup (q85). */
+    * some band. */
   private[graft] def hyperplaneBand(v: Column, band: Int): Column =
     (0 until 4).map { j =>
       val plane = typedlit(planes(band * 4 + j))
+      when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Wider 8-bit band signature over a SEPARATE 16-plane family (same
+    * md5 derivation, distinct seed tag) for callers without a natural
+    * blocking key (q85 media near-dup): 256 buckets per band instead
+    * of 16, so bucket occupancy — and the quadratic pair expansion —
+    * shrinks 16× for the same corpus. Not used by the oracle-checked
+    * q54/q67, whose SQL embeds the 8-plane family literals. */
+  private[graft] lazy val planes16: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(16) { p =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"plane16:$p:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+      }
+    }
+  }
+
+  private[graft] def hyperplaneBand8(v: Column, band: Int): Column =
+    (0 until 8).map { j =>
+      val plane = typedlit(planes16(band * 8 + j))
       when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -60,9 +60,6 @@ object StreamingNearDup {
       .join(broadcast(buckets), Seq("band", "ha", "hb"))
       .select(col("doc_id")).distinct()
 
-  /** One micro-batch of near-dup suppression: returns nothing, appends
-    * survivors to `keptDir` and their buckets to `stateDir` (both under
-    * `_batch=<batchId>` for idempotent replay). */
   /** Above this many batch bucket rows the broadcast probe gives way
     * to a shuffle semi-join: an unbounded AvailableNow backfill batch
     * (no source rate limit) must not be forced through the driver as
@@ -71,6 +68,9 @@ object StreamingNearDup {
     * on the fast path. */
   val maxBroadcastBuckets: Long = 4L * 1000 * 1000
 
+  /** One micro-batch of near-dup suppression: returns nothing, appends
+    * survivors to `keptDir` and their buckets to `stateDir` (both under
+    * `_batch=<batchId>` for idempotent replay). */
   def dedupBatch(batch: DataFrame, batchId: Long,
                  stateDir: String, keptDir: String): Unit = {
     val spark = batch.sparkSession
@@ -180,6 +180,7 @@ object StreamingNearDup {
       throw new java.io.IOException(s"compaction aside failed for $stateDir")
     if (!fs.rename(tmp, p)) {
       fs.rename(aside, p) // restore — no data lost
+      fs.delete(tmp, true)
       throw new java.io.IOException(s"compaction swap failed for $stateDir")
     }
     fs.delete(aside, true)
@@ -199,6 +200,13 @@ object StreamingNearDup {
         if (!fs.rename(aside, p))
           throw new java.io.IOException(s"state restore failed for $stateDir")
       } else fs.delete(aside, true)
+    }
+    // a crashed compaction also strands its staged copy — compaction
+    // only runs while the stream is stopped, so any -compact-* dir
+    // seen here (or on the next compaction) is stale garbage
+    if (fs.exists(p.getParent)) fs.listStatus(p.getParent).foreach { st =>
+      if (st.getPath.getName.startsWith(p.getName + "-compact-"))
+        fs.delete(st.getPath, true)
     }
   }
 

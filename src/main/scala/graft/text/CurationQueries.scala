@@ -368,13 +368,17 @@ object CurationQueries {
     // Probabilities are pure count ratios (no log), so the oracle
     // agrees bit-for-bit under StableRound.
     //
-    // Scale shape: the bigram-probability table is vocabulary²-bounded
-    // (tiny next to the corpus) and BROADCASTS to the per-doc join.
-    // The corpus pays TWO tokenize+shingle passes — one building the
-    // table, one scoring against it — because recomputing the narrow
-    // codegen'd explode is the right trade against caching the
-    // exploded bigrams (corpus-sized × expansion in executor memory).
-    // Only partial-aggregated (head, next, cnt) rows ever shuffle.
+    // Scale shape: the bigram-probability table is distinct-bigram-
+    // sized — small on a closed vocabulary like this corpus, but it
+    // grows with corpus size on open text (Heaps' law), so the
+    // broadcast decision is LEFT TO THE PLANNER (no broadcast hint):
+    // under autoBroadcastJoinThreshold it broadcasts, beyond it the
+    // join degrades to a shuffle instead of a driver OOM. The corpus
+    // pays TWO tokenize+shingle passes — one building the table, one
+    // scoring against it — because recomputing the narrow codegen'd
+    // explode is the right trade against caching the exploded bigrams
+    // (corpus-sized × expansion in executor memory). Only partial-
+    // aggregated (head, next, cnt) rows ever shuffle.
     "q84_bigram_predictability" -> QuerySpec(
       build = (s, d) => {
         val bi = Tables.documents(s, d).filter(col("text").isNotNull)
@@ -388,7 +392,7 @@ object CurationQueries {
           .withColumn("p", col("cnt").cast("double") /
             sum(col("cnt")).over(Window.partitionBy(col("head"))))
           .select(col("head"), col("next_tok"), col("p"))
-        bi.join(broadcast(probs), Seq("head", "next_tok"))
+        bi.join(probs, Seq("head", "next_tok"))
           .groupBy(col("doc_id"), col("source"))
           .agg(StableRound.r4(avg(col("p"))).as("pred"))
           .groupBy(col("source"))

@@ -90,7 +90,14 @@ object TextQueries {
       .select(col("doc_id"), col("lang"),
         shingle_hashes(col("text"), 3).as("hs"))
       .select(
-        (shiftleft(col("doc_id"), 20) + size(col("hs"))).as("dn"),
+        // the packing assumption is ENFORCED, not assumed: a >=2^20-
+        // shingle document would silently bleed into the doc_id bits
+        // and corrupt pair identity, so it fails the job loudly instead
+        when(size(col("hs")) < (1 << 20),
+          shiftleft(col("doc_id"), 20) + size(col("hs")))
+          .otherwise(raise_error(concat(
+            lit("q24: doc "), col("doc_id"),
+            lit(" has too many shingles to pack")))).as("dn"),
         explode(col("hs")).as("sh"),
         expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
           .as("lk"))

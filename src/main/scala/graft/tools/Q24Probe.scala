@@ -25,7 +25,7 @@ object Q24Probe {
 
     // the EXACT shipped stages, via the shared helpers — no drift
     val hs = graft.text.TextQueries.jaccardIndexRows(
-      spark.read.parquet(s"$d/documents.parquet"))
+      graft.analytics.Tables.documents(spark, d))
     time("explode only (no shuffle)") { hs.count() }
     time("index build (1st shuffle)") {
       graft.text.TextQueries.jaccardPostings(hs).count()

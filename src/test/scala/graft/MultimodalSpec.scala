@@ -65,8 +65,11 @@ class MultimodalSpec extends SparkSpec {
     val ds = spark.createDataset(sample() :+
       MediaRecord(10, "image", Array.tabulate(300)(_.toByte),
         MediaMeta("png", 640, 480, 0, 0)))
+    def emb() = MediaOps.embed(ds).join(
+      ds.toDF().select(col("media_id").as("vec_id"), col("kind")),
+      Seq("vec_id"))
     val pairs = graft.multimodal.MediaQueries
-      .mediaNearDupPairs(MediaOps.embed(ds)).collect()
+      .mediaNearDupPairs(emb()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists(p => p._1 == 1 && p._2 == 10 && p._3 == 1.0),
       s"exact byte-dup must pair at cosine 1.0; got ${pairs.toSeq}")
@@ -74,7 +77,7 @@ class MultimodalSpec extends SparkSpec {
       s"distinct assets must not pair: ${pairs.toSeq}")
     // determinism: the stub features + md5 planes reproduce exactly
     val again = graft.multimodal.MediaQueries
-      .mediaNearDupPairs(MediaOps.embed(ds)).collect()
+      .mediaNearDupPairs(emb()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.toSeq === again.toSeq)
   }
