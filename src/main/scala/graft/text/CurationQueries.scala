@@ -274,11 +274,20 @@ object CurationQueries {
           .withColumn("rep", col("doc_id")).persist()
         var changed = 1L
         var rounds = 0
-        val maxRounds = 50 // >= any real component diameter; see guard
+        val maxRounds = 50 // ample: doubling converges in O(log diameter)
         while (changed > 0 && rounds < maxRounds) {
+          // neighbor propagation (handles new min labels entering via
+          // edges) + POINTER DOUBLING (rep := rep of my rep), which
+          // collapses a diameter-D chain in O(log D) rounds instead of
+          // O(D) — the standard large-graph trick, so a 100 TB corpus
+          // with freak long dup-chains still converges in ~30 rounds
           val prop = labels.join(edges, col("doc_id") === col("src"))
             .select(col("dst").as("doc_id"), col("rep"))
-          val next = labels.unionByName(prop)
+          val doubled = labels.as("l")
+            .join(labels.select(col("doc_id").as("r_doc"),
+              col("rep").as("r_rep")), col("l.rep") === col("r_doc"))
+            .select(col("l.doc_id").as("doc_id"), col("r_rep").as("rep"))
+          val next = labels.unionByName(prop).unionByName(doubled)
             .groupBy("doc_id").agg(min("rep").as("rep")).persist()
           changed = next
             .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
@@ -289,8 +298,7 @@ object CurationQueries {
         }
         // partially-propagated labels are WRONG clusters, and only the
         // oracle-checked SFs would notice — fail loudly, never return
-        // silently-split components (a >50-diameter chain wants
-        // pointer-doubling, not a bigger cap)
+        // silently-split components
         if (changed > 0)
           throw new IllegalStateException(
             s"q82 label propagation did not converge in $maxRounds rounds")
