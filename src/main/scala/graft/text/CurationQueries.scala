@@ -468,6 +468,84 @@ object CurationQueries {
         SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
         FROM p GROUP BY 1 ORDER BY freq DESC, pair LIMIT 20""")),
 
+    // ── inverted posting lists (search-index build) ────────────────
+    // The retrieval-side artifact next to q24's transient index: per
+    // token (df >= 2 — a df-1 token indexes nothing), the SORTED
+    // posting list truncated to its first 1024 entries — the standard
+    // index-prefix cap, so no hot token can blow an aggregation buffer
+    // into an unbounded string (the synthetic corpus's saturated vocab
+    // exercises the truncation at sf0.1; a real deployment also drops
+    // stopwords with a df ceiling). Lists serialize to CSV so the
+    // cross-engine hash compares content, not engine-specific array
+    // rendering.
+    "q87_posting_lists" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .distinct() // posting lists hold distinct docs
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("df"),
+          array_join(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 1024), ",")
+            .as("postings"))
+        .filter(col("df") >= 2)
+        .orderBy("t"),
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        dt AS (SELECT DISTINCT doc_id, unnest(toks) AS t FROM t)
+        SELECT t, count(*) AS df,
+               array_to_string(
+                 (list_sort(list(doc_id)))[1:1024], ',') AS postings
+        FROM dt GROUP BY t HAVING count(*) >= 2
+        ORDER BY t""")),
+
+    // ── tf-idf top terms per document ──────────────────────────────
+    // The classic relevance profile: each document's 3 most
+    // characteristic terms by tf × N/df (the rational idf variant — a
+    // log idf would hinge the hash on cross-engine transcendental
+    // rounding). The rerank runs through the custom TopKPerKey
+    // bounded-heap operator (partial+final heaps around one shuffle),
+    // NOT a row_number window — the same no-Sort contract as the ANN
+    // reranks, now on a text workload.
+    "q88_tfidf_terms" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val terms = docs
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        val df_ = terms.groupBy(col("t"))
+          .agg(count(lit(1)).as("df"))
+        val n = docs.count()
+        val scored = terms.join(df_, Seq("t"))
+          .select(col("doc_id"), col("t"),
+            StableRound.r4(col("tf") * lit(n.toDouble) / col("df"))
+              .as("score"))
+        // idf comes from the FULL corpus; the per-doc rerank prunes to
+        // the reported window first (per-key top-k is unaffected by
+        // other keys, so filtering before the heap is free)
+        graft.operators.TopK.perKeyRanked(
+            scored.filter(col("doc_id") < 100), Seq("doc_id"),
+            Seq(col("score").desc, col("t").asc), 3, "rank")
+          .select(col("doc_id"), col("rank"), col("t"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        terms AS (SELECT doc_id, unnest(toks) AS t FROM t),
+        tf AS (SELECT doc_id, t, count(*) tf FROM terms GROUP BY 1, 2),
+        df AS (SELECT t, count(*) df FROM tf GROUP BY 1),
+        n AS (SELECT count(*) n FROM documents WHERE text IS NOT NULL),
+        scored AS (
+          SELECT doc_id, t,
+                 ${StableRound.sql4("tf.tf * 1.0 * n.n / df.df")} AS score
+          FROM tf JOIN df USING (t) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, t, score, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, t, score
+        FROM ranked WHERE rank <= 3 AND doc_id < 100
+        ORDER BY doc_id, rank""")),
+
     // ── exact length percentiles ───────────────────────────────────
     // Exact per-source p50/p90/p99 of document length — the profiling
     // twin of q50's sketched percentiles. Exact percentile buffers a

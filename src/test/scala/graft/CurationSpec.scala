@@ -204,6 +204,44 @@ class CurationSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q87 posting lists match recomputed postings and honor the prefix cap") {
+    val byTok = scala.collection.mutable.Map[String, Set[Long]]()
+    graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.text.TextFunctions.tokens(col("text")).as("t"))
+      .collect().foreach { r =>
+        val d = r.getLong(0)
+        r.getAs[scala.collection.Seq[String]]("t").foreach(t =>
+          byTok(t) = byTok.getOrElse(t, Set.empty) + d)
+      }
+    val expected = byTok.collect { case (t, ds) if ds.size >= 2 =>
+      t -> (ds.size.toLong, ds.toSeq.sorted.take(1024).mkString(","))
+    }.toMap
+    val got = run("q87_posting_lists").collect()
+      .map(r => r.getAs[String]("t") ->
+        (r.getAs[Long]("df"), r.getAs[String]("postings"))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, csv) =>
+      assert(csv.split(',').length <= 1024)
+    }
+  }
+
+  test("q88 emits dense descending-score top-3 terms per doc") {
+    val rows = run("q88_tfidf_terms").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank"),
+        r.getAs[Double]("score")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length),
+        s"doc $doc ranks must be dense from 1")
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._3).toSeq ===
+        sorted.map(_._3).sortBy(-_).toSeq, s"doc $doc scores not descending")
+    }
+  }
+
   test("q81 exact percentiles bracket min/max and are ordered") {
     val out = run("q81_length_percentiles").collect()
     assert(out.nonEmpty)

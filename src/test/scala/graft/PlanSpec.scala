@@ -135,6 +135,13 @@ class PlanSpec extends SparkSpec {
       p.linesIterator.filter(_.contains("partitioning")).mkString("\n"))
   }
 
+  test("q88 tf-idf rerank runs on TopKPerKey heaps, not a window") {
+    val df = SparkEntry.queries("q88_tfidf_terms")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "rerank must use the custom operator")
+    assert(!p.contains("Window"), "no row_number window in the rerank")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
