@@ -65,12 +65,12 @@ object MediaQueries {
     "q85_media_neardup" -> QuerySpec(
       build = (s, d) => {
         import s.implicits._
-        val media = MediaOps.mediaFromDocuments(s, d)
-        val emb = MediaOps.embed(
-          media.as[MediaOps.MediaRecord])
-          .join(media.select(col("media_id").as("vec_id"), col("kind")),
-            Seq("vec_id"))
-        mediaNearDupPairs(emb)
+        // decode already carries kind — project it straight through
+        // instead of re-scanning the source to join it back
+        mediaNearDupPairs(MediaOps.decode(
+            MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord])
+          .select(col("media_id").as("vec_id"), col("kind"),
+            col("features").as("embedding")))
       },
       oracle = None)
   )
@@ -91,9 +91,18 @@ object MediaQueries {
       : org.apache.spark.sql.DataFrame = {
     import graft.similarity.SimilarityQueries.hyperplaneBand8
     import graft.similarity.VectorFunctions.cosine
-    emb.select(col("vec_id"), col("kind"), col("embedding"),
-        posexplode(array(hyperplaneBand8(col("embedding"), 0),
-          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+    val banded = emb.select(col("vec_id"), col("kind"), col("embedding"),
+      posexplode(array(hyperplaneBand8(col("embedding"), 0),
+        hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+    // pre-cap each bucket with the bounded-heap operator BEFORE the
+    // list materializes: a degenerate hot bucket retains exactly
+    // cap+1 rows (the marker that it overflowed) instead of building
+    // an unbounded collect_list buffer; the size filter below then
+    // drops overflowed buckets entirely, which is byte-identical to
+    // filtering on the true occupancy
+    graft.operators.TopK.perKey(banded,
+        Seq("kind", "band", "bucket"), Seq(col("vec_id").asc),
+        maxBucketOccupancy + 1)
       .groupBy(col("kind"), col("band"), col("bucket"))
       .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
         .as("docs"))

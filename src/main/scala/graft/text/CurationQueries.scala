@@ -479,16 +479,25 @@ object CurationQueries {
     // cross-engine hash compares content, not engine-specific array
     // rendering.
     "q87_posting_lists" -> QuerySpec(
-      build = (s, d) => Tables.documents(s, d).filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .distinct() // posting lists hold distinct docs
-        .groupBy(col("t"))
-        .agg(count(lit(1)).as("df"),
-          array_join(
-            slice(array_sort(collect_list(col("doc_id"))), 1, 1024), ",")
+      build = (s, d) => {
+        val dt = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .distinct() // posting lists hold distinct docs
+        // df over everything (partial-agg'd scalars — bounded), but
+        // the POSTING buffer is bounded BEFORE it materializes: the
+        // bounded-heap operator keeps only the 1024 smallest doc_ids
+        // per token, so a stopword-grade token never builds a
+        // df-sized collect_list buffer just to be truncated after
+        val df_ = dt.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val prefix = graft.operators.TopK.perKey(dt, Seq("t"),
+            Seq(col("doc_id").asc), 1024)
+          .groupBy(col("t"))
+          .agg(array_join(array_sort(collect_list(col("doc_id"))), ",")
             .as("postings"))
-        .filter(col("df") >= 2)
-        .orderBy("t"),
+        df_.filter(col("df") >= 2).join(prefix, Seq("t"))
+          .select(col("t"), col("df"), col("postings"))
+          .orderBy("t")
+      },
       oracle = Some(s"""
         WITH t AS ($duckToks),
         dt AS (SELECT DISTINCT doc_id, unnest(toks) AS t FROM t)
@@ -514,10 +523,13 @@ object CurationQueries {
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
         val df_ = terms.groupBy(col("t"))
           .agg(count(lit(1)).as("df"))
-        val n = docs.count()
-        val scored = terms.join(df_, Seq("t"))
+        // corpus size as a LAZY one-row crossJoin (broadcast), not an
+        // eager count() at plan-build time — building the plan must
+        // not run a Spark job
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_total"))
+        val scored = terms.join(df_, Seq("t")).crossJoin(nDf)
           .select(col("doc_id"), col("t"),
-            StableRound.r4(col("tf") * lit(n.toDouble) / col("df"))
+            StableRound.r4(col("tf") * col("n_total") / col("df"))
               .as("score"))
         // idf comes from the FULL corpus; the per-doc rerank prunes to
         // the reported window first (per-key top-k is unaffected by

@@ -92,12 +92,16 @@ object TextQueries {
       .select(
         // the packing assumption is ENFORCED, not assumed: a >=2^20-
         // shingle document would silently bleed into the doc_id bits
-        // and corrupt pair identity, so it fails the job loudly instead
-        when(size(col("hs")) < (1 << 20),
-          shiftleft(col("doc_id"), 20) + size(col("hs")))
-          .otherwise(raise_error(concat(
-            lit("q24: doc "), col("doc_id"),
-            lit(" has too many shingles to pack")))).as("dn"),
+        // and corrupt pair identity, so it fails the job loudly.
+        // Branch ORDER matters: the guard is the when-condition so a
+        // NULL-text doc (hs NULL, size NULL) falls through to the pack
+        // branch and stays NULL — dropped at explode, exactly the
+        // pre-guard behavior — instead of raising a bogus error
+        when(size(col("hs")) >= (1 << 20),
+          raise_error(concat(lit("q24: doc "), col("doc_id"),
+            lit(" has too many shingles to pack"))))
+          .otherwise(shiftleft(col("doc_id"), 20) + size(col("hs")))
+          .as("dn"),
         explode(col("hs")).as("sh"),
         expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
           .as("lk"))
