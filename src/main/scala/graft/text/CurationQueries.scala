@@ -558,6 +558,101 @@ object CurationQueries {
         FROM ranked WHERE rank <= 3 AND doc_id < 100
         ORDER BY doc_id, rank""")),
 
+    // ── BPE training loop (iterated merges) ────────────────────────
+    // q86 is the FIRST merge; this is the real trainer loop: 3
+    // iterations of (count adjacent symbol pairs over the word-
+    // frequency table → take the argmax → fuse it everywhere), the
+    // algorithm behind every BPE tokenizer. Words live in an anchored
+    // symbol encoding — symbols joined by the \u0001 separator, with
+    // a separator at both ends — so a merge is a literal replace of
+    // SEP·a·SEP·b·SEP with SEP·ab·SEP, applied twice because
+    // consecutive occurrences share a boundary separator and
+    // non-overlapping replace skips every second one (two passes are
+    // provably enough). The oracle unrolls the same three iterations
+    // in CTEs (the q76 k-means pattern).
+    //
+    // Scale shape: the corpus collapses to the vocab-bounded word
+    // table once; each iteration is pair-explode + partial-agg
+    // groupBy + a 1-row argmax collect over the VOCAB (driver-safe,
+    // like q76's centroid collect), never touching the corpus again.
+    "q89_bpe_train" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        val SEP = "\u0001"
+        def fuse(w: org.apache.spark.sql.Column, pat: String, rep: String) =
+          call_function("replace",
+            call_function("replace", w, lit(pat), lit(rep)),
+            lit(pat), lit(rep))
+        var words = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(explode(tokens(col("text"))).as("w0"))
+          .groupBy(col("w0")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("w0")) >= 2)
+          .select(concat(lit(SEP),
+            array_join(transform(sequence(lit(1), length(col("w0"))),
+              i => col("w0").substr(i, lit(1))), SEP), lit(SEP)).as("w"),
+            col("wc"))
+          .persist()
+        val merges = Seq.newBuilder[(Int, String, String, Long)]
+        for (it <- 1 to 3) {
+          val syms = words
+            .select(split(col("w").substr(lit(2), length(col("w")) - 2),
+              SEP).as("syms"), col("wc"))
+            .filter(size(col("syms")) >= 2) // sequence(1,0) would throw
+          val top = syms
+            .select(col("wc"), explode(transform(
+              sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("a"),
+                element_at(col("syms"), i + 1).as("b")))).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("wc")).as("freq"))
+            .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()(0)
+          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((it, a, b, f))
+          val next = words
+            .select(fuse(col("w"), s"$SEP$a$SEP$b$SEP", s"$SEP$a$b$SEP")
+              .as("w"), col("wc")).persist()
+          next.count()
+          words.unpersist()
+          words = next
+        }
+        words.unpersist()
+        merges.result().toDF("iter", "a", "b", "freq").orderBy("iter")
+      },
+      oracle = Some {
+        def pairCte(i: Int) = s"""
+          p$i AS (
+            SELECT sym[i] AS a, sym[i+1] AS b, sum(wc) AS freq
+            FROM (SELECT string_split(trim(w, chr(1)), chr(1)) sym, wc
+                  FROM w${i - 1}),
+                 unnest(generate_series(1, len(sym) - 1)) AS u(i)
+            GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1)"""
+        def mergeCte(i: Int) = s"""
+          w$i AS (
+            SELECT replace(replace(w,
+                (SELECT chr(1)||a||chr(1)||b||chr(1) FROM p$i),
+                (SELECT chr(1)||a||b||chr(1) FROM p$i)),
+                (SELECT chr(1)||a||chr(1)||b||chr(1) FROM p$i),
+                (SELECT chr(1)||a||b||chr(1) FROM p$i)) AS w, wc
+            FROM w${i - 1})"""
+        s"""
+        WITH t AS ($duckToks),
+        wf AS (SELECT w0, count(*) wc FROM (
+                 SELECT unnest(toks) w0 FROM t) GROUP BY 1
+               HAVING length(w0) >= 2),
+        w0 AS (SELECT chr(1) || array_to_string(
+                 list_transform(generate_series(1, length(w0)),
+                   i -> w0[i]), chr(1)) || chr(1) AS w, wc FROM wf),
+        ${pairCte(1)}, ${mergeCte(1)},
+        ${pairCte(2)}, ${mergeCte(2)},
+        ${pairCte(3)}
+        SELECT iter, a, b, CAST(freq AS BIGINT) AS freq FROM (
+          SELECT CAST(1 AS INTEGER) iter, a, b, freq FROM p1
+          UNION ALL SELECT 2, a, b, freq FROM p2
+          UNION ALL SELECT 3, a, b, freq FROM p3)
+        ORDER BY iter"""
+      }),
+
     // ── exact length percentiles ───────────────────────────────────
     // Exact per-source p50/p90/p99 of document length — the profiling
     // twin of q50's sketched percentiles. Exact percentile buffers a

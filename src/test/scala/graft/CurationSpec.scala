@@ -242,6 +242,42 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q89 matches a reference BPE trainer (greedy symbol merges)") {
+    val words = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w"))
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toList -> ws.length.toLong }
+    def mergeSyms(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    var state = words.toSeq
+    val expected = (1 to 3).map { it =>
+      val freq = scala.collection.mutable.Map[(String, String), Long]()
+      state.foreach { case (syms, wc) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => freq((a, b)) = freq.getOrElse((a, b), 0L) + wc
+          case _ =>
+        }
+      }
+      val ((a, b), f) = freq.toSeq.sortBy { case ((a, b), f) =>
+        (-f, a, b) }.head
+      state = state.map { case (syms, wc) => mergeSyms(syms, a, b) -> wc }
+      (it, a, b, f)
+    }
+    val got = run("q89_bpe_train").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
   test("q81 exact percentiles bracket min/max and are ordered") {
     val out = run("q81_length_percentiles").collect()
     assert(out.nonEmpty)
