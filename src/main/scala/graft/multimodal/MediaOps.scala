@@ -52,6 +52,10 @@ object MediaOps {
       * hash over the bytes — deterministic, cheap, collision-spread. */
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
+      // a null payload (e.g. a NULL-text document cast to binary)
+      // embeds as the zero vector, like an empty payload — a real
+      // decoder would reject it upstream
+      if (bytes == null) return out
       var h = 1125899906842597L // large prime seed
       var i = 0
       while (i < bytes.length) {
@@ -161,7 +165,9 @@ object MediaOps {
     * into the similarity surface (cosine / ANN operators). */
   def embed(media: Dataset[MediaRecord], dim: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
-    decode(media, dim).select(col("media_id").as("vec_id"),
+    // kind rides along: it is the blocking key of the near-dup path
+    // (q85) and costs nothing for callers that drop it
+    decode(media, dim).select(col("media_id").as("vec_id"), col("kind"),
       col("features").as("embedding"))
   }
 

@@ -65,12 +65,8 @@ object MediaQueries {
     "q85_media_neardup" -> QuerySpec(
       build = (s, d) => {
         import s.implicits._
-        // decode already carries kind — project it straight through
-        // instead of re-scanning the source to join it back
-        mediaNearDupPairs(MediaOps.decode(
-            MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord])
-          .select(col("media_id").as("vec_id"), col("kind"),
-            col("features").as("embedding")))
+        mediaNearDupPairs(MediaOps.embed(
+          MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord]))
       },
       oracle = None)
   )

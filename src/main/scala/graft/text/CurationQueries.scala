@@ -558,18 +558,20 @@ object CurationQueries {
         FROM ranked WHERE rank <= 3 AND doc_id < 100
         ORDER BY doc_id, rank""")),
 
-    // ── BPE training loop (iterated merges) ────────────────────────
+    // ── BPE training loop (iterated merges) ────────────────────
     // q86 is the FIRST merge; this is the real trainer loop: 3
     // iterations of (count adjacent symbol pairs over the word-
     // frequency table → take the argmax → fuse it everywhere), the
-    // algorithm behind every BPE tokenizer. Words live in an anchored
-    // symbol encoding — symbols joined by the \u0001 separator, with
-    // a separator at both ends — so a merge is a literal replace of
-    // SEP·a·SEP·b·SEP with SEP·ab·SEP, applied twice because
-    // consecutive occurrences share a boundary separator and
-    // non-overlapping replace skips every second one (two passes are
-    // provably enough). The oracle unrolls the same three iterations
-    // in CTEs (the q76 k-means pattern).
+    // algorithm behind every BPE tokenizer. Every symbol is stored
+    // with its own begin (\u0001) and end (\u0002) marker, so the
+    // pair pattern B·a·E·B·b·E can only match two complete adjacent
+    // symbols and consecutive occurrences share no characters — ONE
+    // plain non-overlapping replace IS the exact greedy BPE merge
+    // (a boundary-SEPARATOR encoding is subtly wrong: self-pairs over
+    // symbol runs >= 5 share the middle separator and replace skips
+    // them; CurationSpec pins this against a reference symbol-list
+    // trainer). The oracle unrolls the same three iterations in CTEs
+    // (the q76 k-means pattern).
     //
     // Scale shape: the corpus collapses to the vocab-bounded word
     // table once; each iteration is pair-explode + partial-agg
@@ -578,25 +580,21 @@ object CurationQueries {
     "q89_bpe_train" -> QuerySpec(
       build = (s, d) => {
         import s.implicits._
-        val SEP = "\u0001"
-        def fuse(w: org.apache.spark.sql.Column, pat: String, rep: String) =
-          call_function("replace",
-            call_function("replace", w, lit(pat), lit(rep)),
-            lit(pat), lit(rep))
+        val B = "\u0001" // symbol-begin marker
+        val E = "\u0002" // symbol-end marker
         var words = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(explode(tokens(col("text"))).as("w0"))
           .groupBy(col("w0")).agg(count(lit(1)).as("wc"))
           .filter(length(col("w0")) >= 2)
-          .select(concat(lit(SEP),
-            array_join(transform(sequence(lit(1), length(col("w0"))),
-              i => col("w0").substr(i, lit(1))), SEP), lit(SEP)).as("w"),
-            col("wc"))
+          .select(array_join(transform(sequence(lit(1), length(col("w0"))),
+            i => concat(lit(B), col("w0").substr(i, lit(1)), lit(E))), "")
+            .as("w"), col("wc"))
           .persist()
         val merges = Seq.newBuilder[(Int, String, String, Long)]
         for (it <- 1 to 3) {
           val syms = words
             .select(split(col("w").substr(lit(2), length(col("w")) - 2),
-              SEP).as("syms"), col("wc"))
+              E + B).as("syms"), col("wc"))
             .filter(size(col("syms")) >= 2) // sequence(1,0) would throw
           val top = syms
             .select(col("wc"), explode(transform(
@@ -609,12 +607,15 @@ object CurationQueries {
             .limit(1).collect()(0)
           val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((it, a, b, f))
-          val next = words
-            .select(fuse(col("w"), s"$SEP$a$SEP$b$SEP", s"$SEP$a$b$SEP")
-              .as("w"), col("wc")).persist()
-          next.count()
-          words.unpersist()
-          words = next
+          if (it < 3) { // the last argmax needs no fused table
+            val next = words
+              .select(call_function("replace", col("w"),
+                lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E")).as("w"),
+                col("wc")).persist()
+            next.count()
+            words.unpersist()
+            words = next
+          }
         }
         words.unpersist()
         merges.result().toDF("iter", "a", "b", "freq").orderBy("iter")
@@ -623,26 +624,25 @@ object CurationQueries {
         def pairCte(i: Int) = s"""
           p$i AS (
             SELECT sym[i] AS a, sym[i+1] AS b, sum(wc) AS freq
-            FROM (SELECT string_split(trim(w, chr(1)), chr(1)) sym, wc
+            FROM (SELECT string_split(substring(w, 2, length(w) - 2),
+                    chr(2) || chr(1)) sym, wc
                   FROM w${i - 1}),
                  unnest(generate_series(1, len(sym) - 1)) AS u(i)
             GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1)"""
         def mergeCte(i: Int) = s"""
           w$i AS (
-            SELECT replace(replace(w,
-                (SELECT chr(1)||a||chr(1)||b||chr(1) FROM p$i),
-                (SELECT chr(1)||a||b||chr(1) FROM p$i)),
-                (SELECT chr(1)||a||chr(1)||b||chr(1) FROM p$i),
-                (SELECT chr(1)||a||b||chr(1) FROM p$i)) AS w, wc
+            SELECT replace(w,
+                (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM p$i),
+                (SELECT chr(1)||a||b||chr(2) FROM p$i)) AS w, wc
             FROM w${i - 1})"""
         s"""
         WITH t AS ($duckToks),
         wf AS (SELECT w0, count(*) wc FROM (
                  SELECT unnest(toks) w0 FROM t) GROUP BY 1
                HAVING length(w0) >= 2),
-        w0 AS (SELECT chr(1) || array_to_string(
+        w0 AS (SELECT array_to_string(
                  list_transform(generate_series(1, length(w0)),
-                   i -> w0[i]), chr(1)) || chr(1) AS w, wc FROM wf),
+                   i -> chr(1) || w0[i] || chr(2)), '') AS w, wc FROM wf),
         ${pairCte(1)}, ${mergeCte(1)},
         ${pairCte(2)}, ${mergeCte(2)},
         ${pairCte(3)}

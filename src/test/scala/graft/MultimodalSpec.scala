@@ -65,9 +65,7 @@ class MultimodalSpec extends SparkSpec {
     val ds = spark.createDataset(sample() :+
       MediaRecord(10, "image", Array.tabulate(300)(_.toByte),
         MediaMeta("png", 640, 480, 0, 0)))
-    def emb() = MediaOps.decode(ds)
-      .select(col("media_id").as("vec_id"), col("kind"),
-        col("features").as("embedding"))
+    def emb() = MediaOps.embed(ds)
     val pairs = graft.multimodal.MediaQueries
       .mediaNearDupPairs(emb()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
