@@ -176,6 +176,11 @@ object MediaOps {
     * operators run against oracle-checkable data. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
+      // reject null payloads AT THE BOUNDARY: every operator over
+      // MediaRecord (decode/resize/frameSample) assumes bytes != null,
+      // and a half-tolerant layer would just move the failure around.
+      // The oracles carry the same predicate.
+      .filter(col("text").isNotNull)
       .select(
         col("doc_id").as("media_id"),
         element_at(typedlit(Seq("image", "audio", "video")),

@@ -30,7 +30,8 @@ object MediaQueries {
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
                CAST(max(length(text) * 4) AS BIGINT) AS max_duration_ms,
                CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes
-        FROM documents GROUP BY 1 ORDER BY kind""")),
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY kind""")),
 
     // ── frame sampling: video -> one row per sampled frame ─────────
     // narrow explode(sequence) — frame math is integral on both sides
@@ -47,7 +48,8 @@ object MediaQueries {
       oracle = Some(s"""
         WITH v AS (
           SELECT doc_id AS media_id, (length(text) * 4) // 1000 AS n
-          FROM documents WHERE ($duckKind) = 'video' AND (length(text) * 4) // 1000 >= 1),
+          FROM documents WHERE text IS NOT NULL
+            AND ($duckKind) = 'video' AND (length(text) * 4) // 1000 >= 1),
         f AS (SELECT media_id, unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS frame_idx FROM v)
         SELECT count(*) AS n_frames, count(DISTINCT media_id) AS n_videos,
                CAST(sum(frame_idx) AS BIGINT) AS sum_idx
@@ -87,9 +89,16 @@ object MediaQueries {
       : org.apache.spark.sql.DataFrame = {
     import graft.similarity.SimilarityQueries.hyperplaneBand8
     import graft.similarity.VectorFunctions.cosine
-    val banded = emb.select(col("vec_id"), col("kind"), col("embedding"),
-      posexplode(array(hyperplaneBand8(col("embedding"), 0),
-        hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+    // a zero-norm embedding (empty payload) has NaN cosine with every
+    // plane AND every candidate; NaN compares greater-than in Spark,
+    // so it would land in a bucket and pass the cos filter as a
+    // spurious pair — drop degenerate vectors before banding
+    val banded = emb
+      .filter(col("embedding").isNotNull &&
+        exists(col("embedding"), x => x =!= 0.0f))
+      .select(col("vec_id"), col("kind"), col("embedding"),
+        posexplode(array(hyperplaneBand8(col("embedding"), 0),
+          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
     // pre-cap each bucket with the bounded-heap operator BEFORE the
     // list materializes: a degenerate hot bucket retains exactly
     // cap+1 rows (the marker that it overflowed) instead of building

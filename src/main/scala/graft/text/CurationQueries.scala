@@ -34,6 +34,10 @@ object CurationQueries {
     regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"),
       phoneRe, "<PHONE>")
 
+  /** q89 trainer depth — the Spark loop and the unrolled oracle CTEs
+    * are both generated from this ONE constant. */
+  private val bpeIters = 3
+
   /** Shared DuckDB fragment: tokenized non-null documents. */
   private val duckToks =
     """SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks
@@ -591,7 +595,7 @@ object CurationQueries {
             .as("w"), col("wc"))
           .persist()
         val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (it <- 1 to 3) {
+        for (it <- 1 to bpeIters) {
           val syms = words
             .select(split(col("w").substr(lit(2), length(col("w")) - 2),
               E + B).as("syms"), col("wc"))
@@ -607,7 +611,7 @@ object CurationQueries {
             .limit(1).collect()(0)
           val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
           merges += ((it, a, b, f))
-          if (it < 3) { // the last argmax needs no fused table
+          if (it < bpeIters) { // the last argmax needs no fused table
             val next = words
               .select(call_function("replace", col("w"),
                 lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E")).as("w"),
@@ -643,13 +647,13 @@ object CurationQueries {
         w0 AS (SELECT array_to_string(
                  list_transform(generate_series(1, length(w0)),
                    i -> chr(1) || w0[i] || chr(2)), '') AS w, wc FROM wf),
-        ${pairCte(1)}, ${mergeCte(1)},
-        ${pairCte(2)}, ${mergeCte(2)},
-        ${pairCte(3)}
+        ${(1 until bpeIters).map(i => s"${pairCte(i)}, ${mergeCte(i)},")
+            .mkString("\n")}
+        ${pairCte(bpeIters)}
         SELECT iter, a, b, CAST(freq AS BIGINT) AS freq FROM (
           SELECT CAST(1 AS INTEGER) iter, a, b, freq FROM p1
-          UNION ALL SELECT 2, a, b, freq FROM p2
-          UNION ALL SELECT 3, a, b, freq FROM p3)
+          ${(2 to bpeIters).map(i =>
+              s"UNION ALL SELECT $i, a, b, freq FROM p$i").mkString("\n")})
         ORDER BY iter"""
       }),
 
