@@ -148,10 +148,23 @@ object StreamingNearDup {
     * renames; dedupBatch calls it before every read. Run while the
     * stream is STOPPED — it is the state's single writer then.
     * Returns (dirs_before, rows_after). */
-  def compactState(spark: SparkSession, stateDir: String): (Int, Long) = {
-    val p = new Path(stateDir)
+  def compactState(spark: SparkSession, stateDir: String): (Int, Long) =
+    compactBatchDirs(spark, stateDir,
+      _.select("band", "ha", "hb").distinct())
+
+  /** [[compactState]]'s twin for the KEPT output, which accumulates
+    * `_batch=N` dirs at the same one-per-trigger rate. No projection:
+    * survivors fold into `_batch=-1` row-for-row (replay-overwrite
+    * guarantees no duplicates across batch dirs), the newest batch is
+    * carried verbatim for the same uncommitted-tail reason. */
+  def compactKept(spark: SparkSession, keptDir: String): (Int, Long) =
+    compactBatchDirs(spark, keptDir, identity)
+
+  private def compactBatchDirs(spark: SparkSession, dir: String,
+      project: DataFrame => DataFrame): (Int, Long) = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    repairState(spark, stateDir)
+    repairState(spark, dir)
     if (!fs.exists(p) || fs.listStatus(p).isEmpty) return (0, 0L)
     val dirs = fs.listStatus(p).filter(_.isDirectory)
     val batchIds = dirs.map(_.getPath.getName)
@@ -161,9 +174,8 @@ object StreamingNearDup {
     val newest = batchIds.max
     val tmp = new Path(p.getParent,
       p.getName + s"-compact-${java.util.UUID.randomUUID}")
-    spark.read.parquet(stateDir)
-      .filter(col("_batch") =!= newest)
-      .select("band", "ha", "hb").distinct()
+    project(spark.read.parquet(dir).filter(col("_batch") =!= newest)
+        .drop("_batch"))
       .write.parquet(new Path(tmp, "_batch=-1").toString)
     // COPY (not move) the newest partition into the staged layout: a
     // crash before the swap must leave the live state complete
@@ -172,16 +184,16 @@ object StreamingNearDup {
         new Path(tmp, s"_batch=$newest"), false,
         spark.sessionState.newHadoopConf()))
       throw new java.io.IOException(
-        s"could not carry newest batch over for $stateDir")
+        s"could not carry newest batch over for $dir")
     val rows = spark.read.parquet(tmp.toString).count()
     val aside = new Path(p.getParent, p.getName + ".old")
     fs.delete(aside, true)
     if (!fs.rename(p, aside))
-      throw new java.io.IOException(s"compaction aside failed for $stateDir")
+      throw new java.io.IOException(s"compaction aside failed for $dir")
     if (!fs.rename(tmp, p)) {
       fs.rename(aside, p) // restore — no data lost
       fs.delete(tmp, true)
-      throw new java.io.IOException(s"compaction swap failed for $stateDir")
+      throw new java.io.IOException(s"compaction swap failed for $dir")
     }
     fs.delete(aside, true)
     (dirs.length, rows)

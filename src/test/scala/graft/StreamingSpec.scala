@@ -513,6 +513,16 @@ class StreamingSpec extends SparkSpec {
     assert(kept4.toSeq === ((1L to 10L) :+ 22L :+ 42L :+ 52L),
       "restored state must still suppress doc 51 (dup of doc 4)")
 
+    // the kept output compacts the same way: rows survive verbatim,
+    // older batch dirs fold into _batch=-1, newest carried over
+    val (keptDirsBefore, keptRows) = StreamingNearDup.compactKept(spark, kept)
+    assert(keptDirsBefore >= 3 && keptRows === 13)
+    assert(new java.io.File(kept).listFiles()
+      .count(_.isDirectory) === 2)
+    assert(spark.read.parquet(kept).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq === kept4.toSeq,
+      "compaction must not change the kept rows")
+
     // scale contract: the state scan streams through a broadcast hash
     // probe of the batch's buckets — the (unbounded) state side is
     // never shuffled for the hit check
