@@ -29,9 +29,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * Scale: per batch the corpus-side work is one signature scan + one
   * semi-join + one bucket groupBy on batch-sized data; the state table
   * grows by O(8 × new docs) small fixed-width rows and is periodically
-  * compactable with SilverStore.compact. At 1000-executor scale the
-  * state read is a parquet scan pruned to the join keys; bucketing the
-  * state table on (band, ha, hb) turns the semi-join shuffle-free.
+  * compactable with [[compactState]]. Two mechanisms keep the state
+  * side cheap at 1000-executor scale: the hit check probes the state
+  * scan with a BROADCAST of the batch's buckets (the state rows stream
+  * through the hash probe, never shuffled), and the state layout is
+  * hash-bucketed on (band, ha, hb) into `_sb=<n>` partition dirs so
+  * the per-trigger read partition-prunes to only the `_sb` values the
+  * batch actually touches — a steady-state micro-batch reads a small
+  * fraction of the state files instead of listing-and-scanning all of
+  * them.
   *
   * Exactly-once: outputs are written per micro-batch to
   * `_batch=<id>` subdirectories with overwrite, so a replayed batch
@@ -60,6 +66,21 @@ object StreamingNearDup {
       .join(broadcast(buckets), Seq("band", "ha", "hb"))
       .select(col("doc_id")).distinct()
 
+  /** Number of `_sb` hash buckets the state layout is partitioned
+    * into. A micro-batch with b band buckets touches at most
+    * min(b, 256) `_sb` dirs, so small steady-state triggers prune most
+    * of the state read; a backfill batch touches all of them and
+    * simply degrades to the full scan it would have done anyway.
+    * Fixed for the lifetime of a state dir (the value is baked into
+    * the directory layout). */
+  val stateBucketCount: Int = 256
+
+  /** The state-bucket id of a (band, ha, hb) key — MUST be the same
+    * expression on the write path (state layout) and the read path
+    * (pruning filter). */
+  private def sbCol = pmod(hash(col("band"), col("ha"), col("hb")),
+    lit(stateBucketCount))
+
   /** Above this many batch bucket rows the broadcast probe gives way
     * to a shuffle semi-join: an unbounded AvailableNow backfill batch
     * (no source rate limit) must not be forced through the driver as
@@ -80,15 +101,20 @@ object StreamingNearDup {
       val registered: Option[DataFrame] = {
         val p = new Path(stateDir)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
+          // the `_sb` values this batch touches — at most
+          // stateBucketCount rows, a driver-safe bounded collect —
+          // drive partition pruning of the state read: untouched
+          // `_sb=<n>` dirs are never opened
+          val touched = buckets.select(sbCol.as("_sb")).distinct()
+            .collect().map(_.getInt(0)).toSeq
           // a REPLAYED batch (crash between write and checkpoint
           // commit) finds its own _batch=<id> partition already
           // registered; reading it back would make every document
           // self-collide and overwrite the kept output as empty —
           // exclude the current batch id from the state read
-          Some(spark.read.parquet(stateDir)
-            .filter(col("_batch") =!= batchId))
-        else None
+          Some(prunedState(spark, stateDir, batchId, touched))
+        } else None
       }
       // suppressed by an earlier batch: any bucket already registered.
       // Join ORDER matters at scale: the state is 8 rows per document
@@ -126,9 +152,21 @@ object StreamingNearDup {
       // not those survived, and registering only survivors would let a
       // near-dup of a REMOVED doc slip through later
       buckets.select("band", "ha", "hb").distinct()
-        .write.mode("overwrite").parquet(s"$stateDir/_batch=$batchId")
+        .withColumn("_sb", sbCol)
+        .write.mode("overwrite").partitionBy("_sb")
+        .parquet(s"$stateDir/_batch=$batchId")
     } finally buckets.unpersist()
   }
+
+  /** The registered-buckets frame a batch probe consults: every batch
+    * partition except `batchId`'s own (replay self-collision), pruned
+    * to the `_sb` state buckets in `touched`. Both filters hit
+    * partition COLUMNS (`_batch` and `_sb` are directory names), so
+    * untouched state files are pruned at listing time, never opened. */
+  private[graft] def prunedState(spark: SparkSession, stateDir: String,
+      batchId: Long, touched: Seq[Int]): DataFrame =
+    spark.read.parquet(stateDir)
+      .filter(col("_batch") =!= batchId && col("_sb").isin(touched: _*))
 
   /** Compact the registered-buckets state: one `_batch=N` dir lands
     * per micro-batch, so a long-lived stream accumulates 10⁶ small
@@ -150,7 +188,10 @@ object StreamingNearDup {
     * Returns (dirs_before, rows_after). */
   def compactState(spark: SparkSession, stateDir: String): (Int, Long) =
     compactBatchDirs(spark, stateDir,
-      _.select("band", "ha", "hb").distinct())
+      // recompute `_sb` after the cross-batch dedup so the folded
+      // partition keeps the same bucketed layout the probe prunes on
+      _.select("band", "ha", "hb").distinct().withColumn("_sb", sbCol),
+      partitionCols = Seq("_sb"))
 
   /** [[compactState]]'s twin for the KEPT output, which accumulates
     * `_batch=N` dirs at the same one-per-trigger rate. No projection:
@@ -161,7 +202,8 @@ object StreamingNearDup {
     compactBatchDirs(spark, keptDir, identity)
 
   private def compactBatchDirs(spark: SparkSession, dir: String,
-      project: DataFrame => DataFrame): (Int, Long) = {
+      project: DataFrame => DataFrame,
+      partitionCols: Seq[String] = Nil): (Int, Long) = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     repairState(spark, dir)
@@ -176,7 +218,8 @@ object StreamingNearDup {
       p.getName + s"-compact-${java.util.UUID.randomUUID}")
     project(spark.read.parquet(dir).filter(col("_batch") =!= newest)
         .drop("_batch"))
-      .write.parquet(new Path(tmp, "_batch=-1").toString)
+      .write.partitionBy(partitionCols: _*)
+      .parquet(new Path(tmp, "_batch=-1").toString)
     // COPY (not move) the newest partition into the staged layout: a
     // crash before the swap must leave the live state complete
     if (!org.apache.hadoop.fs.FileUtil.copy(fs,

@@ -536,6 +536,21 @@ class StreamingSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       "state side must not shuffle for the hit check")
 
+    // the state layout is hash-bucketed on (band, ha, hb) into _sb
+    // dirs, and a probe prunes the read to the _sb values the batch
+    // touches — untouched state files are never opened
+    val sbDirs = new java.io.File(state).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory).map(_.getName).distinct
+    assert(sbDirs.nonEmpty && sbDirs.forall(_.startsWith("_sb=")),
+      s"state must be laid out in _sb buckets: ${sbDirs.take(5).toSeq}")
+    val prunedPlan = StreamingNearDup.prunedState(spark, state, 99L, Seq(0, 1))
+      .queryExecution.explainString(org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    val partFilters = prunedPlan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(partFilters.contains("_sb") && partFilters.contains("_batch"),
+      s"state probe must partition-prune on _sb and _batch: $partFilters")
+
     // the streamed result equals the batch q25 rule on the full corpus
     val all = ((1L to 10L).map(i => i -> sentence(i.toInt))
       :+ (11L -> sentence(1)) :+ (21L -> sentence(2)) :+ (22L -> sentence(22)))
