@@ -38,6 +38,15 @@ object CurationQueries {
     * are both generated from this ONE constant. */
   private val bpeIters = 3
 
+  /** q84's scoring-table bound: the corpus is scored against only the
+    * top-K bigrams by count (total-ordered, ties broken by (head,
+    * next)). Bounds the broadcast regardless of vocabulary size; 512
+    * is deliberately below the test corpus's ~916 distinct bigrams so
+    * every oracle-checked SF exercises the cap, boundary ties
+    * included. Baked into the oracle SQL — changing it changes
+    * results. */
+  private[graft] val bigramCap = 512
+
   /** Shared DuckDB fragment: tokenized non-null documents. */
   private val duckToks =
     """SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks
@@ -380,17 +389,20 @@ object CurationQueries {
     // Probabilities are pure count ratios (no log), so the oracle
     // agrees bit-for-bit under StableRound.
     //
-    // Scale shape: the bigram-probability table is distinct-bigram-
-    // sized — small on a closed vocabulary like this corpus, but it
-    // grows with corpus size on open text (Heaps' law), so the
-    // broadcast decision is LEFT TO THE PLANNER (no broadcast hint):
-    // under autoBroadcastJoinThreshold it broadcasts, beyond it the
-    // join degrades to a shuffle instead of a driver OOM. The corpus
-    // pays TWO tokenize+shingle passes — one building the table, one
-    // scoring against it — because recomputing the narrow codegen'd
-    // explode is the right trade against caching the exploded bigrams
-    // (corpus-sized × expansion in executor memory). Only partial-
-    // aggregated (head, next, cnt) rows ever shuffle.
+    // Scale shape: conditional probabilities are computed over the
+    // FULL bigram count table (distinct-bigram-sized narrow rows — a
+    // bounded partial-agg shuffle even on open text), but the corpus
+    // is SCORED against only the [[bigramCap]] most frequent bigrams,
+    // totally ordered by (count desc, head, next) so the cut is
+    // deterministic on both engines. The cap is what makes the
+    // corpus-side join broadcastable REGARDLESS of vocabulary size:
+    // without it the scoring join degrades to a full shuffle of the
+    // exploded corpus on open-vocabulary text (Heaps' law — the q24
+    // df-cap lesson). Docs none of whose bigrams reach the top table
+    // drop from the score, mirrored in the oracle. The corpus pays
+    // TWO tokenize+shingle passes — one building the table, one
+    // scoring — because recomputing the narrow codegen'd explode
+    // beats caching the corpus-sized exploded bigrams.
     "q84_bigram_predictability" -> QuerySpec(
       build = (s, d) => {
         val bi = Tables.documents(s, d).filter(col("text").isNotNull)
@@ -399,12 +411,14 @@ object CurationQueries {
           .select(col("doc_id"), col("source"),
             split(col("sh"), " ").getItem(0).as("head"),
             split(col("sh"), " ").getItem(1).as("next_tok"))
-        val probs = bi.groupBy(col("head"), col("next_tok"))
+        val top = bi.groupBy(col("head"), col("next_tok"))
           .agg(count(lit(1)).as("cnt"))
           .withColumn("p", col("cnt").cast("double") /
             sum(col("cnt")).over(Window.partitionBy(col("head"))))
+          .orderBy(col("cnt").desc, col("head").asc, col("next_tok").asc)
+          .limit(bigramCap)
           .select(col("head"), col("next_tok"), col("p"))
-        bi.join(probs, Seq("head", "next_tok"))
+        bi.join(broadcast(top), Seq("head", "next_tok"))
           .groupBy(col("doc_id"), col("source"))
           .agg(StableRound.r4(avg(col("p"))).as("pred"))
           .groupBy(col("source"))
@@ -421,12 +435,14 @@ object CurationQueries {
             generate_series(1, greatest(len(toks)-1, 0)),
             i -> [toks[i], toks[i+1]])) pr FROM t)),
         cnt AS (SELECT head, next_tok, count(*) cnt FROM bi GROUP BY 1, 2),
-        p AS (SELECT head, next_tok,
+        p AS (SELECT head, next_tok, cnt,
                 cnt * 1.0 / sum(cnt) OVER (PARTITION BY head) AS p
               FROM cnt),
+        top AS (SELECT head, next_tok, p FROM p
+                ORDER BY cnt DESC, head, next_tok LIMIT $bigramCap),
         pd AS (SELECT doc_id, source,
                  ${StableRound.sql4("avg(p)")} AS pred
-               FROM bi JOIN p USING (head, next_tok) GROUP BY 1, 2)
+               FROM bi JOIN top USING (head, next_tok) GROUP BY 1, 2)
         SELECT source, count(*) AS n_docs,
                ${StableRound.sql4("avg(pred)")} AS avg_pred,
                ${StableRound.sql4("min(pred)")} AS min_pred,

@@ -170,10 +170,19 @@ class CurationSpec extends SparkSpec {
     })
     val headTotal = counts.groupBy(_._1._1).map { case (h, m) =>
       h -> m.values.sum }
+    // the query scores only the top-`bigramCap` bigrams (count desc,
+    // ties by (head, next)); the cap must bind at this SF or the test
+    // exercises nothing
+    val top = counts.toSeq
+      .sortBy { case ((h, n), c) => (-c, h, n) }
+      .take(graft.text.CurationQueries.bigramCap).map(_._1).toSet
+    assert(counts.size > graft.text.CurationQueries.bigramCap,
+      s"cap must bind: ${counts.size} distinct bigrams")
     def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
     val perDoc = docs.flatMap { case (_, src, toks) =>
       val ps = toks.sliding(2).collect {
-        case Seq(a, b) => counts((a, b)).toDouble / headTotal(a)
+        case Seq(a, b) if top((a, b)) =>
+          counts((a, b)).toDouble / headTotal(a)
       }.toSeq
       if (ps.isEmpty) None else Some(src -> r4(ps.sum / ps.length))
     }

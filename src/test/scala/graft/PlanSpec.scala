@@ -124,6 +124,14 @@ class PlanSpec extends SparkSpec {
       "no sort-merge join: the corpus side must not shuffle on shingle")
   }
 
+  test("q84 predictability: capped bigram table broadcasts into the scoring join") {
+    val p = plan("q84_bigram_predictability")
+    assert(p.contains("BroadcastHashJoin"),
+      "the top-K bigram table (bounded by bigramCap) must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the exploded corpus must never shuffle for the scoring join")
+  }
+
   test("q79 packing: exactly one exchange feeds both the window and the groupBy") {
     val p = plan("q79_pack_chunks")
     // window partitions by source; the groupBy(source, bin) reuses that
