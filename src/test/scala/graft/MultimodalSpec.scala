@@ -80,6 +80,64 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.toSeq === again.toSeq)
   }
 
+  // a real 8x6 PNG with a deterministic gradient pattern, built with
+  // the same pure-JDK imaging the codec decodes with
+  private def pngBytes(w: Int = 8, h: Int = 6): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 31) % 256 << 16) | ((y * 57) % 256 << 8) |
+        ((x * y * 13) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decode runs the real JDK codec on PNG payloads") {
+    import spark.implicits._
+    val bytes = pngBytes()
+    // meta deliberately LIES about the dimensions: only a real decode
+    // can report the true 8x6 raster
+    val ds = spark.createDataset(Seq(
+      MediaRecord(7, "image", bytes, MediaMeta("png", 999, 999, 0, 0))))
+    val out = MediaOps.decode(ds, dim = 16).collect().head
+    assert(out.width === 8 && out.height === 6,
+      s"decoded dims must come from the raster, got ${out.width}x${out.height}")
+    // features equal a locally recomputed luminance projection of the
+    // decoded pixels — the distributed decode IS the real decode
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val exp = new Array[Float](16)
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val rgb = img.getRGB(x, y)
+      val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      exp((y * 8 + x) % 16) += lum / 255.0f
+    }
+    assert(out.features.toSeq === exp.toSeq)
+    // and it is NOT the stub's output
+    assert(!out.features.sameElements(
+      MediaOps.DecodeStub.features(bytes, 16)))
+    // non-decodable image bytes still fall back to the stub
+    val junk = spark.createDataset(Seq(MediaRecord(8, "image",
+      Array.tabulate(300)(_.toByte), MediaMeta("png", 640, 480, 0, 0))))
+    val fb = MediaOps.decode(junk, dim = 16).collect().head
+    assert(fb.width === 640 && fb.features.sameElements(
+      MediaOps.DecodeStub.features(Array.tabulate(300)(_.toByte), 16)))
+  }
+
+  test("resize re-encodes a real PNG at the target raster size") {
+    import spark.implicits._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(7, "image", pngBytes(), MediaMeta("png", 8, 6, 0, 0))))
+    val out = MediaOps.resize(ds, 4, 3).collect().head
+    assert(out.meta.width === 4 && out.meta.height === 3 &&
+      out.meta.format === "png")
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.bytes))
+    assert(back != null && back.getWidth === 4 && back.getHeight === 3,
+      "resized payload must itself be a decodable 4x3 image")
+  }
+
   test("repartitionBySize packs by byte budget") {
     val df = MediaOps.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val packed = MediaOps.repartitionBySize(df, targetBytes = 16 * 1024)
