@@ -14,6 +14,13 @@ object MediaQueries {
   private val duckKind =
     "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
 
+  /** Hard per-bucket occupancy cap for the q85 pair expansion (q24's
+    * df-cap trick): a degenerate corpus of near-identical assets drops
+    * its hottest buckets instead of OOMing an executor. Declared BEFORE
+    * [[queries]] — the oracle SQL interpolates it at object init, and
+    * a later declaration would read 0 into the WHERE clause. */
+  val maxBucketOccupancy = 1024
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── binary columns + typed metadata: per-kind byte statistics ──
@@ -55,23 +62,81 @@ object MediaQueries {
                CAST(sum(frame_idx) AS BIGINT) AS sum_idx
         FROM f""")),
 
-    // ── media near-dup: stub decode → hyperplane LSH → cosine ──────
-    // The multimodal twin of q67: embed every asset (batched
-    // mapPartitions decode — the STUB feature extractor stands in for
-    // a real vision/audio encoder, the distributed shape is real),
-    // bucket by random-hyperplane bands, exact-cosine only the bucket
-    // collisions. Identical bytes → identical features → cos 1.0, so
-    // exact-duplicate assets always pair. No SQL oracle — the feature
-    // extraction is Scala-side (driver records the weaker rows-only
-    // check, like q50); MultimodalSpec pins planted-dup behavior.
+    // ── media near-dup: fingerprint embed → hyperplane LSH → cosine ─
+    // The multimodal twin of q67: embed every asset, bucket by
+    // random-hyperplane bands (the wider 8-bit family), exact-cosine
+    // only the bucket collisions. Identical bytes → identical
+    // embedding → cos 1.0, so exact-duplicate assets always pair.
+    //
+    // The embedding here is [[md5Embed]] — a deterministic byte
+    // fingerprint both engines compute bit-for-bit, which makes the
+    // whole pipeline (embed → 8-bit banding → occupancy cap → cosine
+    // rerank) HASH-CHECKED against DuckDB, the q67 recipe. The
+    // codec-based embed (real javax.imageio features for images, stub
+    // for av) drives the same mediaNearDupPairs in MultimodalSpec —
+    // the near-dup operator is embedding-agnostic.
     "q85_media_neardup" -> QuerySpec(
-      build = (s, d) => {
-        import s.implicits._
-        mediaNearDupPairs(MediaOps.embed(
-          MediaOps.mediaFromDocuments(s, d).as[MediaOps.MediaRecord]))
-      },
-      oracle = None)
+      build = (s, d) => mediaNearDupPairs(
+        MediaOps.mediaFromDocuments(s, d)
+          .select(col("media_id").as("vec_id"), col("kind"),
+            md5Embed(col("bytes")).as("embedding"))),
+      oracle = Some {
+        import graft.similarity.SimilarityQueries.planes16
+        def sqlPlane(p: Int) =
+          "[" + planes16(p).map(v => String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(v))).mkString(", ") + "]::DOUBLE[]"
+        def bandExpr(band: Int) = (0 until 8).map(j =>
+          s"(CASE WHEN list_cosine_similarity(emb, ${sqlPlane(band * 8 + j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        val hexCat = (1 to 4).map(k => s"md5(text || chr($k))")
+          .mkString(" || ")
+        s"""
+        WITH m AS (
+          SELECT doc_id AS vec_id, $duckKind AS kind, $hexCat AS hx
+          FROM documents WHERE text IS NOT NULL),
+        e AS (
+          SELECT vec_id, kind, list_transform(generate_series(0, 63),
+            j -> (CAST('0x' || substring(hx, 2*j + 1, 2) AS INTEGER)
+                  - 127.5) / 127.5) AS emb
+          FROM m),
+        b AS (
+          SELECT vec_id, kind, emb, 0 AS band, ${bandExpr(0)} AS bucket FROM e
+          UNION ALL
+          SELECT vec_id, kind, emb, 1 AS band, ${bandExpr(1)} AS bucket FROM e),
+        occ AS (SELECT kind, band, bucket, count(*) n
+                FROM b GROUP BY 1, 2, 3),
+        cand AS (
+          SELECT DISTINCT x.vec_id ma, y.vec_id mb,
+                 floor(list_cosine_similarity(x.emb, y.emb) * 10000 + 0.5)
+                   / 10000 AS cos
+          FROM b x JOIN b y
+            ON x.kind = y.kind AND x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id
+          JOIN occ o ON o.kind = x.kind AND o.band = x.band
+               AND o.bucket = x.bucket
+          WHERE o.n <= $maxBucketOccupancy)
+        SELECT ma, mb, cos FROM cand WHERE cos > 0.9 ORDER BY ma, mb"""
+      })
   )
+
+  /** Deterministic 64-dim byte-fingerprint embedding, computable
+    * bit-for-bit in BOTH engines (Spark: md5 over binary + conv;
+    * DuckDB: md5 over the same UTF-8 bytes + hex cast): feature j is
+    * the j-th byte of md5(bytes ++ 1) … md5(bytes ++ 4) concatenated,
+    * centered to [-1, 1] in exact double arithmetic. NOT a perceptual
+    * embedding — it is the cross-engine-checkable stand-in that lets
+    * the full q85 LSH pipeline be oracle-verified; byte-identical
+    * payloads embed identically (cos 1.0), distinct payloads spread
+    * pseudo-randomly. Suffix bytes 1..4 (not 0) — chr(0) is not a
+    * valid DuckDB VARCHAR char. */
+  private[graft] def md5Embed(bytes: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val hx = concat((1 to 4).map(k =>
+      md5(concat(bytes, lit(Array(k.toByte))))): _*)
+    array((0 until 64).map(j =>
+      (conv(substring(hx, 2 * j + 1, 2), 16, 10).cast("int")
+        - lit(127.5)) / lit(127.5)): _*)
+  }
 
   /** LSH near-dup pairs over a (vec_id, kind, embedding) frame —
     * factored so MultimodalSpec drives it with planted duplicates.
@@ -80,11 +145,8 @@ object MediaQueries {
     * corpus has no small natural blocking key, so the pair-expansion
     * quadratic is tamed by (a) blocking on `kind` (cross-kind pairs
     * are meaningless anyway), (b) 8-bit bands — 256 buckets each from
-    * the wider plane family — and (c) a hard per-bucket occupancy cap
-    * (q24's df-cap trick): a degenerate corpus of near-identical
-    * assets drops its hottest buckets instead of OOMing an executor. */
-  val maxBucketOccupancy = 1024
-
+    * the wider plane family — and (c) the hard per-bucket
+    * [[maxBucketOccupancy]] cap. */
   def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.similarity.SimilarityQueries.hyperplaneBand8
