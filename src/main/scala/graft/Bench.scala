@@ -44,7 +44,13 @@ object Bench {
       case (k, ts) => k -> (if (ts.contains(-1.0)) -1.0 else f(ts))
     }
     val mins = agg(_.min)
-    val medians = agg(ts => ts.sorted.apply(ts.size / 2))
+    // true median: average the two middle samples when runs is even,
+    // else an outlier pass becomes the "median" at exactly runs=2
+    val medians = agg { ts =>
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     def js(xs: Seq[(String, Double)]) = xs.map { case (k, v) =>
       s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum

@@ -54,11 +54,20 @@ object MediaOps {
     * pipeline is REAL for real images and still runs on anything. */
   object JdkImageCodec {
 
+    // the default ImageIO cache spools every read/write through a temp
+    // FILE in java.io.tmpdir — pure disk churn for byte arrays already
+    // in memory, and per-row on the decode hot path
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Total over arbitrary bytes: the JDK readers throw
+      * RuntimeExceptions (not just IOException) on malformed headers,
+      * and a corrupt payload must fall back to the stub, not kill the
+      * task. */
     def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
       if (bytes == null || bytes.length == 0) None
       else try Option(javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes)))
-      catch { case _: java.io.IOException => None }
+      catch { case scala.util.control.NonFatal(_) => None }
 
     /** Decode and project the raster into a `dim`-length feature
       * vector: the Rec.601 luminance of pixel (x, y) accumulates into

@@ -35,9 +35,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * through the hash probe, never shuffled), and the state layout is
   * hash-bucketed on (band, ha, hb) into `_sb=<n>` partition dirs so
   * the per-trigger read partition-prunes to only the `_sb` values the
-  * batch actually touches — a steady-state micro-batch reads a small
-  * fraction of the state files instead of listing-and-scanning all of
-  * them.
+  * batch actually touches. Pruning cuts file OPENS and row scans, not
+  * directory LISTING — discovery still walks the whole tree — so the
+  * layout trades up to 256 dirs per un-compacted batch for the
+  * pruned probe; [[compactState]] is what keeps the dir count (and
+  * with it the listing cost) bounded, exactly as before.
   *
   * Exactly-once: outputs are written per micro-batch to
   * `_batch=<id>` subdirectories with overwrite, so a replayed batch
@@ -96,6 +98,7 @@ object StreamingNearDup {
                  stateDir: String, keptDir: String): Unit = {
     val spark = batch.sparkSession
     repairState(spark, stateDir)
+    migrateStateLayout(spark, stateDir)
     val buckets = bandBuckets(batch).cache()
     try {
       val registered: Option[DataFrame] = {
@@ -153,6 +156,10 @@ object StreamingNearDup {
       // near-dup of a REMOVED doc slip through later
       buckets.select("band", "ha", "hb").distinct()
         .withColumn("_sb", sbCol)
+        // one writer task per _sb value → exactly ONE file per _sb
+        // dir; without this every shuffle partition contributes a
+        // file to every _sb dir it touches (up to 32× the files)
+        .repartition(col("_sb"))
         .write.mode("overwrite").partitionBy("_sb")
         .parquet(s"$stateDir/_batch=$batchId")
     } finally buckets.unpersist()
@@ -186,12 +193,71 @@ object StreamingNearDup {
     * renames; dedupBatch calls it before every read. Run while the
     * stream is STOPPED — it is the state's single writer then.
     * Returns (dirs_before, rows_after). */
-  def compactState(spark: SparkSession, stateDir: String): (Int, Long) =
+  def compactState(spark: SparkSession, stateDir: String): (Int, Long) = {
+    migrateStateLayout(spark, stateDir)
     compactBatchDirs(spark, stateDir,
       // recompute `_sb` after the cross-batch dedup so the folded
       // partition keeps the same bucketed layout the probe prunes on
       _.select("band", "ha", "hb").distinct().withColumn("_sb", sbCol),
       partitionCols = Seq("_sb"))
+  }
+
+  /** One-time in-place migration of a state dir written BEFORE the
+    * `_sb` bucketing (plain files directly under `_batch=N`): mixed
+    * depths would fail partition discovery outright, and prunedState
+    * would reference a column that does not exist. Each pre-`_sb`
+    * batch dir is rewritten bucketed and swapped in via rename-aside
+    * (aside is dot-prefixed, invisible to readers); the crash window
+    * between the two renames is healed here on the next call. Batch
+    * identity is preserved, so replay exclusion still works. NOT for
+    * kept dirs — their flat layout is current, not legacy. */
+  private[graft] def migrateStateLayout(spark: SparkSession,
+                                        stateDir: String): Unit = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    // heal a migration crash first: live batch dir missing, data only
+    // in its dot-prefixed aside
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("._batch=") && n.endsWith("-presb")) {
+        val live = new Path(p, n.stripPrefix(".").stripSuffix("-presb"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(st.getPath, live))
+            throw new java.io.IOException(
+              s"pre-_sb aside restore failed for ${st.getPath}")
+        } else fs.delete(st.getPath, true)
+      }
+    }
+    val old = fs.listStatus(p).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("_batch=") && {
+        val kids = fs.listStatus(st.getPath)
+        kids.exists(k => k.isFile && !k.getPath.getName.startsWith("_") &&
+          !k.getPath.getName.startsWith(".")) &&
+          !kids.exists(k => k.isDirectory &&
+            k.getPath.getName.startsWith("_sb="))
+      }
+    }
+    old.foreach { st =>
+      val tmp = new Path(p.getParent,
+        p.getName + s"-migrate-${java.util.UUID.randomUUID}")
+      spark.read.parquet(st.getPath.toString)
+        .select("band", "ha", "hb")
+        .withColumn("_sb", sbCol)
+        .repartition(col("_sb"))
+        .write.partitionBy("_sb").parquet(tmp.toString)
+      val aside = new Path(p, "." + st.getPath.getName + "-presb")
+      fs.delete(aside, true)
+      if (!fs.rename(st.getPath, aside))
+        throw new java.io.IOException(s"migration aside failed for ${st.getPath}")
+      if (!fs.rename(tmp, st.getPath)) {
+        fs.rename(aside, st.getPath)
+        fs.delete(tmp, true)
+        throw new java.io.IOException(s"migration swap failed for ${st.getPath}")
+      }
+      fs.delete(aside, true)
+    }
+  }
 
   /** [[compactState]]'s twin for the KEPT output, which accumulates
     * `_batch=N` dirs at the same one-per-trigger rate. No projection:
@@ -216,8 +282,11 @@ object StreamingNearDup {
     val newest = batchIds.max
     val tmp = new Path(p.getParent,
       p.getName + s"-compact-${java.util.UUID.randomUUID}")
-    project(spark.read.parquet(dir).filter(col("_batch") =!= newest)
-        .drop("_batch"))
+    val folded = project(spark.read.parquet(dir)
+      .filter(col("_batch") =!= newest).drop("_batch"))
+    (if (partitionCols.nonEmpty)
+       folded.repartition(partitionCols.map(col): _*) // one file per dir
+     else folded)
       .write.partitionBy(partitionCols: _*)
       .parquet(new Path(tmp, "_batch=-1").toString)
     // COPY (not move) the newest partition into the staged layout: a
@@ -256,11 +325,13 @@ object StreamingNearDup {
           throw new java.io.IOException(s"state restore failed for $stateDir")
       } else fs.delete(aside, true)
     }
-    // a crashed compaction also strands its staged copy — compaction
-    // only runs while the stream is stopped, so any -compact-* dir
-    // seen here (or on the next compaction) is stale garbage
+    // a crashed compaction or layout migration also strands its staged
+    // copy — both only run from the state's single writer, so any
+    // -compact-* / -migrate-* dir seen here is stale garbage
     if (fs.exists(p.getParent)) fs.listStatus(p.getParent).foreach { st =>
-      if (st.getPath.getName.startsWith(p.getName + "-compact-"))
+      val n = st.getPath.getName
+      if (n.startsWith(p.getName + "-compact-") ||
+          n.startsWith(p.getName + "-migrate-"))
         fs.delete(st.getPath, true)
     }
   }

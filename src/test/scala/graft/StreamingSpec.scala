@@ -417,6 +417,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("pre-_sb near-dup state layouts migrate in place and keep suppressing") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    val state = tmp("nd-mig-state"); val kept = tmp("nd-mig-kept")
+    def sentence(i: Int) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    // batch 0 as the PREVIOUS code version wrote it: plain parquet
+    // files directly under _batch=0, no _sb bucketing
+    StreamingNearDup.bandBuckets(
+        Seq(1L -> sentence(1), 2L -> sentence(2)).toDF("doc_id", "text"))
+      .select("band", "ha", "hb").distinct()
+      .write.parquet(s"$state/_batch=0")
+    // next trigger under the new layout: doc 11 duplicates doc 1 from
+    // the legacy batch and must still be suppressed
+    StreamingNearDup.dedupBatch(
+      Seq(11L -> sentence(1), 12L -> sentence(12)).toDF("doc_id", "text"),
+      1L, state, kept)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(12L),
+      "legacy-registered buckets must still suppress")
+    val b0 = new java.io.File(s"$state/_batch=0").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(b0.nonEmpty && b0.forall(_.startsWith("_sb=")),
+      s"legacy batch dir must be rewritten into _sb dirs: ${b0.toSeq}")
+  }
+
   test("streaming near-dup suppresses LSH collisions within and across batches") {
     import spark.implicits._
     import graft.streaming.StreamingNearDup
