@@ -93,12 +93,33 @@ object StreamingNearDup {
 
   /** One micro-batch of near-dup suppression: returns nothing, appends
     * survivors to `keptDir` and their buckets to `stateDir` (both under
-    * `_batch=<batchId>` for idempotent replay). */
+    * `_batch=<batchId>` for idempotent replay).
+    *
+    * `autoCompactDirs` > 0 folds the state (and kept output) whenever
+    * their per-batch dir count exceeds it, BEFORE this batch's own
+    * write. Safe exactly because dedupBatch is the state's single
+    * writer and compaction carries the newest partition verbatim: a
+    * crash-replay of the previous batch still finds its own partition
+    * excluded, and a replay of THIS batch rewrites its partitions
+    * idempotently. 0 (the default) keeps compaction a manual,
+    * stream-stopped operation. */
   def dedupBatch(batch: DataFrame, batchId: Long,
-                 stateDir: String, keptDir: String): Unit = {
+                 stateDir: String, keptDir: String,
+                 autoCompactDirs: Int = 0): Unit = {
     val spark = batch.sparkSession
     repairState(spark, stateDir)
     migrateStateLayout(spark, stateDir)
+    if (autoCompactDirs > 0) {
+      def dirs(d: String): Int = {
+        val p = new Path(d)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(s => s.isDirectory &&
+          s.getPath.getName.startsWith("_batch="))
+      }
+      if (dirs(stateDir) > autoCompactDirs) compactState(spark, stateDir)
+      if (dirs(keptDir) > autoCompactDirs) compactKept(spark, keptDir)
+    }
     val buckets = bandBuckets(batch).cache()
     try {
       val registered: Option[DataFrame] = {
@@ -337,14 +358,18 @@ object StreamingNearDup {
   }
 
   /** Drain everything pending from `docs` (a streaming frame with
-    * doc_id/text) through the near-dup filter and stop. */
+    * doc_id/text) through the near-dup filter and stop. A long-lived
+    * deployment passes `autoCompactDirs` (e.g. 64) so a
+    * trigger-per-minute stream never accumulates unbounded `_batch=`
+    * dirs between manual compactions. */
   def runAvailableNow(docs: DataFrame, checkpointDir: String,
-                      stateDir: String, keptDir: String): StreamingQuery =
+                      stateDir: String, keptDir: String,
+                      autoCompactDirs: Int = 0): StreamingQuery =
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        dedupBatch(batch, id, stateDir, keptDir)
+        dedupBatch(batch, id, stateDir, keptDir, autoCompactDirs)
       }
       .start()
 }

@@ -443,6 +443,31 @@ class StreamingSpec extends SparkSpec {
       s"legacy batch dir must be rewritten into _sb dirs: ${b0.toSeq}")
   }
 
+  test("auto-compaction keeps per-batch state dirs bounded across triggers") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    val state = tmp("nd-ac-state"); val kept = tmp("nd-ac-kept")
+    def sentence(i: Int) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    for (b <- 0 until 6)
+      StreamingNearDup.dedupBatch(
+        Seq((100L + b) -> sentence(100 + b)).toDF("doc_id", "text"),
+        b.toLong, state, kept, autoCompactDirs = 2)
+    def dirs(d: String) = new java.io.File(d).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("_batch="))
+    // worst case after a trigger: _batch=-1 + carried-newest + own
+    assert(dirs(state) <= 3, s"state dirs must stay bounded: ${dirs(state)}")
+    assert(dirs(kept) <= 3, s"kept dirs must stay bounded: ${dirs(kept)}")
+    // folding must lose nothing: a dup of the OLDEST (long-compacted)
+    // doc is still suppressed, all six originals still present
+    StreamingNearDup.dedupBatch(
+      Seq(200L -> sentence(100)).toDF("doc_id", "text"),
+      6L, state, kept, autoCompactDirs = 2)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (100L to 105L),
+      "compacted state must still suppress, kept rows must survive folds")
+  }
+
   test("streaming near-dup suppresses LSH collisions within and across batches") {
     import spark.implicits._
     import graft.streaming.StreamingNearDup
