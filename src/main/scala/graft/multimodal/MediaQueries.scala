@@ -79,7 +79,13 @@ object MediaQueries {
       build = (s, d) => mediaNearDupPairs(
         MediaOps.mediaFromDocuments(s, d)
           .select(col("media_id").as("vec_id"), col("kind"),
-            md5Embed(col("bytes")).as("embedding"))),
+            length(col("bytes")).as("blen"),
+            md5Embed(col("bytes")).as("embedding")),
+        // payload byte length as an extra blocking key: lossless for
+        // the fingerprint embedding (md5 avalanche — different-length
+        // payloads never embed alike), and it keeps bucket occupancy
+        // flat as the corpus grows instead of n/buckets-linear
+        blockCols = Seq("blen")),
       oracle = Some {
         import graft.similarity.SimilarityQueries.planes16
         def sqlPlane(p: Int) =
@@ -92,28 +98,31 @@ object MediaQueries {
           .mkString(" || ")
         s"""
         WITH m AS (
-          SELECT doc_id AS vec_id, $duckKind AS kind, $hexCat AS hx
+          SELECT doc_id AS vec_id, $duckKind AS kind,
+                 octet_length(encode(text)) AS blen, $hexCat AS hx
           FROM documents WHERE text IS NOT NULL),
         e AS (
-          SELECT vec_id, kind, list_transform(generate_series(0, 63),
+          SELECT vec_id, kind, blen, list_transform(generate_series(0, 63),
             j -> (CAST('0x' || substring(hx, 2*j + 1, 2) AS INTEGER)
                   - 127.5) / 127.5) AS emb
           FROM m),
         b AS (
-          SELECT vec_id, kind, emb, 0 AS band, ${bandExpr(0)} AS bucket FROM e
+          SELECT vec_id, kind, blen, emb, 0 AS band, ${bandExpr(0)} AS bucket
+          FROM e
           UNION ALL
-          SELECT vec_id, kind, emb, 1 AS band, ${bandExpr(1)} AS bucket FROM e),
-        occ AS (SELECT kind, band, bucket, count(*) n
-                FROM b GROUP BY 1, 2, 3),
+          SELECT vec_id, kind, blen, emb, 1 AS band, ${bandExpr(1)} AS bucket
+          FROM e),
+        occ AS (SELECT kind, blen, band, bucket, count(*) n
+                FROM b GROUP BY 1, 2, 3, 4),
         cand AS (
           SELECT DISTINCT x.vec_id ma, y.vec_id mb,
                  floor(list_cosine_similarity(x.emb, y.emb) * 10000 + 0.5)
                    / 10000 AS cos
           FROM b x JOIN b y
-            ON x.kind = y.kind AND x.band = y.band AND x.bucket = y.bucket
-               AND x.vec_id < y.vec_id
-          JOIN occ o ON o.kind = x.kind AND o.band = x.band
-               AND o.bucket = x.bucket
+            ON x.kind = y.kind AND x.blen = y.blen AND x.band = y.band
+               AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+          JOIN occ o ON o.kind = x.kind AND o.blen = x.blen
+               AND o.band = x.band AND o.bucket = x.bucket
           WHERE o.n <= $maxBucketOccupancy)
         SELECT ma, mb, cos FROM cand WHERE cos > 0.9 ORDER BY ma, mb"""
       })
@@ -143,11 +152,22 @@ object MediaQueries {
     * One bucket groupBy + posting-list pair expansion, never a
     * self-join — and unlike q67 (which blocks on `label`), the media
     * corpus has no small natural blocking key, so the pair-expansion
-    * quadratic is tamed by (a) blocking on `kind` (cross-kind pairs
-    * are meaningless anyway), (b) 8-bit bands — 256 buckets each from
-    * the wider plane family — and (c) the hard per-bucket
-    * [[maxBucketOccupancy]] cap. */
-  def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame)
+    * quadratic is tamed by (a) blocking on `kind` plus any caller-
+    * provided `blockCols` (q85 adds the payload byte length — lossless
+    * for a fingerprint embedding, since differing-length payloads
+    * never embed alike anyway), (b) 8-bit bands — 256 buckets each
+    * from the wider plane family — and (c) the hard per-bucket
+    * [[maxBucketOccupancy]] cap.
+    *
+    * Memory shape: the bucket groupBy and pair explode carry ONLY
+    * vec_ids (16 bytes/pair); embeddings are joined back just for the
+    * cosine rerank. Carrying vectors through the posting lists — the
+    * q67 trick — is right when blocking keeps buckets tiny, but here a
+    * full bucket's pair array would hold occupancy²/2 × two vectors
+    * (~200 MB per generator row at a few hundred occupants) and OOM
+    * the executor before the cap ever binds. */
+  def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame,
+                        blockCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import graft.similarity.SimilarityQueries.hyperplaneBand8
     import graft.similarity.VectorFunctions.cosine
@@ -155,32 +175,37 @@ object MediaQueries {
     // plane AND every candidate; NaN compares greater-than in Spark,
     // so it would land in a bucket and pass the cos filter as a
     // spurious pair — drop degenerate vectors before banding
-    val banded = emb
+    val clean = emb
       .filter(col("embedding").isNotNull &&
         exists(col("embedding"), x => x =!= 0.0f))
-      .select(col("vec_id"), col("kind"), col("embedding"),
+    val block = "kind" +: blockCols
+    val banded = clean
+      .select(col("vec_id") +: block.map(col) :+
         posexplode(array(hyperplaneBand8(col("embedding"), 0),
-          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")): _*)
     // pre-cap each bucket with the bounded-heap operator BEFORE the
     // list materializes: a degenerate hot bucket retains exactly
     // cap+1 rows (the marker that it overflowed) instead of building
     // an unbounded collect_list buffer; the size filter below then
     // drops overflowed buckets entirely, which is byte-identical to
     // filtering on the true occupancy
-    graft.operators.TopK.perKey(banded,
-        Seq("kind", "band", "bucket"), Seq(col("vec_id").asc),
-        maxBucketOccupancy + 1)
-      .groupBy(col("kind"), col("band"), col("bucket"))
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding"))))
-        .as("docs"))
+    val grp = block ++ Seq("band", "bucket")
+    val pairs = graft.operators.TopK.perKey(banded,
+        grp, Seq(col("vec_id").asc), maxBucketOccupancy + 1)
+      .groupBy(grp.map(col): _*)
+      .agg(array_sort(collect_list(col("vec_id"))).as("docs"))
       .filter(size(col("docs")) > 1 &&
         size(col("docs")) <= maxBucketOccupancy)
       .select(explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
-      .select(col("p.x.vec_id").as("ma"), col("p.y.vec_id").as("mb"),
-        graft.analytics.StableRound.r4(
-          cosine(col("p.x.embedding"), col("p.y.embedding"))).as("cos"))
+      .select(col("p.x").as("ma"), col("p.y").as("mb"))
+      .distinct() // a pair can collide in both bands — rerank it once
+    val e = clean.select(col("vec_id"), col("embedding"))
+    pairs
+      .join(e.select(col("vec_id").as("ma"), col("embedding").as("ea")), "ma")
+      .join(e.select(col("vec_id").as("mb"), col("embedding").as("eb")), "mb")
+      .select(col("ma"), col("mb"),
+        graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
       .filter(col("cos") > 0.9)
-      .distinct() // a pair can collide in both bands
       .orderBy("ma", "mb")
   }
 }

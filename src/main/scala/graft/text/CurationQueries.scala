@@ -283,8 +283,16 @@ object CurationQueries {
         val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
           .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
           .persist()
+        // labels are localCheckpoint'ed (eager) each round, NOT merely
+        // persisted: persist truncates recompute but not the PLAN —
+        // every round embeds the previous round's tree ~3× (prop,
+        // doubling, convergence test), and the 3^rounds analyzer blow-
+        // up OOMs the DRIVER at 100× before an executor lifts a
+        // finger. Checkpointing makes each round's plan start from a
+        // leaf. Blocks of dropped rounds are reclaimed by the context
+        // cleaner once unreferenced.
         var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("rep", col("doc_id")).persist()
+          .withColumn("rep", col("doc_id")).localCheckpoint(true)
         var changed = 1L
         var rounds = 0
         val maxRounds = 50 // ample: doubling converges in O(log diameter)
@@ -301,11 +309,11 @@ object CurationQueries {
               col("rep").as("r_rep")), col("l.rep") === col("r_doc"))
             .select(col("l.doc_id").as("doc_id"), col("r_rep").as("rep"))
           val next = labels.unionByName(prop).unionByName(doubled)
-            .groupBy("doc_id").agg(min("rep").as("rep")).persist()
+            .groupBy("doc_id").agg(min("rep").as("rep"))
+            .localCheckpoint(true)
           changed = next
             .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
             .filter(col("rep") =!= col("prev")).count()
-          labels.unpersist()
           labels = next
           rounds += 1
         }
@@ -316,12 +324,11 @@ object CurationQueries {
           throw new IllegalStateException(
             s"q82 label propagation did not converge in $maxRounds rounds")
         // the result is cluster-count-sized; localCheckpoint it so the
-        // loop's cached label table can be released instead of leaking
-        // one corpus-sized cache per invocation
+        // final label table and the edge cache can be released instead
+        // of leaking one corpus-sized cache per invocation
         val out = labels.groupBy(col("rep").as("cluster_rep"))
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
           .localCheckpoint(true)
-        labels.unpersist()
         edges.unpersist()
         out.orderBy("cluster_rep")
       },
