@@ -80,7 +80,12 @@ object MediaQueries {
         MediaOps.mediaFromDocuments(s, d)
           .select(col("media_id").as("vec_id"), col("kind"),
             length(col("bytes")).as("blen"),
-            md5Embed(col("bytes")).as("embedding")),
+            md5Embed(col("bytes")).as("embedding"))
+          // exchange barrier: without it CollapseProject inlines the
+          // 4-md5/64-conv embed expression into each of the 16 band
+          // cosines above (16× recompute of the embed per row); one
+          // narrow shuffle materializes the vector once instead
+          .repartition(col("vec_id")),
         // payload byte length as an extra blocking key: lossless for
         // the fingerprint embedding (md5 avalanche — different-length
         // payloads never embed alike), and it keeps bucket occupancy
