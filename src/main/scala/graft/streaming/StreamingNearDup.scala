@@ -95,30 +95,36 @@ object StreamingNearDup {
     * survivors to `keptDir` and their buckets to `stateDir` (both under
     * `_batch=<batchId>` for idempotent replay).
     *
-    * `autoCompactDirs` > 0 folds the state (and kept output) whenever
-    * their per-batch dir count exceeds it, BEFORE this batch's own
-    * write. Safe exactly because dedupBatch is the state's single
-    * writer and compaction carries the newest partition verbatim: a
-    * crash-replay of the previous batch still finds its own partition
-    * excluded, and a replay of THIS batch rewrites its partitions
-    * idempotently. 0 (the default) keeps compaction a manual,
-    * stream-stopped operation. */
+    * `autoCompactDirs` > 0 folds the STATE table whenever its
+    * per-batch dir count exceeds it, BEFORE this batch's own write.
+    * Safe exactly because dedupBatch is the state's single writer and
+    * compaction carries the newest partition verbatim: a crash-replay
+    * of the previous batch still finds its own partition excluded, and
+    * a replay of THIS batch rewrites its partitions idempotently. The
+    * KEPT output is deliberately NOT auto-compacted: it is the
+    * externally consumed artifact, and swapping it mid-stream would
+    * race downstream readers — [[compactKept]] stays a manual,
+    * no-readers maintenance operation. 0 (the default) keeps state
+    * compaction manual too. */
   def dedupBatch(batch: DataFrame, batchId: Long,
                  stateDir: String, keptDir: String,
                  autoCompactDirs: Int = 0): Unit = {
     val spark = batch.sparkSession
     repairState(spark, stateDir)
+    // the kept dir has the same compaction crash window (a manual
+    // compactKept dying between its two swap renames): heal it BEFORE
+    // this batch recreates the dir — once the dir is recreated, a
+    // later repair would read the aside as "swap completed" and
+    // DELETE it, silently dropping every previously kept row
+    repairState(spark, keptDir)
     migrateStateLayout(spark, stateDir)
     if (autoCompactDirs > 0) {
-      def dirs(d: String): Int = {
-        val p = new Path(d)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (!fs.exists(p)) 0
+      val p = new Path(stateDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val n = if (!fs.exists(p)) 0
         else fs.listStatus(p).count(s => s.isDirectory &&
           s.getPath.getName.startsWith("_batch="))
-      }
-      if (dirs(stateDir) > autoCompactDirs) compactState(spark, stateDir)
-      if (dirs(keptDir) > autoCompactDirs) compactKept(spark, keptDir)
+      if (n > autoCompactDirs) compactState(spark, stateDir)
     }
     val buckets = bandBuckets(batch).cache()
     try {
@@ -360,8 +366,9 @@ object StreamingNearDup {
   /** Drain everything pending from `docs` (a streaming frame with
     * doc_id/text) through the near-dup filter and stop. A long-lived
     * deployment passes `autoCompactDirs` (e.g. 64) so a
-    * trigger-per-minute stream never accumulates unbounded `_batch=`
-    * dirs between manual compactions. */
+    * trigger-per-minute stream never accumulates unbounded state
+    * `_batch=` dirs between manual compactions (the kept output still
+    * compacts manually — see [[dedupBatch]]). */
   def runAvailableNow(docs: DataFrame, checkpointDir: String,
                       stateDir: String, keptDir: String,
                       autoCompactDirs: Int = 0): StreamingQuery =

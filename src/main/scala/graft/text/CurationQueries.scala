@@ -283,16 +283,25 @@ object CurationQueries {
         val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
           .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
           .persist()
-        // labels are localCheckpoint'ed (eager) each round, NOT merely
-        // persisted: persist truncates recompute but not the PLAN —
-        // every round embeds the previous round's tree ~3× (prop,
-        // doubling, convergence test), and the 3^rounds analyzer blow-
-        // up OOMs the DRIVER at 100× before an executor lifts a
-        // finger. Checkpointing makes each round's plan start from a
-        // leaf. Blocks of dropped rounds are reclaimed by the context
-        // cleaner once unreferenced.
-        var labels = edges.select(col("src").as("doc_id")).distinct()
-          .withColumn("rep", col("doc_id")).localCheckpoint(true)
+        // each round's label table is rebased onto its materialized
+        // RDD (persisted, previous round explicitly released — at most
+        // two copies live). The rebase is the point: persist alone
+        // truncates recompute but not the PLAN — every round embeds
+        // the previous round's tree ~3× (prop, doubling, convergence
+        // test) and the 3^rounds analyzer blow-up OOMs the DRIVER at
+        // 100× before an executor lifts a finger. An RDD-backed leaf
+        // keeps the per-round plan constant-size while RDD lineage
+        // (linear in rounds) still allows recompute after executor
+        // loss, which localCheckpoint would forfeit.
+        val spark = s
+        def rebase(df: org.apache.spark.sql.DataFrame)
+            : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+          val r = df.rdd.persist()
+          (spark.createDataFrame(r, df.schema), r)
+        }
+        var (labels, labelsRdd) = rebase(
+          edges.select(col("src").as("doc_id")).distinct()
+            .withColumn("rep", col("doc_id")))
         var changed = 1L
         var rounds = 0
         val maxRounds = 50 // ample: doubling converges in O(log diameter)
@@ -308,13 +317,15 @@ object CurationQueries {
             .join(labels.select(col("doc_id").as("r_doc"),
               col("rep").as("r_rep")), col("l.rep") === col("r_doc"))
             .select(col("l.doc_id").as("doc_id"), col("r_rep").as("rep"))
-          val next = labels.unionByName(prop).unionByName(doubled)
-            .groupBy("doc_id").agg(min("rep").as("rep"))
-            .localCheckpoint(true)
+          val (next, nextRdd) = rebase(
+            labels.unionByName(prop).unionByName(doubled)
+              .groupBy("doc_id").agg(min("rep").as("rep")))
           changed = next
             .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
             .filter(col("rep") =!= col("prev")).count()
+          labelsRdd.unpersist() // superseded round, never read again
           labels = next
+          labelsRdd = nextRdd
           rounds += 1
         }
         // partially-propagated labels are WRONG clusters, and only the
@@ -329,6 +340,7 @@ object CurationQueries {
         val out = labels.groupBy(col("rep").as("cluster_rep"))
           .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
           .localCheckpoint(true)
+        labelsRdd.unpersist()
         edges.unpersist()
         out.orderBy("cluster_rep")
       },

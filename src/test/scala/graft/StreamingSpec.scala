@@ -457,7 +457,9 @@ class StreamingSpec extends SparkSpec {
       .count(f => f.isDirectory && f.getName.startsWith("_batch="))
     // worst case after a trigger: _batch=-1 + carried-newest + own
     assert(dirs(state) <= 3, s"state dirs must stay bounded: ${dirs(state)}")
-    assert(dirs(kept) <= 3, s"kept dirs must stay bounded: ${dirs(kept)}")
+    // the kept OUTPUT is deliberately not auto-compacted (downstream
+    // readers would race the swap): one dir per trigger
+    assert(dirs(kept) === 6, s"kept dirs must be untouched: ${dirs(kept)}")
     // folding must lose nothing: a dup of the OLDEST (long-compacted)
     // doc is still suppressed, all six originals still present
     StreamingNearDup.dedupBatch(
@@ -466,6 +468,18 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(kept).select("doc_id").collect()
       .map(_.getLong(0)).sorted.toSeq === (100L to 105L),
       "compacted state must still suppress, kept rows must survive folds")
+    // a manual compactKept crash between its two swap renames leaves
+    // the output only in kept.old; the NEXT TRIGGER must heal it
+    // before recreating the dir, or a later repair reads the aside as
+    // a completed swap and deletes every previously kept row
+    val keptDirF = new java.io.File(kept)
+    assert(keptDirF.renameTo(new java.io.File(kept + ".old")))
+    StreamingNearDup.dedupBatch(
+      Seq(300L -> sentence(300)).toDF("doc_id", "text"),
+      7L, state, kept, autoCompactDirs = 2)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === ((100L to 105L) :+ 300L),
+      "kept crash window must heal on the next trigger, not lose rows")
   }
 
   test("streaming near-dup suppresses LSH collisions within and across batches") {
