@@ -130,7 +130,8 @@ object MediaQueries {
                AND o.band = x.band AND o.bucket = x.bucket
           WHERE o.n <= $maxBucketOccupancy)
         SELECT ma, mb, cos FROM cand WHERE cos > 0.9 ORDER BY ma, mb"""
-      })
+      },
+      bench = true)
   )
 
   /** Deterministic 64-dim byte-fingerprint embedding, computable
