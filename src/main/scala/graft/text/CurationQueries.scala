@@ -356,7 +356,7 @@ object CurationQueries {
                    FROM reach GROUP BY a)
         SELECT rep AS cluster_rep, count(*) AS n_docs,
                max(doc_id) AS max_doc
-        FROM labels GROUP BY 1 ORDER BY 1"""""),
+        FROM labels GROUP BY 1 ORDER BY 1"""),
       bench = true),
 
     // ── overlapping chunking (RAG / context-window prep) ───────────
@@ -467,7 +467,7 @@ object CurationQueries {
                ${StableRound.sql4("avg(pred)")} AS avg_pred,
                ${StableRound.sql4("min(pred)")} AS min_pred,
                ${StableRound.sql4("max(pred)")} AS max_pred
-        FROM pd GROUP BY 1 ORDER BY 1"""""),
+        FROM pd GROUP BY 1 ORDER BY 1"""),
       bench = true),
 
     // ── BPE merge induction (first training iteration) ─────────────
