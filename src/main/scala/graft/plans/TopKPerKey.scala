@@ -101,7 +101,14 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](limit, ordering.reverse)
+          // initial capacity stays SMALL and the queue grows on
+          // demand: `limit` as the capacity preallocates a limit-slot
+          // array per KEY, and a high-cardinality key set of tiny
+          // groups (q85: near-singleton buckets under byte-length
+          // blocking, cap 1025) then churns gigabytes of arrays —
+          // measured 35 s of the 38 s q85 run at 100× before this
+          heap = new java.util.PriorityQueue[UnsafeRow](
+            math.min(limit, 16), ordering.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) {
