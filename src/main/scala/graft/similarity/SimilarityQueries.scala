@@ -27,6 +27,12 @@ object SimilarityQueries {
   private val nCentroids = 16
   private val nProbe = 2
 
+  /** q90 SemDeDup near-neighbor threshold — same planted-near-dup
+    * cosine floor as q27/q67 (the synthetic corpus' dup pairs sit
+    * above it, organic pairs below); interpolated into the oracle SQL
+    * so both engines replay one constant. */
+  private val semDedupTau = 0.4
+
   /** Random-hyperplane LSH planes: 8 planes x 64 dims, components in
     * [-1, 1] derived from md5 so they are reproducible anywhere (the
     * oracle embeds the same literals). */
@@ -489,6 +495,104 @@ object SimilarityQueries {
                      ORDER BY cos DESC, vec_id) AS rk FROM hits)
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""
-      })
+      }),
+
+    // ── SemDeDup: cluster-then-prune semantic deduplication ────────
+    // The published recipe (Abbas et al. 2023, "SemDeDup"): k-means
+    // cluster the corpus embeddings, then dedup WITHIN each cluster —
+    // a document is dropped when an earlier (lower-id) member of its
+    // cluster is a τ-near-neighbor. Cluster-locality is the point: at
+    // corpus scale k grows ∝ N so cluster size stays bounded, and no
+    // cross-cluster pair is ever considered.
+    //
+    // Scale shape: centroid assignment is q29's narrow in-closure
+    // argmax (zero shuffle, zero expansion); within-cluster candidate
+    // pairs come from the q67 hyperplane bands SUB-BLOCKED by cluster
+    // — (cid, band, bucket) posting lists, id-only pair expansion with
+    // the embeddings joined back only for the cosine rerank (the q85
+    // memory shape: 16 B/pair, never occupancy² vectors in one row).
+    // The drop rule "∃ earlier τ-neighbor" is the one-pass parallel
+    // variant (greedy sequential dedup is inherently serial); both
+    // engines replay it identically so the verdict is hash-checked.
+    "q90_semdedup" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          (-array_max(centScores(cents, col("embedding"))).getField("n"))
+            .as("cid"))
+        val banded = assigned.select(col("vec_id"), col("cid"),
+          posexplode(array(hyperplaneBand(col("embedding"), 0),
+            hyperplaneBand(col("embedding"), 1))).as(Seq("band", "bucket")))
+        val pairs = banded
+          .groupBy(col("cid"), col("band"), col("bucket"))
+          .agg(array_sort(collect_list(col("vec_id"))).as("docs"))
+          .filter(size(col("docs")) > 1)
+          .select(col("cid"),
+            explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
+          .select(col("cid"), col("p.x").as("va"), col("p.y").as("vb"))
+          .distinct() // a pair can collide in both bands
+        val emb = assigned.select(col("vec_id"), col("embedding"))
+        val dropped = pairs
+          .join(emb.select(col("vec_id").as("va"), col("embedding").as("ea")), "va")
+          .join(emb.select(col("vec_id").as("vb"), col("embedding").as("eb")), "vb")
+          .filter(graft.analytics.StableRound.r4(
+            cosine(col("ea"), col("eb"))) > semDedupTau)
+          .select(col("cid"), col("vb")).distinct()
+        val perCluster = assigned.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_docs"))
+        val drops = dropped.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_dropped"))
+        perCluster.join(drops, Seq("cid"), "left")
+          .select(col("cid"), col("n_docs"),
+            coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+            (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+          .orderBy("cid")
+      },
+      oracle = Some {
+        def sqlPlane(p: Int) =
+          "[" + planes(p).map(v => String.format(java.util.Locale.ROOT,
+            "%.3f", Double.box(v))).mkString(", ") + "]::DOUBLE[]"
+        def bandExpr(band: Int) = (0 until 4).map(j =>
+          s"(CASE WHEN list_cosine_similarity(embedding::DOUBLE[], ${sqlPlane(band * 4 + j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ")
+        s"""
+        WITH cent AS (SELECT vec_id cid, embedding::DOUBLE[] ce
+                      FROM embeddings WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(cent.ce,
+                  b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 DESC,
+                  cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        b AS (
+          SELECT vec_id, cid, embedding, 0 AS band, ${bandExpr(0)} AS bucket
+          FROM assigned
+          UNION ALL
+          SELECT vec_id, cid, embedding, 1 AS band, ${bandExpr(1)} AS bucket
+          FROM assigned),
+        pairs AS (
+          SELECT DISTINCT x.cid, x.vec_id va, y.vec_id vb
+          FROM b x JOIN b y
+            ON x.cid = y.cid AND x.band = y.band AND x.bucket = y.bucket
+               AND x.vec_id < y.vec_id),
+        dropped AS (
+          SELECT DISTINCT p.cid, p.vb
+          FROM pairs p JOIN embeddings a ON p.va = a.vec_id
+                       JOIN embeddings c ON p.vb = c.vec_id
+          WHERE floor(list_cosine_similarity(a.embedding::DOUBLE[],
+              c.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 > $semDedupTau),
+        perc AS (SELECT cid, count(*) n_docs FROM assigned GROUP BY cid),
+        drops AS (SELECT cid, count(*) n_dropped FROM dropped GROUP BY cid)
+        SELECT perc.cid AS cid, perc.n_docs,
+               coalesce(drops.n_dropped, 0) AS n_dropped,
+               perc.n_docs - coalesce(drops.n_dropped, 0) AS n_kept
+        FROM perc LEFT JOIN drops ON perc.cid = drops.cid
+        ORDER BY cid"""
+      },
+      bench = true)
   )
 }

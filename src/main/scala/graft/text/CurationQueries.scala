@@ -724,6 +724,110 @@ object CurationQueries {
                ${StableRound.sql4("quantile_cont(n_chars, 0.9)")} AS p90,
                ${StableRound.sql4("quantile_cont(n_chars, 0.99)")} AS p99
         FROM documents WHERE text IS NOT NULL
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── cross-document duplicated-span coverage ────────────────────
+    // The span-level dedup SIGNAL (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): a token 8-gram
+    // position is duplicated when its shingle also occurs in some
+    // OTHER document; per-source coverage = duplicated positions /
+    // total positions. Doc-level dedup (q22–q26) misses this — two
+    // distinct documents sharing a boilerplate paragraph score here
+    // and nowhere else.
+    //
+    // Scale shape: one narrow shingle explode, then count-only partial
+    // aggregations — (shingle, doc) → per-shingle doc counts → a 1:1
+    // join back (shingle keys are unique on the nd side, so no row
+    // expansion anywhere). A pathological universal shingle makes a
+    // hot GROUP, not a hot pair-blowup: linear shuffles only, unlike
+    // the q24 pair expansion this needs no df-cap to stay bounded.
+    "q91_dup_spans" -> QuerySpec(
+      build = (s, d) => {
+        val sh = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(col("text"), 8)).as("sh"))
+        // source is functionally dependent on doc_id — grouping by it
+        // adds no cardinality, it just rides along for the rollup
+        val perDoc = sh.groupBy(col("sh"), col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("npos"))
+        val nd = perDoc.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
+        perDoc.join(nd, "sh")
+          .groupBy(col("source"))
+          .agg(sum(col("npos")).as("n_grams"),
+            sum(when(col("nd") > 1, col("npos")).otherwise(0L))
+              .as("dup_grams"))
+          .select(col("source"), col("n_grams"), col("dup_grams"),
+            StableRound.r4(col("dup_grams").cast("double") / col("n_grams"))
+              .as("dup_ratio"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+        s"""
+        WITH t AS ($duckToks),
+        g AS (SELECT doc_id, source, unnest(list_transform(
+                generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
+              FROM t),
+        perdoc AS (SELECT s, doc_id, any_value(source) source, count(*) npos
+                   FROM g GROUP BY s, doc_id),
+        nd AS (SELECT s, count(*) nd FROM perdoc GROUP BY s)
+        SELECT source, CAST(sum(npos) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN nd > 1 THEN npos ELSE 0 END) AS BIGINT)
+                 AS dup_grams,
+               ${StableRound.sql4(
+                 "sum(CASE WHEN nd > 1 THEN npos ELSE 0 END)::DOUBLE / sum(npos)")}
+                 AS dup_ratio
+        FROM perdoc JOIN nd USING (s)
+        GROUP BY source ORDER BY source"""
+      },
+      bench = true),
+
+    // ── deterministic training order: shard + reproducible shuffle ──
+    // The data-ordering step of a training run: every document gets a
+    // pseudo-random sort key md5(epoch-seed | doc_id) — a pure
+    // function of the key, so the global order is reproducible across
+    // reshards, retries, and engines (the q71/q75 discipline applied
+    // to ORDERING instead of membership) — and a shard from the key's
+    // top bits. Output is the shard manifest: per-shard sizes plus the
+    // first 3 documents in shard order as the spot-checkable head.
+    //
+    // Scale shape: shard assignment is a narrow per-row hash (no
+    // sort); the only per-shard order materialized is the 3-row head
+    // via the bounded-heap TopKPerKey — a full epoch order would be
+    // sortWithinPartitions(shard-partitioned), never a global window.
+    "q92_train_order" -> QuerySpec(
+      build = (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("k",
+            md5(concat(lit("epoch0|"), col("doc_id").cast("string"))))
+          .withColumn("shard",
+            expr("conv(substring(k, 1, 8), 16, 10)").cast("long") % 8)
+        val stats = keyed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        val heads = graft.operators.TopK.perKeyRanked(keyed, Seq("shard"),
+            Seq(col("k").asc), 3, "rk")
+          .groupBy(col("shard"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("rk"), col("doc_id")))),
+            x => x.getField("doc_id")).as("head_docs"))
+        stats.join(heads, "shard")
+          .select(col("shard"), col("n_docs"), col("n_chars"),
+            col("head_docs"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH k AS (SELECT doc_id, n_chars,
+                     md5('epoch0|' || doc_id::VARCHAR) AS kk,
+                     ('0x' || substring(md5('epoch0|' || doc_id::VARCHAR),
+                       1, 8))::BIGINT % 8 AS shard
+                   FROM documents),
+        h AS (SELECT shard, list(doc_id ORDER BY kk)[1:3] AS head_docs
+              FROM k GROUP BY shard)
+        SELECT k.shard AS shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               any_value(h.head_docs) AS head_docs
+        FROM k JOIN h ON k.shard = h.shard
+        GROUP BY k.shard ORDER BY shard"""))
   )
 }

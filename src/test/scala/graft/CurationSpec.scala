@@ -297,4 +297,65 @@ class CurationSpec extends SparkSpec {
       assert(mn <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
     }
   }
+
+  test("q91 dup-span coverage replays driver-side from the same shingles") {
+    // same 8-gram kernel, but the dup/total accounting redone in plain
+    // Scala — pins the (shingle, doc) -> doc-count -> rollup plan
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        graft.text.TextFunctions.shingles(col("text"), 8).as("sh"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[scala.collection.Seq[String]]("sh")))
+    val docsPerShingle = scala.collection.mutable.Map[String,
+      scala.collection.mutable.Set[Long]]()
+    rows.foreach { case (id, _, shs) => shs.foreach(s =>
+      docsPerShingle.getOrElseUpdate(s,
+        scala.collection.mutable.Set[Long]()) += id) }
+    val expected = scala.collection.mutable.Map[String, (Long, Long)]()
+    rows.foreach { case (_, src, shs) =>
+      shs.foreach { s =>
+        val (n, dup) = expected.getOrElse(src, (0L, 0L))
+        expected(src) = (n + 1,
+          dup + (if (docsPerShingle(s).size > 1) 1L else 0L))
+      }
+    }
+    val got = run("q91_dup_spans").collect()
+    assert(got.map(_.getAs[String]("source")).toSet == expected.keySet)
+    got.foreach { r =>
+      val (n, dup) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_grams") == n)
+      assert(r.getAs[Long]("dup_grams") == dup)
+      assert(r.getAs[Double]("dup_ratio") >= 0.0 &&
+        r.getAs[Double]("dup_ratio") <= 1.0)
+    }
+    assert(got.map(_.getAs[Long]("dup_grams")).sum > 0,
+      "the corpus' boilerplate spans must register as duplicated")
+  }
+
+  test("q92 training order replays driver-side from md5 keys") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    val keyed = rows.map { case (id, nc) =>
+      val k = md5hex(s"epoch0|$id")
+      (java.lang.Long.parseLong(k.take(8), 16) % 8, k, id, nc)
+    }
+    val expected = keyed.groupBy(_._1).map { case (shard, g) =>
+      shard -> (g.length.toLong, g.map(_._4).sum,
+        g.sortBy(_._2).take(3).map(_._3).toSeq)
+    }
+    val got = run("q92_train_order").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, chars, heads) = expected(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("n_chars") == chars)
+      assert(r.getAs[scala.collection.Seq[Long]]("head_docs").toSeq == heads)
+    }
+  }
 }

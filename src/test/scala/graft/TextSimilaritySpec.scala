@@ -97,4 +97,50 @@ class TextSimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), s"LSH pairs not a subset of exact: ${lsh -- exact}")
   }
+
+  test("q90 SemDeDup: conservation + agrees with a self-join reference") {
+    import graft.similarity.SimilarityQueries.hyperplaneBand
+    import graft.analytics.{StableRound, Tables}
+    val d = "/root/testdata/sf0.001"
+    val out = graft.similarity.SimilarityQueries.queries("q90_semdedup")
+      .build(spark, d).collect()
+    assert(out.length == 16)
+    out.foreach(r => assert(r.getAs[Long]("n_docs") ==
+      r.getAs[Long]("n_dropped") + r.getAs[Long]("n_kept")))
+    assert(out.map(_.getAs[Long]("n_dropped")).sum > 0,
+      "the corpus' planted near-dups must produce at least one drop")
+
+    // reference formulation: same assignment + banding, but candidate
+    // pairs via a SELF-JOIN on (cid, matching band signature) instead
+    // of the posting-list expansion — pins the one-shuffle path
+    val e = Tables.embeddings(spark, d)
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def scores(v: org.apache.spark.sql.Column) =
+      array(cents.map { case (cid, vec) =>
+        struct(StableRound.r4(cosine(typedlit(vec), v)).as("c"),
+          lit(-cid).as("n"))
+      }.toIndexedSeq: _*)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (-array_max(scores(col("embedding"))).getField("n")).as("cid"),
+      hyperplaneBand(col("embedding"), 0).as("s0"),
+      hyperplaneBand(col("embedding"), 1).as("s1"))
+    val x = assigned.select(col("vec_id").as("va"), col("cid"),
+      col("embedding").as("ea"), col("s0"), col("s1"))
+    val y = assigned.select(col("vec_id").as("vb"), col("cid").as("cidB"),
+      col("embedding").as("eb"), col("s0").as("t0"), col("s1").as("t1"))
+    val refDrops = x.join(y, col("cid") === col("cidB") &&
+        col("va") < col("vb") &&
+        (col("s0") === col("t0") || col("s1") === col("t1")))
+      .filter(StableRound.r4(cosine(col("ea"), col("eb"))) > 0.4)
+      .select(col("cid"), col("vb")).distinct()
+      .groupBy("cid").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        refDrops.getOrElse(r.getAs[Long]("cid"), 0L),
+        s"cluster ${r.getAs[Long]("cid")} drop count diverges")
+    }
+  }
 }
