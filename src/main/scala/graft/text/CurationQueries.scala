@@ -741,11 +741,17 @@ object CurationQueries {
     // expansion anywhere). A pathological universal shingle makes a
     // hot GROUP, not a hot pair-blowup: linear shuffles only, unlike
     // the q24 pair expansion this needs no df-cap to stay bounded.
+    // The shuffle key is the q24 60-bit md5 hash, not the ~50-byte
+    // shingle string — both engines hash identically, so the rare
+    // collision merges the same two shingles on both sides.
     "q91_dup_spans" -> QuerySpec(
       build = (s, d) => {
         val sh = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("source"),
-            explode(shingles(col("text"), 8)).as("sh"))
+            explode(shingles(col("text"), 8)).as("sh_s"))
+          .select(col("doc_id"), col("source"),
+            expr("cast(conv(substring(md5(sh_s), 1, 15), 16, 10) as bigint)")
+              .as("sh"))
         // source is functionally dependent on doc_id — grouping by it
         // adds no cardinality, it just rides along for the rollup
         val perDoc = sh.groupBy(col("sh"), col("doc_id"), col("source"))
@@ -768,16 +774,17 @@ object CurationQueries {
         g AS (SELECT doc_id, source, unnest(list_transform(
                 generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
               FROM t),
-        perdoc AS (SELECT s, doc_id, any_value(source) source, count(*) npos
-                   FROM g GROUP BY s, doc_id),
-        nd AS (SELECT s, count(*) nd FROM perdoc GROUP BY s)
+        perdoc AS (SELECT ('0x' || substring(md5(s), 1, 15))::BIGINT h,
+                          doc_id, any_value(source) source, count(*) npos
+                   FROM g GROUP BY 1, 2),
+        nd AS (SELECT h, count(*) nd FROM perdoc GROUP BY h)
         SELECT source, CAST(sum(npos) AS BIGINT) AS n_grams,
                CAST(sum(CASE WHEN nd > 1 THEN npos ELSE 0 END) AS BIGINT)
                  AS dup_grams,
                ${StableRound.sql4(
                  "sum(CASE WHEN nd > 1 THEN npos ELSE 0 END)::DOUBLE / sum(npos)")}
                  AS dup_ratio
-        FROM perdoc JOIN nd USING (s)
+        FROM perdoc JOIN nd USING (h)
         GROUP BY source ORDER BY source"""
       },
       bench = true),
