@@ -52,6 +52,15 @@ object CurationQueries {
     """SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks
       |FROM documents WHERE text IS NOT NULL""".stripMargin
 
+  /** q93 GD hyperparameters — lr 2 with 4 full-batch iterations gives
+    * a monotone accuracy ramp at every tested SF (larger rates
+    * oscillate under the rational sigmoid); both the Spark loop and
+    * the unrolled oracle CTEs are generated from these constants.
+    * Declared BEFORE [[queries]] — the oracle SQL interpolates them at
+    * object init (the bigramCap ordering rule). */
+  private val gdIters = 4
+  private val gdLr = 2
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── benchmark decontamination (test-set overlap) ───────────────
@@ -835,6 +844,121 @@ object CurationQueries {
                CAST(sum(n_chars) AS BIGINT) AS n_chars,
                any_value(h.head_docs) AS head_docs
         FROM k JOIN h ON k.shard = h.shard
-        GROUP BY k.shard ORDER BY shard"""))
+        GROUP BY k.shard ORDER BY shard""")),
+
+    // ── learned quality classifier: logistic-regression GD loop ────
+    // The trainable cousin of q21's hand-weighted score — curation
+    // pipelines train small linear/fastText-style classifiers for
+    // quality filtering; this is that training loop as pure DataFrame
+    // ops. The label is the q21 quality gate (composite > 0.61) and
+    // the features are its raw ingredients (stopword saturation,
+    // punctuation ratio, length saturation), so the task is recovering
+    // a known linear rule from examples — the classic separability
+    // sanity check, with a visible accuracy ramp (~0.51 → ~0.79 at
+    // sf0.01 over 4 full-batch iterations, lr 2). The sigmoid is the
+    // RATIONAL surrogate z -> 0.5 + z/(2(1+|z|)) — no transcendental
+    // exp, so both engines replay every per-row value bit-for-bit
+    // (the q88 no-log discipline); per-iteration aggregates get the
+    // q76 treatment: r4-rounded on both sides, weights live as 4
+    // driver scalars (bounded collect).
+    //
+    // Scale shape: the design matrix is built once (one tokenize per
+    // row, q21's multi-reference trick) and persisted at 4 doubles a
+    // row; each iteration is ONE map-side-partial-agg pass over it —
+    // the canonical distributed full-batch GD layout. Iterations and
+    // the final table are driver-bounded (4 rounds x 6 scalars).
+    "q93_quality_classifier" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        val allStops = stopwords.flatMap(_._2)
+        val nTok = greatest(size(col("_toks")).cast("double"), lit(1.0))
+        val feats = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("_toks", tokens(col("text")))
+          .select(
+            StableRound.r4(least(vocab_hits_t(col("_toks"), allStops)
+              .cast("double") / nTok * lit(5.0), lit(1.0))).as("x1"),
+            StableRound.r4(punct_count(col("text")).cast("double")
+              / greatest(length(col("text")).cast("double"), lit(1.0)))
+              .as("x2"),
+            StableRound.r4(least(size(col("_toks")).cast("double")
+              / lit(100.0), lit(1.0))).as("x3"))
+          .withColumn("y",
+            when(lit(0.3) * col("x3") + lit(0.4) * (lit(1.0) - col("x2")) +
+              lit(0.3) * col("x1") > lit(0.61), lit(1.0)).otherwise(lit(0.0)))
+          .persist()
+        def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+        def z(w: Array[Double]) = lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+        def sigma(zc: org.apache.spark.sql.Column) =
+          lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double)]
+        for (it <- 1 to gdIters) {
+          val p = sigma(z(w))
+          val g = feats.select(
+            avg(col("y") - p).as("g0"),
+            avg((col("y") - p) * col("x1")).as("g1"),
+            avg((col("y") - p) * col("x2")).as("g2"),
+            avg((col("y") - p) * col("x3")).as("g3")).collect()(0)
+          w = Array.tabulate(4)(j => r4d(w(j) + gdLr * g.getDouble(j)))
+          val pred = when(sigma(z(w)) > lit(0.5), lit(1.0)).otherwise(lit(0.0))
+          val acc = feats.select(avg(when(pred === col("y"), lit(1.0))
+            .otherwise(lit(0.0)))).collect()(0).getDouble(0)
+          out += ((it, w(0), w(1), w(2), w(3), r4d(acc)))
+        }
+        feats.unpersist()
+        out.result().toDF("iter", "b", "w1", "w2", "w3", "acc")
+          .orderBy("iter")
+      },
+      oracle = Some {
+        val allList = stopwords.flatMap(_._2)
+          .map("'" + _ + "'").mkString(",")
+        val punct =
+          "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
+        // every p-subtree joins the 1-row weight CTE instead of four
+        // per-row scalar subqueries — DuckDB re-evaluates a scalar
+        // subquery's whole CTE chain per reference, which went
+        // exponential in the iteration depth
+        def pOf(i: Int) =
+          "SELECT y, x1, x2, x3, 0.5 + z / (2.0 * (1.0 + abs(z))) p FROM " +
+          "(SELECT f.y, f.x1, f.x2, f.x3, " +
+          s"w.b + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3 z " +
+          s"FROM f CROSS JOIN w$i w)"
+        def gCte(i: Int) =
+          s"""g$i AS (SELECT avg(y - p) g0, avg((y - p) * x1) g1,
+                avg((y - p) * x2) g2, avg((y - p) * x3) g3
+              FROM (${pOf(i - 1)}))"""
+        def wCte(i: Int) = s"w$i AS (SELECT " +
+          Seq("b" -> "g0", "w1" -> "g1", "w2" -> "g2", "w3" -> "g3")
+            .map { case (wc, gc) => StableRound.sql4(
+              s"w.$wc + $gdLr.0 * g.$gc") + s" $wc" }
+            .mkString(", ") + s" FROM w${i - 1} w CROSS JOIN g$i g)"
+        def aCte(i: Int) =
+          s"""a$i AS (SELECT ${StableRound.sql4(
+                "avg(CASE WHEN (CASE WHEN p > 0.5 THEN 1.0 ELSE 0.0 END) = y" +
+                " THEN 1.0 ELSE 0.0 END)")} acc
+              FROM (${pOf(i)}))"""
+        s"""
+        WITH t AS ($duckToks),
+        fx AS (SELECT
+                ${StableRound.sql4(
+                  s"least(len(list_filter(toks, t -> t IN ($allList))) * 1.0" +
+                  " / greatest(len(toks), 1) * 5.0, 1.0)")} x1,
+                ${StableRound.sql4(
+                  s"($punct) * 1.0 / greatest(length(text), 1)")} x2,
+                ${StableRound.sql4("least(len(toks) / 100.0, 1.0)")} x3
+              FROM t JOIN documents USING (doc_id)),
+        f AS (SELECT *, CASE WHEN 0.3 * x3 + 0.4 * (1.0 - x2) + 0.3 * x1
+                  > 0.61 THEN 1.0 ELSE 0.0 END y FROM fx),
+        w0 AS (SELECT 0.0 b, 0.0 w1, 0.0 w2, 0.0 w3),
+        ${(1 to gdIters).map(i => s"${gCte(i)}, ${wCte(i)}, ${aCte(i)}")
+            .mkString(",\n")}
+        SELECT * FROM (
+          ${(1 to gdIters).map(i =>
+              s"SELECT CAST($i AS INTEGER) iter, w.b, w.w1, w.w2, w.w3, " +
+              s"a.acc FROM w$i w CROSS JOIN a$i a")
+            .mkString(" UNION ALL ")})
+        ORDER BY iter"""
+      })
   )
 }

@@ -334,6 +334,51 @@ class CurationSpec extends SparkSpec {
       "the corpus' boilerplate spans must register as duplicated")
   }
 
+  test("q93 GD classifier replays driver-side and actually learns") {
+    import graft.text.TextFunctions._
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val nTok = greatest(size(col("_toks")).cast("double"), lit(1.0))
+    val allStops = stopwords.flatMap(_._2)
+    val feats = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .withColumn("_toks", tokens(col("text")))
+      .select(
+        graft.analytics.StableRound.r4(least(vocab_hits_t(col("_toks"),
+          allStops).cast("double") / nTok * lit(5.0), lit(1.0))).as("x1"),
+        graft.analytics.StableRound.r4(punct_count(col("text")).cast("double")
+          / greatest(length(col("text")).cast("double"), lit(1.0))).as("x2"),
+        graft.analytics.StableRound.r4(least(size(col("_toks")).cast("double")
+          / lit(100.0), lit(1.0))).as("x3"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .map { case (x1, x2, x3) =>
+        (x1, x2, x3,
+          if (0.3 * x3 + 0.4 * (1.0 - x2) + 0.3 * x1 > 0.61) 1.0 else 0.0)
+      }
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+    val expected = (1 to 4).map { it =>
+      val g = Array(0.0, 0.0, 0.0, 0.0)
+      feats.foreach { case (x1, x2, x3, y) =>
+        val e = y - sig(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3)
+        g(0) += e; g(1) += e * x1; g(2) += e * x2; g(3) += e * x3
+      }
+      w = Array.tabulate(4)(j => r4(w(j) + 2.0 * g(j) / feats.length))
+      val acc = feats.count { case (x1, x2, x3, y) =>
+        (sig(w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3) > 0.5) == (y == 1.0)
+      }.toDouble / feats.length
+      (it, w.toSeq, r4(acc))
+    }
+    val got = run("q93_quality_classifier").collect()
+      .map(r => (r.getInt(0), Seq(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)), r.getDouble(5)))
+    assert(got.toSeq == expected,
+      s"GD replay diverged:\n got $got\n exp $expected")
+    // and it LEARNS: final accuracy beats the base rate
+    val base = feats.map(_._4).sum / feats.length
+    assert(got.last._3 > math.max(base, 1.0 - base) + 0.05,
+      s"no learning: acc ${got.last._3} vs base $base")
+  }
+
   test("q92 training order replays driver-side from md5 keys") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")

@@ -150,6 +150,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no row_number window in the rerank")
   }
 
+  test("q90 SemDeDup: narrow assignment, no window, no cartesian") {
+    val df = SparkEntry.queries("q90_semdedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // cluster assignment + verdict joins never window, never cross-join
+    assert(!p.contains("Window"), "assignment/dedup must not window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "no all-pairs join anywhere — candidates come from LSH buckets")
+  }
+
+  test("q92 training order: heads on TopKPerKey heaps, not a global sort") {
+    val df = SparkEntry.queries("q92_train_order")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "shard heads must use the bounded heaps")
+    assert(!p.contains("Window"), "no row_number window over the corpus")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
