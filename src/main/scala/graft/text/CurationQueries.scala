@@ -759,8 +759,7 @@ object CurationQueries {
           .select(col("doc_id"), col("source"),
             explode(shingles(col("text"), 8)).as("sh_s"))
           .select(col("doc_id"), col("source"),
-            expr("cast(conv(substring(md5(sh_s), 1, 15), 16, 10) as bigint)")
-              .as("sh"))
+            TextQueries.md5Hash60(col("sh_s")).as("sh"))
         // source is functionally dependent on doc_id — grouping by it
         // adds no cardinality, it just rides along for the rollup
         val perDoc = sh.groupBy(col("sh"), col("doc_id"), col("source"))
@@ -850,22 +849,27 @@ object CurationQueries {
     // The trainable cousin of q21's hand-weighted score — curation
     // pipelines train small linear/fastText-style classifiers for
     // quality filtering; this is that training loop as pure DataFrame
-    // ops. The label is the q21 quality gate (composite > 0.61) and
-    // the features are its raw ingredients (stopword saturation,
-    // punctuation ratio, length saturation), so the task is recovering
-    // a known linear rule from examples — the classic separability
-    // sanity check, with a visible accuracy ramp (~0.51 → ~0.79 at
-    // sf0.01 over 4 full-batch iterations, lr 2). The sigmoid is the
-    // RATIONAL surrogate z -> 0.5 + z/(2(1+|z|)) — no transcendental
-    // exp, so both engines replay every per-row value bit-for-bit
-    // (the q88 no-log discipline); per-iteration aggregates get the
-    // q76 treatment: r4-rounded on both sides, weights live as 4
-    // driver scalars (bounded collect).
+    // ops. The label is the q21 quality gate over this corpus: the
+    // fixture text contains no punctuation, so q21's punct term is
+    // constant and the gate reduces to 0.3·lensat + 0.3·stopsat >
+    // 0.21 — a known linear rule the model must recover. Features are
+    // stopword saturation (x1, informative), LEXICAL DIVERSITY (x2, a
+    // correlated nuisance — long docs repeat tokens, so GD learns a
+    // negative weight it must balance; unlike punctuation it VARIES,
+    // keeping its cross-engine parity non-vacuous), and length
+    // saturation (x3). Accuracy ramps ~0.71 → ~0.89 at sf0.01 over 4
+    // full-batch iterations at lr 2. The sigmoid is the RATIONAL
+    // surrogate z -> 0.5 + z/(2(1+|z|)) — no transcendental exp, so
+    // both engines replay every per-row value bit-for-bit (the q88
+    // no-log discipline); per-iteration aggregates get the q76
+    // treatment: r4-rounded on both sides, weights live as 4 driver
+    // scalars (bounded collect).
     //
     // Scale shape: the design matrix is built once (one tokenize per
     // row, q21's multi-reference trick) and persisted at 4 doubles a
-    // row; each iteration is ONE map-side-partial-agg pass over it —
-    // the canonical distributed full-batch GD layout. Iterations and
+    // row; the loop runs gdIters+1 aggregate passes over it — the
+    // accuracy of iteration i and the gradient of iteration i+1 are
+    // both functions of w_i, so they share one scan. Iterations and
     // the final table are driver-bounded (4 rounds x 6 scalars).
     "q93_quality_classifier" -> QuerySpec(
       build = (s, d) => {
@@ -877,34 +881,41 @@ object CurationQueries {
           .select(
             StableRound.r4(least(vocab_hits_t(col("_toks"), allStops)
               .cast("double") / nTok * lit(5.0), lit(1.0))).as("x1"),
-            StableRound.r4(punct_count(col("text")).cast("double")
-              / greatest(length(col("text")).cast("double"), lit(1.0)))
-              .as("x2"),
+            StableRound.r4(size(array_distinct(col("_toks")))
+              .cast("double") / nTok).as("x2"),
             StableRound.r4(least(size(col("_toks")).cast("double")
               / lit(100.0), lit(1.0))).as("x3"))
           .withColumn("y",
-            when(lit(0.3) * col("x3") + lit(0.4) * (lit(1.0) - col("x2")) +
-              lit(0.3) * col("x1") > lit(0.61), lit(1.0)).otherwise(lit(0.0)))
+            when(lit(0.3) * col("x3") + lit(0.3) * col("x1") > lit(0.21),
+              lit(1.0)).otherwise(lit(0.0)))
           .persist()
         def r4d(x: Double) = math.floor(x * 10000 + 0.5) / 10000
         def z(w: Array[Double]) = lit(w(0)) + lit(w(1)) * col("x1") +
           lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
         def sigma(zc: org.apache.spark.sql.Column) =
           lit(0.5) + zc / (lit(2.0) * (lit(1.0) + abs(zc)))
-        var w = Array(0.0, 0.0, 0.0, 0.0)
-        val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double)]
-        for (it <- 1 to gdIters) {
+        def gradCols(w: Array[Double]) = {
           val p = sigma(z(w))
-          val g = feats.select(
-            avg(col("y") - p).as("g0"),
+          Seq(avg(col("y") - p).as("g0"),
             avg((col("y") - p) * col("x1")).as("g1"),
             avg((col("y") - p) * col("x2")).as("g2"),
-            avg((col("y") - p) * col("x3")).as("g3")).collect()(0)
+            avg((col("y") - p) * col("x3")).as("g3"))
+        }
+        var w = Array(0.0, 0.0, 0.0, 0.0)
+        var g = feats.select(gradCols(w): _*).collect()(0)
+        val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double)]
+        for (it <- 1 to gdIters) {
           w = Array.tabulate(4)(j => r4d(w(j) + gdLr * g.getDouble(j)))
+          // one scan serves double duty: this iteration's accuracy and
+          // the next one's gradient (the final pass's gradient is
+          // simply unused)
           val pred = when(sigma(z(w)) > lit(0.5), lit(1.0)).otherwise(lit(0.0))
-          val acc = feats.select(avg(when(pred === col("y"), lit(1.0))
-            .otherwise(lit(0.0)))).collect()(0).getDouble(0)
-          out += ((it, w(0), w(1), w(2), w(3), r4d(acc)))
+          val row = feats.select(gradCols(w) :+
+            avg(when(pred === col("y"), lit(1.0)).otherwise(lit(0.0)))
+              .as("acc"): _*).collect()(0)
+          out += ((it, w(0), w(1), w(2), w(3),
+            r4d(row.getAs[Double]("acc"))))
+          g = row
         }
         feats.unpersist()
         out.result().toDF("iter", "b", "w1", "w2", "w3", "acc")
@@ -913,8 +924,6 @@ object CurationQueries {
       oracle = Some {
         val allList = stopwords.flatMap(_._2)
           .map("'" + _ + "'").mkString(",")
-        val punct =
-          "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
         // every p-subtree joins the 1-row weight CTE instead of four
         // per-row scalar subqueries — DuckDB re-evaluates a scalar
         // subquery's whole CTE chain per reference, which went
@@ -945,11 +954,11 @@ object CurationQueries {
                   s"least(len(list_filter(toks, t -> t IN ($allList))) * 1.0" +
                   " / greatest(len(toks), 1) * 5.0, 1.0)")} x1,
                 ${StableRound.sql4(
-                  s"($punct) * 1.0 / greatest(length(text), 1)")} x2,
+                  "len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1)")} x2,
                 ${StableRound.sql4("least(len(toks) / 100.0, 1.0)")} x3
-              FROM t JOIN documents USING (doc_id)),
-        f AS (SELECT *, CASE WHEN 0.3 * x3 + 0.4 * (1.0 - x2) + 0.3 * x1
-                  > 0.61 THEN 1.0 ELSE 0.0 END y FROM fx),
+              FROM t),
+        f AS (SELECT *, CASE WHEN 0.3 * x3 + 0.3 * x1
+                  > 0.21 THEN 1.0 ELSE 0.0 END y FROM fx),
         w0 AS (SELECT 0.0 b, 0.0 w1, 0.0 w2, 0.0 w3),
         ${(1 to gdIters).map(i => s"${gCte(i)}, ${wCte(i)}, ${aCte(i)}")
             .mkString(",\n")}

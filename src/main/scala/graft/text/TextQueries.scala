@@ -40,6 +40,17 @@ object TextQueries {
   private[text] val duckHashBand =
     "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
+  /** The canonical 60-bit md5-prefix hash of a string column — the
+    * builtin-composed twin of the [[TextExpressions.ShingleHashes]]
+    * kernel math (15 hex chars parsed base-16). One definition for
+    * every caller that shuffles hashes instead of strings (q24's lang
+    * key, q91's span keys); DuckDB mirror:
+    * `('0x' || substring(md5(x), 1, 15))::BIGINT`. */
+  private[graft] def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
   /** Shared shingle CTE: distinct 3-word shingles per doc. */
   private val duckShingles =
     """t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') toks
@@ -103,8 +114,7 @@ object TextQueries {
           .otherwise(shiftleft(col("doc_id"), 20) + size(col("hs")))
           .as("dn"),
         explode(col("hs")).as("sh"),
-        expr("cast(conv(substring(md5(lang), 1, 15), 16, 10) as bigint)")
-          .as("lk"))
+        md5Hash60(col("lang")).as("lk"))
       .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
 
   /** Posting lists over [[jaccardIndexRows]], df-capped. */

@@ -345,14 +345,13 @@ class CurationSpec extends SparkSpec {
       .select(
         graft.analytics.StableRound.r4(least(vocab_hits_t(col("_toks"),
           allStops).cast("double") / nTok * lit(5.0), lit(1.0))).as("x1"),
-        graft.analytics.StableRound.r4(punct_count(col("text")).cast("double")
-          / greatest(length(col("text")).cast("double"), lit(1.0))).as("x2"),
+        graft.analytics.StableRound.r4(size(array_distinct(col("_toks")))
+          .cast("double") / nTok).as("x2"),
         graft.analytics.StableRound.r4(least(size(col("_toks")).cast("double")
           / lit(100.0), lit(1.0))).as("x3"))
       .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
       .map { case (x1, x2, x3) =>
-        (x1, x2, x3,
-          if (0.3 * x3 + 0.4 * (1.0 - x2) + 0.3 * x1 > 0.61) 1.0 else 0.0)
+        (x1, x2, x3, if (0.3 * x3 + 0.3 * x1 > 0.21) 1.0 else 0.0)
       }
     var w = Array(0.0, 0.0, 0.0, 0.0)
     def sig(z: Double) = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
