@@ -593,6 +593,73 @@ object SimilarityQueries {
         FROM perc LEFT JOIN drops ON perc.cid = drops.cid
         ORDER BY cid"""
       },
-      bench = true)
+      bench = true),
+
+    // ── product quantization: subspace codebooks + assignment audit ─
+    // The ANN-scale compression step q70's int8 path doesn't cover:
+    // split the 64-d embedding into 8 subvectors of 8 dims, quantize
+    // each against a 16-entry per-subspace codebook (codes = the first
+    // 16 vectors' subvectors, the q29 deterministic-codebook
+    // convention) — an 8-byte code per vector, 32× smaller than the
+    // float32 row. Output is the training audit: per (subspace, code)
+    // assignment counts and mean squared reconstruction error.
+    //
+    // Scale shape: assignment is a narrow per-row argmin over
+    // in-closure codebook literals — the q29 recipe, zero shuffle and
+    // zero row expansion (the oracle's vec × sub × code cross join is
+    // the ORACLE's formulation, not the plan) — followed by one
+    // partial-agg groupBy on a 128-key space. The ARGMIN compares
+    // r4-rounded distances so ties break identically (then lowest
+    // code) in both engines, but the error average runs over the RAW
+    // distance: averaging already-rounded multiples of 1e-4 lands the
+    // mean EXACTLY on an r4 boundary whenever the rounded sum ≡ count/2
+    // (mod count) — a likely event, not a fluke — and FP noise then
+    // decides the floor differently per engine (observed at sf0.001).
+    "q94_pq_codes" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val m = 8; val dsub = 8
+        def bestFor(sub: Int): Column = {
+          val subCol = transform(
+            slice(col("embedding"), sub * dsub + 1, dsub), _.cast("double"))
+          array_min(array(cents.map { case (code, vec) =>
+            val codeSub = typedlit(
+              vec.slice(sub * dsub, sub * dsub + dsub).map(_.toDouble))
+            val dist =
+              aggregate(zip_with(subCol, codeSub, (x, y) => (x - y) * (x - y)),
+                lit(0.0), _ + _)
+            struct(graft.analytics.StableRound.r4(dist).as("d2"),
+              lit(code).as("code"), dist.as("raw"))
+          }.toIndexedSeq: _*))
+        }
+        e.select(col("vec_id"),
+            posexplode(array((0 until m).map(bestFor): _*))
+              .as(Seq("sub", "best")))
+          .select(col("sub").cast("long").as("sub"),
+            col("best.code").as("code"), col("best.raw").as("raw"))
+          .groupBy(col("sub"), col("code"))
+          .agg(count(lit(1)).as("n_assigned"),
+            graft.analytics.StableRound.r4(avg(col("raw"))).as("avg_err"))
+          .orderBy("sub", "code")
+      },
+      oracle = Some(s"""
+        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        a AS (SELECT vec_id, s, code, raw FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1)
+        SELECT s AS sub, code, count(*) AS n_assigned,
+               floor(avg(raw) * 10000 + 0.5) / 10000 AS avg_err
+        FROM a GROUP BY s, code ORDER BY sub, code"""))
   )
 }

@@ -143,4 +143,38 @@ class TextSimilaritySpec extends SparkSpec {
         s"cluster ${r.getAs[Long]("cid")} drop count diverges")
     }
   }
+
+  test("q94 PQ assignment replays driver-side (argmin, ties, counts)") {
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.analytics.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cb = vecs.filter(_._1 < 16).sortBy(_._1)
+    val expected = scala.collection.mutable.Map[(Long, Long), Long]()
+    vecs.foreach { case (_, v) =>
+      for (s <- 0 until 8) {
+        val best = cb.map { case (code, cv) =>
+          var d2 = 0.0
+          for (i <- 0 until 8) {
+            val diff = v(s * 8 + i) - cv(s * 8 + i)
+            d2 += diff * diff
+          }
+          (r4(d2), code)
+        }.min // (d2, code) lexicographic: min distance, tie lowest code
+        expected(s.toLong -> best._2) =
+          expected.getOrElse(s.toLong -> best._2, 0L) + 1
+      }
+    }
+    val got = graft.similarity.SimilarityQueries.queries("q94_pq_codes")
+      .build(spark, d).collect()
+    assert(got.map(_.getAs[Long]("n_assigned")).sum == vecs.length * 8L)
+    got.foreach { r =>
+      val key = (r.getAs[Long]("sub"), r.getAs[Long]("code"))
+      assert(r.getAs[Long]("n_assigned") == expected.getOrElse(key, 0L),
+        s"cell $key count diverges")
+      assert(r.getAs[Double]("avg_err") >= 0.0)
+    }
+    assert(got.length == expected.size)
+  }
 }
