@@ -102,6 +102,33 @@ object SimilarityQueries {
         lit(-cid).as("n"))
     }: _*)
 
+  /** Product-quantization geometry (q94/q95): 8 subspaces × 8 dims,
+    * 16-entry codebooks (the first [[nCentroids]] vectors' subvectors). */
+  private val pqM = 8
+  private val pqDsub = 8
+
+  /** Raw squared-L2 between subspace `sub` of `v` and the matching
+    * slice of codebook entry `vec` — exact left-to-right double
+    * summation, identical to the oracle's list_sum order. */
+  private def pqDist(sub: Int, vec: Array[Float], v: Column): Column = {
+    val subCol = transform(
+      slice(v, sub * pqDsub + 1, pqDsub), _.cast("double"))
+    val codeSub = typedlit(
+      vec.slice(sub * pqDsub, sub * pqDsub + pqDsub).map(_.toDouble))
+    aggregate(zip_with(subCol, codeSub, (x, y) => (x - y) * (x - y)),
+      lit(0.0), _ + _)
+  }
+
+  /** Per-subspace argmin code: struct (r4 distance, code, raw distance)
+    * minimized lexicographically — min rounded distance, tie lowest
+    * code; the raw distance rides along for error averaging. */
+  private def pqBest(cents: Seq[(Long, Array[Float])], sub: Int): Column =
+    array_min(array(cents.map { case (code, vec) =>
+      val dist = pqDist(sub, vec, col("embedding"))
+      struct(graft.analytics.StableRound.r4(dist).as("d2"),
+        lit(code).as("code"), dist.as("raw"))
+    }.toIndexedSeq: _*))
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -619,22 +646,8 @@ object SimilarityQueries {
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = centroids(e)
-        val m = 8; val dsub = 8
-        def bestFor(sub: Int): Column = {
-          val subCol = transform(
-            slice(col("embedding"), sub * dsub + 1, dsub), _.cast("double"))
-          array_min(array(cents.map { case (code, vec) =>
-            val codeSub = typedlit(
-              vec.slice(sub * dsub, sub * dsub + dsub).map(_.toDouble))
-            val dist =
-              aggregate(zip_with(subCol, codeSub, (x, y) => (x - y) * (x - y)),
-                lit(0.0), _ + _)
-            struct(graft.analytics.StableRound.r4(dist).as("d2"),
-              lit(code).as("code"), dist.as("raw"))
-          }.toIndexedSeq: _*))
-        }
         e.select(col("vec_id"),
-            posexplode(array((0 until m).map(bestFor): _*))
+            posexplode(array((0 until pqM).map(pqBest(cents, _)): _*))
               .as(Seq("sub", "best")))
           .select(col("sub").cast("long").as("sub"),
             col("best.code").as("code"), col("best.raw").as("raw"))
@@ -661,5 +674,78 @@ object SimilarityQueries {
         SELECT s AS sub, code, count(*) AS n_assigned,
                floor(avg(raw) * 10000 + 0.5) / 10000 AS avg_err
         FROM a GROUP BY s, code ORDER BY sub, code"""))
+
+    ,
+
+    // ── ADC search: top-k over PQ codes, no vector math per pair ───
+    // What the q94 codes exist FOR: asymmetric distance computation.
+    // Each query precomputes one 8×16 distance table against the
+    // codebooks; a corpus candidate then costs 8 TABLE LOOKUPS + adds
+    // instead of a 64-dim float kernel — the classic IVF-PQ scan
+    // layout (the corpus stores 8-byte codes, vectors never load).
+    //
+    // Determinism: table entries are INTEGER ten-thousandths
+    // (floor(raw·10⁴+0.5) as long), so per-pair scores are exact
+    // integer sums — no FP summation anywhere between the table and
+    // the ranking, and the output distance is the exact division by
+    // 10⁴ in both engines. Scale shape: codes are the q29-style narrow
+    // argmin, queries broadcast with their tables, rerank on
+    // TopKPerKey bounded heaps — the corpus is scanned once and never
+    // shuffled.
+    "q95_pq_adc" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val coded = e.select(col("vec_id"),
+          array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
+            .as("codes"))
+        val dtab = array((0 until pqM).map { sub =>
+          array(cents.map { case (_, vec) =>
+            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
+              + lit(0.5)).cast("long")
+          }.toIndexedSeq: _*)
+        }: _*)
+        val queries = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), dtab.as("dtab"))
+        val ai = (0 until pqM).map { sub =>
+          element_at(element_at(col("dtab"), sub + 1),
+            element_at(col("codes"), sub + 1).cast("int") + 1)
+        }.reduce(_ + _)
+        val cand = coded
+          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), ai.as("ai"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("ai").asc, col("vec_id").asc), 5, "rk")
+          .select(col("query_id"), col("rk"), col("vec_id"),
+            (col("ai").cast("double") / lit(10000.0)).as("adist"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ai, vec_id) rk FROM pair)
+        SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""))
   )
 }

@@ -177,4 +177,40 @@ class TextSimilaritySpec extends SparkSpec {
     }
     assert(got.length == expected.size)
   }
+
+  test("q95 ADC top-k replays driver-side from codes + distance tables") {
+    def r4i(x: Double) = math.floor(x * 10000 + 0.5).toLong
+    val d = "/root/testdata/sf0.001"
+    val vecs = graft.analytics.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val cb = vecs.filter(_._1 < 16).sortBy(_._1)
+    def rawDist(v: Array[Double], cv: Array[Double], s: Int): Double = {
+      var d2 = 0.0
+      for (i <- 0 until 8) {
+        val diff = v(s * 8 + i) - cv(s * 8 + i); d2 += diff * diff
+      }
+      d2
+    }
+    // codes: argmin over r4-rounded distances, tie lowest code
+    val codes = vecs.map { case (id, v) =>
+      id -> Array.tabulate(8)(s =>
+        cb.map { case (code, cv) => (r4i(rawDist(v, cv, s)), code) }.min._2)
+    }.toMap
+    // queries: integer ten-thousandth tables; expected top-5 per query
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val dtab = Array.tabulate(8, 16)((s, c) => r4i(rawDist(qv, cb(c)._2, s)))
+      vecs.filter(_._1 != qid).map { case (vid, _) =>
+        val ai = (0 until 8).map(s => dtab(s)(codes(vid)(s).toInt)).sum
+        (qid, ai, vid)
+      }.sortBy { case (_, ai, vid) => (ai, vid) }.take(5).zipWithIndex
+        .map { case ((q, ai, vid), i) =>
+          (q, (i + 1).toLong, vid, ai / 10000.0) }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.similarity.SimilarityQueries.queries("q95_pq_adc")
+      .build(spark, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
+    assert(got == expected.toSeq, s"ADC replay diverged:\n got $got")
+  }
 }
