@@ -83,6 +83,16 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // a per-partition transformation: rows never move, so advertise the
+  // child's partitioning (for the final stage that is the hash
+  // exchange on `keys`). Without this the default UnknownPartitioning
+  // makes EnsureRequirements insert a SECOND exchange on the same keys
+  // for any downstream groupBy(keys) — observed back-to-back in the
+  // q85/q87 cap-then-collect pipelines.
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order

@@ -61,6 +61,75 @@ object CurationQueries {
   private val gdIters = 4
   private val gdLr = 2
 
+  /** The greedy BPE trainer loop behind q89 and q96: [[bpeIters]]
+    * iterations of (pair-count over the word-frequency table -> argmax
+    * -> fuse everywhere), words in the anchored symbol encoding
+    * (begin \u0001 / end \u0002 markers, see the q89 comment).
+    * Returns the merges in order; q89 reports them, q96 applies them.
+    * Each iteration is vocab-bounded work + a 1-row argmax collect. */
+  private def bpeMerges(s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(Int, String, String, Long)] = {
+    val B = "\u0001"
+    val E = "\u0002"
+    var words = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(explode(tokens(col("text"))).as("w0"))
+      .groupBy(col("w0")).agg(count(lit(1)).as("wc"))
+      .filter(length(col("w0")) >= 2)
+      .select(array_join(transform(sequence(lit(1), length(col("w0"))),
+        i => concat(lit(B), col("w0").substr(i, lit(1)), lit(E))), "")
+        .as("w"), col("wc"))
+      .persist()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to bpeIters) {
+      val syms = words
+        .select(split(col("w").substr(lit(2), length(col("w")) - 2),
+          E + B).as("syms"), col("wc"))
+        .filter(size(col("syms")) >= 2) // sequence(1,0) would throw
+      val top = syms
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("freq"))
+        .orderBy(col("freq").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((it, a, b, f))
+      if (it < bpeIters) { // the last argmax needs no fused table
+        val next = words
+          .select(call_function("replace", col("w"),
+            lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E")).as("w"),
+            col("wc")).persist()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** DuckDB CTE builders for the BPE merge replay, shared by the q89
+    * and q96 oracles. `bpePairCte(i)` = the iteration-i argmax pair
+    * over `w{i-1}`; `bpeMergeCte(i, carry)` = `w{i-1}` with that pair
+    * fused, carrying `carry` columns through (q89 carries `wc`, q96
+    * also the original `word` spelling). */
+  private def bpePairCte(i: Int) = s"""
+          p$i AS (
+            SELECT sym[i] AS a, sym[i+1] AS b, sum(wc) AS freq
+            FROM (SELECT string_split(substring(w, 2, length(w) - 2),
+                    chr(2) || chr(1)) sym, wc
+                  FROM w${i - 1}),
+                 unnest(generate_series(1, len(sym) - 1)) AS u(i)
+            GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1)"""
+  private def bpeMergeCte(i: Int, carry: String) = s"""
+          w$i AS (
+            SELECT replace(w,
+                (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM p$i),
+                (SELECT chr(1)||a||b||chr(2) FROM p$i)) AS w, $carry
+            FROM w${i - 1})"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── benchmark decontamination (test-set overlap) ───────────────
@@ -630,61 +699,9 @@ object CurationQueries {
     "q89_bpe_train" -> QuerySpec(
       build = (s, d) => {
         import s.implicits._
-        val B = "\u0001" // symbol-begin marker
-        val E = "\u0002" // symbol-end marker
-        var words = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select(explode(tokens(col("text"))).as("w0"))
-          .groupBy(col("w0")).agg(count(lit(1)).as("wc"))
-          .filter(length(col("w0")) >= 2)
-          .select(array_join(transform(sequence(lit(1), length(col("w0"))),
-            i => concat(lit(B), col("w0").substr(i, lit(1)), lit(E))), "")
-            .as("w"), col("wc"))
-          .persist()
-        val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (it <- 1 to bpeIters) {
-          val syms = words
-            .select(split(col("w").substr(lit(2), length(col("w")) - 2),
-              E + B).as("syms"), col("wc"))
-            .filter(size(col("syms")) >= 2) // sequence(1,0) would throw
-          val top = syms
-            .select(col("wc"), explode(transform(
-              sequence(lit(1), size(col("syms")) - 1),
-              i => struct(element_at(col("syms"), i).as("a"),
-                element_at(col("syms"), i + 1).as("b")))).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("wc")).as("freq"))
-            .orderBy(col("freq").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()(0)
-          val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-          merges += ((it, a, b, f))
-          if (it < bpeIters) { // the last argmax needs no fused table
-            val next = words
-              .select(call_function("replace", col("w"),
-                lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E")).as("w"),
-                col("wc")).persist()
-            next.count()
-            words.unpersist()
-            words = next
-          }
-        }
-        words.unpersist()
-        merges.result().toDF("iter", "a", "b", "freq").orderBy("iter")
+        bpeMerges(s, d).toDF("iter", "a", "b", "freq").orderBy("iter")
       },
       oracle = Some {
-        def pairCte(i: Int) = s"""
-          p$i AS (
-            SELECT sym[i] AS a, sym[i+1] AS b, sum(wc) AS freq
-            FROM (SELECT string_split(substring(w, 2, length(w) - 2),
-                    chr(2) || chr(1)) sym, wc
-                  FROM w${i - 1}),
-                 unnest(generate_series(1, len(sym) - 1)) AS u(i)
-            GROUP BY 1, 2 ORDER BY freq DESC, a, b LIMIT 1)"""
-        def mergeCte(i: Int) = s"""
-          w$i AS (
-            SELECT replace(w,
-                (SELECT chr(1)||a||chr(2)||chr(1)||b||chr(2) FROM p$i),
-                (SELECT chr(1)||a||b||chr(2) FROM p$i)) AS w, wc
-            FROM w${i - 1})"""
         s"""
         WITH t AS ($duckToks),
         wf AS (SELECT w0, count(*) wc FROM (
@@ -693,9 +710,9 @@ object CurationQueries {
         w0 AS (SELECT array_to_string(
                  list_transform(generate_series(1, length(w0)),
                    i -> chr(1) || w0[i] || chr(2)), '') AS w, wc FROM wf),
-        ${(1 until bpeIters).map(i => s"${pairCte(i)}, ${mergeCte(i)},")
-            .mkString("\n")}
-        ${pairCte(bpeIters)}
+        ${(1 until bpeIters).map(i =>
+            s"${bpePairCte(i)}, ${bpeMergeCte(i, "wc")},").mkString("\n")}
+        ${bpePairCte(bpeIters)}
         SELECT iter, a, b, CAST(freq AS BIGINT) AS freq FROM (
           SELECT CAST(1 AS INTEGER) iter, a, b, freq FROM p1
           ${(2 to bpeIters).map(i =>
@@ -968,6 +985,81 @@ object CurationQueries {
               s"a.acc FROM w$i w CROSS JOIN a$i a")
             .mkString(" UNION ALL ")})
         ORDER BY iter"""
-      })
+      }),
+
+    // ── BPE encode: apply the trained merges to the corpus ─────────
+    // The missing half of q86/q89: induce → train → APPLY. The q89
+    // trainer's merges are fused into every vocabulary word (chained
+    // anchored replaces — each one IS the exact greedy merge, the q89
+    // proof), and the corpus is scored against the encoded vocab:
+    // per-source token/char/symbol counts and the chars-per-symbol
+    // compression the tokenizer actually achieves.
+    //
+    // Scale shape: the merge replay runs on the vocab-bounded word
+    // table (never the corpus); the corpus pays one explode + one
+    // partial-agg groupBy to (source, word) and a join against the
+    // encoded vocab — single-char words (excluded from training, one
+    // symbol by definition) fill in via the left join's coalesce.
+    "q96_bpe_encode" -> QuerySpec(
+      build = (s, d) => {
+        val B = "\u0001"
+        val E = "\u0002"
+        val merges = bpeMerges(s, d)
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        val markers = array_join(
+          transform(sequence(lit(1), length(col("word"))),
+            i => concat(lit(B), col("word").substr(i, lit(1)), lit(E))), "")
+        val encodedW = merges.foldLeft(markers: org.apache.spark.sql.Column) {
+          case (acc, (_, a, b, _)) =>
+            call_function("replace", acc,
+              lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E"))
+        }
+        val enc = base.select(explode(tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .filter(length(col("word")) >= 2)
+          .select(col("word"), encodedW.as("w"))
+          // symbol count = count of begin markers (one per symbol)
+          .select(col("word"), (length(col("w")) -
+            length(call_function("replace", col("w"), lit(B), lit(""))))
+            .as("n_sym"))
+        base.select(col("source"), explode(tokens(col("text"))).as("word"))
+          .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+          .join(enc, Seq("word"), "left")
+          .select(col("source"), col("word"), col("cnt"),
+            coalesce(col("n_sym"), lit(1)).as("n_sym"))
+          .groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_tokens"),
+            sum(length(col("word")).cast("long") * col("cnt")).as("n_chars"),
+            sum(col("n_sym").cast("long") * col("cnt")).as("n_symbols"))
+          .withColumn("compression",
+            StableRound.r4(col("n_symbols").cast("double") / col("n_chars")))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        wf AS (SELECT word, count(*) wc FROM (
+                 SELECT unnest(toks) word FROM t) GROUP BY 1
+               HAVING length(word) >= 2),
+        w0 AS (SELECT word, wc, array_to_string(
+                 list_transform(generate_series(1, length(word)),
+                   i -> chr(1) || word[i] || chr(2)), '') AS w FROM wf),
+        ${(1 to bpeIters).map(i =>
+            s"${bpePairCte(i)}, ${bpeMergeCte(i, "word, wc")},")
+          .mkString("\n")}
+        enc AS (SELECT word,
+                  length(w) - length(replace(w, chr(1), '')) AS n_sym
+                FROM w$bpeIters),
+        tok AS (SELECT source, unnest(toks) AS word FROM t),
+        pw AS (SELECT source, word, count(*) cnt FROM tok GROUP BY 1, 2),
+        j AS (SELECT source, pw.word AS word, cnt,
+                coalesce(enc.n_sym, 1) AS n_sym
+              FROM pw LEFT JOIN enc ON pw.word = enc.word)
+        SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+               CAST(sum(length(word) * cnt) AS BIGINT) AS n_chars,
+               CAST(sum(n_sym * cnt) AS BIGINT) AS n_symbols,
+               ${StableRound.sql4(
+                 "sum(n_sym * cnt)::DOUBLE / sum(length(word) * cnt)")}
+                 AS compression
+        FROM j GROUP BY source ORDER BY source"""))
   )
 }

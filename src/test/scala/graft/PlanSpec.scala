@@ -159,6 +159,17 @@ class PlanSpec extends SparkSpec {
       "no all-pairs join anywhere — candidates come from LSH buckets")
   }
 
+  test("perKey feeds a same-key groupBy without a second exchange") {
+    // TopKPerKeyExec advertises its child's partitioning, so the
+    // cap-then-collect pipelines (q85, q87) aggregate directly on the
+    // final heaps — exactly ONE hash exchange on the bucket key
+    val df = SparkEntry.queries("q85_media_neardup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1,
+      "the bucket-key exchange must appear exactly once:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q92 training order: heads on TopKPerKey heaps, not a global sort") {
     val df = SparkEntry.queries("q92_train_order")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
