@@ -761,7 +761,7 @@ object CurationQueries {
     // distinct documents sharing a boilerplate paragraph score here
     // and nowhere else.
     //
-    // Scale shape: one narrow shingle explode, then count-only partial
+    // Scale shape: one narrow shingle explode, then count-only
     // aggregations — (shingle, doc) → per-shingle doc counts → a 1:1
     // join back (shingle keys are unique on the nd side, so no row
     // expansion anywhere). A pathological universal shingle makes a
@@ -770,22 +770,47 @@ object CurationQueries {
     // The shuffle key is the q24 60-bit md5 hash, not the ~50-byte
     // shingle string — both engines hash identically, so the rare
     // collision merges the same two shingles on both sides.
+    //
+    // ONE position-scale exchange and NO join: the explicit
+    // repartition(sh) below is the only time raw positions move, and
+    // hash(sh) is a subset of every downstream grouping key, so the
+    // perDoc groupBy (sh, doc_id, source) and the per-sh rollup both
+    // plan exchange-free on top of it — one post-shuffle stage.
+    // The join back is gone entirely via the complement identity:
+    //   dup_grams = n_grams − unique_grams
+    // n_grams (total positions per source) is pure token arithmetic
+    // on the scan (greatest(token_count − 7, 0) — never shuffled),
+    // and a shingle with nd == 1 has exactly ONE (doc, source) owner,
+    // so unique_grams needs no join to recover its source. The naive
+    // perDoc⋈nd formulation planned FIVE position-scale exchanges at
+    // 100× (two independent 3-key aggs + an sh regroup + both join
+    // sides): 48 s; this shape runs it in ~14 s.
     "q91_dup_spans" -> QuerySpec(
       build = (s, d) => {
-        val sh = Tables.documents(s, d).filter(col("text").isNotNull)
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val total = docs
+          .select(col("source"),
+            greatest(token_count(col("text")) - 7, lit(0))
+              .cast("long").as("npos"))
+          .groupBy(col("source")).agg(sum(col("npos")).as("n_grams"))
+        val perDoc = docs
           .select(col("doc_id"), col("source"),
             explode(shingles(col("text"), 8)).as("sh_s"))
           .select(col("doc_id"), col("source"),
             TextQueries.md5Hash60(col("sh_s")).as("sh"))
-        // source is functionally dependent on doc_id — grouping by it
-        // adds no cardinality, it just rides along for the rollup
-        val perDoc = sh.groupBy(col("sh"), col("doc_id"), col("source"))
+          .repartition(col("sh"))
+          // source is functionally dependent on doc_id — grouping by
+          // it adds no cardinality, it just rides along
+          .groupBy(col("sh"), col("doc_id"), col("source"))
           .agg(count(lit(1)).as("npos"))
-        val nd = perDoc.groupBy(col("sh")).agg(count(lit(1)).as("nd"))
-        perDoc.join(nd, "sh")
-          .groupBy(col("source"))
-          .agg(sum(col("npos")).as("n_grams"),
-            sum(when(col("nd") > 1, col("npos")).otherwise(0L))
+        val uniq = perDoc.groupBy(col("sh"))
+          .agg(count(lit(1)).as("nd"), max(col("source")).as("source"),
+            sum(col("npos")).as("npos"))
+          .filter(col("nd") === 1) // sole owner → source is well-defined
+          .groupBy(col("source")).agg(sum(col("npos")).as("uniq_grams"))
+        total.join(uniq, Seq("source"), "left")
+          .select(col("source"), col("n_grams"),
+            (col("n_grams") - coalesce(col("uniq_grams"), lit(0L)))
               .as("dup_grams"))
           .select(col("source"), col("n_grams"), col("dup_grams"),
             StableRound.r4(col("dup_grams").cast("double") / col("n_grams"))

@@ -170,6 +170,19 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q91 dup spans: one position-scale exchange, no position-scale join") {
+    // the repartition(sh) is the ONLY time raw shingle positions move;
+    // every aggregation above it plans exchange-free (subset-key rule)
+    // and the complement identity removed the perDoc⋈nd join entirely
+    val df = SparkEntry.queries("q91_dup_spans")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(sh#".r.findAllIn(p).length == 1,
+      "positions must shuffle exactly once:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join anywhere — the only join left is the 20-row per-source rollup")
+  }
+
   test("q92 training order: heads on TopKPerKey heaps, not a global sort") {
     val df = SparkEntry.queries("q92_train_order")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
