@@ -1085,6 +1085,112 @@ object CurationQueries {
                ${StableRound.sql4(
                  "sum(n_sym * cnt)::DOUBLE / sum(length(word) * cnt)")}
                  AS compression
-        FROM j GROUP BY source ORDER BY source"""))
+        FROM j GROUP BY source ORDER BY source""")),
+
+    // ── stratified sampling: k docs per source, reproducible ───────
+    // Subsample every stratum to a fixed budget — the curation step
+    // between mixture WEIGHTING (q75) and training ORDER (q92): pick
+    // k docs per source uniformly, without replacement, and get the
+    // SAME k on any engine, any partitioning, any retry. Rank key is
+    // md5(seed | doc_id) — a pure function of the key (the q71/q75/q92
+    // discipline), so the sample is a property of the dataset, not of
+    // the run.
+    //
+    // Scale shape: per-source heads via the bounded-heap TopKPerKey
+    // (k rows per key cross partial/final heaps) — never a
+    // row_number window, which would shuffle-sort every row at 100 TB
+    // to keep 5 per source.
+    "q97_stratified_sample" -> QuerySpec(
+      build = (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("k",
+            md5(concat(lit("sample0|"), col("doc_id").cast("string"))))
+        graft.operators.TopK.perKeyRanked(keyed, Seq("source"),
+            Seq(col("k").asc), 5, "rk")
+          .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rk")
+      },
+      oracle = Some("""
+        SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5('sample0|' || doc_id::VARCHAR)) AS rk
+          FROM documents)
+        WHERE rk <= 5 ORDER BY source, rk""")),
+
+    // ── cross-source overlap: the contamination matrix ─────────────
+    // Which sources share content with which — the inter-source
+    // counterpart of q77's corpus-vs-benchmark decontamination and the
+    // aggregate view of q91's span signal: per source pair, the number
+    // of distinct token 8-grams present in both, plus the containment
+    // ratio n_shared / min(|A|, |B|) that mixture design reads to spot
+    // a source that is mostly a subset of another.
+    //
+    // Scale shape: q91's single position-scale exchange — the
+    // repartition(sh) below is shared by BOTH aggregations
+    // (ReusedExchange): distinct-source sets per shingle (bounded by
+    // the source count, ~20 — a hot shingle makes a hot GROUP, never
+    // a blowup) and distinct-shingle counts per source. Pair expansion
+    // happens per shingle on the ≤20-element set (≤190 pairs), output
+    // is C(sources, 2) rows; the ratio join broadcasts 20 rows.
+    "q98_source_overlap" -> QuerySpec(
+      build = (s, d) => {
+        // source.isNotNull is explicit (not just inferred) so BOTH
+        // branches push the identical filter set into the scan — the
+        // inner ratio join infers it on the perSrc side only, which
+        // would otherwise break the exchanges' canonical equality and
+        // cost a second position-scale shuffle
+        val pos = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("source").isNotNull)
+          .select(col("source"), explode(shingles(col("text"), 8)).as("sh_s"))
+          .select(col("source"), TextQueries.md5Hash60(col("sh_s")).as("sh"))
+          .repartition(col("sh"))
+        // distinct() over pos's own (source, sh) — no reordering
+        // projection, so this branch's repartition subtree stays
+        // canonically identical to the pair branch's and physical
+        // exchange reuse shares the one shuffle between them
+        val perSrc = pos.distinct()
+          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        val pairs = pos.groupBy(col("sh"))
+          .agg(sort_array(collect_set(col("source"))).as("srcs"))
+          .filter(size(col("srcs")) >= 2)
+          .select(explode(flatten(transform(col("srcs"), (x, i) =>
+            transform(
+              slice(col("srcs"), i + lit(2), size(col("srcs")) - i - 1),
+              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(broadcast(perSrc.withColumnRenamed("source", "src_a")
+            .withColumnRenamed("n_sh", "n_a")), "src_a")
+          .join(broadcast(perSrc.withColumnRenamed("source", "src_b")
+            .withColumnRenamed("n_sh", "n_b")), "src_b")
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            StableRound.r4(col("n_shared").cast("double") /
+              least(col("n_a"), col("n_b"))).as("containment"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some {
+        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+        s"""
+        WITH t AS ($duckToks),
+        g AS (SELECT source, unnest(list_transform(
+                generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
+              FROM t),
+        ps AS (SELECT DISTINCT ('0x' || substring(md5(s), 1, 15))::BIGINT h,
+                      source FROM g),
+        n AS (SELECT source, count(*) n_sh FROM ps GROUP BY 1)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*) AS n_shared,
+               ${StableRound.sql4(
+                 "count(*)::DOUBLE / least(min(na.n_sh), min(nb.n_sh))")}
+                 AS containment
+        FROM ps a JOIN ps b USING (h)
+        JOIN n na ON na.source = a.source
+        JOIN n nb ON nb.source = b.source
+        WHERE a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+      })
   )
 }

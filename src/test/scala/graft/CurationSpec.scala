@@ -402,4 +402,52 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[scala.collection.Seq[Long]]("head_docs").toSeq == heads)
     }
   }
+
+  test("q97 stratified sample replays driver-side and is a true per-source 5") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.groupBy(_._2).map { case (src, g) =>
+      src -> g.map(t => (md5hex(s"sample0|${t._1}"), t._1))
+        .sortBy(_._1).take(5).map(_._2).toSeq
+    }
+    val got = run("q97_stratified_sample").collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id"))
+      assert(inOrder.toSeq == expected(src),
+        s"sample for $src must be the 5 smallest md5 keys, in key order")
+    }
+  }
+
+  test("q98 source overlap replays driver-side from the same shingles") {
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        graft.text.TextFunctions.shingles(col("text"), 8).as("sh"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[scala.collection.Seq[String]]("sh")))
+    val bySrc = rows.groupBy(_._1)
+      .map { case (s, g) => s -> g.flatMap(_._2).toSet }
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      i <- srcs.indices; j <- (i + 1) until srcs.length
+      shared = (bySrc(srcs(i)) & bySrc(srcs(j))).size if shared > 0
+    } yield (srcs(i), srcs(j)) ->
+      (shared.toLong, shared.toDouble /
+        math.min(bySrc(srcs(i)).size, bySrc(srcs(j)).size))).toMap
+    val got = run("q98_source_overlap").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet ==
+      expected.keySet)
+    got.foreach { r =>
+      val (n, c) = expected((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_shared") == n)
+      assert(math.abs(r.getAs[Double]("containment") - c) < 1e-3)
+    }
+    assert(got.nonEmpty, "the shared boilerplate must overlap some source pair")
+  }
 }

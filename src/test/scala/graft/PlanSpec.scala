@@ -183,6 +183,30 @@ class PlanSpec extends SparkSpec {
       "no sort-merge join anywhere — the only join left is the 20-row per-source rollup")
   }
 
+  test("q97 stratified sample: TopKPerKey heaps, never a row_number window") {
+    val df = SparkEntry.queries("q97_stratified_sample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKey"), "per-source heads must run on bounded heaps")
+    assert(!p.contains("Window"), "no Window operator anywhere:\n" + p)
+  }
+
+  test("q98 source overlap: both aggregations share ONE position-scale shuffle") {
+    val df = SparkEntry.queries("q98_source_overlap")(spark, sf)
+    df.collect() // reuse is resolved at runtime under AQE
+    // the adaptive plan prints Current Plan then Initial Plan — only
+    // the final section reflects what actually ran
+    val full = df.queryExecution.executedPlan.toString
+    val cut = full.indexOf("Initial Plan")
+    val lines = (if (cut >= 0) full.substring(0, cut) else full)
+      .linesIterator.toSeq
+    val live = lines.count(l =>
+      l.contains("Exchange hashpartitioning(sh#") && !l.contains("ReusedExchange"))
+    assert(live == 1, "raw positions must shuffle exactly once:\n" +
+      lines.filter(_.contains("Exchange")).mkString("\n"))
+    assert(lines.exists(_.contains("ReusedExchange")),
+      "the per-source distinct counts must reuse the pair branch's shuffle files")
+  }
+
   test("q92 training order: heads on TopKPerKey heaps, not a global sort") {
     val df = SparkEntry.queries("q92_train_order")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
