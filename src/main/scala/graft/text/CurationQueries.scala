@@ -1127,48 +1127,73 @@ object CurationQueries {
     // ratio n_shared / min(|A|, |B|) that mixture design reads to spot
     // a source that is mostly a subset of another.
     //
-    // Scale shape: q91's single position-scale exchange — the
-    // repartition(sh) below is shared by BOTH aggregations
-    // (ReusedExchange): distinct-source sets per shingle (bounded by
-    // the source count, ~20 — a hot shingle makes a hot GROUP, never
-    // a blowup) and distinct-shingle counts per source. Pair expansion
-    // happens per shingle on the ≤20-element set (≤190 pairs), output
-    // is C(sources, 2) rows; the ratio join broadcasts 20 rows.
+    // Scale shape: the source LIST is tiny by nature (a mixture
+    // design reads this matrix — ≤62 sources by contract, enforced),
+    // so the per-shingle source set is a LONG BITMASK, not a
+    // collection: one codegen bit_or groupBy(sh) with map-side
+    // partial aggregation (duplicate shingles within a partition —
+    // boilerplate — collapse before the shuffle), then
+    // groupBy(mask).count() collapses the shingle table to at most
+    // 2^sources observed masks, and pair expansion, per-source
+    // totals, and the containment ratios all run on that mask table —
+    // driver-scale work. ONE position-scale exchange total, every
+    // aggregate a codegen long op.
     "q98_source_overlap" -> QuerySpec(
       build = (s, d) => {
-        // source.isNotNull is explicit (not just inferred) so BOTH
-        // branches push the identical filter set into the scan — the
-        // inner ratio join infers it on the perSrc side only, which
-        // would otherwise break the exchanges' canonical equality and
-        // cost a second position-scale shuffle
-        val pos = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
           .filter(col("text").isNotNull && col("source").isNotNull)
+        // bounded collect: the distinct source list (q29's centroid-
+        // literal discipline); sorted so bit positions are stable
+        val srcs = docs.select(col("source")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        require(srcs.length <= 62,
+          s"q98 bitmask path supports <= 62 sources, got ${srcs.length}")
+        // the mask table is bounded by min(distinct shingles,
+        // 2^sources) DISTINCT masks — shared-content corpora keep it
+        // tiny; persisting it lets the per-source totals (a ≤62-row
+        // bounded collect) and the pair rollup share one computation
+        // of the position-scale exchange. CacheManager dedups by
+        // logical plan, so repeated builds reuse one cache entry.
+        val maskCounts = docs
           .select(col("source"), explode(shingles(col("text"), 8)).as("sh_s"))
-          .select(col("source"), TextQueries.md5Hash60(col("sh_s")).as("sh"))
-          .repartition(col("sh"))
-        // distinct() over pos's own (source, sh) — no reordering
-        // projection, so this branch's repartition subtree stays
-        // canonically identical to the pair branch's and physical
-        // exchange reuse shares the one shuffle between them
-        val perSrc = pos.distinct()
-          .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-        val pairs = pos.groupBy(col("sh"))
-          .agg(sort_array(collect_set(col("source"))).as("srcs"))
-          .filter(size(col("srcs")) >= 2)
-          .select(explode(flatten(transform(col("srcs"), (x, i) =>
-            transform(
-              slice(col("srcs"), i + lit(2), size(col("srcs")) - i - 1),
-              y => struct(x.as("a"), y.as("b")))))).as("p"))
+          .select(TextQueries.md5Hash60(col("sh_s")).as("sh"),
+            (array_position(typedLit(srcs), col("source")) - 1)
+              .cast("int").as("idx"))
+          .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), idx)"))
+          .groupBy(col("sh")).agg(expr("bit_or(bit)").as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n_sh"))
+          .persist()
+        // per-source distinct-shingle totals: sum the mask table rows
+        // whose bit is set — ≤62 rows back to the driver
+        val srcLit = array(srcs.zipWithIndex.map { case (nm, i) =>
+          struct(lit(nm).as("s"), lit(1L << i).as("m")) }: _*)
+        val nSh: Map[String, Long] = maskCounts
+          .select(col("n_sh"), explode(filter(srcLit, e =>
+            col("mask").bitwiseAND(e.getField("m")) === e.getField("m")))
+            .as("e"))
+          .groupBy(col("e.s").as("source")).agg(sum(col("n_sh")).as("n_sh"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // every candidate source pair with its two-bit mask and the
+        // min(|A|, |B|) denominator baked in as literals — filtered
+        // per mask ROW of the tiny cached table, never per shingle
+        val pairLit = array((for {
+          i <- srcs.indices; j <- (i + 1) until srcs.length
+        } yield struct(lit(srcs(i)).as("a"), lit(srcs(j)).as("b"),
+          lit((1L << i) | (1L << j)).as("m"),
+          // a shingle-less source never reaches the output (no pair
+          // can match its bit) — getOrElse only guards the lookup
+          lit(math.min(nSh.getOrElse(srcs(i), 0L),
+            nSh.getOrElse(srcs(j), 0L))).as("den"))): _*)
+        maskCounts
+          .select(col("n_sh"), explode(filter(pairLit, p =>
+            col("mask").bitwiseAND(p.getField("m")) === p.getField("m")))
+            .as("p"))
           .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        pairs
-          .join(broadcast(perSrc.withColumnRenamed("source", "src_a")
-            .withColumnRenamed("n_sh", "n_a")), "src_a")
-          .join(broadcast(perSrc.withColumnRenamed("source", "src_b")
-            .withColumnRenamed("n_sh", "n_b")), "src_b")
+          .agg(sum(col("n_sh")).as("n_shared"),
+            max(col("p.den")).as("den"))
           .select(col("src_a"), col("src_b"), col("n_shared"),
-            StableRound.r4(col("n_shared").cast("double") /
-              least(col("n_a"), col("n_b"))).as("containment"))
+            StableRound.r4(col("n_shared").cast("double") / col("den"))
+              .as("containment"))
           .orderBy("src_a", "src_b")
       },
       oracle = Some {
