@@ -30,9 +30,21 @@ object Bench {
     // headline number is the MIN across passes — the closest to the
     // machine-noise-free cost — and the median rides along so a
     // round-over-round delta can be attributed to code vs environment.
+    // Release everything a query pinned in the shared JVM before the
+    // next one is timed: cached DataFrames (q98's mask table) and
+    // persisted/localCheckpoint RDD blocks (q82's pointer-doubling
+    // rounds). Without this, memory pressure from earlier queries
+    // bleeds into later ones — r6 measured q73 1.33× slower in the
+    // shared bench while an isolated run matched r5. Runs OUTSIDE the
+    // timed region, so each sample is the query's own cost.
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     val samples = collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (_ <- 1 to runs) timed.foreach { case (name, fn) =>
+      release()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
@@ -40,6 +52,7 @@ object Bench {
       val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       samples(name) = t :: samples(name)
     }
+    release()
     def agg(f: List[Double] => Double) = samples.toSeq.sortBy(_._1).map {
       case (k, ts) => k -> (if (ts.contains(-1.0)) -1.0 else f(ts))
     }

@@ -528,7 +528,10 @@ object SimilarityQueries {
     // The published recipe (Abbas et al. 2023, "SemDeDup"): k-means
     // cluster the corpus embeddings, then dedup WITHIN each cluster —
     // a document is dropped when an earlier (lower-id) member of its
-    // cluster is a τ-near-neighbor. Cluster-locality is the point: at
+    // cluster that shares an LSH band bucket is a τ-near-neighbor — a
+    // recall approximation of the cited recipe (the q67 subset-of-
+    // exact caveat): a within-cluster τ-near pair with no band
+    // collision is kept. Cluster-locality is the point: at
     // corpus scale k grows ∝ N so cluster size stays bounded, and no
     // cross-cluster pair is ever considered.
     //

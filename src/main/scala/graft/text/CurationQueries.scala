@@ -865,9 +865,11 @@ object CurationQueries {
         val heads = graft.operators.TopK.perKeyRanked(keyed, Seq("shard"),
             Seq(col("k").asc), 3, "rk")
           .groupBy(col("shard"))
-          .agg(transform(
+          // Serialized to a CSV string (the q87 recipe) so the oracle
+          // harness can hash/sort the cell; order is defined by rk.
+          .agg(array_join(transform(
             array_sort(collect_list(struct(col("rk"), col("doc_id")))),
-            x => x.getField("doc_id")).as("head_docs"))
+            x => x.getField("doc_id").cast("string")), ",").as("head_docs"))
         stats.join(heads, "shard")
           .select(col("shard"), col("n_docs"), col("n_chars"),
             col("head_docs"))
@@ -879,7 +881,9 @@ object CurationQueries {
                      ('0x' || substring(md5('epoch0|' || doc_id::VARCHAR),
                        1, 8))::BIGINT % 8 AS shard
                    FROM documents),
-        h AS (SELECT shard, list(doc_id ORDER BY kk)[1:3] AS head_docs
+        h AS (SELECT shard,
+                     array_to_string(list(doc_id::VARCHAR ORDER BY kk)[1:3],
+                       ',') AS head_docs
               FROM k GROUP BY shard)
         SELECT k.shard AS shard, count(*) AS n_docs,
                CAST(sum(n_chars) AS BIGINT) AS n_chars,
@@ -1040,7 +1044,7 @@ object CurationQueries {
               lit(s"$B$a$E$B$b$E"), lit(s"$B$a$b$E"))
         }
         val enc = base.select(explode(tokens(col("text"))).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+          .distinct()
           .filter(length(col("word")) >= 2)
           .select(col("word"), encodedW.as("w"))
           // symbol count = count of begin markers (one per symbol)
@@ -1144,61 +1148,44 @@ object CurationQueries {
           .filter(col("text").isNotNull && col("source").isNotNull)
         // bounded collect: the distinct source list (q29's centroid-
         // literal discipline); sorted so bit positions are stable
-        val srcs = docs.select(col("source")).distinct()
-          .collect().map(_.getString(0)).sorted.toSeq
-        require(srcs.length <= 62,
-          s"q98 bitmask path supports <= 62 sources, got ${srcs.length}")
-        // the mask table is bounded by min(distinct shingles,
-        // 2^sources) DISTINCT masks — shared-content corpora keep it
-        // tiny; persisting it lets the per-source totals (a ≤62-row
-        // bounded collect) and the pair rollup share one computation
-        // of the position-scale exchange. CacheManager dedups by
-        // logical plan, so repeated builds reuse one cache entry.
-        val maskCounts = docs
-          .select(col("source"), explode(shingles(col("text"), 8)).as("sh_s"))
-          .select(TextQueries.md5Hash60(col("sh_s")).as("sh"),
-            (array_position(typedLit(srcs), col("source")) - 1)
-              .cast("int").as("idx"))
-          .withColumn("bit", expr("shiftleft(CAST(1 AS BIGINT), idx)"))
-          .groupBy(col("sh")).agg(expr("bit_or(bit)").as("mask"))
-          .groupBy(col("mask")).agg(count(lit(1)).as("n_sh"))
-          .persist()
-        // per-source distinct-shingle totals: sum the mask table rows
-        // whose bit is set — ≤62 rows back to the driver
-        val srcLit = array(srcs.zipWithIndex.map { case (nm, i) =>
-          struct(lit(nm).as("s"), lit(1L << i).as("m")) }: _*)
-        val nSh: Map[String, Long] = maskCounts
-          .select(col("n_sh"), explode(filter(srcLit, e =>
-            col("mask").bitwiseAND(e.getField("m")) === e.getField("m")))
-            .as("e"))
-          .groupBy(col("e.s").as("source")).agg(sum(col("n_sh")).as("n_sh"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        // every candidate source pair with its two-bit mask and the
-        // min(|A|, |B|) denominator baked in as literals — filtered
-        // per mask ROW of the tiny cached table, never per shingle
-        val pairLit = array((for {
-          i <- srcs.indices; j <- (i + 1) until srcs.length
-        } yield struct(lit(srcs(i)).as("a"), lit(srcs(j)).as("b"),
-          lit((1L << i) | (1L << j)).as("m"),
-          // a shingle-less source never reaches the output (no pair
-          // can match its bit) — getOrElse only guards the lookup
-          lit(math.min(nSh.getOrElse(srcs(i), 0L),
-            nSh.getOrElse(srcs(j), 0L))).as("den"))): _*)
-        maskCounts
-          .select(col("n_sh"), explode(filter(pairLit, p =>
-            col("mask").bitwiseAND(p.getField("m")) === p.getField("m")))
-            .as("p"))
-          .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
-          .agg(sum(col("n_sh")).as("n_shared"),
-            max(col("p.den")).as("den"))
-          .select(col("src_a"), col("src_b"), col("n_shared"),
-            StableRound.r4(col("n_shared").cast("double") / col("den"))
-              .as("containment"))
-          .orderBy("src_a", "src_b")
+        val srcs = OverlapIndex.sources(docs)
+        // MEMORY CONTRACT: the mask table (bounded by min(distinct
+        // shingles, 2^sources) rows) is persisted so the per-source
+        // totals (a ≤62-row bounded collect inside overlapMatrix) and
+        // the pair rollup share one computation of the position-scale
+        // exchange. The entry lives until the session clears its
+        // cache — Bench releases it between queries; a curation run
+        // that wants durable reuse uses the q99 disk artifact
+        // (OverlapIndex.load) instead.
+        val maskCounts = OverlapIndex.maskCounts(docs, srcs).persist()
+        OverlapIndex.overlapMatrix(maskCounts, srcs)
       },
-      oracle = Some {
-        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
-        s"""
+      oracle = Some(overlapOracleSql)),
+
+    // ── overlap matrix served from the materialized index ──────────
+    // Same result as q98 (same oracle, hash-checked), different cost
+    // model: the corpus-scale shingle exchange is paid ONCE into a
+    // parquet artifact (OverlapIndex.load) and every later invocation
+    // — this session or the next — reads the ≤2^sources-row mask
+    // table from disk. This is the artifact a curation run keeps next
+    // to the dataset and consults from every downstream query; r6
+    // measured the difference at 100× as 8.8 s cold vs 1.2 s reused.
+    // Benched: pass 1 pays the build, later passes read — the min
+    // documents the reuse contract.
+    "q99_overlap_index" -> QuerySpec(
+      build = (s, d) => {
+        val (masks, srcs) = OverlapIndex.load(s, d)
+        OverlapIndex.overlapMatrix(masks, srcs)
+      },
+      oracle = Some(overlapOracleSql),
+      bench = true)
+  )
+
+  /** Shared by q98 (in-session build) and q99 (disk artifact): both
+    * must equal this DuckDB recomputation exactly. */
+  private lazy val overlapOracleSql: String = {
+    val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+    s"""
         WITH t AS ($duckToks),
         g AS (SELECT source, unnest(list_transform(
                 generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
@@ -1216,6 +1203,5 @@ object CurationQueries {
         JOIN n nb ON nb.source = b.source
         WHERE a.source < b.source
         GROUP BY 1, 2 ORDER BY 1, 2"""
-      })
-  )
+  }
 }

@@ -399,7 +399,7 @@ class CurationSpec extends SparkSpec {
       val (n, chars, heads) = expected(r.getAs[Long]("shard"))
       assert(r.getAs[Long]("n_docs") == n)
       assert(r.getAs[Long]("n_chars") == chars)
-      assert(r.getAs[scala.collection.Seq[Long]]("head_docs").toSeq == heads)
+      assert(r.getAs[String]("head_docs") == heads.mkString(","))
     }
   }
 
@@ -449,5 +449,54 @@ class CurationSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("containment") - c) < 1e-3)
     }
     assert(got.nonEmpty, "the shared boilerplate must overlap some source pair")
+  }
+
+  test("q99 overlap index: builds once, reuses from disk, equals q98") {
+    import graft.text.OverlapIndex
+    val root = java.nio.file.Files.createTempDirectory("graft-oi-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      import scala.jdk.CollectionConverters._
+      def artifactDirs() = {
+        val s = java.nio.file.Files.list(root)
+        try s.iterator().asScala.toList.map(_.getFileName.toString).sorted
+        finally s.close()
+      }
+      assert(artifactDirs().isEmpty)
+      val first = run("q99_overlap_index").collect()
+      val dirs1 = artifactDirs()
+      assert(dirs1.size == 1, s"one index artifact expected, got $dirs1")
+      // second invocation reads the SAME artifact (no rebuild, no
+      // second dir) and returns identical rows
+      val second = run("q99_overlap_index").collect()
+      assert(artifactDirs() == dirs1)
+      assert(second.toSeq == first.toSeq)
+      // and the served matrix is exactly the in-session q98 build
+      val q98 = run("q98_source_overlap").collect()
+      assert(first.toSeq == q98.toSeq)
+      // touching the input data invalidates the key: a fresh mtime on
+      // documents.parquet must key a NEW artifact, not a stale read
+      // (simulated via a copied dataset dir so testdata stays pristine)
+      val copy = java.nio.file.Files.createTempDirectory("graft-oi-data")
+      val src = java.nio.file.Paths.get(sf)
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = copy.resolve(src.relativize(p).toString)
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val fromCopy = CurationQueries.queries("q99_overlap_index")
+        .build(spark, copy.toString).collect()
+      assert(artifactDirs().size == 2,
+        "a dataset with different path/mtimes must get its own index")
+      assert(fromCopy.toSeq == first.toSeq)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
   }
 }
