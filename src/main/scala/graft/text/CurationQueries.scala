@@ -850,16 +850,15 @@ object CurationQueries {
     //
     // Scale shape: shard assignment is a narrow per-row hash (no
     // sort); the only per-shard order materialized is the 3-row head
-    // via the bounded-heap TopKPerKey — a full epoch order would be
-    // sortWithinPartitions(shard-partitioned), never a global window.
+    // via the bounded-heap TopKPerKey. The FULL epoch order is
+    // TrainOrder.writeEpoch (shard-partitioned sortWithinPartitions
+    // write, never a global window); q100 hash-checks its ordering
+    // logic cross-engine.
     "q92_train_order" -> QuerySpec(
       build = (s, d) => {
-        val keyed = Tables.documents(s, d)
-          .select(col("doc_id"), col("n_chars"))
-          .withColumn("k",
-            md5(concat(lit("epoch0|"), col("doc_id").cast("string"))))
-          .withColumn("shard",
-            expr("conv(substring(k, 1, 8), 16, 10)").cast("long") % 8)
+        val keyed = TrainOrder.epochOrder(
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          epoch = 0, shards = 8)
         val stats = keyed.groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
         val heads = graft.operators.TopK.perKeyRanked(keyed, Seq("shard"),
@@ -1178,7 +1177,44 @@ object CurationQueries {
         OverlapIndex.overlapMatrix(masks, srcs)
       },
       oracle = Some(overlapOracleSql),
-      bench = true)
+      bench = true),
+
+    // ── full-epoch order fingerprint ────────────────────────────────
+    // Cross-engine check of the COMPLETE training order (q92 only
+    // spot-checks 3-doc heads): per shard, the md5 of every doc_id
+    // concatenated in epoch-key order. The order is a pure function
+    // of the md5 keys, so a matching fingerprint proves both engines
+    // derive the identical full sequence — the same sequence
+    // TrainOrder.writeEpoch lays out on disk (CurationSpec asserts
+    // the disk order against this keying directly).
+    //
+    // Scale note: this is a VERIFICATION query — collect_list holds
+    // one shard's doc_ids in a single aggregation buffer, fine at
+    // oracle SF, not a production op. The production path never
+    // materializes a shard in memory: writeEpoch streams it through
+    // a spillable sortWithinPartitions.
+    "q100_epoch_fingerprint" -> QuerySpec(
+      build = (s, d) => {
+        val keyed = TrainOrder.epochOrder(
+          Tables.documents(s, d).select(col("doc_id")),
+          epoch = 0, shards = 8)
+        keyed.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("k"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), ","))
+              .as("order_md5"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        SELECT shard, count(*) AS n_docs,
+               md5(string_agg(doc_id::VARCHAR, ',' ORDER BY kk)) AS order_md5
+        FROM (SELECT doc_id,
+                     md5('epoch0|' || doc_id::VARCHAR) AS kk,
+                     ('0x' || substring(md5('epoch0|' || doc_id::VARCHAR),
+                       1, 8))::BIGINT % 8 AS shard
+              FROM documents)
+        GROUP BY shard ORDER BY shard"""))
   )
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both

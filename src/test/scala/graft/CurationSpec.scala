@@ -451,6 +451,43 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty, "the shared boilerplate must overlap some source pair")
   }
 
+  test("writeEpoch lays the full epoch order on disk, shard by shard") {
+    import scala.jdk.CollectionConverters._
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = java.nio.file.Files.createTempDirectory("graft-epoch")
+      .resolve("epoch0").toString
+    graft.text.TrainOrder.writeEpoch(spark, sf, out, epoch = 0, shards = 8)
+    // expected order per shard, replayed driver-side from the md5 keys
+    val ids = graft.analytics.Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.map { id =>
+      val k = md5hex(s"epoch0|$id")
+      (java.lang.Long.parseLong(k.take(8), 16) % 8, k, id)
+    }.groupBy(_._1).map { case (sh, g) =>
+      sh -> g.sortBy(_._2).map(_._3).toSeq
+    }
+    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("shard="))
+      .toSeq
+    assert(shardDirs.size == expected.size)
+    var total = 0L
+    shardDirs.foreach { dir =>
+      val shard = dir.getFileName.toString.stripPrefix("shard=").toLong
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      // one task per shard → one data file; its ROW ORDER is the
+      // contract (tiny file = one split, so read order = file order)
+      assert(files.size == 1, s"shard $shard: ${files.size} files")
+      val got = spark.read.parquet(files.head.toString)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      assert(got == expected(shard), s"shard $shard disk order != key order")
+      total += got.length
+    }
+    assert(total == ids.length, "every document appears in exactly one shard")
+  }
+
   test("q99 overlap index: builds once, reuses from disk, equals q98") {
     import graft.text.OverlapIndex
     val root = java.nio.file.Files.createTempDirectory("graft-oi-spec")
