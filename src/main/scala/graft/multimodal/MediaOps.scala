@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * Execution model: the Spark-side plumbing — schema, partition sizing,
   * per-partition batched processing, frame explode — is real and tested.
   * The IMAGE codec is real: [[JdkImageCodec]] decodes PNG/BMP/JPEG/GIF
-  * through `javax.imageio` (pure JDK, no native deps) and the decode /
-  * resize operators use it for any image payload that actually decodes.
-  * Audio/video (and non-decodable image bytes) fall back to
+  * through `javax.imageio` (pure JDK, no native deps). The AUDIO codec
+  * is real: [[JdkAudioCodec]] decodes WAV/AIFF/AU through
+  * `javax.sound.sampled` (pure JDK) with true sample rate and duration.
+  * Video (and non-decodable image/audio bytes) falls back to
   * [[DecodeStub]], which derives deterministic fake features from the
-  * bytes — this environment has no audio/video libraries. Swapping a
-  * real av codec in changes ONE function and nothing about the
-  * distributed plan, exactly as the image branch demonstrates.
+  * bytes — this environment has no video libraries. Swapping a real
+  * video codec in changes ONE function and nothing about the
+  * distributed plan, exactly as the image and audio branches
+  * demonstrate.
   *
   * Scale notes:
   *  - media rows are large (MBs); [[repartitionBySize]] packs partitions
@@ -37,10 +39,14 @@ object MediaOps {
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte],
                          meta: MediaMeta)
 
-  /** Decoded (stub) representation: a fixed-length feature payload per
-    * media item. A real pipeline would hold pixels / PCM samples here. */
+  /** Decoded representation: a fixed-length feature payload per media
+    * item plus the modality's true signal dimensions — (width, height)
+    * from a real image decode, (sampleRate, durationMs) from a real
+    * audio decode; metadata passthrough where the payload didn't
+    * decode. A real pipeline would hold pixels / PCM samples here. */
   case class DecodedMedia(media_id: Long, kind: String, width: Int,
-                          height: Int, features: Array[Float])
+                          height: Int, sampleRate: Int, durationMs: Long,
+                          features: Array[Float])
 
   case class Frame(media_id: Long, frame_idx: Int, frame_ts_ms: Long,
                    frame_bytes: Array[Byte])
@@ -108,6 +114,76 @@ object MediaOps {
         javax.imageio.ImageIO.write(dst, "png", bos)
         bos.toByteArray
       }
+  }
+
+  // ───────────────────────── real JDK audio codec ──────────────────
+
+  /** Pure-JDK audio codec: `javax.sound.sampled` reads WAV/AIFF/AU
+    * (and converts 8-bit / μ-law / A-law payloads to PCM) with zero
+    * native dependencies — the audio twin of [[JdkImageCodec]]. Total
+    * over arbitrary bytes: anything no registered reader accepts
+    * returns None and the operators fall back to [[DecodeStub]]. */
+  object JdkAudioCodec {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+
+    /** Decode to 16-bit signed PCM and project the samples into a
+      * `dim`-length feature vector: |sample|/32768 of sample i
+      * accumulates into `out[i % dim]` — the same deterministic
+      * folding as the image luminance features. Returns the TRUE
+      * (sampleRate, durationMs) read from the audio header, which is
+      * how callers observe that a real decode happened. */
+    def features(bytes: Array[Byte], dim: Int): Option[(Int, Long, Array[Float])] =
+      if (bytes == null || bytes.length == 0) None
+      else try {
+        val in = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = in.getFormat
+          // normalize to 16-bit signed little-endian PCM: the JDK
+          // converts 8-bit, μ-law, and A-law for free, so the sample
+          // loop below reads ONE representation
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            src.getChannels * 2, src.getSampleRate, false)
+          val pcmIn = AudioSystem.getAudioInputStream(target, in)
+          try {
+            val pcm = pcmIn.readAllBytes()
+            val nSamples = pcm.length / 2
+            val out = new Array[Float](dim)
+            var i = 0
+            while (i < nSamples) {
+              val s = (((pcm(2 * i + 1) & 0xff) << 8) |
+                (pcm(2 * i) & 0xff)).toShort
+              out(i % dim) += math.abs(s.toInt) / 32768.0f
+              i += 1
+            }
+            val rate = target.getSampleRate.toInt
+            val frames = nSamples / target.getChannels
+            Some((rate, frames * 1000L / rate, out))
+          } finally pcmIn.close()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Wrap raw little-endian PCM bytes in a canonical 44-byte RIFF/
+      * WAVE header (16-bit mono) — the encode side of the codec, and
+      * how the harness manufactures REAL decodable audio payloads
+      * from deterministic bytes. */
+    def wavWrap(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + pcm.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)               // PCM
+        .putShort(1)               // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)    // byte rate
+        .putShort(2)               // block align
+        .putShort(16)              // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+        .put(pcm)
+      bb.array()
+    }
   }
 
   // ───────────────────────── stubbed codec ─────────────────────────
@@ -196,17 +272,25 @@ object MediaOps {
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // image payloads take the REAL javax.imageio path (and report
-        // the true decoded dimensions); audio/video and non-decodable
-        // bytes fall back to the deterministic stub
+        // the true decoded dimensions); audio payloads the REAL
+        // javax.sound.sampled path (true sample rate + duration);
+        // video and non-decodable bytes fall back to the
+        // deterministic stub
         batch.iterator.map { m =>
-          val real =
-            if (m.kind == "image") JdkImageCodec.features(m.bytes, dim)
-            else None
-          real match {
-            case Some((w, h, f)) => DecodedMedia(m.media_id, m.kind, w, h, f)
-            case None => DecodedMedia(m.media_id, m.kind, m.meta.width,
-              m.meta.height, DecodeStub.features(m.bytes, dim))
+          val real = m.kind match {
+            case "image" => JdkImageCodec.features(m.bytes, dim).map {
+              case (w, h, f) => DecodedMedia(m.media_id, m.kind, w, h,
+                m.meta.sampleRate, m.meta.durationMs, f)
+            }
+            case "audio" => JdkAudioCodec.features(m.bytes, dim).map {
+              case (rate, durMs, f) => DecodedMedia(m.media_id, m.kind,
+                m.meta.width, m.meta.height, rate, durMs, f)
+            }
+            case _ => None
           }
+          real.getOrElse(DecodedMedia(m.media_id, m.kind, m.meta.width,
+            m.meta.height, m.meta.sampleRate, m.meta.durationMs,
+            DecodeStub.features(m.bytes, dim)))
         }
       }
     }

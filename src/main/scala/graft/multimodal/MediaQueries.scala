@@ -6,8 +6,11 @@ import graft.analytics.QuerySpec
 /** Oracle-checked queries over the binary media view (multimodal
   * surface). The bytes are real `binary` columns; DuckDB mirrors the
   * view with `encode(text)` so byte lengths and frame math check
-  * exactly. The stubbed codec paths (decode/resize) are covered by
-  * MultimodalSpec instead — a fake codec has no SQL oracle.
+  * exactly. The REAL codec paths are oracle-checked where the math is
+  * cross-engine-expressible (q101 hash-checks the WAV decode against
+  * DuckDB's byte-length duration arithmetic); the remaining stub paths
+  * (video decode, stub resize) are covered by MultimodalSpec instead —
+  * a fake codec has no SQL oracle.
   */
 object MediaQueries {
 
@@ -131,7 +134,44 @@ object MediaQueries {
           WHERE o.n <= $maxBucketOccupancy)
         SELECT ma, mb, cos FROM cand WHERE cos > 0.9 ORDER BY ma, mb"""
       },
-      bench = true)
+      bench = true),
+
+    // ── REAL audio decode, hash-checked cross-engine ────────────────
+    // Every document's UTF-8 bytes become the PCM payload of a real
+    // 16-bit mono 16 kHz WAV (JdkAudioCodec.wavWrap), which the
+    // distributed decode then reads back through javax.sound.sampled.
+    // The metadata deliberately LIES (rate 0, duration 0): the only
+    // way the output can match the oracle — which recomputes duration
+    // from the byte length with integer math — is a true header parse
+    // and frame count. The image twin of this trick is
+    // MultimodalSpec's "meta lies" PNG test; here it is oracle-grade.
+    "q101_audio_decode" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        val recs = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, t) =>
+            MediaOps.MediaRecord(id, "audio",
+              MediaOps.JdkAudioCodec.wavWrap(t.getBytes("UTF-8"), 16000),
+              MediaOps.MediaMeta("wav", 0, 0, 0, 0L))
+          }
+        MediaOps.decode(recs, dim = 8)
+          .groupBy((col("media_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("durationMs")).as("sum_ms"),
+            min(col("sampleRate")).as("min_rate"),
+            max(col("sampleRate")).as("max_rate"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        SELECT doc_id % 10 AS bucket, count(*) AS n,
+               CAST(sum((octet_length(encode(text)) // 2) * 1000 // 16000)
+                 AS BIGINT) AS sum_ms,
+               CAST(16000 AS INTEGER) AS min_rate,
+               CAST(16000 AS INTEGER) AS max_rate
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   /** Deterministic 64-dim byte-fingerprint embedding, computable

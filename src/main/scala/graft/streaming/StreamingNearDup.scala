@@ -35,11 +35,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * through the hash probe, never shuffled), and the state layout is
   * hash-bucketed on (band, ha, hb) into `_sb=<n>` partition dirs so
   * the per-trigger read partition-prunes to only the `_sb` values the
-  * batch actually touches. Pruning cuts file OPENS and row scans, not
-  * directory LISTING — discovery still walks the whole tree — so the
-  * layout trades up to 256 dirs per un-compacted batch for the
-  * pruned probe; [[compactState]] is what keeps the dir count (and
-  * with it the listing cost) bounded, exactly as before.
+  * batch actually touches, and a writer-maintained `_sb_manifest`
+  * names each batch's live `_sb` dirs so per-trigger DISCOVERY lists
+  * only the leaf dirs the probe will read — never the whole tree,
+  * whatever the un-compacted batch count. [[compactState]] still
+  * bounds the dir count itself (open-file handles, small files).
   *
   * Exactly-once: outputs are written per micro-batch to
   * `_batch=<id>` subdirectories with overwrite, so a replayed batch
@@ -82,6 +82,74 @@ object StreamingNearDup {
     * (pruning filter). */
   private def sbCol = pmod(hash(col("band"), col("ha"), col("hb")),
     lit(stateBucketCount))
+
+  // ─────────────────────── state manifest ──────────────────────────
+  // Partition pruning cuts file OPENS, but `spark.read.parquet(root)`
+  // still LISTS every `_batch=N/_sb=M` directory during discovery —
+  // with B un-compacted batches that is up to B×256 list calls per
+  // trigger. The manifest (`_sb_manifest`, one line per batch dir:
+  // `<batchId>:<sb,sb,…>`) is maintained by the state's single writer
+  // and lets the probe name its leaf directories outright, so a
+  // trigger lists ONLY the (batch, sb) dirs it actually reads.
+  // Missing or stale manifests self-heal: the reader falls back to one
+  // full listing and rewrites the file (legacy state dirs migrate on
+  // first trigger).
+
+  private def manifestFile(stateDir: String) = new Path(stateDir, "_sb_manifest")
+
+  /** Parse the manifest if present: batchId → its `_sb` values. */
+  private[graft] def readManifest(spark: SparkSession,
+      stateDir: String): Option[Map[Long, Seq[Int]]] = {
+    val f = manifestFile(stateDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) None
+    else try {
+      val in = fs.open(f)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Some(text.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(b, sbs) = line.split(":", -1)
+        b.toLong -> (if (sbs.isEmpty) Seq.empty[Int]
+                     else sbs.split(",").toSeq.map(_.toInt))
+      }.toMap)
+    } catch { case scala.util.control.NonFatal(_) => None } // corrupt → rebuild
+  }
+
+  /** Atomically (tmp + rename) replace the manifest. Single-writer:
+    * only dedupBatch / compactState / migrateStateLayout call this. */
+  private def writeManifest(spark: SparkSession, stateDir: String,
+      entries: Map[Long, Seq[Int]]): Unit = {
+    val f = manifestFile(stateDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(stateDir, "._sb_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.toSeq.sortBy(_._1).map { case (b, sbs) =>
+      s"$b:${sbs.sorted.mkString(",")}"
+    }.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"manifest write failed for $stateDir")
+  }
+
+  /** One full listing of the state tree → fresh manifest. The healing
+    * path for legacy/hand-modified state dirs and the rebuild step
+    * after compaction or layout migration. */
+  private[graft] def rebuildManifest(spark: SparkSession,
+      stateDir: String): Map[Long, Seq[Int]] = {
+    val p = new Path(stateDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val entries: Map[Long, Seq[Int]] =
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("_batch=") =>
+          val id = st.getPath.getName.stripPrefix("_batch=").toLong
+          id -> fs.listStatus(st.getPath).collect {
+            case sb if sb.isDirectory && sb.getPath.getName.startsWith("_sb=") =>
+              sb.getPath.getName.stripPrefix("_sb=").toInt
+          }.toSeq
+      }.toMap
+    writeManifest(spark, stateDir, entries)
+    entries
+  }
 
   /** Above this many batch bucket rows the broadcast probe gives way
     * to a shuffle semi-join: an unbounded AvailableNow backfill batch
@@ -189,18 +257,45 @@ object StreamingNearDup {
         .repartition(col("_sb"))
         .write.mode("overwrite").partitionBy("_sb")
         .parquet(s"$stateDir/_batch=$batchId")
+      // record this batch's _sb dirs in the manifest AFTER its data
+      // lands (a crash in between replays the batch, which rewrites
+      // both idempotently); later triggers then list only named dirs
+      val sbs = buckets.select(sbCol.as("_sb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val entries = readManifest(spark, stateDir)
+        .getOrElse(rebuildManifest(spark, stateDir))
+      writeManifest(spark, stateDir, entries + (batchId -> sbs))
     } finally buckets.unpersist()
   }
 
   /** The registered-buckets frame a batch probe consults: every batch
     * partition except `batchId`'s own (replay self-collision), pruned
-    * to the `_sb` state buckets in `touched`. Both filters hit
-    * partition COLUMNS (`_batch` and `_sb` are directory names), so
-    * untouched state files are pruned at listing time, never opened. */
+    * to the `_sb` state buckets in `touched`.
+    *
+    * The manifest names the exact `_batch=b/_sb=s` leaf directories,
+    * so discovery lists ONLY those dirs — never the whole tree. The
+    * partition-column filters stay on as belt-and-braces (`_batch`
+    * and `_sb` parse from the dir names via basePath), and double as
+    * the entire pruning mechanism on the manifest-less fallback. */
   private[graft] def prunedState(spark: SparkSession, stateDir: String,
-      batchId: Long, touched: Seq[Int]): DataFrame =
-    spark.read.parquet(stateDir)
-      .filter(col("_batch") =!= batchId && col("_sb").isin(touched: _*))
+      batchId: Long, touched: Seq[Int]): DataFrame = {
+    val entries = readManifest(spark, stateDir)
+      .getOrElse(rebuildManifest(spark, stateDir))
+    val t = touched.toSet
+    val paths = for {
+      (b, sbs) <- entries.toSeq.sortBy(_._1) if b != batchId
+      sb <- sbs.sorted if t(sb)
+    } yield s"$stateDir/_batch=$b/_sb=$sb"
+    if (paths.isEmpty)
+      // schema-correct empty frame: nothing registered in the touched
+      // buckets means no cross-batch hits
+      spark.range(0).select(col("id").cast("int").as("band"),
+        col("id").as("ha"), col("id").as("hb"),
+        col("id").as("_batch"), col("id").cast("int").as("_sb"))
+    else
+      spark.read.option("basePath", stateDir).parquet(paths: _*)
+        .filter(col("_batch") =!= batchId && col("_sb").isin(touched: _*))
+  }
 
   /** Compact the registered-buckets state: one `_batch=N` dir lands
     * per micro-batch, so a long-lived stream accumulates 10⁶ small
@@ -222,11 +317,15 @@ object StreamingNearDup {
     * Returns (dirs_before, rows_after). */
   def compactState(spark: SparkSession, stateDir: String): (Int, Long) = {
     migrateStateLayout(spark, stateDir)
-    compactBatchDirs(spark, stateDir,
+    val res = compactBatchDirs(spark, stateDir,
       // recompute `_sb` after the cross-batch dedup so the folded
       // partition keeps the same bucketed layout the probe prunes on
       _.select("band", "ha", "hb").distinct().withColumn("_sb", sbCol),
       partitionCols = Seq("_sb"))
+    // the swap replaced the whole dir (manifest included): one listing
+    // of the now-tiny tree (2 batch dirs) re-derives it
+    rebuildManifest(spark, stateDir)
+    res
   }
 
   /** One-time in-place migration of a state dir written BEFORE the
@@ -284,6 +383,8 @@ object StreamingNearDup {
       }
       fs.delete(aside, true)
     }
+    // migrated dirs have new _sb layouts the manifest doesn't know yet
+    if (old.nonEmpty) rebuildManifest(spark, stateDir)
   }
 
   /** [[compactState]]'s twin for the KEPT output, which accumulates

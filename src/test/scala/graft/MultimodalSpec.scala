@@ -125,6 +125,47 @@ class MultimodalSpec extends SparkSpec {
       MediaOps.DecodeStub.features(Array.tabulate(300)(_.toByte), 16)))
   }
 
+  test("decode runs the real JDK codec on WAV payloads") {
+    import spark.implicits._
+    // a 440 Hz-ish sine at 8 kHz, 0.25 s — real PCM through a real
+    // RIFF header
+    val rate = 8000
+    val n = rate / 4
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bytes = MediaOps.JdkAudioCodec.wavWrap(pcm, rate)
+    // meta deliberately LIES about rate and duration: only a real
+    // header parse can report 8000 Hz / 250 ms
+    val ds = spark.createDataset(Seq(
+      MediaRecord(9, "audio", bytes, MediaMeta("wav", 0, 0, 44100, 99999L))))
+    val out = MediaOps.decode(ds, dim = 16).collect().head
+    assert(out.sampleRate === rate, s"true rate expected, got ${out.sampleRate}")
+    assert(out.durationMs === 250L, s"true duration expected, got ${out.durationMs}")
+    // features equal a locally recomputed |sample| folding of the
+    // PCM — the distributed decode IS the real decode
+    val exp = new Array[Float](16)
+    for (i <- 0 until n) {
+      val s = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort
+      exp(i % 16) += math.abs(s.toInt) / 32768.0f
+    }
+    assert(out.features.toSeq === exp.toSeq)
+    // and it is NOT the stub's output
+    assert(!out.features.sameElements(MediaOps.DecodeStub.features(bytes, 16)))
+    // non-decodable audio bytes still fall back to the stub (and the
+    // declared metadata)
+    val junk = spark.createDataset(Seq(MediaRecord(10, "audio",
+      Array.tabulate(800)(i => (i * 3).toByte),
+      MediaMeta("wav", 0, 0, 16000, 2000))))
+    val fb = MediaOps.decode(junk, dim = 16).collect().head
+    assert(fb.sampleRate === 16000 && fb.durationMs === 2000L &&
+      fb.features.sameElements(MediaOps.DecodeStub.features(
+        Array.tabulate(800)(i => (i * 3).toByte), 16)))
+  }
+
   test("resize re-encodes a real PNG at the target raster size") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(

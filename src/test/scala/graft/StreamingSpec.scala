@@ -630,4 +630,65 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet -- removedBatch,
       "streamed kept set must equal the one-shot batch rule")
   }
+
+  test("state probe lists only manifest-named leaf dirs between compactions") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+    val state = tmp("nd-man-state"); val kept = tmp("nd-man-kept")
+    def sentence(i: Int) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    // many un-compacted batches — the situation where full-tree
+    // discovery costs batches × _sb-dirs list calls per trigger
+    val nBatches = 6
+    for (b <- 0 until nBatches)
+      StreamingNearDup.dedupBatch(
+        Seq((100L * b + 1) -> sentence(100 * b + 1),
+          (100L * b + 2) -> sentence(100 * b + 2)).toDF("doc_id", "text"),
+        b.toLong, state, kept)
+    val leafDirs = new java.io.File(state).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_batch="))
+      .flatMap(_.listFiles()).filter(f =>
+        f.isDirectory && f.getName.startsWith("_sb="))
+    assert(leafDirs.length >= nBatches,
+      "test needs a tree with many leaf dirs")
+    // probe ONE _sb value: the scan's root paths must be exactly the
+    // manifest-named _batch=*/_sb=<n> dirs — discovery never lists
+    // the other leaf dirs, whatever the un-compacted batch count
+    val sb = leafDirs.head.getName.stripPrefix("_sb=").toInt
+    val pruned = StreamingNearDup.prunedState(spark, state, 999L, Seq(sb))
+    val roots = pruned.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths
+    }.flatten.map(_.toString)
+    assert(roots.nonEmpty, "probe must resolve to explicit root paths")
+    assert(roots.forall(_.matches(".*/_batch=\\d+/_sb=" + sb + "$")),
+      s"every listed root must be a named _sb=$sb leaf: $roots")
+    assert(roots.size < leafDirs.length,
+      "probe must list strictly fewer dirs than the tree holds")
+    // the named-dirs read returns exactly what the full-scan fallback
+    // filter returns
+    val full = spark.read.parquet(state)
+      .filter(col("_batch") =!= 999L && col("_sb") === sb)
+      .select("band", "ha", "hb").collect().map(_.toSeq).toSet
+    assert(pruned.select("band", "ha", "hb").collect()
+      .map(_.toSeq).toSet === full)
+    // self-heal: a deleted manifest falls back to one full listing,
+    // rewrites the file, and serves the same rows
+    val mf = new java.io.File(state, "_sb_manifest")
+    assert(mf.exists(), "single writer must maintain the manifest")
+    assert(mf.delete())
+    val healed = StreamingNearDup.prunedState(spark, state, 999L, Seq(sb))
+    assert(healed.select("band", "ha", "hb").collect()
+      .map(_.toSeq).toSet === full)
+    assert(mf.exists(), "fallback must rebuild the manifest")
+    // compaction keeps the manifest in step with the folded layout
+    StreamingNearDup.compactState(spark, state)
+    val afterCompact = StreamingNearDup
+      .prunedState(spark, state, 999L, Seq(sb))
+      .select("band", "ha", "hb").collect().map(_.toSeq).toSet
+    assert(afterCompact === full,
+      "compacted state must serve the same buckets through the manifest")
+  }
 }
