@@ -140,7 +140,12 @@ object OverlapIndex {
       val srcs = sources(docs)
       val tmp = Paths.get(dir.toString + "._tmp")
       deleteRecursively(tmp)
-      maskCounts(docs, srcs).coalesce(1)
+      // repartition(1), NOT coalesce(1): the artifact is one tiny
+      // file, but coalesce would propagate the 1-task constraint up
+      // into the corpus-scale shingle aggregation; the explicit
+      // exchange keeps the build parallel and funnels only the
+      // mask-table rows to the single writer
+      maskCounts(docs, srcs).repartition(1)
         .write.mode("overwrite").parquet(tmp.resolve("masks").toString)
       s.createDataFrame(s.sparkContext.parallelize(
           srcs.zipWithIndex.map { case (nm, i) => org.apache.spark.sql.Row(i, nm) }, 1),
