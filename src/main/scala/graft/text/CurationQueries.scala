@@ -1179,6 +1179,67 @@ object CurationQueries {
       oracle = Some(overlapOracleSql),
       bench = true),
 
+    // ── temperature-smoothed mixture sampling ───────────────────────
+    // q75 applies HAND-PICKED per-source rates; this derives them from
+    // the data: keep-rate ∝ sqrt(n_max / n_s) — the α=0.5 temperature
+    // smoothing multilingual/multi-source training mixes use to
+    // up-weight tail sources (expected kept mass ∝ sqrt(n_s), the
+    // uniform↔proportional interpolation). The sqrt enters ONLY
+    // through an integer band threshold floor(2000·sqrt(n_max/n_s))
+    // capped at 10000: sqrt/divide/multiply are IEEE-correctly-rounded
+    // in both engines, so the threshold — and with it every keep
+    // decision — is bit-identical and hash-checked. Membership is the
+    // q71/q75 discipline: md5(seed | doc_id) banded 0–9999, a pure
+    // function of the key, reproducible across engines and reshards.
+    //
+    // Scale shape: per-source counts are one partial-agg groupBy to a
+    // ≤sources-row table (n_max is a 1-row bounded collect); the
+    // thresholds broadcast back onto the corpus; the keep test is
+    // narrow per-row hash math; the report is one more partial-agg
+    // groupBy. Two corpus exchanges total, both map-side-combined to
+    // source cardinality.
+    "q102_temperature_mix" -> QuerySpec(
+      build = (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        val counts = base.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val nMax = counts.agg(max(col("n"))).head.getLong(0)
+        val withTh = counts.select(col("source"), col("n"),
+          least(floor(lit(2000.0) *
+            sqrt(lit(nMax).cast("double") / col("n"))).cast("long"),
+            lit(10000L)).as("threshold"))
+        base.join(broadcast(withTh), "source")
+          .withColumn("band",
+            expr("conv(substring(md5(concat('mix0|', cast(doc_id as string))), 1, 8), 16, 10)")
+              .cast("long") % 10000)
+          .withColumn("kept", (col("band") < col("threshold")).cast("int"))
+          .groupBy(col("source"))
+          .agg(max(col("n")).as("n_docs"),
+            max(col("threshold")).as("threshold"),
+            sum(col("kept")).cast("long").as("n_kept"),
+            sum(when(col("kept") === 1, col("n_chars")).otherwise(0L))
+              .as("kept_chars"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT source, count(*) n FROM documents
+                   WHERE text IS NOT NULL GROUP BY 1),
+        m AS (SELECT max(n) nmax FROM c),
+        t AS (SELECT source, n,
+                LEAST(CAST(floor(2000 * sqrt(nmax * 1.0 / n)) AS BIGINT),
+                  10000) AS th
+              FROM c, m),
+        k AS (SELECT d.source, d.n_chars, t.n, t.th,
+                CASE WHEN ('0x' || substring(
+                       md5('mix0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 10000 < t.th THEN 1 ELSE 0 END AS kept
+              FROM documents d JOIN t ON d.source = t.source
+              WHERE d.text IS NOT NULL)
+        SELECT source, max(n) AS n_docs, max(th) AS threshold,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+                 AS BIGINT) AS kept_chars
+        FROM k GROUP BY source ORDER BY source""")),
+
     // ── full-epoch order fingerprint ────────────────────────────────
     // Cross-engine check of the COMPLETE training order (q92 only
     // spot-checks 3-doc heads): per shard, the md5 of every doc_id

@@ -451,6 +451,41 @@ class CurationSpec extends SparkSpec {
     assert(got.nonEmpty, "the shared boilerplate must overlap some source pair")
   }
 
+  test("q102 temperature mix replays driver-side: sqrt thresholds + md5 bands") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue))
+    val bySrc = rows.groupBy(_._2)
+    val nMax = bySrc.values.map(_.length).max
+    val got = run("q102_temperature_mix").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("threshold"),
+          r.getAs[Long]("n_kept"), r.getAs[Long]("kept_chars"))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, docs) =>
+      val th = math.min(
+        math.floor(2000.0 * math.sqrt(nMax.toDouble / docs.length)).toLong,
+        10000L)
+      val kept = docs.filter { case (id, _, _) =>
+        java.lang.Long.parseLong(md5hex(s"mix0|$id").take(8), 16) % 10000 < th
+      }
+      val (n, t, nk, kc) = got(src)
+      assert(n == docs.length && t == th)
+      assert(nk == kept.length, s"$src kept count")
+      assert(kc == kept.map(_._3).sum, s"$src kept chars")
+    }
+    // the point of temperature smoothing: every non-dominant source's
+    // keep RATE exceeds the largest source's 20%
+    val maxSrc = bySrc.maxBy(_._2.length)._1
+    got.foreach { case (src, (n, th, _, _)) =>
+      if (src != maxSrc && n < nMax) assert(th > 2000, s"$src must be up-weighted")
+    }
+  }
+
   test("writeEpoch lays the full epoch order on disk, shard by shard") {
     import scala.jdk.CollectionConverters._
     def md5hex(s: String) =
