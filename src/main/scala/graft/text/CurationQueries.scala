@@ -1275,7 +1275,105 @@ object CurationQueries {
                      ('0x' || substring(md5('epoch0|' || doc_id::VARCHAR),
                        1, 8))::BIGINT % 8 AS shard
               FROM documents)
-        GROUP BY shard ORDER BY shard"""))
+        GROUP BY shard ORDER BY shard""")),
+
+    // ── corpus-level segment dedup with document reconstruction ─────
+    // The C4/RefinedWeb discipline at segment granularity: split every
+    // document into fixed 16-token chunks, keep only the globally
+    // FIRST occurrence of each distinct chunk text (first = smallest
+    // (doc_id, chunk_idx), a total order), and reconstruct each
+    // document from its surviving chunks in position order. q91
+    // measures duplicated-span MASS; this one performs the edit and
+    // proves the rewritten corpus byte-for-byte: recon_hash_sum folds
+    // the md5 of every reconstructed document into a per-source sum
+    // both engines must reproduce exactly.
+    //
+    // Scale shape: three exchanges, each inherent. (1) the dedup
+    // decision partitions occurrences by chunk_text — dedup on the
+    // TEXT itself, not a 60-bit hash, because at 10^12 chunks a
+    // birthday collision would silently delete live data; a window
+    // min over that partition is one exchange (vs two for
+    // groupBy-winners + join-back). Hot boilerplate chunks skew their
+    // partition — AQE skew handling splits them, and the min is a
+    // partial agg either way. (2) per-doc reconstruction groups by
+    // doc_id — collect_list holds ONE document's chunks (bounded by
+    // doc length, the same bound the corpus's own rows obey).
+    // (3) the per-source rollup is map-side-combined to |sources|
+    // rows. The winner key doc_id*1e6+chunk_idx assumes docs under
+    // 16M tokens (chunk_idx < 1e6) and doc_id < 9.2e12 — both hold
+    // with headroom at 100 TB.
+    "q103_segment_dedup" -> QuerySpec(
+      build = (s, d) => {
+        val chunks = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(transform(
+              sequence(lit(0),
+                ceil(size(col("toks")) / lit(16.0)).cast("int") - 1),
+              i => struct(i.as("chunk_idx"),
+                array_join(slice(col("toks"), i * 16 + 1, lit(16)), " ")
+                  .as("chunk_text"),
+                least(lit(16), size(col("toks")) - i * 16).as("chunk_len"))))
+              .as("c"))
+          .select(col("doc_id"), col("source"), col("c.*"))
+        val firstWins = Window.partitionBy(col("chunk_text"))
+        val kept = chunks
+          .withColumn("wk", col("doc_id") * 1000000L + col("chunk_idx"))
+          .withColumn("kept",
+            (col("wk") === min(col("wk")).over(firstWins)).cast("int"))
+        val docs = kept.groupBy(col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("chunks_before"),
+            sum(col("kept")).as("chunks_after"),
+            sum(col("chunk_len")).as("toks_before"),
+            sum(col("kept") * col("chunk_len")).as("toks_after"),
+            array_join(transform(array_sort(collect_list(
+              when(col("kept") === 1,
+                struct(col("chunk_idx"), col("chunk_text"))))),
+              x => x.getField("chunk_text")), " ").as("newtext"))
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("newtext") =!= "", 1).otherwise(0)).cast("long")
+              .as("docs_kept"),
+            sum(col("chunks_before")).cast("long").as("chunks_before"),
+            sum(col("chunks_after")).cast("long").as("chunks_after"),
+            sum(col("toks_before")).cast("long").as("tokens_before"),
+            sum(col("toks_after")).cast("long").as("tokens_after"),
+            sum(when(col("newtext") =!= "",
+              expr("conv(substring(md5(newtext), 1, 8), 16, 10)")
+                .cast("long")).otherwise(0L)).as("recon_hash_sum"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        ch AS (SELECT doc_id, source, i - 1 AS chunk_idx,
+                 array_to_string(toks[(i-1)*16+1 : least(i*16, len(toks))],
+                   ' ') AS chunk_text,
+                 least(i*16, len(toks)) - (i-1)*16 AS chunk_len
+               FROM t, unnest(generate_series(1,
+                 CAST(ceil(len(toks)/16.0) AS BIGINT))) AS u(i)),
+        k AS (SELECT *, CASE WHEN doc_id*1000000 + chunk_idx =
+                  min(doc_id*1000000 + chunk_idx)
+                    OVER (PARTITION BY chunk_text)
+                THEN 1 ELSE 0 END kept
+              FROM ch),
+        docs AS (SELECT doc_id, source,
+                   count(*) chunks_before, sum(kept) chunks_after,
+                   sum(chunk_len) toks_before, sum(kept*chunk_len) toks_after,
+                   string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+                     FILTER (WHERE kept = 1) newtext
+                 FROM k GROUP BY 1, 2)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN newtext IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS docs_kept,
+               CAST(sum(chunks_before) AS BIGINT) AS chunks_before,
+               CAST(sum(chunks_after) AS BIGINT) AS chunks_after,
+               CAST(sum(toks_before) AS BIGINT) AS tokens_before,
+               CAST(sum(toks_after) AS BIGINT) AS tokens_after,
+               CAST(sum(CASE WHEN newtext IS NOT NULL THEN
+                 ('0x' || substring(md5(newtext), 1, 8))::BIGINT
+                 ELSE 0 END) AS BIGINT) AS recon_hash_sum
+        FROM docs GROUP BY 1 ORDER BY 1"""),
+      bench = true)
   )
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both

@@ -571,4 +571,50 @@ class CurationSpec extends SparkSpec {
       }
     }
   }
+
+  test("q103 segment dedup replays driver-side: first-wins + reconstruction") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // chunk every doc the same way: 16-token windows over the ws split
+    val occs = docs.flatMap { case (id, src, text) =>
+      text.trim.split("\\s+").toSeq.grouped(16).zipWithIndex.map {
+        case (c, i) => (id, src, i, c.mkString(" "), c.length)
+      }
+    }
+    // global first occurrence by (doc_id, chunk_idx)
+    val winner = occs.groupBy(_._4).map { case (t, os) =>
+      t -> os.map(o => (o._1, o._3.toLong)).min
+    }
+    val keptOccs = occs.filter(o => winner(o._4) == ((o._1, o._3.toLong)))
+    val recon = keptOccs.groupBy(o => (o._1, o._2)).map { case ((id, src), os) =>
+      (id, src, os.sortBy(_._3).map(_._4).mkString(" "))
+    }
+    val expBySrc = docs.groupBy(_._2).map { case (src, ds) =>
+      val o = occs.filter(_._2 == src)
+      val k = keptOccs.filter(_._2 == src)
+      val r = recon.filter(_._2 == src)
+      src -> (ds.length.toLong, r.size.toLong, o.length.toLong,
+        k.length.toLong, o.map(_._5.toLong).sum, k.map(_._5.toLong).sum,
+        r.map(x => java.lang.Long.parseLong(md5hex(x._3).take(8), 16)).sum)
+    }
+    val got = run("q103_segment_dedup").collect()
+    assert(got.map(_.getString(0)).toSet == expBySrc.keySet)
+    got.foreach { r =>
+      val e = expBySrc(r.getString(0))
+      val a = (r.getAs[Long]("n_docs"), r.getAs[Long]("docs_kept"),
+        r.getAs[Long]("chunks_before"), r.getAs[Long]("chunks_after"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("tokens_after"),
+        r.getAs[Long]("recon_hash_sum"))
+      assert(a == e, s"${r.getString(0)}")
+    }
+    // the corpus must actually contain cross-doc duplicate chunks
+    val (cb, ca) = (got.map(_.getAs[Long]("chunks_before")).sum,
+      got.map(_.getAs[Long]("chunks_after")).sum)
+    assert(ca < cb, "dedup must remove at least one duplicate chunk")
+  }
 }

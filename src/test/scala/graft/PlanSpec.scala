@@ -211,6 +211,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no row_number window over the corpus")
   }
 
+  test("q103 segment dedup: one corpus scan, bounded exchange count") {
+    val df = SparkEntry.queries("q103_segment_dedup")(spark, sf)
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().length
+    assert(scans === 1, s"expected a single documents scan, got $scans")
+    val p = plan("q103_segment_dedup")
+    // dedup window + per-doc groupBy + per-source groupBy + final sort:
+    // four exchanges, each inherent; anything more is a regression
+    val exchanges = "[+:]- Exchange ".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges\n$p")
+    // the source rollup must partial-aggregate below its shuffle
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no map-side partial aggregation")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
