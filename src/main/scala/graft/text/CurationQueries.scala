@@ -1373,7 +1373,92 @@ object CurationQueries {
                  ('0x' || substring(md5(newtext), 1, 8))::BIGINT
                  ELSE 0 END) AS BIGINT) AS recon_hash_sum
         FROM docs GROUP BY 1 ORDER BY 1"""),
-      bench = true)
+      bench = true),
+
+    // ── native HyperLogLog distinct-shingle counts, exactly replayed ─
+    // The sketch path q50 could not oracle-check, rebuilt so it CAN:
+    // approx_count_distinct's HLL++ internals are Spark-private, so
+    // q50 is rows-only; [[graft.plans.HllAgg]] is the same sketch
+    // idea with every step expressible in ANSI SQL from md5 — DuckDB
+    // rebuilds all 512 registers per group and must match the
+    // aggregate's integer summaries bit-for-bit, THEN the double
+    // estimate. Counts distinct 8-token shingles per language next to
+    // the exact answer; per-lang cardinalities (2.9k-10k at test SFs)
+    // sit in the raw-estimator regime (> 2.5m = 1280), so no
+    // small-range correction branch is exercised or needed.
+    //
+    // Scale shape: the per-row kernel emits 60-bit hashes, the
+    // aggregate carries ONE 512-byte register array per (mapper,
+    // lang) through its shuffle — the constant-state sketch that
+    // answers distinct-counts over 100 TB in a single exchange. This
+    // audit query ALSO wants the exact answer, so it dedups (lang, h)
+    // explicitly first (16-byte rows, map-side combined) and feeds
+    // the sketch the deduped stream — register maxima are idempotent
+    // under duplicates, so the registers are unchanged, and the plan
+    // never carries a register array keyed by anything finer than
+    // lang. (Writing countDistinct + hll in ONE agg instead plans a
+    // 512-byte partial buffer per (lang, hash) pair — the audit
+    // column must not inflate the sketch's shuffle.) A production
+    // run drops the dedup and the sketch rides the scan: one
+    // exchange, 512 bytes per mapper per group.
+    "q104_hll_distinct" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val hll = toC(graft.plans.HllAgg(toE(col("h"))).toAggregateExpression())
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("lang"),
+            explode(shingle_hashes(col("text"), 8)).as("h"))
+          .distinct()
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_exact"), hll.as("_h"))
+          .select(col("lang"), col("n_exact"),
+            col("_h.sum_ranks").as("sum_ranks"),
+            col("_h.zero_regs").as("zero_regs"),
+            StableRound.r4(lit(graft.plans.HllAgg.alphaNum) /
+              col("_h.s_scaled").cast("double")).as("hll_est"))
+          .withColumn("err_pct", StableRound.r4(
+            abs(col("hll_est") - col("n_exact")) / col("n_exact") * 100))
+          .orderBy("lang")
+      },
+      oracle = Some {
+        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+        s"""
+        WITH t AS (SELECT doc_id, lang,
+                     string_split_regex(trim(text), '\\s+') toks
+                   FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT lang, unnest(list_transform(
+                generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
+              FROM t),
+        h AS (SELECT lang,
+                ('0x' || substring(md5(s), 1, 15))::BIGINT h60 FROM g),
+        r AS (SELECT lang, h60, h60 >> 51 AS idx,
+                h60 & ((1::BIGINT << 51) - 1) AS rem FROM h),
+        rk AS (SELECT lang, h60, idx,
+                 CASE WHEN rem = 0 THEN 52
+                      ELSE 52 - length(bin(rem)) END AS rnk
+               FROM r),
+        regs AS (SELECT lang, idx, max(rnk) mr FROM rk GROUP BY 1, 2),
+        full_regs AS (SELECT l.lang, gr.idx, coalesce(regs.mr, 0) mr
+               FROM (SELECT DISTINCT lang FROM t) l
+               CROSS JOIN (SELECT unnest(generate_series(0, 511)) idx) gr
+               LEFT JOIN regs ON regs.lang = l.lang AND regs.idx = gr.idx),
+        agg AS (SELECT f.lang,
+                  CAST(sum(f.mr) AS BIGINT) sum_ranks,
+                  CAST(sum(CASE WHEN f.mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    zero_regs,
+                  CAST(sum(1::BIGINT << (52 - f.mr)) AS BIGINT) s_scaled
+                FROM full_regs f GROUP BY 1),
+        ex AS (SELECT lang, count(DISTINCT h60) n_exact FROM r GROUP BY 1),
+        est AS (SELECT a.lang, ex.n_exact, a.sum_ranks, a.zero_regs,
+                  ${StableRound.sql4(
+                    s"${graft.plans.HllAgg.alphaNum} / CAST(a.s_scaled AS DOUBLE)")}
+                    AS hll_est
+                FROM agg a JOIN ex USING (lang))
+        SELECT lang, n_exact, sum_ranks, zero_regs, hll_est,
+               ${StableRound.sql4("abs(hll_est - n_exact) / n_exact * 100")}
+                 AS err_pct
+        FROM est ORDER BY lang"""
+      })
   )
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both

@@ -617,4 +617,45 @@ class CurationSpec extends SparkSpec {
       got.map(_.getAs[Long]("chunks_after")).sum)
     assert(ca < cb, "dedup must remove at least one duplicate chunk")
   }
+
+  test("q104 HLL registers replay driver-side and the estimate is in band") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val regs = scala.collection.mutable.Map[String, Array[Int]]()
+    val exact = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    docs.foreach { case (lang, text) =>
+      val toks = text.trim.split("\\s+")
+      val rg = regs.getOrElseUpdate(lang, new Array[Int](512))
+      val ex = exact.getOrElseUpdate(lang, scala.collection.mutable.Set[Long]())
+      toks.sliding(8).filter(_.length == 8).foreach { w =>
+        val h = java.lang.Long.parseLong(md5hex(w.mkString(" ")).take(15), 16)
+        ex += h
+        val idx = (h >>> 51).toInt
+        val rem = h & ((1L << 51) - 1)
+        val rank = if (rem == 0L) 52
+          else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (rank > rg(idx)) rg(idx) = rank
+      }
+    }
+    val got = run("q104_hll_distinct").collect()
+    assert(got.map(_.getString(0)).toSet == regs.keySet)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val rg = regs(lang)
+      assert(r.getAs[Long]("n_exact") == exact(lang).size.toLong, s"$lang exact")
+      assert(r.getAs[Long]("sum_ranks") == rg.map(_.toLong).sum, s"$lang ranks")
+      assert(r.getAs[Long]("zero_regs") == rg.count(_ == 0).toLong, s"$lang zeros")
+      val sScaled = rg.map(x => 1L << (52 - x)).sum
+      val est = math.floor(
+        graft.plans.HllAgg.alphaNum / sScaled.toDouble * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("hll_est") == est, s"$lang estimate")
+      // raw-regime accuracy: 3 sigma of 1.04/sqrt(512) is ~14%
+      assert(r.getAs[Double]("err_pct") < 15.0, s"$lang err ${r.getAs[Double]("err_pct")}")
+    }
+  }
 }

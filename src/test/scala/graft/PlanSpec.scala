@@ -225,6 +225,23 @@ class PlanSpec extends SparkSpec {
       "no map-side partial aggregation")
   }
 
+  test("q104 HLL: register buffers keyed by lang only, partial below shuffle") {
+    val p = plan("q104_hll_distinct")
+    assert(p.contains("partial_hll_registers"),
+      "sketch must partial-aggregate map-side")
+    // the 512-byte register state may never key on anything finer
+    // than the group: every aggregate evaluating hll_registers must
+    // have exactly [lang] as its keys
+    val hllAggs = p.split("\\(\\d+\\) ObjectHashAggregate").drop(1)
+      .filter(_.contains("hll_registers"))
+    assert(hllAggs.nonEmpty)
+    hllAggs.foreach { sect =>
+      val keys = sect.linesIterator.find(_.startsWith("Keys")).getOrElse("")
+      assert(keys.contains("lang") && !keys.contains("h#"),
+        s"register buffers keyed finer than lang: $keys")
+    }
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
