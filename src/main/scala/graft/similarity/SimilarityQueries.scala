@@ -49,6 +49,19 @@ object SimilarityQueries {
     }
   }
 
+  /** q105 JL target dimension and its ±1 sign matrix (row k = output
+    * coordinate), md5-derived so both engines replay one constant. */
+  private val jlDim = 16
+  private[graft] lazy val jlSigns: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(jlDim) { k =>
+      Array.tabulate(dim) { j =>
+        val nib = md.digest(s"jl:$k:$j".getBytes("UTF-8"))(0) & 0xf
+        if (nib % 2 == 0) 1L else -1L
+      }
+    }
+  }
+
   /** 4-bit random-hyperplane band signature (band b uses planes
     * 4b..4b+3): a pair is an LSH candidate when all 4 signs agree in
     * some band. */
@@ -749,6 +762,82 @@ object SimilarityQueries {
                      ORDER BY ai, vec_id) rk FROM pair)
         SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
         FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rk"""))
+        ORDER BY query_id, rk""")),
+
+    // ── Johnson-Lindenstrauss random projection, integer-exact ──────
+    // Dimensionality reduction for the ANN family: project 64-d
+    // embeddings to 16-d with a ±1 sign matrix (Achlioptas 2003 —
+    // database-friendly JL: sign entries preserve pairwise distances
+    // in expectation with the same guarantee as Gaussians), reporting
+    // per-label norm preservation ny²/(16·nx²) ≈ 1. The matrix is
+    // data-independent, derived once from md5 at object init and
+    // interpolated into BOTH engines as literals. All row math is
+    // INTEGER: coordinates quantize to floor(x·1e4+0.5) longs, the
+    // projection and both squared norms are integer sums (order-free,
+    // so per-label sums are exact across any partitioning — no
+    // double-summation-order hazard), and the only float ops are the
+    // final audited divisions.
+    //
+    // Scale shape: narrow per-row transform + one map-side-combined
+    // groupBy to |labels| rows — projection rides the scan at 100 TB.
+    "q105_jl_projection" -> QuerySpec(
+      build = (s, d) => {
+        val r4 = graft.analytics.StableRound.r4 _
+        val xi = transform(col("embedding"),
+          x => floor(x.cast("double") * 10000 + lit(0.5)).cast("long"))
+        val ys = (0 until jlDim).map { k =>
+          aggregate(zip_with(col("xi"), typedlit(jlSigns(k)),
+            (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+        }
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), xi.as("xi"))
+          .select(col("vec_id"), col("label"),
+            aggregate(transform(col("xi"), v => v * v), lit(0L),
+              (acc, v) => acc + v).as("nx2"),
+            ys.map(y => y * y).reduce(_ + _).as("ny2"))
+          .withColumn("ratio", r4(col("ny2").cast("double") /
+            (col("nx2").cast("double") * lit(16.0))))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("nx2")).cast("long").as("sum_nx2"),
+            sum(col("ny2")).cast("long").as("sum_ny2"),
+            min(col("ratio")).as("min_ratio"),
+            max(col("ratio")).as("max_ratio"))
+          .withColumn("ratio_of_sums", r4(col("sum_ny2").cast("double") /
+            (col("sum_nx2").cast("double") * lit(16.0))))
+          .orderBy("label")
+      },
+      oracle = Some {
+        def sgn(k: Int) =
+          "[" + jlSigns(k).mkString(", ") + "]"
+        val yCols = (0 until jlDim).map { k =>
+          s"list_sum(list_transform(generate_series(1, $dim), " +
+            s"j -> xi[j] * (${sgn(k)})[j])) AS y$k"
+        }.mkString(",\n               ")
+        val ny2 = (0 until jlDim).map(k => s"y$k*y$k").mkString(" + ")
+        s"""
+        WITH xi AS (SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x*10000 + 0.5) AS BIGINT)) xi
+             FROM embeddings),
+        y AS (SELECT vec_id, label, xi,
+               $yCols
+              FROM xi),
+        v AS (SELECT vec_id, label,
+               CAST(list_sum(list_transform(xi, t -> t*t)) AS BIGINT) nx2,
+               CAST($ny2 AS BIGINT) ny2
+              FROM y),
+        r AS (SELECT *, ${graft.analytics.StableRound.sql4(
+                "ny2::DOUBLE / (nx2::DOUBLE * 16.0)")} AS ratio FROM v)
+        SELECT label, count(*) AS n_vecs,
+               CAST(sum(nx2) AS BIGINT) AS sum_nx2,
+               CAST(sum(ny2) AS BIGINT) AS sum_ny2,
+               min(ratio) AS min_ratio, max(ratio) AS max_ratio,
+               ${graft.analytics.StableRound.sql4(
+                 "CAST(sum(ny2) AS BIGINT)::DOUBLE / " +
+                 "(CAST(sum(nx2) AS BIGINT)::DOUBLE * 16.0)")}
+                 AS ratio_of_sums
+        FROM r GROUP BY label ORDER BY label"""
+      })
   )
 }

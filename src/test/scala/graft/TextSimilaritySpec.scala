@@ -213,4 +213,38 @@ class TextSimilaritySpec extends SparkSpec {
         r.getAs[Long]("vec_id"), r.getAs[Double]("adist"))).toSeq
     assert(got == expected.toSeq, s"ADC replay diverged:\n got $got")
   }
+
+  test("q105 JL projection replays driver-side and preserves norms") {
+    val d = "/root/testdata/sf0.001"
+    val signs = graft.similarity.SimilarityQueries.jlSigns
+    val vecs = graft.analytics.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).toArray))
+    val perVec = vecs.map { case (label, v) =>
+      val xi = v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+      val nx2 = xi.map(t => t * t).sum
+      val ny2 = (0 until 16).map { k =>
+        val y = xi.indices.map(j => xi(j) * signs(k)(j)).sum
+        y * y
+      }.sum
+      (label, nx2, ny2,
+        math.floor(ny2.toDouble / (nx2.toDouble * 16.0) * 10000 + 0.5) / 10000)
+    }
+    val exp = perVec.groupBy(_._1).map { case (l, vs) =>
+      l -> (vs.length.toLong, vs.map(_._2).sum, vs.map(_._3).sum,
+        vs.map(_._4).min, vs.map(_._4).max)
+    }
+    val got = graft.similarity.SimilarityQueries.queries("q105_jl_projection")
+      .build(spark, d).collect()
+    assert(got.map(_.getInt(0)).toSet == exp.keySet)
+    got.foreach { r =>
+      val e = exp(r.getInt(0))
+      assert((r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_nx2"),
+        r.getAs[Long]("sum_ny2"), r.getAs[Double]("min_ratio"),
+        r.getAs[Double]("max_ratio")) == e, s"label ${r.getInt(0)}")
+      // the JL point: aggregate norm preservation within ~15%
+      val ratio = r.getAs[Double]("ratio_of_sums")
+      assert(ratio > 0.85 && ratio < 1.15, s"norms not preserved: $ratio")
+    }
+  }
 }
