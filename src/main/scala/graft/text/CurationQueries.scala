@@ -1458,7 +1458,89 @@ object CurationQueries {
                ${StableRound.sql4("abs(hll_est - n_exact) / n_exact * 100")}
                  AS err_pct
         FROM est ORDER BY lang"""
-      })
+      }),
+
+    // ── epoch-mix upsampling (per-language repeat factors) ──────────
+    // The complement of q102: temperature smoothing by REPEATING tail
+    // groups instead of dropping head ones — the multilingual mix
+    // recipe (low-resource languages see >1 epochs so the trained
+    // mix approaches the α=0.5 interpolation). Expected copies per
+    // doc = sqrt(n_max/n_lang) ≥ 1, realized deterministically as an
+    // integer scaled factor f = floor(1e4·sqrt(n_max/n)): every doc
+    // gets f/1e4 whole replicas, plus one more iff its md5 band
+    // lands under f mod 1e4 — the q71/q75 membership discipline, so
+    // the exact replica multiset is a pure function of (lang counts,
+    // doc_id) and both engines enumerate it identically.
+    // replica_hash_sum folds md5('ord|'|doc_id|'|'|replica) over
+    // every emitted replica: the cross-engine proof that the
+    // enumerated copies (not just their count) match — those keys
+    // are what a downstream epoch writer would sort by.
+    //
+    // Scale shape: identical to q102 — one partial-agg groupBy to
+    // |langs| rows, broadcast back, narrow per-row hash math +
+    // explode (bounded by the ≤10 replica cap), one partial-agg
+    // rollup. The explode multiplies rows by at most
+    // sqrt(n_max/n_min); mixing weights are clamped there so a
+    // near-empty group cannot amplify unboundedly.
+    "q106_epoch_upsample" -> QuerySpec(
+      build = (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        val counts = base.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val nMax = counts.agg(max(col("n"))).head.getLong(0)
+        val withF = counts.select(col("lang"), col("n"),
+          least(floor(lit(10000.0) *
+            sqrt(lit(nMax).cast("double") / col("n"))).cast("long"),
+            lit(100000L)).as("f_scaled"))
+        base.select(col("lang"), col("doc_id"), col("n_chars"))
+          .join(broadcast(withF), "lang")
+          .withColumn("band",
+            expr("conv(substring(md5(concat('up0|', cast(doc_id as string))), 1, 8), 16, 10)")
+              .cast("long") % 10000)
+          .withColumn("n_rep", expr("f_scaled div 10000") +
+            when(col("band") < col("f_scaled") % 10000, 1L).otherwise(0L))
+          .withColumn("rep", explode(sequence(lit(0L), col("n_rep") - 1)))
+          .withColumn("rkey",
+            expr("conv(substring(md5(concat('ord|', cast(doc_id as string), '|', cast(rep as string))), 1, 8), 16, 10)")
+              .cast("long"))
+          .groupBy(col("lang"))
+          .agg(max(col("n")).as("n_docs"),
+            max(col("f_scaled")).as("f_scaled"),
+            count(lit(1)).as("n_replicas"),
+            sum(col("rkey")).as("replica_hash_sum"),
+            sum(col("n_chars")).cast("long").as("replica_chars"))
+          .withColumn("upsample_ratio", StableRound.r4(
+            col("n_replicas").cast("double") / col("n_docs").cast("double")))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT lang, count(*) n FROM documents
+                   WHERE text IS NOT NULL GROUP BY 1),
+        m AS (SELECT max(n) nmax FROM c),
+        f AS (SELECT lang, n,
+                LEAST(CAST(floor(10000 * sqrt(nmax * 1.0 / n)) AS BIGINT),
+                  100000) AS f_scaled
+              FROM c, m),
+        r AS (SELECT d.lang, d.doc_id, d.n_chars, f.n, f.f_scaled,
+                f.f_scaled // 10000 +
+                CASE WHEN ('0x' || substring(
+                       md5('up0|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 10000 < f.f_scaled % 10000 THEN 1 ELSE 0 END AS n_rep
+              FROM documents d JOIN f ON d.lang = f.lang
+              WHERE d.text IS NOT NULL),
+        e AS (SELECT lang, doc_id, n_chars, n, f_scaled,
+                unnest(generate_series(0, n_rep - 1)) AS rep
+              FROM r),
+        k AS (SELECT lang, n, f_scaled, n_chars,
+                ('0x' || substring(md5('ord|' || doc_id::VARCHAR || '|'
+                  || rep::VARCHAR), 1, 8))::BIGINT AS rkey
+              FROM e)
+        SELECT lang, max(n) AS n_docs, max(f_scaled) AS f_scaled,
+               count(*) AS n_replicas,
+               CAST(sum(rkey) AS BIGINT) AS replica_hash_sum,
+               CAST(sum(n_chars) AS BIGINT) AS replica_chars,
+               floor((count(*)::DOUBLE / max(n)::DOUBLE) * 10000 + 0.5)
+                 / 10000 AS upsample_ratio
+        FROM k GROUP BY lang ORDER BY lang"""))
   )
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both

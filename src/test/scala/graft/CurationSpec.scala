@@ -658,4 +658,46 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Double]("err_pct") < 15.0, s"$lang err ${r.getAs[Double]("err_pct")}")
     }
   }
+
+  test("q106 upsampling replays driver-side and up-weights tail languages") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def band(s: String) = java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val byLang = docs.groupBy(_._1)
+    val nMax = byLang.values.map(_.length).max
+    val got = run("q106_epoch_upsample").collect()
+    assert(got.map(_.getString(0)).toSet == byLang.keySet)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val ds = byLang(lang)
+      val f = math.min(
+        math.floor(10000.0 * math.sqrt(nMax.toDouble / ds.length)).toLong,
+        100000L)
+      val reps = ds.flatMap { case (_, id, nc) =>
+        val n = f / 10000 + (if (band(s"up0|$id") % 10000 < f % 10000) 1 else 0)
+        (0L until n).map(rep => (id, rep, nc))
+      }
+      assert(r.getAs[Long]("n_docs") == ds.length.toLong)
+      assert(r.getAs[Long]("f_scaled") == f)
+      assert(r.getAs[Long]("n_replicas") == reps.length.toLong, s"$lang count")
+      assert(r.getAs[Long]("replica_hash_sum") ==
+        reps.map(x => band(s"ord|${x._1}|${x._2}")).sum, s"$lang keys")
+      assert(r.getAs[Long]("replica_chars") == reps.map(_._3).sum, s"$lang chars")
+    }
+    // the point: every non-dominant language is repeated >1x on average,
+    // the dominant one exactly 1x
+    val maxLang = byLang.maxBy(_._2.length)._1
+    got.foreach { r =>
+      if (r.getString(0) == maxLang)
+        assert(r.getAs[Double]("upsample_ratio") == 1.0)
+      else if (byLang(r.getString(0)).length < nMax)
+        assert(r.getAs[Double]("upsample_ratio") > 1.0,
+          s"${r.getString(0)} must be upsampled")
+    }
+  }
 }
