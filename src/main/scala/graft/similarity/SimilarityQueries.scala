@@ -838,6 +838,67 @@ object SimilarityQueries {
                  "(CAST(sum(nx2) AS BIGINT)::DOUBLE * 16.0)")}
                  AS ratio_of_sums
         FROM r GROUP BY label ORDER BY label"""
-      })
+      }),
+
+    // ── hard-negative mining for contrastive training ───────────────
+    // The triplet-mining pass of an embedding-training pipeline: for
+    // each query, the top-5 nearest vectors with a DIFFERENT label
+    // (hard negatives — the pairs a contrastive loss learns most
+    // from), next to the best same-label cosine and the per-negative
+    // margin pos_cos − neg_cos (≤ 0 means the negative out-ranks
+    // every positive: the active triplets).
+    //
+    // Scale shape: ONE corpus scan. The query set broadcasts; both
+    // mining outputs come from a single groupBy(query) aggregate —
+    // a 5-slot [[graft.plans.TopKRowsAgg]] heap fed only the
+    // different-label rows (null input skips the same-label ones)
+    // plus a conditional max for the positive — so the shuffle
+    // carries ≤ 5 rows + 1 double per (mapper, query), never the
+    // scored corpus. The heap output is rank-sorted by array_sort
+    // on its (-cos, vec_id) prefix: k·log k on ≤ 5 elements.
+    "q107_hard_negatives" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val r4 = graft.analytics.StableRound.r4 _
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("label").as("qlabel"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", r4(cosine(col("qe"), col("embedding"))))
+        val negStruct = when(col("label") =!= col("qlabel"),
+          struct(negate(col("cos")).as("_o1"), col("vec_id").as("_o2"),
+            col("label").as("_lab"), col("cos").as("_cos")))
+        val topNeg = toC(graft.plans.TopKRowsAgg(toE(negStruct), 5,
+          Seq((true, true), (true, true))).toAggregateExpression())
+        scored.groupBy(col("query_id"), col("qlabel"))
+          .agg(max(when(col("label") === col("qlabel"), col("cos")))
+            .as("pos_cos"), topNeg.as("_top"))
+          .select(col("query_id"), col("qlabel"), col("pos_cos"),
+            posexplode(array_sort(col("_top"))))
+          .select(col("query_id"), col("qlabel"), (col("pos") + 1).as("rk"),
+            col("col._o2").as("vec_id"), col("col._lab").as("neg_label"),
+            col("col._cos").as("cos"), col("pos_cos"))
+          .withColumn("margin", r4(col("pos_cos") - col("cos")))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe, label qlabel
+                   FROM embeddings WHERE vec_id < 20),
+        scored AS (
+          SELECT q.query_id, q.qlabel, b.vec_id, b.label, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        pos AS (SELECT query_id, max(cos) pos_cos FROM scored
+                WHERE label = qlabel GROUP BY 1),
+        neg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) rk
+                FROM scored WHERE label != qlabel)
+        SELECT n.query_id, n.qlabel, n.rk, n.vec_id, n.label AS neg_label,
+               n.cos, p.pos_cos,
+               floor((p.pos_cos - n.cos) * 10000 + 0.5) / 10000 AS margin
+        FROM neg n LEFT JOIN pos p USING (query_id)
+        WHERE n.rk <= 5 ORDER BY n.query_id, n.rk"""))
   )
 }

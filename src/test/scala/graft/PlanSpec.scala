@@ -242,6 +242,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q107 hard negatives: bounded heaps in one aggregate, no Window") {
+    val df = SparkEntry.queries("q107_hard_negatives")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("top_k_rows"), "negatives must use the bounded heap agg")
+    assert(!p.contains("Window"), "no row_number window over scored pairs")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

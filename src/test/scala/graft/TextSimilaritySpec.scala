@@ -247,4 +247,40 @@ class TextSimilaritySpec extends SparkSpec {
       assert(ratio > 0.85 && ratio < 1.15, s"norms not preserved: $ratio")
     }
   }
+
+  test("q107 hard negatives replay driver-side (ranking, labels, margins)") {
+    val d = "/root/testdata/sf0.001"
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val vecs = graft.analytics.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val expected = vecs.filter(_._1 < 20).sortBy(_._1).flatMap {
+      case (qid, qlab, qv) =>
+        val scored = vecs.filter(_._1 != qid)
+          .map { case (vid, lab, v) => (vid, lab, r4(cos(qv, v))) }
+        val posCos = scored.filter(_._2 == qlab).map(_._3).max
+        scored.filter(_._2 != qlab)
+          .sortBy { case (vid, _, c) => (-c, vid) }.take(5).zipWithIndex
+          .map { case ((vid, lab, c), i) =>
+            (qid, qlab, i + 1, vid, lab, c, posCos, r4(posCos - c)) }
+    }
+    val got = graft.similarity.SimilarityQueries.queries("q107_hard_negatives")
+      .build(spark, d).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("qlabel"),
+        r.getAs[Int]("rk"), r.getAs[Long]("vec_id"),
+        r.getAs[Int]("neg_label"), r.getAs[Double]("cos"),
+        r.getAs[Double]("pos_cos"), r.getAs[Double]("margin")))
+    assert(got.toSeq == expected.toSeq)
+    // the mining constraint: every returned negative crosses labels
+    assert(got.forall(r => r._5 != r._2), "a same-label vector leaked in")
+    assert(got.length == 100, "20 queries x 5 negatives")
+  }
 }
