@@ -279,13 +279,28 @@ object StreamingNearDup {
     * the entire pruning mechanism on the manifest-less fallback. */
   private[graft] def prunedState(spark: SparkSession, stateDir: String,
       batchId: Long, touched: Seq[Int]): DataFrame = {
-    val entries = readManifest(spark, stateDir)
-      .getOrElse(rebuildManifest(spark, stateDir))
     val t = touched.toSet
-    val paths = for {
+    def manifestPaths(entries: Map[Long, Seq[Int]]): Seq[String] = for {
       (b, sbs) <- entries.toSeq.sortBy(_._1) if b != batchId
       sb <- sbs.sorted if t(sb)
     } yield s"$stateDir/_batch=$b/_sb=$sb"
+    val named = manifestPaths(readManifest(spark, stateDir)
+      .getOrElse(rebuildManifest(spark, stateDir)))
+    // a manifest entry can dangle after out-of-band state cleanup (a
+    // partially deleted batch dir, a retention sweep): feeding a
+    // missing leaf to the reader fails the whole trigger with a
+    // path-not-found AnalysisException. Self-heal exactly like the
+    // corrupt-manifest path: detect the dangling entry and re-derive
+    // the manifest from a full listing. One exists() per named leaf —
+    // bounded by the manifest (the thing that already bounds listing).
+    val paths =
+      if (named.isEmpty) named
+      else {
+        val fs = new Path(stateDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (named.forall(d => fs.exists(new Path(d)))) named
+        else manifestPaths(rebuildManifest(spark, stateDir))
+      }
     if (paths.isEmpty)
       // schema-correct empty frame: nothing registered in the touched
       // buckets means no cross-batch hits

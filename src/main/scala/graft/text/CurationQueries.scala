@@ -1289,13 +1289,16 @@ object CurationQueries {
     // both engines must reproduce exactly.
     //
     // Scale shape: three exchanges, each inherent. (1) the dedup
-    // decision partitions occurrences by chunk_text — dedup on the
-    // TEXT itself, not a 60-bit hash, because at 10^12 chunks a
-    // birthday collision would silently delete live data; a window
-    // min over that partition is one exchange (vs two for
-    // groupBy-winners + join-back). Hot boilerplate chunks skew their
-    // partition — AQE skew handling splits them, and the min is a
-    // partial agg either way. (2) per-doc reconstruction groups by
+    // decision partitions occurrences by the FULL 128-bit md5 of the
+    // chunk — not a 60-bit hash (at 10^12 chunks a 60-bit birthday
+    // collision would silently delete live data) and not the raw
+    // text (a 16-byte binary key hashes and sorts ~6× cheaper than a
+    // ~100-byte string; collision probability at 10^12 chunks is
+    // ~1e-15, below hardware error rates); a window min over that
+    // partition is one exchange (vs two for groupBy-winners +
+    // join-back). Hot boilerplate chunks skew their partition — AQE
+    // skew handling splits them, and the min is a partial agg either
+    // way. (2) per-doc reconstruction groups by
     // doc_id — collect_list holds ONE document's chunks (bounded by
     // doc length, the same bound the corpus's own rows obey).
     // (3) the per-source rollup is map-side-combined to |sources|
@@ -1316,7 +1319,16 @@ object CurationQueries {
                 least(lit(16), size(col("toks")) - i * 16).as("chunk_len"))))
               .as("c"))
           .select(col("doc_id"), col("source"), col("c.*"))
-        val firstWins = Window.partitionBy(col("chunk_text"))
+        // dedup keys on the FULL 128-bit md5 of the chunk, not the
+        // text: at 10^12 chunks a 128-bit key has ~1e-15 birthday
+        // collision probability (the 60-bit objection does not apply),
+        // and the dedup exchange then hashes/sorts 16-byte binaries
+        // instead of ~100-byte strings. The rows still CARRY
+        // chunk_text — it is the payload the per-doc reconstruction
+        // downstream joins into newtext — so the win is the key
+        // (partition hash + sort comparisons + one exchange column),
+        // not the row payload.
+        val firstWins = Window.partitionBy(unhex(md5(col("chunk_text"))))
         val kept = chunks
           .withColumn("wk", col("doc_id") * 1000000L + col("chunk_idx"))
           .withColumn("kept",
@@ -1330,15 +1342,21 @@ object CurationQueries {
               when(col("kept") === 1,
                 struct(col("chunk_idx"), col("chunk_text"))))),
               x => x.getField("chunk_text")), " ").as("newtext"))
+        // a document is "kept" iff ANY of its chunks won first-
+        // occurrence — gate on the kept-chunk COUNT, not newtext != ''
+        // (a whitespace-only doc's single kept chunk reconstructs to
+        // the empty string, which is kept, not dropped; the oracle's
+        // string_agg FILTER agrees with the count gate on that row but
+        // not with the '' test)
         docs.groupBy(col("source"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("newtext") =!= "", 1).otherwise(0)).cast("long")
+            sum(when(col("chunks_after") > 0, 1).otherwise(0)).cast("long")
               .as("docs_kept"),
             sum(col("chunks_before")).cast("long").as("chunks_before"),
             sum(col("chunks_after")).cast("long").as("chunks_after"),
             sum(col("toks_before")).cast("long").as("tokens_before"),
             sum(col("toks_after")).cast("long").as("tokens_after"),
-            sum(when(col("newtext") =!= "",
+            sum(when(col("chunks_after") > 0,
               expr("conv(substring(md5(newtext), 1, 8), 16, 10)")
                 .cast("long")).otherwise(0L)).as("recon_hash_sum"))
           .orderBy("source")
@@ -1353,7 +1371,7 @@ object CurationQueries {
                  CAST(ceil(len(toks)/16.0) AS BIGINT))) AS u(i)),
         k AS (SELECT *, CASE WHEN doc_id*1000000 + chunk_idx =
                   min(doc_id*1000000 + chunk_idx)
-                    OVER (PARTITION BY chunk_text)
+                    OVER (PARTITION BY md5(chunk_text))
                 THEN 1 ELSE 0 END kept
               FROM ch),
         docs AS (SELECT doc_id, source,
@@ -1363,14 +1381,14 @@ object CurationQueries {
                      FILTER (WHERE kept = 1) newtext
                  FROM k GROUP BY 1, 2)
         SELECT source, count(*) AS n_docs,
-               CAST(sum(CASE WHEN newtext IS NOT NULL THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN chunks_after > 0 THEN 1 ELSE 0 END)
                  AS BIGINT) AS docs_kept,
                CAST(sum(chunks_before) AS BIGINT) AS chunks_before,
                CAST(sum(chunks_after) AS BIGINT) AS chunks_after,
                CAST(sum(toks_before) AS BIGINT) AS tokens_before,
                CAST(sum(toks_after) AS BIGINT) AS tokens_after,
-               CAST(sum(CASE WHEN newtext IS NOT NULL THEN
-                 ('0x' || substring(md5(newtext), 1, 8))::BIGINT
+               CAST(sum(CASE WHEN chunks_after > 0 THEN
+                 ('0x' || substring(md5(coalesce(newtext, '')), 1, 8))::BIGINT
                  ELSE 0 END) AS BIGINT) AS recon_hash_sum
         FROM docs GROUP BY 1 ORDER BY 1"""),
       bench = true),

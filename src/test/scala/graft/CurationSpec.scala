@@ -478,11 +478,15 @@ class CurationSpec extends SparkSpec {
       assert(nk == kept.length, s"$src kept count")
       assert(kc == kept.map(_._3).sum, s"$src kept chars")
     }
-    // the point of temperature smoothing: every non-dominant source's
-    // keep RATE exceeds the largest source's 20%
+    // the point of temperature smoothing: up-weighting is MONOTONE —
+    // no non-dominant source ever drops below the dominant rate. The
+    // exact per-source threshold is already asserted above (t == th);
+    // a strict `> 2000` here would be data-dependent (floor(2000*
+    // sqrt(nMax/n)) == 2000 exactly when two sources are within ~0.1%
+    // of each other), failing on a regenerated corpus with no code bug.
     val maxSrc = bySrc.maxBy(_._2.length)._1
     got.foreach { case (src, (n, th, _, _)) =>
-      if (src != maxSrc && n < nMax) assert(th > 2000, s"$src must be up-weighted")
+      if (src != maxSrc && n < nMax) assert(th >= 2000, s"$src must not be down-weighted")
     }
   }
 
