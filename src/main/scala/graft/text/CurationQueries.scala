@@ -130,6 +130,114 @@ object CurationQueries {
                 (SELECT chr(1)||a||b||chr(2) FROM p$i)) AS w, $carry
             FROM w${i - 1})"""
 
+  /** Converged duplicate-cluster labels from a near-dup pair set —
+    * the engine of q82, factored so [[ClusterIndex]] materializes
+    * exactly the labels the query aggregates. Runs `f` on the
+    * converged (doc_id, rep) table while its backing cache is live,
+    * then releases every block (f must therefore materialize what it
+    * returns — aggregate + localCheckpoint, or write to parquet).
+    *
+    * Algorithm: iterative min-label propagation with POINTER DOUBLING
+    * (rep := rep of my rep), which collapses a diameter-D chain in
+    * O(log D) rounds instead of O(D) — the standard large-graph trick,
+    * so a 100 TB corpus with freak long dup-chains still converges in
+    * ~30 rounds. The initial labels are already one propagation ahead:
+    * seed rep(v) = min(v, neighbors(v)) costs the same exchange as a
+    * bare distinct-nodes init and saves a full round. Convergence is
+    * detected from the label-sum invariant: every round takes a min
+    * over a union that CONTAINS the previous labels, so rep values are
+    * monotonically non-increasing and the (exact, decimal-128)
+    * label sum is strictly decreasing until the closure is reached —
+    * one cheap aggregate per round, replacing the old join-and-count
+    * change detector and its per-round shuffle of both label tables.
+    *
+    * Each round's label table is rebased onto its materialized RDD
+    * (persisted, previous round explicitly released — at most two
+    * copies live). The rebase is the point: persist alone truncates
+    * recompute but not the PLAN — every round embeds the previous
+    * round's tree ~3× (prop, doubling) and the 3^rounds analyzer
+    * blow-up OOMs the DRIVER at 100× before an executor lifts a
+    * finger. An RDD-backed leaf keeps the per-round plan
+    * constant-size while RDD lineage (linear in rounds) still allows
+    * recompute after executor loss, which localCheckpoint would
+    * forfeit. */
+  def withDupClusterLabels[T](s: org.apache.spark.sql.SparkSession,
+      pairs: org.apache.spark.sql.DataFrame)
+      (f: org.apache.spark.sql.DataFrame => T): T = {
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .persist()
+    def rebase(df: org.apache.spark.sql.DataFrame)
+        : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.persist()
+      (s.createDataFrame(r, df.schema), r)
+    }
+    // exact 38-digit sum: 10^13 labels of 10^13 never saturates it,
+    // and an approximate (double) sum could miss a small label change
+    // and return silently-split components
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    var (labels, labelsRdd) = rebase(
+      edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("mn")).as("rep")))
+    var prevSum = labelSum(labels) // also materializes the seed RDD
+    var rounds = 0
+    var converged = false
+    val maxRounds = 50 // ample: doubling converges in O(log diameter)
+    while (!converged && rounds < maxRounds) {
+      // neighbor propagation (new min labels entering via edges) +
+      // pointer doubling (rep of my rep)
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("rep"))
+      val doubled = labels.as("l")
+        .join(labels.select(col("doc_id").as("r_doc"),
+          col("rep").as("r_rep")), col("l.rep") === col("r_doc"))
+        .select(col("l.doc_id").as("doc_id"), col("r_rep").as("rep"))
+      val (next, nextRdd) = rebase(
+        labels.unionByName(prop).unionByName(doubled)
+          .groupBy("doc_id").agg(min("rep").as("rep")))
+      val sumNow = labelSum(next) // materializes nextRdd
+      converged = sumNow.compareTo(prevSum) == 0
+      prevSum = sumNow
+      labelsRdd.unpersist() // superseded round, never read again
+      labels = next
+      labelsRdd = nextRdd
+      rounds += 1
+    }
+    // partially-propagated labels are WRONG clusters, and only the
+    // oracle-checked SFs would notice — fail loudly, never return
+    // silently-split components
+    if (!converged)
+      throw new IllegalStateException(
+        s"dup-cluster label propagation did not converge in $maxRounds rounds")
+    try f(labels)
+    finally { labelsRdd.unpersist(); edges.unpersist() }
+  }
+
+  /** The q82/q108 rollup over converged labels: one row per duplicate
+    * cluster. Unordered — callers append the presentation sort. */
+  def clusterSummary(labels: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    labels.groupBy(col("rep").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+
+  /** Shared q82/q108 oracle: transitive closure of the q25 pairs via a
+    * recursive CTE, rolled up per cluster. */
+  private lazy val dupClusterOracleSql = s"""
+        WITH RECURSIVE ${TextQueries.duckMinhashPairsCtes},
+        edges AS (SELECT da a, db b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                   FROM reach GROUP BY a)
+        SELECT rep AS cluster_rep, count(*) AS n_docs,
+               max(doc_id) AS max_doc
+        FROM labels GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── benchmark decontamination (test-set overlap) ───────────────
@@ -356,85 +464,35 @@ object CurationQueries {
     // is a driver-side scalar, not a collect of data.
     "q82_dup_clusters" -> QuerySpec(
       build = (s, d) => {
-        val pairs = TextQueries.queries("q25_minhash_lsh").build(s, d)
-          .select(col("da"), col("db"))
-        val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
-          .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
-          .persist()
-        // each round's label table is rebased onto its materialized
-        // RDD (persisted, previous round explicitly released — at most
-        // two copies live). The rebase is the point: persist alone
-        // truncates recompute but not the PLAN — every round embeds
-        // the previous round's tree ~3× (prop, doubling, convergence
-        // test) and the 3^rounds analyzer blow-up OOMs the DRIVER at
-        // 100× before an executor lifts a finger. An RDD-backed leaf
-        // keeps the per-round plan constant-size while RDD lineage
-        // (linear in rounds) still allows recompute after executor
-        // loss, which localCheckpoint would forfeit.
-        val spark = s
-        def rebase(df: org.apache.spark.sql.DataFrame)
-            : (org.apache.spark.sql.DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-          val r = df.rdd.persist()
-          (spark.createDataFrame(r, df.schema), r)
-        }
-        var (labels, labelsRdd) = rebase(
-          edges.select(col("src").as("doc_id")).distinct()
-            .withColumn("rep", col("doc_id")))
-        var changed = 1L
-        var rounds = 0
-        val maxRounds = 50 // ample: doubling converges in O(log diameter)
-        while (changed > 0 && rounds < maxRounds) {
-          // neighbor propagation (handles new min labels entering via
-          // edges) + POINTER DOUBLING (rep := rep of my rep), which
-          // collapses a diameter-D chain in O(log D) rounds instead of
-          // O(D) — the standard large-graph trick, so a 100 TB corpus
-          // with freak long dup-chains still converges in ~30 rounds
-          val prop = labels.join(edges, col("doc_id") === col("src"))
-            .select(col("dst").as("doc_id"), col("rep"))
-          val doubled = labels.as("l")
-            .join(labels.select(col("doc_id").as("r_doc"),
-              col("rep").as("r_rep")), col("l.rep") === col("r_doc"))
-            .select(col("l.doc_id").as("doc_id"), col("r_rep").as("rep"))
-          val (next, nextRdd) = rebase(
-            labels.unionByName(prop).unionByName(doubled)
-              .groupBy("doc_id").agg(min("rep").as("rep")))
-          changed = next
-            .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-            .filter(col("rep") =!= col("prev")).count()
-          labelsRdd.unpersist() // superseded round, never read again
-          labels = next
-          labelsRdd = nextRdd
-          rounds += 1
-        }
-        // partially-propagated labels are WRONG clusters, and only the
-        // oracle-checked SFs would notice — fail loudly, never return
-        // silently-split components
-        if (changed > 0)
-          throw new IllegalStateException(
-            s"q82 label propagation did not converge in $maxRounds rounds")
-        // the result is cluster-count-sized; localCheckpoint it so the
-        // final label table and the edge cache can be released instead
-        // of leaking one corpus-sized cache per invocation
-        val out = labels.groupBy(col("rep").as("cluster_rep"))
-          .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
-          .localCheckpoint(true)
-        labelsRdd.unpersist()
-        edges.unpersist()
-        out.orderBy("cluster_rep")
+        // the pair set comes from the [[PairIndex]] artifact — built
+        // once per dataset (it IS the q25 result, oracle-equivalent
+        // by construction), read from parquet by every later
+        // invocation and by every other pair consumer. The clustering
+        // below is the query's own work.
+        val pairs = PairIndex.load(s, d).select(col("da"), col("db"))
+        withDupClusterLabels(s, pairs) { labels =>
+          // the summary is cluster-count-sized; localCheckpoint it so
+          // the label table and the edge cache can be released instead
+          // of leaking one node-scale cache per invocation
+          clusterSummary(labels).localCheckpoint(true)
+        }.orderBy("cluster_rep")
       },
-      oracle = Some(s"""
-        WITH RECURSIVE ${TextQueries.duckMinhashPairsCtes},
-        edges AS (SELECT da a, db b FROM pairs
-                  UNION SELECT db, da FROM pairs),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
-                   FROM reach GROUP BY a)
-        SELECT rep AS cluster_rep, count(*) AS n_docs,
-               max(doc_id) AS max_doc
-        FROM labels GROUP BY 1 ORDER BY 1"""),
+      oracle = Some(dupClusterOracleSql),
+      bench = true),
+
+    // ── duplicate-cluster labels as a materialized artifact ────────
+    // The q99 treatment applied to q82: cluster membership is exactly
+    // the structure a curation run consults repeatedly (drop lists,
+    // dedup reports, mixture design), so [[ClusterIndex]] materializes
+    // the CONVERGED label table once per dataset and this query — the
+    // read path every later consumer takes — answers from parquet in
+    // artifact-scale time, never re-running label propagation. Same
+    // oracle as q82: the read path must reproduce the build path
+    // bit-for-bit.
+    "q108_cluster_index" -> QuerySpec(
+      build = (s, d) =>
+        clusterSummary(ClusterIndex.load(s, d)).orderBy("cluster_rep"),
+      oracle = Some(dupClusterOracleSql),
       bench = true),
 
     // ── overlapping chunking (RAG / context-window prep) ───────────

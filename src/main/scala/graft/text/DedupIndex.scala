@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized dedup structures, built once per dataset and consumed
+  * by every later query — the [[OverlapIndex]] artifact recipe applied
+  * to the two structures a curation run consults repeatedly:
+  *
+  *   - [[PairIndex]]: the MinHash-LSH near-duplicate PAIR set (q25's
+  *     output). q82's clustering, drop-list generation, and any future
+  *     pair consumer re-derived the full sketch pipeline per
+  *     invocation; the pair set is corpus-derived but pair-scale
+  *     (orders of magnitude smaller than the corpus), so it is exactly
+  *     the thing to pay for once.
+  *   - [[ClusterIndex]]: the CONVERGED duplicate-cluster labels
+  *     (doc_id → representative), i.e. the transitive closure of the
+  *     pair set. Dedup reports, drop lists, and mixture design all
+  *     read cluster membership; none of them should re-run label
+  *     propagation.
+  *
+  * Both key on the dataset's content fingerprint ([[Artifacts]]), so a
+  * regenerated corpus rebuilds and a byte-identical copy reuses.
+  */
+object PairIndex {
+
+  /** Near-dup pairs (da, db) for the documents under `d`, from the
+    * artifact when present, else built via the q25 sketch pipeline
+    * (single corpus scan, one bucket exchange) and materialized. */
+  def load(s: SparkSession, d: String): DataFrame = {
+    val dir = Artifacts.dir(d, "minhash_pairs")
+    Artifacts.materialize(dir) { tmp =>
+      // the artifact IS the q25 result — provably oracle-equivalent,
+      // and every consumer inherits that proof
+      TextQueries.queries("q25_minhash_lsh").build(s, d)
+        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+    }
+    s.read.parquet(dir.resolve("pairs").toString)
+  }
+}
+
+/** See [[PairIndex]]. */
+object ClusterIndex {
+
+  /** Converged (doc_id, rep) labels for the documents under `d`, from
+    * the artifact when present, else built by running label
+    * propagation over [[PairIndex]] and materialized. Singletons (docs
+    * in no pair) are not listed — absence means "its own cluster",
+    * which keeps the artifact pair-scale instead of corpus-scale. */
+  def load(s: SparkSession, d: String): DataFrame = {
+    val dir = Artifacts.dir(d, "dup_clusters")
+    Artifacts.materialize(dir) { tmp =>
+      CurationQueries.withDupClusterLabels(s, PairIndex.load(s, d)) {
+        labels =>
+          labels.write.mode("overwrite")
+            .parquet(tmp.resolve("labels").toString)
+      }
+    }
+    s.read.parquet(dir.resolve("labels").toString)
+  }
+}

@@ -99,31 +99,15 @@ object OverlapIndex {
   }
 
   /** Root for materialized indexes; overridable for tests. */
-  def artifactRoot: java.nio.file.Path = java.nio.file.Paths.get(
-    sys.props.getOrElse("graft.artifacts.dir",
-      sys.props("java.io.tmpdir") + "/graft-artifacts"))
+  def artifactRoot: java.nio.file.Path = Artifacts.root
 
-  /** Artifact key = dataset path + the documents files' (name, size,
-    * mtime) fingerprint — regenerated input data gets a fresh index,
-    * never a stale read. */
-  private def indexDir(d: String): java.nio.file.Path = {
-    import java.nio.file.{Files, Paths}
-    val root = Paths.get(d).toAbsolutePath.normalize
-    val docs = root.resolve("documents.parquet")
-    val sig = new StringBuilder(root.toString)
-    if (Files.exists(docs)) {
-      val stream = Files.walk(docs)
-      try stream.sorted().forEach { p =>
-        sig.append('|').append(docs.relativize(p))
-          .append(':').append(if (Files.isRegularFile(p)) Files.size(p) else 0L)
-          .append(':').append(Files.getLastModifiedTime(p).toMillis)
-      } finally stream.close()
-    }
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    artifactRoot.resolve(key).resolve("overlap_index")
-  }
+  /** Artifact key = the documents files' content fingerprint (names,
+    * sizes, parquet footer hashes — see [[Artifacts.datasetKey]]):
+    * regenerated input data gets a fresh index, never a stale read,
+    * while a byte-identical copy/restore of the dataset — at any path,
+    * any mtime — REUSES the index instead of rebuilding it. */
+  private def indexDir(d: String): java.nio.file.Path =
+    Artifacts.dir(d, "overlap_index")
 
   /** Build-once, read-forever: returns (maskCounts, sources) for the
     * documents under `d`, materializing the index to parquet on first
@@ -132,14 +116,11 @@ object OverlapIndex {
     * cache eviction (this is the q98 cold-path fix: the in-session
     * `.persist()` only helps identical plans in one JVM). */
   def load(s: SparkSession, d: String): (DataFrame, Seq[String]) = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     val dir = indexDir(d)
-    if (!Files.isDirectory(dir)) {
+    Artifacts.materialize(dir) { tmp =>
       val docs = Tables.documents(s, d)
         .filter(col("text").isNotNull && col("source").isNotNull)
       val srcs = sources(docs)
-      val tmp = Paths.get(dir.toString + "._tmp")
-      deleteRecursively(tmp)
       // repartition(1), NOT coalesce(1): the artifact is one tiny
       // file, but coalesce would propagate the 1-task constraint up
       // into the corpus-scale shingle aggregation; the explicit
@@ -155,24 +136,9 @@ object OverlapIndex {
             org.apache.spark.sql.types.StructField("source",
               org.apache.spark.sql.types.StringType, nullable = false))))
         .write.mode("overwrite").parquet(tmp.resolve("sources").toString)
-      Files.createDirectories(dir.getParent)
-      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      catch { // a concurrent builder won the rename — use its index
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException =>
-          deleteRecursively(tmp)
-      }
     }
     val srcs = s.read.parquet(dir.resolve("sources").toString)
       .orderBy("idx").collect().map(_.getString(1)).toSeq
     (s.read.parquet(dir.resolve("masks").toString), srcs)
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.deleteIfExists(f))
-    }
   }
 }

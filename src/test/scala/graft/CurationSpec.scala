@@ -551,9 +551,11 @@ class CurationSpec extends SparkSpec {
       // and the served matrix is exactly the in-session q98 build
       val q98 = run("q98_source_overlap").collect()
       assert(first.toSeq == q98.toSeq)
-      // touching the input data invalidates the key: a fresh mtime on
-      // documents.parquet must key a NEW artifact, not a stale read
-      // (simulated via a copied dataset dir so testdata stays pristine)
+      // the artifact key is CONTENT-addressed (names, sizes, parquet
+      // footer hashes — not path, not mtime): a byte-identical copy of
+      // the dataset at a different path with fresh mtimes REUSES the
+      // index (object stores rewrite mtimes on copy/restore, and a
+      // fingerprint that churns on copy defeats the artifact) …
       val copy = java.nio.file.Files.createTempDirectory("graft-oi-data")
       val src = java.nio.file.Paths.get(sf)
       java.nio.file.Files.walk(src).forEach { p =>
@@ -563,11 +565,73 @@ class CurationSpec extends SparkSpec {
         else java.nio.file.Files.copy(p, t,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
+      // … even with explicitly perturbed mtimes
+      java.nio.file.Files.walk(copy.resolve("documents.parquet"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(123456789000L)))
+      assert(graft.text.Artifacts.datasetKey(copy.toString)
+        == graft.text.Artifacts.datasetKey(sf),
+        "byte-identical copy must produce the same artifact key")
       val fromCopy = CurationQueries.queries("q99_overlap_index")
         .build(spark, copy.toString).collect()
-      assert(artifactDirs().size == 2,
-        "a dataset with different path/mtimes must get its own index")
+      assert(artifactDirs() == dirs1,
+        "a byte-identical copy must REUSE the index, not rebuild it")
       assert(fromCopy.toSeq == first.toSeq)
+      // … while changed BYTES (here: one bit in a parquet footer) key
+      // a fresh artifact, never a stale read
+      val someFile = {
+        val s2 = java.nio.file.Files.walk(copy.resolve("documents.parquet"))
+        try s2.filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet")).findFirst().get()
+        finally s2.close()
+      }
+      val bytes = java.nio.file.Files.readAllBytes(someFile)
+      bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 1).toByte
+      java.nio.file.Files.write(someFile, bytes)
+      assert(graft.text.Artifacts.datasetKey(copy.toString)
+        != graft.text.Artifacts.datasetKey(sf),
+        "changed bytes must produce a different artifact key")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
+  test("q108 cluster index: pair + label artifacts build once, read path equals q82") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ci-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      import scala.jdk.CollectionConverters._
+      def artifacts() = {
+        val s = java.nio.file.Files.walk(root, 2)
+        try s.iterator().asScala.toList
+          .filter(p => java.nio.file.Files.isDirectory(p) &&
+            p.getParent != root && p != root)
+          .map(_.getFileName.toString).sorted
+        finally s.close()
+      }
+      // q82 (the build path) materializes the PAIR artifact
+      val q82 = run("q82_dup_clusters").collect()
+      assert(artifacts() == List("minhash_pairs"))
+      // q108 (the read path) adds the LABEL artifact and reproduces
+      // q82 bit-for-bit from it
+      val q108 = run("q108_cluster_index").collect()
+      assert(artifacts() == List("dup_clusters", "minhash_pairs"))
+      assert(q108.toSeq == q82.toSeq)
+      // second read: no new artifacts, same rows
+      assert(run("q108_cluster_index").collect().toSeq == q82.toSeq)
+      assert(artifacts() == List("dup_clusters", "minhash_pairs"))
+      // the label table itself is the converged closure: every doc's
+      // rep is the min doc_id of its cluster, reps are cluster members
+      val labels = graft.text.ClusterIndex.load(spark, sf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      labels.groupBy(_._2).foreach { case (rep, members) =>
+        assert(members.map(_._1).min == rep,
+          s"rep $rep must be the minimum member of its cluster")
+      }
     } finally {
       prev match {
         case Some(v) => sys.props("graft.artifacts.dir") = v
