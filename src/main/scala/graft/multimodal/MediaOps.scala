@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   * through `javax.imageio` (pure JDK, no native deps). The AUDIO codec
   * is real: [[JdkAudioCodec]] decodes WAV/AIFF/AU through
   * `javax.sound.sampled` (pure JDK) with true sample rate and duration.
-  * Video (and non-decodable image/audio bytes) falls back to
-  * [[DecodeStub]], which derives deterministic fake features from the
-  * bytes — this environment has no video libraries. Swapping a real
-  * video codec in changes ONE function and nothing about the
-  * distributed plan, exactly as the image and audio branches
-  * demonstrate.
+  * The VIDEO codec is real for MJPEG/AVI: [[JdkVideoCodec]] parses the
+  * RIFF container directly and decodes each frame through the image
+  * codec (pure JDK) — true dimensions, frame count, and duration.
+  * Non-MJPEG video (H.264 etc. — needs libraries this environment
+  * lacks) and non-decodable payloads of any kind fall back to
+  * [[DecodeStub]]; swapping a fuller codec in changes ONE function and
+  * nothing about the distributed plan, exactly as the image, audio,
+  * and MJPEG branches demonstrate.
   *
   * Scale notes:
   *  - media rows are large (MBs); [[repartitionBySize]] packs partitions
@@ -83,23 +85,32 @@ object MediaOps {
       * how callers observe that a real decode happened. */
     def features(bytes: Array[Byte], dim: Int): Option[(Int, Int, Array[Float])] =
       decode(bytes).map { img =>
-        val w = img.getWidth
-        val h = img.getHeight
         val out = new Array[Float](dim)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val lum = (((rgb >> 16) & 0xff) * 299 +
-              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-            out(((y.toLong * w + x) % dim).toInt) += lum / 255.0f
-            x += 1
-          }
-          y += 1
-        }
-        (w, h, out)
+        lumaInto(img, out)
+        (img.getWidth, img.getHeight, out)
       }
+
+    /** The luminance-folding kernel shared by the image features and
+      * the per-frame video features: Rec.601 luma of pixel (x, y)
+      * accumulates into `out[(y*w + x) % dim]`, scaled by 1/255. */
+    private[multimodal] def lumaInto(img: java.awt.image.BufferedImage,
+                                     out: Array[Float]): Unit = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val dim = out.length
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          out(((y.toLong * w + x) % dim).toInt) += lum / 255.0f
+          x += 1
+        }
+        y += 1
+      }
+    }
 
     /** Real resize: decode, scale through Graphics2D onto a w×h RGB
       * raster, re-encode as PNG. Headless-safe (BufferedImage needs no
@@ -124,7 +135,46 @@ object MediaOps {
     * over arbitrary bytes: anything no registered reader accepts
     * returns None and the operators fall back to [[DecodeStub]]. */
   object JdkAudioCodec {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream,
+      UnsupportedAudioFileException}
+    import javax.sound.sampled.spi.{AudioFileReader, FormatConversionProvider}
+
+    // `AudioSystem.getAudioInputStream` re-walks the SPI registry on
+    // EVERY call (`JDK13Services` builds a fresh ServiceLoader and
+    // re-instantiates each provider per lookup) — measured at ~84 µs/row
+    // of pure dispatch in the 100× decode run, dominating the actual
+    // header parse. The registry is static per JVM, so load each SPI
+    // surface ONCE per executor and dispatch over the cached array.
+    private lazy val fileReaders: Array[AudioFileReader] = {
+      val it = java.util.ServiceLoader.load(classOf[AudioFileReader]).iterator()
+      val b = Array.newBuilder[AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    private lazy val converters: Array[FormatConversionProvider] = {
+      val it = java.util.ServiceLoader
+        .load(classOf[FormatConversionProvider]).iterator()
+      val b = Array.newBuilder[FormatConversionProvider]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    /** First cached reader that accepts the payload (the same
+      * first-match contract AudioSystem implements, minus the per-call
+      * registry walk). */
+    private def open(bytes: Array[Byte]): Option[AudioInputStream] = {
+      var i = 0
+      while (i < fileReaders.length) {
+        try return Some(fileReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch {
+          case _: UnsupportedAudioFileException => // not this reader's format
+          case scala.util.control.NonFatal(_)   => // malformed for this reader
+        }
+        i += 1
+      }
+      None
+    }
 
     /** Decode to 16-bit signed PCM and project the samples into a
       * `dim`-length feature vector: |sample|/32768 of sample i
@@ -134,33 +184,41 @@ object MediaOps {
       * how callers observe that a real decode happened. */
     def features(bytes: Array[Byte], dim: Int): Option[(Int, Long, Array[Float])] =
       if (bytes == null || bytes.length == 0) None
-      else try {
-        val in = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+      else try open(bytes).flatMap { in =>
         try {
           val src = in.getFormat
           // normalize to 16-bit signed little-endian PCM: the JDK
           // converts 8-bit, μ-law, and A-law for free, so the sample
-          // loop below reads ONE representation
+          // loop below reads ONE representation. Already-conformant
+          // payloads (canonical 16-bit WAV — the overwhelmingly common
+          // case) skip conversion AND its per-call SPI walk entirely.
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
             src.getSampleRate, 16, src.getChannels,
             src.getChannels * 2, src.getSampleRate, false)
-          val pcmIn = AudioSystem.getAudioInputStream(target, in)
-          try {
-            val pcm = pcmIn.readAllBytes()
-            val nSamples = pcm.length / 2
-            val out = new Array[Float](dim)
-            var i = 0
-            while (i < nSamples) {
-              val s = (((pcm(2 * i + 1) & 0xff) << 8) |
-                (pcm(2 * i) & 0xff)).toShort
-              out(i % dim) += math.abs(s.toInt) / 32768.0f
-              i += 1
-            }
-            val rate = target.getSampleRate.toInt
-            val frames = nSamples / target.getChannels
-            Some((rate, frames * 1000L / rate, out))
-          } finally pcmIn.close()
+          val conformant = src.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            src.getSampleSizeInBits == 16 && !src.isBigEndian &&
+            src.getFrameSize == src.getChannels * 2
+          val pcmInOpt =
+            if (conformant) Some(in)
+            else converters.find(_.isConversionSupported(target, src))
+              .map(_.getAudioInputStream(target, in))
+          pcmInOpt.map { pcmIn =>
+            try {
+              val pcm = pcmIn.readAllBytes()
+              val nSamples = pcm.length / 2
+              val out = new Array[Float](dim)
+              var i = 0
+              while (i < nSamples) {
+                val s = (((pcm(2 * i + 1) & 0xff) << 8) |
+                  (pcm(2 * i) & 0xff)).toShort
+                out(i % dim) += math.abs(s.toInt) / 32768.0f
+                i += 1
+              }
+              val rate = target.getSampleRate.toInt
+              val frames = nSamples / target.getChannels
+              (rate, frames * 1000L / rate, out)
+            } finally pcmIn.close()
+          }
         } finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -186,13 +244,148 @@ object MediaOps {
     }
   }
 
+  // ───────────────────────── real JDK video codec ──────────────────
+
+  /** Pure-JDK MJPEG/AVI video codec — the recipe that made images
+    * (round 6) and audio (round 7) real, applied to video: the AVI
+    * container is parsed directly (a RIFF chunk walk, no native libs),
+    * and every `00dc` frame payload is a plain JPEG the existing
+    * [[JdkImageCodec]] decodes. Total over arbitrary bytes: anything
+    * that is not a RIFF/AVI with ImageIO-decodable frames returns None
+    * and the operators fall back to [[DecodeStub]] — which remains the
+    * documented stand-in for non-MJPEG codecs (H.264 etc. need
+    * libraries this environment lacks). [[aviWrap]] is the encode
+    * side: how the harness manufactures REAL decodable video payloads
+    * from deterministic frames (wavWrap's video twin). */
+  object JdkVideoCodec {
+
+    /** Parsed container: header frame timing + declared dims, and the
+      * raw JPEG bytes of every video frame in stream order. */
+    case class AviVideo(usPerFrame: Long, width: Int, height: Int,
+                        frames: IndexedSeq[Array[Byte]])
+
+    /** Walk the RIFF tree: `avih` inside `hdrl` yields timing/dims,
+      * `..dc`/`..db` chunks inside `movi` (or its `rec ` sublists)
+      * yield frame payloads. Tolerant of unknown chunks (skipped via
+      * their declared size, word-aligned) and of truncation (parses
+      * what is there; a container with zero frames is None). */
+    def parseAvi(bytes: Array[Byte]): Option[AviVideo] =
+      if (bytes == null || bytes.length < 24) None
+      else try {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(): String = {
+          val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+        }
+        if (fourcc() != "RIFF") return None
+        val riffSz = bb.getInt
+        if (fourcc() != "AVI ") return None
+        var usPerFrame = 0L
+        var w = 0
+        var h = 0
+        val frames = Vector.newBuilder[Array[Byte]]
+        var nFrames = 0
+        def walk(end: Int, inMovi: Boolean, inHdrl: Boolean): Unit =
+          while (bb.position() + 8 <= end) {
+            val id = fourcc()
+            val sz = bb.getInt
+            val start = bb.position()
+            val next = start + sz + (sz & 1)
+            if (sz < 0 || next > end) return // truncated: keep what parsed
+            if (id == "LIST" && sz >= 4) {
+              val lt = fourcc()
+              walk(start + sz, inMovi || lt == "movi" || lt == "rec ",
+                inHdrl || lt == "hdrl")
+            } else if (id == "avih" && inHdrl && sz >= 40) {
+              usPerFrame = bb.getInt(start) & 0xffffffffL
+              w = bb.getInt(start + 32)
+              h = bb.getInt(start + 36)
+            } else if (inMovi && (id.endsWith("dc") || id.endsWith("db"))) {
+              frames += java.util.Arrays.copyOfRange(bytes, start, start + sz)
+              nFrames += 1
+            }
+            bb.position(next)
+          }
+        walk(math.min(8L + riffSz, bytes.length.toLong).toInt,
+          inMovi = false, inHdrl = false)
+        val fs = frames.result()
+        if (fs.isEmpty) None else Some(AviVideo(usPerFrame, w, h, fs))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Decode and project: TRUE (width, height) from the ImageIO
+      * decode of the first frame (the `avih` header dims are only a
+      * cross-check, never the source of truth — the q101 "metadata
+      * lies" discipline), duration = real frame count × header frame
+      * timing, and a feature vector folding every decoded frame's
+      * Rec.601 luminance (the image formula applied per frame). None
+      * unless at least one frame actually decodes. */
+    def features(bytes: Array[Byte], dim: Int)
+        : Option[(Int, Int, Long, Array[Float])] =
+      parseAvi(bytes).flatMap { avi =>
+        val out = new Array[Float](dim)
+        var w = 0
+        var h = 0
+        var decoded = 0
+        avi.frames.foreach { fb =>
+          JdkImageCodec.decode(fb).foreach { img =>
+            if (decoded == 0) { w = img.getWidth; h = img.getHeight }
+            JdkImageCodec.lumaInto(img, out)
+            decoded += 1
+          }
+        }
+        if (decoded == 0) None
+        else Some((w, h, avi.frames.length * avi.usPerFrame / 1000L, out))
+      }
+
+    /** Wrap JPEG frames in a minimal canonical MJPEG/AVI container
+      * (RIFF → hdrl(avih, strl(strh 'vids'/'MJPG', strf)) → movi of
+      * `00dc` chunks) — the encode side of the codec, and how the
+      * harness manufactures REAL decodable video payloads from
+      * deterministic frames. */
+    def aviWrap(frames: Seq[Array[Byte]], usPerFrame: Long,
+                width: Int, height: Int): Array[Byte] = {
+      def bb(n: Int) = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String) = s.getBytes("US-ASCII")
+      def chunk(id: String, body: Array[Byte]): Array[Byte] =
+        bb(8 + body.length + (body.length & 1))
+          .put(fcc(id)).putInt(body.length).put(body).array()
+      def list(lt: String, children: Array[Byte]*): Array[Byte] = {
+        val body = children.foldLeft(Array.emptyByteArray)(_ ++ _)
+        bb(12 + body.length).put(fcc("LIST")).putInt(4 + body.length)
+          .put(fcc(lt)).put(body).array()
+      }
+      val avih = bb(56).putInt(usPerFrame.toInt).putInt(0).putInt(0)
+        .putInt(0).putInt(frames.length).putInt(0).putInt(1).putInt(0)
+        .putInt(width).putInt(height).array() // 4 reserved ints stay 0
+      val strh = bb(56).put(fcc("vids")).put(fcc("MJPG"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(usPerFrame.toInt).putInt(1000000) // fps = rate/scale
+        .putInt(0).putInt(frames.length).putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0)
+        .putShort(width.toShort).putShort(height.toShort).array()
+      val strf = bb(40).putInt(40).putInt(width).putInt(height)
+        .putShort(1).putShort(24).put(fcc("MJPG"))
+        .putInt(width * height * 3).array() // trailing 4 ints stay 0
+      val hdrl = list("hdrl", chunk("avih", avih),
+        list("strl", chunk("strh", strh), chunk("strf", strf)))
+      val movi = list("movi", frames.map(chunk("00dc", _)): _*)
+      val body = fcc("AVI ") ++ hdrl ++ movi
+      bb(8 + body.length).put(fcc("RIFF")).putInt(body.length)
+        .put(body).array()
+    }
+  }
+
   // ───────────────────────── stubbed codec ─────────────────────────
 
-  /** STUB decoder — deterministic fake standing in for the AUDIO/VIDEO
-    * codecs (ffmpeg is not available in this environment; images go
-    * through the real [[JdkImageCodec]]). Real implementation: decode
-    * `bytes` per `meta.format`; everything distributed about the
-    * operator (batching, schema, partitioning) stays identical. */
+  /** STUB decoder — deterministic fake standing in for codecs the JDK
+    * cannot express (non-MJPEG video: H.264/VP9 need libraries this
+    * environment lacks) and for non-decodable payloads of any kind.
+    * Images go through the real [[JdkImageCodec]], WAV/AIFF/AU audio
+    * through [[JdkAudioCodec]], MJPEG/AVI video through
+    * [[JdkVideoCodec]]. Real implementation: decode `bytes` per
+    * `meta.format`; everything distributed about the operator
+    * (batching, schema, partitioning) stays identical. */
   object DecodeStub {
     /** Fake "decode": a `dim`-length float feature vector from a rolling
       * hash over the bytes — deterministic, cheap, collision-spread. */
@@ -274,8 +467,9 @@ object MediaOps {
         // image payloads take the REAL javax.imageio path (and report
         // the true decoded dimensions); audio payloads the REAL
         // javax.sound.sampled path (true sample rate + duration);
-        // video and non-decodable bytes fall back to the
-        // deterministic stub
+        // video payloads the REAL RIFF/MJPEG path (true first-frame
+        // dimensions + frame-count duration); non-decodable bytes
+        // fall back to the deterministic stub
         batch.iterator.map { m =>
           val real = m.kind match {
             case "image" => JdkImageCodec.features(m.bytes, dim).map {
@@ -285,6 +479,10 @@ object MediaOps {
             case "audio" => JdkAudioCodec.features(m.bytes, dim).map {
               case (rate, durMs, f) => DecodedMedia(m.media_id, m.kind,
                 m.meta.width, m.meta.height, rate, durMs, f)
+            }
+            case "video" => JdkVideoCodec.features(m.bytes, dim).map {
+              case (w, h, durMs, f) => DecodedMedia(m.media_id, m.kind,
+                w, h, m.meta.sampleRate, durMs, f)
             }
             case _ => None
           }
@@ -314,17 +512,32 @@ object MediaOps {
   }
 
   /** Sample one frame every `everyMs` from video rows: pure narrow
-    * explode — each media row becomes duration/everyMs frame rows with
-    * deterministic (stub) frame bytes. */
+    * flatMap — each media row becomes duration/everyMs frame rows, no
+    * shuffle. MJPEG/AVI payloads take the REAL path: true duration
+    * from the container (frame count × header timing) and the actual
+    * JPEG bytes of the frame covering each sample instant;
+    * non-decodable payloads keep the deterministic stub (metadata
+    * duration, derived bytes). */
   def frameSample(media: Dataset[MediaRecord], everyMs: Long): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val n = (m.meta.durationMs / everyMs).toInt
-      (0 until n).iterator.map { i =>
-        val start = math.floorMod(i * 257, m.bytes.length.max(1))
-        val len = math.min(64, m.bytes.length - start).max(0)
-        Frame(m.media_id, i, i * everyMs,
-          java.util.Arrays.copyOfRange(m.bytes, start, start + len))
+      JdkVideoCodec.parseAvi(m.bytes) match {
+        case Some(avi) if avi.usPerFrame > 0 =>
+          val durMs = avi.frames.length * avi.usPerFrame / 1000L
+          val n = (durMs / everyMs).toInt
+          (0 until n).iterator.map { i =>
+            val idx = math.min((i * everyMs * 1000L / avi.usPerFrame).toInt,
+              avi.frames.length - 1)
+            Frame(m.media_id, i, i * everyMs, avi.frames(idx))
+          }
+        case _ =>
+          val n = (m.meta.durationMs / everyMs).toInt
+          (0 until n).iterator.map { i =>
+            val start = math.floorMod(i * 257, m.bytes.length.max(1))
+            val len = math.min(64, m.bytes.length - start).max(0)
+            Frame(m.media_id, i, i * everyMs,
+              java.util.Arrays.copyOfRange(m.bytes, start, start + len))
+          }
       }
     }
   }

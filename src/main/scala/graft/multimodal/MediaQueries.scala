@@ -171,6 +171,74 @@ object MediaQueries {
                CAST(16000 AS INTEGER) AS min_rate,
                CAST(16000 AS INTEGER) AS max_rate
         FROM documents WHERE text IS NOT NULL
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── REAL video decode, hash-checked cross-engine ────────────────
+    // The q101 recipe applied to video: every document becomes a real
+    // MJPEG/AVI container (aviWrap) holding 1 + doc_id % 3 genuine
+    // 16×12 JPEG frames at 10 fps, and the metadata deliberately LIES
+    // (width 0, height 0, duration 0). The only way the output can
+    // match the oracle — which recomputes everything from doc_id with
+    // integer math — is a true RIFF parse: dimensions come from an
+    // ImageIO decode of the first frame, duration from the REAL frame
+    // count × the header's frame timing, and n_frames from
+    // frameSample actually walking the movi chunk list (each sampled
+    // frame re-verified as a decodable 16-px-wide JPEG via sum_fw).
+    // Verification query (bench=false): the JPEG encode of the inputs
+    // dominates, not the operator under test.
+    "q109_video_decode" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        def recs = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("text").isNotNull)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (1 + id % 3).toInt
+            val frames = (0 until n).map { i =>
+              val img = new java.awt.image.BufferedImage(16, 12,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = img.createGraphics()
+              try {
+                g.setColor(new java.awt.Color(
+                  math.floorMod(id * 31 + i * 101, 256).toInt,
+                  math.floorMod(id * 17 + i * 13, 256).toInt,
+                  math.floorMod(id * 7 + i * 3, 256).toInt))
+                g.fillRect(0, 0, 16, 12)
+              } finally g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "jpg", bos)
+              bos.toByteArray
+            }
+            MediaOps.MediaRecord(id, "video",
+              MediaOps.JdkVideoCodec.aviWrap(frames, 100000L, 16, 12),
+              MediaOps.MediaMeta("avi", 0, 0, 0, 0L)) // metadata LIES
+          }
+        val dec = MediaOps.decode(recs, dim = 8)
+          .groupBy((col("media_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("durationMs")).as("sum_ms"),
+            min(col("width")).as("min_w"), max(col("width")).as("max_w"),
+            min(col("height")).as("min_h"), max(col("height")).as("max_h"))
+        // 10 fps + everyMs=100 samples every frame exactly once, so
+        // the frame count proves the movi walk and sum_fw proves each
+        // sampled payload is an actual decodable JPEG
+        val fr = MediaOps.frameSample(recs, everyMs = 100L)
+          .map(f => (f.media_id,
+            MediaOps.JdkImageCodec.decode(f.frame_bytes)
+              .map(_.getWidth).getOrElse(-1)))
+          .toDF("media_id", "fw")
+          .groupBy((col("media_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("fw")).as("sum_fw"))
+        dec.join(fr, "bucket").orderBy("bucket")
+      },
+      oracle = Some("""
+        SELECT doc_id % 10 AS bucket, count(*) AS n,
+               CAST(sum((1 + doc_id % 3) * 100) AS BIGINT) AS sum_ms,
+               CAST(16 AS INTEGER) AS min_w, CAST(16 AS INTEGER) AS max_w,
+               CAST(12 AS INTEGER) AS min_h, CAST(12 AS INTEGER) AS max_h,
+               CAST(sum(1 + doc_id % 3) AS BIGINT) AS n_frames,
+               CAST(sum((1 + doc_id % 3) * 16) AS BIGINT) AS sum_fw
+        FROM documents WHERE text IS NOT NULL
         GROUP BY 1 ORDER BY 1"""))
   )
 

@@ -166,6 +166,70 @@ class MultimodalSpec extends SparkSpec {
         Array.tabulate(800)(i => (i * 3).toByte), 16)))
   }
 
+  test("decode runs the real JDK codec on MJPEG/AVI payloads") {
+    import spark.implicits._
+    // three real JPEG frames (distinct fills so luma varies) in a real
+    // RIFF/AVI container at 20 fps
+    val frames = (0 until 3).map { i =>
+      val img = new java.awt.image.BufferedImage(10, 7,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try {
+        g.setColor(new java.awt.Color(40 * i + 20, 10 * i + 5, 200 - 30 * i))
+        g.fillRect(0, 0, 10, 7)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val bytes = MediaOps.JdkVideoCodec.aviWrap(frames, usPerFrame = 50000L,
+      width = 10, height = 7)
+    // meta deliberately LIES about dims and duration: only a real RIFF
+    // walk + frame decode can report 10x7 / 150 ms
+    val ds = spark.createDataset(Seq(
+      MediaRecord(11, "video", bytes, MediaMeta("avi", 999, 999, 0, 77777L))))
+    val out = MediaOps.decode(ds, dim = 16).collect().head
+    assert(out.width === 10 && out.height === 7,
+      s"decoded dims must come from the frames, got ${out.width}x${out.height}")
+    assert(out.durationMs === 150L,
+      s"duration must be frameCount x header timing, got ${out.durationMs}")
+    // features equal a locally recomputed luminance folding over the
+    // SAME decoded frame pixels — the distributed decode IS the real
+    // decode (JPEG is lossy, so recompute from the encoded frames, not
+    // the source rasters)
+    val exp = new Array[Float](16)
+    frames.foreach { fb =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fb))
+      for (y <- 0 until 7; x <- 0 until 10) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        exp((y * 10 + x) % 16) += lum / 255.0f
+      }
+    }
+    assert(out.features.toSeq === exp.toSeq)
+    assert(!out.features.sameElements(MediaOps.DecodeStub.features(bytes, 16)))
+    // frameSample walks the REAL movi chunks: 50 ms/frame sampled
+    // every 50 ms = every frame once, payloads byte-identical to the
+    // encoded JPEGs
+    val fs = MediaOps.frameSample(ds, everyMs = 50L).collect().sortBy(_.frame_idx)
+    assert(fs.length === 3)
+    assert(fs.map(_.frame_ts_ms).toSeq === Seq(0L, 50L, 100L))
+    fs.zip(frames).foreach { case (f, orig) =>
+      assert(f.frame_bytes.sameElements(orig),
+        s"frame ${f.frame_idx} must be the original JPEG payload")
+    }
+    // non-AVI video bytes still fall back to the stub (and the
+    // declared metadata) on BOTH paths
+    val junkBytes = Array.tabulate(500)(i => (i * 7).toByte)
+    val junk = spark.createDataset(Seq(MediaRecord(12, "video",
+      junkBytes, MediaMeta("mp4", 640, 480, 0, 200L))))
+    val fb2 = MediaOps.decode(junk, dim = 16).collect().head
+    assert(fb2.width === 640 && fb2.durationMs === 200L &&
+      fb2.features.sameElements(MediaOps.DecodeStub.features(junkBytes, 16)))
+    assert(MediaOps.frameSample(junk, everyMs = 100L).collect().length === 2)
+  }
+
   test("resize re-encodes a real PNG at the target raster size") {
     import spark.implicits._
     val ds = spark.createDataset(Seq(
