@@ -159,19 +159,34 @@ object MediaOps {
       b.result()
     }
 
+    // last reader that accepted a payload, tried first on the next row
+    // (plain volatile int — a stale read just costs one extra probe):
+    // real corpora are format-homogeneous, so the steady state is ONE
+    // reader attempt and ZERO UnsupportedAudioFileException throws per
+    // row. The throws matter more than they look: fillInStackTrace
+    // walks the full task stack, and an executor stack is an order of
+    // magnitude deeper than a driver loop's.
+    @volatile private var stickyReader = 0
+
     /** First cached reader that accepts the payload (the same
       * first-match contract AudioSystem implements, minus the per-call
-      * registry walk). */
+      * registry walk), sticky-starting at the last successful one. */
     private def open(bytes: Array[Byte]): Option[AudioInputStream] = {
-      var i = 0
-      while (i < fileReaders.length) {
-        try return Some(fileReaders(i).getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-        catch {
+      val n = fileReaders.length
+      val start = { val s = stickyReader; if (s < n) s else 0 }
+      var k = 0
+      while (k < n) {
+        val i = (start + k) % n
+        try {
+          val in = fileReaders(i).getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          stickyReader = i
+          return Some(in)
+        } catch {
           case _: UnsupportedAudioFileException => // not this reader's format
           case scala.util.control.NonFatal(_)   => // malformed for this reader
         }
-        i += 1
+        k += 1
       }
       None
     }

@@ -1536,6 +1536,90 @@ object CurationQueries {
         FROM est ORDER BY lang"""
       }),
 
+    // ── Count-Min heavy-hitter frequencies, exactly replayed ────────
+    // The frequency twin of q104: [[graft.plans.CmsAgg]] builds one
+    // 4×256 Count-Min counter array per source (8 KiB state,
+    // elementwise-ADD merge), and the query probes it with the global
+    // top-16 tokens — estimate = min over the 4 rows of the counter
+    // each hash byte lands in, never below the exact count (CMS is
+    // one-sided). Every counter is an exact integer COUNT of rows by
+    // hash byte, so DuckDB rebuilds all 1024 cells per source and the
+    // probes, estimates, and overcounts hash-check bit-for-bit.
+    //
+    // Scale shape: the sketch rides the token scan in ONE exchange —
+    // 8 KiB per (mapper, source) regardless of token count — where an
+    // exact per-token groupBy shuffles the full vocabulary. The exact
+    // per-(source, probe) counts here are the AUDIT columns (this
+    // query proves the sketch's error behavior next to ground truth);
+    // a production run keeps only the sketch + probe join. The probe
+    // set is a 16-row TakeOrdered → broadcast; the probe join is
+    // |sources| × 16 rows.
+    "q110_cms_heavy_hitters" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        def h60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+        val tok = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source"), explode(tokens(col("text"))).as("token"))
+        val cms = toC(graft.plans.CmsAgg(toE(col("h"))).toAggregateExpression())
+        val sketches = tok.withColumn("h", h60(col("token")))
+          .groupBy(col("source")).agg(cms.as("cms"))
+        // ONE token-scale exchange feeds both audit surfaces: the
+        // probe set is the vocab-scale rollup of the exact counts
+        // (persisted — vocab-bounded, and the probe branch and the
+        // join branch would otherwise each re-pay the token groupBy)
+        val exact = tok.groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("n_exact")).persist()
+        val probes = exact.groupBy(col("token"))
+          .agg(sum(col("n_exact")).as("n_global"))
+          .orderBy(col("n_global").desc, col("token").asc).limit(16)
+          .withColumn("ph", h60(col("token")))
+        val est = least((0 until graft.plans.CmsAgg.d).map { j =>
+          col("cms")(lit(j * graft.plans.CmsAgg.w) +
+            shiftright(col("ph"), 8 * j).bitwiseAND(lit(255L)).cast("int"))
+        }: _*)
+        // deliberate bounded cross join: |sources| sketch rows × 16
+        // broadcast probes
+        sketches.crossJoin(broadcast(probes))
+          .join(exact, Seq("source", "token"), "left")
+          .select(col("source"), col("token"), col("n_global"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            est.as("cms_est"))
+          .withColumn("overcount", col("cms_est") - col("n_exact"))
+          .orderBy("source", "token")
+      },
+      oracle = Some {
+        val cells = (0 until graft.plans.CmsAgg.d).map(j =>
+          s"""coalesce((SELECT c.c FROM cnt c WHERE c.source = s.source
+               AND c.j = $j AND c.b = ((p.ph >> ${8 * j}) & 255)), 0)""")
+          .mkString(", ")
+        s"""
+        WITH t AS ($duckToks),
+        tok AS (SELECT source, unnest(toks) AS token FROM t),
+        cnt AS (SELECT source, j,
+                  (('0x' || substring(md5(token), 1, 15))::BIGINT >> (8*j))
+                    & 255 AS b, count(*) c
+                FROM tok, unnest([0, 1, 2, 3]) AS u(j)
+                GROUP BY 1, 2, 3),
+        probes AS (SELECT token, count(*) n_global,
+                     ('0x' || substring(md5(token), 1, 15))::BIGINT ph
+                   FROM tok GROUP BY token
+                   ORDER BY count(*) DESC, token ASC LIMIT 16),
+        srcs AS (SELECT DISTINCT source FROM tok),
+        exact AS (SELECT source, token, count(*) n_exact
+                  FROM tok GROUP BY 1, 2),
+        est AS (SELECT s.source, p.token, p.n_global,
+                  coalesce(e.n_exact, 0) AS n_exact,
+                  least($cells) AS cms_est
+                FROM srcs s CROSS JOIN probes p
+                LEFT JOIN exact e ON e.source = s.source AND e.token = p.token)
+        SELECT source, token, n_global, CAST(n_exact AS BIGINT) AS n_exact,
+               CAST(cms_est AS BIGINT) AS cms_est,
+               CAST(cms_est - n_exact AS BIGINT) AS overcount
+        FROM est ORDER BY source, token"""
+      },
+      bench = true),
+
     // ── epoch-mix upsampling (per-language repeat factors) ──────────
     // The complement of q102: temperature smoothing by REPEATING tail
     // groups instead of dropping head ones — the multilingual mix

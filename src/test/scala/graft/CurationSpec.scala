@@ -727,6 +727,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q110 CMS counters replay driver-side and never undercount") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // driver-side CMS: 4x256 counters per source + exact token counts
+    val cms = scala.collection.mutable.Map[String, Array[Long]]()
+    val exact = scala.collection.mutable.Map[(String, String), Long]()
+    val global = scala.collection.mutable.Map[String, Long]()
+    docs.foreach { case (src, text) =>
+      val counters = cms.getOrElseUpdate(src, new Array[Long](1024))
+      text.trim.split("\\s+").foreach { t =>
+        val h = h60(t)
+        for (j <- 0 until 4)
+          counters(j * 256 + ((h >>> (8 * j)) & 255L).toInt) += 1L
+        exact((src, t)) = exact.getOrElse((src, t), 0L) + 1L
+        global(t) = global.getOrElse(t, 0L) + 1L
+      }
+    }
+    val probes = global.toSeq.sortBy { case (t, n) => (-n, t) }.take(16)
+    val got = run("q110_cms_heavy_hitters").collect()
+    assert(got.length == cms.size * 16, "one row per (source, probe)")
+    assert(got.map(_.getAs[String]("token")).toSet == probes.map(_._1).toSet)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      val t = r.getAs[String]("token")
+      val h = h60(t)
+      val expEst = (0 until 4)
+        .map(j => cms(src)(j * 256 + ((h >>> (8 * j)) & 255L).toInt)).min
+      assert(r.getAs[Long]("cms_est") == expEst, s"($src,$t) estimate")
+      assert(r.getAs[Long]("n_exact") == exact.getOrElse((src, t), 0L),
+        s"($src,$t) exact")
+      // the CMS guarantee: estimates are one-sided overestimates
+      assert(r.getAs[Long]("overcount") >= 0L, s"($src,$t) undercounted")
+      assert(r.getAs[Long]("n_global") == global(t), s"($src,$t) global")
+    }
+  }
+
   test("q106 upsampling replays driver-side and up-weights tail languages") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")
