@@ -1620,6 +1620,96 @@ object CurationQueries {
       },
       bench = true),
 
+    // ── BM25 retrieval (query set → top-5 docs per query) ───────────
+    // Full-text relevance retrieval over the corpus — the operator a
+    // RAG / eval-harness pipeline runs against the curated data. The
+    // scoring is the BM25 family (k1=1.2, b=0.75 length-normalized tf
+    // saturation) with the RATIONAL idf variant (N−df+0.5)/(df+0.5) —
+    // q88's discipline: a log idf would hinge the cross-engine hash on
+    // transcendental rounding, and rational idf preserves the same
+    // per-term ordering. Per-(term, doc) scores quantize to INTEGER
+    // ten-thousandths (the q95 ADC trick) so the per-(query, doc) sum
+    // is an order-free exact integer — any partitioning, same hash.
+    //
+    // Scale shape: query terms are a bounded broadcast (≤6 query docs
+    // × 8 terms); the corpus term table joins it BROADCAST (no corpus
+    // shuffle on the probe side), df/dl are partial-agg'd rollups the
+    // index build already pays, and the rerank is TopKPerKey bounded
+    // heaps — never a row_number window over the corpus.
+    "q111_bm25_topk" -> QuerySpec(
+      build = (s, d) => {
+        val dtoks = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+        val dl = dtoks.select(col("doc_id"), size(col("toks")).as("dl"))
+        // corpus size + average doc length as a LAZY 1-row crossJoin
+        // (broadcast) — the q88 pattern, no job at plan-build time
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        // queries: the first 8 distinct terms (token asc) of each doc
+        // with doc_id <= 5 — deterministic and cross-engine-identical
+        val qterms = graft.operators.TopK.perKey(
+          dtoks.filter(col("doc_id") <= 5)
+            .select(col("doc_id").as("qid"), explode(col("toks")).as("t"))
+            .distinct(),
+          Seq("qid"), Seq(col("t").asc), 8)
+        // the corpus term table is PRUNED to query tokens BEFORE any
+        // exchange: the explode is narrow, the broadcast semi-join
+        // keeps only rows whose token some query mentions, and only
+        // those shuffle into the tf groupBy — the exchange is sized by
+        // docs-containing-query-tokens, never by the corpus token
+        // count. df over the pruned table equals full-corpus df for
+        // every surviving token (the filter is BY token), so the
+        // scores are unchanged. Persisted: the df rollup and the
+        // scoring join both read it.
+        val terms = dtoks
+          .select(col("doc_id"), explode(col("toks")).as("t"))
+          .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+          .persist()
+        val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+        val idf = (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))
+        val sat = (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+        val scored = terms.join(broadcast(qterms), Seq("t"))
+          .join(dl, Seq("doc_id")).join(df_, Seq("t")).crossJoin(stats)
+          .select(col("qid"), col("doc_id"),
+            floor(idf * sat * lit(10000) + lit(0.5)).cast("long").as("e"))
+          .groupBy(col("qid"), col("doc_id"))
+          .agg(sum(col("e")).as("score_e4"))
+        graft.operators.TopK.perKeyRanked(scored, Seq("qid"),
+            Seq(col("score_e4").desc, col("doc_id").asc), 5, "rank")
+          .select(col("qid"), col("rank"), col("doc_id"), col("score_e4"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        terms AS (SELECT doc_id, t, count(*) tf FROM
+                    (SELECT doc_id, unnest(toks) t FROM t) GROUP BY 1, 2),
+        df AS (SELECT t, count(*) df FROM terms GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+                    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        qt0 AS (SELECT doc_id qid, t, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY t) rn
+                FROM terms WHERE doc_id <= 5),
+        qt AS (SELECT qid, t FROM qt0 WHERE rn <= 8),
+        sc AS (SELECT qt.qid, terms.doc_id,
+                 CAST(floor(((s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                   ((terms.tf * 2.2) / (terms.tf + 1.2 *
+                     (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                   * 10000 + 0.5) AS BIGINT) e
+               FROM terms JOIN qt USING (t) JOIN df USING (t)
+               JOIN dl ON dl.doc_id = terms.doc_id CROSS JOIN stats s),
+        agg AS (SELECT qid, doc_id, CAST(sum(e) AS BIGINT) score_e4
+                FROM sc GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, score_e4, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY score_e4 DESC, doc_id) rank
+               FROM agg)
+        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, score_e4
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""),
+      bench = true),
+
     // ── epoch-mix upsampling (per-language repeat factors) ──────────
     // The complement of q102: temperature smoothing by REPEATING tail
     // groups instead of dropping head ones — the multilingual mix

@@ -769,6 +769,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q111 BM25 returns dense positive-scored top-5 per query") {
+    val out = run("q111_bm25_topk").collect()
+    assert(out.nonEmpty)
+    val qids = out.map(_.getAs[Long]("qid")).distinct
+    // exactly 5 ranked hits per query, ranks dense from 1
+    qids.foreach { q =>
+      val hits = out.filter(_.getAs[Long]("qid") == q).sortBy(_.getAs[Int]("rank"))
+      assert(hits.map(_.getAs[Int]("rank")).toSeq == (1 to hits.length).toSeq)
+      assert(hits.length == 5)
+      // scores non-increasing in rank (ties broken by doc_id)
+      val scores = hits.map(_.getAs[Long]("score_e4")).toSeq
+      assert(scores == scores.sorted.reverse, s"q$q scores not sorted")
+      assert(scores.last > 0L, s"q$q has a non-positive hit score")
+    }
+    // NOT asserted: "the query doc is its own top hit" — the query is
+    // the 8 alphabetically-first terms of the doc (often common
+    // words), so a shorter doc with higher tf can legitimately
+    // outrank the source; self-retrieval is data-dependent, and the
+    // value-level check is the DuckDB oracle's job anyway
+  }
+
   test("q106 upsampling replays driver-side and up-weights tail languages") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")

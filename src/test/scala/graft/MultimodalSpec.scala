@@ -243,6 +243,34 @@ class MultimodalSpec extends SparkSpec {
       "resized payload must itself be a decodable 4x3 image")
   }
 
+  test("q113 media pair artifact builds once and equals q85") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mpi-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val q85 = graft.multimodal.MediaQueries.queries("q85_media_neardup")
+        .build(spark, sf).collect()
+      val q113 = graft.multimodal.MediaQueries.queries("q113_media_pair_index")
+        .build(spark, sf).collect()
+      assert(q113.toSeq == q85.toSeq,
+        "the artifact read path must reproduce the build path")
+      // artifact exists and a second read adds nothing
+      val dir = graft.text.Artifacts.dir(sf, "media_neardup_pairs")
+      assert(java.nio.file.Files.isDirectory(dir))
+      val mtime = java.nio.file.Files.getLastModifiedTime(dir)
+      assert(graft.multimodal.MediaQueries.queries("q113_media_pair_index")
+        .build(spark, sf).collect().toSeq == q85.toSeq)
+      assert(java.nio.file.Files.getLastModifiedTime(dir) == mtime,
+        "second read must reuse, not rebuild")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("repartitionBySize packs by byte budget") {
     val df = MediaOps.mediaFromDocuments(spark, "/root/testdata/sf0.001")
     val packed = MediaOps.repartitionBySize(df, targetBytes = 16 * 1024)
