@@ -251,6 +251,40 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
   }
 
+  test("q110 CMS: counter buffers keyed by source only, partial below shuffle") {
+    val p = plan("q110_cms_heavy_hitters")
+    assert(p.contains("partial_cms_counters"),
+      "sketch must partial-aggregate map-side")
+    // the 8 KiB counter state may never key on anything finer than
+    // the group: every aggregate evaluating cms_counters must have
+    // exactly [source] as its keys
+    val cmsAggs = p.split("\\(\\d+\\) ObjectHashAggregate").drop(1)
+      .filter(_.contains("cms_counters"))
+    assert(cmsAggs.nonEmpty)
+    cmsAggs.foreach { sect =>
+      val keys = sect.linesIterator.find(_.startsWith("Keys")).getOrElse("")
+      assert(keys.contains("source") && !keys.contains("h#") &&
+        !keys.contains("token"),
+        s"counter buffers keyed finer than source: $keys")
+    }
+    // the probe set broadcasts; the probe join never shuffles the
+    // sketch table by value
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), "probe set must broadcast")
+  }
+
+  test("q111 BM25: term table pruned by broadcast before tf exchange, heap rerank") {
+    val df = SparkEntry.queries("q111_bm25_topk")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // query-token pruning must be a broadcast join (corpus is never
+    // shuffled by token for the probe), and the rerank rides the
+    // bounded heap operator, not a window
+    assert(p.contains("BroadcastHashJoin"), "query tokens must broadcast")
+    assert(p.contains("top_k_rows") || p.contains("TopKPerKey"),
+      "rerank must use bounded heaps")
+    assert(!p.contains("Window"), "no row_number window over scored docs")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
