@@ -1710,6 +1710,109 @@ object CurationQueries {
         FROM rk WHERE rank <= 5 ORDER BY qid, rank"""),
       bench = true),
 
+    // ── Bloom-filter decontamination pre-filter, exactly replayed ───
+    // The third sketch next to q104 (HLL: how many distinct) and q110
+    // (CMS: how often): [[graft.plans.BloomAgg]] answers "definitely
+    // absent or maybe present" in 1 KiB per group — the pre-filter a
+    // 100 TB decontamination pass runs BEFORE the exact check, because
+    // a Bloom miss (the overwhelming majority of corpus shingles) is
+    // proof of absence and skips the expensive path; NO FALSE
+    // NEGATIVES by construction, a set bit never clears. This audit
+    // query builds one Bloom per source over its 8-gram shingle
+    // hashes, probes it with a 64-shingle eval set, and reports bloom
+    // hits NEXT TO exact membership — the false-positive count is the
+    // sketch's measured error, and false negatives are structurally
+    // zero (CurationSpec pins it). Every bit is replayable in SQL (bit
+    // b of row f set iff any hash has (h >> 13f) & 8191 = b), so
+    // DuckDB rebuilds membership as 4-field joins and the hit bits,
+    // counts, and false positives hash-check bit-for-bit.
+    //
+    // Scale shape: the sketch rides the shingle scan in ONE exchange —
+    // 1 KiB per (mapper, source); the probe set is a 64-row
+    // TakeOrdered broadcast; the exact-membership audit prunes the
+    // corpus stream by the broadcast probe set BEFORE its distinct
+    // exchange (the q111 discipline), so nothing corpus-scale
+    // shuffles.
+    "q112_bloom_prefilter" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val sh = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(shingle_hashes(col("text"), 8)).as("h"))
+        // eval set: first 64 distinct shingle hashes of docs 0-3
+        val probes = sh.filter(col("doc_id") <= 3).select(col("h").as("ph"))
+          .distinct().orderBy("ph").limit(64)
+        val bloom = toC(graft.plans.BloomAgg(toE(col("h"))).toAggregateExpression())
+        val srcBloom = sh.groupBy(col("source")).agg(bloom.as("bloom"))
+        // exact membership, pruned by the broadcast probe set BEFORE
+        // the distinct exchange
+        val present = sh
+          .join(broadcast(probes.withColumnRenamed("ph", "h")), Seq("h"))
+          .select(col("source"), col("h").as("ph")).distinct()
+          .withColumn("present", lit(1L))
+        val hit = (0 until graft.plans.BloomAgg.k).map { f =>
+          expr(s"""shiftright(element_at(bloom,
+            CAST((shiftright(ph, ${graft.plans.BloomAgg.fieldBits * f}) & 8191)
+              DIV 64 AS INT) + 1),
+            CAST(shiftright(ph, ${graft.plans.BloomAgg.fieldBits * f}) & 63
+              AS INT)) & 1""")
+        }.reduce(_ * _)
+        // deliberate bounded cross join: |sources| bloom rows × 64
+        // broadcast probes
+        srcBloom.crossJoin(broadcast(probes))
+          .withColumn("hit", hit)
+          .join(present, Seq("source", "ph"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(coalesce(col("present"), lit(0L))).as("n_present"),
+            sum(col("hit")).as("n_bloom_hits"))
+          .withColumn("n_false_pos", col("n_bloom_hits") - col("n_present"))
+          .orderBy("source")
+      },
+      // oracle note (SQL comments are stripped by oracleSql's
+      // whitespace normalization, so it lives here): the Bloom array
+      // is SHARED across the k probe positions — bit b is set iff ANY
+      // field of ANY member hash equals b, so `fv` (the set-bit
+      // relation) drops the field index, and a probe hits iff EACH of
+      // its 4 field values finds a set bit, whatever field set it
+      oracle = Some {
+        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+        s"""
+        WITH t AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') toks
+                   FROM documents WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, source, unnest(list_transform(
+                generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
+              FROM t),
+        h AS (SELECT doc_id, source,
+                ('0x' || substring(md5(s), 1, 15))::BIGINT h60 FROM g),
+        probes AS (SELECT DISTINCT h60 ph FROM h WHERE doc_id <= 3
+                   ORDER BY 1 LIMIT 64),
+        srcs AS (SELECT DISTINCT source FROM h),
+        fv AS (SELECT DISTINCT source, (h60 >> (13*f)) & 8191 v
+               FROM h CROSS JOIN unnest([0, 1, 2, 3]) u(f)),
+        hits AS (SELECT s.source, p.ph,
+                   CASE WHEN count(DISTINCT pf.f) = 4 THEN 1 ELSE 0 END hit
+                 FROM srcs s CROSS JOIN probes p
+                 CROSS JOIN unnest([0, 1, 2, 3]) pf(f)
+                 JOIN fv ON fv.source = s.source
+                   AND fv.v = (p.ph >> (13 * pf.f)) & 8191
+                 GROUP BY 1, 2),
+        pres AS (SELECT DISTINCT source, h60 FROM h
+                 WHERE h60 IN (SELECT ph FROM probes)),
+        agg AS (SELECT s.source, p.ph, coalesce(ht.hit, 0) hit,
+                  CASE WHEN pr.h60 IS NOT NULL THEN 1 ELSE 0 END present
+                FROM srcs s CROSS JOIN probes p
+                LEFT JOIN hits ht ON ht.source = s.source AND ht.ph = p.ph
+                LEFT JOIN pres pr ON pr.source = s.source AND pr.h60 = p.ph)
+        SELECT source, count(*) n_probes,
+               CAST(sum(present) AS BIGINT) n_present,
+               CAST(sum(hit) AS BIGINT) n_bloom_hits,
+               CAST(sum(hit) - sum(present) AS BIGINT) n_false_pos
+        FROM agg GROUP BY 1 ORDER BY 1"""
+      },
+      bench = true),
+
     // ── epoch-mix upsampling (per-language repeat factors) ──────────
     // The complement of q102: temperature smoothing by REPEATING tail
     // groups instead of dropping head ones — the multilingual mix

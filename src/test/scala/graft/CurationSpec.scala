@@ -790,6 +790,53 @@ class CurationSpec extends SparkSpec {
     // value-level check is the DuckDB oracle's job anyway
   }
 
+  test("q112 Bloom replays driver-side: no false negatives, exact hit counts") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // driver-side: per-source 8192-bit Bloom + exact shingle sets
+    val bits = scala.collection.mutable.Map[String, Array[Long]]()
+    val sets = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    val probeCand = scala.collection.mutable.SortedSet[Long]()
+    docs.foreach { case (id, src, text) =>
+      val arr = bits.getOrElseUpdate(src, new Array[Long](128))
+      val set = sets.getOrElseUpdate(src, scala.collection.mutable.Set[Long]())
+      text.trim.split("\\s+").sliding(8).filter(_.length == 8).foreach { w =>
+        val h = h60(w.mkString(" "))
+        set += h
+        if (id <= 3) probeCand += h
+        for (f <- 0 until 4) {
+          val b = ((h >>> (13 * f)) & 8191L).toInt
+          arr(b >>> 6) |= 1L << (b & 63)
+        }
+      }
+    }
+    val probes = probeCand.take(64).toSeq
+    val got = run("q112_bloom_prefilter").collect()
+    assert(got.map(_.getAs[String]("source")).toSet == bits.keySet)
+    got.foreach { r =>
+      val src = r.getAs[String]("source")
+      def bit(h: Long, f: Int): Long = {
+        val b = ((h >>> (13 * f)) & 8191L).toInt
+        (bits(src)(b >>> 6) >>> (b & 63)) & 1L
+      }
+      val hits = probes.count(p => (0 until 4).forall(bit(p, _) == 1L))
+      val present = probes.count(sets(src))
+      assert(r.getAs[Long]("n_probes") == probes.size.toLong, s"$src probes")
+      assert(r.getAs[Long]("n_present") == present.toLong, s"$src present")
+      assert(r.getAs[Long]("n_bloom_hits") == hits.toLong, s"$src hits")
+      // the Bloom contract: a member NEVER misses
+      assert(r.getAs[Long]("n_false_pos") >= 0L, s"$src false negative!")
+      assert(r.getAs[Long]("n_bloom_hits") >= r.getAs[Long]("n_present"),
+        s"$src bloom missed a member")
+    }
+  }
+
   test("q106 upsampling replays driver-side and up-weights tail languages") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")

@@ -273,6 +273,22 @@ class PlanSpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), "probe set must broadcast")
   }
 
+  test("q112 Bloom: bit buffers keyed by source only, probes broadcast") {
+    val p = plan("q112_bloom_prefilter")
+    assert(p.contains("partial_bloom_bits"),
+      "sketch must partial-aggregate map-side")
+    val blAggs = p.split("\\(\\d+\\) ObjectHashAggregate").drop(1)
+      .filter(_.contains("bloom_bits"))
+    assert(blAggs.nonEmpty)
+    blAggs.foreach { sect =>
+      val keys = sect.linesIterator.find(_.startsWith("Keys")).getOrElse("")
+      assert(keys.contains("source") && !keys.contains("h#"),
+        s"bit buffers keyed finer than source: $keys")
+    }
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), "probe set must broadcast")
+  }
+
   test("q111 BM25: term table pruned by broadcast before tf exchange, heap rerank") {
     val df = SparkEntry.queries("q111_bm25_topk")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
