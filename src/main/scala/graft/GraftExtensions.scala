@@ -111,6 +111,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.text.ExplodeShingles(es.head, k)
       }))
 
+    // the sketch aggregate family (SURVEY: q104/q110/q112) for pure-SQL
+    // users — the registry builder returns the bare AggregateFunction;
+    // the analyzer wraps it in an AggregateExpression during resolution
+    ext.injectFunction(oneArg("hll_registers",
+      "hll_registers(h60) - HLL register summaries (sum_ranks, zero_regs, s_scaled) over 60-bit hashes",
+      graft.plans.HllAgg(_)))
+    ext.injectFunction(oneArg("cms_counters",
+      "cms_counters(h60) - Count-Min 4x256 counter array over 60-bit hashes",
+      graft.plans.CmsAgg(_)))
+    ext.injectFunction(oneArg("bloom_bits",
+      "bloom_bits(h60) - 8192-bit Bloom filter (128 longs) over 60-bit hashes",
+      graft.plans.BloomAgg(_)))
+
     ext.injectFunction((FunctionIdentifier("winnow"),
       info("winnow", "winnow(str, k, w) - winnowing fingerprints (k-gram rolling hash, window w)"),
       (es: Seq[Expression]) => {

@@ -51,6 +51,48 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Windowed distinct-user ESTIMATES via the engine's constant-state
+    * HLL aggregate ([[graft.plans.HllAgg]], q104's oracle-checked
+    * sketch) — the unbounded-stream shape: an exact windowed
+    * countDistinct holds one state row per (window, user), which grows
+    * without bound in the user dimension; the 512-byte register sketch
+    * keys state by WINDOW ONLY, so state size is windows × 512 bytes
+    * no matter how many distinct users flow through. Works identically
+    * on a batch frame (watermark is a no-op there) — StreamingSpec
+    * pins stream output == the batch run of this same function, and
+    * the register math itself is cross-engine-proven by q104. */
+  def hourlyDistinctUsers(events: DataFrame,
+                          lateness: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+    val hll = toC(graft.plans.HllAgg(toE(col("h"))).toAggregateExpression())
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), hll.as("_h"))
+      .select(col("window.start").as("hour"), col("n_events"),
+        // s_scaled is the exact integer register summary (stream ==
+        // batch bit-for-bit); the FP estimate sits here in the open.
+        // Unlike q104 (whose corpus cardinalities provably sit in the
+        // raw-estimator regime, so the branch would be dead code under
+        // the oracle), a streaming window CAN be nearly empty — a
+        // quiet hour with 30 users needs HLL's standard small-range
+        // correction (linear counting m·ln(m/V) when the raw estimate
+        // is under 2.5m and zero registers remain) or the raw
+        // estimator overshoots by an order of magnitude.
+        col("_h.s_scaled").as("s_scaled"), {
+          val m = graft.plans.HllAgg.m.toDouble
+          val raw = lit(graft.plans.HllAgg.alphaNum) /
+            col("_h.s_scaled").cast("double")
+          round(when(raw <= lit(2.5 * m) && col("_h.zero_regs") > 0,
+              lit(m) * log(lit(m) / col("_h.zero_regs").cast("double")))
+            .otherwise(raw), 1).as("distinct_users_est")
+        })
+  }
+
   /** Stream-static dimension enrichment: join each micro-batch against
     * a (small) static dimension frame with a broadcast hash join — the
     * streaming twin of the batch pipelines' dim preload (SURVEY §2 A6/

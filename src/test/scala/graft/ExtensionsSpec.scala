@@ -60,6 +60,42 @@ class ExtensionsSpec extends SparkSpec {
       assert(row2.getSeq[Long](2) === viaCols.getSeq[Long](2))
       assert(row2.getSeq[Long](3) === viaCols.getSeq[Long](3))
 
+      // the sketch AGGREGATE family from pure SQL: the registry
+      // builder returns the bare TypedImperativeAggregate and the
+      // analyzer wraps it — verify against driver-side replays of the
+      // same three hashes
+      val hs = Seq("a", "b", "c").map { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(15), 16)
+      }
+      val row3 = s.sql(s"""
+        SELECT hll_registers(h) AS hll, cms_counters(h) AS cms,
+               bloom_bits(h) AS bloom
+        FROM (VALUES (${hs(0)}L), (${hs(1)}L), (${hs(2)}L)) AS v(h)
+      """).head()
+      val regs = new Array[Int](512)
+      val cnt = new Array[Long](1024)
+      val bits = new Array[Long](128)
+      hs.foreach { h =>
+        val idx = (h >>> 51).toInt
+        val rem = h & ((1L << 51) - 1)
+        val rank = if (rem == 0L) 52
+          else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (rank > regs(idx)) regs(idx) = rank
+        for (j <- 0 until 4) cnt(j * 256 + ((h >>> (8 * j)) & 255L).toInt) += 1L
+        for (f <- 0 until 4) {
+          val b = ((h >>> (13 * f)) & 8191L).toInt
+          bits(b >>> 6) |= 1L << (b & 63)
+        }
+      }
+      val hll = row3.getStruct(0)
+      assert(hll.getLong(0) === regs.map(_.toLong).sum)
+      assert(hll.getLong(1) === regs.count(_ == 0).toLong)
+      assert(hll.getLong(2) === regs.map(x => 1L << (52 - x)).sum)
+      assert(row3.getSeq[Long](1) === cnt.toSeq)
+      assert(row3.getSeq[Long](2) === bits.toSeq)
+
       // the generator (UDTF) path: LATERAL VIEW over the injected fn
       val gen = s.sql("""
         SELECT pos, shingle

@@ -385,6 +385,65 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed HLL distinct: stream state stays sketch-sized, output == batch twin") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us // hour-ALIGNED: each batch below is one window
+    // hour 1: users 1..40, each appearing 3 times (120 events);
+    // hour 2: users 21..50 (overlap with hour 1 — windows are
+    // independent sketches)
+    val h1 = (1 to 40).flatMap(u =>
+      (0 until 3).map(i => Ev(u, t0 + (u + i) * min % (50 * min), 1.0)))
+    val h2 = (21 to 50).map(u => Ev(u, t0 + 60 * min + u * min % (50 * min), 1.0))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.hourlyDistinctUsers(input.toDS().toDF(),
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").start()
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    // push the watermark far ahead so both hours close and emit
+    input.addData(Ev(99, t0 + 600 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 1200 * min, 1.0))
+    q.processAllAvailable()
+    val streamed = spark.table("hll_out")
+      .select("hour", "n_events", "s_scaled", "distinct_users_est")
+      .collect().map(r => (r.getTimestamp(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+
+    // batch twin: the SAME function over the same rows as a plain
+    // frame (no watermark in batch, so it also reports the sentinel
+    // windows the stream hasn't closed — compare per window)
+    val batch = EventStreams.hourlyDistinctUsers((h1 ++ h2).toDS().toDF())
+      .select("hour", "n_events", "s_scaled", "distinct_users_est")
+      .collect().map(r => (r.getTimestamp(0), (r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val hour2 = new java.sql.Timestamp((t0 + 60 * min) / 1000)
+    assert(streamed.contains(hour1) && streamed.contains(hour2),
+      s"closed windows missing from stream output: ${streamed.keySet}")
+    // the sentinel watermark-pusher events exist only on the stream
+    // side — compare the two real windows (counts + exact register
+    // summary + estimate must agree bit-for-bit)
+    Seq(hour1, hour2).foreach { hour =>
+      assert(batch(hour) == streamed(hour),
+        s"stream/batch divergence at $hour: ${streamed(hour)} vs ${batch(hour)}")
+    }
+    assert(streamed(hour1)._1 == 120L && streamed(hour2)._1 == 30L)
+    // the estimates land in the raw-regime accuracy band (~3σ = 14%)
+    assert(math.abs(streamed(hour1)._3 - 40) / 40.0 < 0.15,
+      s"hour-1 est ${streamed(hour1)._3}")
+    assert(math.abs(streamed(hour2)._3 - 30) / 30.0 < 0.15,
+      s"hour-2 est ${streamed(hour2)._3}")
+    q.stop()
+  }
+
   test("streaming session_window + watermark emits closed sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
