@@ -112,6 +112,17 @@ object MediaOps {
       }
     }
 
+    /** JPEG-encode a raster. Lives HERE so every caller (q109's
+      * manufactured frames, the spec's fixtures) inherits this
+      * object's `ImageIO.setUseCache(false)` init — a bare
+      * `ImageIO.write` from a lambda that never touched this object
+      * spools every encode through a temp FILE in java.io.tmpdir. */
+    def encodeJpg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+
     /** Real resize: decode, scale through Graphics2D onto a w×h RGB
       * raster, re-encode as PNG. Headless-safe (BufferedImage needs no
       * display). */

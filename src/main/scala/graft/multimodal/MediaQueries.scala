@@ -209,9 +209,7 @@ object MediaQueries {
                   math.floorMod(id * 7 + i * 3, 256).toInt))
                 g.fillRect(0, 0, 16, 12)
               } finally g.dispose()
-              val bos = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(img, "jpg", bos)
-              bos.toByteArray
+              MediaOps.JdkImageCodec.encodeJpg(img)
             }
             MediaOps.MediaRecord(id, "video",
               MediaOps.JdkVideoCodec.aviWrap(frames, 100000L, 16, 12),

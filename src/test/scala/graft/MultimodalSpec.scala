@@ -178,9 +178,7 @@ class MultimodalSpec extends SparkSpec {
         g.setColor(new java.awt.Color(40 * i + 20, 10 * i + 5, 200 - 30 * i))
         g.fillRect(0, 0, 10, 7)
       } finally g.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "jpg", bos)
-      bos.toByteArray
+      MediaOps.JdkImageCodec.encodeJpg(img)
     }
     val bytes = MediaOps.JdkVideoCodec.aviWrap(frames, usPerFrame = 50000L,
       width = 10, height = 7)
