@@ -64,11 +64,20 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Millisecond precision and a median line SEPARATE from the final
+    // line: the driver captures a bounded tail of stdout and parses the
+    // last JSON it finds — r8's single line (32 queries × min+median at
+    // full double precision, ~3.4 KB) overflowed that buffer and the
+    // round's perf record came back parsed:null. The canonical record
+    // is the compact final line; medians ride one line above it.
+    def r3(v: Double) = if (v == -1.0) "-1" else f"$v%.3f"
     def js(xs: Seq[(String, Double)]) = xs.map { case (k, v) =>
-      s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,""" +
-      s""""queries":${js(mins)},"queries_median":${js(medians)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_median","value":${r3(medians.map(_._2).sum)},""" +
+      s""""unit":"sec","queries_median":${js(medians)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""queries":${js(mins)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,9 +192,12 @@ object ExtendedQueries {
         val types = part(s, d).select(col("p_type")).distinct()
         val a = types.select(col("p_type").as("ta"))
         val b = types.select(col("p_type").as("tb"))
+        // threshold 6: the generator's p_type vocabulary has a minimum
+        // pairwise distance of 5 at every SF, so ≤4 matched nothing —
+        // a vacuously-green hash. ≤6 is non-empty at sf0.001 upward.
         a.join(b, col("ta") < col("tb"))
           .withColumn("dist", levenshtein(col("ta"), col("tb")))
-          .filter(col("dist") <= 4)
+          .filter(col("dist") <= 6)
           .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
           .orderBy("dist")
       },
@@ -202,7 +205,7 @@ object ExtendedQueries {
         WITH t AS (SELECT DISTINCT p_type FROM part)
         SELECT levenshtein(a.p_type, b.p_type) AS dist, count(*) AS n_pairs
         FROM t a JOIN t b ON a.p_type < b.p_type
-        WHERE levenshtein(a.p_type, b.p_type) <= 4
+        WHERE levenshtein(a.p_type, b.p_type) <= 6
         GROUP BY 1 ORDER BY dist""")),
 
     // ── date arithmetic ────────────────────────────────────────────

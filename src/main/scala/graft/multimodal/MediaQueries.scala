@@ -24,23 +24,48 @@ object MediaQueries {
     * a later declaration would read 0 into the WHERE clause. */
   val maxBucketOccupancy = 1024
 
+  /** Deterministic "re-upload twin" planted in the q85/q113 media
+    * view: every `mirrorEvery`-th asset also appears under a mirror
+    * id. Real media corpora contain re-uploads of the same bytes; the
+    * driver's small-SF corpora (sf0.001/sf0.01) contain ZERO natural
+    * byte-identical texts, so without the twin the near-dup queries
+    * hash-matched on an EMPTY result — vacuously green (r8 verdict).
+    * With it the duplicate-pair path is exercised at every SF: 2
+    * planted pairs at 500 docs, 20 at 5000, on top of natural dups.
+    * Both constants interpolate into the DuckDB oracle at object
+    * init. */
+  val mirrorEvery = 250
+  val mirrorIdOffset = 1000000000L
+
+  /** q113's artifact name encodes the PIPELINE parameters (band width,
+    * mirror period) alongside the `Artifacts` dataset-content key: the
+    * dataset fingerprint alone can't see a code-level change to the
+    * pair derivation, and a stale artifact would silently serve the
+    * old pipeline's pairs. */
+  val mediaPairArtifactName = s"media_neardup_pairs_b12m$mirrorEvery"
+
   /** Shared q85/q113 oracle: the full embed → band → cap → cosine
     * pipeline replayed in DuckDB. */
   private lazy val mediaNearDupOracleSql: String = {
-    import graft.similarity.SimilarityQueries.planes16
+    import graft.similarity.SimilarityQueries.planes24
     def sqlPlane(p: Int) =
-      "[" + planes16(p).map(v => String.format(java.util.Locale.ROOT,
+      "[" + planes24(p).map(v => String.format(java.util.Locale.ROOT,
         "%.3f", Double.box(v))).mkString(", ") + "]::DOUBLE[]"
-    def bandExpr(band: Int) = (0 until 8).map(j =>
-      s"(CASE WHEN list_cosine_similarity(emb, ${sqlPlane(band * 8 + j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+    def bandExpr(band: Int) = (0 until 12).map(j =>
+      s"(CASE WHEN list_cosine_similarity(emb, ${sqlPlane(band * 12 + j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
       .mkString(" + ")
     val hexCat = (1 to 4).map(k => s"md5(text || chr($k))")
       .mkString(" || ")
     s"""
-        WITH m AS (
-          SELECT doc_id AS vec_id, $duckKind AS kind,
+        WITH m0 AS (
+          SELECT doc_id, $duckKind AS kind,
                  octet_length(encode(text)) AS blen, $hexCat AS hx
           FROM documents WHERE text IS NOT NULL),
+        m AS (
+          SELECT doc_id AS vec_id, kind, blen, hx FROM m0
+          UNION ALL
+          SELECT doc_id + $mirrorIdOffset, kind, blen, hx FROM m0
+          WHERE doc_id % $mirrorEvery = 0),
         e AS (
           SELECT vec_id, kind, blen, list_transform(generate_series(0, 63),
             j -> (CAST('0x' || substring(hx, 2*j + 1, 2) AS INTEGER)
@@ -110,33 +135,41 @@ object MediaQueries {
 
     // ── media near-dup: fingerprint embed → hyperplane LSH → cosine ─
     // The multimodal twin of q67: embed every asset, bucket by
-    // random-hyperplane bands (the wider 8-bit family), exact-cosine
+    // random-hyperplane bands (the wider 12-bit family), exact-cosine
     // only the bucket collisions. Identical bytes → identical
     // embedding → cos 1.0, so exact-duplicate assets always pair.
     //
     // The embedding here is [[md5Embed]] — a deterministic byte
     // fingerprint both engines compute bit-for-bit, which makes the
-    // whole pipeline (embed → 8-bit banding → occupancy cap → cosine
+    // whole pipeline (embed → 12-bit banding → occupancy cap → cosine
     // rerank) HASH-CHECKED against DuckDB, the q67 recipe. The
     // codec-based embed (real javax.imageio features for images, stub
     // for av) drives the same mediaNearDupPairs in MultimodalSpec —
     // the near-dup operator is embedding-agnostic.
     "q85_media_neardup" -> QuerySpec(
-      build = (s, d) => mediaNearDupPairs(
-        MediaOps.mediaFromDocuments(s, d)
+      build = (s, d) => {
+        val base = MediaOps.mediaFromDocuments(s, d)
           .select(col("media_id").as("vec_id"), col("kind"),
             length(col("bytes")).as("blen"),
             md5Embed(col("bytes")).as("embedding"))
+        // planted re-upload twins (see mirrorEvery) — keeps the
+        // duplicate-pair path non-vacuous at SFs whose corpora have
+        // no natural byte-identical texts
+        val mirrored = base.unionByName(
+          base.filter(col("vec_id") % mirrorEvery === 0)
+            .withColumn("vec_id", col("vec_id") + lit(mirrorIdOffset)))
+        mediaNearDupPairs(
           // exchange barrier: without it CollapseProject inlines the
-          // 4-md5/64-conv embed expression into each of the 16 band
-          // cosines above (16× recompute of the embed per row); one
+          // 4-md5/64-conv embed expression into each of the 24 band
+          // cosines above (24× recompute of the embed per row); one
           // narrow shuffle materializes the vector once instead
-          .repartition(col("vec_id")),
-        // payload byte length as an extra blocking key: lossless for
-        // the fingerprint embedding (md5 avalanche — different-length
-        // payloads never embed alike), and it keeps bucket occupancy
-        // flat as the corpus grows instead of n/buckets-linear
-        blockCols = Seq("blen")),
+          mirrored.repartition(col("vec_id")),
+          // payload byte length as an extra blocking key: lossless for
+          // the fingerprint embedding (md5 avalanche — different-length
+          // payloads never embed alike), and it keeps bucket occupancy
+          // flat as the corpus grows instead of n/buckets-linear
+          blockCols = Seq("blen"))
+      },
       oracle = Some(mediaNearDupOracleSql),
       bench = true),
 
@@ -255,7 +288,7 @@ object MediaQueries {
     // read path must reproduce the build path bit-for-bit.
     "q113_media_pair_index" -> QuerySpec(
       build = (s, d) => {
-        val dir = graft.text.Artifacts.dir(d, "media_neardup_pairs")
+        val dir = graft.text.Artifacts.dir(d, mediaPairArtifactName)
         graft.text.Artifacts.materialize(dir) { tmp =>
           queries("q85_media_neardup").build(s, d)
             .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
@@ -293,9 +326,12 @@ object MediaQueries {
     * quadratic is tamed by (a) blocking on `kind` plus any caller-
     * provided `blockCols` (q85 adds the payload byte length — lossless
     * for a fingerprint embedding, since differing-length payloads
-    * never embed alike anyway), (b) 8-bit bands — 256 buckets each
-    * from the wider plane family — and (c) the hard per-bucket
-    * [[maxBucketOccupancy]] cap.
+    * never embed alike anyway), (b) 12-bit bands — 4096 buckets each
+    * from the wider plane family (8-bit through round 8; the width
+    * cuts candidate-pair counts ~16× and costs no recall for the
+    * cos > 0.9 pairs a fingerprint embedding can produce, which are
+    * byte-identical and band identically at any width) — and (c) the
+    * hard per-bucket [[maxBucketOccupancy]] cap.
     *
     * Memory shape: the bucket groupBy and pair explode carry ONLY
     * vec_ids (16 bytes/pair); embeddings are joined back just for the
@@ -307,7 +343,7 @@ object MediaQueries {
   def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame,
                         blockCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
-    import graft.similarity.SimilarityQueries.hyperplaneBand8
+    import graft.similarity.SimilarityQueries.hyperplaneBand12
     import graft.similarity.VectorFunctions.cosine
     // a zero-norm embedding (empty payload) has NaN cosine with every
     // plane AND every candidate; NaN compares greater-than in Spark,
@@ -319,8 +355,8 @@ object MediaQueries {
     val block = "kind" +: blockCols
     val banded = clean
       .select(col("vec_id") +: block.map(col) :+
-        posexplode(array(hyperplaneBand8(col("embedding"), 0),
-          hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")): _*)
+        posexplode(array(hyperplaneBand12(col("embedding"), 0),
+          hyperplaneBand12(col("embedding"), 1))).as(Seq("band", "bucket")): _*)
     // pre-cap each bucket with the bounded-heap operator BEFORE the
     // list materializes: a degenerate hot bucket retains exactly
     // cap+1 rows (the marker that it overflowed) instead of building

@@ -71,26 +71,31 @@ object SimilarityQueries {
       when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** Wider 8-bit band signature over a SEPARATE 16-plane family (same
+  /** Wider 12-bit band signature over a SEPARATE 24-plane family (same
     * md5 derivation, distinct seed tag) for callers without a natural
-    * blocking key (q85 media near-dup): 256 buckets per band instead
-    * of 16, so bucket occupancy — and the quadratic pair expansion —
-    * shrinks 16× for the same corpus. Not used by the oracle-checked
-    * q54/q67, whose SQL embeds the 8-plane family literals. */
-  private[graft] lazy val planes16: Array[Array[Double]] = {
+    * blocking key (q85 media near-dup): 4096 buckets per band instead
+    * of the 4-bit family's 16, so bucket occupancy — and the quadratic
+    * pair expansion — shrinks 256× for the same corpus (was 8-bit/256
+    * buckets through round 8; the pair expansion dominated the q85
+    * build at 100×, and for a fingerprint embedding recall is
+    * unaffected — only byte-identical payloads clear cos > 0.9, and
+    * identical embeddings band identically at ANY width). Not used by
+    * the oracle-checked q54/q67, whose SQL embeds the 8-plane family
+    * literals. */
+  private[graft] lazy val planes24: Array[Array[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(16) { p =>
+    Array.tabulate(24) { p =>
       Array.tabulate(dim) { j =>
-        val hex = md.digest(s"plane16:$p:$j".getBytes("UTF-8"))
+        val hex = md.digest(s"plane24:$p:$j".getBytes("UTF-8"))
           .map("%02x".format(_)).mkString.take(15)
         ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
       }
     }
   }
 
-  private[graft] def hyperplaneBand8(v: Column, band: Int): Column =
-    (0 until 8).map { j =>
-      val plane = typedlit(planes16(band * 8 + j))
+  private[graft] def hyperplaneBand12(v: Column, band: Int): Column =
+    (0 until 12).map { j =>
+      val plane = typedlit(planes24(band * 12 + j))
       when(cosine(v, plane) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * of the pipeline (scan → fingerprint embed → banding → capped
   * posting lists → pairs+rerank) so a scale regression names its
   * stage. Shares the SHIPPED building blocks (md5Embed,
-  * hyperplaneBand8, mediaNearDupPairs) — the probe can't drift from
+  * hyperplaneBand12, mediaNearDupPairs) — the probe can't drift from
   * the query. `hash(...)` forces whole-array computation where a
   * narrow aggregate would let the optimizer prune the embed down to
   * one element. */
@@ -17,7 +17,7 @@ object MediaProbe {
     val d = a(0)
     val runs = if (a.length > 1) a(1).toInt else 2
     import graft.multimodal.{MediaOps, MediaQueries}
-    import graft.similarity.SimilarityQueries.hyperplaneBand8
+    import graft.similarity.SimilarityQueries.hyperplaneBand12
 
     def time(name: String)(f: => Long): Unit =
       for (i <- 1 to runs) {
@@ -36,8 +36,8 @@ object MediaProbe {
     time("embed")(emb.agg(sum(hash(col("embedding")))).head.getLong(0))
     time("banded") {
       emb.select(col("vec_id"), col("kind"), col("blen"),
-          posexplode(array(hyperplaneBand8(col("embedding"), 0),
-            hyperplaneBand8(col("embedding"), 1))).as(Seq("band", "bucket")))
+          posexplode(array(hyperplaneBand12(col("embedding"), 0),
+            hyperplaneBand12(col("embedding"), 1))).as(Seq("band", "bucket")))
         .agg(sum(col("bucket"))).head.getLong(0)
     }
     time("full")(MediaQueries.queries("q85_media_neardup").build(spark, d).count())

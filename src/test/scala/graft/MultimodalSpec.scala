@@ -254,7 +254,8 @@ class MultimodalSpec extends SparkSpec {
       assert(q113.toSeq == q85.toSeq,
         "the artifact read path must reproduce the build path")
       // artifact exists and a second read adds nothing
-      val dir = graft.text.Artifacts.dir(sf, "media_neardup_pairs")
+      val dir = graft.text.Artifacts.dir(sf,
+        graft.multimodal.MediaQueries.mediaPairArtifactName)
       assert(java.nio.file.Files.isDirectory(dir))
       val mtime = java.nio.file.Files.getLastModifiedTime(dir)
       assert(graft.multimodal.MediaQueries.queries("q113_media_pair_index")
