@@ -38,6 +38,33 @@ object PairIndex {
   }
 }
 
+/** See [[PairIndex]] — the same recipe for q24's df-capped inverted
+  * shingle index, the heaviest recurring structure not yet
+  * materialized (13 s at 100× per invocation, ~2/3 of it the
+  * corpus-scale explode + skey exchange this artifact pays once).
+  * Stored rows are the POSTING LISTS (skey, sorted packed (doc_id, n)
+  * longs) for shingles shared by >=2 documents and under the df cap —
+  * posting-scale, not corpus-scale: singleton shingles (the vast
+  * majority of natural text) never reach the artifact. */
+object PostingIndex {
+
+  /** Df-capped Jaccard posting lists for the documents under `d`, from
+    * the artifact when present, else built via q24's index pipeline
+    * and materialized. The artifact name encodes the df cap: a cap
+    * change is a pipeline change, and the dataset-content key alone
+    * can't see it. */
+  def load(s: SparkSession, d: String): DataFrame = {
+    val dir = Artifacts.dir(d,
+      s"jaccard_postings_df${TextQueries.jaccardDfCap}")
+    Artifacts.materialize(dir) { tmp =>
+      TextQueries.jaccardPostings(TextQueries.jaccardIndexRows(
+          graft.analytics.Tables.documents(s, d)))
+        .write.mode("overwrite").parquet(tmp.resolve("postings").toString)
+    }
+    s.read.parquet(dir.resolve("postings").toString)
+  }
+}
+
 /** See [[PairIndex]]. */
 object ClusterIndex {
 

@@ -25,8 +25,9 @@ object TextQueries {
 
   /** q24 document-frequency cut: shingles appearing in more than this
     * many documents are dropped from the inverted index (both engines).
-    * See the q24 comment for the rationale. */
-  private val jaccardDfCap = 128
+    * See the q24 comment for the rationale. Exposed to [[PostingIndex]],
+    * whose artifact name encodes it. */
+  private[graft] val jaccardDfCap = 128
 
   /** Deterministic 0-99 hash band of doc_id — THE banding primitive
     * for reproducible splits (q71) and mixtures (q75): a pure function
@@ -123,6 +124,46 @@ object TextQueries {
       .agg(array_sort(collect_list(col("dn"))).as("docs"))
       .filter(size(col("docs")) > 1 &&
         size(col("docs")) <= jaccardDfCap)
+
+  /** The q24 tail over a posting-list frame (`docs`: sorted packed
+    * (doc_id, n) longs): pair expansion → shared-shingle counts →
+    * Jaccard ≥ 0.3. ONE definition for the direct build (q24) and the
+    * artifact read path (q114) — the two can't drift. */
+  private[graft] def jaccardPairsFromPostings(postings: DataFrame): DataFrame =
+    postings
+      .select(explode(pairExpand(col("docs"))).as("p"))
+      .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
+      .agg(count(lit(1)).as("shared"))
+      .select(shiftright(col("dx"), 20).as("da"),
+        shiftright(col("dy"), 20).as("db"), col("shared"),
+        graft.analytics.StableRound.r4(col("shared").cast("double") /
+          (col("dx").bitwiseAND(lit(1048575L)) +
+           col("dy").bitwiseAND(lit(1048575L)) - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("da", "db")
+
+  /** Shared q24/q114 oracle: the full index → cap → pair → Jaccard
+    * pipeline replayed in DuckDB. */
+  private lazy val jaccardPairsOracleSql: String = s"""
+        WITH $duckShingles,
+        sk0 AS (SELECT doc_id, n,
+                       xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
+                           ('0x' || substring(md5(lang), 1, 15))::BIGINT)
+                         AS skey
+                FROM sh),
+        sk AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY skey) df FROM sk0)
+               WHERE df <= $jaccardDfCap),
+        p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
+                     any_value(a.n) na, any_value(b.n) nb
+              FROM sk a JOIN sk b
+                ON a.skey = b.skey AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+        SELECT da, db, shared,
+               floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 AS jaccard
+        FROM p WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 >= 0.3
+        ORDER BY da, db"""
 
   /** THE minhash banding: explode a frame carrying `doc_id` and a
     * 16-piece `sig` into its 8 two-piece band keys, one row per
@@ -243,45 +284,30 @@ object TextQueries {
     // test SFs the observed max df is 14, so the cap provably changes
     // nothing there while bounding the worst case at corpus scale.
     "q24_jaccard_pairs" -> QuerySpec(
-      build = (s, d) => {
+      build = (s, d) =>
         // inverted index: shingle -> sorted posting list of (doc_id, n);
         // pairs sharing >=1 shingle come from per-list pair expansion.
         // The index key is a 60-bit md5 prefix computed inside the
         // per-row shingle_hashes kernel (identical arithmetic in the
         // oracle, so grouping is bit-equal cross-engine): an 8-byte
         // shuffle key, and the shingle strings never leave the row.
-        jaccardPostings(jaccardIndexRows(Tables.documents(s, d)))
-          .select(explode(pairExpand(col("docs"))).as("p"))
-          .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
-          .agg(count(lit(1)).as("shared"))
-          .select(shiftright(col("dx"), 20).as("da"),
-            shiftright(col("dy"), 20).as("db"), col("shared"),
-            graft.analytics.StableRound.r4(col("shared").cast("double") /
-              (col("dx").bitwiseAND(lit(1048575L)) +
-               col("dy").bitwiseAND(lit(1048575L)) - col("shared")))
-              .as("jaccard"))
-          .filter(col("jaccard") >= 0.3)
-          .orderBy("da", "db")
-      },
-      oracle = Some(s"""
-        WITH $duckShingles,
-        sk0 AS (SELECT doc_id, n,
-                       xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
-                           ('0x' || substring(md5(lang), 1, 15))::BIGINT)
-                         AS skey
-                FROM sh),
-        sk AS (SELECT * FROM (
-                 SELECT *, count(*) OVER (PARTITION BY skey) df FROM sk0)
-               WHERE df <= $jaccardDfCap),
-        p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
-                     any_value(a.n) na, any_value(b.n) nb
-              FROM sk a JOIN sk b
-                ON a.skey = b.skey AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-        SELECT da, db, shared,
-               floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 AS jaccard
-        FROM p WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 >= 0.3
-        ORDER BY da, db"""),
+        jaccardPairsFromPostings(
+          jaccardPostings(jaccardIndexRows(Tables.documents(s, d)))),
+      oracle = Some(jaccardPairsOracleSql),
+      bench = true),
+
+    // ── q24 served from the materialized posting-list artifact ─────
+    // The q99/q108/q113 treatment applied to q24's dominant cost: the
+    // df-capped inverted index (corpus-scale explode + ONE skey
+    // exchange) is a per-dataset structure, so [[PostingIndex]] pays
+    // it once, content-keyed, and every Jaccard consumer — this query,
+    // dedup reports, any future similarity join — reads posting-scale
+    // parquet (shingles shared by >=2 docs only, orders of magnitude
+    // smaller than the exploded corpus). Same oracle as q24: the read
+    // path must reproduce the build path bit-for-bit.
+    "q114_jaccard_from_index" -> QuerySpec(
+      build = (s, d) => jaccardPairsFromPostings(PostingIndex.load(s, d)),
+      oracle = Some(jaccardPairsOracleSql),
       bench = true),
 
     // ── MinHash + LSH banding near-dup (the 100 TB dedup path) ─────

@@ -599,6 +599,34 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q114 posting index: builds once, reuses from disk, equals q24") {
+    val root = java.nio.file.Files.createTempDirectory("graft-pi-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def runText(name: String) =
+        graft.text.TextQueries.queries(name).build(spark, sf)
+      val q24 = runText("q24_jaccard_pairs").collect()
+      val first = runText("q114_jaccard_from_index").collect()
+      assert(first.toSeq == q24.toSeq,
+        "the artifact read path must reproduce the direct build")
+      val dir = graft.text.Artifacts.dir(sf,
+        s"jaccard_postings_df${graft.text.TextQueries.jaccardDfCap}")
+      assert(java.nio.file.Files.isDirectory(dir))
+      val mtime = java.nio.file.Files.getLastModifiedTime(dir)
+      // second read: same rows, no rebuild
+      assert(runText("q114_jaccard_from_index").collect().toSeq == q24.toSeq)
+      assert(java.nio.file.Files.getLastModifiedTime(dir) == mtime,
+        "a second read must serve the existing artifact")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("q108 cluster index: pair + label artifacts build once, read path equals q82") {
     val root = java.nio.file.Files.createTempDirectory("graft-ci-spec")
     val prev = sys.props.get("graft.artifacts.dir")
