@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The public corpus-curation facade: ONE documented entry point that
+  * composes the engine's hygiene operators — each individually
+  * oracle-checked as a numbered query — into the standard
+  * training-data pipeline:
+  *
+  *   1. '''Quality floor''' (q21/q73): composite quality score
+  *      (length / punctuation / stopword-ratio) ≥ `qualityMin`.
+  *   2. '''Decontamination''' (q112 → q77): drop documents sharing a
+  *      5-token shingle with the evaluation set. The eval set's
+  *      shingle hashes fold into a 1 KiB Bloom sketch
+  *      ([[graft.plans.BloomAgg]]) whose bit test gates the corpus
+  *      NARROWLY — a Bloom miss is proof of absence, so only the
+  *      (tiny) surviving shingle stream reaches the exact broadcast
+  *      join. The corpus is never shuffled by value.
+  *   3. '''Exact dedup''' (q22/q23): first document per content
+  *      fingerprint (md5 of normalized text) survives.
+  *   4. '''Near-dup dedup''' (q25/q82/q108): one document per
+  *      duplicate cluster. Cluster labels come from the
+  *      [[graft.text.ClusterIndex]] ARTIFACT — the pair set and its
+  *      transitive closure are built once per dataset fingerprint and
+  *      read from parquet ever after. Within each cluster the
+  *      earliest SURVIVING doc is kept (a cluster whose
+  *      representative already fell to quality/decontamination still
+  *      keeps its best member).
+  *   5. '''Mixture''' (q102): temperature keep-rates per source —
+  *      thin head sources toward the α=0.5 smoothed distribution,
+  *      deterministically by md5 band (a pure function of doc_id, so
+  *      the sample survives reshards and reruns).
+  *   6. '''Epoch order''' (q92/q100): the curated set is written
+  *      shard-partitioned in reproducible md5-key order via
+  *      [[graft.text.TrainOrder.writeEpochOf]] — no global sort, no
+  *      window, spillable per-task sorts.
+  *
+  * Every stage is a declarative plan over the previous stage's frame:
+  * the whole funnel is ONE lazily-composed query per action, and the
+  * per-stage counts the report returns are computed with a union (the
+  * q73 discipline), so no stage can be optimized away under count().
+  *
+  * Scale: the only corpus-scale exchanges are the ones the numbered
+  * queries already pinned — the fingerprint window (stage 3), the
+  * shard repartition (stage 6). Stages 1/2/5 are narrow scans with
+  * broadcast/bounded side inputs; stage 4 joins against the
+  * pair-scale label artifact.
+  *
+  * `sbt "runMain graft.tools.CurationDemo <sfDir> <outDir>"` runs the
+  * whole pipeline against a test-data dir and prints the report.
+  */
+object Curation {
+
+  /** Per-stage survivor count, in pipeline order. */
+  case class StageCount(stage: Int, name: String, n_docs: Long)
+
+  /** The curation funnel's result: the curated frame (lazy — nothing
+    * has executed unless `epochDir` was set) plus the realized
+    * per-stage counts (one job). */
+  case class Report(curated: DataFrame, stages: Seq[StageCount])
+
+  /** Run the full curation funnel over the documents under
+    * `corpusDir`.
+    *
+    * @param bench       evaluation documents to decontaminate against
+    *                    (any frame with a `text` string column); pass
+    *                    None to skip the stage
+    * @param qualityMin  stage-1 floor on the composite quality score
+    * @param mixBase     stage-5 keep-rate base: a source keeps
+    *                    min(1, mixBase/10000 · sqrt(n_max/n)) of its
+    *                    docs (q102's 2000 default ≈ keep 20% of the
+    *                    largest source, everything of sources ≤ 4% of
+    *                    its size); pass 0 to skip the stage
+    * @param epochDir    when set, write the curated epoch order here
+    *                    (stage 6) — the one eager action
+    */
+  def curate(spark: SparkSession, corpusDir: String,
+             bench: Option[DataFrame] = None,
+             qualityMin: Double = 0.55,
+             mixBase: Long = 2000L,
+             epochDir: Option[String] = None,
+             epoch: Int = 0, shards: Int = 8): Report = {
+    import graft.text.TextFunctions._
+    GraftSession.configure(spark)
+
+    val raw = graft.analytics.Tables.documents(spark, corpusDir)
+      .filter(col("text").isNotNull)
+
+    // 1 ── quality floor (narrow scan)
+    val qual = raw.filter(
+      quality_score_t(col("text"), tokens(col("text"))) >= qualityMin)
+
+    // 2 ── decontamination: Bloom gate, then exact broadcast join
+    val clean = bench match {
+      case None => qual
+      case Some(b) =>
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val benchSh = b.filter(col("text").isNotNull)
+          .select(explode(shingle_hashes(col("text"), 5)).as("h")).distinct()
+        // the eval set's 1 KiB Bloom sketch, collected once (driver-
+        // bounded by construction: the aggregate returns 128 longs)
+        val bloomAgg = toC(graft.plans.BloomAgg(toE(col("h")))
+          .toAggregateExpression())
+        val words = benchSh.agg(bloomAgg.as("w")).head().getSeq[Long](0).toArray
+        val w = typedlit(words)
+        val hit = (0 until graft.plans.BloomAgg.k).map { f =>
+          val bit = shiftright(col("h"), graft.plans.BloomAgg.fieldBits * f)
+            .bitwiseAND(lit((graft.plans.BloomAgg.m - 1).toLong))
+          element_at(w, (bit / 64).cast("int") + lit(1))
+            .bitwiseAND(call_function("shiftleft", lit(1L),
+              pmod(bit, lit(64L)).cast("int"))) =!= 0
+        }.reduce(_ && _)
+        val contaminated = qual
+          .select(col("doc_id"), explode(shingle_hashes(col("text"), 5)).as("h"))
+          // the gate: Bloom misses are PROVABLY absent from the eval
+          // set and never reach the join — the q112 shape
+          .filter(hit)
+          .join(broadcast(benchSh), Seq("h"))
+          .select(col("doc_id")).distinct()
+        qual.join(contaminated, Seq("doc_id"), "left_anti")
+    }
+
+    // 3 ── exact dedup: first doc per content fingerprint
+    val exact = clean
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(doc_fingerprint(col("text")))
+          .orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn")
+
+    // 4 ── near-dup dedup: one survivor per duplicate cluster, labels
+    // from the content-keyed artifact (built once per dataset)
+    val labels = graft.text.ClusterIndex.load(spark, corpusDir)
+      .select(col("doc_id"), col("rep"))
+    val deduped = exact
+      .join(labels, Seq("doc_id"), "left")
+      // singletons (no pair) are their own cluster
+      .withColumn("_cluster", coalesce(col("rep"), col("doc_id")))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_cluster")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1).drop("_rn", "_cluster", "rep")
+
+    // 5 ── temperature mixture (q102 keep-rates over the SURVIVORS)
+    val mixed =
+      if (mixBase <= 0) deduped
+      else {
+        val counts = deduped.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val nMax = counts.agg(max(col("n"))).head.getLong(0)
+        val th = counts.select(col("source"),
+          least(floor(lit(mixBase.toDouble) *
+            sqrt(lit(nMax).cast("double") / col("n"))).cast("long"),
+            lit(10000L)).as("_th"))
+        deduped.join(broadcast(th), "source")
+          .filter(expr(
+            "conv(substring(md5(concat('mix0|', cast(doc_id as string))), 1, 8), 16, 10)")
+            .cast("long") % 10000 < col("_th"))
+          .drop("_th")
+      }
+
+    // 6 ── reproducible epoch order (the one eager action)
+    epochDir.foreach(out =>
+      graft.text.TrainOrder.writeEpochOf(
+        mixed.select(col("doc_id"), col("source"), col("lang"), col("text")),
+        out, epoch, shards))
+
+    // per-stage counts as ONE union job — the q73 discipline: every
+    // branch's row count depends on its own stage actually running
+    def cnt(df: DataFrame, stage: Int, name: String) =
+      df.agg(count(lit(1)).as("n"))
+        .select(lit(stage).as("stage"), lit(name).as("name"), col("n"))
+    val stages = cnt(raw, 1, "raw")
+      .unionByName(cnt(qual, 2, "quality"))
+      .unionByName(cnt(clean, 3, "decontaminated"))
+      .unionByName(cnt(exact, 4, "exact_dedup"))
+      .unionByName(cnt(deduped, 5, "near_dedup"))
+      .unionByName(cnt(mixed, 6, "mixed"))
+      .orderBy("stage").collect()
+      .map(r => StageCount(r.getInt(0), r.getString(1), r.getLong(2)))
+
+    Report(mixed, stages.toSeq)
+  }
+}

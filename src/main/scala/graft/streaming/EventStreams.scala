@@ -93,6 +93,50 @@ object EventStreams {
         })
   }
 
+  /** Windowed per-user event-frequency ESTIMATES via the engine's
+    * Count-Min aggregate ([[graft.plans.CmsAgg]], q110's oracle-checked
+    * sketch) — the frequency twin of [[hourlyDistinctUsers]]: an exact
+    * windowed per-user count holds one state row per (window, user),
+    * unbounded in users, while the 4×256-counter sketch keys state by
+    * WINDOW ONLY (8 KiB/window at any user cardinality). `probeUsers`
+    * is the bounded heavy-hitter candidate set a monitoring pipeline
+    * tracks; estimates are `least` over the 4 counter rows each hash
+    * byte lands in — one-sided (never under the true count), the q110
+    * discipline. Works identically on a batch frame; StreamingSpec
+    * pins stream output == the batch run of this same function. */
+  def hourlyUserFrequencies(events: DataFrame, probeUsers: Seq[Long],
+                            lateness: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+    require(probeUsers.nonEmpty && probeUsers.size <= 1024,
+      "probe set must be bounded (driver-held literals)")
+    val cms = toC(graft.plans.CmsAgg(toE(col("h"))).toAggregateExpression())
+    // driver-side 60-bit md5 of each probe id — the same arithmetic as
+    // the stream-side `h` column below, so probes index the counters
+    // the stream updated
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val probes = array(probeUsers.map(u =>
+      struct(lit(u).as("user_id"), lit(h60(u.toString)).as("ph"))): _*)
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), cms.as("_c"))
+      .select(col("window.start").as("hour"), col("n_events"),
+        explode(probes).as("p"), col("_c"))
+      .select(col("hour"), col("n_events"), col("p.user_id").as("user_id"),
+        least((0 until graft.plans.CmsAgg.d).map { j =>
+          col("_c")(lit(j * graft.plans.CmsAgg.w) +
+            shiftright(col("p.ph"), 8 * j).bitwiseAND(lit(255L)).cast("int"))
+        }: _*).as("est_events"))
+  }
+
   /** Stream-static dimension enrichment: join each micro-batch against
     * a (small) static dimension frame with a broadcast hash join — the
     * streaming twin of the batch pipelines' dim preload (SURVEY §2 A6/

@@ -151,6 +151,105 @@ object StreamingNearDup {
     entries
   }
 
+  // ──────────────────────── "seen" bloom gate ──────────────────────
+  // The streaming twin of q112's decontamination pre-filter: one
+  // merged Bloom sketch (`_bloom`, 1 KiB — [[graft.plans.BloomAgg]]'s
+  // 8192-bit/4-probe layout, the oracle-checked aggregate) over the
+  // 60-bit md5 keys of EVERY registered band bucket. A bucket whose 4
+  // bits aren't all set has provably never been registered (Bloom
+  // admits no false negatives), so it is dropped from the state probe
+  // BEFORE any state directory is listed or opened — in the steady
+  // state of an all-new micro-batch the probe empties and the trigger
+  // skips the state read entirely. False positives (including a
+  // replayed batch's own bits) only cost the shortcut: survivors of
+  // the gate still go through the exact semi-join.
+  //
+  // Maintenance mirrors the manifest: single-writer (dedupBatch),
+  // atomic tmp+rename, written AFTER the batch's state lands (a crash
+  // in between replays the batch, and bitwise-OR is idempotent), and
+  // absent/corrupt files self-heal by one full state scan. A PARTIAL
+  // bloom would be the one dangerous state (missing bits = false
+  // negatives = missed suppression), which is why absence triggers a
+  // rebuild rather than starting empty over legacy state.
+
+  private def bloomFile(stateDir: String) = new Path(stateDir, "_bloom")
+
+  /** 60-bit md5 key of a band bucket — identical expression on the
+    * build (OR into the sketch) and probe (bit test) sides. */
+  private def bucketHash60: org.apache.spark.sql.Column =
+    graft.text.TextQueries.md5Hash60(
+      concat_ws("|", col("band"), col("ha"), col("hb")))
+
+  /** Bloom words of a (band, ha, hb) frame, via the q112 aggregate. */
+  private def bloomWords(bk: DataFrame): Array[Long] = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+    val agg = toC(graft.plans.BloomAgg(toE(bucketHash60)).toAggregateExpression())
+    bk.agg(agg.as("w")).head().getSeq[Long](0).toArray
+  }
+
+  /** All-k-bits-set test against a driver-held word array — the gate
+    * predicate. The dynamic mask shift goes through `call_function`
+    * (the DSL's shiftleft only takes a literal shift). */
+  private def bloomHit(words: Array[Long]): org.apache.spark.sql.Column = {
+    import graft.plans.BloomAgg.{k, fieldBits, m}
+    val w = typedlit(words)
+    (0 until k).map { f =>
+      val bit = shiftright(bucketHash60, fieldBits * f)
+        .bitwiseAND(lit((m - 1).toLong))
+      element_at(w, (bit / 64).cast("int") + lit(1))
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(bit, lit(64L)).cast("int"))) =!= 0
+    }.reduce(_ && _)
+  }
+
+  private[graft] def readBloom(spark: SparkSession,
+      stateDir: String): Option[Array[Long]] = {
+    val f = bloomFile(stateDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(f)) None
+    else try {
+      val in = fs.open(f)
+      val bytes = try in.readAllBytes() finally in.close()
+      if (bytes.length != graft.plans.BloomAgg.words * 8) None // corrupt
+      else {
+        val out = new Array[Long](graft.plans.BloomAgg.words)
+        java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def writeBloom(spark: SparkSession, stateDir: String,
+      words: Array[Long]): Unit = {
+    val f = bloomFile(stateDir)
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(stateDir, "._bloom.tmp")
+    val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+    bb.asLongBuffer().put(words)
+    val out = fs.create(tmp, true)
+    try out.write(bb.array()) finally out.close()
+    fs.delete(f, false)
+    if (!fs.rename(tmp, f))
+      throw new java.io.IOException(s"bloom write failed for $stateDir")
+  }
+
+  /** One full state scan → fresh bloom (absent/corrupt heal; legacy
+    * state dirs migrate on first trigger). Reads every batch's leaf
+    * dirs via the manifest — the same discovery bound as the probe. */
+  private[graft] def rebuildBloom(spark: SparkSession,
+      stateDir: String): Array[Long] = {
+    val entries = readManifest(spark, stateDir)
+      .getOrElse(rebuildManifest(spark, stateDir))
+    val paths = for ((b, sbs) <- entries.toSeq.sortBy(_._1); sb <- sbs.sorted)
+      yield s"$stateDir/_batch=$b/_sb=$sb"
+    val words =
+      if (paths.isEmpty) new Array[Long](graft.plans.BloomAgg.words)
+      else bloomWords(spark.read.option("basePath", stateDir)
+        .parquet(paths: _*).select("band", "ha", "hb"))
+    writeBloom(spark, stateDir, words)
+    words
+  }
+
   /** Above this many batch bucket rows the broadcast probe gives way
     * to a shuffle semi-join: an unbounded AvailableNow backfill batch
     * (no source rate limit) must not be forced through the driver as
@@ -196,36 +295,54 @@ object StreamingNearDup {
     }
     val buckets = bandBuckets(batch).cache()
     try {
-      val registered: Option[DataFrame] = {
+      val stateExists = {
         val p = new Path(stateDir)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p) && fs.listStatus(p).nonEmpty) {
-          // the `_sb` values this batch touches — at most
+        fs.exists(p) && fs.listStatus(p).exists(s =>
+          s.isDirectory && s.getPath.getName.startsWith("_batch="))
+      }
+      // the merged "seen" bloom (see the gate section above): absent
+      // over existing state → one-time rebuild, never a partial start
+      val seen: Option[Array[Long]] =
+        if (!stateExists) None
+        else Some(readBloom(spark, stateDir)
+          .getOrElse(rebuildBloom(spark, stateDir)))
+      // the gate: only buckets the bloom says MAY be registered probe
+      // the state — a miss is proof of absence, and an all-new batch
+      // skips the state read entirely
+      val probe = seen match {
+        case Some(words) => buckets.filter(bloomHit(words))
+        case None => buckets
+      }
+      val registered: Option[DataFrame] =
+        if (!stateExists) None
+        else {
+          // the `_sb` values the GATED probe touches — at most
           // stateBucketCount rows, a driver-safe bounded collect —
           // drive partition pruning of the state read: untouched
           // `_sb=<n>` dirs are never opened
-          val touched = buckets.select(sbCol.as("_sb")).distinct()
+          val touched = probe.select(sbCol.as("_sb")).distinct()
             .collect().map(_.getInt(0)).toSeq
           // a REPLAYED batch (crash between write and checkpoint
           // commit) finds its own _batch=<id> partition already
           // registered; reading it back would make every document
           // self-collide and overwrite the kept output as empty —
           // exclude the current batch id from the state read
-          Some(prunedState(spark, stateDir, batchId, touched))
-        } else None
-      }
+          if (touched.isEmpty) None
+          else Some(prunedState(spark, stateDir, batchId, touched))
+        }
       // suppressed by an earlier batch: any bucket already registered.
       // Join ORDER matters at scale: the state is 8 rows per document
       // EVER seen, the batch is one micro-batch — so probe the state
-      // scan with a BROADCAST of the batch's buckets (state-side rows
-      // stream through the hash probe, never shuffled). The naive
+      // scan with a BROADCAST of the batch's gated buckets (state-side
+      // rows stream through the hash probe, never shuffled). The naive
       // `batch left_semi state` would shuffle the entire state table
       // every trigger (left-semi can only broadcast its right side).
       val hitState = registered match {
-        case Some(st) if buckets.count() <= maxBroadcastBuckets =>
-          stateHits(st, buckets)
+        case Some(st) if probe.count() <= maxBroadcastBuckets =>
+          stateHits(st, probe)
         case Some(st) => // oversized backfill batch: shuffle semi-join
-          buckets.join(st.select("band", "ha", "hb"),
+          probe.join(st.select("band", "ha", "hb"),
             Seq("band", "ha", "hb"), "left_semi")
             .select(col("doc_id")).distinct()
         case None => spark.range(0).select(col("id").as("doc_id"))
@@ -265,6 +382,16 @@ object StreamingNearDup {
       val entries = readManifest(spark, stateDir)
         .getOrElse(rebuildManifest(spark, stateDir))
       writeManifest(spark, stateDir, entries + (batchId -> sbs))
+      // fold this batch's bucket bits into the merged bloom LAST —
+      // `seen` already holds the pre-batch merge (rebuilt when the
+      // file was absent), so one elementwise OR suffices; a replay
+      // re-ORs the same bits (idempotent)
+      val merged = seen.getOrElse(new Array[Long](graft.plans.BloomAgg.words))
+        .clone()
+      val add = bloomWords(buckets.select("band", "ha", "hb"))
+      var i = 0
+      while (i < merged.length) { merged(i) |= add(i); i += 1 }
+      writeBloom(spark, stateDir, merged)
     } finally buckets.unpersist()
   }
 

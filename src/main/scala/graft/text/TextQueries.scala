@@ -34,7 +34,7 @@ object TextQueries {
     * of the key, identical on both engines, so assignments survive
     * reshards, reruns, and engine swaps. Keep [[duckHashBand]] in
     * byte-lockstep. */
-  private[text] def hashBand100: org.apache.spark.sql.Column =
+  private[graft] def hashBand100: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr(
       "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
       .cast("long") % 100

@@ -39,7 +39,14 @@ object TrainOrder {
     * `out`: one directory per shard, rows in md5-key order on disk. */
   def writeEpoch(s: SparkSession, d: String, out: String,
                  epoch: Int = 0, shards: Int = 8): Unit =
-    epochOrder(Tables.documents(s, d), epoch, shards)
+    writeEpochOf(Tables.documents(s, d), out, epoch, shards)
+
+  /** Frame-based twin of [[writeEpoch]] for callers that already hold
+    * a curated subset (graft.Curation) rather than a dataset dir. Same
+    * keying, same on-disk contract. */
+  def writeEpochOf(docs: DataFrame, out: String,
+                   epoch: Int = 0, shards: Int = 8): Unit =
+    epochOrder(docs, epoch, shards)
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("k"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)

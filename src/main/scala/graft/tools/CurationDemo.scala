@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Self-contained runnable demo of the curation facade: runs the full
+  * [[graft.Curation]] funnel (quality floor → Bloom-gated
+  * decontamination → exact dedup → cluster near-dedup → temperature
+  * mixture → reproducible epoch order) over a test-data dir, using the
+  * dataset's own 3% hash-band slice as the evaluation set (the q77
+  * convention), prints the per-stage survivor counts and the epoch
+  * shard layout.
+  *
+  * `sbt "runMain graft.tools.CurationDemo [sfDir [outDir]]"`
+  */
+object CurationDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.create()
+    val sfDir = if (args.length >= 1) args(0) else "/root/testdata/sf0.001"
+    val outDir = if (args.length >= 2) args(1)
+      else java.nio.file.Files.createTempDirectory("graft-epoch").toString
+
+    // eval set: the deterministic 3% hash-band slice (q77's bench)
+    val bench = graft.analytics.Tables.documents(spark, sfDir)
+      .filter(graft.text.TextQueries.hashBand100 < 3)
+
+    val report = graft.Curation.curate(spark, sfDir,
+      bench = Some(bench), epochDir = Some(outDir))
+
+    report.stages.foreach(s =>
+      println(f"[curation] stage ${s.stage}: ${s.name}%-15s ${s.n_docs}%8d docs"))
+    val shards = spark.read.parquet(outDir)
+    println(s"[curation] epoch written to $outDir: " +
+      s"${shards.count()} rows in " +
+      s"${shards.select(col("shard")).distinct().count()} shards")
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end spec for the public [[Curation]] facade on a purpose-
+  * built fixture corpus: one document engineered to fall at each
+  * stage, so the per-stage survivor counts prove every stage actually
+  * ran (and nothing else was touched). */
+class CurationFacadeSpec extends SparkSpec {
+
+  private def md5hex(s: String) =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // a "good" document: long, clean, stopword-bearing Spanish-ish text
+  // (the quality score rewards length, low punctuation, stopwords);
+  // the `tag` makes shingles unique per doc
+  private def good(tag: String) =
+    (1 to 30).map(i => s"palabra$tag$i de la casa con el tiempo")
+      .mkString(" ")
+
+  test("curate: each stage drops exactly its engineered victims") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf-data").toString
+      // doc 1-6: survive everything (distinct clean texts)
+      // doc 7:   low quality (short + pure punctuation)
+      // doc 8:   contaminated (contains the bench's 5-token sequence)
+      // doc 9:   exact duplicate of doc 1 (same normalized text)
+      // doc 10:  near-dup of doc 2 (doc 2's text + one extra word:
+      //          every minhash band collides, but the fingerprint —
+      //          md5 of the full text — differs)
+      val benchSeq = "secreto uno dos tres cuatro"
+      val docs = Seq(
+        (1L, good("a")), (2L, good("b")), (3L, good("c")),
+        (4L, good("d")), (5L, good("e")), (6L, good("f")),
+        (7L, "!!! ??? ..."),
+        (8L, good("h") + " " + benchSeq),
+        (9L, good("a")),
+        (10L, good("b") + " extra")
+      ).map { case (id, text) =>
+        (id, text, "es", if (id <= 5) "src_big" else "src_small",
+          text.length.toLong)
+      }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      val bench = Seq(("eval doc " + benchSeq + " cola"))
+        .toDF("text")
+
+      // mixBase=0 skips the sampling stage: the first run pins the
+      // deterministic stages 1-5 exactly
+      val r = Curation.curate(spark, dataDir, bench = Some(bench),
+        mixBase = 0L)
+      assert(r.stages.map(s => s.name -> s.n_docs) == Seq(
+        "raw" -> 10L,            // all docs
+        "quality" -> 9L,         // doc 7 falls
+        "decontaminated" -> 8L,  // doc 8 falls
+        "exact_dedup" -> 7L,     // doc 9 falls (dup of 1)
+        "near_dedup" -> 6L,      // doc 10 falls (near-dup of 2)
+        "mixed" -> 6L),          // stage skipped
+        s"unexpected funnel: ${r.stages}")
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == (1L to 6L), "survivors must be the six engineered docs")
+
+      // mixture stage: q102 keep-rates over the survivors, replayed
+      // driver-side from the same md5-band math (src_big keeps
+      // floor-banded ~40%, src_small keeps everything: threshold
+      // min(2000·sqrt(5/1), 10000) = 4472 for src_big's 5 docs vs
+      // 10000 for src_small's 1)
+      val r2 = Curation.curate(spark, dataDir, bench = Some(bench))
+      val nMax = 5L // src_big survivors
+      def kept(id: Long, n: Long): Boolean = {
+        val th = math.min(
+          math.floor(2000.0 * math.sqrt(nMax.toDouble / n)).toLong, 10000L)
+        java.lang.Long.parseLong(md5hex(s"mix0|$id").take(8), 16) % 10000 < th
+      }
+      val expect = ((1L to 5L).filter(kept(_, 5)) ++
+        Seq(6L).filter(kept(_, 1))).sorted
+      assert(r2.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == expect, "mixture stage must match the md5-band replay")
+      assert(r2.stages.last == Curation.StageCount(6, "mixed",
+        expect.size.toLong))
+
+      // epoch write: every curated doc in exactly one shard, in the
+      // reproducible key order
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-cf-epoch").toString
+      val r3 = Curation.curate(spark, dataDir, bench = Some(bench),
+        mixBase = 0L, epochDir = Some(out), shards = 4)
+      val epoch = spark.read.parquet(out)
+      assert(epoch.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == (1L to 6L))
+      assert(epoch.select("shard").distinct().count() <= 4)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+}

@@ -444,6 +444,101 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed CMS frequencies: stream == batch twin, never undercounts") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us // hour-aligned, like the HLL twin test
+    // hour 1: user u appears u times (1..8); hour 2: users 5..10 × 3
+    val h1 = (1 to 8).flatMap(u =>
+      (1 to u).map(i => Ev(u, t0 + ((u * 7 + i) % 50) * min, 1.0)))
+    val h2 = (5 to 10).flatMap(u =>
+      (1 to 3).map(i => Ev(u, t0 + 60 * min + ((u + i) % 50) * min, 1.0)))
+    val probes = (1L to 10L).toSeq
+    val input = MemoryStream[Ev]
+    val q = EventStreams.hourlyUserFrequencies(input.toDS().toDF(), probes,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("append").start()
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    // push the watermark far ahead so both hours close and emit
+    input.addData(Ev(99, t0 + 600 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 1200 * min, 1.0))
+    q.processAllAvailable()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getTimestamp(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    val streamed = toMap(spark.table("cms_out").collect())
+    // batch twin: the SAME function over the same rows as a plain frame
+    val batch = toMap(
+      EventStreams.hourlyUserFrequencies((h1 ++ h2).toDS().toDF(), probes)
+        .collect())
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val hour2 = new java.sql.Timestamp((t0 + 60 * min) / 1000)
+    for (hour <- Seq(hour1, hour2); u <- probes) {
+      assert(streamed.contains((hour, u)), s"missing ($hour, $u)")
+      assert(streamed((hour, u)) == batch((hour, u)),
+        s"stream/batch divergence at ($hour, $u): " +
+          s"${streamed((hour, u))} vs ${batch((hour, u))}")
+    }
+    // one-sided error: the estimate never undercounts the true
+    // per-(window, user) frequency (q110's pinned CMS property)
+    val exact1 = h1.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    val exact2 = h2.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    probes.foreach { u =>
+      assert(streamed((hour1, u))._2 >= exact1.getOrElse(u, 0L),
+        s"hour-1 undercount for user $u")
+      assert(streamed((hour2, u))._2 >= exact2.getOrElse(u, 0L),
+        s"hour-2 undercount for user $u")
+    }
+    q.stop()
+  }
+
+  test("near-dup bloom gate: _bloom maintained, suppression holds, heals when deleted") {
+    import spark.implicits._
+    import graft.streaming.StreamingNearDup
+
+    def sentence(i: Int) =
+      s"alpha$i bravo$i charlie$i delta$i echo$i foxtrot$i golf$i hotel$i"
+    val state = tmp("bg-state")
+    val kept = tmp("bg-kept")
+    // batch 0 registers docs 1..5 and seeds the merged bloom
+    StreamingNearDup.dedupBatch(
+      (1L to 5L).map(i => i -> sentence(i.toInt)).toDF("doc_id", "text"),
+      0L, state, kept)
+    val seeded = StreamingNearDup.readBloom(spark, state)
+    assert(seeded.exists(_.exists(_ != 0L)), "merged bloom must exist after batch 0")
+    // a cross-batch dup must be suppressed THROUGH the gate (its
+    // buckets hit the bloom and fall through to the exact probe);
+    // a fresh doc passes
+    StreamingNearDup.dedupBatch(
+      Seq(11L -> sentence(2), 12L -> sentence(12)).toDF("doc_id", "text"),
+      1L, state, kept)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === ((1L to 5L) :+ 12L),
+      "gate must pass registered-bucket hits to the exact check")
+    // self-heal: deleting _bloom and rebuilding from the state tree
+    // reproduces the incrementally merged words bit-for-bit
+    val before = StreamingNearDup.readBloom(spark, state).get
+    assert(new java.io.File(state, "_bloom").delete())
+    val rebuilt = StreamingNearDup.rebuildBloom(spark, state)
+    assert(rebuilt.toSeq === before.toSeq,
+      "rebuild from state must equal the incremental merge")
+    // an all-new batch sails through (steady state: the gate empties
+    // the probe — correctness is what's asserted here; the skip is
+    // the performance path)
+    StreamingNearDup.dedupBatch(
+      Seq(21L -> sentence(21), 22L -> sentence(22)).toDF("doc_id", "text"),
+      2L, state, kept)
+    assert(spark.read.parquet(kept).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === ((1L to 5L) :+ 12L :+ 21L :+ 22L))
+  }
+
   test("streaming session_window + watermark emits closed sessions") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
