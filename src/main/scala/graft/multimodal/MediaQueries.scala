@@ -147,29 +147,12 @@ object MediaQueries {
     // for av) drives the same mediaNearDupPairs in MultimodalSpec —
     // the near-dup operator is embedding-agnostic.
     "q85_media_neardup" -> QuerySpec(
-      build = (s, d) => {
-        val base = MediaOps.mediaFromDocuments(s, d)
-          .select(col("media_id").as("vec_id"), col("kind"),
-            length(col("bytes")).as("blen"),
-            md5Embed(col("bytes")).as("embedding"))
-        // planted re-upload twins (see mirrorEvery) — keeps the
-        // duplicate-pair path non-vacuous at SFs whose corpora have
-        // no natural byte-identical texts
-        val mirrored = base.unionByName(
-          base.filter(col("vec_id") % mirrorEvery === 0)
-            .withColumn("vec_id", col("vec_id") + lit(mirrorIdOffset)))
-        mediaNearDupPairs(
-          // exchange barrier: without it CollapseProject inlines the
-          // 4-md5/64-conv embed expression into each of the 24 band
-          // cosines above (24× recompute of the embed per row); one
-          // narrow shuffle materializes the vector once instead
-          mirrored.repartition(col("vec_id")),
-          // payload byte length as an extra blocking key: lossless for
-          // the fingerprint embedding (md5 avalanche — different-length
-          // payloads never embed alike), and it keeps bucket occupancy
-          // flat as the corpus grows instead of n/buckets-linear
-          blockCols = Seq("blen"))
-      },
+      build = (s, d) => mediaNearDupPairs(q85Embeddings(s, d),
+        // payload byte length as an extra blocking key: lossless for
+        // the fingerprint embedding (md5 avalanche — different-length
+        // payloads never embed alike), and it keeps bucket occupancy
+        // flat as the corpus grows instead of n/buckets-linear
+        blockCols = Seq("blen")),
       oracle = Some(mediaNearDupOracleSql),
       bench = true),
 
@@ -299,6 +282,28 @@ object MediaQueries {
       bench = true)
   )
 
+  /** The q85 input frame: the media view fingerprint-embedded, with
+    * planted re-upload twins (see [[mirrorEvery]]) so the duplicate-
+    * pair path is non-vacuous at SFs whose corpora have no natural
+    * byte-identical texts. Shared by the q85 build and the PlanSpec
+    * pipeline pins. */
+  private[graft] def q85Embeddings(s: org.apache.spark.sql.SparkSession,
+                                   d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val base = MediaOps.mediaFromDocuments(s, d)
+      .select(col("media_id").as("vec_id"), col("kind"),
+        length(col("bytes")).as("blen"),
+        md5Embed(col("bytes")).as("embedding"))
+    val mirrored = base.unionByName(
+      base.filter(col("vec_id") % mirrorEvery === 0)
+        .withColumn("vec_id", col("vec_id") + lit(mirrorIdOffset)))
+    // exchange barrier: without it CollapseProject inlines the
+    // 4-md5/64-conv embed expression into each of the 24 band
+    // cosines above (24× recompute of the embed per row); one
+    // narrow shuffle materializes the vector once instead
+    mirrored.repartition(col("vec_id"))
+  }
+
   /** Deterministic 64-dim byte-fingerprint embedding, computable
     * bit-for-bit in BOTH engines (Spark: md5 over binary + conv;
     * DuckDB: md5 over the same UTF-8 bytes + hex cast): feature j is
@@ -343,7 +348,6 @@ object MediaQueries {
   def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame,
                         blockCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
-    import graft.similarity.SimilarityQueries.hyperplaneBand12
     import graft.similarity.VectorFunctions.cosine
     // a zero-norm embedding (empty payload) has NaN cosine with every
     // plane AND every candidate; NaN compares greater-than in Spark,
@@ -352,6 +356,45 @@ object MediaQueries {
     val clean = emb
       .filter(col("embedding").isNotNull &&
         exists(col("embedding"), x => x =!= 0.0f))
+    // Rerank join shape: joining the corpus-scale embedding frame to
+    // the pair list twice plans two sort-merge joins — two full sorts
+    // + three exchanges of the embedding table (~70% of q85's 100×
+    // wall time when measured). The pair set is PAIR-scale (bounded
+    // by the occupancy cap) and three consumers need it (the result's
+    // left side and both candidate harvests), so pin it once with
+    // localCheckpoint (the q82 in-query rebase precedent): the
+    // corpus-scale banding pipeline executes exactly once, and AQE
+    // never has to rediscover that three identical exchange subtrees
+    // are one stage.
+    val pairs = candidatePairs(clean, blockCols).localCheckpoint()
+    val ids = pairs
+      .select(explode(array(col("ma"), col("mb"))).as("vec_id")).distinct()
+    // candidate embeddings: ONE more sort-free stream over the corpus
+    // (broadcast hash semi-probe of the pair-scale id set), harvested
+    // down to pair scale and pinned — the rerank below touches only
+    // checkpointed tiny frames through broadcast joins
+    val cand = clean.select(col("vec_id"), col("embedding"))
+      .join(broadcast(ids), "vec_id").localCheckpoint()
+    pairs
+      .join(broadcast(cand.select(col("vec_id").as("ma"),
+        col("embedding").as("ea"))), "ma")
+      .join(broadcast(cand.select(col("vec_id").as("mb"),
+        col("embedding").as("eb"))), "mb")
+      .select(col("ma"), col("mb"),
+        graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
+      .filter(col("cos") > 0.9)
+      .orderBy("ma", "mb")
+  }
+
+  /** The declarative candidate-pair pipeline under [[mediaNearDupPairs]]
+    * (band → occupancy cap → pair expansion), corpus-scale and
+    * checkpoint-free — exposed so PlanSpec can pin its one-exchange
+    * shape (TopKPerKey advertising its child partitioning into the
+    * bucket groupBy) on the plan that actually runs. */
+  private[graft] def candidatePairs(clean: org.apache.spark.sql.DataFrame,
+                                    blockCols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import graft.similarity.SimilarityQueries.hyperplaneBand12
     val block = "kind" +: blockCols
     val banded = clean
       .select(col("vec_id") +: block.map(col) :+
@@ -364,7 +407,7 @@ object MediaQueries {
     // drops overflowed buckets entirely, which is byte-identical to
     // filtering on the true occupancy
     val grp = block ++ Seq("band", "bucket")
-    val pairs = graft.operators.TopK.perKey(banded,
+    graft.operators.TopK.perKey(banded,
         grp, Seq(col("vec_id").asc), maxBucketOccupancy + 1)
       .groupBy(grp.map(col): _*)
       .agg(array_sort(collect_list(col("vec_id"))).as("docs"))
@@ -373,13 +416,5 @@ object MediaQueries {
       .select(explode(graft.text.TextQueries.pairExpand(col("docs"))).as("p"))
       .select(col("p.x").as("ma"), col("p.y").as("mb"))
       .distinct() // a pair can collide in both bands — rerank it once
-    val e = clean.select(col("vec_id"), col("embedding"))
-    pairs
-      .join(e.select(col("vec_id").as("ma"), col("embedding").as("ea")), "ma")
-      .join(e.select(col("vec_id").as("mb"), col("embedding").as("eb")), "mb")
-      .select(col("ma"), col("mb"),
-        graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
-      .filter(col("cos") > 0.9)
-      .orderBy("ma", "mb")
   }
 }

@@ -1893,7 +1893,103 @@ object CurationQueries {
                CAST(sum(n_chars) AS BIGINT) AS replica_chars,
                floor((count(*)::DOUBLE / max(n)::DOUBLE) * 10000 + 0.5)
                  / 10000 AS upsample_ratio
-        FROM k GROUP BY lang ORDER BY lang"""))
+        FROM k GROUP BY lang ORDER BY lang""")),
+
+    // ── hashed importance resampling (DSIR-style data selection) ────
+    // The data-SELECTION op the mixture family (q102/q106 reweight by
+    // group) can't express: reweight each DOCUMENT toward a target
+    // domain (Xie et al. 2023, "Data Selection for LMs via Importance
+    // Resampling", the hashed-n-gram variant). Token unigrams hash
+    // into 256 buckets; the target distribution comes from the
+    // deterministic 3% hash-band slice (q77's eval-set convention),
+    // the proposal from the rest of the corpus; a document's weight
+    // is the mean per-token probability ratio and it is kept iff its
+    // md5 band falls under the weight — documents that look like the
+    // target survive proportionally more often.
+    //
+    // Everything is INTEGER: bucket scores are Laplace-smoothed ratio
+    // estimates in ten-thousandths computed with integer division
+    // ((tc+1)(R+256)·10⁴ div (rc+1)(T+256) — fits a long through
+    // ~10¹² corpus tokens), per-doc weights are integer-div means of
+    // those, so no transcendental or FP value ever enters the hash.
+    //
+    // Scale shape: ONE token-scale pass collapses to ≤256 rows under
+    // map-side combine (the q110 discipline) and collects 2 KiB to
+    // the driver; scoring is then a pure NARROW scan — the 256-entry
+    // score table rides the closure as an array literal (the q29
+    // centroid trick) and per-doc weights fold inside `aggregate`,
+    // zero scoring exchange; the rollup is |sources|-bounded.
+    "q115_importance_resample" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+          .withColumn("band", hashBand100)
+        def bucketOf(t: org.apache.spark.sql.Column) =
+          TextQueries.md5Hash60(t).bitwiseAND(lit(255L))
+        val bcounts = docs
+          .select(col("band"), explode(tokens(col("text"))).as("t"))
+          .groupBy(bucketOf(col("t")).as("b"))
+          .agg(sum(when(col("band") < 3, 1L).otherwise(0L)).as("tc"),
+            sum(when(col("band") >= 3, 1L).otherwise(0L)).as("rc"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        val tTot = bcounts.values.map(_._1).sum
+        val rTot = bcounts.values.map(_._2).sum
+        val scores: Array[Long] = Array.tabulate(256) { b =>
+          val (tc, rc) = bcounts.getOrElse(b.toLong, (0L, 0L))
+          ((tc + 1) * (rTot + 256) * 10000L) / ((rc + 1) * (tTot + 256))
+        }
+        val scoreLit = typedlit(scores)
+        docs.filter(col("band") >= 3)
+          .withColumn("_toks", tokens(col("text")))
+          .withColumn("_ss", aggregate(
+            transform(col("_toks"),
+              t => element_at(scoreLit, bucketOf(t).cast("int") + lit(1))),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("_w", expr("_ss div size(_toks)"))
+          .withColumn("_kept", (expr(
+            "conv(substring(md5(concat('dsir0|', cast(doc_id as string))), 1, 8), 16, 10)")
+            .cast("long") % 10000 < least(col("_w"), lit(10000L)))
+            .cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("_kept")).as("n_kept"),
+            sum(col("_w")).as("w_sum"),
+            sum(col("_kept") * col("n_chars")).as("kept_chars"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, source, n_chars,
+                     string_split_regex(trim(text), '\\s+') toks,
+                     ${TextQueries.duckHashBand} AS band
+                   FROM documents WHERE text IS NOT NULL),
+        tok AS (SELECT doc_id, source, band,
+                  ((('0x' || substring(md5(tk), 1, 15))::BIGINT) & 255) AS b
+                FROM (SELECT doc_id, source, band, unnest(toks) tk FROM t)),
+        cnt AS (SELECT b, sum(CASE WHEN band < 3 THEN 1 ELSE 0 END) tc,
+                       sum(CASE WHEN band >= 3 THEN 1 ELSE 0 END) rc
+                FROM tok GROUP BY b),
+        tot AS (SELECT sum(tc) tt, sum(rc) rt FROM cnt),
+        sc AS (SELECT g.b,
+                 (((coalesce(c.tc, 0) + 1) * (tot.rt + 256) * 10000)
+                   // ((coalesce(c.rc, 0) + 1) * (tot.tt + 256))) AS s
+               FROM (SELECT unnest(generate_series(0, 255)) b) g
+               LEFT JOIN cnt c ON c.b = g.b CROSS JOIN tot),
+        dw AS (SELECT tok.doc_id, tok.source, count(*) n_toks, sum(sc.s) ss
+               FROM tok JOIN sc ON sc.b = tok.b WHERE tok.band >= 3
+               GROUP BY 1, 2),
+        w AS (SELECT dw.doc_id, dw.source, (ss // n_toks) AS w,
+                CASE WHEN ('0x' || substring(
+                       md5('dsir0|' || dw.doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 10000 < least(ss // n_toks, 10000)
+                     THEN 1 ELSE 0 END kept,
+                t.n_chars
+              FROM dw JOIN t ON t.doc_id = dw.doc_id)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(w) AS BIGINT) AS w_sum,
+               CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
+        FROM w GROUP BY source ORDER BY source"""),
+      bench = true)
   )
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both

@@ -297,16 +297,17 @@ object TextQueries {
       bench = true),
 
     // ── q24 served from the materialized posting-list artifact ─────
-    // The q99/q108/q113 treatment applied to q24's dominant cost: the
+    // The q99/q108/q113 treatment applied to q24's dominant costs: the
     // df-capped inverted index (corpus-scale explode + ONE skey
-    // exchange) is a per-dataset structure, so [[PostingIndex]] pays
-    // it once, content-keyed, and every Jaccard consumer — this query,
-    // dedup reports, any future similarity join — reads posting-scale
-    // parquet (shingles shared by >=2 docs only, orders of magnitude
-    // smaller than the exploded corpus). Same oracle as q24: the read
-    // path must reproduce the build path bit-for-bit.
+    // exchange) AND the pair expansion over it are per-dataset
+    // structures, so [[PostingIndex]] pays both once, content-keyed —
+    // `postings` for any future Jaccard/containment consumer, `pairs`
+    // (the q24 result) for the common one. This query is the pair-set
+    // read path: pair-scale parquet, orders of magnitude smaller than
+    // the exploded corpus. Same oracle as q24: the read path must
+    // reproduce the build path bit-for-bit.
     "q114_jaccard_from_index" -> QuerySpec(
-      build = (s, d) => jaccardPairsFromPostings(PostingIndex.load(s, d)),
+      build = (s, d) => PostingIndex.pairs(s, d).orderBy("da", "db"),
       oracle = Some(jaccardPairsOracleSql),
       bench = true),
 

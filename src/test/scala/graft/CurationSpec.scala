@@ -611,7 +611,7 @@ class CurationSpec extends SparkSpec {
       assert(first.toSeq == q24.toSeq,
         "the artifact read path must reproduce the direct build")
       val dir = graft.text.Artifacts.dir(sf,
-        s"jaccard_postings_df${graft.text.TextQueries.jaccardDfCap}")
+        s"jaccard_postings_df${graft.text.TextQueries.jaccardDfCap}_v2")
       assert(java.nio.file.Files.isDirectory(dir))
       val mtime = java.nio.file.Files.getLastModifiedTime(dir)
       // second read: same rows, no rebuild
@@ -625,6 +625,58 @@ class CurationSpec extends SparkSpec {
       }
       graft.text.Artifacts.deleteRecursively(root)
     }
+  }
+
+  test("q115 importance resampling: driver-side replay of scores, weights, kept set") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    def band100(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+    def toks(t: String) = t.trim.split("\\s+").toSeq
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // bucket counts + smoothed integer ratio scores, replayed exactly
+    val tc = new Array[Long](256); val rc = new Array[Long](256)
+    docs.foreach { case (id, _, t, _) =>
+      val target = band100(id) < 3
+      toks(t).foreach { w =>
+        val b = (h60(w) & 255).toInt
+        if (target) tc(b) += 1 else rc(b) += 1
+      }
+    }
+    val bigT = tc.sum; val bigR = rc.sum
+    val score = Array.tabulate(256)(b =>
+      ((tc(b) + 1) * (bigR + 256) * 10000L) / ((rc(b) + 1) * (bigT + 256)))
+    final class Agg {
+      var n = 0L; var k = 0L; var ws = 0L; var kc = 0L
+    }
+    val bySrc = scala.collection.mutable.Map[String, Agg]()
+    docs.filter(d => band100(d._1) >= 3).foreach { case (id, src, t, nch) =>
+      val ts = toks(t)
+      val ss = ts.map(w => score((h60(w) & 255).toInt)).sum
+      val w = ss / ts.size
+      val kept = java.lang.Long.parseLong(
+        md5hex(s"dsir0|$id").take(8), 16) % 10000 < math.min(w, 10000L)
+      val a = bySrc.getOrElseUpdate(src, new Agg)
+      a.n += 1; a.ws += w
+      if (kept) { a.k += 1; a.kc += nch }
+    }
+    val got = run("q115_importance_resample").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == bySrc.keySet)
+    bySrc.foreach { case (srcName, a) =>
+      assert(got(srcName) == (a.n, a.k, a.ws, a.kc),
+        s"source $srcName: got ${got(srcName)}, " +
+          s"replay (${a.n}, ${a.k}, ${a.ws}, ${a.kc})")
+    }
+    // the resampling must BIND at this SF — some kept, some dropped
+    val n = bySrc.values.map(_.n).sum; val k = bySrc.values.map(_.k).sum
+    assert(k > 0 && k < n, s"resampling must bind: kept $k of $n")
   }
 
   test("q108 cluster index: pair + label artifacts build once, read path equals q82") {

@@ -162,12 +162,29 @@ class PlanSpec extends SparkSpec {
   test("perKey feeds a same-key groupBy without a second exchange") {
     // TopKPerKeyExec advertises its child's partitioning, so the
     // cap-then-collect pipelines (q85, q87) aggregate directly on the
-    // final heaps — exactly ONE hash exchange on the bucket key
-    val df = SparkEntry.queries("q85_media_neardup")(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
+    // final heaps — exactly ONE hash exchange on the bucket key.
+    // Asserted on the declarative candidate-pair pipeline: in the
+    // full q85 it runs exactly once upstream of a localCheckpoint
+    // (so the final plan never shows it at all — see the next pin)
+    val pairs = graft.multimodal.MediaQueries.candidatePairs(
+      graft.multimodal.MediaQueries.q85Embeddings(spark, sf), Seq("blen"))
+    val p = pairs.queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(kind".r.findAllIn(p).length == 1,
       "the bucket-key exchange must appear exactly once:\n" +
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q85 rerank touches only checkpointed pair-scale frames, sort-free") {
+    // the corpus-scale banding pipeline is pinned by localCheckpoint
+    // (executes once, ever); the rerank plan over it must be pure
+    // broadcast probes — no sort-merge join, no banding exchange
+    val df = SparkEntry.queries("q85_media_neardup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      "rerank joins must broadcast, not sort-merge")
+    assert(!p.contains("Exchange hashpartitioning(kind"),
+      "the banding pipeline must not replan above the checkpoint")
+    assert(p.contains("BroadcastHashJoin"), "rerank must broadcast-probe")
   }
 
   test("q91 dup spans: one position-scale exchange, no position-scale join") {
