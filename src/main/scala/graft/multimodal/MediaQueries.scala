@@ -152,7 +152,15 @@ object MediaQueries {
         // the fingerprint embedding (md5 avalanche — different-length
         // payloads never embed alike), and it keeps bucket occupancy
         // flat as the corpus grows instead of n/buckets-linear
-        blockCols = Seq("blen")),
+        blockCols = Seq("blen"),
+        // candidate harvest from the BYTES frame with the broadcast id
+        // probe BELOW the embed projection: the second corpus pass is
+        // a raw scan + hash probe, and the 4-md5/64-conv embed runs
+        // only for the pair-scale survivors (the default harvest
+        // would re-run the full embed + repartition pipeline)
+        candEmbed = Some(ids => q85Bytes(s, d)
+          .join(broadcast(ids), "vec_id")
+          .select(col("vec_id"), md5Embed(col("bytes")).as("embedding")))),
       oracle = Some(mediaNearDupOracleSql),
       bench = true),
 
@@ -289,19 +297,29 @@ object MediaQueries {
     * pipeline pins. */
   private[graft] def q85Embeddings(s: org.apache.spark.sql.SparkSession,
                                    d: String)
-      : org.apache.spark.sql.DataFrame = {
-    val base = MediaOps.mediaFromDocuments(s, d)
-      .select(col("media_id").as("vec_id"), col("kind"),
-        length(col("bytes")).as("blen"),
-        md5Embed(col("bytes")).as("embedding"))
-    val mirrored = base.unionByName(
-      base.filter(col("vec_id") % mirrorEvery === 0)
-        .withColumn("vec_id", col("vec_id") + lit(mirrorIdOffset)))
+      : org.apache.spark.sql.DataFrame =
     // exchange barrier: without it CollapseProject inlines the
     // 4-md5/64-conv embed expression into each of the 24 band
     // cosines above (24× recompute of the embed per row); one
     // narrow shuffle materializes the vector once instead
-    mirrored.repartition(col("vec_id"))
+    q85Bytes(s, d)
+      .select(col("vec_id"), col("kind"), col("blen"),
+        md5Embed(col("bytes")).as("embedding"))
+      .repartition(col("vec_id"))
+
+  /** The q85 bytes-level frame under [[q85Embeddings]]: the media view
+    * with planted re-upload twins, BEFORE the fingerprint embed — the
+    * candidate harvest starts here so its broadcast id probe prunes
+    * rows ahead of the embed expression. */
+  private[graft] def q85Bytes(s: org.apache.spark.sql.SparkSession,
+                              d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val base = MediaOps.mediaFromDocuments(s, d)
+      .select(col("media_id").as("vec_id"), col("kind"),
+        length(col("bytes")).as("blen"), col("bytes"))
+    base.unionByName(
+      base.filter(col("vec_id") % mirrorEvery === 0)
+        .withColumn("vec_id", col("vec_id") + lit(mirrorIdOffset)))
   }
 
   /** Deterministic 64-dim byte-fingerprint embedding, computable
@@ -346,7 +364,9 @@ object MediaQueries {
     * (~200 MB per generator row at a few hundred occupants) and OOM
     * the executor before the cap ever binds. */
   def mediaNearDupPairs(emb: org.apache.spark.sql.DataFrame,
-                        blockCols: Seq[String] = Nil)
+                        blockCols: Seq[String] = Nil,
+                        candEmbed: Option[org.apache.spark.sql.DataFrame =>
+                          org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
     import graft.similarity.VectorFunctions.cosine
     // a zero-norm embedding (empty payload) has NaN cosine with every
@@ -370,11 +390,16 @@ object MediaQueries {
     val ids = pairs
       .select(explode(array(col("ma"), col("mb"))).as("vec_id")).distinct()
     // candidate embeddings: ONE more sort-free stream over the corpus
-    // (broadcast hash semi-probe of the pair-scale id set), harvested
-    // down to pair scale and pinned — the rerank below touches only
-    // checkpointed tiny frames through broadcast joins
-    val cand = clean.select(col("vec_id"), col("embedding"))
-      .join(broadcast(ids), "vec_id").localCheckpoint()
+    // (broadcast hash probe of the pair-scale id set), harvested down
+    // to pair scale and pinned — the rerank below touches only
+    // checkpointed tiny frames through broadcast joins. Callers whose
+    // embedding is an expression over a cheap source (q85's md5 over
+    // bytes) pass `candEmbed` to put the id probe BELOW the embed, so
+    // the harvest pass never computes corpus-scale vectors.
+    val cand = candEmbed.getOrElse((i: org.apache.spark.sql.DataFrame) =>
+        clean.select(col("vec_id"), col("embedding"))
+          .join(broadcast(i), "vec_id"))
+      .apply(ids).localCheckpoint()
     pairs
       .join(broadcast(cand.select(col("vec_id").as("ma"),
         col("embedding").as("ea"))), "ma")
