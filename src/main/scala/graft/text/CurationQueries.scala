@@ -1647,11 +1647,7 @@ object CurationQueries {
           (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
         // queries: the first 8 distinct terms (token asc) of each doc
         // with doc_id <= 5 — deterministic and cross-engine-identical
-        val qterms = graft.operators.TopK.perKey(
-          dtoks.filter(col("doc_id") <= 5)
-            .select(col("doc_id").as("qid"), explode(col("toks")).as("t"))
-            .distinct(),
-          Seq("qid"), Seq(col("t").asc), 8)
+        val qterms = bm25QueryTerms(s, d)
         // the corpus term table is PRUNED to query tokens BEFORE any
         // exchange: the explode is narrow, the broadcast semi-join
         // keeps only rows whose token some query mentions, and only
@@ -1667,47 +1663,36 @@ object CurationQueries {
           .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
           .persist()
         val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        val idf = (col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5))
-        val sat = (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-          (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
-        val scored = terms.join(broadcast(qterms), Seq("t"))
-          .join(dl, Seq("doc_id")).join(df_, Seq("t")).crossJoin(stats)
-          .select(col("qid"), col("doc_id"),
-            floor(idf * sat * lit(10000) + lit(0.5)).cast("long").as("e"))
-          .groupBy(col("qid"), col("doc_id"))
-          .agg(sum(col("e")).as("score_e4"))
-        graft.operators.TopK.perKeyRanked(scored, Seq("qid"),
-            Seq(col("score_e4").desc, col("doc_id").asc), 5, "rank")
-          .select(col("qid"), col("rank"), col("doc_id"), col("score_e4"))
-          .orderBy("qid", "rank")
+        bm25Rank(terms.join(broadcast(qterms), Seq("t"))
+          .join(dl, Seq("doc_id")).join(df_, Seq("t")).crossJoin(stats))
       },
-      oracle = Some(s"""
-        WITH t AS ($duckToks),
-        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
-        terms AS (SELECT doc_id, t, count(*) tf FROM
-                    (SELECT doc_id, unnest(toks) t FROM t) GROUP BY 1, 2),
-        df AS (SELECT t, count(*) df FROM terms GROUP BY 1),
-        stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
-                    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
-        qt0 AS (SELECT doc_id qid, t, ROW_NUMBER() OVER (
-                  PARTITION BY doc_id ORDER BY t) rn
-                FROM terms WHERE doc_id <= 5),
-        qt AS (SELECT qid, t FROM qt0 WHERE rn <= 8),
-        sc AS (SELECT qt.qid, terms.doc_id,
-                 CAST(floor(((s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-                   ((terms.tf * 2.2) / (terms.tf + 1.2 *
-                     (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))
-                   * 10000 + 0.5) AS BIGINT) e
-               FROM terms JOIN qt USING (t) JOIN df USING (t)
-               JOIN dl ON dl.doc_id = terms.doc_id CROSS JOIN stats s),
-        agg AS (SELECT qid, doc_id, CAST(sum(e) AS BIGINT) score_e4
-                FROM sc GROUP BY 1, 2),
-        rk AS (SELECT qid, doc_id, score_e4, ROW_NUMBER() OVER (
-                 PARTITION BY qid ORDER BY score_e4 DESC, doc_id) rank
-               FROM agg)
-        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, score_e4
-        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""),
+      oracle = Some(bm25OracleSql),
+      bench = true),
+
+    // ── BM25 served from the materialized posting index ─────────────
+    // The artifact treatment (q114's recipe) applied to q111's
+    // per-dataset structure: [[Bm25Index]] pays the corpus tokenize +
+    // tf/df/dl build ONCE, denormalized into self-contained postings
+    // partitioned by a token hash bucket. The read path collects the
+    // bounded query-term set (≤6 docs × 8 terms — the one driver-side
+    // collect, and the point: the partition-pruning literal must exist
+    // at plan time), prunes the posting read to the probed `_tb`
+    // buckets — Spark partition pruning as the posting-list seek — and
+    // scores with zero corpus-scale joins: the only exchange is the
+    // (qid, doc) sum, sized by matched postings. Same oracle as q111:
+    // the index path must reproduce the direct build bit-for-bit.
+    "q116_bm25_from_index" -> QuerySpec(
+      build = (s, d) => {
+        val qterms = bm25QueryTerms(s, d)
+        val buckets = qterms.select(col("t")).distinct()
+          .collect().map(r => Bm25Index.bucketOf(r.getString(0)))
+          .distinct.toSeq
+        val post = Bm25Index.postings(s, d)
+          .filter(col("_tb").isin(buckets: _*))
+          .join(broadcast(qterms), Seq("t"))
+        bm25Rank(post.crossJoin(broadcast(Bm25Index.stats(s, d))))
+      },
+      oracle = Some(bm25OracleSql),
       bench = true),
 
     // ── Bloom-filter decontamination pre-filter, exactly replayed ───
@@ -1991,6 +1976,67 @@ object CurationQueries {
         FROM w GROUP BY source ORDER BY source"""),
       bench = true)
   )
+
+  /** BM25 query-term set shared by q111 (direct) and q116 (index read
+    * path): the first 8 distinct terms (token asc) of each doc with
+    * doc_id <= 5 — deterministic and cross-engine-identical. */
+  private def bm25QueryTerms(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dtoks = Tables.documents(s, d)
+      .filter(col("text").isNotNull && col("doc_id") <= 5)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    graft.operators.TopK.perKey(
+      dtoks.select(col("doc_id").as("qid"), explode(col("toks")).as("t"))
+        .distinct(),
+      Seq("qid"), Seq(col("t").asc), 8)
+  }
+
+  /** BM25 scoring + rerank over a joined (qid, doc_id, tf, df, dl,
+    * n_docs, avgdl) frame — ONE definition of the score math for both
+    * the direct and the index path, so they cannot drift. */
+  private def bm25Rank(j: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val idf = (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5))
+    val sat = (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = j
+      .select(col("qid"), col("doc_id"),
+        floor(idf * sat * lit(10000) + lit(0.5)).cast("long").as("e"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("e")).as("score_e4"))
+    graft.operators.TopK.perKeyRanked(scored, Seq("qid"),
+        Seq(col("score_e4").desc, col("doc_id").asc), 5, "rank")
+      .select(col("qid"), col("rank"), col("doc_id"), col("score_e4"))
+      .orderBy("qid", "rank")
+  }
+
+  private lazy val bm25OracleSql: String = s"""
+        WITH t AS ($duckToks),
+        dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+        terms AS (SELECT doc_id, t, count(*) tf FROM
+                    (SELECT doc_id, unnest(toks) t FROM t) GROUP BY 1, 2),
+        df AS (SELECT t, count(*) df FROM terms GROUP BY 1),
+        stats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+                    CAST(sum(dl) AS DOUBLE) / count(*) avgdl FROM dl),
+        qt0 AS (SELECT doc_id qid, t, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY t) rn
+                FROM terms WHERE doc_id <= 5),
+        qt AS (SELECT qid, t FROM qt0 WHERE rn <= 8),
+        sc AS (SELECT qt.qid, terms.doc_id,
+                 CAST(floor(((s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                   ((terms.tf * 2.2) / (terms.tf + 1.2 *
+                     (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)))
+                   * 10000 + 0.5) AS BIGINT) e
+               FROM terms JOIN qt USING (t) JOIN df USING (t)
+               JOIN dl ON dl.doc_id = terms.doc_id CROSS JOIN stats s),
+        agg AS (SELECT qid, doc_id, CAST(sum(e) AS BIGINT) score_e4
+                FROM sc GROUP BY 1, 2),
+        rk AS (SELECT qid, doc_id, score_e4, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY score_e4 DESC, doc_id) rank
+               FROM agg)
+        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, score_e4
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
 
   /** Shared by q98 (in-session build) and q99 (disk artifact): both
     * must equal this DuckDB recomputation exactly. */

@@ -94,6 +94,74 @@ object PostingIndex {
     s.read.parquet(ensure(s, d).resolve("pairs").toString)
 }
 
+/** Lucene-shaped BM25 posting index — q111's per-dataset structure
+  * given the [[Artifacts]] treatment. One row per (t, doc_id) carrying
+  * tf, df, and dl DENORMALIZED (a posting is self-contained: scoring
+  * needs no corpus-scale join at read time), written partitioned by
+  * `_tb` = md5Hash60(t) % [[tokenBuckets]] so a bounded query-term set
+  * prunes the read to its buckets — Spark partition pruning as the
+  * posting-list seek. A 1-row `stats` table (n_docs, avgdl) rides
+  * alongside.
+  *
+  * Build cost (token-scale tf groupBy + df/dl joins) is paid ONCE per
+  * dataset fingerprint; the q111 direct build pays a corpus re-tokenize
+  * per query. At read time the only exchange is the (qid, doc) score
+  * sum, sized by matched postings — the retrieval shape a 100 TB
+  * corpus wants. */
+object Bm25Index {
+
+  /** Token-hash partition count. 64 keeps dirs/file counts tame at
+    * test scale; on a cluster this would scale with corpus size (the
+    * artifact name encodes it — a change is a layout change). */
+  private[graft] val tokenBuckets = 64
+
+  private def dirOf(d: String) =
+    Artifacts.dir(d, s"bm25_postings_tb${tokenBuckets}_v1")
+
+  private def ensure(s: SparkSession, d: String): java.nio.file.Path = {
+    import org.apache.spark.sql.functions._
+    val target = dirOf(d)
+    Artifacts.materialize(target) { tmp =>
+      val dtoks = graft.analytics.Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val dl = dtoks.select(col("doc_id"), size(col("toks")).as("dl"))
+      val terms = dtoks
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+        .persist() // feeds df AND the denormalized join below
+      val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      try {
+        terms.join(df_, Seq("t")).join(dl, Seq("doc_id"))
+          .withColumn("_tb",
+            pmod(TextQueries.md5Hash60(col("t")), lit(tokenBuckets.toLong)))
+          .write.partitionBy("_tb")
+          .parquet(tmp.resolve("postings").toString)
+        dl.agg(count(lit(1)).cast("double").as("n_docs"),
+            (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+          .write.parquet(tmp.resolve("stats").toString)
+      } finally terms.unpersist()
+    }
+    target
+  }
+
+  /** The denormalized postings (t, doc_id, tf, df, dl, _tb). */
+  def postings(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensure(s, d).resolve("postings").toString)
+
+  /** The 1-row (n_docs, avgdl) corpus statistics. */
+  def stats(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensure(s, d).resolve("stats").toString)
+
+  /** Driver-side twin of the `_tb` partition expression, for building
+    * the partition-pruning literal from a collected query-term set. */
+  private[graft] def bucketOf(t: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16) % tokenBuckets
+  }
+}
+
 /** See [[PairIndex]]. */
 object ClusterIndex {
 

@@ -627,6 +627,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q116 bm25 index: builds once, reuses from disk, equals q111") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val q111 = run("q111_bm25_topk").collect()
+      val first = run("q116_bm25_from_index").collect()
+      assert(first.toSeq == q111.toSeq,
+        "the index read path must reproduce the direct build")
+      val dir = graft.text.Artifacts.dir(sf,
+        s"bm25_postings_tb${graft.text.Bm25Index.tokenBuckets}_v1")
+      assert(java.nio.file.Files.isDirectory(dir))
+      val mtime = java.nio.file.Files.getLastModifiedTime(dir)
+      // second read: same rows, no rebuild
+      assert(run("q116_bm25_from_index").collect().toSeq == q111.toSeq)
+      assert(java.nio.file.Files.getLastModifiedTime(dir) == mtime,
+        "a second read must serve the existing artifact")
+      // the driver-side bucket twin must agree with the engine's _tb
+      val post = graft.text.Bm25Index.postings(spark, sf)
+        .select(col("t"), col("_tb").cast("long")).distinct().collect()
+      post.foreach { r =>
+        assert(graft.text.Bm25Index.bucketOf(r.getString(0)) == r.getLong(1),
+          s"bucketOf drifted from _tb for token '${r.getString(0)}'")
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("q115 importance resampling: driver-side replay of scores, weights, kept set") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")

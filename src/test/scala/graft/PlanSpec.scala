@@ -318,6 +318,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no row_number window over scored docs")
   }
 
+  test("q116 BM25 index read: posting scan prunes _tb partitions, no corpus join") {
+    val df = SparkEntry.queries("q116_bm25_from_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the probed token buckets must reach the posting scan as
+    // PARTITION filters (the posting-list seek), not a post-scan
+    // filter over all buckets
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scan.contains("_tb"),
+      s"posting scan must prune on _tb:\n$scan")
+    // postings are self-contained (tf, df, dl denormalized): scoring
+    // must not join any corpus-scale frame — broadcasts only
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale join at read")
+    assert(p.contains("BroadcastHashJoin"), "query tokens must broadcast")
+    assert(!p.contains("Window"), "no row_number window over scored docs")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
