@@ -904,6 +904,81 @@ object SimilarityQueries {
                n.cos, p.pos_cos,
                floor((p.pos_cos - n.cos) * 10000 + 0.5) / 10000 AS margin
         FROM neg n LEFT JOIN pos p USING (query_id)
-        WHERE n.rk <= 5 ORDER BY n.query_id, n.rk"""))
+        WHERE n.rk <= 5 ORDER BY n.query_id, n.rk""")),
+
+    // ── ANN recall audit: IVF top-k vs exact top-k, per query ───────
+    // The approximation MEASURED, not just run: per query, how many of
+    // the exact brute-force top-5 (q28) does the IVF probe path (q29)
+    // recover? An ANN index you can't audit is a silent-recall-loss
+    // machine at 100 TB — this is the query a pipeline runs after
+    // (re)building an index, over a deterministic query sample, before
+    // trusting it. Composes the two shipped pipelines unchanged (both
+    // oracle-checked on their own), joins at queries×k scale, and
+    // reports integer recall percent — order-free, engine-exact.
+    //
+    // Scale shape: both inputs are bounded-broadcast pipelines over
+    // one corpus scan each; the audit join touches ≤ |queries|×k rows.
+    "q117_ann_recall" -> QuerySpec(
+      build = (s, d) => {
+        def ranks(name: String) = queries(name).build(s, d)
+          .select(col("query_id"), col("vec_id"))
+        val exact = ranks("q28_ann_bruteforce")
+        val ivf = ranks("q29_ann_ivf").withColumn("hit", lit(1L))
+        exact.join(ivf, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+                   WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, b.vec_id, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        exact AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM scored)
+          WHERE rk <= 5),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        probes AS (
+          SELECT query_id, qe, cid FROM (
+            SELECT q.query_id, q.qe, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        hits AS (
+          SELECT p.query_id, a.vec_id, floor(list_cosine_similarity(
+              p.qe::DOUBLE[], a.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
+          FROM assigned a JOIN probes p ON a.cid = p.cid
+          WHERE a.vec_id != p.query_id),
+        ivf AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM hits)
+          WHERE rk <= 5)
+        SELECT e.query_id, count(*) n_exact,
+               CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) n_hit,
+               CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 100 // count(*) AS BIGINT) recall_pct
+        FROM exact e LEFT JOIN ivf i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id"""))
   )
 }

@@ -283,4 +283,27 @@ class TextSimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._5 != r._2), "a same-label vector leaked in")
     assert(got.length == 100, "20 queries x 5 negatives")
   }
+
+  test("q117 ANN recall audit equals a direct q28/q29 set intersection") {
+    val d = "/root/testdata/sf0.001"
+    def topSet(name: String) =
+      graft.similarity.SimilarityQueries.queries(name).build(spark, d)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSet("q28_ann_bruteforce")
+    val ivf = topSet("q29_ann_ivf")
+    val got = graft.similarity.SimilarityQueries.queries("q117_ann_recall")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == exact.keySet, "one audit row per query")
+    got.foreach { case (q, (nExact, nHit, pct)) =>
+      assert(nExact == 5 && exact(q).size == 5)
+      val inter = exact(q).intersect(ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(nHit == inter,
+        s"query $q: audit says $nHit, direct intersection $inter")
+      assert(pct == nHit * 100 / nExact)
+    }
+  }
 }
