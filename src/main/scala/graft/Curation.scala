@@ -28,11 +28,16 @@ import org.apache.spark.sql.expressions.Window
   *      earliest SURVIVING doc is kept (a cluster whose
   *      representative already fell to quality/decontamination still
   *      keeps its best member).
-  *   5. '''Mixture''' (q102): temperature keep-rates per source —
+  *   5. '''Target selection''' (q115, optional): DSIR-style hashed
+  *      importance resampling toward a caller-provided target-domain
+  *      sample — per-document keep decisions by integer importance
+  *      weight and md5 band, the document-level selection the
+  *      group-level mixture below can't express.
+  *   6. '''Mixture''' (q102): temperature keep-rates per source —
   *      thin head sources toward the α=0.5 smoothed distribution,
   *      deterministically by md5 band (a pure function of doc_id, so
   *      the sample survives reshards and reruns).
-  *   6. '''Epoch order''' (q92/q100): the curated set is written
+  *   7. '''Epoch order''' (q92/q100): the curated set is written
   *      shard-partitioned in reproducible md5-key order via
   *      [[graft.text.TrainOrder.writeEpochOf]] — no global sort, no
   *      window, spillable per-task sorts.
@@ -44,7 +49,7 @@ import org.apache.spark.sql.expressions.Window
   *
   * Scale: the only corpus-scale exchanges are the ones the numbered
   * queries already pinned — the fingerprint window (stage 3), the
-  * shard repartition (stage 6). Stages 1/2/5 are narrow scans with
+  * shard repartition (stage 7). Stages 1/2/5/6 are narrow scans with
   * broadcast/bounded side inputs; stage 4 joins against the
   * pair-scale label artifact.
   *
@@ -67,6 +72,9 @@ object Curation {
     * @param bench       evaluation documents to decontaminate against
     *                    (any frame with a `text` string column); pass
     *                    None to skip the stage
+    * @param dsirTarget  target-domain sample to select toward (any
+    *                    frame with a `text` string column); pass None
+    *                    to skip the stage
     * @param qualityMin  stage-1 floor on the composite quality score
     * @param mixBase     stage-5 keep-rate base: a source keeps
     *                    min(1, mixBase/10000 · sqrt(n_max/n)) of its
@@ -78,6 +86,7 @@ object Curation {
     */
   def curate(spark: SparkSession, corpusDir: String,
              bench: Option[DataFrame] = None,
+             dsirTarget: Option[DataFrame] = None,
              qualityMin: Double = 0.55,
              mixBase: Long = 2000L,
              epochDir: Option[String] = None,
@@ -141,24 +150,61 @@ object Curation {
         Window.partitionBy(col("_cluster")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_rn", "_cluster", "rep")
 
-    // 5 ── temperature mixture (q102 keep-rates over the SURVIVORS)
+    // 5 ── optional DSIR selection toward the target domain (q115's
+    // integer discipline: 256-bucket token-unigram scores as Laplace-
+    // smoothed ratio estimates, per-doc weights folded in a NARROW
+    // scan via the 2 KiB score-array literal, md5-band acceptance).
+    // Both bucket-count passes collapse to ≤256 rows under map-side
+    // combine before their driver collect — nothing token-scale moves.
+    val selected = dsirTarget match {
+      case None => deduped
+      case Some(t) =>
+        def bucketOf(c: org.apache.spark.sql.Column) =
+          graft.text.TextQueries.md5Hash60(c).bitwiseAND(lit(255L))
+        def bcounts(df: DataFrame) = df
+          .select(explode(tokens(col("text"))).as("t"))
+          .groupBy(bucketOf(col("t")).as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val tgt = bcounts(t.filter(col("text").isNotNull))
+        val prop = bcounts(deduped)
+        val tTot = tgt.values.sum; val rTot = prop.values.sum
+        val scores: Array[Long] = Array.tabulate(256) { b =>
+          val tc = tgt.getOrElse(b.toLong, 0L)
+          val rc = prop.getOrElse(b.toLong, 0L)
+          ((tc + 1) * (rTot + 256) * 10000L) / ((rc + 1) * (tTot + 256))
+        }
+        val scoreLit = typedlit(scores)
+        deduped
+          .withColumn("_toks", tokens(col("text")))
+          .withColumn("_ss", aggregate(
+            transform(col("_toks"),
+              tk => element_at(scoreLit, bucketOf(tk).cast("int") + lit(1))),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("_w", expr("_ss div greatest(size(_toks), 1)"))
+          .filter(expr(
+            "conv(substring(md5(concat('dsir0|', cast(doc_id as string))), 1, 8), 16, 10)")
+            .cast("long") % 10000 < least(col("_w"), lit(10000L)))
+          .drop("_toks", "_ss", "_w")
+    }
+
+    // 6 ── temperature mixture (q102 keep-rates over the SURVIVORS)
     val mixed =
-      if (mixBase <= 0) deduped
+      if (mixBase <= 0) selected
       else {
-        val counts = deduped.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val counts = selected.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val nMax = counts.agg(max(col("n"))).head.getLong(0)
         val th = counts.select(col("source"),
           least(floor(lit(mixBase.toDouble) *
             sqrt(lit(nMax).cast("double") / col("n"))).cast("long"),
             lit(10000L)).as("_th"))
-        deduped.join(broadcast(th), "source")
+        selected.join(broadcast(th), "source")
           .filter(expr(
             "conv(substring(md5(concat('mix0|', cast(doc_id as string))), 1, 8), 16, 10)")
             .cast("long") % 10000 < col("_th"))
           .drop("_th")
       }
 
-    // 6 ── reproducible epoch order (the one eager action)
+    // 7 ── reproducible epoch order (the one eager action)
     epochDir.foreach(out =>
       graft.text.TrainOrder.writeEpochOf(
         mixed.select(col("doc_id"), col("source"), col("lang"), col("text")),
@@ -169,12 +215,15 @@ object Curation {
     def cnt(df: DataFrame, stage: Int, name: String) =
       df.agg(count(lit(1)).as("n"))
         .select(lit(stage).as("stage"), lit(name).as("name"), col("n"))
-    val stages = cnt(raw, 1, "raw")
+    val base = cnt(raw, 1, "raw")
       .unionByName(cnt(qual, 2, "quality"))
       .unionByName(cnt(clean, 3, "decontaminated"))
       .unionByName(cnt(exact, 4, "exact_dedup"))
       .unionByName(cnt(deduped, 5, "near_dedup"))
-      .unionByName(cnt(mixed, 6, "mixed"))
+    val stages = (if (dsirTarget.isDefined)
+        base.unionByName(cnt(selected, 6, "dsir"))
+      else base)
+      .unionByName(cnt(mixed, 7, "mixed"))
       .orderBy("stage").collect()
       .map(r => StageCount(r.getInt(0), r.getString(1), r.getLong(2)))
 

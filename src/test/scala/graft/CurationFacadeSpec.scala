@@ -84,8 +84,44 @@ class CurationFacadeSpec extends SparkSpec {
         Seq(6L).filter(kept(_, 1))).sorted
       assert(r2.curated.select("doc_id").collect().map(_.getLong(0)).sorted
         .toSeq == expect, "mixture stage must match the md5-band replay")
-      assert(r2.stages.last == Curation.StageCount(6, "mixed",
+      assert(r2.stages.last == Curation.StageCount(7, "mixed",
         expect.size.toLong))
+
+      // DSIR stage: a target of doc 3's DISTINCTIVE vocabulary (the
+      // shared filler words would dilute every weight above the
+      // acceptance bands) reweights the survivors; the kept set must
+      // equal the driver-side replay of the integer bucket-score math
+      // (the q115 discipline). Doc 3 scores ~2x the others; doc 2
+      // also survives on a low acceptance band — both replayed.
+      val targetText = (1 to 30).map(i => s"palabrac$i").mkString(" ")
+      val target = Seq(targetText).toDF("text")
+      val r4 = Curation.curate(spark, dataDir, bench = Some(bench),
+        dsirTarget = Some(target), mixBase = 0L)
+      def toks(t: String) = t.trim.split("\\s+").toSeq
+      def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+      val survivors = (1L to 6L).map(id =>
+        id -> (if (id == 1) good("a") else if (id == 2) good("b")
+          else if (id == 3) good("c") else if (id == 4) good("d")
+          else if (id == 5) good("e") else good("f")))
+      val tc = new Array[Long](256); val rc = new Array[Long](256)
+      toks(targetText).foreach(w => tc((h60(w) & 255).toInt) += 1)
+      survivors.foreach { case (_, t) =>
+        toks(t).foreach(w => rc((h60(w) & 255).toInt) += 1) }
+      val tT = tc.sum; val rT = rc.sum
+      val score = Array.tabulate(256)(b =>
+        ((tc(b) + 1) * (rT + 256) * 10000L) / ((rc(b) + 1) * (tT + 256)))
+      val expectDsir = survivors.filter { case (id, t) =>
+        val ts = toks(t)
+        val w = ts.map(x => score((h60(x) & 255).toInt)).sum / ts.size
+        java.lang.Long.parseLong(md5hex(s"dsir0|$id").take(8), 16) %
+          10000 < math.min(w, 10000L)
+      }.map(_._1).sorted
+      assert(r4.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == expectDsir, "dsir stage must match the integer replay")
+      assert(r4.stages.map(s => s.name -> s.n_docs).contains(
+        "dsir" -> expectDsir.size.toLong))
+      assert(expectDsir.nonEmpty && expectDsir.size < 6,
+        s"the fixture target must make selection BIND: kept $expectDsir")
 
       // epoch write: every curated doc in exactly one shard, in the
       // reproducible key order
