@@ -179,6 +179,27 @@ object TextQueries {
       .select(col("doc_id"), col("band"),
         col("bh.ha").as("ha"), col("bh.hb").as("hb"))
 
+  /** THE q25 candidate-pair pipeline (unordered): narrow per-row
+    * minhash signature kernel → band explode → ONE bucket groupBy →
+    * in-list pair expansion → distinct (da < db). Shared by q25 and
+    * the q118 audit so the audited pipeline IS the shipped one —
+    * signature is a NARROW per-row kernel (distinct shingles + 16
+    * running minima inside one expression): the only shuffles are the
+    * tiny bucket groupBy and the pair distinct. */
+  private[graft] def minhashCandidatePairs(docs: DataFrame): DataFrame = {
+    val mh = docs
+      .select(col("doc_id"),
+        minhash_signature(col("text"), 3).as("sig"))
+      .filter(col("sig").isNotNull)
+    explodeBands(mh)
+      .groupBy(col("band"), col("ha"), col("hb"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(pairExpand(col("docs"))).as("p"))
+      .select(col("p.x").as("da"), col("p.y").as("db"))
+      .distinct()
+  }
+
   /** All pairs (x, y) with x before y from a sorted array column —
     * posting-list pair expansion. Replaces a self-join: one groupBy +
     * explode instead of shuffling (and recomputing!) the build subtree
@@ -319,29 +340,82 @@ object TextQueries {
     // one groupBy(doc) with map-side combine, one groupBy(bucket) —
     // never a self-join, so the sketch subtree is computed once.
     "q25_minhash_lsh" -> QuerySpec(
-      build = (s, d) => {
-        // signature is a NARROW per-row kernel (distinct shingles +
-        // 16 running minima inside one expression): the only shuffle in
-        // the whole sketch is the final tiny bucket groupBy
-        val mh = Tables.documents(s, d)
-          .select(col("doc_id"),
-            minhash_signature(col("text"), 3).as("sig"))
-          .filter(col("sig").isNotNull)
-        val bands = explodeBands(mh)
-        bands.groupBy(col("band"), col("ha"), col("hb"))
-          .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
-          .filter(size(col("docs")) > 1)
-          .select(explode(pairExpand(col("docs"))).as("p"))
-          .select(col("p.x").as("da"), col("p.y").as("db"))
-          .distinct()
-          .orderBy("da", "db")
-      },
+      build = (s, d) =>
+        minhashCandidatePairs(Tables.documents(s, d)).orderBy("da", "db"),
       oracle = Some(
         s"""
         WITH $duckMinhashPairsCtes
         SELECT da, db FROM pairs
         ORDER BY da, db"""),
       bench = true),
+
+    // ── LSH dedup audit: the q25 approximation MEASURED (q117's ────
+    // recipe for the text side). Per corpus, how well do the MinHash
+    // band collisions (q25) recover the exact-Jaccard >= 0.3 truth set
+    // (q24)? One row: truth size, candidate size, intersection,
+    // precision, recall — integer counts plus the repo-standard r4
+    // ratios, all order-free. An LSH dedup whose recall silently decays
+    // (shingle distribution drift, band-width misconfiguration) deletes
+    // nothing at 100 TB while reporting success; this is the query a
+    // pipeline runs after re-tuning band parameters before trusting
+    // them. Truth here is q24's OPERATIONAL policy (lang-keyed,
+    // df-capped, >= 0.3) — a cross-language band collision counts
+    // against precision because the dedup policy would reject it.
+    // Scale: both inputs are the shipped pair pipelines (each linear,
+    // never a self-join); the audit join is pair-scale, orders of
+    // magnitude below the corpus.
+    "q118_lsh_audit" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val exact = jaccardPairsFromPostings(
+          jaccardPostings(jaccardIndexRows(docs)))
+          .select(col("da"), col("db"), lit(1).as("e"))
+        val lsh = minhashCandidatePairs(docs)
+          .select(col("da"), col("db"), lit(1).as("l"))
+        exact.join(lsh, Seq("da", "db"), "full_outer")
+          .agg(count(col("e")).as("n_exact"),
+            count(col("l")).as("n_lsh"),
+            count(when(col("e").isNotNull && col("l").isNotNull, 1))
+              .as("n_hit"))
+          .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+            when(col("n_lsh") > 0, graft.analytics.StableRound.r4(
+              col("n_hit").cast("double") / col("n_lsh")))
+              .as("precision_lsh"),
+            when(col("n_exact") > 0, graft.analytics.StableRound.r4(
+              col("n_hit").cast("double") / col("n_exact")))
+              .as("recall_lsh"))
+      },
+      oracle = Some(s"""
+        WITH $duckMinhashPairsCtes,
+        sk0 AS (SELECT doc_id, n,
+                       xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
+                           ('0x' || substring(md5(lang), 1, 15))::BIGINT)
+                         AS skey
+                FROM sh),
+        sk AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY skey) df FROM sk0)
+               WHERE df <= $jaccardDfCap),
+        p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
+                     any_value(a.n) na, any_value(b.n) nb
+              FROM sk a JOIN sk b
+                ON a.skey = b.skey AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        exact AS (SELECT da, db FROM p
+                  WHERE floor(shared * 1.0 / (na + nb - shared) * 10000
+                          + 0.5) / 10000 >= 0.3),
+        c AS (SELECT
+                (SELECT count(*) FROM exact) AS n_exact,
+                (SELECT count(*) FROM pairs) AS n_lsh,
+                (SELECT count(*) FROM exact e JOIN pairs l
+                   ON e.da = l.da AND e.db = l.db) AS n_hit)
+        SELECT n_exact, n_lsh, n_hit,
+               CASE WHEN n_lsh > 0 THEN
+                 floor(n_hit * 1.0 / n_lsh * 10000 + 0.5) / 10000
+               END AS precision_lsh,
+               CASE WHEN n_exact > 0 THEN
+                 floor(n_hit * 1.0 / n_exact * 10000 + 0.5) / 10000
+               END AS recall_lsh
+        FROM c""")),
 
     // ── winnowing fingerprints (rolling-hash, local-edit-robust) ───
     // The oracle recomputes the k-gram polynomial hash + window minima

@@ -306,4 +306,25 @@ class TextSimilaritySpec extends SparkSpec {
       assert(pct == nHit * 100 / nExact)
     }
   }
+
+  test("q118 LSH audit equals a direct q24/q25 pair-set intersection") {
+    val d = "/root/testdata/sf0.001"
+    def pairSet(name: String) =
+      graft.text.TextQueries.queries(name).build(spark, d)
+        .select("da", "db").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet("q24_jaccard_pairs")
+    val lsh = pairSet("q25_minhash_lsh")
+    val r = graft.text.TextQueries.queries("q118_lsh_audit")
+      .build(spark, d).collect()
+    assert(r.length == 1, "one audit row per corpus")
+    val row = r(0)
+    assert(row.getAs[Long]("n_exact") == exact.size.toLong)
+    assert(row.getAs[Long]("n_lsh") == lsh.size.toLong)
+    val hit = exact.intersect(lsh).size
+    assert(row.getAs[Long]("n_hit") == hit.toLong)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    assert(row.getAs[Double]("precision_lsh") == r4(hit.toDouble / lsh.size))
+    assert(row.getAs[Double]("recall_lsh") == r4(hit.toDouble / exact.size))
+  }
 }
