@@ -28,9 +28,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which parquet-mr maps to
-      // no Spark type; read as Long (ns since epoch) and convert at use
-      // sites (Tables.eventTs).
+      // older harness events.parquet carried TIMESTAMP(NANOS), which
+      // parquet-mr maps to no Spark type; read those as Long (ns since
+      // epoch). Harmless for µs-typed files (Tables.tsUs handles both).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 

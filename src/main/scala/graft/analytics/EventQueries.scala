@@ -11,25 +11,26 @@ import graft.operators.{AsOfJoin, RangeJoin}
   * absent") — these are the extension surface a training-data /
   * telemetry pipeline needs, each with a DuckDB oracle.
   *
-  * Precision note: `events.ts` is parquet TIMESTAMP(NANOS). DuckDB
-  * truncates to µs on read; Spark (with nanosAsLong) reads the raw ns
-  * Long. Every temporal comparison here is therefore done on **epoch
-  * micros** (`ts_us = ts div 1000`) so both engines order and bucket
-  * identically — sub-µs ordering would otherwise diverge.
+  * Precision note: every temporal comparison here is done on **epoch
+  * micros** (`ts_us`, Long) so both engines order and bucket
+  * identically whatever the generator wrote `ts` as — see
+  * [[Tables.tsUs]] for the ns-Long / µs-NTZ schema handling; the
+  * oracle side is uniformly `epoch_us(ts)`.
   */
 object EventQueries {
   import Tables._
 
   private val US_PER_HOUR = 3600L * 1000000L
 
-  /** events with `ts_us` (epoch micros, Long) — the canonical clock.
-    * `div` (integer division) keeps the arithmetic in Long: `ts/1000`
-    * would round-trip through Double and lose precision (epoch ns
-    * ~1.7e18 >> 2^53), shifting session boundaries by ±1 µs vs the
-    * oracle's exact `epoch_us`. Shared with ExtendedQueries — the
+  /** events with `ts_us` (epoch micros, Long) — the canonical clock,
+    * derived schema-robustly by [[Tables.tsUs]] (the generator has
+    * shipped both ns-Long and µs-NTZ encodings of `ts`; µs is the one
+    * clock both engines agree on). Shared with ExtendedQueries — the
     * micro-second convention must have exactly one definition. */
-  private[analytics] def ev(s: SparkSession, d: String): DataFrame =
-    events(s, d).withColumn("ts_us", expr("ts div 1000"))
+  private[analytics] def ev(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    e.withColumn("ts_us", Tables.tsUs(e))
+  }
 
   /** Purchases deduped per (user_id, ts_us) keeping the highest
     * event_id — ns ties collapse under µs truncation; both as-of joins

@@ -10,13 +10,26 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), read as Long ns-since-epoch
-    * (see GraftSession nanosAsLong); convert to a microsecond timestamp
-    * the same way DuckDB truncates ns -> µs. Integer `div` — `/` would
-    * go through Double and lose sub-µs exactness (ns epoch >> 2^53). */
-  def eventTs: org.apache.spark.sql.Column = {
+  /** Epoch-MICROS Long from an `events` frame's `ts` column, robust to
+    * how the harness happened to write it. The generator has shipped
+    * both parquet TIMESTAMP(NANOS) (read as Long ns-since-epoch under
+    * GraftSession's nanosAsLong) and TIMESTAMP(MICROS, isAdjustedToUTC
+    * =false) (read as TIMESTAMP_NTZ); the oracle's `epoch_us(ts)` is
+    * µs either way (DuckDB truncates ns on read), so µs is the one
+    * cross-engine clock. Integer `div` for the ns case — `/` would go
+    * through Double and lose sub-µs exactness (ns epoch >> 2^53); the
+    * NTZ case routes through TIMESTAMP_LTZ under the session's pinned
+    * UTC zone, where wall-time µs == epoch µs. */
+  def tsUs(df: DataFrame): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    timestamp_micros(expr("ts div 1000"))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType           => expr("ts div 1000")
+      case TimestampNTZType   => expr("unix_micros(cast(ts as timestamp_ltz))")
+      case TimestampType      => expr("unix_micros(ts)")
+      case dt => throw new IllegalStateException(
+        s"events.ts: unsupported type $dt")
+    }
   }
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")

@@ -162,6 +162,42 @@ object Bm25Index {
   }
 }
 
+/** MinHash band-signature store — the corpus-side half of INCREMENTAL
+  * near-dup (q119). Where [[PairIndex]] materializes the corpus's
+  * internal pairs, `BandIndex` materializes the reusable structure
+  * those pairs came from: one row per (doc_id, band) with the band's
+  * (ha, hb) signature minima — banding-scale (8 rows/doc, three ints
+  * and an id), not corpus-scale, built from the same narrow
+  * `minhash_signature` kernel q25 uses so index hits and q25 pairs
+  * are the same relation.
+  *
+  * This is the artifact an ingest pipeline probes: arriving batches
+  * sketch themselves (batch-scale) and broadcast-join against ONE scan
+  * of this index — the corpus is never re-sketched or re-shuffled per
+  * batch. On a production store the index would additionally be
+  * append-maintained (accepted batches write their own band rows in);
+  * under content-fingerprint keying a changed dataset rebuilds
+  * instead, which preserves the artifact-equals-pipeline proof. */
+object BandIndex {
+
+  /** Band rows (band, ha, hb, doc_id) for the documents under `d`,
+    * from the artifact when present, else built via the q25 signature
+    * kernel (one narrow corpus scan) and materialized. */
+  def load(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = Artifacts.dir(d, "minhash_bands")
+    Artifacts.materialize(dir) { tmp =>
+      val mh = graft.analytics.Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFunctions.minhash_signature(col("text"), 3).as("sig"))
+        .filter(col("sig").isNotNull)
+      TextQueries.explodeBands(mh)
+        .write.mode("overwrite").parquet(tmp.resolve("bands").toString)
+    }
+    s.read.parquet(dir.resolve("bands").toString)
+  }
+}
+
 /** See [[PairIndex]]. */
 object ClusterIndex {
 

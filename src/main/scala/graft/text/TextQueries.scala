@@ -417,6 +417,48 @@ object TextQueries {
                END AS recall_lsh
         FROM c""")),
 
+    // ── incremental near-dup: probe a NEW batch against the corpus ──
+    // band index (q119). The operational shape dedup actually runs in
+    // at 100 TB: the corpus is already sketched (its band signatures
+    // live in the [[BandIndex]] artifact, banding-scale — 8 rows/doc),
+    // and an arriving ingest batch must be checked against it WITHOUT
+    // re-sketching or re-shuffling the corpus. The batch (here the
+    // deterministic doc_id % 8 == 0 slice, ~12.5% — an ingest-sized
+    // bite) computes its signatures in one narrow scan, then its bands
+    // BROADCAST into a hash join against a single filtered scan of the
+    // index — zero corpus-side exchange; the only shuffle is the
+    // pair-scale distinct. Cost per batch = batch sketching + one
+    // index scan, independent of how the corpus got to 100 TB. Output
+    // is (new_doc, corpus_doc) candidates — same band semantics as
+    // q25, so a batch-vs-corpus hit is exactly a q25 pair that
+    // straddles the split (the spec asserts that identity).
+    "q119_incremental_neardup" -> QuerySpec(
+      build = (s, d) => {
+        val batch = Tables.documents(s, d)
+          .filter(col("doc_id") % 8 === 0)
+          .select(col("doc_id"),
+            minhash_signature(col("text"), 3).as("sig"))
+          .filter(col("sig").isNotNull)
+        val probes = explodeBands(batch)
+          .withColumnRenamed("doc_id", "new_doc")
+        // artifact scan with the batch slice filtered out at the read
+        // (pushed to parquet) — "the index the corpus built last week"
+        val corpus = BandIndex.load(s, d)
+          .filter(col("doc_id") % 8 =!= 0)
+        corpus.join(broadcast(probes), Seq("band", "ha", "hb"))
+          .select(col("new_doc"), col("doc_id").as("corpus_doc"))
+          .distinct()
+          .orderBy("new_doc", "corpus_doc")
+      },
+      oracle = Some(s"""
+        WITH $duckMinhashPairsCtes
+        SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS corpus_doc
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
+        WHERE b.doc_id % 8 = 0 AND a.doc_id % 8 <> 0
+        ORDER BY new_doc, corpus_doc"""),
+      bench = true),
+
     // ── winnowing fingerprints (rolling-hash, local-edit-robust) ───
     // The oracle recomputes the k-gram polynomial hash + window minima
     // with independent SQL arithmetic (base 31, mod 1e9+7, k=5, w=4).

@@ -327,4 +327,37 @@ class TextSimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("precision_lsh") == r4(hit.toDouble / lsh.size))
     assert(row.getAs[Double]("recall_lsh") == r4(hit.toDouble / exact.size))
   }
+
+  test("q119 incremental near-dup equals the q25 pairs straddling the split") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      // truth: the shipped q25 pair set, restricted to pairs that
+      // straddle the batch split, re-oriented (new_doc, corpus_doc)
+      val q25 = graft.text.TextQueries.queries("q25_minhash_lsh")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = q25.collect {
+        case (a, b) if (a % 8 == 0) != (b % 8 == 0) =>
+          if (a % 8 == 0) (a, b) else (b, a)
+      }
+      def run() = graft.text.TextQueries
+        .queries("q119_incremental_neardup").build(spark, d).collect()
+        .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("corpus_doc")))
+      val got = run().toSet
+      assert(got.nonEmpty, "the sf0.001 split must straddle some pairs")
+      assert(got == expected,
+        "an index probe hit IS a q25 pair that straddles the split")
+      // second invocation serves from the materialized BandIndex and
+      // returns identical rows (build-once / reuse)
+      assert(run().toSet == got)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
 }
