@@ -123,6 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(oneArg("bloom_bits",
       "bloom_bits(h60) - 8192-bit Bloom filter (128 longs) over 60-bit hashes",
       graft.plans.BloomAgg(_)))
+    ext.injectFunction(oneArg("hist_counts",
+      "hist_counts(v) - 256-bucket log-histogram counters over a nonnegative Long measure",
+      graft.plans.HistAgg(_)))
 
     ext.injectFunction((FunctionIdentifier("winnow"),
       info("winnow", "winnow(str, k, w) - winnowing fingerprints (k-gram rolling hash, window w)"),

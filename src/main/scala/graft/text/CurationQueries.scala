@@ -1974,6 +1974,93 @@ object CurationQueries {
                CAST(sum(w) AS BIGINT) AS w_sum,
                CAST(sum(kept * n_chars) AS BIGINT) AS kept_chars
         FROM w GROUP BY source ORDER BY source"""),
+      bench = true),
+
+    // ── histogram-sketch quantiles (the DISTRIBUTION sketch) ────────
+    // Per-source token-count percentiles from the native log-histogram
+    // aggregate (plans/HistAgg) — the fourth mergeable sketch beside
+    // HLL (distinct), CMS (frequency), and Bloom (membership): 256
+    // longs = 2 KiB of state per group, partials merge by elementwise
+    // ADD, so the ONE exchange carries 2 KiB per (mapper, source) no
+    // matter how many billions of documents feed it. An exact
+    // percentile at 100 TB needs a per-group sort (q81's shape — fine
+    // once, wrong as a monitoring query); the sketch answers the
+    // production question ("did the length distribution drift?") at
+    // report cost. Buckets are pure bit arithmetic (4 geometric
+    // sub-buckets per octave, ≤12.5% relative value error, no
+    // logarithms), so DuckDB rebuilds every counter bit-for-bit and
+    // extracts the same nearest-rank quantiles — the oracle checks the
+    // sketch itself, not just row counts. Quantile extraction explodes
+    // the 256-bucket array (|sources|×256 rows — bounded) through one
+    // cumulative window; reported values are bucket lower bounds.
+    "q120_hist_quantiles" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val v = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source"),
+            token_count(col("text")).cast("long").as("v"))
+          .filter(col("v").isNotNull)
+        val hist = toC(graft.plans.HistAgg(toE(col("v")))
+          .toAggregateExpression())
+        val sk = v.groupBy(col("source")).agg(hist.as("h"))
+        val ex = sk.select(col("source"),
+            posexplode(col("h")).as(Seq("b", "c")))
+          .filter(col("c") > 0)
+        val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = ex
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("total",
+            sum(col("c")).over(Window.partitionBy(col("source"))))
+        // nearest-rank: smallest bucket whose cumulative count reaches
+        // p% of the group — exact integer comparison, no division
+        def pick(p: Int) =
+          min(when(col("cum") * 100 >= lit(p.toLong) * col("total"),
+            col("b")))
+        // bucket lower bound (HistAgg.loOf as SQL): b<8 → b, else
+        // (4 + b%4) << (b/4 - 1); cast before the shift — high buckets
+        // would overflow an int shift
+        def lo(name: String) =
+          when(col(name) < 8, col(name).cast("long")).otherwise(
+            expr(s"shiftleft(cast(4 + ($name % 4) as bigint), " +
+              s"cast(($name div 4) - 1 as int))"))
+        cum.groupBy(col("source")).agg(
+            max(col("total")).as("n_docs"),
+            pick(50).as("_b50"), pick(90).as("_b90"), pick(99).as("_b99"))
+          .select(col("source"), col("n_docs"),
+            lo("_b50").as("p50_lo"),
+            lo("_b90").as("p90_lo"),
+            lo("_b99").as("p99_lo"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        v AS (SELECT source, len(toks) AS v FROM t),
+        bk AS (SELECT source,
+                 CASE WHEN v < 8 THEN v
+                      ELSE ((length(bin(v)) - 2) * 4
+                            + ((v >> (length(bin(v)) - 3)) & 3))
+                 END AS b
+               FROM v),
+        c AS (SELECT source, b, count(*) c FROM bk GROUP BY 1, 2),
+        cum AS (SELECT source, b, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(c) OVER (PARTITION BY source) total
+                FROM c),
+        p AS (SELECT source, max(total) n_docs,
+                min(CASE WHEN cum * 100 >= 50 * total THEN b END) b50,
+                min(CASE WHEN cum * 100 >= 90 * total THEN b END) b90,
+                min(CASE WHEN cum * 100 >= 99 * total THEN b END) b99
+              FROM cum GROUP BY source)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+          CAST(CASE WHEN b50 < 8 THEN b50
+               ELSE (4 + (b50 % 4)) << ((b50 // 4) - 1) END AS BIGINT) AS p50_lo,
+          CAST(CASE WHEN b90 < 8 THEN b90
+               ELSE (4 + (b90 % 4)) << ((b90 // 4) - 1) END AS BIGINT) AS p90_lo,
+          CAST(CASE WHEN b99 < 8 THEN b99
+               ELSE (4 + (b99 % 4)) << ((b99 // 4) - 1) END AS BIGINT) AS p99_lo
+        FROM p ORDER BY source"""),
       bench = true)
   )
 

@@ -991,4 +991,51 @@ class CurationSpec extends SparkSpec {
           s"${r.getString(0)} must be upsampled")
     }
   }
+
+  test("HistAgg bucketing inverts exactly and respects the error bound") {
+    import graft.plans.HistAgg.{bucketOf, loOf}
+    // lo(bucketOf(x)) <= x < lo(bucketOf(x)+1) — exhaustive small sweep
+    // plus octave edges up to 2^62
+    val edges = (3 to 62).flatMap(k =>
+      Seq((1L << k) - 1, 1L << k, (1L << k) + 1))
+    ((0L to 4096L) ++ edges).foreach { x =>
+      val b = bucketOf(x)
+      assert(loOf(b) <= x, s"x=$x b=$b lo=${loOf(b)}")
+      assert(x < loOf(b + 1), s"x=$x b=$b nextLo=${loOf(b + 1)}")
+      // ≤12.5% relative width: bucket width is 2^(octave-3), lo >= 2^(octave-1)
+      if (x >= 8) assert((loOf(b + 1) - loOf(b)).toDouble / loOf(b) <= 0.25 + 1e-9)
+    }
+  }
+
+  test("q120 histogram quantiles match a driver-side replay") {
+    import graft.plans.HistAgg.{bucketOf, loOf}
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), graft.text.TextFunctions.token_count(col("text"))
+        .cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.groupBy(_._1).map { case (src, rows) =>
+      val buckets = rows.map(r => bucketOf(r._2)).sorted
+      val n = buckets.length
+      def pick(p: Int): Long = {
+        // nearest-rank over the cumulative bucket counts — same rule
+        // as the query: smallest bucket with cum*100 >= p*n
+        val byB = buckets.groupBy(identity).view.mapValues(_.length)
+          .toSeq.sortBy(_._1)
+        var cum = 0
+        byB.collectFirst {
+          case (b, c) if { cum += c; cum * 100 >= p * n } => loOf(b)
+        }.get
+      }
+      src -> (n.toLong, pick(50), pick(90), pick(99))
+    }
+    val got = run("q120_hist_quantiles").collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_docs"), r.getAs[Long]("p50_lo"),
+        r.getAs[Long]("p90_lo"), r.getAs[Long]("p99_lo"))).toMap
+    assert(got == expected)
+    // sanity: percentiles are monotone
+    got.values.foreach { case (_, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
 }

@@ -71,12 +71,13 @@ class ExtensionsSpec extends SparkSpec {
       }
       val row3 = s.sql(s"""
         SELECT hll_registers(h) AS hll, cms_counters(h) AS cms,
-               bloom_bits(h) AS bloom
+               bloom_bits(h) AS bloom, hist_counts(h) AS hist
         FROM (VALUES (${hs(0)}L), (${hs(1)}L), (${hs(2)}L)) AS v(h)
       """).head()
       val regs = new Array[Int](512)
       val cnt = new Array[Long](1024)
       val bits = new Array[Long](128)
+      val hbk = new Array[Long](256)
       hs.foreach { h =>
         val idx = (h >>> 51).toInt
         val rem = h & ((1L << 51) - 1)
@@ -88,6 +89,12 @@ class ExtensionsSpec extends SparkSpec {
           val b = ((h >>> (13 * f)) & 8191L).toInt
           bits(b >>> 6) |= 1L << (b & 63)
         }
+        // independent re-derivation of the log-histogram bucket
+        val hb = if (h < 8L) h.toInt else {
+          val bl = 64 - java.lang.Long.numberOfLeadingZeros(h)
+          ((bl - 2) << 2) | ((h >>> (bl - 3)) & 3L).toInt
+        }
+        hbk(hb) += 1L
       }
       val hll = row3.getStruct(0)
       assert(hll.getLong(0) === regs.map(_.toLong).sum)
@@ -95,6 +102,7 @@ class ExtensionsSpec extends SparkSpec {
       assert(hll.getLong(2) === regs.map(x => 1L << (52 - x)).sum)
       assert(row3.getSeq[Long](1) === cnt.toSeq)
       assert(row3.getSeq[Long](2) === bits.toSeq)
+      assert(row3.getSeq[Long](3) === hbk.toSeq)
 
       // the generator (UDTF) path: LATERAL VIEW over the injected fn
       val gen = s.sql("""
