@@ -137,6 +137,60 @@ object EventStreams {
         }: _*).as("est_events"))
   }
 
+  /** Windowed value-distribution quantiles via the engine's
+    * log-histogram aggregate ([[graft.plans.HistAgg]], q120's
+    * oracle-checked sketch) — the DISTRIBUTION member of the windowed
+    * sketch family beside [[hourlyDistinctUsers]] (HLL) and
+    * [[hourlyUserFrequencies]] (CMS): an exact windowed percentile
+    * holds every value in state (or sorts per window); the 256-bucket
+    * histogram keys state by WINDOW ONLY — 2 KiB/window at any event
+    * volume, merged by elementwise add across micro-batches. Reports
+    * nearest-rank p50/p90/p99 bucket lower bounds (q120's exact
+    * extraction rule, ≤12.5% relative value error) over
+    * `floor(value)`; negative values are skipped by the aggregate.
+    *
+    * Streaming frames can't run window functions, so the cumulative
+    * scan q120 does with a Window here rides `aggregate()` — a bounded
+    * O(256) fold per emitted row, stateless above the windowed
+    * aggregation. Works identically on a batch frame; StreamingSpec
+    * pins stream output == the batch run of this same function. */
+  def hourlyValueQuantiles(events: DataFrame,
+                           lateness: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+    val hist = toC(graft.plans.HistAgg(toE(col("v"))).toAggregateExpression())
+    // nearest-rank bucket: smallest index whose cumulative count
+    // reaches p% of the in-sketch total (-1 when the sketch is empty)
+    def bExpr(p: Int) = expr(s"""aggregate(_h,
+        named_struct('cum', CAST(0 AS BIGINT), 'pos', 0, 'b', -1),
+        (acc, x) -> named_struct(
+          'cum', acc.cum + x,
+          'pos', acc.pos + 1,
+          'b', CASE WHEN acc.b >= 0 THEN acc.b
+                    WHEN (acc.cum + x) * 100 >= $p * _total THEN acc.pos
+                    ELSE -1 END),
+        acc -> acc.b)""")
+    // bucket lower bound (HistAgg.loOf), null for an empty sketch
+    def lo(name: String) = when(col(name) < 0, lit(null).cast("long"))
+      .when(col(name) < 8, col(name).cast("long"))
+      .otherwise(expr(s"shiftleft(CAST(4 + ($name % 4) AS BIGINT), " +
+        s"CAST(($name div 4) - 1 AS INT))"))
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withColumn("v", floor(col("value")).cast("long"))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), hist.as("_h"))
+      .withColumn("_total",
+        expr("aggregate(_h, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("_b50", bExpr(50))
+      .withColumn("_b90", bExpr(90))
+      .withColumn("_b99", bExpr(99))
+      .select(col("window.start").as("hour"), col("n_events"),
+        col("_total").as("n_values"),
+        lo("_b50").as("p50_lo"), lo("_b90").as("p90_lo"),
+        lo("_b99").as("p99_lo"))
+  }
+
   /** Stream-static dimension enrichment: join each micro-batch against
     * a (small) static dimension frame with a broadcast hash join — the
     * streaming twin of the batch pipelines' dim preload (SURVEY §2 A6/

@@ -499,6 +499,67 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("windowed histogram quantiles: stream == batch twin == driver replay") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us
+    // hour 1: values 1..100 (p50=50's bucket, p99=99's); hour 2: a
+    // skewed long tail so high buckets matter (10 × 1000, 90 × 10)
+    val h1 = (1 to 100).map(i =>
+      Ev(i.toLong, t0 + (i % 50) * min, i.toDouble))
+    val h2 = (1 to 100).map(i =>
+      Ev(i.toLong, t0 + 60 * min + (i % 50) * min,
+        if (i <= 10) 1000.0 else 10.0))
+    val input = MemoryStream[Ev]
+    val q = EventStreams.hourlyValueQuantiles(input.toDS().toDF(),
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("hist_out")
+      .outputMode("append").start()
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 600 * min, 1.0))
+    q.processAllAvailable()
+    input.addData(Ev(99, t0 + 1200 * min, 1.0))
+    q.processAllAvailable()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val streamed = toMap(spark.table("hist_out").collect())
+    val batch = toMap(
+      EventStreams.hourlyValueQuantiles((h1 ++ h2).toDS().toDF()).collect())
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val hour2 = new java.sql.Timestamp((t0 + 60 * min) / 1000)
+    Seq(hour1, hour2).foreach { hour =>
+      assert(streamed.contains(hour), s"window $hour did not emit")
+      assert(streamed(hour) == batch(hour),
+        s"stream/batch divergence at $hour: ${streamed(hour)} vs ${batch(hour)}")
+    }
+    // driver replay: nearest-rank over HistAgg's bucket math
+    import graft.plans.HistAgg.{bucketOf, loOf}
+    def replay(vs: Seq[Long], p: Int): Long = {
+      val bs = vs.map(bucketOf).sorted
+      var cum = 0
+      bs.groupBy(identity).toSeq.sortBy(_._1).collectFirst {
+        case (b, g) if { cum += g.size; cum * 100 >= p * bs.size } => loOf(b)
+      }.get
+    }
+    val v1 = h1.map(_.value.toLong)
+    val v2 = h2.map(_.value.toLong)
+    assert(streamed(hour1) == ((100L, 100L,
+      replay(v1, 50), replay(v1, 90), replay(v1, 99))))
+    assert(streamed(hour2) == ((100L, 100L,
+      replay(v2, 50), replay(v2, 90), replay(v2, 99))))
+    // the skewed hour's p99 must land in 1000's bucket, p50 in 10's
+    assert(streamed(hour2)._3 == loOf(bucketOf(10L)))
+    assert(streamed(hour2)._5 == loOf(bucketOf(1000L)))
+    q.stop()
+  }
+
   test("near-dup bloom gate: _bloom maintained, suppression holds, heals when deleted") {
     import spark.implicits._
     import graft.streaming.StreamingNearDup
