@@ -24,8 +24,8 @@ object SimilarityQueries {
   /** Deterministic centroid choice for IVF: the first 16 vectors. A
     * production build would k-means these; the index mechanics
     * (assign -> probe -> rerank) are identical. */
-  private val nCentroids = 16
-  private val nProbe = 2
+  private[similarity] val nCentroids = 16
+  private[similarity] val nProbe = 2
 
   /** q90 SemDeDup near-neighbor threshold — same planted-near-dup
     * cosine floor as q27/q67 (the synthetic corpus' dup pairs sit
@@ -104,7 +104,7 @@ object SimilarityQueries {
     * NARROW per-row argmax over in-closure literals: zero shuffle and
     * zero row expansion, vs the former cross-join + row_number window
     * that shuffled 16× the corpus bytes. */
-  private def centroids(e: DataFrame): Seq[(Long, Array[Float])] =
+  private[similarity] def centroids(e: DataFrame): Seq[(Long, Array[Float])] =
     e.filter(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -114,7 +114,7 @@ object SimilarityQueries {
     * makes max/sort rank by (cosine desc, cid asc), the exact order the
     * old window used; same cosine kernel + rounding, so hashes are
     * unchanged. */
-  private def centScores(cents: Seq[(Long, Array[Float])], v: Column): Column =
+  private[similarity] def centScores(cents: Seq[(Long, Array[Float])], v: Column): Column =
     array(cents.map { case (cid, vec) =>
       struct(graft.analytics.StableRound.r4(cosine(typedlit(vec), v)).as("c"),
         lit(-cid).as("n"))
@@ -146,6 +146,42 @@ object SimilarityQueries {
       struct(graft.analytics.StableRound.r4(dist).as("d2"),
         lit(code).as("code"), dist.as("raw"))
     }.toIndexedSeq: _*))
+
+  /** q29's DuckDB replay — ONE definition shared by the direct IVF
+    * search (q29) and the artifact-served search (q121): the two paths
+    * must be value-identical, so they share an oracle by construction. */
+  private val ivfOracle: String = s"""
+        WITH cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                      WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, qe, cid FROM (
+            SELECT q.query_id, q.qe, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        hits AS (
+          SELECT p.query_id, a.vec_id, floor(list_cosine_similarity(
+              p.qe::DOUBLE[], a.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
+          FROM assigned a JOIN probes p ON a.cid = p.cid
+          WHERE a.vec_id != p.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) rk FROM hits)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""
 
   val queries: Map[String, QuerySpec] = Map(
 
@@ -241,38 +277,49 @@ object SimilarityQueries {
           .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
           .orderBy("query_id", "rk")
       },
-      oracle = Some(s"""
-        WITH cent AS (SELECT vec_id cid, embedding ce FROM embeddings
-                      WHERE vec_id < $nCentroids),
-        assigned AS (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY b.vec_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) crk
-            FROM embeddings b CROSS JOIN cent)
-          WHERE crk = 1),
-        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
-              WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, qe, cid FROM (
-            SELECT q.query_id, q.qe, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY q.query_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) prk
-            FROM q CROSS JOIN cent)
-          WHERE prk <= $nProbe),
-        hits AS (
-          SELECT p.query_id, a.vec_id, floor(list_cosine_similarity(
-              p.qe::DOUBLE[], a.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
-          FROM assigned a JOIN probes p ON a.cid = p.cid
-          WHERE a.vec_id != p.query_id),
-        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY cos DESC, vec_id) rk FROM hits)
-        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rk""")),
+      oracle = Some(ivfOracle)),
+
+    // ── ANN served from the IVF-flat index artifact (q121) ──────────
+    // q29's search with the assignment table MATERIALIZED: the
+    // [[IvfIndex]] artifact holds every (vec_id, embedding) under its
+    // centroid as a parquet PARTITION, so a query's nProbe lists are
+    // reached by partition pruning (the q116 recipe for vectors — the
+    // probed-cid literals come from one bounded driver-side collect of
+    // queries×nProbe rows, which must exist at plan time for the
+    // pruning to fire; PlanSpec pins the PartitionFilters). Probes then
+    // BROADCAST into the pruned list scan and the rerank is bounded
+    // heaps — per-query cost tracks the probed lists, never the
+    // corpus. Same oracle as q29 by construction: the artifact stores
+    // the direct path's own assignment.
+    "q121_ann_from_index" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val probes = q.select(col("query_id"), col("qe"),
+            explode(slice(reverse(array_sort(centScores(cents, col("qe")))),
+              1, nProbe)).as("p"))
+          .select(col("query_id"), col("qe"), (-col("p.n")).as("cid"))
+        // the one driver-side collect: ≤ queries×nProbe cids, needed
+        // as literals so the artifact scan partition-prunes
+        val probedCids = probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val lists = IvfIndex.lists(s, d)
+          .filter(col("_c").isin(probedCids: _*))
+        val cand = lists
+          .join(broadcast(probes), col("_c") === col("cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(ivfOracle),
+      bench = true),
 
     // ── embedding near-dup at scale: LSH candidates + exact rerank ──
     // The 100 TB twin of q27: q27's blocked all-pairs cosine is

@@ -335,6 +335,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "no row_number window over scored docs")
   }
 
+  test("q121 ANN index read: list scan prunes _c partitions, probes broadcast") {
+    val df = SparkEntry.queries("q121_ann_from_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the probed centroid ids must reach the list scan as PARTITION
+    // filters (the inverted-list seek), not a post-scan filter
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scan.contains("_c"), s"list scan must prune on _c:\n$scan")
+    // lists are self-contained (vectors colocated with assignments):
+    // search must not join any corpus-scale frame — broadcasts only
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale join at read")
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast")
+    assert(!p.contains("Window"), "rerank must be bounded heaps")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -328,6 +328,31 @@ class TextSimilaritySpec extends SparkSpec {
     assert(row.getAs[Double]("recall_lsh") == r4(hit.toDouble / exact.size))
   }
 
+  test("q121 ANN from the IVF index equals the direct q29 search") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def rows(name: String) = graft.similarity.SimilarityQueries
+        .queries(name).build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val direct = rows("q29_ann_ivf")
+      val served = rows("q121_ann_from_index")
+      assert(served.nonEmpty)
+      assert(served == direct,
+        "index-served search must equal the direct IVF search row-for-row")
+      // second invocation reads the materialized lists and matches
+      assert(rows("q121_ann_from_index") == direct)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
