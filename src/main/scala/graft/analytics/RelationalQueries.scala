@@ -203,14 +203,26 @@ object RelationalQueries {
 
     // ── E: window functions (running sum, explicit ROWS frame) ─────
     "q11_window_running" -> QuerySpec(
+      // Running sum filtered to rn <= 5: the prefix sums at positions
+      // 1..5 depend ONLY on each key's first 5 rows, so the bounded-
+      // heap TopKPerKey selects those rows FIRST (map-side partial
+      // heaps — no full sort of the fact table, the round-9 fix for
+      // the 6.8× scale curve: the old plan sorted every row through
+      // the window and discarded all but 5/key) and the window then
+      // runs over ≤5 rows per key, riding TopKPerKey's preserved
+      // hash partitioning — no second exchange.
       build = (s, d) => {
         val w = Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-        lineitem(s, d)
+        val top5 = graft.operators.TopK.perKeyRanked(
+          lineitem(s, d).select(col("l_suppkey"), col("l_quantity"),
+            col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          Seq("l_suppkey"),
+          Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")),
+          5, "rn")
+        top5
           .withColumn("running_qty",
             sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
           .select(col("l_suppkey"), col("rn"),
             round(col("running_qty"), 2).as("running_qty"))
           .orderBy("l_suppkey", "rn")

@@ -82,6 +82,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q11 running window: heap-select first, window over <=5 rows/key") {
+    val p = plan("q11_window_running")
+    // the fact table must reach a bounded heap, not a full sort: the
+    // only Window in the plan runs over TopKPerKey's 5-row survivors
+    assert(p.contains("TopKPerKey"),
+      "q11 must select the per-key head rows with bounded heaps")
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TopKPerKey")
+    assert(winIdx >= 0 && topIdx >= 0 && winIdx < topIdx,
+      s"the window must sit ABOVE the heap select (plan order):\n${p.take(1500)}")
+  }
+
   test("q26 simhash: one narrow kernel pass — no shuffle before the final sort") {
     val df = SparkEntry.queries("q26_simhash")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
