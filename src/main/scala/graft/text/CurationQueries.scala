@@ -1976,6 +1976,108 @@ object CurationQueries {
         FROM w GROUP BY source ORDER BY source"""),
       bench = true),
 
+    // ── corpus report card: the sketch family composed (q122) ──────
+    // The nightly monitoring query a 100 TB pipeline schedules: per
+    // source, document count, total tokens, token-count p50/p90/p99
+    // (HIST sketch, doc grain) and a distinct-token estimate (HLL,
+    // token grain) — in exactly TWO constant-state exchanges: one
+    // carrying 2 KiB histograms per (mapper, source) over doc rows,
+    // one carrying 512 B register arrays per (mapper, source) over the
+    // raw token stream (HLL needs no pre-distinct: registers are maxes
+    // — THE production shape; q104 is the separately-audited twin that
+    // proves estimate accuracy next to exact counts). The two
+    // |sources|-row results join broadcast. Like its siblings, every
+    // reported piece is integer-exact (register summaries, bucket
+    // bounds) or the shared r4 rational — DuckDB rebuilds both
+    // sketches in full and the report hash-checks bit-for-bit.
+    "q122_corpus_report" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        // doc grain: totals + length histogram in ONE groupBy
+        val v = docs.select(col("source"),
+          token_count(col("text")).cast("long").as("v"))
+        val hist = toC(graft.plans.HistAgg(toE(col("v")))
+          .toAggregateExpression())
+        val lengths = histQuantiles(
+          v.groupBy(col("source")).agg(
+            sum(col("v")).as("total_tokens"), hist.as("_h")),
+          Seq("total_tokens"))
+        // token grain: HLL registers over the raw token stream
+        val hll = toC(graft.plans.HllAgg(toE(col("h")))
+          .toAggregateExpression())
+        val distinct_ = docs
+          .select(col("source"), explode(tokens(col("text"))).as("t"))
+          .select(col("source"),
+            conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("h"))
+          .groupBy(col("source")).agg(hll.as("_l"))
+          .select(col("source"),
+            col("_l.sum_ranks").as("sum_ranks"),
+            col("_l.zero_regs").as("zero_regs"),
+            StableRound.r4(lit(graft.plans.HllAgg.alphaNum) /
+              col("_l.s_scaled").cast("double")).as("distinct_tokens_est"))
+        lengths.join(broadcast(distinct_), Seq("source"))
+          .orderBy("source")
+      },
+      oracle = Some {
+        val loSql = (n: String) => s"""CAST(CASE WHEN $n < 8 THEN $n
+          ELSE (4 + ($n % 4)) << (($n // 4) - 1) END AS BIGINT)"""
+        s"""
+        WITH t AS ($duckToks),
+        v AS (SELECT source, len(toks) AS v FROM t),
+        bk AS (SELECT source,
+                 CASE WHEN v < 8 THEN v
+                      ELSE ((length(bin(v)) - 2) * 4
+                            + ((v >> (length(bin(v)) - 3)) & 3))
+                 END AS b
+               FROM v),
+        c AS (SELECT source, b, count(*) c FROM bk GROUP BY 1, 2),
+        cum AS (SELECT source, b, c,
+                  sum(c) OVER (PARTITION BY source ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(c) OVER (PARTITION BY source) total
+                FROM c),
+        p AS (SELECT source, max(total) n_docs,
+                min(CASE WHEN cum * 100 >= 50 * total THEN b END) b50,
+                min(CASE WHEN cum * 100 >= 90 * total THEN b END) b90,
+                min(CASE WHEN cum * 100 >= 99 * total THEN b END) b99
+              FROM cum GROUP BY source),
+        tot AS (SELECT source, CAST(sum(v) AS BIGINT) total_tokens
+                FROM v GROUP BY 1),
+        tok AS (SELECT source, unnest(toks) tk FROM t),
+        h AS (SELECT source,
+                ('0x' || substring(md5(tk), 1, 15))::BIGINT h60 FROM tok),
+        r AS (SELECT source, h60 >> 51 AS idx,
+                h60 & ((1::BIGINT << 51) - 1) AS rem FROM h),
+        rk AS (SELECT source, idx,
+                 CASE WHEN rem = 0 THEN 52
+                      ELSE 52 - length(bin(rem)) END AS rnk
+               FROM r),
+        regs AS (SELECT source, idx, max(rnk) mr FROM rk GROUP BY 1, 2),
+        full_regs AS (SELECT l.source, gr.idx, coalesce(regs.mr, 0) mr
+               FROM (SELECT DISTINCT source FROM t) l
+               CROSS JOIN (SELECT unnest(generate_series(0, 511)) idx) gr
+               LEFT JOIN regs ON regs.source = l.source AND regs.idx = gr.idx),
+        agg AS (SELECT source,
+                  CAST(sum(mr) AS BIGINT) sum_ranks,
+                  CAST(sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                    zero_regs,
+                  CAST(sum(1::BIGINT << (52 - mr)) AS BIGINT) s_scaled
+                FROM full_regs GROUP BY 1)
+        SELECT p.source, CAST(p.n_docs AS BIGINT) AS n_docs,
+               tot.total_tokens,
+               ${loSql("b50")} AS p50_lo,
+               ${loSql("b90")} AS p90_lo,
+               ${loSql("b99")} AS p99_lo,
+               a.sum_ranks, a.zero_regs,
+               ${StableRound.sql4(
+                 s"${graft.plans.HllAgg.alphaNum} / CAST(a.s_scaled AS DOUBLE)")}
+                 AS distinct_tokens_est
+        FROM p JOIN tot USING (source) JOIN agg a USING (source)
+        ORDER BY source"""
+      },
+      bench = true),
+
     // ── histogram-sketch quantiles (the DISTRIBUTION sketch) ────────
     // Per-source token-count percentiles from the native log-histogram
     // aggregate (plans/HistAgg) — the fourth mergeable sketch beside
@@ -2002,35 +2104,7 @@ object CurationQueries {
           .filter(col("v").isNotNull)
         val hist = toC(graft.plans.HistAgg(toE(col("v")))
           .toAggregateExpression())
-        val sk = v.groupBy(col("source")).agg(hist.as("h"))
-        val ex = sk.select(col("source"),
-            posexplode(col("h")).as(Seq("b", "c")))
-          .filter(col("c") > 0)
-        val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val cum = ex
-          .withColumn("cum", sum(col("c")).over(wCum))
-          .withColumn("total",
-            sum(col("c")).over(Window.partitionBy(col("source"))))
-        // nearest-rank: smallest bucket whose cumulative count reaches
-        // p% of the group — exact integer comparison, no division
-        def pick(p: Int) =
-          min(when(col("cum") * 100 >= lit(p.toLong) * col("total"),
-            col("b")))
-        // bucket lower bound (HistAgg.loOf as SQL): b<8 → b, else
-        // (4 + b%4) << (b/4 - 1); cast before the shift — high buckets
-        // would overflow an int shift
-        def lo(name: String) =
-          when(col(name) < 8, col(name).cast("long")).otherwise(
-            expr(s"shiftleft(cast(4 + ($name % 4) as bigint), " +
-              s"cast(($name div 4) - 1 as int))"))
-        cum.groupBy(col("source")).agg(
-            max(col("total")).as("n_docs"),
-            pick(50).as("_b50"), pick(90).as("_b90"), pick(99).as("_b99"))
-          .select(col("source"), col("n_docs"),
-            lo("_b50").as("p50_lo"),
-            lo("_b90").as("p90_lo"),
-            lo("_b99").as("p99_lo"))
+        histQuantiles(v.groupBy(col("source")).agg(hist.as("_h")), Nil)
           .orderBy("source")
       },
       oracle = Some(s"""
@@ -2067,6 +2141,43 @@ object CurationQueries {
   /** BM25 query-term set shared by q111 (direct) and q116 (index read
     * path): the first 8 distinct terms (token asc) of each doc with
     * doc_id <= 5 — deterministic and cross-engine-identical. */
+  /** Nearest-rank p50/p90/p99 bucket lower bounds from a per-source
+    * [[graft.plans.HistAgg]] sketch frame (`source`, `_h`, plus any
+    * `extra` columns carried through) — ONE definition shared by q120
+    * and q122 so the two extractions can't drift. The 256-bucket array
+    * explodes to a bounded \|sources\|×256 frame; one cumulative
+    * window; quantile = smallest bucket whose cumulative count reaches
+    * p% (exact integer comparison, no division); reported value =
+    * bucket lower bound (HistAgg.loOf as SQL — cast before the shift,
+    * high buckets would overflow an int shift). */
+  private def histQuantiles(sk: org.apache.spark.sql.DataFrame,
+                            extra: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ex = sk.select(
+        (col("source") +: extra.map(col)) :+
+          posexplode(col("_h")).as(Seq("b", "c")): _*)
+      .filter(col("c") > 0)
+    val wCum = Window.partitionBy(col("source")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = ex
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total",
+        sum(col("c")).over(Window.partitionBy(col("source"))))
+    def pick(p: Int) =
+      min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("b")))
+    def lo(name: String) =
+      when(col(name) < 8, col(name).cast("long")).otherwise(
+        expr(s"shiftleft(cast(4 + ($name % 4) as bigint), " +
+          s"cast(($name div 4) - 1 as int))"))
+    cum.groupBy(col("source")).agg(
+        max(col("total")).as("n_docs"),
+        (extra.map(c => first(col(c)).as(c)) ++ Seq(
+          pick(50).as("_b50"), pick(90).as("_b90"), pick(99).as("_b99"))): _*)
+      .select(
+        (col("source") +: col("n_docs") +: extra.map(col)) ++ Seq(
+          lo("_b50").as("p50_lo"), lo("_b90").as("p90_lo"),
+          lo("_b99").as("p99_lo")): _*)
+  }
+
   private def bm25QueryTerms(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val dtoks = Tables.documents(s, d)

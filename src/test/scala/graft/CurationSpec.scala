@@ -1007,6 +1007,51 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q122 corpus report: quantiles == q120, HLL registers replay, totals exact") {
+    val got = run("q122_corpus_report").collect().map(r =>
+      r.getString(0) -> r).toMap
+    // the HIST side must agree with q120 column-for-column
+    val q120 = run("q120_hist_quantiles").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == q120.keySet)
+    got.foreach { case (src, r) =>
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("p50_lo"),
+        r.getAs[Long]("p90_lo"), r.getAs[Long]("p99_lo")) == q120(src))
+    }
+    // totals + HLL registers: full driver-side replay from the corpus
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def toks(t: String) = t.trim.split("\\s+").filter(_.nonEmpty)
+    def h60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    docs.groupBy(_._1).foreach { case (src, rows) =>
+      val r = got(src)
+      val allToks = rows.map(t => toks(t._2))
+      assert(r.getAs[Long]("total_tokens") == allToks.map(_.length.toLong).sum)
+      val regs = new Array[Int](512)
+      allToks.flatten.foreach { t =>
+        val h = h60(t)
+        val idx = (h >>> 51).toInt
+        val rem = h & ((1L << 51) - 1)
+        val rank = if (rem == 0L) 52
+          else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+        if (rank > regs(idx)) regs(idx) = rank
+      }
+      assert(r.getAs[Long]("sum_ranks") == regs.map(_.toLong).sum, s"$src ranks")
+      assert(r.getAs[Long]("zero_regs") == regs.count(_ == 0).toLong, s"$src zeros")
+      val sScaled = regs.map(x => 1L << (52 - x)).sum.toDouble
+      val est = math.floor(
+        graft.plans.HllAgg.alphaNum / sScaled * 10000 + 0.5) / 10000
+      assert(r.getAs[Double]("distinct_tokens_est") == est, s"$src est")
+    }
+  }
+
   test("q120 histogram quantiles match a driver-side replay") {
     import graft.plans.HistAgg.{bucketOf, loOf}
     val docs = graft.analytics.Tables.documents(spark, sf)
