@@ -229,4 +229,16 @@ object Curation {
 
     Report(mixed, stages.toSeq)
   }
+
+  /** The per-source corpus report card (q122): document counts, token
+    * totals, token-count p50/p90/p99 (log-histogram sketch) and a
+    * distinct-token HLL estimate — two constant-state exchanges over
+    * the corpus, the monitoring query to schedule against any dataset
+    * this facade curates. Every column is cross-engine hash-checked as
+    * q122. */
+  def reportCard(spark: SparkSession, corpusDir: String): DataFrame = {
+    GraftSession.configure(spark)
+    graft.text.CurationQueries.queries("q122_corpus_report")
+      .build(spark, corpusDir)
+  }
 }

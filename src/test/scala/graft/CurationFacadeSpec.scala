@@ -141,4 +141,12 @@ class CurationFacadeSpec extends SparkSpec {
       graft.text.Artifacts.deleteRecursively(root)
     }
   }
+
+  test("reportCard delegates to the oracle-checked q122 surface") {
+    val sf = "/root/testdata/sf0.001"
+    val got = Curation.reportCard(spark, sf).collect()
+    val q122 = graft.text.CurationQueries.queries("q122_corpus_report")
+      .build(spark, sf).collect()
+    assert(got.nonEmpty && got.toSeq == q122.toSeq)
+  }
 }
