@@ -51,3 +51,31 @@ object IvfIndex {
   def lists(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensure(s, d).resolve("lists").toString)
 }
+
+/** PQ code store — the compression half of the serving stack that
+  * [[IvfIndex]] is the pruning half of: every embedding's 8
+  * codebook indices (8 bytes vs the 256-byte float vector, 32×
+  * smaller) materialized ONCE per dataset fingerprint via q95's own
+  * encode expression, so the ADC candidate scan (q123) reads the
+  * compact code table and the per-vector encode argmins are never
+  * re-paid per query set. At 100 TB of vectors the ADC pass touches
+  * ~3 TB of codes — which is the reason PQ exists as a storage
+  * format. */
+object PqIndex {
+
+  private def dirOf(d: String) = graft.text.Artifacts.dir(
+    d,
+    s"pq_codes_m8_c${SimilarityQueries.nCentroids}_v1",
+    "embeddings.parquet")
+
+  /** The code table (vec_id, codes), from the artifact when present,
+    * else encoded via the shared q95 expression and materialized. */
+  def codes(s: SparkSession, d: String): DataFrame = {
+    val target = dirOf(d)
+    graft.text.Artifacts.materialize(target) { tmp =>
+      SimilarityQueries.pqCodesFrame(graft.analytics.Tables.embeddings(s, d))
+        .write.parquet(tmp.resolve("codes").toString)
+    }
+    s.read.parquet(target.resolve("codes").toString)
+  }
+}

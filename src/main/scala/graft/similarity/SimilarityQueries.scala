@@ -183,6 +183,80 @@ object SimilarityQueries {
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""
 
+  /** The PQ code table (vec_id, codes: array of 8 codebook indices) —
+    * ONE definition shared by the direct ADC search (q95), the
+    * [[PqIndex]] artifact build, and therefore q123's read path. */
+  private[similarity] def pqCodesFrame(e: DataFrame): DataFrame = {
+    val cents = centroids(e)
+    e.select(col("vec_id"),
+      array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
+        .as("codes"))
+  }
+
+  /** Per-query integer ADC distance tables (8×16 ten-thousandths),
+    * derived from the query's own raw embedding — a bounded broadcast
+    * side in both the direct (q95) and indexed (q123) searches. */
+  private def adcQueries(e: DataFrame): DataFrame = {
+    val cents = centroids(e)
+    val dtab = array((0 until pqM).map { sub =>
+      array(cents.map { case (_, vec) =>
+        floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
+          + lit(0.5)).cast("long")
+      }.toIndexedSeq: _*)
+    }: _*)
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), dtab.as("dtab"))
+  }
+
+  /** The ADC scan + rerank tail over any (vec_id, codes) frame: a
+    * candidate costs 8 table lookups + integer adds; broadcast
+    * queries, TopKPerKey rerank. Shared by q95 and q123 so direct and
+    * artifact paths cannot drift. */
+  private def adcSearch(coded: DataFrame, queries: DataFrame): DataFrame = {
+    val ai = (0 until pqM).map { sub =>
+      element_at(element_at(col("dtab"), sub + 1),
+        element_at(col("codes"), sub + 1).cast("int") + 1)
+    }.reduce(_ + _)
+    val cand = coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), ai.as("ai"))
+    TopK.perKeyRanked(cand, Seq("query_id"),
+        Seq(col("ai").asc, col("vec_id").asc), 5, "rk")
+      .select(col("query_id"), col("rk"), col("vec_id"),
+        (col("ai").cast("double") / lit(10000.0)).as("adist"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** q95's DuckDB replay — shared verbatim with q123 (the artifact
+    * stores the direct path's own codes). */
+  private val adcOracle: String = s"""
+        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ai, vec_id) rk FROM pair)
+        SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -763,58 +837,30 @@ object SimilarityQueries {
     "q95_pq_adc" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
-        val cents = centroids(e)
-        val coded = e.select(col("vec_id"),
-          array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
-            .as("codes"))
-        val dtab = array((0 until pqM).map { sub =>
-          array(cents.map { case (_, vec) =>
-            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
-              + lit(0.5)).cast("long")
-          }.toIndexedSeq: _*)
-        }: _*)
-        val queries = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), dtab.as("dtab"))
-        val ai = (0 until pqM).map { sub =>
-          element_at(element_at(col("dtab"), sub + 1),
-            element_at(col("codes"), sub + 1).cast("int") + 1)
-        }.reduce(_ + _)
-        val cand = coded
-          .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id"), ai.as("ai"))
-        TopK.perKeyRanked(cand, Seq("query_id"),
-            Seq(col("ai").asc, col("vec_id").asc), 5, "rk")
-          .select(col("query_id"), col("rk"), col("vec_id"),
-            (col("ai").cast("double") / lit(10000.0)).as("adist"))
-          .orderBy("query_id", "rk")
+        adcSearch(pqCodesFrame(e), adcQueries(e))
       },
-      oracle = Some(s"""
-        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
-                    FROM embeddings WHERE vec_id < $nCentroids),
-        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
-        d0 AS (SELECT e.vec_id, sub.s, cb.code,
-                list_sum(list_transform(generate_series(1, 8),
-                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
-                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
-                  AS raw
-              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
-        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
-        codes AS (SELECT vec_id, s, code FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                  ORDER BY d2, code) rk
-                FROM d) WHERE rk = 1),
-        dt AS (SELECT vec_id AS query_id, s, code,
-                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
-               FROM d0 WHERE vec_id < 10),
-        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
-                 FROM codes c JOIN dt ON dt.s = c.s AND dt.code = c.code
-                 WHERE c.vec_id != dt.query_id
-                 GROUP BY dt.query_id, c.vec_id),
-        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                     ORDER BY ai, vec_id) rk FROM pair)
-        SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
-        FROM ranked WHERE rk <= 5
-        ORDER BY query_id, rk""")),
+      oracle = Some(adcOracle)),
+
+    // ── ADC search from the materialized PQ-code artifact (q123) ────
+    // q95's search with the code table MATERIALIZED ([[PqIndex]]):
+    // codes are 8 bytes/vector vs the 256-byte float embedding, so
+    // the candidate scan reads a 32×-smaller table — at 100 TB of
+    // vectors the ADC pass touches ~3 TB of codes, which is the whole
+    // point of PQ as a storage format, and the encode cost (8 argmins
+    // × 16 codebook entries per vector) is paid once per dataset
+    // fingerprint instead of per query set. Queries still derive their
+    // integer distance tables from their own raw embeddings (a
+    // bounded broadcast); the rerank tail is q95's verbatim, and the
+    // oracle IS q95's — the artifact stores the direct path's own
+    // codes, so the two cannot drift. With q121 this completes the
+    // serving stack: IVF prunes WHERE to look, PQ compresses WHAT is
+    // scanned.
+    "q123_adc_from_index" -> QuerySpec(
+      build = (s, d) =>
+        adcSearch(PqIndex.codes(s, d),
+          adcQueries(Tables.embeddings(s, d))),
+      oracle = Some(adcOracle),
+      bench = true),
 
     // ── Johnson-Lindenstrauss random projection, integer-exact ──────
     // Dimensionality reduction for the ANN family: project 64-d

@@ -353,6 +353,30 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q123 ADC from the PQ-code artifact equals the direct q95 search") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-pq-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def rows(name: String) = graft.similarity.SimilarityQueries
+        .queries(name).build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val direct = rows("q95_pq_adc")
+      val served = rows("q123_adc_from_index")
+      assert(served.nonEmpty)
+      assert(served == direct,
+        "code-artifact search must equal the direct ADC search row-for-row")
+      assert(rows("q123_adc_from_index") == direct)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
