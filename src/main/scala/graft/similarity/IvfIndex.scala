@@ -79,3 +79,40 @@ object PqIndex {
     s.read.parquet(target.resolve("codes").toString)
   }
 }
+
+/** The combined IVF-PQ index — [[IvfIndex]]'s pruning and
+  * [[PqIndex]]'s compression in ONE layout, i.e. the full FAISS
+  * `IVFx,PQy` serving shape: each parquet partition `_c=<centroid>`
+  * holds the PQ CODES (not the vectors) of that centroid's inverted
+  * list. A query partition-prunes to its nProbe lists and ADC-scans
+  * 8-byte codes — at 100 TB of vectors a probe touches
+  * (nProbe/nLists) × 1/32 of the corpus bytes. Assignment and encode
+  * are the q29/q95 expressions verbatim (one narrow pass computes
+  * both), so q124's result is exactly "q95's ADC restricted to q29's
+  * probed lists" — which is what its oracle states. */
+object IvfPqIndex {
+
+  private def dirOf(d: String) = graft.text.Artifacts.dir(
+    d,
+    s"ivfpq_c${SimilarityQueries.nCentroids}_m8_v1",
+    "embeddings.parquet")
+
+  /** Coded inverted lists (vec_id, codes, _c) — filter `_c` by the
+    * probed centroid ids to partition-prune the read. */
+  def lists(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val target = dirOf(d)
+    graft.text.Artifacts.materialize(target) { tmp =>
+      val e = graft.analytics.Tables.embeddings(s, d)
+      val cents = SimilarityQueries.centroids(e)
+      // assignment AND encode in one narrow pass over the vectors
+      e.select(col("vec_id"),
+          SimilarityQueries.pqCodesCol(cents).as("codes"),
+          (-array_max(SimilarityQueries.centScores(cents, col("embedding")))
+            .getField("n")).as("_c"))
+        .write.partitionBy("_c")
+        .parquet(tmp.resolve("lists").toString)
+    }
+    s.read.parquet(target.resolve("lists").toString)
+  }
+}

@@ -186,12 +186,11 @@ object SimilarityQueries {
   /** The PQ code table (vec_id, codes: array of 8 codebook indices) —
     * ONE definition shared by the direct ADC search (q95), the
     * [[PqIndex]] artifact build, and therefore q123's read path. */
-  private[similarity] def pqCodesFrame(e: DataFrame): DataFrame = {
-    val cents = centroids(e)
-    e.select(col("vec_id"),
-      array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
-        .as("codes"))
-  }
+  private[similarity] def pqCodesCol(cents: Seq[(Long, Array[Float])]): Column =
+    array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
+
+  private[similarity] def pqCodesFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), pqCodesCol(centroids(e)).as("codes"))
 
   /** Per-query integer ADC distance tables (8×16 ten-thousandths),
     * derived from the query's own raw embedding — a bounded broadcast
@@ -208,24 +207,31 @@ object SimilarityQueries {
       .select(col("vec_id").as("query_id"), dtab.as("dtab"))
   }
 
-  /** The ADC scan + rerank tail over any (vec_id, codes) frame: a
-    * candidate costs 8 table lookups + integer adds; broadcast
-    * queries, TopKPerKey rerank. Shared by q95 and q123 so direct and
-    * artifact paths cannot drift. */
-  private def adcSearch(coded: DataFrame, queries: DataFrame): DataFrame = {
-    val ai = (0 until pqM).map { sub =>
+  /** The asymmetric-distance expression over (dtab, codes): 8 table
+    * lookups + integer adds per candidate. */
+  private def adcAi: Column =
+    (0 until pqM).map { sub =>
       element_at(element_at(col("dtab"), sub + 1),
         element_at(col("codes"), sub + 1).cast("int") + 1)
     }.reduce(_ + _)
-    val cand = coded
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), ai.as("ai"))
+
+  /** The ADC rerank tail over a (query_id, vec_id, ai) candidate
+    * frame — bounded heaps, q95's output shape. */
+  private def adcRankTail(cand: DataFrame): DataFrame =
     TopK.perKeyRanked(cand, Seq("query_id"),
         Seq(col("ai").asc, col("vec_id").asc), 5, "rk")
       .select(col("query_id"), col("rk"), col("vec_id"),
         (col("ai").cast("double") / lit(10000.0)).as("adist"))
       .orderBy("query_id", "rk")
-  }
+
+  /** The ADC scan + rerank tail over any (vec_id, codes) frame: a
+    * candidate costs 8 table lookups + integer adds; broadcast
+    * queries, TopKPerKey rerank. Shared by q95 and q123 so direct and
+    * artifact paths cannot drift. */
+  private def adcSearch(coded: DataFrame, queries: DataFrame): DataFrame =
+    adcRankTail(coded
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcAi.as("ai")))
 
   /** q95's DuckDB replay — shared verbatim with q123 (the artifact
     * stores the direct path's own codes). */
@@ -860,6 +866,96 @@ object SimilarityQueries {
         adcSearch(PqIndex.codes(s, d),
           adcQueries(Tables.embeddings(s, d))),
       oracle = Some(adcOracle),
+      bench = true),
+
+    // ── IVF-PQ: the full serving stack in one query (q124) ──────────
+    // q121's pruning composed with q123's compression — the FAISS
+    // `IVF16,PQ8` shape: the [[IvfPqIndex]] artifact stores each
+    // inverted list's PQ CODES as a parquet partition, a query
+    // partition-prunes to its nProbe lists and ADC-scans 8-byte codes
+    // with its broadcast distance tables. Per-probe bytes touched =
+    // (nProbe/nLists) × 1/32 of the corpus — the multiplicative win
+    // the two artifacts were built toward. Semantically exactly "q95's
+    // ADC restricted to q29's probed lists", which is what the oracle
+    // states by composing both replays; recall-vs-q95 is auditable the
+    // q117 way.
+    "q124_ivfpq_search" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val dtab = array((0 until pqM).map { sub =>
+          array(cents.map { case (_, vec) =>
+            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
+              + lit(0.5)).cast("long")
+          }.toIndexedSeq: _*)
+        }: _*)
+        // queries carry BOTH probe targets and ADC tables (bounded)
+        val probes = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), dtab.as("dtab"),
+            explode(slice(reverse(array_sort(centScores(cents, col("embedding")))),
+              1, nProbe)).as("p"))
+          .select(col("query_id"), col("dtab"), (-col("p.n")).as("cid"))
+        val probedCids = probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val lists = IvfPqIndex.lists(s, d)
+          .filter(col("_c").isin(probedCids: _*))
+        adcRankTail(lists
+          .join(broadcast(probes), col("_c") === col("cid"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id"), adcAi.as("ai")))
+      },
+      oracle = Some(s"""
+        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c
+                 JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 JOIN assigned a ON a.vec_id = c.vec_id
+                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ai, vec_id) rk FROM pair)
+        SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
+        FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""),
       bench = true),
 
     // ── Johnson-Lindenstrauss random projection, integer-exact ──────

@@ -362,6 +362,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "rerank must be bounded heaps")
   }
 
+  test("q124 IVF-PQ: coded-list scan prunes _c partitions, probes broadcast") {
+    val df = SparkEntry.queries("q124_ivfpq_search")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scan.contains("_c"), s"coded-list scan must prune on _c:\n$scan")
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale join at read")
+    assert(p.contains("BroadcastHashJoin"), "probes must broadcast")
+    assert(!p.contains("Window"), "rerank must be bounded heaps")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

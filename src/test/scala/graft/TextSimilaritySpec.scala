@@ -377,6 +377,76 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q124 IVF-PQ search matches a full driver-side replay") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val emb = graft.analytics.Tables.embeddings(spark, d)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val cents = emb.takeWhile(_._1 < 16)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      // assignment / probes: r4 cosine desc, cid asc ties
+      def rankedCids(v: Array[Float]) = cents
+        .map { case (cid, cv) => (r4(cos(cv, v)), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.map(_._2)
+      val assign = emb.map { case (id, v) => id -> rankedCids(v).head }.toMap
+      // PQ: raw squared-L2 per 8-dim subspace, left-to-right double sum
+      def raw(sub: Int, cv: Array[Float], v: Array[Float]): Double = {
+        var acc = 0.0
+        for (i <- 0 until 8) {
+          val x = v(sub * 8 + i).toDouble - cv(sub * 8 + i)
+          acc += x * x
+        }
+        acc
+      }
+      val codes = emb.map { case (id, v) =>
+        id -> (0 until 8).map { sub =>
+          cents.map { case (code, cv) => (r4(raw(sub, cv, v)), code) }
+            .minBy { case (d2, code) => (d2, code) }._2
+        }
+      }.toMap
+      val expected = emb.filter(_._1 < 10).flatMap { case (qid, qv) =>
+        val probed = rankedCids(qv).take(2).toSet
+        val dt = (0 until 8).map(sub => cents.map { case (_, cv) =>
+          math.floor(raw(sub, cv, qv) * 10000 + 0.5).toLong })
+        emb.filter { case (vid, _) =>
+          vid != qid && probed(assign(vid)) }
+          .map { case (vid, _) =>
+            val ai = (0 until 8).map(sub =>
+              dt(sub)(codes(vid)(sub).toInt)).sum
+            (ai, vid) }
+          .sortBy(identity).take(5).zipWithIndex
+          .map { case ((ai, vid), i) =>
+            (qid, i + 1, vid, ai.toDouble / 10000.0) }
+      }.toSeq
+      def run() = graft.similarity.SimilarityQueries
+        .queries("q124_ivfpq_search").build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val got = run()
+      assert(got.nonEmpty && got == expected)
+      // artifact reuse returns identical rows
+      assert(run() == got)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
