@@ -1107,6 +1107,95 @@ object SimilarityQueries {
     //
     // Scale shape: both inputs are bounded-broadcast pipelines over
     // one corpus scan each; the audit join touches ≤ |queries|×k rows.
+    // ── IVF-PQ recall audit: the SERVING stack measured (q125) ──────
+    // q117's recipe applied to q124: per query, how many of the exact
+    // brute-force top-5 (q28) does the pruned+compressed IVF-PQ path
+    // recover? Two approximations stack here — list pruning loses
+    // candidates, PQ quantization reorders survivors — and this is the
+    // query that prices their JOINT recall before an index ships.
+    // Composes the shipped pipelines unchanged; queries×k-scale join.
+    "q125_ivfpq_recall" -> QuerySpec(
+      build = (s, d) => {
+        def ranks(name: String) = queries(name).build(s, d)
+          .select(col("query_id"), col("vec_id"))
+        val exact = ranks("q28_ann_bruteforce")
+        val served = ranks("q124_ivfpq_search").withColumn("hit", lit(1L))
+        exact.join(served, Seq("query_id", "vec_id"), "left")
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .withColumn("recall_pct", expr("(n_hit * 100) div n_exact"))
+          .orderBy("query_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+                   WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, b.vec_id, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        exact AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM scored)
+          WHERE rk <= 5),
+        cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+               FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c
+                 JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 JOIN assigned a ON a.vec_id = c.vec_id
+                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id),
+        served AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) rk FROM pair)
+          WHERE rk <= 5)
+        SELECT e.query_id, count(*) n_exact,
+               CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) n_hit,
+               CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 100 // count(*) AS BIGINT) recall_pct
+        FROM exact e LEFT JOIN served i
+          ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+        GROUP BY e.query_id ORDER BY e.query_id""")),
+
     "q117_ann_recall" -> QuerySpec(
       build = (s, d) => {
         def ranks(name: String) = queries(name).build(s, d)

@@ -447,6 +447,38 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q125 IVF-PQ recall audit equals a direct q28/q124 set intersection") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpqr-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def topSet(name: String) =
+        graft.similarity.SimilarityQueries.queries(name).build(spark, d)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = topSet("q28_ann_bruteforce")
+      val served = topSet("q124_ivfpq_search")
+      val got = graft.similarity.SimilarityQueries.queries("q125_ivfpq_recall")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got.keySet == exact.keySet, "one audit row per query")
+      got.foreach { case (q, (nExact, nHit, pct)) =>
+        assert(nExact == 5)
+        val inter = exact(q).intersect(served.getOrElse(q, Set.empty)).size.toLong
+        assert(nHit == inter, s"query $q: audit $nHit, direct $inter")
+        assert(pct == nHit * 100 / nExact)
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
