@@ -1107,6 +1107,123 @@ object SimilarityQueries {
     //
     // Scale shape: both inputs are bounded-broadcast pipelines over
     // one corpus scan each; the audit join touches ≤ |queries|×k rows.
+    // ── IVF-PQ + exact rerank: the refine step (q126) ───────────────
+    // The production answer to q125's finding (~28% joint recall from
+    // pruning × quantization): take a WIDER ADC shortlist (top-20 per
+    // query) from the coded lists, fetch true vectors for the
+    // shortlist ONLY (a broadcast semi-join against the corpus — the
+    // shortlist is queries×20 rows, so the fetch reads pair-scale
+    // vectors, never the corpus), and rerank by exact cosine. The
+    // standard FAISS `refine` topology: codes decide WHO is close,
+    // vectors decide the ORDER — ADC's quantization error stops
+    // mattering beyond shortlist membership. Output shape = q29.
+    "q126_ivfpq_rerank" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val dtab = array((0 until pqM).map { sub =>
+          array(cents.map { case (_, vec) =>
+            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
+              + lit(0.5)).cast("long")
+          }.toIndexedSeq: _*)
+        }: _*)
+        val qbase = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("qe"), dtab.as("dtab"))
+        val probes = qbase.select(col("query_id"), col("qe"), col("dtab"),
+            explode(slice(reverse(array_sort(centScores(cents, col("qe")))),
+              1, nProbe)).as("p"))
+          .select(col("query_id"), col("dtab"), (-col("p.n")).as("cid"))
+        val probedCids = probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val lists = IvfPqIndex.lists(s, d)
+          .filter(col("_c").isin(probedCids: _*))
+        // wider ADC shortlist from the coded lists (codes decide WHO)
+        val shortlist = TopK.perKeyRanked(
+            lists.join(broadcast(probes), col("_c") === col("cid"))
+              .filter(col("vec_id") =!= col("query_id"))
+              .select(col("query_id"), col("vec_id"), adcAi.as("ai")),
+            Seq("query_id"), Seq(col("ai").asc, col("vec_id").asc),
+            20, "_srk")
+          .select(col("query_id"), col("vec_id"))
+        // exact rerank over true vectors (vectors decide the ORDER):
+        // the shortlist broadcasts, so the vector fetch is one corpus
+        // scan pruned by a broadcast hash join — nothing shuffles
+        val cand = e.join(broadcast(shortlist), Seq("vec_id"))
+          .join(broadcast(qbase.select(col("query_id"), col("qe"))),
+            Seq("query_id"))
+          .withColumn("cos",
+            graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(cand, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 5, "rk")
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c
+                 JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 JOIN assigned a ON a.vec_id = c.vec_id
+                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id),
+        short AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) srk FROM pair)
+          WHERE srk <= 20),
+        resc AS (SELECT sh.query_id, sh.vec_id,
+                   floor(list_cosine_similarity(
+                     q.qe::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5)
+                     / 10000 cos
+                 FROM short sh
+                 JOIN embeddings b ON b.vec_id = sh.vec_id
+                 JOIN q ON q.query_id = sh.query_id),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) rk FROM resc)
+        SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+        ORDER BY query_id, rk"""),
+      bench = true),
+
     // ── IVF-PQ recall audit: the SERVING stack measured (q125) ──────
     // q117's recipe applied to q124: per query, how many of the exact
     // brute-force top-5 (q28) does the pruned+compressed IVF-PQ path

@@ -479,6 +479,67 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q126 exact rerank recovers recall the raw IVF-PQ ranking loses") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-refine-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def topSet(name: String) =
+        graft.similarity.SimilarityQueries.queries(name).build(spark, d)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = topSet("q28_ann_bruteforce")
+      val raw = topSet("q124_ivfpq_search")
+      val refined = topSet("q126_ivfpq_rerank")
+      assert(refined.keySet == exact.keySet)
+      var rawHits = 0; var refinedHits = 0
+      exact.foreach { case (q, ex) =>
+        rawHits += ex.intersect(raw.getOrElse(q, Set.empty)).size
+        refinedHits += ex.intersect(refined.getOrElse(q, Set.empty)).size
+      }
+      // the refine step must not LOSE recall overall, and on this
+      // fixture it strictly gains (ADC misorders the shortlist)
+      assert(refinedHits > rawHits,
+        s"refine must recover recall: raw $rawHits, refined $refinedHits")
+      // every refined result still respects the pruning: its assigned
+      // centroid must be one of the query's probed centroids
+      val emb = graft.analytics.Tables.embeddings(spark, d)
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val cents = emb.takeWhile(_._1 < 16)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) {
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      def rankedCids(v: Array[Float]) = cents
+        .map { case (cid, cv) => (r4(cos(cv, v)), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }.map(_._2)
+      val byId = emb.toMap
+      val assign = emb.map { case (id, v) => id -> rankedCids(v).head }.toMap
+      refined.foreach { case (q, vs) =>
+        val probed = rankedCids(byId(q)).take(2).toSet
+        vs.foreach { v =>
+          assert(v != q)
+          assert(probed(assign(v)),
+            s"query $q result $v sits in unprobed list ${assign(v)}")
+        }
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
