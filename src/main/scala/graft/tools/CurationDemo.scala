@@ -32,6 +32,17 @@ object CurationDemo {
     println(s"[curation] epoch written to $outDir: " +
       s"${shards.count()} rows in " +
       s"${shards.select(col("shard")).distinct().count()} shards")
+
+    // the monitoring view of the INPUT corpus (q122: sketch-backed
+    // counts, length percentiles, distinct-token estimates)
+    graft.Curation.reportCard(spark, sfDir).collect().foreach { r =>
+      println(f"[report] ${r.getAs[String]("source")}%-12s " +
+        f"docs=${r.getAs[Long]("n_docs")}%6d " +
+        f"tokens=${r.getAs[Long]("total_tokens")}%8d " +
+        f"len p50/p90/p99=${r.getAs[Long]("p50_lo")}/" +
+        f"${r.getAs[Long]("p90_lo")}/${r.getAs[Long]("p99_lo")} " +
+        f"~distinct_toks=${r.getAs[Double]("distinct_tokens_est")}%.0f")
+    }
     spark.stop()
   }
 }
