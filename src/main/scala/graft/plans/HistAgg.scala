@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * where bitlen is the position of the highest set bit and top2 the
   * two bits below it — i.e. 4 geometric sub-buckets per octave, giving
   * a guaranteed ≤12.5% relative quantile-value error at any scale.
-  * Max bucket for any positive Long is 251, so the state is a flat
+  * Max bucket for any positive Long is 247, so the state is a flat
   * 256-long array; partial buffers merge by elementwise ADDITION
   * (same as CMS), so the shuffle carries one 2 KiB array per
   * (mapper, group) no matter how many rows feed it.
@@ -107,4 +107,23 @@ object HistAgg {
   def loOf(b: Int): Long =
     if (b < 8) b.toLong
     else (4L + (b & 3)) << ((b >> 2) - 1)
+
+  // ── engine-side transcriptions of loOf — generated HERE so every
+  // consumer (batch quantile extraction, streaming twin, DuckDB
+  // oracles) shares ONE definition of the inverse; a bucket-geometry
+  // change edits this file only. The cast precedes the shift because
+  // high buckets would overflow an int shift.
+
+  /** loOf as a Spark SQL expression over column `name`. Yields NULL
+    * for a negative (sentinel) bucket. */
+  def loSparkSql(name: String): String =
+    s"""CASE WHEN $name < 0 THEN CAST(NULL AS BIGINT)
+        WHEN $name < 8 THEN CAST($name AS BIGINT)
+        ELSE shiftleft(CAST(4 + ($name % 4) AS BIGINT),
+          CAST(($name div 4) - 1 AS INT)) END"""
+
+  /** loOf as a DuckDB expression over column `name` (BIGINT result). */
+  def loDuckSql(name: String): String =
+    s"""CAST(CASE WHEN $name < 8 THEN $name
+        ELSE (4 + ($name % 4)) << (($name // 4) - 1) END AS BIGINT)"""
 }

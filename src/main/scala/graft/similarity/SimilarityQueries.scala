@@ -189,23 +189,30 @@ object SimilarityQueries {
   private[similarity] def pqCodesCol(cents: Seq[(Long, Array[Float])]): Column =
     array((0 until pqM).map(pqBest(cents, _).getField("code")): _*)
 
-  private[similarity] def pqCodesFrame(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), pqCodesCol(centroids(e)).as("codes"))
-
-  /** Per-query integer ADC distance tables (8×16 ten-thousandths),
-    * derived from the query's own raw embedding — a bounded broadcast
-    * side in both the direct (q95) and indexed (q123) searches. */
-  private def adcQueries(e: DataFrame): DataFrame = {
+  private[similarity] def pqCodesFrame(e: DataFrame): DataFrame = {
     val cents = centroids(e)
-    val dtab = array((0 until pqM).map { sub =>
+    e.select(col("vec_id"), pqCodesCol(cents).as("codes"))
+  }
+
+  /** The per-query 8×16 integer ADC distance-table expression over
+    * `embedding` — ONE definition for q95/q123 (via [[adcQueries]])
+    * and the q124/q126 builds, so the rounding discipline the shared
+    * oracles hash against cannot drift between paths. */
+  private def adcDtabCol(cents: Seq[(Long, Array[Float])]): Column =
+    array((0 until pqM).map { sub =>
       array(cents.map { case (_, vec) =>
         floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
           + lit(0.5)).cast("long")
       }.toIndexedSeq: _*)
     }: _*)
+
+  /** Per-query integer ADC distance tables (8×16 ten-thousandths),
+    * derived from the query's own raw embedding — a bounded broadcast
+    * side in both the direct (q95) and indexed (q123) searches. */
+  private def adcQueries(e: DataFrame,
+                         cents: Seq[(Long, Array[Float])]): DataFrame =
     e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), dtab.as("dtab"))
-  }
+      .select(col("vec_id").as("query_id"), adcDtabCol(cents).as("dtab"))
 
   /** The asymmetric-distance expression over (dtab, codes): 8 table
     * lookups + integer adds per candidate. */
@@ -262,6 +269,60 @@ object SimilarityQueries {
         SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
         FROM ranked WHERE rk <= 5
         ORDER BY query_id, rk"""
+
+  /** The composed IVF-PQ replay CTE chain, ending in
+    * `pair(query_id, vec_id, ai)` — the candidates of the probed
+    * inverted lists with their integer ADC distances (q95's code/table
+    * arithmetic restricted by q29's assignment/probes). ONE definition
+    * shared by the q124/q125/q126 oracles: a tweak to the replay edits
+    * exactly one string. Also defines `q(query_id, qe)` for suffixes
+    * that rescore (q125's exact top-k, q126's rerank). */
+  private val ivfPqPairCtes: String = s"""cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
+                    FROM embeddings WHERE vec_id < $nCentroids),
+        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
+        d0 AS (SELECT e.vec_id, sub.s, cb.code,
+                list_sum(list_transform(generate_series(1, 8),
+                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
+                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
+                  AS raw
+              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
+        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
+        codes AS (SELECT vec_id, s, code FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                  ORDER BY d2, code) rk
+                FROM d) WHERE rk = 1),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+              WHERE vec_id < 10),
+        probes AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM q CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        dt AS (SELECT vec_id AS query_id, s, code,
+                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
+               FROM d0 WHERE vec_id < 10),
+        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
+                 FROM codes c
+                 JOIN dt ON dt.s = c.s AND dt.code = c.code
+                 JOIN assigned a ON a.vec_id = c.vec_id
+                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
+                 WHERE c.vec_id != dt.query_id
+                 GROUP BY dt.query_id, c.vec_id)"""
 
   val queries: Map[String, QuerySpec] = Map(
 
@@ -843,7 +904,9 @@ object SimilarityQueries {
     "q95_pq_adc" -> QuerySpec(
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
-        adcSearch(pqCodesFrame(e), adcQueries(e))
+        val cents = centroids(e) // collected ONCE for both sides
+        adcSearch(e.select(col("vec_id"), pqCodesCol(cents).as("codes")),
+          adcQueries(e, cents))
       },
       oracle = Some(adcOracle)),
 
@@ -862,9 +925,10 @@ object SimilarityQueries {
     // serving stack: IVF prunes WHERE to look, PQ compresses WHAT is
     // scanned.
     "q123_adc_from_index" -> QuerySpec(
-      build = (s, d) =>
-        adcSearch(PqIndex.codes(s, d),
-          adcQueries(Tables.embeddings(s, d))),
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        adcSearch(PqIndex.codes(s, d), adcQueries(e, centroids(e)))
+      },
       oracle = Some(adcOracle),
       bench = true),
 
@@ -883,15 +947,10 @@ object SimilarityQueries {
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = centroids(e)
-        val dtab = array((0 until pqM).map { sub =>
-          array(cents.map { case (_, vec) =>
-            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
-              + lit(0.5)).cast("long")
-          }.toIndexedSeq: _*)
-        }: _*)
         // queries carry BOTH probe targets and ADC tables (bounded)
         val probes = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), dtab.as("dtab"),
+          .select(col("vec_id").as("query_id"),
+            adcDtabCol(cents).as("dtab"),
             explode(slice(reverse(array_sort(centScores(cents, col("embedding")))),
               1, nProbe)).as("p"))
           .select(col("query_id"), col("dtab"), (-col("p.n")).as("cid"))
@@ -905,52 +964,7 @@ object SimilarityQueries {
           .select(col("query_id"), col("vec_id"), adcAi.as("ai")))
       },
       oracle = Some(s"""
-        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
-                    FROM embeddings WHERE vec_id < $nCentroids),
-        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
-        d0 AS (SELECT e.vec_id, sub.s, cb.code,
-                list_sum(list_transform(generate_series(1, 8),
-                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
-                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
-                  AS raw
-              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
-        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
-        codes AS (SELECT vec_id, s, code FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                  ORDER BY d2, code) rk
-                FROM d) WHERE rk = 1),
-        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
-                 WHERE vec_id < $nCentroids),
-        assigned AS (
-          SELECT vec_id, cid FROM (
-            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY b.vec_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) crk
-            FROM embeddings b CROSS JOIN cent)
-          WHERE crk = 1),
-        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
-              WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, cid FROM (
-            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY q.query_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) prk
-            FROM q CROSS JOIN cent)
-          WHERE prk <= $nProbe),
-        dt AS (SELECT vec_id AS query_id, s, code,
-                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
-               FROM d0 WHERE vec_id < 10),
-        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
-                 FROM codes c
-                 JOIN dt ON dt.s = c.s AND dt.code = c.code
-                 JOIN assigned a ON a.vec_id = c.vec_id
-                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
-                 WHERE c.vec_id != dt.query_id
-                 GROUP BY dt.query_id, c.vec_id),
+        WITH $ivfPqPairCtes,
         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY ai, vec_id) rk FROM pair)
         SELECT query_id, rk, vec_id, ai / 10000.0 AS adist
@@ -1121,15 +1135,9 @@ object SimilarityQueries {
       build = (s, d) => {
         val e = Tables.embeddings(s, d)
         val cents = centroids(e)
-        val dtab = array((0 until pqM).map { sub =>
-          array(cents.map { case (_, vec) =>
-            floor(pqDist(sub, vec, col("embedding")) * lit(10000.0)
-              + lit(0.5)).cast("long")
-          }.toIndexedSeq: _*)
-        }: _*)
         val qbase = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"),
-            col("embedding").as("qe"), dtab.as("dtab"))
+            col("embedding").as("qe"), adcDtabCol(cents).as("dtab"))
         val probes = qbase.select(col("query_id"), col("qe"), col("dtab"),
             explode(slice(reverse(array_sort(centScores(cents, col("qe")))),
               1, nProbe)).as("p"))
@@ -1161,52 +1169,7 @@ object SimilarityQueries {
           .orderBy("query_id", "rk")
       },
       oracle = Some(s"""
-        WITH cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
-                    FROM embeddings WHERE vec_id < $nCentroids),
-        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
-        d0 AS (SELECT e.vec_id, sub.s, cb.code,
-                list_sum(list_transform(generate_series(1, 8),
-                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
-                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
-                  AS raw
-              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
-        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
-        codes AS (SELECT vec_id, s, code FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                  ORDER BY d2, code) rk
-                FROM d) WHERE rk = 1),
-        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
-                 WHERE vec_id < $nCentroids),
-        assigned AS (
-          SELECT vec_id, cid FROM (
-            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY b.vec_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) crk
-            FROM embeddings b CROSS JOIN cent)
-          WHERE crk = 1),
-        q AS (SELECT vec_id query_id, embedding qe FROM embeddings
-              WHERE vec_id < 10),
-        probes AS (
-          SELECT query_id, cid FROM (
-            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY q.query_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) prk
-            FROM q CROSS JOIN cent)
-          WHERE prk <= $nProbe),
-        dt AS (SELECT vec_id AS query_id, s, code,
-                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
-               FROM d0 WHERE vec_id < 10),
-        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
-                 FROM codes c
-                 JOIN dt ON dt.s = c.s AND dt.code = c.code
-                 JOIN assigned a ON a.vec_id = c.vec_id
-                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
-                 WHERE c.vec_id != dt.query_id
-                 GROUP BY dt.query_id, c.vec_id),
+        WITH $ivfPqPairCtes,
         short AS (SELECT query_id, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY ai, vec_id) srk FROM pair)
@@ -1245,8 +1208,7 @@ object SimilarityQueries {
           .orderBy("query_id")
       },
       oracle = Some(s"""
-        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
-                   WHERE vec_id < 10),
+        WITH $ivfPqPairCtes,
         scored AS (
           SELECT q.query_id, b.vec_id, floor(
             list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
@@ -1256,50 +1218,6 @@ object SimilarityQueries {
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) rk FROM scored)
           WHERE rk <= 5),
-        cb AS (SELECT vec_id code, embedding::DOUBLE[] cv
-               FROM embeddings WHERE vec_id < $nCentroids),
-        sub AS (SELECT s FROM generate_series(0, 7) t(s)),
-        d0 AS (SELECT e.vec_id, sub.s, cb.code,
-                list_sum(list_transform(generate_series(1, 8),
-                  i -> (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])
-                     * (e.embedding[sub.s*8 + i]::DOUBLE - cb.cv[sub.s*8 + i])))
-                  AS raw
-              FROM embeddings e CROSS JOIN sub CROSS JOIN cb),
-        d AS (SELECT *, floor(raw * 10000 + 0.5) / 10000 AS d2 FROM d0),
-        codes AS (SELECT vec_id, s, code FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                  ORDER BY d2, code) rk
-                FROM d) WHERE rk = 1),
-        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
-                 WHERE vec_id < $nCentroids),
-        assigned AS (
-          SELECT vec_id, cid FROM (
-            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY b.vec_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) crk
-            FROM embeddings b CROSS JOIN cent)
-          WHERE crk = 1),
-        probes AS (
-          SELECT query_id, cid FROM (
-            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
-                PARTITION BY q.query_id
-                ORDER BY floor(list_cosine_similarity(
-                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
-                  DESC, cent.cid) prk
-            FROM q CROSS JOIN cent)
-          WHERE prk <= $nProbe),
-        dt AS (SELECT vec_id AS query_id, s, code,
-                 CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS di
-               FROM d0 WHERE vec_id < 10),
-        pair AS (SELECT dt.query_id, c.vec_id, CAST(sum(dt.di) AS BIGINT) ai
-                 FROM codes c
-                 JOIN dt ON dt.s = c.s AND dt.code = c.code
-                 JOIN assigned a ON a.vec_id = c.vec_id
-                 JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
-                 WHERE c.vec_id != dt.query_id
-                 GROUP BY dt.query_id, c.vec_id),
         served AS (SELECT query_id, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY ai, vec_id) rk FROM pair)

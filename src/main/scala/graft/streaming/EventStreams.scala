@@ -159,21 +159,23 @@ object EventStreams {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
     val hist = toC(graft.plans.HistAgg(toE(col("v"))).toAggregateExpression())
     // nearest-rank bucket: smallest index whose cumulative count
-    // reaches p% of the in-sketch total (-1 when the sketch is empty)
+    // reaches p% of the in-sketch total; -1 when the sketch is EMPTY
+    // (all values null/negative — the `_total > 0` guard matters:
+    // without it `0 >= 0` holds at the first bucket and an empty hour
+    // would report quantile 0 instead of null)
     def bExpr(p: Int) = expr(s"""aggregate(_h,
         named_struct('cum', CAST(0 AS BIGINT), 'pos', 0, 'b', -1),
         (acc, x) -> named_struct(
           'cum', acc.cum + x,
           'pos', acc.pos + 1,
           'b', CASE WHEN acc.b >= 0 THEN acc.b
-                    WHEN (acc.cum + x) * 100 >= $p * _total THEN acc.pos
+                    WHEN _total > 0 AND (acc.cum + x) * 100 >= $p * _total
+                      THEN acc.pos
                     ELSE -1 END),
         acc -> acc.b)""")
-    // bucket lower bound (HistAgg.loOf), null for an empty sketch
-    def lo(name: String) = when(col(name) < 0, lit(null).cast("long"))
-      .when(col(name) < 8, col(name).cast("long"))
-      .otherwise(expr(s"shiftleft(CAST(4 + ($name % 4) AS BIGINT), " +
-        s"CAST(($name div 4) - 1 AS INT))"))
+    // bucket lower bound — HistAgg.loOf's one shared SQL transcription
+    // (NULL for the -1 empty-sketch sentinel)
+    def lo(name: String) = expr(graft.plans.HistAgg.loSparkSql(name))
     events
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withColumn("v", floor(col("value")).cast("long"))

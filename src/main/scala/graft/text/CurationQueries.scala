@@ -1994,9 +1994,12 @@ object CurationQueries {
       build = (s, d) => {
         import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-        // doc grain: totals + length histogram in ONE groupBy
+        // doc grain: totals + length histogram in ONE groupBy (the
+        // null filter mirrors q120's — the two extractions must have
+        // identical null behavior for the q122==q120 spec pin)
         val v = docs.select(col("source"),
           token_count(col("text")).cast("long").as("v"))
+          .filter(col("v").isNotNull)
         val hist = toC(graft.plans.HistAgg(toE(col("v")))
           .toAggregateExpression())
         val lengths = histQuantiles(
@@ -2020,8 +2023,8 @@ object CurationQueries {
           .orderBy("source")
       },
       oracle = Some {
-        val loSql = (n: String) => s"""CAST(CASE WHEN $n < 8 THEN $n
-          ELSE (4 + ($n % 4)) << (($n // 4) - 1) END AS BIGINT)"""
+        // HistAgg.loOf's one shared DuckDB transcription
+        val loSql = graft.plans.HistAgg.loDuckSql _
         s"""
         WITH t AS ($duckToks),
         v AS (SELECT source, len(toks) AS v FROM t),
@@ -2164,10 +2167,10 @@ object CurationQueries {
         sum(col("c")).over(Window.partitionBy(col("source"))))
     def pick(p: Int) =
       min(when(col("cum") * 100 >= lit(p.toLong) * col("total"), col("b")))
-    def lo(name: String) =
-      when(col(name) < 8, col(name).cast("long")).otherwise(
-        expr(s"shiftleft(cast(4 + ($name % 4) as bigint), " +
-          s"cast(($name div 4) - 1 as int))"))
+    // HistAgg.loOf's one shared SQL transcription (the `c > 0` filter
+    // above guarantees total > 0, so the picked bucket is never null
+    // here and the helper's empty-sketch NULL branch stays dormant)
+    def lo(name: String) = expr(graft.plans.HistAgg.loSparkSql(name))
     cum.groupBy(col("source")).agg(
         max(col("total")).as("n_docs"),
         (extra.map(c => first(col(c)).as(c)) ++ Seq(

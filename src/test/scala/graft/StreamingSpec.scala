@@ -507,12 +507,17 @@ class StreamingSpec extends SparkSpec {
     val min = 60 * us
     val t0 = 1599998400L * us
     // hour 1: values 1..100 (p50=50's bucket, p99=99's); hour 2: a
-    // skewed long tail so high buckets matter (10 × 1000, 90 × 10)
+    // skewed long tail so high buckets matter (10 × 1000, 90 × 10);
+    // hour 3: all values NEGATIVE — the sketch skips every one, so the
+    // window must report NULL quantiles (the empty-sketch sentinel),
+    // not 0
     val h1 = (1 to 100).map(i =>
       Ev(i.toLong, t0 + (i % 50) * min, i.toDouble))
     val h2 = (1 to 100).map(i =>
       Ev(i.toLong, t0 + 60 * min + (i % 50) * min,
         if (i <= 10) 1000.0 else 10.0))
+    val h3 = (1 to 20).map(i =>
+      Ev(i.toLong, t0 + 120 * min + (i % 50) * min, -1.0 * i))
     val input = MemoryStream[Ev]
     val q = EventStreams.hourlyValueQuantiles(input.toDS().toDF(),
         lateness = "10 minutes")
@@ -522,16 +527,30 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     input.addData(h2: _*)
     q.processAllAvailable()
+    input.addData(h3: _*)
+    q.processAllAvailable()
     input.addData(Ev(99, t0 + 600 * min, 1.0))
     q.processAllAvailable()
     input.addData(Ev(99, t0 + 1200 * min, 1.0))
     q.processAllAvailable()
-    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
-      r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5))).toMap
-    val streamed = toMap(spark.table("hist_out").collect())
+    // null-quantile (empty-sketch) rows are checked separately below
+    def toMap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .filter(!_.isNullAt(3)).map(r =>
+        r.getTimestamp(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+    val allStreamed = spark.table("hist_out").collect()
+    val streamed = toMap(allStreamed)
     val batch = toMap(
-      EventStreams.hourlyValueQuantiles((h1 ++ h2).toDS().toDF()).collect())
+      EventStreams.hourlyValueQuantiles((h1 ++ h2 ++ h3).toDS().toDF())
+        .collect())
+    // hour 3: events exist, but every value was negative → the sketch
+    // is empty and all three quantiles must be NULL (not 0)
+    val hour3 = new java.sql.Timestamp((t0 + 120 * min) / 1000)
+    val r3 = allStreamed.filter(_.getTimestamp(0) == hour3)
+    assert(r3.length == 1, "hour-3 window must emit")
+    assert(r3.head.getLong(1) == 20L && r3.head.getLong(2) == 0L)
+    assert(r3.head.isNullAt(3) && r3.head.isNullAt(4) && r3.head.isNullAt(5),
+      s"empty sketch must report null quantiles: ${r3.head}")
     val hour1 = new java.sql.Timestamp(t0 / 1000)
     val hour2 = new java.sql.Timestamp((t0 + 60 * min) / 1000)
     Seq(hour1, hour2).foreach { hour =>
