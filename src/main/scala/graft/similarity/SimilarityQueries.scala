@@ -1231,6 +1231,71 @@ object SimilarityQueries {
           ON i.query_id = e.query_id AND i.vec_id = e.vec_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
 
+    // ── hybrid retrieval: BM25 + vector fused by reciprocal rank ────
+    // The standard two-tower retrieval shape: the SAME query set (docs
+    // 0..5, whose embeddings share the documents id space) is answered
+    // lexically (q111's BM25 top-5, composed unchanged) and
+    // semantically (exact cosine top-5 — self INCLUDED, mirroring
+    // BM25, whose query docs score on their own terms), and the two
+    // rankings merge by reciprocal-rank fusion: each list contributes
+    // 1/(60+rank), a rank-only formula immune to the incomparable
+    // score scales (BM25 e4 integers vs cosine) — contributions are
+    // integer millionths (1000000 div (60+rank)) so the fused sums are
+    // order-free exact. Scale: both inputs are audited serving paths
+    // (index twins q116/q121 serve them at corpus scale); the fusion
+    // itself joins two queries×5 lists — driver-trivial forever.
+    "q127_hybrid_rrf" -> QuerySpec(
+      build = (s, d) => {
+        val text = graft.text.CurationQueries.queries("q111_bm25_topk")
+          .build(s, d)
+          .select(col("qid"), col("rank").as("trank"), col("doc_id"))
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") <= 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val cand = e.crossJoin(broadcast(q))
+          .withColumn("cos",
+            graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .select(col("qid"), col("vec_id").as("doc_id"), col("cos"))
+        val vec = TopK.perKeyRanked(cand, Seq("qid"),
+            Seq(col("cos").desc, col("doc_id").asc), 5, "vrank")
+          .select(col("qid"), col("vrank"), col("doc_id"))
+        val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
+          .select(col("qid"), col("doc_id"),
+            (coalesce(expr("CAST(1000000 div (60 + trank) AS BIGINT)"), lit(0L))
+              + coalesce(expr("CAST(1000000 div (60 + vrank) AS BIGINT)"), lit(0L)))
+              .as("rrf_e6"))
+        TopK.perKeyRanked(fused, Seq("qid"),
+            Seq(col("rrf_e6").desc, col("doc_id").asc), 5, "rank")
+          .select(col("qid"), col("rank"), col("doc_id"), col("rrf_e6"))
+          .orderBy("qid", "rank")
+      },
+      oracle = Some(s"""
+        WITH ${graft.text.CurationQueries.bm25RankCtes},
+        tl AS (SELECT qid, doc_id, rank AS trank FROM rk WHERE rank <= 5),
+        vq AS (SELECT vec_id qid, embedding qe FROM embeddings
+               WHERE vec_id <= 5),
+        vsc AS (SELECT vq.qid, b.vec_id doc_id, floor(
+                  list_cosine_similarity(vq.qe::DOUBLE[], b.embedding::DOUBLE[])
+                  * 10000 + 0.5) / 10000 cos
+                FROM vq CROSS JOIN embeddings b),
+        vl AS (SELECT qid, doc_id, vrank FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, doc_id) vrank FROM vsc)
+               WHERE vrank <= 5),
+        fused AS (SELECT coalesce(tl.qid, vl.qid) qid,
+                    coalesce(tl.doc_id, vl.doc_id) doc_id,
+                    coalesce(1000000 // (60 + tl.trank), 0)
+                      + coalesce(1000000 // (60 + vl.vrank), 0) rrf_e6
+                  FROM tl FULL JOIN vl
+                    ON tl.qid = vl.qid AND tl.doc_id = vl.doc_id),
+        frk AS (SELECT qid, doc_id, CAST(rrf_e6 AS BIGINT) rrf_e6,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rrf_e6 DESC, doc_id) rank
+                FROM fused)
+        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, rrf_e6
+        FROM frk WHERE rank <= 5 ORDER BY qid, rank"""),
+      bench = true),
+
     "q117_ann_recall" -> QuerySpec(
       build = (s, d) => {
         def ranks(name: String) = queries(name).build(s, d)

@@ -47,6 +47,17 @@ object CurationQueries {
     * results. */
   private[graft] val bigramCap = 512
 
+  /** q128 reference-LM constants: the LM trains on ONE fixed source
+    * (the "known-good domain" — CCNet's Wikipedia role) and keeps only
+    * its [[lmCap]] most frequent bigrams under the bigramCap ordering
+    * rule, so the broadcast model is bounded no matter how large the
+    * reference slice grows. lmCap sits below the reference slice's
+    * distinct-bigram count at EVERY tested SF (712 at sf0.001) so the
+    * cap — boundary ties included — is always exercised. Baked into
+    * the oracle SQL. */
+  private val lmRefSource = "src0"
+  private val lmCap = 512
+
   /** Shared DuckDB fragment: tokenized non-null documents. */
   private val duckToks =
     """SELECT doc_id, source, string_split_regex(trim(text), '\s+') toks
@@ -604,6 +615,93 @@ object CurationQueries {
                ${StableRound.sql4("min(pred)")} AS min_pred,
                ${StableRound.sql4("max(pred)")} AS max_pred
         FROM pd GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ── reference-LM perplexity partition (CCNet, Wenzek et al.) ───
+    // The CCNet recipe Spark-first: a bigram LM trains on ONE known-
+    // good source (lmRefSource — Wikipedia's role), every corpus doc
+    // is scored by its mean conditional probability under that model,
+    // and each source splits into head/middle/tail TERCILES by score —
+    // the partition a pipeline feeds to curriculum sampling ("train on
+    // head first") or quality filtering ("drop tail"). All arithmetic
+    // integer-exact: in-model bigrams contribute their e4 probability
+    // floor(cnt*1e4/head_total+0.5) clamped up to 1, out-of-model
+    // bigrams the Laplace floor 1 (a doc of unseen text scores 1, not
+    // 0 — CCNet's smoothing intent without transcendentals), and the
+    // doc score is the integer-div mean. Scale: the model is the
+    // lmCap-bounded broadcast (the KenLM-file shape — training is a
+    // slice-scale groupBy, scoring a NARROW corpus pass with zero
+    // token-scale exchange); the tercile split is one doc-grain
+    // window per source (the q81 exact-percentile cost, far below
+    // token grain; q120's sketch thresholds are the constant-state
+    // alternative when even doc-grain sorting is too dear).
+    "q128_perplexity_buckets" -> QuerySpec(
+      build = (s, d) => {
+        val bi = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(col("text"), 2)).as("sh"))
+          .select(col("doc_id"), col("source"),
+            split(col("sh"), " ").getItem(0).as("head"),
+            split(col("sh"), " ").getItem(1).as("next_tok"))
+        val lm = bi.filter(col("source") === lmRefSource)
+          .groupBy(col("head"), col("next_tok"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("head_total",
+            sum(col("cnt")).over(Window.partitionBy(col("head"))))
+          .orderBy(col("cnt").desc, col("head").asc, col("next_tok").asc)
+          .limit(lmCap)
+          .select(col("head"), col("next_tok"),
+            greatest(floor(col("cnt") * lit(10000.0) / col("head_total")
+              + lit(0.5)).cast("long"), lit(1L)).as("e"))
+        val scored = bi.join(broadcast(lm), Seq("head", "next_tok"), "left")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(coalesce(col("e"), lit(1L))).as("se"),
+            count(lit(1)).as("nb"))
+          .select(col("doc_id"), col("source"),
+            expr("CAST(se div nb AS BIGINT)").as("score_e4"))
+        val part = Window.partitionBy(col("source"))
+        val ranked = scored
+          .withColumn("rn", row_number().over(
+            part.orderBy(col("score_e4").desc, col("doc_id").asc)))
+          .withColumn("n", count(lit(1)).over(part))
+          .withColumn("bucket", expr(
+            """CASE ((rn - 1) * 3) div n WHEN 0 THEN 'head'
+               WHEN 1 THEN 'middle' ELSE 'tail' END"""))
+        ranked.groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(score_e4) div count(1) AS BIGINT)").as("avg_e4"),
+            min(col("score_e4")).as("min_e4"),
+            max(col("score_e4")).as("max_e4"))
+          .orderBy("source", "bucket")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        bi AS (SELECT doc_id, source, pr[1] head, pr[2] next_tok FROM (
+          SELECT doc_id, source, unnest(list_transform(
+            generate_series(1, greatest(len(toks)-1, 0)),
+            i -> [toks[i], toks[i+1]])) pr FROM t)),
+        cnt AS (SELECT head, next_tok, count(*) cnt FROM bi
+                WHERE source = '$lmRefSource' GROUP BY 1, 2),
+        lm AS (SELECT head, next_tok, greatest(CAST(floor(
+                 cnt * 10000.0 / sum(cnt) OVER (PARTITION BY head)
+                 + 0.5) AS BIGINT), 1) e
+               FROM cnt ORDER BY cnt DESC, head, next_tok LIMIT $lmCap),
+        pd AS (SELECT doc_id, source,
+                 CAST(sum(coalesce(e, 1)) // count(*) AS BIGINT) score_e4
+               FROM bi LEFT JOIN lm USING (head, next_tok) GROUP BY 1, 2),
+        rkd AS (SELECT source, score_e4,
+                  ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY score_e4 DESC, doc_id) rn,
+                  count(*) OVER (PARTITION BY source) n
+                FROM pd),
+        b AS (SELECT source, score_e4,
+                CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+                  WHEN 1 THEN 'middle' ELSE 'tail' END bucket
+              FROM rkd)
+        SELECT source, bucket, count(*) n_docs,
+               CAST(sum(score_e4) // count(*) AS BIGINT) avg_e4,
+               min(score_e4) min_e4, max(score_e4) max_e4
+        FROM b GROUP BY 1, 2 ORDER BY 1, 2"""),
       bench = true),
 
     // ── BPE merge induction (first training iteration) ─────────────
@@ -2212,8 +2310,12 @@ object CurationQueries {
       .orderBy("qid", "rank")
   }
 
-  private lazy val bm25OracleSql: String = s"""
-        WITH t AS ($duckToks),
+  /** The BM25 replay CTE chain, ending in `rk(qid, doc_id, score_e4,
+    * rank)` — the full ranking the top-5 select reads. ONE definition
+    * shared by the q111/q116 oracle and the q127 hybrid-fusion oracle
+    * (graft.similarity), so the text side of the fused ranking is
+    * by construction the same ranking q111 hashes against. */
+  private[graft] lazy val bm25RankCtes: String = s"""t AS ($duckToks),
         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
         terms AS (SELECT doc_id, t, count(*) tf FROM
                     (SELECT doc_id, unnest(toks) t FROM t) GROUP BY 1, 2),
@@ -2235,7 +2337,10 @@ object CurationQueries {
                 FROM sc GROUP BY 1, 2),
         rk AS (SELECT qid, doc_id, score_e4, ROW_NUMBER() OVER (
                  PARTITION BY qid ORDER BY score_e4 DESC, doc_id) rank
-               FROM agg)
+               FROM agg)"""
+
+  private lazy val bm25OracleSql: String = s"""
+        WITH $bm25RankCtes
         SELECT qid, CAST(rank AS INTEGER) rank, doc_id, score_e4
         FROM rk WHERE rank <= 5 ORDER BY qid, rank"""
 

@@ -1083,4 +1083,64 @@ class CurationSpec extends SparkSpec {
       assert(p50 <= p90 && p90 <= p99)
     }
   }
+
+  test("q128 perplexity buckets replay driver-side: LM, scores, terciles") {
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(t: String): Seq[(String, String)] = {
+      val ts = t.trim.split("\\s+").toSeq
+      ts.zip(ts.drop(1))
+    }
+    // the reference LM: src0 bigram counts, per-head totals, top-512
+    // under the (cnt desc, head, next) ordering rule, e4 floor >= 1
+    val refCnt = docs.filter(_._2 == "src0")
+      .flatMap(d => bigrams(d._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val headTotal = refCnt.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val lm = refCnt.toSeq
+      .sortBy { case ((h, n), c) => (-c, h, n) }.take(512)
+      .map { case ((h, n), c) =>
+        (h, n) -> math.max(math.floor(
+          c * 10000.0 / headTotal(h) + 0.5).toLong, 1L)
+      }.toMap
+    // per-doc integer-mean score; docs without a bigram drop out
+    val scored = docs.flatMap { case (id, src, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else Some((id, src, bs.map(b => lm.getOrElse(b, 1L)).sum / bs.size))
+    }
+    // tercile split per source by (score desc, doc_id)
+    val expected = scored.groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+      val ordered = rows.sortBy { case (id, _, sc) => (-sc, id) }
+      val n = ordered.length
+      ordered.zipWithIndex.map { case ((_, _, sc), i) =>
+        val b = (i * 3) / n match {
+          case 0 => "head"; case 1 => "middle"; case _ => "tail"
+        }
+        (src, b, sc)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, b), rows) =>
+      val scores = rows.map(_._3)
+      (src, b) -> (rows.size.toLong, scores.sum / rows.size,
+        scores.min, scores.max)
+    }
+    val got = run("q128_perplexity_buckets").collect().map(r =>
+      (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("avg_e4"),
+          r.getAs[Long]("min_e4"), r.getAs[Long]("max_e4"))).toMap
+    assert(got == expected)
+    // the partition must BIND: every source has all three buckets, and
+    // the reference source's head outscores its tail (the LM was
+    // trained on it, so its docs are not uniformly out-of-model)
+    val srcs = got.keySet.map(_._1)
+    srcs.foreach { s =>
+      assert(got.contains((s, "head")) && got.contains((s, "middle"))
+        && got.contains((s, "tail")), s"source $s missing a bucket")
+    }
+    assert(got(("src0", "head"))._4 > got(("src0", "tail"))._3,
+      "reference head must strictly outscore reference tail")
+  }
 }

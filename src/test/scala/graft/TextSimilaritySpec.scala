@@ -540,6 +540,54 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q127 hybrid RRF equals a driver-side fusion of the two rankings") {
+    val d = "/root/testdata/sf0.001"
+    // text side: the shipped q111 ranking, composed unchanged
+    val text = graft.text.CurationQueries.queries("q111_bm25_topk")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    // vector side: independent driver-side cosine top-5 (self included,
+    // mirroring the build) with the engine's exact accumulation order
+    val emb = graft.analytics.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = emb.toMap
+    val vec = (0L to 5L).flatMap { q =>
+      emb.map { case (id, v) => (id, r4(cos(byId(q), v))) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1) }
+    }.toMap
+    // fuse: integer millionths of 1/(60+rank), each list contributing
+    val expected = (text.keySet ++ vec.keySet).groupBy(_._1).toSeq
+      .flatMap { case (q, ks) =>
+        ks.toSeq.map { k =>
+          val s = text.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            vec.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          (k._2, s)
+        }.sortBy { case (doc, s) => (-s, doc) }.take(5).zipWithIndex
+          .map { case ((doc, s), i) => (q, i + 1, doc, s) }
+      }.sortBy(t => (t._1, t._2))
+    val got = graft.similarity.SimilarityQueries.queries("q127_hybrid_rrf")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // the fusion is REAL on this fixture: at least one fused top-5 row
+    // comes from only one of the two systems (rank-only evidence)
+    assert(got.exists { case (q, _, doc, _) =>
+      text.contains((q, doc)) != vec.contains((q, doc)) },
+      "every fused row sat in both lists — fixture exercises nothing")
+  }
+
   test("q119 incremental near-dup equals the q25 pairs straddling the split") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-bi-spec")
