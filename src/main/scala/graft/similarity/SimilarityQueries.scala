@@ -324,6 +324,50 @@ object SimilarityQueries {
                  WHERE c.vec_id != dt.query_id
                  GROUP BY dt.query_id, c.vec_id)"""
 
+  /** Reciprocal-rank fusion of a BM25 ranking (q111/q116's
+    * (qid, rank, doc_id, …) shape) with a scored vector candidate set
+    * (qid, doc_id, cos) — ONE definition of the fusion arithmetic for
+    * the direct (q127) and index-served (q129) hybrids: each list
+    * contributes integer MILLIONTHS of 1/(60+rank), so fused sums are
+    * order-free exact and the two paths cannot drift. */
+  private def rrfFuse(text: DataFrame, vecCand: DataFrame): DataFrame = {
+    val tl = text.select(col("qid"), col("rank").as("trank"), col("doc_id"))
+    val vl = TopK.perKeyRanked(vecCand, Seq("qid"),
+        Seq(col("cos").desc, col("doc_id").asc), 5, "vrank")
+      .select(col("qid"), col("vrank"), col("doc_id"))
+    val fused = tl.join(vl, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid"), col("doc_id"),
+        (coalesce(expr("CAST(1000000 div (60 + trank) AS BIGINT)"), lit(0L))
+          + coalesce(expr("CAST(1000000 div (60 + vrank) AS BIGINT)"), lit(0L)))
+          .as("rrf_e6"))
+    TopK.perKeyRanked(fused, Seq("qid"),
+        Seq(col("rrf_e6").desc, col("doc_id").asc), 5, "rank")
+      .select(col("qid"), col("rank"), col("doc_id"), col("rrf_e6"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The fusion replay's shared SQL tail: expects `rk` (the BM25
+    * ranking CTE from bm25RankCtes) and `vsc(qid, doc_id, cos)` (the
+    * scored vector candidates) to be in scope; ranks, fuses in integer
+    * millionths, and selects the fused top-5. */
+  private val rrfTailSql: String = """tl AS (SELECT qid, doc_id, rank AS trank FROM rk WHERE rank <= 5),
+        vl AS (SELECT qid, doc_id, vrank FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY cos DESC, doc_id) vrank FROM vsc)
+               WHERE vrank <= 5),
+        fused AS (SELECT coalesce(tl.qid, vl.qid) qid,
+                    coalesce(tl.doc_id, vl.doc_id) doc_id,
+                    coalesce(1000000 // (60 + tl.trank), 0)
+                      + coalesce(1000000 // (60 + vl.vrank), 0) rrf_e6
+                  FROM tl FULL JOIN vl
+                    ON tl.qid = vl.qid AND tl.doc_id = vl.doc_id),
+        frk AS (SELECT qid, doc_id, CAST(rrf_e6 AS BIGINT) rrf_e6,
+                  ROW_NUMBER() OVER (PARTITION BY qid
+                    ORDER BY rrf_e6 DESC, doc_id) rank
+                FROM fused)
+        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, rrf_e6
+        FROM frk WHERE rank <= 5 ORDER BY qid, rank"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -1242,13 +1286,10 @@ object SimilarityQueries {
     // score scales (BM25 e4 integers vs cosine) — contributions are
     // integer millionths (1000000 div (60+rank)) so the fused sums are
     // order-free exact. Scale: both inputs are audited serving paths
-    // (index twins q116/q121 serve them at corpus scale); the fusion
+    // (q129 IS this query from the index artifacts); the fusion
     // itself joins two queries×5 lists — driver-trivial forever.
     "q127_hybrid_rrf" -> QuerySpec(
       build = (s, d) => {
-        val text = graft.text.CurationQueries.queries("q111_bm25_topk")
-          .build(s, d)
-          .select(col("qid"), col("rank").as("trank"), col("doc_id"))
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") <= 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -1256,44 +1297,85 @@ object SimilarityQueries {
           .withColumn("cos",
             graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
           .select(col("qid"), col("vec_id").as("doc_id"), col("cos"))
-        val vec = TopK.perKeyRanked(cand, Seq("qid"),
-            Seq(col("cos").desc, col("doc_id").asc), 5, "vrank")
-          .select(col("qid"), col("vrank"), col("doc_id"))
-        val fused = text.join(vec, Seq("qid", "doc_id"), "full_outer")
-          .select(col("qid"), col("doc_id"),
-            (coalesce(expr("CAST(1000000 div (60 + trank) AS BIGINT)"), lit(0L))
-              + coalesce(expr("CAST(1000000 div (60 + vrank) AS BIGINT)"), lit(0L)))
-              .as("rrf_e6"))
-        TopK.perKeyRanked(fused, Seq("qid"),
-            Seq(col("rrf_e6").desc, col("doc_id").asc), 5, "rank")
-          .select(col("qid"), col("rank"), col("doc_id"), col("rrf_e6"))
-          .orderBy("qid", "rank")
+        rrfFuse(
+          graft.text.CurationQueries.queries("q111_bm25_topk").build(s, d),
+          cand)
       },
       oracle = Some(s"""
         WITH ${graft.text.CurationQueries.bm25RankCtes},
-        tl AS (SELECT qid, doc_id, rank AS trank FROM rk WHERE rank <= 5),
         vq AS (SELECT vec_id qid, embedding qe FROM embeddings
                WHERE vec_id <= 5),
         vsc AS (SELECT vq.qid, b.vec_id doc_id, floor(
                   list_cosine_similarity(vq.qe::DOUBLE[], b.embedding::DOUBLE[])
                   * 10000 + 0.5) / 10000 cos
                 FROM vq CROSS JOIN embeddings b),
-        vl AS (SELECT qid, doc_id, vrank FROM (
-                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                   ORDER BY cos DESC, doc_id) vrank FROM vsc)
-               WHERE vrank <= 5),
-        fused AS (SELECT coalesce(tl.qid, vl.qid) qid,
-                    coalesce(tl.doc_id, vl.doc_id) doc_id,
-                    coalesce(1000000 // (60 + tl.trank), 0)
-                      + coalesce(1000000 // (60 + vl.vrank), 0) rrf_e6
-                  FROM tl FULL JOIN vl
-                    ON tl.qid = vl.qid AND tl.doc_id = vl.doc_id),
-        frk AS (SELECT qid, doc_id, CAST(rrf_e6 AS BIGINT) rrf_e6,
-                  ROW_NUMBER() OVER (PARTITION BY qid
-                    ORDER BY rrf_e6 DESC, doc_id) rank
-                FROM fused)
-        SELECT qid, CAST(rank AS INTEGER) rank, doc_id, rrf_e6
-        FROM frk WHERE rank <= 5 ORDER BY qid, rank"""),
+        $rrfTailSql"""),
+      bench = true),
+
+    // ── hybrid retrieval SERVED from the index artifacts (q129) ─────
+    // q127's production twin: the text ranking comes from the
+    // partition-pruned Bm25Index (q116 — bit-identical to q111, shared
+    // oracle) and the vector ranking from the partition-pruned
+    // IvfIndex lists (q121's probe shape under q127's query semantics:
+    // qid <= 5, self included). Per-query cost is postings-scale +
+    // probed-lists-scale — nothing corpus-scale moves at read time.
+    // The vector side is IVF-APPROXIMATE, so this is its own declared
+    // semantics (not q127's oracle): the replay restricts the cosine
+    // ranking to the probed lists' members exactly as the build does.
+    "q129_hybrid_from_index" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val q = e.filter(col("vec_id") <= 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val probes = q.select(col("qid"), col("qe"),
+            explode(slice(reverse(array_sort(centScores(cents, col("qe")))),
+              1, nProbe)).as("p"))
+          .select(col("qid"), col("qe"), (-col("p.n")).as("cid"))
+        // the one driver-side collect: ≤ queries×nProbe cids, the
+        // literals the artifact scan needs to partition-prune
+        val probedCids = probes.select(col("cid")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        val cand = IvfIndex.lists(s, d)
+          .filter(col("_c").isin(probedCids: _*))
+          .join(broadcast(probes), col("_c") === col("cid"))
+          .withColumn("cos",
+            graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+          .select(col("qid"), col("vec_id").as("doc_id"), col("cos"))
+        rrfFuse(
+          graft.text.CurationQueries.queries("q116_bm25_from_index").build(s, d),
+          cand)
+      },
+      oracle = Some(s"""
+        WITH ${graft.text.CurationQueries.bm25RankCtes},
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT b.vec_id, b.embedding, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        vq AS (SELECT vec_id qid, embedding qe FROM embeddings
+               WHERE vec_id <= 5),
+        vprobes AS (
+          SELECT qid, cid FROM (
+            SELECT vq.qid, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY vq.qid
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], vq.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) prk
+            FROM vq CROSS JOIN cent)
+          WHERE prk <= $nProbe),
+        vsc AS (SELECT vq.qid, a.vec_id doc_id, floor(
+                  list_cosine_similarity(vq.qe::DOUBLE[], a.embedding::DOUBLE[])
+                  * 10000 + 0.5) / 10000 cos
+                FROM vq JOIN vprobes p ON p.qid = vq.qid
+                JOIN assigned a ON a.cid = p.cid),
+        $rrfTailSql"""),
       bench = true),
 
     "q117_ann_recall" -> QuerySpec(

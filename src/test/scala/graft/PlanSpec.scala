@@ -362,6 +362,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "rerank must be bounded heaps")
   }
 
+  test("q129 hybrid-from-index: BOTH artifact scans partition-prune") {
+    val df = SparkEntry.queries("q129_hybrid_from_index")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    // the text side seeks its posting buckets, the vector side its
+    // probed inverted lists — neither artifact is scanned in full.
+    // (The fusion's own full-outer join of two queries×5 lists plans
+    // as a sort-merge join — bounded, so no join-strategy pin here.)
+    assert(scans.contains("_tb"), s"posting scan must prune on _tb:\n$scans")
+    assert(scans.contains("_c"), s"list scan must prune on _c:\n$scans")
+  }
+
   test("q124 IVF-PQ: coded-list scan prunes _c partitions, probes broadcast") {
     val df = SparkEntry.queries("q124_ivfpq_search")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
