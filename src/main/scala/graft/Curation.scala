@@ -11,6 +11,11 @@ import org.apache.spark.sql.expressions.Window
   *
   *   1. '''Quality floor''' (q21/q73): composite quality score
   *      (length / punctuation / stopword-ratio) ≥ `qualityMin`.
+  *   1b. '''Perplexity tail drop''' (q128, optional): a capped bigram
+  *      LM trains on a caller-provided reference corpus (CCNet's
+  *      Wikipedia role), every surviving doc scores its integer-mean
+  *      conditional probability, and the worst TERCILE per source is
+  *      dropped. Docs with no bigram carry no evidence and survive.
   *   2. '''Decontamination''' (q112 → q77): drop documents sharing a
   *      5-token shingle with the evaluation set. The eval set's
   *      shingle hashes fold into a 1 KiB Bloom sketch
@@ -33,10 +38,13 @@ import org.apache.spark.sql.expressions.Window
   *      sample — per-document keep decisions by integer importance
   *      weight and md5 band, the document-level selection the
   *      group-level mixture below can't express.
-  *   6. '''Mixture''' (q102): temperature keep-rates per source —
-  *      thin head sources toward the α=0.5 smoothed distribution,
-  *      deterministically by md5 band (a pure function of doc_id, so
-  *      the sample survives reshards and reruns).
+  *   6. '''Mixture''': temperature keep-rates per source (q102 —
+  *      thin head sources toward the α=0.5 smoothed distribution), or
+  *      UniMax water-filling across LANGUAGES (q130 — a 3/4-of-corpus
+  *      token budget levelled under a one-epoch cap, so no language is
+  *      ever upsampled). Both decide deterministically by md5 band (a
+  *      pure function of doc_id, so the sample survives reshards and
+  *      reruns).
   *   7. '''Epoch order''' (q92/q100): the curated set is written
   *      shard-partitioned in reproducible md5-key order via
   *      [[graft.text.TrainOrder.writeEpochOf]] — no global sort, no
@@ -75,20 +83,28 @@ object Curation {
     * @param dsirTarget  target-domain sample to select toward (any
     *                    frame with a `text` string column); pass None
     *                    to skip the stage
+    * @param lmRef       reference corpus for the perplexity tail drop
+    *                    (any frame with a `text` string column); pass
+    *                    None to skip the stage
     * @param qualityMin  stage-1 floor on the composite quality score
     * @param mixBase     stage-5 keep-rate base: a source keeps
     *                    min(1, mixBase/10000 · sqrt(n_max/n)) of its
     *                    docs (q102's 2000 default ≈ keep 20% of the
     *                    largest source, everything of sources ≤ 4% of
     *                    its size); pass 0 to skip the stage
+    * @param unimax      true replaces the temperature mixture with the
+    *                    q130 UniMax allocation over languages
+    *                    (`mixBase` is then ignored)
     * @param epochDir    when set, write the curated epoch order here
     *                    (stage 6) — the one eager action
     */
   def curate(spark: SparkSession, corpusDir: String,
              bench: Option[DataFrame] = None,
              dsirTarget: Option[DataFrame] = None,
+             lmRef: Option[DataFrame] = None,
              qualityMin: Double = 0.55,
              mixBase: Long = 2000L,
+             unimax: Boolean = false,
              epochDir: Option[String] = None,
              epoch: Int = 0, shards: Int = 8): Report = {
     import graft.text.TextFunctions._
@@ -101,9 +117,32 @@ object Curation {
     val qual = raw.filter(
       quality_score_t(col("text"), tokens(col("text"))) >= qualityMin)
 
+    // 1b ── optional perplexity tail drop (q128's LM, scores, and
+    // tercile rule, composed from the same shared helpers the
+    // oracle-checked query uses)
+    val ppx = lmRef match {
+      case None => qual
+      case Some(ref) =>
+        val refBi = ref.filter(col("text").isNotNull)
+          .select(explode(shingles(col("text"), 2)).as("sh"))
+          .select(split(col("sh"), " ").getItem(0).as("head"),
+            split(col("sh"), " ").getItem(1).as("next_tok"))
+        val lm = graft.text.CurationQueries.referenceBigramLm(refBi)
+        val scored = graft.text.CurationQueries.scoreAgainstLm(
+          graft.text.CurationQueries.docBigrams(qual), lm)
+        val part = Window.partitionBy(col("source"))
+        val tail = scored
+          .withColumn("_rn", row_number().over(
+            part.orderBy(col("score_e4").desc, col("doc_id"))))
+          .withColumn("_n", count(lit(1)).over(part))
+          .filter(expr("((_rn - 1) * 3) div _n = 2"))
+          .select(col("doc_id"))
+        qual.join(tail, Seq("doc_id"), "left_anti")
+    }
+
     // 2 ── decontamination: Bloom gate, then exact broadcast join
     val clean = bench match {
-      case None => qual
+      case None => ppx
       case Some(b) =>
         import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
         val benchSh = b.filter(col("text").isNotNull)
@@ -121,14 +160,14 @@ object Curation {
             .bitwiseAND(call_function("shiftleft", lit(1L),
               pmod(bit, lit(64L)).cast("int"))) =!= 0
         }.reduce(_ && _)
-        val contaminated = qual
+        val contaminated = ppx
           .select(col("doc_id"), explode(shingle_hashes(col("text"), 5)).as("h"))
           // the gate: Bloom misses are PROVABLY absent from the eval
           // set and never reach the join — the q112 shape
           .filter(hit)
           .join(broadcast(benchSh), Seq("h"))
           .select(col("doc_id")).distinct()
-        qual.join(contaminated, Seq("doc_id"), "left_anti")
+        ppx.join(contaminated, Seq("doc_id"), "left_anti")
     }
 
     // 3 ── exact dedup: first doc per content fingerprint
@@ -187,9 +226,21 @@ object Curation {
           .drop("_toks", "_ss", "_w")
     }
 
-    // 6 ── temperature mixture (q102 keep-rates over the SURVIVORS)
+    // 6 ── mixture over the SURVIVORS: UniMax water-filling across
+    // languages (q130's shared allocation helper) or q102 temperature
+    // keep-rates per source
     val mixed =
-      if (mixBase <= 0) selected
+      if (unimax) {
+        val base = selected.select(col("doc_id"), col("lang"),
+          token_count(col("text")).cast("long").as("tc"))
+        val rates = graft.text.CurationQueries.unimaxAllocation(base)
+          .select(col("lang"), col("epochs_e4"))
+        selected.join(broadcast(rates), "lang")
+          .filter(expr(
+            "conv(substring(md5(concat('unimax0|', cast(doc_id as string))), 1, 8), 16, 10)")
+            .cast("long") % 10000 < col("epochs_e4"))
+          .drop("epochs_e4")
+      } else if (mixBase <= 0) selected
       else {
         val counts = selected.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val nMax = counts.agg(max(col("n"))).head.getLong(0)
@@ -212,18 +263,19 @@ object Curation {
 
     // per-stage counts as ONE union job — the q73 discipline: every
     // branch's row count depends on its own stage actually running
+    val stageList: Seq[(DataFrame, String)] =
+      Seq(raw -> "raw", qual -> "quality") ++
+        (if (lmRef.isDefined) Seq(ppx -> "perplexity") else Nil) ++
+        Seq(clean -> "decontaminated", exact -> "exact_dedup",
+          deduped -> "near_dedup") ++
+        (if (dsirTarget.isDefined) Seq(selected -> "dsir") else Nil) ++
+        Seq(mixed -> "mixed")
     def cnt(df: DataFrame, stage: Int, name: String) =
       df.agg(count(lit(1)).as("n"))
         .select(lit(stage).as("stage"), lit(name).as("name"), col("n"))
-    val base = cnt(raw, 1, "raw")
-      .unionByName(cnt(qual, 2, "quality"))
-      .unionByName(cnt(clean, 3, "decontaminated"))
-      .unionByName(cnt(exact, 4, "exact_dedup"))
-      .unionByName(cnt(deduped, 5, "near_dedup"))
-    val stages = (if (dsirTarget.isDefined)
-        base.unionByName(cnt(selected, 6, "dsir"))
-      else base)
-      .unionByName(cnt(mixed, 7, "mixed"))
+    val stages = stageList.zipWithIndex
+      .map { case ((df, name), i) => cnt(df, i + 1, name) }
+      .reduce(_ unionByName _)
       .orderBy("stage").collect()
       .map(r => StageCount(r.getInt(0), r.getString(1), r.getLong(2)))
 

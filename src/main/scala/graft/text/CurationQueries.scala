@@ -186,8 +186,12 @@ object CurationQueries {
     // exact 38-digit sum: 10^13 labels of 10^13 never saturates it,
     // and an approximate (double) sum could miss a small label change
     // and return silently-split components
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — a corpus with no near-dup pairs
+      // (empty edge set) must converge on round one, not NPE
+      val s = df.agg(sum(col("rep").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var (labels, labelsRdd) = rebase(
       edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src").as("doc_id"),
@@ -637,28 +641,9 @@ object CurationQueries {
     // alternative when even doc-grain sorting is too dear).
     "q128_perplexity_buckets" -> QuerySpec(
       build = (s, d) => {
-        val bi = Tables.documents(s, d).filter(col("text").isNotNull)
-          .select(col("doc_id"), col("source"),
-            explode(shingles(col("text"), 2)).as("sh"))
-          .select(col("doc_id"), col("source"),
-            split(col("sh"), " ").getItem(0).as("head"),
-            split(col("sh"), " ").getItem(1).as("next_tok"))
-        val lm = bi.filter(col("source") === lmRefSource)
-          .groupBy(col("head"), col("next_tok"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("head_total",
-            sum(col("cnt")).over(Window.partitionBy(col("head"))))
-          .orderBy(col("cnt").desc, col("head").asc, col("next_tok").asc)
-          .limit(lmCap)
-          .select(col("head"), col("next_tok"),
-            greatest(floor(col("cnt") * lit(10000.0) / col("head_total")
-              + lit(0.5)).cast("long"), lit(1L)).as("e"))
-        val scored = bi.join(broadcast(lm), Seq("head", "next_tok"), "left")
-          .groupBy(col("doc_id"), col("source"))
-          .agg(sum(coalesce(col("e"), lit(1L))).as("se"),
-            count(lit(1)).as("nb"))
-          .select(col("doc_id"), col("source"),
-            expr("CAST(se div nb AS BIGINT)").as("score_e4"))
+        val bi = docBigrams(Tables.documents(s, d))
+        val lm = referenceBigramLm(bi.filter(col("source") === lmRefSource))
+        val scored = scoreAgainstLm(bi, lm)
         val part = Window.partitionBy(col("source"))
         val ranked = scored
           .withColumn("rn", row_number().over(
@@ -1395,6 +1380,81 @@ object CurationQueries {
                CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
                  AS BIGINT) AS kept_chars
         FROM k GROUP BY source ORDER BY source""")),
+
+    // ── UniMax budget allocation across languages (Chung et al.) ───
+    // The successor to temperature sampling (q102/q106): a token
+    // budget (3/4 of the corpus) is WATER-FILLED across languages
+    // under a one-epoch cap — every language gets the common level θ,
+    // except languages too small to absorb it, which saturate at their
+    // full size (never upsampled past 1 epoch). θ has a closed form:
+    // sort languages by size ascending; rank r saturates iff
+    // prefix_r + size_r·(n−r) ≤ min(budget, total) (a monotone
+    // condition — the exact integer transcription of "the level is
+    // above my cap"), and θ = (budget − Σ saturated) div (n − k).
+    // On this corpus the cap BINDS at every SF (en is ~3× the rest:
+    // 2 languages saturate at sf0.001, 4 at sf0.01/0.1) — both
+    // branches are always exercised. The allocation then drives a
+    // q102-style md5-band document sampler (keep-rate = effective
+    // epochs, in e4). Scale: ONE token-scale exchange (the per-lang
+    // sum, map-side combined); everything after is |langs| rows of
+    // window arithmetic and a broadcast join back onto the corpus.
+    "q130_unimax_mixture" -> QuerySpec(
+      build = (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            graft.text.TextFunctions.token_count(col("text"))
+              .cast("long").as("tc"))
+        val alloc = unimaxAllocation(base)
+        base.join(broadcast(alloc), "lang")
+          .withColumn("band",
+            expr("conv(substring(md5(concat('unimax0|', cast(doc_id as string))), 1, 8), 16, 10)")
+              .cast("long") % 10000)
+          .withColumn("kept", (col("band") < col("epochs_e4")).cast("long"))
+          .groupBy(col("lang"))
+          .agg(max(col("n_docs")).as("n_docs"),
+            max(col("n_tokens")).as("n_tokens"),
+            max(col("allocated")).as("allocated"),
+            max(col("epochs_e4")).as("epochs_e4"),
+            sum(col("kept")).as("n_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH tc AS (SELECT doc_id, lang, len(toks) tc FROM (
+                 SELECT d.doc_id, d.lang, string_split_regex(trim(d.text),
+                   '\\s+') toks
+                 FROM documents d WHERE d.text IS NOT NULL)),
+        c AS (SELECT lang, count(*) n_docs, CAST(sum(tc) AS BIGINT) nt
+              FROM tc GROUP BY 1),
+        b AS (SELECT CAST(sum(nt) AS BIGINT) total, count(*) n,
+                CAST((sum(nt) * 3) // 4 AS BIGINT) budget FROM c),
+        rkd AS (SELECT c.*, b.total, b.n, b.budget,
+                  ROW_NUMBER() OVER (ORDER BY nt, lang) r,
+                  sum(nt) OVER (ORDER BY nt, lang) pk
+                FROM c CROSS JOIN b),
+        satd AS (SELECT *, CASE WHEN pk + nt * (n - r)
+                     <= least(budget, total) THEN 1 ELSE 0 END sat
+                 FROM rkd),
+        lvl AS (SELECT coalesce(sum(CASE WHEN sat = 1 THEN nt END), 0) psat,
+                  sum(sat) k, max(n) nn, max(budget) bb FROM satd),
+        alc AS (SELECT s.lang, s.n_docs, s.nt,
+                  CASE WHEN s.sat = 1 THEN s.nt
+                    ELSE least(s.nt, (l.bb - l.psat) // (l.nn - l.k)) END
+                    allocated
+                FROM satd s CROSS JOIN lvl l),
+        eff AS (SELECT lang, n_docs, nt,
+                  CAST(allocated AS BIGINT) allocated,
+                  CAST((allocated * 10000) // nt AS BIGINT) epochs_e4
+                FROM alc),
+        k2 AS (SELECT tc.lang, tc.doc_id, e.epochs_e4,
+                 CASE WHEN ('0x' || substring(
+                      md5('unimax0|' || tc.doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 10000 < e.epochs_e4 THEN 1 ELSE 0 END kept
+               FROM tc JOIN eff e USING (lang))
+        SELECT e.lang, e.n_docs, e.nt AS n_tokens, e.allocated,
+               e.epochs_e4, CAST(sum(k2.kept) AS BIGINT) n_kept
+        FROM eff e JOIN k2 ON k2.lang = e.lang
+        GROUP BY 1, 2, 3, 4, 5 ORDER BY 1"""),
+      bench = true),
 
     // ── full-epoch order fingerprint ────────────────────────────────
     // Cross-engine check of the COMPLETE training order (q92 only
@@ -2289,6 +2349,80 @@ object CurationQueries {
         .distinct(),
       Seq("qid"), Seq(col("t").asc), 8)
   }
+
+  /** The UniMax water-filling allocation over (lang, tc) doc rows:
+    * budget = 3/4 of total tokens, one-epoch cap, closed-form level
+    * via one window pass (rank r saturates iff prefix_r +
+    * size_r·(n−r) ≤ min(budget, total); θ = leftover div unsaturated).
+    * Returns (lang, n_docs, n_tokens, allocated, epochs_e4). ONE
+    * definition for q130 and the facade's UniMax mixture stage. */
+  private[graft] def unimaxAllocation(base: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val c = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tc")).as("nt"))
+    val b = c.agg(sum(col("nt")).as("total"),
+      count(lit(1)).as("n"),
+      expr("CAST((sum(nt) * 3) div 4 AS BIGINT)").as("budget"))
+    val w = Window.orderBy(col("nt").asc, col("lang").asc)
+    val ranked = c.crossJoin(broadcast(b))
+      .withColumn("r", row_number().over(w))
+      .withColumn("pk", sum(col("nt")).over(w))
+      .withColumn("sat", (col("pk") + col("nt") * (col("n") - col("r"))
+        <= least(col("budget"), col("total"))).cast("int"))
+    val lvl = ranked.agg(
+      coalesce(sum(when(col("sat") === 1, col("nt"))), lit(0L))
+        .as("psat"),
+      sum(col("sat")).as("k"), max(col("n")).as("nn"),
+      max(col("budget")).as("bb"))
+    ranked.crossJoin(broadcast(lvl))
+      .withColumn("allocated", when(col("sat") === 1, col("nt"))
+        .otherwise(least(col("nt"),
+          expr("CAST((bb - psat) div (nn - k) AS BIGINT)"))))
+      .withColumn("epochs_e4",
+        expr("CAST((allocated * 10000) div nt AS BIGINT)"))
+      .select(col("lang"), col("n_docs"), col("nt").as("n_tokens"),
+        col("allocated"), col("epochs_e4"))
+  }
+
+  /** (doc_id, source, head, next_tok) bigram rows of the non-null
+    * documents — the q128 grain, shared with the facade's perplexity
+    * stage. */
+  private[graft] def docBigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("text"), 2)).as("sh"))
+      .select(col("doc_id"), col("source"),
+        split(col("sh"), " ").getItem(0).as("head"),
+        split(col("sh"), " ").getItem(1).as("next_tok"))
+
+  /** The capped reference bigram LM over (head, next_tok) rows —
+    * q128's model build (counts → per-head totals → top-[[lmCap]]
+    * under the bigramCap ordering rule → e4 probability floors ≥ 1).
+    * ONE definition for q128 and the facade's perplexity stage. */
+  private[graft] def referenceBigramLm(refBi: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    refBi.groupBy(col("head"), col("next_tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("head_total",
+        sum(col("cnt")).over(Window.partitionBy(col("head"))))
+      .orderBy(col("cnt").desc, col("head").asc, col("next_tok").asc)
+      .limit(lmCap)
+      .select(col("head"), col("next_tok"),
+        greatest(floor(col("cnt") * lit(10000.0) / col("head_total")
+          + lit(0.5)).cast("long"), lit(1L)).as("e"))
+
+  /** Per-doc integer-mean LM score: in-model bigrams contribute their
+    * e4 probability, out-of-model the Laplace floor 1. Returns
+    * (doc_id, source, score_e4); docs without a bigram drop out. */
+  private[graft] def scoreAgainstLm(bi: org.apache.spark.sql.DataFrame,
+      lm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bi.join(broadcast(lm), Seq("head", "next_tok"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(coalesce(col("e"), lit(1L))).as("se"),
+        count(lit(1)).as("nb"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(se div nb AS BIGINT)").as("score_e4"))
 
   /** BM25 scoring + rerank over a joined (qid, doc_id, tf, df, dl,
     * n_docs, avgdl) frame — ONE definition of the score math for both

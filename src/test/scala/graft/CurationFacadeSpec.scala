@@ -84,7 +84,7 @@ class CurationFacadeSpec extends SparkSpec {
         Seq(6L).filter(kept(_, 1))).sorted
       assert(r2.curated.select("doc_id").collect().map(_.getLong(0)).sorted
         .toSeq == expect, "mixture stage must match the md5-band replay")
-      assert(r2.stages.last == Curation.StageCount(7, "mixed",
+      assert(r2.stages.last == Curation.StageCount(6, "mixed",
         expect.size.toLong))
 
       // DSIR stage: a target of doc 3's DISTINCTIVE vocabulary (the
@@ -133,6 +133,92 @@ class CurationFacadeSpec extends SparkSpec {
       assert(epoch.select("doc_id").collect().map(_.getLong(0)).sorted
         .toSeq == (1L to 6L))
       assert(epoch.select("shard").distinct().count() <= 4)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
+  test("curate: perplexity tail drop and UniMax mixture replay exactly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf2-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf2-data").toString
+      // three sources × three docs; per source, two docs built from
+      // the reference phrase (in-model bigrams) and one from unique
+      // junk words (every bigram out-of-model → the Laplace floor 1 →
+      // the engineered tail-tercile victim). Languages are skewed for
+      // the UniMax run: six "en" docs vs two "fr" and one "de".
+      def refy(tag: String) =
+        (1 to 30).map(i => s"palabra$tag$i de la casa con el tiempo")
+          .mkString(" ")
+      def junk(tag: String) =
+        (1 to 30).map(i => s"zq$tag${i}x yw$tag${i}z vk$tag${i}q")
+          .mkString(" ")
+      val docs = Seq(
+        (1L, refy("a"), "en", "s1"), (2L, refy("b"), "en", "s1"),
+        (3L, junk("c"), "en", "s1"),
+        (4L, refy("d"), "en", "s2"), (5L, refy("e"), "en", "s2"),
+        (6L, junk("f"), "en", "s2"),
+        (7L, refy("g"), "fr", "s3"), (8L, refy("h"), "fr", "s3"),
+        (9L, junk("i"), "de", "s3")
+      ).map { case (id, t, lg, src) => (id, t, lg, src, t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+      val ref = Seq((1 to 40).map(_ => "de la casa con el tiempo")
+        .mkString(" ")).toDF("text")
+
+      // perplexity-only run (quality floor off, mixture off): exactly
+      // the junk doc of each source — the per-source tail tercile —
+      // must fall, and the stage must appear in the funnel
+      val r = Curation.curate(spark, dataDir, lmRef = Some(ref),
+        qualityMin = 0.0, mixBase = 0L)
+      assert(r.stages.map(s => s.name -> s.n_docs) == Seq(
+        "raw" -> 9L, "quality" -> 9L, "perplexity" -> 6L,
+        "decontaminated" -> 6L, "exact_dedup" -> 6L, "near_dedup" -> 6L,
+        "mixed" -> 6L), s"unexpected funnel: ${r.stages}")
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 4L, 5L, 7L, 8L),
+        "tail tercile must be exactly the engineered junk docs")
+
+      // UniMax-only run: water-filling replay over the three languages
+      // (en 6×210 tokens saturates nothing; fr/de saturate), kept set
+      // = md5-band replay against the allocation's e4 epochs
+      val r2 = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        mixBase = 0L, unimax = true)
+      val toksOf = docs.map { case (id, t, lg, _, _) =>
+        (id, lg, t.trim.split("\\s+").length.toLong) }
+      val byLang = toksOf.groupBy(_._2).view
+        .mapValues(rs => rs.map(_._3).sum).toMap
+      val total = byLang.values.sum
+      val budget = total * 3 / 4
+      val n = byLang.size
+      val asc = byLang.toSeq.sortBy { case (l, nt) => (nt, l) }
+      var pk = 0L
+      val sat = asc.zipWithIndex.map { case ((l, nt), i) =>
+        pk += nt
+        l -> (pk + nt * (n - i - 1) <= math.min(budget, total))
+      }.toMap
+      val psat = asc.collect { case (l, nt) if sat(l) => nt }.sum
+      val k = sat.values.count(identity)
+      val theta = if (k == n) Long.MaxValue else (budget - psat) / (n - k)
+      val eff = byLang.map { case (l, nt) =>
+        l -> (if (sat(l)) nt else math.min(nt, theta)) * 10000 / nt }
+      val expected = toksOf.filter { case (id, lg, _) =>
+        java.lang.Long.parseLong(md5hex(s"unimax0|$id").take(8), 16) %
+          10000 < eff(lg)
+      }.map(_._1).sorted
+      assert(k > 0 && k < n, "fixture must saturate some language")
+      assert(expected.size < 9, "fixture must level some language")
+      assert(r2.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == expected, "UniMax stage must match the md5-band replay")
     } finally {
       prev match {
         case Some(v) => sys.props("graft.artifacts.dir") = v

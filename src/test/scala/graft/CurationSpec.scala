@@ -1143,4 +1143,54 @@ class CurationSpec extends SparkSpec {
     assert(got(("src0", "head"))._4 > got(("src0", "tail"))._3,
       "reference head must strictly outscore reference tail")
   }
+
+  test("q130 UniMax allocation replays driver-side and the cap binds") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.split("\\s+").length.toLong))
+    val byLang = docs.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val total = byLang.values.map(_._2).sum
+    val budget = total * 3 / 4
+    val n = byLang.size
+    // water-filling replay: ascending by (size, lang), saturate while
+    // prefix + size*(remaining) fits, θ = leftover / unsaturated
+    val asc = byLang.toSeq.sortBy { case (l, (_, nt)) => (nt, l) }
+    var pk = 0L
+    val sat = asc.zipWithIndex.map { case ((l, (_, nt)), i) =>
+      pk += nt
+      l -> (pk + nt * (n - i - 1) <= math.min(budget, total))
+    }.toMap
+    val psat = asc.collect { case (l, (_, nt)) if sat(l) => nt }.sum
+    val k = sat.values.count(identity)
+    val theta = if (k == n) Long.MaxValue else (budget - psat) / (n - k)
+    val expected = byLang.map { case (l, (nd, nt)) =>
+      val alloc = if (sat(l)) nt else math.min(nt, theta)
+      val eff = alloc * 10000 / nt
+      val kept = docs.count { case (id, lg, _) =>
+        lg == l && java.lang.Long.parseLong(
+          md5hex(s"unimax0|$id").take(8), 16) % 10000 < eff
+      }.toLong
+      l -> (nd, nt, alloc, eff, kept)
+    }
+    val got = run("q130_unimax_mixture").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got == expected)
+    // the budget discipline: allocations sum to ≤ budget, and the cap
+    // BINDS both ways on this corpus (someone saturates, someone not)
+    assert(got.values.map(_._3).sum <= budget)
+    assert(k > 0 && k < n,
+      s"water level must split the languages: $k of $n saturated")
+    // saturated languages run one full epoch; the big one doesn't
+    got.foreach { case (l, (_, nt, alloc, eff, _)) =>
+      if (sat(l)) assert(alloc == nt && eff == 10000L)
+      else assert(alloc < nt && eff < 10000L, s"$l should be leveled")
+    }
+  }
 }
