@@ -128,8 +128,7 @@ object Curation {
           .select(split(col("sh"), " ").getItem(0).as("head"),
             split(col("sh"), " ").getItem(1).as("next_tok"))
         val lm = graft.text.CurationQueries.referenceBigramLm(refBi)
-        val scored = graft.text.CurationQueries.scoreAgainstLm(
-          graft.text.CurationQueries.docBigrams(qual), lm)
+        val scored = graft.text.CurationQueries.scoreAgainstLm(qual, lm)
         val part = Window.partitionBy(col("source"))
         val tail = scored
           .withColumn("_rn", row_number().over(

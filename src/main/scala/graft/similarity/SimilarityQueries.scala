@@ -324,6 +324,15 @@ object SimilarityQueries {
                  WHERE c.vec_id != dt.query_id
                  GROUP BY dt.query_id, c.vec_id)"""
 
+  /** q131's nDCG@5 discount weights — floor(1e4 / log2(rank+1)) — and
+    * their prefix sums (IDCG by relevant-count), computed ONCE here
+    * and interpolated as integer literals into both the Spark plan and
+    * the oracle SQL: the one place a transcendental is evaluated, and
+    * it never runs inside either engine. */
+  private[similarity] val ndcgW: Seq[Long] = (1 to 5).map(r =>
+    math.floor(10000.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  private[similarity] val ndcgWCum: Seq[Long] = ndcgW.scanLeft(0L)(_ + _).tail
+
   /** Reciprocal-rank fusion of a BM25 ranking (q111/q116's
     * (qid, rank, doc_id, …) shape) with a scored vector candidate set
     * (qid, doc_id, cos) — ONE definition of the fusion arithmetic for
@@ -1274,6 +1283,131 @@ object SimilarityQueries {
         FROM exact e LEFT JOIN served i
           ON i.query_id = e.query_id AND i.vec_id = e.vec_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
+
+    // ── retrieval quality metrics: MRR@5 / nDCG@5 vs labels (q131) ──
+    // The recall audits (q117/q125) measure the index against the
+    // exact ranking; this measures every system — exact included —
+    // against ground-truth RELEVANCE (the label column): per query,
+    // hits@5, MRR (10000 div first-relevant-rank) and nDCG@5. The
+    // log2 discount weights are computed ONCE driver-side and
+    // interpolated into both the Spark plan and the oracle as integer
+    // e4 literals — no runtime transcendentals, so the sums are
+    // order-free exact cross-engine. IDCG handles the general
+    // nrel < 5 case (on this balanced fixture every label has ≥ 40
+    // members, so the full-5 branch is the one exercised — the spec
+    // asserts that). Composes the shipped pipelines unchanged;
+    // everything after the rankings is queries×k scale.
+    "q131_retrieval_metrics" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val lbl = e.select(col("vec_id"), col("label"))
+        val qlbl = lbl.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+        val nrel = lbl.join(broadcast(qlbl),
+            col("label") === col("qlabel")
+              && col("vec_id") =!= col("query_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+        def ranks(name: String, sysName: String) = queries(name)
+          .build(s, d)
+          .select(col("query_id"), col("rk").cast("int").as("rk"),
+            col("vec_id"))
+          .withColumn("system", lit(sysName))
+        val all = ranks("q28_ann_bruteforce", "exact")
+          .unionByName(ranks("q124_ivfpq_search", "ivfpq"))
+          .unionByName(ranks("q126_ivfpq_rerank", "refined"))
+        val w = typedlit(0L +: ndcgW)      // 1-indexed by rank
+        val wc = typedlit(0L +: ndcgWCum)  // 1-indexed by #relevant
+        val perQ = all.join(broadcast(lbl), Seq("vec_id"))
+          .join(broadcast(qlbl), Seq("query_id"))
+          .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
+          .groupBy(col("system"), col("query_id"))
+          .agg(sum(col("rel")).as("hits"),
+            sum(col("rel") * element_at(w, col("rk") + 1)).as("dcg"),
+            min(when(col("rel") === 1, col("rk"))).as("frank"))
+          .join(broadcast(nrel), Seq("query_id"), "left")
+          .withColumn("idcg", element_at(wc,
+            least(coalesce(col("n_rel"), lit(0L)), lit(5L)).cast("int")
+              + 1))
+          .withColumn("mrr",
+            coalesce(expr("CAST(10000 div frank AS BIGINT)"), lit(0L)))
+          .withColumn("ndcg", when(col("idcg") === 0L, lit(0L))
+            .otherwise(expr("CAST((dcg * 10000) div idcg AS BIGINT)")))
+        perQ.groupBy(col("system"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("hits")).as("hits5"),
+            expr("CAST(sum(mrr) div count(1) AS BIGINT)").as("mrr_e4"),
+            expr("CAST(sum(ndcg) div count(1) AS BIGINT)").as("ndcg_e4"))
+          .orderBy("system")
+      },
+      oracle = Some {
+        val wCase = (1 to 5).map(r =>
+          s"WHEN $r THEN ${ndcgW(r - 1)}").mkString(" ")
+        val wcCase = (1 to 5).map(k =>
+          s"WHEN $k THEN ${ndcgWCum(k - 1)}").mkString(" ")
+        s"""
+        WITH $ivfPqPairCtes,
+        lab AS (SELECT vec_id, label FROM embeddings),
+        qlab AS (SELECT vec_id query_id, label qlabel FROM embeddings
+                 WHERE vec_id < 10),
+        nrel AS (SELECT q.query_id, count(*) n_rel FROM qlab q
+                 JOIN lab b ON b.label = q.qlabel
+                   AND b.vec_id != q.query_id
+                 GROUP BY 1),
+        scored AS (
+          SELECT q.query_id, b.vec_id, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        e5 AS (SELECT query_id, rk, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM scored)
+          WHERE rk <= 5),
+        p5 AS (SELECT query_id, rk, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) rk FROM pair)
+          WHERE rk <= 5),
+        short AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) srk FROM pair)
+          WHERE srk <= 20),
+        resc AS (SELECT sh.query_id, sh.vec_id, floor(
+                   list_cosine_similarity(q.qe::DOUBLE[],
+                     b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
+                 FROM short sh
+                 JOIN embeddings b ON b.vec_id = sh.vec_id
+                 JOIN q ON q.query_id = sh.query_id),
+        r5 AS (SELECT query_id, rk, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM resc)
+          WHERE rk <= 5),
+        allr AS (SELECT 'exact' AS "system", query_id, rk, vec_id FROM e5
+                 UNION ALL
+                 SELECT 'ivfpq' AS "system", query_id, rk, vec_id FROM p5
+                 UNION ALL
+                 SELECT 'refined' AS "system", query_id, rk, vec_id FROM r5),
+        perq AS (SELECT a."system", a.query_id,
+                   CAST(sum(CASE WHEN l.label = ql.qlabel THEN 1
+                     ELSE 0 END) AS BIGINT) hits,
+                   CAST(sum(CASE WHEN l.label = ql.qlabel THEN
+                     CASE a.rk $wCase ELSE 0 END ELSE 0 END)
+                     AS BIGINT) dcg,
+                   min(CASE WHEN l.label = ql.qlabel THEN a.rk END) frank
+                 FROM allr a
+                 JOIN lab l ON l.vec_id = a.vec_id
+                 JOIN qlab ql ON ql.query_id = a.query_id
+                 GROUP BY 1, 2),
+        met AS (SELECT p."system", p.query_id, p.hits,
+                  coalesce(10000 // p.frank, 0) mrr,
+                  CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0
+                    ELSE (p.dcg * 10000) // (CASE least(n.n_rel, 5)
+                      $wcCase ELSE 0 END) END ndcg
+                FROM perq p LEFT JOIN nrel n USING (query_id))
+        SELECT "system", count(*) n_queries,
+               CAST(sum(hits) AS BIGINT) hits5,
+               CAST(sum(mrr) // count(*) AS BIGINT) mrr_e4,
+               CAST(sum(ndcg) // count(*) AS BIGINT) ndcg_e4
+        FROM met GROUP BY 1 ORDER BY 1"""
+      }),
 
     // ── hybrid retrieval: BM25 + vector fused by reciprocal rank ────
     // The standard two-tower retrieval shape: the SAME query set (docs

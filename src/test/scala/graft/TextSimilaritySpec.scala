@@ -540,6 +540,55 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q131 retrieval metrics equal a driver-side replay over labels") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-metrics-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val lbl = graft.analytics.Tables.embeddings(spark, d)
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val w = Seq(10000L, 6309L, 5000L, 4306L, 3868L)
+      def ranksOf(name: String) = graft.similarity.SimilarityQueries
+        .queries(name).build(spark, d)
+        .select("query_id", "rk", "vec_id").collect()
+        .map(r => (r.getLong(0), r.get(1).toString.toInt, r.getLong(2)))
+      val systems = Seq("exact" -> ranksOf("q28_ann_bruteforce"),
+        "ivfpq" -> ranksOf("q124_ivfpq_search"),
+        "refined" -> ranksOf("q126_ivfpq_rerank"))
+      val nrel = (0L until 10L).map(q =>
+        q -> lbl.count { case (id, l) => id != q && l == lbl(q) }).toMap
+      // the fixture must exercise the full-IDCG branch everywhere
+      nrel.values.foreach(n => assert(n >= 5))
+      val expected = systems.map { case (sysName, rows) =>
+        val perQ = rows.groupBy(_._1).toSeq.map { case (q, rs) =>
+          val rel = rs.map { case (_, rk, id) =>
+            (rk, lbl(id) == lbl(q)) }
+          val hits = rel.count(_._2).toLong
+          val dcg = rel.collect { case (rk, true) => w(rk - 1) }.sum
+          val frank = rel.filter(_._2).map(_._1).sorted.headOption
+          val mrr = frank.map(10000L / _).getOrElse(0L)
+          val idcg = w.take(math.min(nrel(q), 5)).sum
+          (hits, dcg * 10000 / idcg, mrr)
+        }
+        sysName -> (perQ.size.toLong, perQ.map(_._1).sum,
+          perQ.map(_._3).sum / perQ.size, perQ.map(_._2).sum / perQ.size)
+      }.toMap
+      val got = graft.similarity.SimilarityQueries
+        .queries("q131_retrieval_metrics").build(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toMap
+      assert(got == expected)
+      assert(got.keySet == Set("exact", "ivfpq", "refined"))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q127 hybrid RRF equals a driver-side fusion of the two rankings") {
     val d = "/root/testdata/sf0.001"
     // text side: the shipped q111 ranking, composed unchanged
