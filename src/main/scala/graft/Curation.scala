@@ -123,10 +123,13 @@ object Curation {
     val ppx = lmRef match {
       case None => qual
       case Some(ref) =>
-        val refBi = ref.filter(col("text").isNotNull)
-          .select(explode(shingles(col("text"), 2)).as("sh"))
-          .select(split(col("sh"), " ").getItem(0).as("head"),
-            split(col("sh"), " ").getItem(1).as("next_tok"))
+        // the reference frame only needs a text column; synthesize the
+        // id/source columns so the ONE shared bigram builder (q128's)
+        // defines the tokenization rule here too
+        val refBi = graft.text.CurationQueries.docBigrams(
+            ref.select(lit(0L).as("doc_id"), lit("_ref").as("source"),
+              col("text")))
+          .select(col("head"), col("next_tok"))
         val lm = graft.text.CurationQueries.referenceBigramLm(refBi)
         val scored = graft.text.CurationQueries.scoreAgainstLm(qual, lm)
         val part = Window.partitionBy(col("source"))

@@ -377,6 +377,44 @@ object SimilarityQueries {
         SELECT qid, CAST(rank AS INTEGER) rank, doc_id, rrf_e6
         FROM frk WHERE rank <= 5 ORDER BY qid, rank"""
 
+  /** q126's ADC-shortlist width — the one constant the rerank's build
+    * and BOTH consuming oracles (q126, q131) interpolate. */
+  private val refineShortK = 20
+
+  /** q132's MMR candidate-shortlist width (build + oracle). */
+  private val mmrShortK = 20
+
+  /** Exact cosine scoring of every non-self corpus vector against the
+    * `q` query set — the q28 ranking's replay body, shared by the
+    * q125/q131 oracles. Expects `q(query_id, qe)` in scope. */
+  private val exactScoredCte: String = """scored AS (
+          SELECT q.query_id, b.vec_id, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id)"""
+
+  /** The served IVF-PQ top-5 (rank by integer ADC distance) — the
+    * q124 ranking's replay select over `pair`, shared by q125/q131. */
+  private val pairTop5Sel: String = """SELECT query_id, rk, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) rk FROM pair)
+          WHERE rk <= 5"""
+
+  /** The refine step's replay: ADC shortlist of width [[refineShortK]]
+    * from `pair`, true-vector rescore — ends in `resc(query_id,
+    * vec_id, cos)`. ONE definition for the q126 and q131 oracles. */
+  private lazy val refineCtes: String = s"""short AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ai, vec_id) srk FROM pair)
+          WHERE srk <= $refineShortK),
+        resc AS (SELECT sh.query_id, sh.vec_id,
+                   floor(list_cosine_similarity(
+                     q.qe::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5)
+                     / 10000 cos
+                 FROM short sh
+                 JOIN embeddings b ON b.vec_id = sh.vec_id
+                 JOIN q ON q.query_id = sh.query_id)"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── embedding-cosine near-dup (blocked by label) ───────────────
@@ -1205,7 +1243,7 @@ object SimilarityQueries {
               .filter(col("vec_id") =!= col("query_id"))
               .select(col("query_id"), col("vec_id"), adcAi.as("ai")),
             Seq("query_id"), Seq(col("ai").asc, col("vec_id").asc),
-            20, "_srk")
+            refineShortK, "_srk")
           .select(col("query_id"), col("vec_id"))
         // exact rerank over true vectors (vectors decide the ORDER):
         // the shortlist broadcasts, so the vector fetch is one corpus
@@ -1223,17 +1261,7 @@ object SimilarityQueries {
       },
       oracle = Some(s"""
         WITH $ivfPqPairCtes,
-        short AS (SELECT query_id, vec_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ai, vec_id) srk FROM pair)
-          WHERE srk <= 20),
-        resc AS (SELECT sh.query_id, sh.vec_id,
-                   floor(list_cosine_similarity(
-                     q.qe::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5)
-                     / 10000 cos
-                 FROM short sh
-                 JOIN embeddings b ON b.vec_id = sh.vec_id
-                 JOIN q ON q.query_id = sh.query_id),
+        $refineCtes,
         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cos DESC, vec_id) rk FROM resc)
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
@@ -1262,19 +1290,12 @@ object SimilarityQueries {
       },
       oracle = Some(s"""
         WITH $ivfPqPairCtes,
-        scored AS (
-          SELECT q.query_id, b.vec_id, floor(
-            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
-            * 10000 + 0.5) / 10000 cos
-          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        $exactScoredCte,
         exact AS (SELECT query_id, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) rk FROM scored)
           WHERE rk <= 5),
-        served AS (SELECT query_id, vec_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ai, vec_id) rk FROM pair)
-          WHERE rk <= 5)
+        served AS (SELECT query_id, vec_id FROM ($pairTop5Sel))
         SELECT e.query_id, count(*) n_exact,
                CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) n_hit,
@@ -1283,6 +1304,140 @@ object SimilarityQueries {
         FROM exact e LEFT JOIN served i
           ON i.query_id = e.query_id AND i.vec_id = e.vec_id
         GROUP BY e.query_id ORDER BY e.query_id""")),
+
+    // ── MMR diversified top-5 (q132) ────────────────────────────────
+    // Maximal marginal relevance: the top-5 a RAG pipeline actually
+    // wants — each pick balances relevance against similarity to what
+    // was already picked (λ=0.7), so five near-identical neighbors
+    // can't fill the whole context window. Greedy selection is
+    // inherently sequential, but k=5 is a CONSTANT: the five steps
+    // unroll into five bounded join+argmax rounds over the queries×20
+    // shortlist (the q126 shape — the corpus pays ONE scan to fetch
+    // candidate vectors via a broadcast semi-join; everything after is
+    // shortlist-scale). All arithmetic integer e4: rel and pairwise
+    // sims are r4-cosines ×10⁴, the MMR objective is
+    // 7000·rel − 3000·maxSim (scale-free monotone), ties break on
+    // vec_id — DuckDB replays all five steps exactly.
+    "q132_mmr_diversify" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos",
+            graft.analytics.StableRound.r4(cosine(col("qe"), col("embedding"))))
+        // persisted: queries×20 rows, reused by all five greedy steps —
+        // the corpus cosine scan runs ONCE, not once per step
+        val cand = TopK.perKeyRanked(
+            scored.select(col("query_id"), col("vec_id"), col("cos")),
+            Seq("query_id"), Seq(col("cos").desc, col("vec_id").asc),
+            mmrShortK, "_crk")
+          .select(col("query_id"), col("vec_id"),
+            floor(col("cos") * lit(10000.0) + lit(0.5)).cast("long")
+              .as("rel"))
+          .persist()
+        // candidate vectors: ONE corpus scan pruned by broadcast join
+        val cvec = e.join(broadcast(cand.select(col("query_id"),
+            col("vec_id"))), Seq("vec_id"))
+          .select(col("query_id"), col("vec_id"), col("embedding"))
+        val sims = cvec.as("a")
+          .join(cvec.as("b"), col("a.query_id") === col("b.query_id")
+            && col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.query_id").as("query_id"),
+            col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+            floor(graft.analytics.StableRound.r4(
+              cosine(col("a.embedding"), col("b.embedding")))
+              * lit(10000.0) + lit(0.5)).cast("long").as("sim"))
+          .persist() // queries×20×19 rows, probed by four steps
+        // the greedy state is ≤ queries×5 rows — it iterates DRIVER-
+        // side (the q29-centroid/q82-convergence discipline: bounded
+        // scalars round-trip, corpus-scale work stays in the two
+        // persisted frames). Keeping the selection as a growing
+        // DataFrame lineage instead re-executes every earlier step on
+        // each reference — measured 11 s vs ~1 s for the same answer.
+        def pick1(from: org.apache.spark.sql.DataFrame) =
+          TopK.perKeyRanked(from, Seq("query_id"),
+              Seq(col("mmr").desc, col("vec_id").asc), 1, "_r")
+            .select(col("query_id"), col("vec_id"), col("mmr"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val picked = scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Long)]() // (query_id, rk, vec_id, mmr)
+        picked ++= pick1(cand.select(col("query_id"), col("vec_id"),
+          (col("rel") * lit(7000L)).as("mmr")))
+          .map { case (q, v, m) => (q, 1, v, m) }
+        for (k <- 2 to 5) {
+          import s.implicits._
+          val sel = broadcast(picked.toSeq.map(t => (t._1, t._3))
+            .toDF("query_id", "vec_id"))
+          val withMs = cand
+            .join(sel, Seq("query_id", "vec_id"), "left_anti")
+            .join(sims.withColumnRenamed("va", "vec_id"),
+              Seq("query_id", "vec_id"))
+            .join(sel.withColumnRenamed("vec_id", "vb"),
+              Seq("query_id", "vb"))
+            .groupBy(col("query_id"), col("vec_id"), col("rel"))
+            .agg(max(col("sim")).as("ms"))
+            .select(col("query_id"), col("vec_id"),
+              (col("rel") * lit(7000L) - col("ms") * lit(3000L))
+                .as("mmr"))
+          picked ++= pick1(withMs).map { case (q, v, m) => (q, k, v, m) }
+        }
+        import s.implicits._
+        picked.toSeq.sortBy(t => (t._1, t._2))
+          .toDF("query_id", "rk", "vec_id", "mmr")
+      },
+      oracle = Some {
+        val steps = (2 to 5).map { k =>
+          s"""rem$k AS (SELECT c.* FROM cand c
+                 LEFT JOIN sel${k - 1} s ON s.query_id = c.query_id
+                   AND s.vec_id = c.vec_id
+                 WHERE s.vec_id IS NULL),
+        ms$k AS (SELECT r.query_id, r.vec_id, r.rel, max(p.sim) ms
+                 FROM rem$k r
+                 JOIN sel${k - 1} s ON s.query_id = r.query_id
+                 JOIN sims p ON p.query_id = r.query_id
+                   AND p.va = r.vec_id AND p.vb = s.vec_id
+                 GROUP BY 1, 2, 3),
+        s$k AS (SELECT query_id, vec_id,
+                  CAST(rel * 7000 - ms * 3000 AS BIGINT) mmr, $k rk
+                FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY rel * 7000 - ms * 3000 DESC, vec_id) rn
+                  FROM ms$k) WHERE rn = 1),
+        sel$k AS (SELECT query_id, vec_id FROM sel${k - 1}
+                  UNION ALL SELECT query_id, vec_id FROM s$k)"""
+        }.mkString(",\n        ")
+        s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+                   WHERE vec_id < 10),
+        $exactScoredCte,
+        cand AS (SELECT query_id, vec_id,
+                   CAST(floor(cos * 10000 + 0.5) AS BIGINT) rel
+                 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, vec_id) crk FROM scored)
+                 WHERE crk <= $mmrShortK),
+        sims AS (SELECT a.query_id, a.vec_id va, b.vec_id vb,
+                   CAST(floor(list_cosine_similarity(
+                     ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+                     * 10000 + 0.5) AS BIGINT) sim
+                 FROM cand a
+                 JOIN cand b ON b.query_id = a.query_id
+                   AND b.vec_id != a.vec_id
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        s1 AS (SELECT query_id, vec_id,
+                 CAST(rel * 7000 AS BIGINT) mmr, 1 rk
+               FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, vec_id) rn FROM cand)
+               WHERE rn = 1),
+        sel1 AS (SELECT query_id, vec_id FROM s1),
+        $steps
+        SELECT query_id, CAST(rk AS INTEGER) rk, vec_id, mmr
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+              UNION ALL SELECT * FROM s5)
+        ORDER BY query_id, rk"""
+      },
+      bench = true),
 
     // ── retrieval quality metrics: MRR@5 / nDCG@5 vs labels (q131) ──
     // The recall audits (q117/q125) measure the index against the
@@ -1317,13 +1472,26 @@ object SimilarityQueries {
           .unionByName(ranks("q126_ivfpq_rerank", "refined"))
         val w = typedlit(0L +: ndcgW)      // 1-indexed by rank
         val wc = typedlit(0L +: ndcgWCum)  // 1-indexed by #relevant
-        val perQ = all.join(broadcast(lbl), Seq("vec_id"))
+        // label enrichment BROADCASTS the queries×k ranking frame into
+        // the corpus-scale label scan (never the labels to the
+        // rankings — that side grows with the corpus)
+        val perQ0 = lbl.join(broadcast(all), Seq("vec_id"))
           .join(broadcast(qlbl), Seq("query_id"))
           .withColumn("rel", (col("label") === col("qlabel")).cast("long"))
           .groupBy(col("system"), col("query_id"))
           .agg(sum(col("rel")).as("hits"),
             sum(col("rel") * element_at(w, col("rk") + 1)).as("dcg"),
             min(when(col("rel") === 1, col("rk"))).as("frank"))
+        // a system that returns NO rows for some query must average a
+        // zero for it, not silently drop it from its own mean — score
+        // every (system, query) cell of the full cross
+        val sysQ = Seq("exact", "ivfpq", "refined")
+          .map(n => qlbl.select(col("query_id"))
+            .withColumn("system", lit(n)))
+          .reduce(_ unionByName _)
+        val perQ = sysQ.join(perQ0, Seq("system", "query_id"), "left")
+          .withColumn("hits", coalesce(col("hits"), lit(0L)))
+          .withColumn("dcg", coalesce(col("dcg"), lit(0L)))
           .join(broadcast(nrel), Seq("query_id"), "left")
           .withColumn("idcg", element_at(wc,
             least(coalesce(col("n_rel"), lit(0L)), lit(5L)).cast("int")
@@ -1353,29 +1521,13 @@ object SimilarityQueries {
                  JOIN lab b ON b.label = q.qlabel
                    AND b.vec_id != q.query_id
                  GROUP BY 1),
-        scored AS (
-          SELECT q.query_id, b.vec_id, floor(
-            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
-            * 10000 + 0.5) / 10000 cos
-          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        $exactScoredCte,
         e5 AS (SELECT query_id, rk, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) rk FROM scored)
           WHERE rk <= 5),
-        p5 AS (SELECT query_id, rk, vec_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ai, vec_id) rk FROM pair)
-          WHERE rk <= 5),
-        short AS (SELECT query_id, vec_id FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ai, vec_id) srk FROM pair)
-          WHERE srk <= 20),
-        resc AS (SELECT sh.query_id, sh.vec_id, floor(
-                   list_cosine_similarity(q.qe::DOUBLE[],
-                     b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000 cos
-                 FROM short sh
-                 JOIN embeddings b ON b.vec_id = sh.vec_id
-                 JOIN q ON q.query_id = sh.query_id),
+        p5 AS ($pairTop5Sel),
+        $refineCtes,
         r5 AS (SELECT query_id, rk, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) rk FROM resc)
@@ -1396,12 +1548,17 @@ object SimilarityQueries {
                  JOIN lab l ON l.vec_id = a.vec_id
                  JOIN qlab ql ON ql.query_id = a.query_id
                  GROUP BY 1, 2),
-        met AS (SELECT p."system", p.query_id, p.hits,
+        sysq AS (SELECT s."system", ql.query_id FROM (VALUES ('exact'),
+                   ('ivfpq'), ('refined')) s("system") CROSS JOIN qlab ql),
+        met AS (SELECT sq."system", sq.query_id, coalesce(p.hits, 0) hits,
                   coalesce(10000 // p.frank, 0) mrr,
                   CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0
-                    ELSE (p.dcg * 10000) // (CASE least(n.n_rel, 5)
-                      $wcCase ELSE 0 END) END ndcg
-                FROM perq p LEFT JOIN nrel n USING (query_id))
+                    ELSE (coalesce(p.dcg, 0) * 10000) //
+                      (CASE least(n.n_rel, 5) $wcCase ELSE 0 END) END ndcg
+                FROM sysq sq
+                LEFT JOIN perq p ON p."system" = sq."system"
+                  AND p.query_id = sq.query_id
+                LEFT JOIN nrel n ON n.query_id = sq.query_id)
         SELECT "system", count(*) n_queries,
                CAST(sum(hits) AS BIGINT) hits5,
                CAST(sum(mrr) // count(*) AS BIGINT) mrr_e4,

@@ -540,6 +540,56 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q132 MMR equals a driver-side greedy replay and diversifies") {
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.analytics.Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def r4e4(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5)
+        .toLong
+    }
+    val byId = emb.toMap
+    val expected = (0L until 10L).flatMap { q =>
+      val cand = emb.filter(_._1 != q)
+        .map { case (id, v) => (id, r4e4(byId(q), v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      val sim = (for ((a, _) <- cand; (b, _) <- cand if a != b)
+        yield (a, b) -> r4e4(byId(a), byId(b))).toMap
+      var picked = Vector.empty[(Long, Long)] // (vid, mmr)
+      for (_ <- 1 to 5) {
+        val sel = picked.map(_._1).toSet
+        val best = cand.filterNot(c => sel(c._1)).map { case (id, rel) =>
+          val ms = if (sel.isEmpty) 0L
+            else sel.map(sid => sim((id, sid))).max
+          (id, rel * 7000L - (if (sel.isEmpty) 0L else ms * 3000L))
+        }.sortBy { case (id, m) => (-m, id) }.head
+        picked :+= best
+      }
+      picked.zipWithIndex.map { case ((vid, m), i) => (q, i + 1, vid, m) }
+    }
+    val got = graft.similarity.SimilarityQueries
+      .queries("q132_mmr_diversify").build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // diversification must BIND: for at least one query the MMR set
+    // differs from the plain cosine top-5
+    val plain = graft.similarity.SimilarityQueries
+      .queries("q28_ann_bruteforce").build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val mmrSets = got.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSet).toMap
+    assert(mmrSets.exists { case (q, s) => s != plain(q) },
+      "MMR never deviated from the plain top-5 — λ exercises nothing")
+  }
+
   test("q131 retrieval metrics equal a driver-side replay over labels") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-metrics-spec")
