@@ -211,6 +211,39 @@ object EventQueries {
         JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
           ON c.user_id = p.user_id
          AND c.ts_us >= p.ts_us AND c.ts_us < p.ts_us + 3600000000
-        GROUP BY c.user_id ORDER BY c.user_id"""))
+        GROUP BY c.user_id ORDER BY c.user_id""")),
+
+    // ── half-life decayed engagement counters ──────────────────────
+    // The trending/recency score a feed or feature store keeps per
+    // (user, event type): each event contributes 65536 >> age_days —
+    // an exact power-of-two half-life (one day = one halving, floored
+    // at 2^-16) instead of exp(-λ·age), so the score is INTEGER and
+    // order-free exact in both engines (no transcendentals, no FP
+    // summation order). Reference instant = max event time (a 1-row
+    // lazy broadcast, the q111 stats pattern); the aggregation is one
+    // map-side-combined groupBy — corpus-scale cost is the scan.
+    "q133_decayed_counts" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val ref = e.agg(max(col("ts_us")).as("ref_us"))
+        e.crossJoin(broadcast(ref))
+          .withColumn("age_d",
+            expr("CAST((ref_us - ts_us) div 86400000000 AS INT)"))
+          .withColumn("w",
+            expr("CAST(shiftright(65536, least(age_d, 16)) AS BIGINT)"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("w")).as("decay_score"))
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        WITH ref AS (SELECT max(epoch_us(ts)) ref_us FROM events),
+        w AS (SELECT user_id, event_type,
+                65536 >> least(CAST((ref.ref_us - epoch_us(ts))
+                  // 86400000000 AS INT), 16) w
+              FROM events, ref)
+        SELECT user_id, event_type, count(*) n_events,
+               CAST(sum(w) AS BIGINT) decay_score
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -95,6 +95,33 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q133 decayed counters replay driver-side with exact halvings") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.analytics.Tables.events(spark, d)
+      .select(graft.analytics.Tables
+        .tsUs(graft.analytics.Tables.events(spark, d)).as("ts_us"),
+        col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val ref = rows.map(_._1).max
+    val expected = rows.groupBy(t => (t._2, t._3)).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.map { case (ts, _, _) =>
+        65536L >> math.min((ref - ts) / 86400000000L, 16L).toInt
+      }.sum)
+    }
+    val got = graft.analytics.EventQueries.queries("q133_decayed_counts")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected)
+    // the decay must BIND: the 30-day window spans several halvings,
+    // so some group's score is strictly below fresh-weight × count
+    assert(got.exists { case (_, (n, sc)) => sc < n * 65536L },
+      "every event scored fresh — decay exercised nothing")
+    // and the newest event somewhere carries full weight
+    assert(got.values.exists { case (n, sc) => sc > (n - 1) * 1L },
+      "no event carried non-floor weight")
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
