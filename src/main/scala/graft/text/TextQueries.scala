@@ -803,6 +803,91 @@ object TextQueries {
           SELECT doc_id, b, sum(bit * 2 - 1) v FROM tb GROUP BY doc_id, b)
         SELECT doc_id,
                CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
-        FROM bitsum GROUP BY doc_id ORDER BY doc_id"""))
+        FROM bitsum GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── greedy max-coverage document selection ─────────────────────
+    // Submodular data selection: pick 5 documents that together cover
+    // the most DISTINCT 3-shingles — the facility-location shape used
+    // to choose representative/diverse training subsets, where
+    // near-duplicate candidates contribute almost no marginal gain.
+    // Greedy is (1−1/e)-optimal and inherently sequential; like q132
+    // the constant k unrolls into 5 bounded rounds: the corpus pays
+    // TWO shingle scans (candidate-pool stats, pool posting fetch —
+    // the pool's postings then persist at ≤50 docs), each round is an
+    // anti/semi-join of those bounded postings against the ≤5-doc
+    // covered set (broadcast), and the ≤5-row greedy state iterates
+    // driver-side (the q29/q132 bounded-probe discipline). Gains are
+    // distinct-shingle COUNTS — integers, replayed exactly by DuckDB's
+    // unrolled CTE chain.
+    "q134_coverage_select" -> QuerySpec(
+      build = (s, d) => {
+        val rows0 = Tables.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(shingle_hashes(col("text"), 3)).as("h"))
+        val pool = rows0.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("nsh"))
+          .orderBy(col("nsh").desc, col("doc_id").asc).limit(50)
+          .persist()
+        val cp = rows0
+          .join(broadcast(pool.select(col("doc_id"))), Seq("doc_id"))
+          .persist()
+        val picked = scala.collection.mutable
+          .ArrayBuffer[(Int, Long, Long)]() // (rk, doc_id, gain)
+        val first = pool.orderBy(col("nsh").desc, col("doc_id").asc)
+          .limit(1).collect().head
+        picked += ((1, first.getLong(0), first.getLong(1)))
+        for (k <- 2 to 5) {
+          val selIds = picked.map(_._2).toSeq
+          val covered = cp.filter(col("doc_id").isin(selIds: _*))
+            .select(col("h")).distinct()
+          val covCnt = cp.join(broadcast(covered), Seq("h"))
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+          val best = pool.filter(!col("doc_id").isin(selIds: _*))
+            .join(covCnt, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("nsh") - coalesce(col("cov"), lit(0L))).as("gain"))
+            .orderBy(col("gain").desc, col("doc_id").asc)
+            .limit(1).collect().head
+          picked += ((k, best.getLong(0), best.getLong(1)))
+        }
+        import s.implicits._
+        picked.toSeq.toDF("rk", "doc_id", "gain")
+      },
+      oracle = Some {
+        val steps = (2 to 5).map { k =>
+          s"""g$k AS (SELECT p.doc_id, p.nsh - coalesce(c.cnt, 0) gain
+                FROM pool p
+                LEFT JOIN (SELECT cp.doc_id, count(*) cnt FROM cp
+                           JOIN cov${k - 1} cv ON cv.h = cp.h
+                           GROUP BY 1) c ON c.doc_id = p.doc_id
+                WHERE p.doc_id NOT IN (SELECT doc_id FROM sel${k - 1})),
+        s$k AS (SELECT $k rk, doc_id, CAST(gain AS BIGINT) gain
+                FROM g$k ORDER BY gain DESC, doc_id LIMIT 1),
+        sel$k AS (SELECT doc_id FROM sel${k - 1}
+                  UNION ALL SELECT doc_id FROM s$k),
+        cov$k AS (SELECT DISTINCT cp.h FROM cp
+                  JOIN sel$k USING (doc_id))"""
+        }.mkString(",\n        ")
+        s"""
+        WITH $duckShingles,
+        hs AS (SELECT doc_id,
+                 ('0x' || substring(md5(s), 1, 15))::BIGINT h, n
+               FROM sh),
+        pool AS (SELECT doc_id, CAST(max(n) AS BIGINT) nsh FROM hs
+                 GROUP BY 1 ORDER BY nsh DESC, doc_id LIMIT 50),
+        cp AS (SELECT hs.doc_id, hs.h FROM hs
+               JOIN pool ON pool.doc_id = hs.doc_id),
+        s1 AS (SELECT 1 rk, doc_id, nsh gain FROM pool
+               ORDER BY nsh DESC, doc_id LIMIT 1),
+        sel1 AS (SELECT doc_id FROM s1),
+        cov1 AS (SELECT DISTINCT cp.h FROM cp JOIN sel1 USING (doc_id)),
+        $steps
+        SELECT CAST(rk AS INTEGER) rk, doc_id, gain
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+              UNION ALL SELECT * FROM s5)
+        ORDER BY rk"""
+      })
   )
 }

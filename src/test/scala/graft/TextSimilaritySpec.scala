@@ -590,6 +590,43 @@ class TextSimilaritySpec extends SparkSpec {
       "MMR never deviated from the plain top-5 — λ exercises nothing")
   }
 
+  test("q134 coverage selection equals a driver-side greedy replay") {
+    val d = "/root/testdata/sf0.001"
+    def md5hex(x: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(x: String) = java.lang.Long.parseLong(md5hex(x).take(15), 16)
+    val docs = graft.analytics.Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ts = r.getString(1).trim.split("\\s+")
+        val shs = ts.sliding(3).filter(_.length == 3)
+          .map(w => h60(w.mkString(" "))).toSet
+        r.getLong(0) -> shs
+      }.filter(_._2.nonEmpty)
+    val pool = docs.map { case (id, shs) => (id, shs) }
+      .sortBy { case (id, shs) => (-shs.size, id) }.take(50)
+    var covered = Set.empty[Long]
+    var sel = Set.empty[Long]
+    val expected = (1 to 5).map { k =>
+      val (id, gain) = pool.filterNot(p => sel(p._1))
+        .map { case (pid, shs) => (pid, (shs -- covered).size.toLong) }
+        .sortBy { case (pid, g) => (-g, pid) }.head
+      covered ++= pool.find(_._1 == id).get._2
+      sel += id
+      (k, id, gain)
+    }
+    val got = graft.text.TextQueries.queries("q134_coverage_select")
+      .build(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == expected)
+    // submodularity: marginal gains never increase, picks distinct
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    assert(got.map(_._2).distinct.size == 5)
+  }
+
   test("q131 retrieval metrics equal a driver-side replay over labels") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-metrics-spec")
