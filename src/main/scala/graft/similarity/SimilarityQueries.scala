@@ -466,11 +466,7 @@ object SimilarityQueries {
       oracle = Some(s"""
         WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
                    WHERE vec_id < 10),
-        scored AS (
-          SELECT q.query_id, b.vec_id, floor(
-            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
-            * 10000 + 0.5) / 10000 cos
-          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        $exactScoredCte,
         ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                      ORDER BY cos DESC, vec_id) rk FROM scored)
         SELECT query_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
@@ -1685,11 +1681,7 @@ object SimilarityQueries {
       oracle = Some(s"""
         WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
                    WHERE vec_id < 10),
-        scored AS (
-          SELECT q.query_id, b.vec_id, floor(
-            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
-            * 10000 + 0.5) / 10000 cos
-          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        $exactScoredCte,
         exact AS (SELECT query_id, vec_id FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cos DESC, vec_id) rk FROM scored)

@@ -117,9 +117,13 @@ class OperatorSpec extends SparkSpec {
     // so some group's score is strictly below fresh-weight × count
     assert(got.exists { case (_, (n, sc)) => sc < n * 65536L },
       "every event scored fresh — decay exercised nothing")
-    // and the newest event somewhere carries full weight
-    assert(got.values.exists { case (n, sc) => sc > (n - 1) * 1L },
-      "no event carried non-floor weight")
+    // and the group holding the newest event must carry its FULL
+    // 65536 weight (age 0) on top of everyone else's >= 1 floor — a
+    // shift bug flooring every age would break this
+    val newest = rows.maxBy(_._1)
+    val (nN, scN) = got((newest._2, newest._3))
+    assert(scN >= 65536L + (nN - 1),
+      s"newest event's group must carry full weight: $scN of $nN events")
   }
 
   test("salted join: identical result to the plain join, spread over salts") {
