@@ -3,12 +3,13 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Self-contained runnable demo of the curation facade: runs the full
-  * [[graft.Curation]] funnel (quality floor → Bloom-gated
-  * decontamination → exact dedup → cluster near-dedup → temperature
-  * mixture → reproducible epoch order) over a test-data dir, using the
-  * dataset's own 3% hash-band slice as the evaluation set (the q77
-  * convention), prints the per-stage survivor counts and the epoch
-  * shard layout.
+  * [[graft.Curation]] funnel (quality floor → reference-LM perplexity
+  * tail drop → Bloom-gated decontamination → exact dedup → cluster
+  * near-dedup → UniMax language-budget mixture → reproducible epoch
+  * order) over a test-data dir, using the dataset's own 3% hash-band
+  * slice as the evaluation set (the q77 convention) and its `src0`
+  * slice as the LM reference (the q128 convention), prints the
+  * per-stage survivor counts and the epoch shard layout.
   *
   * `sbt "runMain graft.tools.CurationDemo [sfDir [outDir]]"`
   */
@@ -19,12 +20,15 @@ object CurationDemo {
     val outDir = if (args.length >= 2) args(1)
       else java.nio.file.Files.createTempDirectory("graft-epoch").toString
 
+    val docs = graft.analytics.Tables.documents(spark, sfDir)
     // eval set: the deterministic 3% hash-band slice (q77's bench)
-    val bench = graft.analytics.Tables.documents(spark, sfDir)
-      .filter(graft.text.TextQueries.hashBand100 < 3)
+    val bench = docs.filter(graft.text.TextQueries.hashBand100 < 3)
+    // LM reference: the known-good source slice (q128's convention)
+    val lmRef = docs.filter(col("source") === "src0")
 
     val report = graft.Curation.curate(spark, sfDir,
-      bench = Some(bench), epochDir = Some(outDir))
+      bench = Some(bench), lmRef = Some(lmRef), unimax = true,
+      epochDir = Some(outDir))
 
     report.stages.foreach(s =>
       println(f"[curation] stage ${s.stage}: ${s.name}%-15s ${s.n_docs}%8d docs"))
