@@ -253,6 +253,41 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Gopher-style repetition masses over the document's word n-grams
+    * (Rae et al. 2021, "Scaling Language Models", §A1.1 adapted).
+    * Element 0: the largest repeated-character mass of any single
+    * n-gram — count × character length of the space-joined gram, the
+    * numerator of "fraction of characters in the most frequent
+    * n-gram" (max taken over the product itself, so no tie-break on
+    * gram strings is needed and the value is engine-order-free).
+    * Element 1: total mass of grams occurring at least twice — the
+    * "characters in duplicated n-grams" numerator. One hash-count
+    * pass per row; char counts are code points (= DuckDB length()). */
+  def repetitionMass(toks: ArrayData, n: Int): ArrayData = {
+    val total = toks.numElements()
+    val grams = total - n + 1
+    if (grams <= 0) return new GenericArrayData(Array[Any](0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer](grams * 2)
+    var i = 0
+    while (i < grams) {
+      val g = shingleAt(toks, i, n)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) 1 else c + 1)
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue.intValue()
+      val mass = cnt.toLong * e.getKey.numChars()
+      if (mass > top) top = mass
+      if (cnt >= 2) dup += mass
+    }
+    new GenericArrayData(Array[Any](top, dup))
+  }
 }
 
 /** `ws_tokenize(text)` — whitespace tokenization after space-trim. */
@@ -328,6 +363,25 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.shingleHashes($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `repetition_mass(toks, n)` — [top-gram mass, duplicated-gram mass]
+  * for the Gopher repetition filters ([[TextKernels.repetitionMass]]).
+  * [0, 0] for docs with < n tokens. */
+case class RepetitionMass(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "repetition_mass"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.repetitionMass(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.repetitionMass($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionMass =
     copy(child = newChild)
 }
 

@@ -125,6 +125,15 @@ object TextFunctions {
   def minhash_signature(text: Column, k: Int = 3): Column =
     toCol(MinhashSignature(toExpr(tokens(text)), k))
 
+  /** Gopher repetition masses over word n-grams ([[RepetitionMass]]):
+    * [0] = count×chars of the heaviest single n-gram, [1] = total
+    * count×chars of n-grams repeated ≥2 times. One narrow per-row
+    * hash-count pass — the numerators of Rae et al. 2021 §A1.1's
+    * "fraction of characters in the most frequent / in duplicated
+    * n-grams" filters. */
+  def repetition_mass_t(toks: Column, n: Int): Column =
+    toCol(RepetitionMass(toExpr(toks), n))
+
   /** 16-bit SimHash of the distinct tokens ([[SimHash16]]): one narrow
     * per-row pass — no 16× bit explode, no shuffle. */
   def simhash(text: Column): Column =

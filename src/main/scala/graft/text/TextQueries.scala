@@ -805,6 +805,63 @@ object TextQueries {
                CAST(sum(CASE WHEN v > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
         FROM bitsum GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ── Gopher repetition filter (Rae et al. 2021 §A1.1) ───────────
+    // The repetition half of Gopher's quality rules: drop documents
+    // dominated by a single repeated 2-gram (>20% of characters) or by
+    // duplicated 3-grams (>15%; Gopher thresholds dup 5..10-grams, but
+    // this corpus's ~35-token docs almost never repeat a 5-gram — the
+    // 3-gram variant keeps the signal non-vacuous at every tested SF).
+    // Character-mass thresholds, unlike
+    // q72's occurrence-ratio signals — and where q72 pays an explode +
+    // two-level groupBy, this is per-document and zero-shuffle — two
+    // narrow kernel passes over ONE tokenization, so at 100 TB it
+    // streams at scan speed like q21/q26. The keep-flags compare on
+    // integer masses (5·top2 ≤ chars ⇔ top2/chars ≤ 0.20) so the
+    // boolean can never diverge across engines on a rounded double.
+    "q135_repetition_filter" -> QuerySpec(
+      build = (s, d) => Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .withColumn("_toks", tokens(col("text")))
+        .withColumn("_m2", repetition_mass_t(col("_toks"), 2))
+        .withColumn("_m3", repetition_mass_t(col("_toks"), 3))
+        .withColumn("_chars", greatest(length(col("text")), lit(1)).cast("long"))
+        .select(
+          col("doc_id"),
+          graft.analytics.StableRound.r4(least(
+            col("_m2").getItem(0).cast("double") / col("_chars"),
+            lit(1.0))).as("top2_frac"),
+          graft.analytics.StableRound.r4(least(
+            col("_m3").getItem(1).cast("double") / col("_chars"),
+            lit(1.0))).as("dup3_frac"),
+          (col("_m2").getItem(0) * 5 <= col("_chars") &&
+            col("_m3").getItem(1) * 20 <= col("_chars") * 3).as("keep"))
+        .orderBy("doc_id"),
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, greatest(length(text), 1) AS n_chars,
+                          $duckToks toks
+                   FROM documents WHERE text IS NOT NULL),
+        g2 AS (SELECT doc_id, count(*) cnt, length(g) glen FROM (
+                 SELECT doc_id, array_to_string(toks[i:i+1], ' ') g
+                 FROM t, unnest(generate_series(1, len(toks) - 1)) u(i))
+               GROUP BY doc_id, g),
+        m2 AS (SELECT doc_id, max(cnt * glen) top2 FROM g2 GROUP BY doc_id),
+        g3 AS (SELECT doc_id, count(*) cnt, length(g) glen FROM (
+                 SELECT doc_id, array_to_string(toks[i:i+2], ' ') g
+                 FROM t, unnest(generate_series(1, len(toks) - 2)) u(i))
+               GROUP BY doc_id, g),
+        m3 AS (SELECT doc_id, sum(cnt * glen) FILTER (WHERE cnt >= 2) dup3
+               FROM g3 GROUP BY doc_id)
+        SELECT t.doc_id,
+               ${graft.analytics.StableRound.sql4(
+                 "least(coalesce(top2, 0) * 1.0 / n_chars, 1.0)")} AS top2_frac,
+               ${graft.analytics.StableRound.sql4(
+                 "least(coalesce(dup3, 0) * 1.0 / n_chars, 1.0)")} AS dup3_frac,
+               (coalesce(top2, 0) * 5 <= n_chars
+                 AND coalesce(dup3, 0) * 20 <= n_chars * 3) AS keep
+        FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        ORDER BY t.doc_id"""),
+      bench = true),
+
     // ── greedy max-coverage document selection ─────────────────────
     // Submodular data selection: pick 5 documents that together cover
     // the most DISTINCT 3-shingles — the facility-location shape used

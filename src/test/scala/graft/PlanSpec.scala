@@ -103,6 +103,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "no groupBy expected in the sketch")
   }
 
+  test("q135 repetition filter: two narrow kernel passes — no shuffle before the final sort") {
+    val df = SparkEntry.queries("q135_repetition_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("repetition_mass"),
+      "expected the native repetition_mass kernel")
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"only the final orderBy range exchange expected:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate"), "no groupBy expected in the filter")
+  }
+
   test("q69 vocab top-k: global orderBy+limit plans as TakeOrdered, no full sort") {
     val df = SparkEntry.queries("q69_vocab_df")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

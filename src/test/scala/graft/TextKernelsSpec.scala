@@ -124,6 +124,31 @@ class TextKernelsSpec extends SparkSpec {
     assert(viaKernel === viaExplode)
   }
 
+  test("repetition_mass kernel == explode + groupBy formulation") {
+    val df = samples(texts, 150).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    for (n <- Seq(2, 3, 5)) {
+      val viaKernel = df.select(col("doc_id"),
+          graft.text.TextFunctions.repetition_mass_t(
+            graft.text.TextFunctions.tokens(col("text")), n).as("m"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+      val viaExplode = df.select(col("doc_id"),
+          explode_outer(graft.text.TextFunctions.shingles(col("text"), n))
+            .as("g"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("g").isNotNull,
+            col("cnt") * length(col("g")))), lit(0L)).as("top"),
+          coalesce(sum(when(col("cnt") >= 2,
+            col("cnt") * length(col("g")))), lit(0L)).as("dup"))
+        .collect().map(r => (r.getLong(0), List(r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(viaKernel === viaExplode, s"n=$n")
+    }
+  }
+
   test("cosine widens int/long arrays via implicit cast (col inputs too)") {
     import graft.similarity.VectorFunctions
     val df = Seq((Array(1, 2, 2), Array(2L, 4L, 4L))).toDF("ia", "la")
