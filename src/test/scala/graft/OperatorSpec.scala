@@ -126,6 +126,44 @@ class OperatorSpec extends SparkSpec {
       s"newest event's group must carry full weight: $scN of $nN events")
   }
 
+  test("q136 pagerank replays driver-side with exact integer iterations") {
+    val d = "/root/testdata/sf0.001"
+    val li = graft.analytics.Tables.lineitem(spark, d)
+      .select(col("l_suppkey"), col("l_orderkey"))
+    val ord = graft.analytics.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val edges = pairs.flatMap { case (s, c) =>
+      Seq(("s" + s, "c" + c), ("c" + c, "s" + s))
+    }
+    val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val scale = 1000000000000L
+    val n = deg.size
+    val rInit = scale / n
+    val base = rInit * 15 / 100
+    var rank: Map[String, Long] = deg.map { case (k, _) => k -> rInit }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => rank(src) / deg(src) }.sum
+      }
+      rank = in.map { case (node, sc) => node -> (base + 85 * sc / 100) }
+    }
+    val expected = rank.toSeq.sortBy { case (node, r) => (-r, node) }.take(20)
+    val got = graft.analytics.ExtendedQueries.queries("q136_pagerank")
+      .build(spark, d).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    // centrality must DISCRIMINATE: a constant-rank answer (e.g. a
+    // degree term cancelled out) would still be internally consistent
+    assert(expected.map(_._2).distinct.size > 1,
+      "all top-20 ranks equal — the iteration moved no mass")
+    // total mass stays within integer-truncation loss of the scale
+    val total = rank.valuesIterator.sum
+    assert(total <= scale && total > scale * 9 / 10,
+      s"rank mass $total escaped the [0.9, 1.0] x scale band")
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
