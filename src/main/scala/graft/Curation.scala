@@ -11,7 +11,11 @@ import org.apache.spark.sql.expressions.Window
   *
   *   1. '''Quality floor''' (q21/q73): composite quality score
   *      (length / punctuation / stopword-ratio) ≥ `qualityMin`.
-  *   1b. '''Perplexity tail drop''' (q128, optional): a capped bigram
+  *   1b. '''Repetition filter''' (q135, optional): Gopher's
+  *      repetition rules by integer character mass — a document
+  *      dominated by one 2-gram (>20% of chars) or by duplicated
+  *      3-grams (>15%) drops in the same narrow scan.
+  *   1c. '''Perplexity tail drop''' (q128, optional): a capped bigram
   *      LM trains on a caller-provided reference corpus (CCNet's
   *      Wikipedia role), every surviving doc scores its integer-mean
   *      conditional probability, and the worst TERCILE per source is
@@ -87,6 +91,8 @@ object Curation {
     *                    (any frame with a `text` string column); pass
     *                    None to skip the stage
     * @param qualityMin  stage-1 floor on the composite quality score
+    * @param repetition  true enables the stage-1b Gopher repetition
+    *                    filter (q135 thresholds)
     * @param mixBase     stage-5 keep-rate base: a source keeps
     *                    min(1, mixBase/10000 · sqrt(n_max/n)) of its
     *                    docs (q102's 2000 default ≈ keep 20% of the
@@ -103,6 +109,7 @@ object Curation {
              dsirTarget: Option[DataFrame] = None,
              lmRef: Option[DataFrame] = None,
              qualityMin: Double = 0.55,
+             repetition: Boolean = false,
              mixBase: Long = 2000L,
              unimax: Boolean = false,
              epochDir: Option[String] = None,
@@ -117,11 +124,26 @@ object Curation {
     val qual = raw.filter(
       quality_score_t(col("text"), tokens(col("text"))) >= qualityMin)
 
-    // 1b ── optional perplexity tail drop (q128's LM, scores, and
+    // 1b ── optional Gopher repetition filter (q135's integer-mass
+    // rule: a single 2-gram over 20% of characters, or duplicated
+    // 3-grams over 15%, drop the document). Off by default — the
+    // thresholds are tuned for web text, and legitimately formulaic
+    // corpora (boilerplate-heavy legal/code) trip them
+    val rep =
+      if (!repetition) qual
+      else {
+        val chars = greatest(length(col("text")), lit(1)).cast("long")
+        qual.filter(
+          repetition_mass_t(tokens(col("text")), 2).getItem(0) * 5 <= chars &&
+            repetition_mass_t(tokens(col("text")), 3).getItem(1) * 20 <=
+              chars * 3)
+      }
+
+    // 1c ── optional perplexity tail drop (q128's LM, scores, and
     // tercile rule, composed from the same shared helpers the
     // oracle-checked query uses)
     val ppx = lmRef match {
-      case None => qual
+      case None => rep
       case Some(ref) =>
         // the reference frame only needs a text column; synthesize the
         // id/source columns so the ONE shared bigram builder (q128's)
@@ -131,7 +153,7 @@ object Curation {
               col("text")))
           .select(col("head"), col("next_tok"))
         val lm = graft.text.CurationQueries.referenceBigramLm(refBi)
-        val scored = graft.text.CurationQueries.scoreAgainstLm(qual, lm)
+        val scored = graft.text.CurationQueries.scoreAgainstLm(rep, lm)
         val part = Window.partitionBy(col("source"))
         val tail = scored
           .withColumn("_rn", row_number().over(
@@ -139,7 +161,7 @@ object Curation {
           .withColumn("_n", count(lit(1)).over(part))
           .filter(expr("((_rn - 1) * 3) div _n = 2"))
           .select(col("doc_id"))
-        qual.join(tail, Seq("doc_id"), "left_anti")
+        rep.join(tail, Seq("doc_id"), "left_anti")
     }
 
     // 2 ── decontamination: Bloom gate, then exact broadcast join
@@ -267,6 +289,7 @@ object Curation {
     // branch's row count depends on its own stage actually running
     val stageList: Seq[(DataFrame, String)] =
       Seq(raw -> "raw", qual -> "quality") ++
+        (if (repetition) Seq(rep -> "repetition") else Nil) ++
         (if (lmRef.isDefined) Seq(ppx -> "perplexity") else Nil) ++
         Seq(clean -> "decontaminated", exact -> "exact_dedup",
           deduped -> "near_dedup") ++

@@ -3,8 +3,8 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 /** Self-contained runnable demo of the curation facade: runs the full
-  * [[graft.Curation]] funnel (quality floor → reference-LM perplexity
-  * tail drop → Bloom-gated decontamination → exact dedup → cluster
+  * [[graft.Curation]] funnel (quality floor → Gopher repetition filter
+  * → reference-LM perplexity tail drop → Bloom-gated decontamination → exact dedup → cluster
   * near-dedup → UniMax language-budget mixture → reproducible epoch
   * order) over a test-data dir, using the dataset's own 3% hash-band
   * slice as the evaluation set (the q77 convention) and its `src0`
@@ -27,7 +27,8 @@ object CurationDemo {
     val lmRef = docs.filter(col("source") === "src0")
 
     val report = graft.Curation.curate(spark, sfDir,
-      bench = Some(bench), lmRef = Some(lmRef), unimax = true,
+      bench = Some(bench), lmRef = Some(lmRef), repetition = true,
+      unimax = true,
       epochDir = Some(outDir))
 
     report.stages.foreach(s =>

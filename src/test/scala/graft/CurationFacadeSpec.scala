@@ -142,6 +142,51 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curate: repetition stage drops exactly the engineered spam doc") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf3-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf3-data").toString
+      // doc 1/2: every bigram AND trigram distinct (suffix-numbered
+      //          words) — passes both mass rules
+      // doc 3:   one phrase repeated 40x — its top 2-gram alone is
+      //          ~25% of the characters, far over the 20% rule
+      def varied(tag: String) =
+        (1 to 40).map(i => s"palabra$tag$i de${i}x la${i}y").mkString(" ")
+      val spam = (1 to 40).map(_ => "compra ya").mkString(" ")
+      val docs = Seq(
+        (1L, varied("a")), (2L, varied("b")), (3L, spam)
+      ).map { case (id, t) => (id, t, "es", "s1", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      val r = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        repetition = true, mixBase = 0L)
+      assert(r.stages.map(s => s.name -> s.n_docs) == Seq(
+        "raw" -> 3L, "quality" -> 3L, "repetition" -> 2L,
+        "decontaminated" -> 2L, "exact_dedup" -> 2L, "near_dedup" -> 2L,
+        "mixed" -> 2L), s"unexpected funnel: ${r.stages}")
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L), "the spam doc must be the one casualty")
+
+      // and the default leaves the stage out of the funnel entirely
+      val r2 = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        mixBase = 0L)
+      assert(!r2.stages.exists(_.name == "repetition"))
+      assert(r2.stages.map(_.n_docs).forall(_ == 3L))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("curate: perplexity tail drop and UniMax mixture replay exactly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cf2-art")
