@@ -222,6 +222,53 @@ object EventQueries {
     // summation order). Reference instant = max event time (a 1-row
     // lazy broadcast, the q111 stats pattern); the aggregation is one
     // map-side-combined groupBy — corpus-scale cost is the scan.
+    // ── cohort retention (day grain — the corpus spans ~1 month) ───
+    // The activation/retention matrix a product-analytics pipeline
+    // computes daily: users cohorted by FIRST-seen day, per (cohort,
+    // day-offset ≤ 7) distinct active users and the retention rate in
+    // integer e4 (order-free exact). Shape: ONE user-keyed exchange
+    // serves the (user, day) dedup AND the per-user first-day window
+    // (subset clustering), then one bounded (cohort, offset) agg; the
+    // cohort-size denominator joins from the offset-0 row of the SAME
+    // aggregate — nothing event-scale moves twice.
+    "q138_cohort_retention" -> QuerySpec(
+      build = (s, d) => {
+        val act = ev(s, d)
+          .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+          .repartition(col("user_id"))
+          .distinct()
+        val ret = act
+          .withColumn("cohort_day",
+            min(col("day")).over(Window.partitionBy(col("user_id"))))
+          .withColumn("offset_d", col("day") - col("cohort_day"))
+          .filter(col("offset_d") <= 7)
+          .groupBy(col("cohort_day"), col("offset_d"))
+          .agg(count(lit(1)).as("n_active"))
+        val size = ret.filter(col("offset_d") === 0)
+          .select(col("cohort_day"), col("n_active").as("_n_cohort"))
+        ret.join(broadcast(size), Seq("cohort_day"))
+          .select(col("cohort_day"), col("offset_d"), col("n_active"),
+            expr("n_active * 10000 div _n_cohort").as("retention_e4"))
+          .orderBy("cohort_day", "offset_d")
+      },
+      oracle = Some("""
+        WITH act AS (SELECT DISTINCT user_id,
+                            epoch_us(ts) // 86400000000 AS day
+                     FROM events),
+        f AS (SELECT user_id, day,
+                     min(day) OVER (PARTITION BY user_id) cohort_day
+              FROM act),
+        r AS (SELECT cohort_day, day - cohort_day AS offset_d,
+                     count(*) n_active
+              FROM f WHERE day - cohort_day <= 7 GROUP BY 1, 2),
+        s AS (SELECT cohort_day, n_active AS n_cohort FROM r
+              WHERE offset_d = 0)
+        SELECT r.cohort_day, r.offset_d, r.n_active,
+               r.n_active * 10000 // s.n_cohort AS retention_e4
+        FROM r JOIN s USING (cohort_day)
+        ORDER BY r.cohort_day, r.offset_d"""),
+      bench = true),
+
     "q133_decayed_counts" -> QuerySpec(
       build = (s, d) => {
         val e = ev(s, d)

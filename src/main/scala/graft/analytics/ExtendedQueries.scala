@@ -646,67 +646,91 @@ object ExtendedQueries {
     // 1000-executor PageRank plan. |V| reaches the driver only as one
     // bounded count (the same scalar discipline as the max-id reads).
     "q136_pagerank" -> QuerySpec(
-      build = (s, d) => {
-        val scale = 1000000000000L
-        val iters = 3
-        val e0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-            col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).as("sid"),
-            (col("o_custkey") * 2 + 1).as("cid"))
-        // both directions in ONE pass over the join (a union of two
-        // selects would recompute the scan+join per branch)
-        val e = e0.select(explode(array(
-            struct(col("sid").as("src"), col("cid").as("dst")),
-            struct(col("cid").as("src"), col("sid").as("dst")))).as("p"))
-          .select(col("p.src").as("src"), col("p.dst").as("dst"))
-          .persist()
-        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-        val ed = e.join(deg, "src").persist()
-        val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
-        val rInit = scale / nNodes
-        val base = rInit * 15 / 100
-        var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
-        for (_ <- 1 to iters) {
-          rank = ed.join(rank, ed("src") === rank("node"))
-            .select(col("dst"), expr("r div d").as("contrib"))
-            .groupBy(col("dst"))
-            .agg(sum(col("contrib")).as("sc"))
-            .select(col("dst").as("node"),
-              (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        }
-        rank
-          .select(
-            concat(when(col("node") % 2 === 0, "s").otherwise("c"),
-              expr("node div 2")).as("node"),
-            col("r").as("rank_scaled"))
-          .orderBy(col("rank_scaled").desc, col("node"))
-          .limit(20)
-      },
-      oracle = Some {
-        val scale = 1000000000000L
-        val iterCtes = (1 to 3).map { i =>
-          s"""r$i AS (SELECT e.dst AS node,
-                 (SELECT rbase FROM c) + (85 * sum(r${i - 1}.r // e.d)) // 100 AS r
-               FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
-               GROUP BY e.dst)"""
-        }.mkString(", ")
-        s"""
-        WITH e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
-                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        eu AS (SELECT sid AS src, cid AS dst FROM e0
-               UNION ALL SELECT cid, sid FROM e0),
-        deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
-        e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src),
-        c AS (SELECT ($scale // count(*)) rinit,
-                     (($scale // count(*)) * 15) // 100 rbase FROM deg),
-        r0 AS (SELECT src AS node, (SELECT rinit FROM c) r FROM deg),
-        $iterCtes
-        SELECT (CASE WHEN node % 2 = 0 THEN 's' ELSE 'c' END)
-                 || (node // 2)::VARCHAR AS node,
-               CAST(r AS BIGINT) AS rank_scaled
-        FROM r3 ORDER BY rank_scaled DESC, node LIMIT 20"""
-      },
+      build = (s, d) => pagerankTop20(pagerankRanks(s, d)),
+      oracle = Some(pagerankOracleSql),
+      bench = true),
+
+    // ── PageRank served from the rank artifact ─────────────────────
+    // q136's production read path (the q108/q121 recipe): the full
+    // |V|-row rank table is a per-dataset structure — computed once
+    // per (lineitem, orders) content fingerprint by the SAME
+    // pagerankRanks pipeline (no drift possible), materialized via
+    // Artifacts.dirMulti, and every later centrality consumer reads
+    // rank-scale parquet instead of re-running the iteration. Same
+    // oracle as q136: the artifact IS the direct path's result.
+    "q137_pagerank_from_index" -> QuerySpec(
+      build = (s, d) => pagerankTop20(RankIndex.load(s, d)),
+      oracle = Some(pagerankOracleSql),
       bench = true)
   )
+
+  /** The q136 PageRank rank table (node, rank_scaled), one row per
+    * graph node — THE shared definition for the direct query and the
+    * [[RankIndex]] artifact build. See the q136 entry for the scale
+    * rationale (long node ids, single-pass edge build, cached edges,
+    * per-iteration |V|-scale exchange only). */
+  private[graft] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000000000L
+    val iters = 3
+    val e0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("sid"),
+        (col("o_custkey") * 2 + 1).as("cid"))
+    // both directions in ONE pass over the join (a union of two
+    // selects would recompute the scan+join per branch)
+    val e = e0.select(explode(array(
+        struct(col("sid").as("src"), col("cid").as("dst")),
+        struct(col("cid").as("src"), col("sid").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
+    val ed = e.join(deg, "src").persist()
+    val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
+    val rInit = scale / nNodes
+    val base = rInit * 15 / 100
+    var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
+    for (_ <- 1 to iters) {
+      rank = ed.join(rank, ed("src") === rank("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+    }
+    rank.select(
+      concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+        expr("node div 2")).as("node"),
+      col("r").as("rank_scaled"))
+  }
+
+  /** The q136/q137 result shape over a rank table. */
+  private def pagerankTop20(ranks: DataFrame): DataFrame =
+    ranks.orderBy(col("rank_scaled").desc, col("node")).limit(20)
+
+  /** One oracle for the direct build AND the artifact read path. */
+  private lazy val pagerankOracleSql: String = {
+    val scale = 1000000000000L
+    val iterCtes = (1 to 3).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+             (SELECT rbase FROM c) + (85 * sum(r${i - 1}.r // e.d)) // 100 AS r
+           FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+           GROUP BY e.dst)"""
+    }.mkString(", ")
+    s"""
+    WITH e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    eu AS (SELECT sid AS src, cid AS dst FROM e0
+           UNION ALL SELECT cid, sid FROM e0),
+    deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
+    e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src),
+    c AS (SELECT ($scale // count(*)) rinit,
+                 (($scale // count(*)) * 15) // 100 rbase FROM deg),
+    r0 AS (SELECT src AS node, (SELECT rinit FROM c) r FROM deg),
+    $iterCtes
+    SELECT (CASE WHEN node % 2 = 0 THEN 's' ELSE 'c' END)
+             || (node // 2)::VARCHAR AS node,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM r3 ORDER BY rank_scaled DESC, node LIMIT 20"""
+  }
 }

@@ -75,6 +75,16 @@ object Artifacts {
   def dir(d: String, name: String, table: String = "documents.parquet"): Path =
     root.resolve(datasetKey(d, table)).resolve(name)
 
+  /** [[dir]] for an artifact derived from MULTIPLE input tables (e.g.
+    * the fulfillment graph = lineitem ⋈ orders): the key folds the
+    * per-table content keys in order, so a parquet-level rewrite of
+    * ANY input rebuilds and byte-identical copies reuse. */
+  def dirMulti(d: String, name: String, tables: Seq[String]): Path = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    tables.foreach(t => md.update(datasetKey(d, t).getBytes("UTF-8")))
+    root.resolve(md.digest().map("%02x".format(_)).mkString).resolve(name)
+  }
+
   // same-JVM builders of the same artifact serialize here instead of
   // racing the filesystem (Verify runs 4 queries concurrently, and
   // e.g. q82 and q108 both demand the pair set); cross-process races

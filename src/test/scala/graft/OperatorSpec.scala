@@ -164,6 +164,64 @@ class OperatorSpec extends SparkSpec {
       s"rank mass $total escaped the [0.9, 1.0] x scale band")
   }
 
+  test("q138 cohort retention replays driver-side with exact e4 rates") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val act = e.select(graft.analytics.Tables.tsUs(e).as("ts_us"),
+        col("user_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(0) / 86400000000L)).distinct
+    val first = act.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val ret = act.map { case (u, day) => (first(u), day - first(u)) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    val cohortN = ret.collect { case ((c, 0L), n) => c -> n }
+    val expected = ret.toSeq.map { case ((c, off), n) =>
+      (c, off, n, n * 10000 / cohortN(c))
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.analytics.EventQueries.queries("q138_cohort_retention")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got === expected)
+    // retention must BIND: some (cohort, offset>0) cell is below 100%
+    assert(expected.exists(t => t._2 > 0 && t._4 < 10000),
+      "every cohort fully retained — the rate computed nothing")
+  }
+
+  test("q137 rank artifact: read path equals q136 and reuses the build") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-rank-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def run(q: String) = graft.analytics.ExtendedQueries.queries(q)
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val direct = run("q136_pagerank")
+      val fromIdx = run("q137_pagerank_from_index")
+      assert(fromIdx === direct,
+        "artifact read path must reproduce the direct build bit-for-bit")
+      val dir = graft.text.Artifacts.dirMulti(d, "pagerank_i3_v1",
+        Seq("lineitem.parquet", "orders.parquet"))
+      assert(java.nio.file.Files.isDirectory(dir),
+        "the rank artifact must be materialized under the multi-table key")
+      // second read must come from the artifact: perturb nothing and
+      // confirm identical rows (materialize() is a no-op on existing
+      // dirs — a rebuild-every-time bug would still pass equality, so
+      // also pin the build count via the directory's mtime)
+      val mtime = java.nio.file.Files.getLastModifiedTime(dir)
+      assert(run("q137_pagerank_from_index") === direct)
+      assert(java.nio.file.Files.getLastModifiedTime(dir) == mtime,
+        "the second read must not rebuild the artifact")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
