@@ -244,9 +244,14 @@ object EventQueries {
           .filter(col("offset_d") <= 7)
           .groupBy(col("cohort_day"), col("offset_d"))
           .agg(count(lit(1)).as("n_active"))
-        val size = ret.filter(col("offset_d") === 0)
-          .select(col("cohort_day"), col("n_active").as("_n_cohort"))
-        ret.join(broadcast(size), Seq("cohort_day"))
+        // denominator via a window over the TINY aggregated frame — a
+        // self-join on the offset-0 slice would duplicate the whole
+        // event-scale subtree into the broadcast side (PlanSpec pins
+        // the single scan)
+        ret
+          .withColumn("_n_cohort",
+            max(when(col("offset_d") === 0, col("n_active")))
+              .over(Window.partitionBy(col("cohort_day"))))
           .select(col("cohort_day"), col("offset_d"), col("n_active"),
             expr("n_active * 10000 div _n_cohort").as("retention_e4"))
           .orderBy("cohort_day", "offset_d")

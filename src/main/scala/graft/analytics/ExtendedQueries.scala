@@ -691,7 +691,10 @@ object ExtendedQueries {
     val base = rInit * 15 / 100
     var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
     for (_ <- 1 to iters) {
-      rank = ed.join(rank, ed("src") === rank("node"))
+      // shuffle_hash, not broadcast: at 100x the |V|-row rank table is
+      // 1.6M rows — building and shipping that broadcast 3x measured
+      // ~25% slower than hash-exchanging it against the cached edges
+      rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("sc"))

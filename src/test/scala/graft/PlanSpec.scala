@@ -113,6 +113,61 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("HashAggregate"), "no groupBy expected in the filter")
   }
 
+  test("q136 pagerank: iterations hash-join rank onto cached co-partitioned edges") {
+    val df = SparkEntry.queries("q136_pagerank")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      "iterations must read the CACHED edge list, not rebuild it")
+    // all 3 iteration joins hash-join under the hint (measured:
+    // broadcasting a 100x-scale |V|-row rank table per iteration was
+    // ~25% slower cold AND warm); the one SortMergeJoin the optimizer
+    // may pick for the lineitem-orders BUILD join sits inside the
+    // cached subtree and runs once
+    assert("ShuffledHashJoin".r.findAllIn(p).length == 3,
+      s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrdered, not a full sort")
+  }
+
+  test("q137 rank-artifact read: a parquet scan and a heap — no graph rebuild") {
+    val root = java.nio.file.Files.createTempDirectory("graft-plan-rank")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val df = SparkEntry.queries("q137_pagerank_from_index")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // (the FileScan's Location string is truncated in plan output, so
+      // pin the scanned schema rather than the artifact path)
+      assert(p.contains("FileScan parquet") && p.contains("rank_scaled"),
+        s"the read path must scan the materialized rank table:\n${p.take(1200)}")
+      assert(!p.contains("Join"), "no join belongs in the artifact read path")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-20 must plan as TakeOrdered, not a full sort")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
+  test("q138 cohort retention: one scan, dedup and first-day window ride one exchange") {
+    val df = SparkEntry.queries("q138_cohort_retention")(spark, sf)
+    // ONE events scan: the cohort-size denominator must come from a
+    // window over the aggregated frame, not a self-join that would
+    // duplicate the event-scale subtree
+    val scans = df.queryExecution.optimizedPlan.collectLeaves().length
+    assert(scans == 1, s"expected a single events scan, got $scans")
+    val p = plan("q138_cohort_retention")
+    // repartition(user) + the (cohort, offset) agg + the tiny
+    // cohort-window exchange — the distinct and the per-user first-day
+    // window must RIDE the user exchange (subset clustering)
+    val hashEx = "hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 3,
+      s"expected 3 hash exchanges (user, cohort agg, cohort window), got $hashEx:\n${p.take(2000)}")
+  }
+
   test("q69 vocab top-k: global orderBy+limit plans as TakeOrdered, no full sort") {
     val df = SparkEntry.queries("q69_vocab_df")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
