@@ -661,6 +661,24 @@ object ExtendedQueries {
     "q137_pagerank_from_index" -> QuerySpec(
       build = (s, d) => pagerankTop20(RankIndex.load(s, d)),
       oracle = Some(pagerankOracleSql),
+      bench = true),
+
+    // ── personalized PageRank: "related entities" for a seed set ───
+    // Random walk with restart — the recommendation primitive: the
+    // restart mass lands only on the SEED suppliers (s1..s5), so the
+    // top-20 is the neighborhood that seed set most strongly reaches
+    // through fulfillment edges, not global centrality. Each iteration
+    // full-outer-joins the damped contributions with the 5-row seed
+    // base (a node keeps its restart term even when the frontier
+    // hasn't reached it this round — both engines replay the same
+    // rule). Reads the edge list from the EdgeIndex ARTIFACT: the
+    // degree-denormalized graph is the reusable per-dataset structure
+    // (the postings-table of graph queries), so a PPR query set costs
+    // parquet read + frontier-scale iterations, never the corpus-scale
+    // edge build. Integer trillionths as q136.
+    "q139_ppr_related" -> QuerySpec(
+      build = (s, d) => pagerankTop20(pprRanks(s, d)),
+      oracle = Some(pprOracleSql),
       bench = true)
   )
 
@@ -672,18 +690,7 @@ object ExtendedQueries {
   private[graft] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
     val scale = 1000000000000L
     val iters = 3
-    val e0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("sid"),
-        (col("o_custkey") * 2 + 1).as("cid"))
-    // both directions in ONE pass over the join (a union of two
-    // selects would recompute the scan+join per branch)
-    val e = e0.select(explode(array(
-        struct(col("sid").as("src"), col("cid").as("dst")),
-        struct(col("cid").as("src"), col("sid").as("dst")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .persist()
+    val e = fulfillmentEdges(s, d).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
     val ed = e.join(deg, "src").persist()
     val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
@@ -705,6 +712,95 @@ object ExtendedQueries {
       concat(when(col("node") % 2 === 0, "s").otherwise("c"),
         expr("node div 2")).as("node"),
       col("r").as("rank_scaled"))
+  }
+
+  /** The both-ways weighted fulfillment edge list (src, dst) as long
+    * node ids (supplier 2k, customer 2k+1) — ONE definition shared by
+    * the q136 direct build and the [[EdgeIndex]] artifact. Both
+    * directions are emitted in one pass over the join (a union of two
+    * selects would recompute the scan+join per branch). */
+  private[graft] def fulfillmentEdges(s: SparkSession, d: String): DataFrame = {
+    val e0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("sid"),
+        (col("o_custkey") * 2 + 1).as("cid"))
+    e0.select(explode(array(
+        struct(col("sid").as("src"), col("cid").as("dst")),
+        struct(col("cid").as("src"), col("sid").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+  }
+
+  /** q139's seed suppliers (suppkey values; node ids are 2k). Baked
+    * into the oracle SQL. A def: `queries` forces the oracle at object
+    * init, BEFORE trailing vals would be assigned. */
+  private[graft] def pprSeedSuppliers: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L)
+
+  /** Personalized PageRank over the [[EdgeIndex]] edge artifact:
+    * restart mass on [[pprSeedSuppliers]] only, 3 iterations, integer
+    * trillionths. The full-outer join with the seed base keeps every
+    * seed's restart term alive whether or not the frontier reached it
+    * this round (the textbook PPR recurrence). */
+  private[graft] def pprRanks(s: SparkSession, d: String): DataFrame = {
+    val scale = 1000000000000L
+    val seedNodes = pprSeedSuppliers.map(_ * 2)
+    val rInit = scale / seedNodes.size
+    val base = scale * 15 / 100 / seedNodes.size
+    val ed = EdgeIndex.load(s, d).persist()
+    val seeds = ed.select(col("src").as("node"))
+      .filter(col("node").isin(seedNodes: _*)).distinct().persist()
+    var rank = seeds.select(col("node"), lit(rInit).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = ed
+        .join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("sc"))
+        .select(col("dst").as("node"), expr("(85 * sc) div 100").as("rc"))
+      rank = contribs
+        .join(seeds.select(col("node"), lit(base).as("rb")), Seq("node"),
+          "full")
+        .select(col("node"),
+          (coalesce(col("rc"), lit(0L)) + coalesce(col("rb"), lit(0L)))
+            .as("r"))
+    }
+    rank.select(
+      concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+        expr("node div 2")).as("node"),
+      col("r").as("rank_scaled"))
+  }
+
+  /** The q139 oracle: same edge CTEs as q136, the PPR recurrence
+    * unrolled with the full-outer restart rule. */
+  private lazy val pprOracleSql: String = {
+    val scale = 1000000000000L
+    val seedNodes = pprSeedSuppliers.map(_ * 2)
+    val rInit = scale / seedNodes.size
+    val base = scale * 15 / 100 / seedNodes.size
+    val inList = seedNodes.mkString(", ")
+    val iterCtes = (1 to 3).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, (85 * sum(r${i - 1}.r // e.d)) // 100 rc
+             FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node
+             GROUP BY e.dst),
+         r$i AS (SELECT coalesce(c.node, s.node) AS node,
+                coalesce(c.rc, 0)
+                  + (CASE WHEN s.node IS NOT NULL THEN $base ELSE 0 END) AS r
+              FROM c$i c FULL JOIN seeds s ON c.node = s.node)"""
+    }.mkString(", ")
+    s"""
+    WITH e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    eu AS (SELECT sid AS src, cid AS dst FROM e0
+           UNION ALL SELECT cid, sid FROM e0),
+    deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
+    e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src),
+    seeds AS (SELECT DISTINCT src AS node FROM e WHERE src IN ($inList)),
+    r0 AS (SELECT node, $rInit r FROM seeds),
+    $iterCtes
+    SELECT (CASE WHEN node % 2 = 0 THEN 's' ELSE 'c' END)
+             || (node // 2)::VARCHAR AS node,
+           CAST(r AS BIGINT) AS rank_scaled
+    FROM r3 ORDER BY rank_scaled DESC, node LIMIT 20"""
   }
 
   /** The q136/q137 result shape over a rank table. */

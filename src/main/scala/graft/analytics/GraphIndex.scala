@@ -19,6 +19,34 @@ import graft.text.Artifacts
   * so artifact and query cannot drift; the artifact name encodes the
   * iteration count.
   */
+/** The degree-denormalized fulfillment edge list (src, dst, d) — the
+  * postings-table of graph queries: any walk/centrality/neighborhood
+  * query starts from exactly this relation, so it materializes once
+  * per (lineitem, orders) fingerprint and iterative consumers (q139
+  * personalized PageRank) pay parquet read + frontier-scale work,
+  * never the corpus-scale build. Built from the SAME
+  * [[ExtendedQueries.fulfillmentEdges]] definition the q136 direct
+  * path uses. */
+object EdgeIndex {
+
+  /** (src, dst, d) for the fulfillment graph under `d`, from the
+    * artifact when present, else built and materialized. */
+  def load(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dir = Artifacts.dirMulti(d, "fulfillment_edges_v1",
+      Seq("lineitem.parquet", "orders.parquet"))
+    Artifacts.materialize(dir) { tmp =>
+      val e = ExtendedQueries.fulfillmentEdges(s, d).persist()
+      try {
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        e.join(deg, "src")
+          .write.mode("overwrite").parquet(tmp.resolve("edges").toString)
+      } finally e.unpersist()
+    }
+    s.read.parquet(dir.resolve("edges").toString)
+  }
+}
+
 object RankIndex {
 
   /** (node, rank_scaled) for every node of the fulfillment graph under

@@ -281,6 +281,55 @@ object EventStreams {
       .withWatermark("ts_t", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** A user's running lifetime profile — the feature-store row
+    * [[userProfiles]] maintains. */
+  case class UserProfile(user_id: Long, first_us: Long, last_us: Long,
+                         n_events: Long, sum_value: Double)
+
+  /** Running per-user lifetime profiles via `mapGroupsWithState` in
+    * UPDATE mode — the streaming feature-store upsert feed (the
+    * batch counterparts are q133's decayed counters and q138's
+    * first-seen cohorts): every micro-batch re-emits the CURRENT
+    * profile of each user it touched, ready to upsert into a serving
+    * store keyed by user_id.
+    *
+    * Scale: state is ONE bounded record (4 numbers) per user ever
+    * seen, partitioned by the group key; each trigger shuffles only
+    * the batch's events. Unlike the sessionizer there is no event-time
+    * eviction — a lifetime profile is deliberately forever-state, the
+    * store's size IS the user dimension (on a cluster: RocksDB state
+    * store, same layout). */
+  def userProfiles(events: Dataset[Ev]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserProfile]) =>
+          var first = Long.MaxValue
+          var last = Long.MinValue
+          var n = 0L
+          var total = 0.0
+          state.getOption.foreach { p =>
+            first = p.first_us; last = p.last_us; n = p.n_events
+            total = p.sum_value
+          }
+          // fold in timestamp order: deterministic per batch split
+          // (double addition still isn't associative ACROSS splits —
+          // the stream==batch spec compares sums under a 1e-9 band,
+          // counts and timestamps exactly)
+          rows.toSeq.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+            first = math.min(first, e.ts_us)
+            last = math.max(last, e.ts_us)
+            n += 1
+            total += e.value
+          }
+          val p = UserProfile(uid, first, last, n, total)
+          state.update(p)
+          p
+      }
+  }
+
   /** Custom stateful sessionization via `flatMapGroupsWithState`: one
     * [[OpenSession]] per user in the state store, closed + emitted when
     * the gap is exceeded inside a batch or when the event-time timeout

@@ -188,6 +188,60 @@ class OperatorSpec extends SparkSpec {
       "every cohort fully retained — the rate computed nothing")
   }
 
+  test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-ppr-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val li = graft.analytics.Tables.lineitem(spark, d)
+        .select(col("l_suppkey"), col("l_orderkey"))
+      val ord = graft.analytics.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey"), col("o_custkey"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val edges = pairs.flatMap { case (s, c) =>
+        Seq(("s" + s, "c" + c), ("c" + c, "s" + s))
+      }
+      val deg = edges.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+      val scale = 1000000000000L
+      val seedSet = graft.analytics.ExtendedQueries.pprSeedSuppliers
+        .map("s" + _).filter(deg.contains).toSet
+      val rInit = scale / 5
+      val base = scale * 15 / 100 / 5
+      var rank: Map[String, Long] = seedSet.map(_ -> rInit).toMap
+      for (_ <- 1 to 3) {
+        val contribs = edges.filter(e => rank.contains(e._1))
+          .groupBy(_._2).map { case (dst, es) =>
+            dst -> 85 * es.map { case (src, _) => rank(src) / deg(src) }.sum / 100
+          }
+        rank = (contribs.keySet ++ seedSet).map { n =>
+          n -> (contribs.getOrElse(n, 0L) + (if (seedSet(n)) base else 0L))
+        }.toMap
+      }
+      val expected = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+      val got = graft.analytics.ExtendedQueries.queries("q139_ppr_related")
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === expected)
+      // personalization must BIND: every seed outranks every non-seed
+      // (the restart term dwarfs 3-hop diffusion on this graph), and
+      // non-seeds carry NONZERO diffused rank
+      val (seedRows, rest) = expected.partition(t => seedSet(t._1))
+      assert(seedRows.size == seedSet.size && rest.nonEmpty)
+      assert(seedRows.map(_._2).min > rest.map(_._2).max,
+        "seed restart mass must dominate diffused mass")
+      assert(rest.forall(_._2 > 0), "diffused ranks must be nonzero")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("q137 rank artifact: read path equals q136 and reuses the build") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-rank-art")

@@ -88,6 +88,48 @@ class StreamingSpec extends SparkSpec {
       .head.getAs[String]("carrier_name") === "EMPRESA UNO RENOMBRADA")
   }
 
+  test("user profiles: update-mode state accumulates across batches == batch agg") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val t0 = 1600000000L * us
+    val input = MemoryStream[Ev]
+    val q = EventStreams.userProfiles(input.toDS()).writeStream
+      .format("memory").queryName("profiles_out").outputMode("update").start()
+
+    // three batches, users interleaved and re-touched
+    val b1 = Seq(Ev(1, t0, 1.5), Ev(1, t0 + us, 2.0), Ev(2, t0 + 2 * us, 3.0))
+    val b2 = Seq(Ev(2, t0 + 5 * us, 4.25), Ev(3, t0 + 6 * us, 0.5))
+    val b3 = Seq(Ev(1, t0 + 9 * us, 1.0), Ev(3, t0 + 3 * us, 2.5)) // 3: out-of-order
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    input.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+
+    // the LAST emission per user is the live profile
+    val live = spark.table("profiles_out")
+      .as[EventStreams.UserProfile].collect()
+      .zipWithIndex.groupBy(_._1.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+    val all = b1 ++ b2 ++ b3
+    all.groupBy(_.user_id).foreach { case (u, evs) =>
+      val p = live(u)
+      assert(p.first_us == evs.map(_.ts_us).min, s"user $u first")
+      assert(p.last_us == evs.map(_.ts_us).max,
+        s"user $u last must survive the out-of-order event")
+      assert(p.n_events == evs.size, s"user $u count")
+      assert(math.abs(p.sum_value - evs.map(_.value).sum) < 1e-9,
+        s"user $u total")
+    }
+    // update mode must RE-EMIT touched users: user 1 appears in batch 1
+    // and batch 3 outputs, with the count strictly growing
+    val u1 = spark.table("profiles_out")
+      .as[EventStreams.UserProfile].collect().filter(_.user_id == 1L)
+    assert(u1.length == 2 && u1.map(_.n_events).toSet == Set(2L, 3L),
+      s"expected two emissions for user 1 (2 then 3 events), got ${u1.toSeq}")
+  }
+
   test("stateful sessionization: gap splits sessions, timeout closes them") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
