@@ -133,10 +133,13 @@ object Curation {
       if (!repetition) qual
       else {
         val chars = greatest(length(col("text")), lit(1)).cast("long")
-        qual.filter(
-          repetition_mass_t(tokens(col("text")), 2).getItem(0) * 5 <= chars &&
-            repetition_mass_t(tokens(col("text")), 3).getItem(1) * 20 <=
-              chars * 3)
+        // one tokenization feeds both mass kernels (the q135 shape)
+        qual.withColumn("_rtoks", tokens(col("text")))
+          .filter(
+            repetition_mass_t(col("_rtoks"), 2).getItem(0) * 5 <= chars &&
+              repetition_mass_t(col("_rtoks"), 3).getItem(1) * 20 <=
+                chars * 3)
+          .drop("_rtoks")
       }
 
     // 1c ── optional perplexity tail drop (q128's LM, scores, and

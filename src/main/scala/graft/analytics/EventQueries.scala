@@ -222,6 +222,30 @@ object EventQueries {
     // summation order). Reference instant = max event time (a 1-row
     // lazy broadcast, the q111 stats pattern); the aggregation is one
     // map-side-combined groupBy — corpus-scale cost is the scan.
+    "q133_decayed_counts" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val ref = e.agg(max(col("ts_us")).as("ref_us"))
+        e.crossJoin(broadcast(ref))
+          .withColumn("age_d",
+            expr("CAST((ref_us - ts_us) div 86400000000 AS INT)"))
+          .withColumn("w",
+            expr("CAST(shiftright(65536, least(age_d, 16)) AS BIGINT)"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("w")).as("decay_score"))
+          .orderBy("user_id", "event_type")
+      },
+      oracle = Some("""
+        WITH ref AS (SELECT max(epoch_us(ts)) ref_us FROM events),
+        w AS (SELECT user_id, event_type,
+                65536 >> least(CAST((ref.ref_us - epoch_us(ts))
+                  // 86400000000 AS INT), 16) w
+              FROM events, ref)
+        SELECT user_id, event_type, count(*) n_events,
+               CAST(sum(w) AS BIGINT) decay_score
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // ── cohort retention (day grain — the corpus spans ~1 month) ───
     // The activation/retention matrix a product-analytics pipeline
     // computes daily: users cohorted by FIRST-seen day, per (cohort,
@@ -229,8 +253,8 @@ object EventQueries {
     // integer e4 (order-free exact). Shape: ONE user-keyed exchange
     // serves the (user, day) dedup AND the per-user first-day window
     // (subset clustering), then one bounded (cohort, offset) agg; the
-    // cohort-size denominator joins from the offset-0 row of the SAME
-    // aggregate — nothing event-scale moves twice.
+    // cohort-size denominator is a window over the offset-0 rows of
+    // that SAME tiny aggregate — nothing event-scale moves twice.
     "q138_cohort_retention" -> QuerySpec(
       build = (s, d) => {
         val act = ev(s, d)
@@ -272,30 +296,7 @@ object EventQueries {
                r.n_active * 10000 // s.n_cohort AS retention_e4
         FROM r JOIN s USING (cohort_day)
         ORDER BY r.cohort_day, r.offset_d"""),
-      bench = true),
+      bench = true)
 
-    "q133_decayed_counts" -> QuerySpec(
-      build = (s, d) => {
-        val e = ev(s, d)
-        val ref = e.agg(max(col("ts_us")).as("ref_us"))
-        e.crossJoin(broadcast(ref))
-          .withColumn("age_d",
-            expr("CAST((ref_us - ts_us) div 86400000000 AS INT)"))
-          .withColumn("w",
-            expr("CAST(shiftright(65536, least(age_d, 16)) AS BIGINT)"))
-          .groupBy(col("user_id"), col("event_type"))
-          .agg(count(lit(1)).as("n_events"),
-            sum(col("w")).as("decay_score"))
-          .orderBy("user_id", "event_type")
-      },
-      oracle = Some("""
-        WITH ref AS (SELECT max(epoch_us(ts)) ref_us FROM events),
-        w AS (SELECT user_id, event_type,
-                65536 >> least(CAST((ref.ref_us - epoch_us(ts))
-                  // 86400000000 AS INT), 16) w
-              FROM events, ref)
-        SELECT user_id, event_type, count(*) n_events,
-               CAST(sum(w) AS BIGINT) decay_score
-        FROM w GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

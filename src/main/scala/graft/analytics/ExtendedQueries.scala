@@ -646,7 +646,7 @@ object ExtendedQueries {
     // 1000-executor PageRank plan. |V| reaches the driver only as one
     // bounded count (the same scalar discipline as the max-id reads).
     "q136_pagerank" -> QuerySpec(
-      build = (s, d) => pagerankTop20(pagerankRanks(s, d)),
+      build = (s, d) => withPagerankRanks(s, d)(localTop20(s, _)),
       oracle = Some(pagerankOracleSql),
       bench = true),
 
@@ -677,7 +677,7 @@ object ExtendedQueries {
     // parquet read + frontier-scale iterations, never the corpus-scale
     // edge build. Integer trillionths as q136.
     "q139_ppr_related" -> QuerySpec(
-      build = (s, d) => pagerankTop20(pprRanks(s, d)),
+      build = (s, d) => withPprRanks(s, d)(localTop20(s, _)),
       oracle = Some(pprOracleSql),
       bench = true)
   )
@@ -687,31 +687,60 @@ object ExtendedQueries {
     * [[RankIndex]] artifact build. See the q136 entry for the scale
     * rationale (long node ids, single-pass edge build, cached edges,
     * per-iteration |V|-scale exchange only). */
-  private[graft] def pagerankRanks(s: SparkSession, d: String): DataFrame = {
+  /** [[fulfillmentEdges]] with each row's source degree attached —
+    * ONE definition of (src, dst, d) for the q136 build and the
+    * [[EdgeIndex]] artifact (a degree-semantics change cannot diverge
+    * them). `edges` must already be persisted by the caller (degrees
+    * re-scan it). */
+  private[graft] def degreedEdges(edges: DataFrame): DataFrame =
+    edges.join(
+      edges.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
+
+  /** The q136 PageRank rank table (node, rank_scaled), one row per
+    * graph node, handed to `use` inside a managed scope: the edge-list
+    * and degree caches the iteration needs are unpersisted when `use`
+    * returns, so `use` MUST force its result (collect or write) —
+    * the [[graft.text.CurationQueries.withDupClusterLabels]] pattern.
+    * Shared by the q136 direct query and the [[RankIndex]] build. */
+  private[graft] def withPagerankRanks[T](s: SparkSession, d: String)
+      (use: DataFrame => T): T = {
     val scale = 1000000000000L
     val iters = 3
     val e = fulfillmentEdges(s, d).persist()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    val ed = e.join(deg, "src").persist()
-    val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
-    val rInit = scale / nNodes
-    val base = rInit * 15 / 100
-    var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
-    for (_ <- 1 to iters) {
-      // shuffle_hash, not broadcast: at 100x the |V|-row rank table is
-      // 1.6M rows — building and shipping that broadcast 3x measured
-      // ~25% slower than hash-exchanging it against the cached edges
-      rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
-        .select(col("dst"), expr("r div d").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("sc"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+    val ed = degreedEdges(e).persist()
+    try {
+      val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
+      val rInit = scale / nNodes
+      val base = rInit * 15 / 100
+      var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
+      for (_ <- 1 to iters) {
+        // shuffle_hash, not broadcast: at 100x the |V|-row rank table
+        // is 1.6M rows — building and shipping that broadcast 3x
+        // measured ~25% slower than hash-exchanging it against the
+        // cached edges
+        rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+          .select(col("dst"), expr("r div d").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      }
+      use(rank.select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          expr("node div 2")).as("node"),
+        col("r").as("rank_scaled")))
+    } finally {
+      ed.unpersist(false); deg.unpersist(false); e.unpersist(false)
     }
-    rank.select(
-      concat(when(col("node") % 2 === 0, "s").otherwise("c"),
-        expr("node div 2")).as("node"),
-      col("r").as("rank_scaled"))
+  }
+
+  /** Force the bounded top-20 inside a managed-cache scope and return
+    * it as a local frame (20 rows — driver-bounded by construction). */
+  private def localTop20(s: SparkSession, ranks: DataFrame): DataFrame = {
+    val top = pagerankTop20(ranks)
+    s.createDataFrame(
+      java.util.Arrays.asList(top.collect(): _*), top.schema)
   }
 
   /** The both-ways weighted fulfillment edge list (src, dst) as long
@@ -741,7 +770,8 @@ object ExtendedQueries {
     * trillionths. The full-outer join with the seed base keeps every
     * seed's restart term alive whether or not the frontier reached it
     * this round (the textbook PPR recurrence). */
-  private[graft] def pprRanks(s: SparkSession, d: String): DataFrame = {
+  private[graft] def withPprRanks[T](s: SparkSession, d: String)
+      (use: DataFrame => T): T = {
     val scale = 1000000000000L
     val seedNodes = pprSeedSuppliers.map(_ * 2)
     val rInit = scale / seedNodes.size
@@ -749,25 +779,31 @@ object ExtendedQueries {
     val ed = EdgeIndex.load(s, d).persist()
     val seeds = ed.select(col("src").as("node"))
       .filter(col("node").isin(seedNodes: _*)).distinct().persist()
-    var rank = seeds.select(col("node"), lit(rInit).as("r"))
-    for (_ <- 1 to 3) {
-      val contribs = ed
-        .join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
-        .select(col("dst"), expr("r div d").as("contrib"))
-        .groupBy(col("dst"))
-        .agg(sum(col("contrib")).as("sc"))
-        .select(col("dst").as("node"), expr("(85 * sc) div 100").as("rc"))
-      rank = contribs
-        .join(seeds.select(col("node"), lit(base).as("rb")), Seq("node"),
-          "full")
-        .select(col("node"),
-          (coalesce(col("rc"), lit(0L)) + coalesce(col("rb"), lit(0L)))
-            .as("r"))
-    }
-    rank.select(
-      concat(when(col("node") % 2 === 0, "s").otherwise("c"),
-        expr("node div 2")).as("node"),
-      col("r").as("rank_scaled"))
+    try {
+      var rank = seeds.select(col("node"), lit(rInit).as("r"))
+      for (_ <- 1 to 3) {
+        // the edge side arrives bucketed by src (HashPartitioning
+        // survives persist() because a bucketed scan has no shuffle
+        // for AQE to erase), so this join exchanges ONLY the rank
+        // side; shuffle_hash skips the edge-side sort an SMJ would add
+        val contribs = ed
+          .join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+          .select(col("dst"), expr("r div d").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("sc"))
+          .select(col("dst").as("node"), expr("(85 * sc) div 100").as("rc"))
+        rank = contribs
+          .join(seeds.select(col("node"), lit(base).as("rb")), Seq("node"),
+            "full")
+          .select(col("node"),
+            (coalesce(col("rc"), lit(0L)) + coalesce(col("rb"), lit(0L)))
+              .as("r"))
+      }
+      use(rank.select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          expr("node div 2")).as("node"),
+        col("r").as("rank_scaled")))
+    } finally { seeds.unpersist(false); ed.unpersist(false) }
   }
 
   /** The q139 oracle: same edge CTEs as q136, the PPR recurrence
@@ -788,12 +824,7 @@ object ExtendedQueries {
               FROM c$i c FULL JOIN seeds s ON c.node = s.node)"""
     }.mkString(", ")
     s"""
-    WITH e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    eu AS (SELECT sid AS src, cid AS dst FROM e0
-           UNION ALL SELECT cid, sid FROM e0),
-    deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
-    e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src),
+    WITH $pagerankEdgeCtes,
     seeds AS (SELECT DISTINCT src AS node FROM e WHERE src IN ($inList)),
     r0 AS (SELECT node, $rInit r FROM seeds),
     $iterCtes
@@ -803,9 +834,22 @@ object ExtendedQueries {
     FROM r3 ORDER BY rank_scaled DESC, node LIMIT 20"""
   }
 
-  /** The q136/q137 result shape over a rank table. */
-  private def pagerankTop20(ranks: DataFrame): DataFrame =
+  /** The q136/q137 result shape over a rank table (private[graft]:
+    * PlanSpec pins the iteration plan through it inside the managed
+    * scope). */
+  private[graft] def pagerankTop20(ranks: DataFrame): DataFrame =
     ranks.orderBy(col("rank_scaled").desc, col("node")).limit(20)
+
+  /** The shared oracle CTE block building the degree-denormalized
+    * edge relation `e` — ONE copy for the q136/q137 and q139 oracles
+    * (the SQL twin of [[degreedEdges]]). */
+  private def pagerankEdgeCtes: String = s"""
+    e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    eu AS (SELECT sid AS src, cid AS dst FROM e0
+           UNION ALL SELECT cid, sid FROM e0),
+    deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
+    e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src)"""
 
   /** One oracle for the direct build AND the artifact read path. */
   private lazy val pagerankOracleSql: String = {
@@ -817,12 +861,7 @@ object ExtendedQueries {
            GROUP BY e.dst)"""
     }.mkString(", ")
     s"""
-    WITH e0 AS (SELECT l_suppkey * 2 sid, o_custkey * 2 + 1 cid
-                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    eu AS (SELECT sid AS src, cid AS dst FROM e0
-           UNION ALL SELECT cid, sid FROM e0),
-    deg AS (SELECT src, count(*) d FROM eu GROUP BY src),
-    e AS (SELECT eu.src, eu.dst, deg.d FROM eu JOIN deg ON eu.src = deg.src),
+    WITH $pagerankEdgeCtes,
     c AS (SELECT ($scale // count(*)) rinit,
                  (($scale // count(*)) * 15) // 100 rbase FROM deg),
     r0 AS (SELECT src AS node, (SELECT rinit FROM c) r FROM deg),

@@ -26,24 +26,61 @@ import graft.text.Artifacts
   * personalized PageRank) pay parquet read + frontier-scale work,
   * never the corpus-scale build. Built from the SAME
   * [[ExtendedQueries.fulfillmentEdges]] definition the q136 direct
-  * path uses. */
+  * path uses.
+  *
+  * Stored BUCKETED by src: a bucketed scan carries
+  * HashPartitioning(src) through persist(), so every iteration's
+  * rank⋈edges join exchanges ONLY the rank side — the edge table is
+  * never re-shuffled, the co-located-join property a cluster keeps by
+  * writing its graph bucketed (BucketingSpec proves the mechanism).
+  * The catalog entry is session-scoped (in-memory catalog); the FILES
+  * are the content-keyed artifact, re-registered per session via
+  * CREATE TABLE ... LOCATION. */
 object EdgeIndex {
 
-  /** (src, dst, d) for the fulfillment graph under `d`, from the
-    * artifact when present, else built and materialized. */
+  /** Bucket count — matches the production shuffle-partition sizing;
+    * encoded in the artifact name (a layout parameter). */
+  private[graft] val buckets = 32
+
+  /** (src, dst, d) for the fulfillment graph under `d`, bucketed by
+    * src, from the artifact when present, else built and
+    * materialized. */
   def load(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val dir = Artifacts.dirMulti(d, "fulfillment_edges_v1",
+    val dir = Artifacts.dirMulti(d, s"fulfillment_edges_b${buckets}_v2",
       Seq("lineitem.parquet", "orders.parquet"))
     Artifacts.materialize(dir) { tmp =>
       val e = ExtendedQueries.fulfillmentEdges(s, d).persist()
+      // bucketBy can only write through saveAsTable: stage an EXTERNAL
+      // table at the tmp path, then drop the catalog entry (the files
+      // stay) so materialize() can rename the dir into place
+      val stage = "graft_edges_stage_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
       try {
-        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        e.join(deg, "src")
-          .write.mode("overwrite").parquet(tmp.resolve("edges").toString)
-      } finally e.unpersist()
+        ExtendedQueries.degreedEdges(e)
+          .write.option("path", tmp.resolve("edges").toString)
+          .bucketBy(buckets, "src").saveAsTable(stage)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $stage")
+        e.unpersist()
+      }
     }
-    s.read.parquet(dir.resolve("edges").toString)
+    // re-register the bucketed layout in THIS session's catalog. The
+    // name keys on the FULL artifact location (content key AND root:
+    // tests redirect the root, and a name keyed on content alone would
+    // keep pointing a later root's table at a deleted path); losing a
+    // concurrent CREATE race is success — the winner registered the
+    // same definition. REFRESH drops any cached file listing from a
+    // same-path rebuild.
+    val name = "graft_edges_" + java.security.MessageDigest
+      .getInstance("MD5").digest(dir.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    try s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (src BIGINT, dst BIGINT, d BIGINT)
+          USING parquet CLUSTERED BY (src) INTO $buckets BUCKETS
+          LOCATION '${dir.resolve("edges")}'""")
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+    s.sql(s"REFRESH TABLE $name")
+    s.table(name)
   }
 }
 
@@ -56,8 +93,8 @@ object RankIndex {
     val dir = Artifacts.dirMulti(d, "pagerank_i3_v1",
       Seq("lineitem.parquet", "orders.parquet"))
     Artifacts.materialize(dir) { tmp =>
-      ExtendedQueries.pagerankRanks(s, d)
-        .write.mode("overwrite").parquet(tmp.resolve("ranks").toString)
+      ExtendedQueries.withPagerankRanks(s, d)(
+        _.write.mode("overwrite").parquet(tmp.resolve("ranks").toString))
     }
     s.read.parquet(dir.resolve("ranks").toString)
   }
