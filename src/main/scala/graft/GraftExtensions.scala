@@ -117,6 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(oneArg("hll_registers",
       "hll_registers(h60) - HLL register summaries (sum_ranks, zero_regs, s_scaled) over 60-bit hashes",
       graft.plans.HllAgg(_)))
+    ext.injectFunction(oneArg("hll_reg_array",
+      "hll_reg_array(h60) - raw 512-entry HLL register array (merge sketches with zip_with greatest)",
+      graft.plans.HllRegsAgg(_)))
     ext.injectFunction(oneArg("cms_counters",
       "cms_counters(h60) - Count-Min 4x256 counter array over 60-bit hashes",
       graft.plans.CmsAgg(_)))

@@ -44,15 +44,7 @@ case class HllAgg(child: Expression,
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      val idx = (h >>> remBits).toInt
-      val rem = h & remMask
-      val rank =
-        if (rem == 0L) (remBits + 1).toByte
-        else (remBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))).toByte
-      if (rank > buf(idx)) buf(idx) = rank
-    }
+    if (v != null) HllAgg.updateBuf(buf, v.asInstanceOf[Long])
     buf
   }
 
@@ -89,6 +81,58 @@ case class HllAgg(child: Expression,
     copy(child = newChildren.head)
 }
 
+/** [[HllAgg]] with the raw REGISTER ARRAY as the result (512 ranks as
+  * array<long>) instead of the scalar summaries — the form set algebra
+  * needs: HLL registers merge under elementwise max, so two groups'
+  * arrays combine into their UNION sketch with one `zip_with(..,
+  * greatest)` and inclusion–exclusion prices intersections from there
+  * (q141's cross-source overlap at sketch cost). Same state, same
+  * shuffle shape (one 512-byte buffer per (mapper, group)); only the
+  * final eval differs. The array is bounded output (|groups| rows ×
+  * 4 KiB), never a per-row column. */
+case class HllRegsAgg(child: Expression,
+                      mutableAggBufferOffset: Int = 0,
+                      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  import HllAgg._
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hll_reg_array"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) HllAgg.updateBuf(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map(_.toLong))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllRegsAgg =
+    copy(child = newChildren.head)
+}
+
 object HllAgg {
   /** 512 registers: 9 index bits + 51 rank bits out of the 60-bit
     * hash; std error 1.04/sqrt(512) ~ 4.6%. */
@@ -96,6 +140,18 @@ object HllAgg {
   private val idxBits = 9
   private[plans] val remBits = 60 - idxBits // 51
   private val remMask = (1L << remBits) - 1
+
+  /** The shared register update: idx = top 9 bits, rank = first-set-bit
+    * position in the remaining 51 (one definition for [[HllAgg]] and
+    * [[HllRegsAgg]] — the two sketches must be bit-identical). */
+  private[plans] def updateBuf(buf: Array[Byte], h: Long): Unit = {
+    val idx = (h >>> remBits).toInt
+    val rem = h & remMask
+    val rank =
+      if (rem == 0L) (remBits + 1).toByte
+      else (remBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rem))).toByte
+    if (rank > buf(idx)) buf(idx) = rank
+  }
 
   /** alpha_512 · m² · 2^52 as one double constant (2^52 undoes the
     * s_scaled integer scaling; the product m²·2^52 = 2^70 is a power

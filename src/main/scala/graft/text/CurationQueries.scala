@@ -1695,6 +1695,123 @@ object CurationQueries {
         FROM est ORDER BY lang"""
       }),
 
+    // ── cross-source overlap at SKETCH cost (HLL set algebra) ───────
+    // q98/q99 price the exact overlap matrix with one position-scale
+    // exchange (every shingle occurrence shuffles once). This is the
+    // same matrix at MONITORING cost: per-source HLL register arrays
+    // ([[graft.plans.HllRegsAgg]] — q104's sketch with the raw 512
+    // registers as the result), pairwise UNION by elementwise max
+    // (`zip_with(.., greatest)`), and inclusion–exclusion
+    // |A∩B| ≈ |A| + |B| − |A∪B|. ONE constant-state exchange (512
+    // bytes per mapper-source) replaces the shingle shuffle — the
+    // nightly "did source overlap drift?" check a 100 TB corpus runs
+    // daily, with q98 as the deep audit it escalates to. The exact
+    // n_shared rides along from the [[OverlapIndex]] artifact (read
+    // path, mask-table scale) so the query IS its own error report
+    // (err_pct) — inclusion–exclusion stacks three ±4.6% estimates,
+    // so small intersections drown in sketch noise (the reported
+    // err_pct makes that honest instead of silent).
+    //
+    // Every piece is DuckDB-replayable: registers rebuilt per source,
+    // pairwise max-merged on idx, the same alpha·m²/S estimate with
+    // the one FP constant interpolated, r4 at the edges.
+    "q141_sketch_overlap" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val docs = Tables.documents(s, d)
+          .filter(col("text").isNotNull && col("source").isNotNull)
+        val regsAgg = toC(graft.plans.HllRegsAgg(toE(col("h")))
+          .toAggregateExpression())
+        val regs = docs
+          .select(col("source"), explode(shingle_hashes(col("text"), 8)).as("h"))
+          .groupBy(col("source")).agg(regsAgg.as("regs"))
+        // integer Σ 2^(52-M_j): the q104 s_scaled arithmetic over an
+        // in-row array — exact, then ONE double division per estimate
+        def ssSql(arr: String) =
+          s"aggregate($arr, cast(0 as bigint), (acc, v) -> acc + shiftleft(cast(1 as bigint), 52 - cast(v as int)))"
+        def est(arr: String) =
+          lit(graft.plans.HllAgg.alphaNum) / expr(ssSql(arr)).cast("double")
+        // deliberate bounded cross: |sources| × |sources| / 2 register
+        // rows (≤62 sources by the OverlapIndex contract)
+        val pairs = regs.select(col("source").as("src_a"), col("regs").as("ra"))
+          .join(regs.select(col("source").as("src_b"), col("regs").as("rb")),
+            col("src_a") < col("src_b"))
+          .withColumn("ea", est("ra"))
+          .withColumn("eb", est("rb"))
+          .withColumn("ru", expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+          .withColumn("eu", est("ru"))
+          .withColumn("ei", greatest(col("ea") + col("eb") - col("eu"), lit(0.0)))
+        val (masks, srcs) = OverlapIndex.load(s, d)
+        val exact = OverlapIndex.overlapMatrix(masks, srcs)
+          .select(col("src_a"), col("src_b"), col("n_shared"))
+        pairs.join(exact, Seq("src_a", "src_b"), "left")
+          .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+          .select(col("src_a"), col("src_b"),
+            StableRound.r4(col("ea")).as("est_a"),
+            StableRound.r4(col("eb")).as("est_b"),
+            StableRound.r4(col("eu")).as("est_union"),
+            StableRound.r4(col("ei")).as("est_inter"),
+            col("n_shared"),
+            StableRound.r4(abs(col("ei") - col("n_shared")) /
+              greatest(col("n_shared"), lit(1L)) * 100).as("err_pct"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some {
+        val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
+        s"""
+        WITH t AS (SELECT doc_id, source,
+                     string_split_regex(trim(text), '\\s+') toks
+                   FROM documents
+                   WHERE text IS NOT NULL AND source IS NOT NULL),
+        g AS (SELECT source, unnest(list_transform(
+                generate_series(1, greatest(len(toks)-7, 0)), i -> $cat8)) s
+              FROM t),
+        h AS (SELECT source,
+                ('0x' || substring(md5(s), 1, 15))::BIGINT h60 FROM g),
+        r AS (SELECT source, h60, h60 >> 51 AS idx,
+                h60 & ((1::BIGINT << 51) - 1) AS rem FROM h),
+        rk AS (SELECT source, idx,
+                 CASE WHEN rem = 0 THEN 52
+                      ELSE 52 - length(bin(rem)) END AS rnk
+               FROM r),
+        regs AS (SELECT source, idx, max(rnk) mr FROM rk GROUP BY 1, 2),
+        full_regs AS (SELECT l.source, gr.idx, coalesce(regs.mr, 0) mr
+               FROM (SELECT DISTINCT source FROM t) l
+               CROSS JOIN (SELECT unnest(generate_series(0, 511)) idx) gr
+               LEFT JOIN regs ON regs.source = l.source AND regs.idx = gr.idx),
+        pr AS (SELECT a.source sa, b.source sb,
+                 CAST(sum(1::BIGINT << (52 - a.mr)) AS BIGINT) ssa,
+                 CAST(sum(1::BIGINT << (52 - b.mr)) AS BIGINT) ssb,
+                 CAST(sum(1::BIGINT << (52 - greatest(a.mr, b.mr))) AS BIGINT)
+                   ssu
+               FROM full_regs a JOIN full_regs b
+                 ON a.idx = b.idx AND a.source < b.source
+               GROUP BY 1, 2),
+        dh AS (SELECT DISTINCT source, h60 FROM h),
+        ex AS (SELECT a.source sa, b.source sb, count(*) n_shared
+               FROM dh a JOIN dh b ON a.h60 = b.h60 AND a.source < b.source
+               GROUP BY 1, 2),
+        est AS (SELECT pr.sa src_a, pr.sb src_b,
+                  ${graft.plans.HllAgg.alphaNum} / CAST(ssa AS DOUBLE) ea,
+                  ${graft.plans.HllAgg.alphaNum} / CAST(ssb AS DOUBLE) eb,
+                  ${graft.plans.HllAgg.alphaNum} / CAST(ssu AS DOUBLE) eu,
+                  coalesce(ex.n_shared, 0) n_shared
+                FROM pr LEFT JOIN ex ON pr.sa = ex.sa AND pr.sb = ex.sb),
+        f AS (SELECT src_a, src_b, ea, eb, eu,
+                greatest(ea + eb - eu, 0.0) ei, n_shared FROM est)
+        SELECT src_a, src_b,
+               ${StableRound.sql4("ea")} AS est_a,
+               ${StableRound.sql4("eb")} AS est_b,
+               ${StableRound.sql4("eu")} AS est_union,
+               ${StableRound.sql4("ei")} AS est_inter,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               ${StableRound.sql4(
+                 "abs(ei - n_shared) / greatest(n_shared, 1) * 100")}
+                 AS err_pct
+        FROM f ORDER BY src_a, src_b"""
+      },
+      bench = true),
+
     // ── Count-Min heavy-hitter frequencies, exactly replayed ────────
     // The frequency twin of q104: [[graft.plans.CmsAgg]] builds one
     // 4×256 Count-Min counter array per source (8 KiB state,

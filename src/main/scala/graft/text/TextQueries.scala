@@ -332,6 +332,66 @@ object TextQueries {
       oracle = Some(jaccardPairsOracleSql),
       bench = true),
 
+    // ── asymmetric containment pairs (sub-document duplication) ────
+    // Jaccard (q24) misses the case dedup lit calls CONTAINMENT: a
+    // short document living almost entirely inside a long one (quote
+    // farms, concatenated dumps) scores low resemblance because the
+    // union is dominated by the long side — shared/min(|A|,|B|) is the
+    // right statistic (Broder's containment), and it is always >= the
+    // Jaccard, so this pass catches engulfed docs q24's 0.3 gate
+    // drops. Emits (da, db, shared, inner_doc, containment >= 0.6)
+    // with inner_doc = the engulfed side (the one a curation run would
+    // drop or merge).
+    //
+    // Scale shape: the SAME df-capped posting lists as q24, read from
+    // the content-keyed [[PostingIndex]] artifact — the "any future
+    // Jaccard/containment consumer" promise cashed in: zero corpus
+    // work at read time, pair expansion over posting-scale parquet,
+    // per-doc set sizes travel inside the packed (doc_id, n) longs so
+    // the ratio needs no corpus join.
+    "q140_containment_pairs" -> QuerySpec(
+      build = (s, d) =>
+        PostingIndex.load(s, d)
+          .select(explode(pairExpand(col("docs"))).as("p"))
+          .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
+          .agg(count(lit(1)).as("shared"))
+          .select(shiftright(col("dx"), 20).as("da"),
+            shiftright(col("dy"), 20).as("db"), col("shared"),
+            col("dx").bitwiseAND(lit(1048575L)).as("na"),
+            col("dy").bitwiseAND(lit(1048575L)).as("nb"))
+          .withColumn("containment",
+            graft.analytics.StableRound.r4(col("shared").cast("double") /
+              least(col("na"), col("nb"))))
+          .filter(col("containment") >= 0.6)
+          .select(col("da"), col("db"), col("shared"),
+            when(col("na") <= col("nb"), col("da")).otherwise(col("db"))
+              .as("inner_doc"),
+            col("containment"))
+          .orderBy("da", "db"),
+      oracle = Some(s"""
+        WITH $duckShingles,
+        sk0 AS (SELECT doc_id, n,
+                       xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
+                           ('0x' || substring(md5(lang), 1, 15))::BIGINT)
+                         AS skey
+                FROM sh),
+        sk AS (SELECT * FROM (
+                 SELECT *, count(*) OVER (PARTITION BY skey) df FROM sk0)
+               WHERE df <= $jaccardDfCap),
+        p AS (SELECT a.doc_id da, b.doc_id db, count(*) shared,
+                     any_value(a.n) na, any_value(b.n) nb
+              FROM sk a JOIN sk b
+                ON a.skey = b.skey AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+        c AS (SELECT da, db, shared,
+                     CASE WHEN na <= nb THEN da ELSE db END AS inner_doc,
+                     floor(shared * 1.0 / least(na, nb) * 10000 + 0.5)
+                       / 10000 AS containment
+              FROM p)
+        SELECT da, db, shared, inner_doc, containment
+        FROM c WHERE containment >= 0.6 ORDER BY da, db"""),
+      bench = true),
+
     // ── MinHash + LSH banding near-dup (the 100 TB dedup path) ─────
     // 16 min-hash functions from 4 md5s per shingle (each 128-bit md5
     // split into 4 32-bit hex pieces), 8 bands of 2; candidates = LSH
@@ -416,6 +476,92 @@ object TextQueries {
                  floor(n_hit * 1.0 / n_exact * 10000 + 0.5) / 10000
                END AS recall_lsh
         FROM c""")),
+
+    // ── duplicate-graph triangle census (cluster cohesion audit) ───
+    // The near-dup pair graph's SHAPE matters to dedup policy: a
+    // clique of k mutual near-dups is one redundant document family
+    // (keep 1, drop k-1 with confidence), while a long CHAIN through
+    // pairwise-similar-but-transitively-different docs is exactly
+    // where transitive-closure dedup (q82) over-merges. Triangle
+    // density separates the two: n_nodes, n_edges, wedges
+    // (Σ deg·(deg-1)/2 — integer), triangles, and the global
+    // clustering coefficient 3·Δ/wedges (r4). High cc → clusters are
+    // clique-like and q82's closure is safe; low cc → chains, tighten
+    // the band threshold before deleting anything.
+    //
+    // Scale shape: edges come from the content-keyed [[PairIndex]]
+    // artifact (pair-scale, corpus never touched). Triangle counting
+    // uses the degree-ordered ORIENTATION (each undirected edge points
+    // from its (deg, id)-smaller endpoint), the classic trick that
+    // caps wedge fan-out at O(sqrt(|E|)) per node — a hub of degree D
+    // contributes D wedges as a spoke but only its out-degree² as a
+    // center — so the wedge join is bounded even when one document
+    // family is huge. The closing-edge check is one more hash join of
+    // wedge-scale against edge-scale; every aggregate integer. The
+    // oracle replays the q25 pipeline and counts triangles by the
+    // direct sorted-pair 3-way join (orientation is a Spark-side cost
+    // device, not a semantic).
+    "q142_dup_triangles" -> QuerySpec(
+      build = (s, d) => {
+        val pairs = PairIndex.load(s, d)
+        val dg = pairs
+          .select(explode(array(col("da"), col("db"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("dg"))
+        val ed = pairs
+          .join(dg.select(col("v").as("da"), col("dg").as("ga")), "da")
+          .join(dg.select(col("v").as("db"), col("dg").as("gb")), "db")
+          .select(
+            when(col("ga") < col("gb") ||
+                 (col("ga") === col("gb") && col("da") < col("db")),
+              struct(col("da").as("u"), col("db").as("v"), col("gb").as("gv")))
+              .otherwise(
+                struct(col("db").as("u"), col("da").as("v"), col("ga").as("gv")))
+              .as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"), col("e.gv").as("gv"))
+        val tri = ed.as("x")
+          .join(ed.as("y"), col("x.u") === col("y.u") &&
+            (col("x.gv") < col("y.gv") ||
+             (col("x.gv") === col("y.gv") && col("x.v") < col("y.v"))))
+          .select(col("x.v").as("wu"), col("y.v").as("wv"))
+          .join(ed.select(col("u").as("wu"), col("v").as("wv")),
+            Seq("wu", "wv"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        // dg·(dg-1) is even, so the halving is an exact shift — never
+        // the double division Column./ would plan
+        val sums = dg.agg(count(lit(1)).as("n_nodes"),
+          sum(shiftright(col("dg") * (col("dg") - 1), 1)).cast("long")
+            .as("n_wedges"))
+        val ne = pairs.agg(count(lit(1)).as("n_edges"))
+        // deliberate bounded cross joins: three 1-row aggregates
+        sums.crossJoin(ne).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            when(col("n_wedges") === 0, lit(0.0))
+              .otherwise(graft.analytics.StableRound.r4(
+                col("n_triangles") * 3.0 / col("n_wedges")))
+              .as("clustering_coeff"))
+      },
+      oracle = Some(s"""
+        WITH $duckMinhashPairsCtes,
+        deg AS (SELECT v, count(*) dg FROM (
+                  SELECT da v FROM pairs UNION ALL SELECT db FROM pairs)
+                GROUP BY 1),
+        tri AS (SELECT count(*) n_triangles
+                FROM pairs p1
+                JOIN pairs p2 ON p2.da = p1.da AND p2.db > p1.db
+                JOIN pairs p3 ON p3.da = p1.db AND p3.db = p2.db),
+        agg AS (SELECT
+                  (SELECT count(*) FROM deg) n_nodes,
+                  (SELECT count(*) FROM pairs) n_edges,
+                  (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) FROM deg)
+                    n_wedges,
+                  (SELECT n_triangles FROM tri) n_triangles)
+        SELECT n_nodes, n_edges, n_wedges, n_triangles,
+               CASE WHEN n_wedges = 0 THEN 0.0
+                    ELSE floor(n_triangles * 3.0 / n_wedges * 10000 + 0.5)
+                         / 10000 END AS clustering_coeff
+        FROM agg"""),
+      bench = true),
 
     // ── incremental near-dup: probe a NEW batch against the corpus ──
     // band index (q119). The operational shape dedup actually runs in

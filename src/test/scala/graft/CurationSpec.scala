@@ -1193,4 +1193,72 @@ class CurationSpec extends SparkSpec {
       else assert(alloc < nt && eff < 10000L, s"$l should be leveled")
     }
   }
+
+  test("q141 sketch overlap replays driver-side (registers, algebra, exact)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-hllov-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def md5hex(s: String) =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val docs = graft.analytics.Tables.documents(spark, sf)
+        .filter(col("text").isNotNull && col("source").isNotNull)
+        .select(col("source"), col("text")).collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val regs = scala.collection.mutable.Map[String, Array[Int]]()
+      val sets = scala.collection.mutable
+        .Map[String, scala.collection.mutable.Set[Long]]()
+      docs.foreach { case (src, text) =>
+        val rg = regs.getOrElseUpdate(src, new Array[Int](512))
+        val ex = sets.getOrElseUpdate(src,
+          scala.collection.mutable.Set[Long]())
+        text.trim.split("\\s+").sliding(8).filter(_.length == 8).foreach { w =>
+          val h = java.lang.Long.parseLong(md5hex(w.mkString(" ")).take(15), 16)
+          ex += h
+          val idx = (h >>> 51).toInt
+          val rem = h & ((1L << 51) - 1)
+          val rank = if (rem == 0L) 52
+            else 52 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+          if (rank > rg(idx)) rg(idx) = rank
+        }
+      }
+      def est(rg: Array[Int]) =
+        graft.plans.HllAgg.alphaNum / rg.map(x => 1L << (52 - x)).sum.toDouble
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val srcs = regs.keys.toSeq.sorted
+      val expected = (for {
+        i <- srcs.indices; j <- (i + 1) until srcs.length
+      } yield {
+        val (a, b) = (srcs(i), srcs(j))
+        val (ea, eb) = (est(regs(a)), est(regs(b)))
+        val eu = est(regs(a).zip(regs(b)).map(t => math.max(t._1, t._2)))
+        val ei = math.max(ea + eb - eu, 0.0)
+        val nsh = sets(a).intersect(sets(b)).size.toLong
+        (a, b) -> ((r4(ea), r4(eb), r4(eu), r4(ei), nsh,
+          r4(math.abs(ei - nsh) / math.max(nsh, 1L) * 100)))
+      }).toMap
+      val got = run("q141_sketch_overlap").collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getLong(6), r.getDouble(7)))).toMap
+      assert(got.keySet == expected.keySet, "one row per source pair")
+      assert(got == expected)
+      // register-domination sanity: the union sketch dominates each
+      // side (max-merged registers can only raise the estimate). The
+      // estimator is NOT subadditive — eu can exceed ea + eb on
+      // near-disjoint sources — which is exactly why the query clamps
+      // est_inter at 0 instead of asserting it away.
+      got.values.foreach { case (ea, eb, eu, ei, _, _) =>
+        assert(eu >= math.max(ea, eb) - 1e-9)
+        assert(ei >= 0.0)
+      }
+      assert(got.values.exists(_._5 > 0), "fixture must overlap somewhere")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
 }

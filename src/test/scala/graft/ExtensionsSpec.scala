@@ -71,7 +71,8 @@ class ExtensionsSpec extends SparkSpec {
       }
       val row3 = s.sql(s"""
         SELECT hll_registers(h) AS hll, cms_counters(h) AS cms,
-               bloom_bits(h) AS bloom, hist_counts(h) AS hist
+               bloom_bits(h) AS bloom, hist_counts(h) AS hist,
+               hll_reg_array(h) AS hra
         FROM (VALUES (${hs(0)}L), (${hs(1)}L), (${hs(2)}L)) AS v(h)
       """).head()
       val regs = new Array[Int](512)
@@ -103,6 +104,9 @@ class ExtensionsSpec extends SparkSpec {
       assert(row3.getSeq[Long](1) === cnt.toSeq)
       assert(row3.getSeq[Long](2) === bits.toSeq)
       assert(row3.getSeq[Long](3) === hbk.toSeq)
+      // the register-ARRAY variant must carry the same registers the
+      // scalar summaries were computed from
+      assert(row3.getSeq[Long](4) === regs.map(_.toLong).toSeq)
 
       // the generator (UDTF) path: LATERAL VIEW over the injected fn
       val gen = s.sql("""

@@ -822,4 +822,91 @@ class TextSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("q140 containment pairs equal a driver-side posting replay") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-cont-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      // independent replay from the packed index rows: re-apply the df
+      // cap and pair math in plain Scala (sets, not posting lists)
+      val rows = graft.text.TextQueries.jaccardIndexRows(
+          graft.analytics.Tables.documents(spark, d))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val byKey = rows.groupBy(_._2).filter { case (_, v) =>
+        v.length > 1 && v.length <= 128 }
+      val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      byKey.values.foreach { v =>
+        val docs = v.map(_._1).sorted
+        for (i <- docs.indices; j <- (i + 1) until docs.length)
+          shared((docs(i), docs(j))) =
+            shared.getOrElse((docs(i), docs(j)), 0L) + 1L
+      }
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      val expected = shared.toSeq.flatMap { case ((dx, dy), sh) =>
+        val (da, na) = (dx >> 20, dx & 1048575L)
+        val (db, nb) = (dy >> 20, dy & 1048575L)
+        val c = r4(sh.toDouble / math.min(na, nb))
+        if (c >= 0.6)
+          Some((da, db, sh, if (na <= nb) da else db, c))
+        else None
+      }.sortBy(t => (t._1, t._2))
+      val got = graft.text.TextQueries.queries("q140_containment_pairs")
+        .build(spark, d).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Long]("shared"), r.getAs[Long]("inner_doc"),
+          r.getAs[Double]("containment")))
+      assert(got.nonEmpty, "the sf0.001 fixture must surface containments")
+      assert(got.toSeq == expected)
+      // the statistic's defining property: containment >= jaccard, so
+      // the engulfed-doc pass can only WIDEN what q24 sees
+      assert(got.forall(_._5 >= 0.6))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
+  test("q142 triangle census equals a brute-force count over q25 pairs") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2))
+      val deg = nodes.map(v =>
+        v -> pairs.count(p => p._1 == v || p._2 == v).toLong).toMap
+      val wedges = deg.values.map(dg => dg * (dg - 1) / 2).sum
+      // brute force: every sorted node triple with all three edges
+      val triList = for {
+        (a, b) <- pairs.toSeq
+        c <- nodes
+        if c > b && pairs((a, c)) && pairs((b, c))
+      } yield (a, b, c)
+      val tri = triList.size.toLong
+      val r = graft.text.TextQueries.queries("q142_dup_triangles")
+        .build(spark, d).collect()
+      assert(r.length == 1)
+      val row = r(0)
+      assert(row.getAs[Long]("n_nodes") == nodes.size.toLong)
+      assert(row.getAs[Long]("n_edges") == pairs.size.toLong)
+      assert(row.getAs[Long]("n_wedges") == wedges)
+      assert(row.getAs[Long]("n_triangles") == tri)
+      assert(tri >= 1, "the fixture's dup clusters must close triangles")
+      def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+      assert(row.getAs[Double]("clustering_coeff") ==
+        (if (wedges == 0) 0.0 else r4(tri * 3.0 / wedges)))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
 }
