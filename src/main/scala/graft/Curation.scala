@@ -37,6 +37,10 @@ import org.apache.spark.sql.expressions.Window
   *      earliest SURVIVING doc is kept (a cluster whose
   *      representative already fell to quality/decontamination still
   *      keeps its best member).
+  *   4b. '''Containment drop''' (q140, optional): a document whose
+  *      shingle set is ≥60% contained in a surviving partner is
+  *      sub-document duplication Jaccard can't see; the engulfed side
+  *      drops only when its outer partner survives.
   *   5. '''Target selection''' (q115, optional): DSIR-style hashed
   *      importance resampling toward a caller-provided target-domain
   *      sample — per-document keep decisions by integer importance
@@ -93,6 +97,10 @@ object Curation {
     * @param qualityMin  stage-1 floor on the composite quality score
     * @param repetition  true enables the stage-1b Gopher repetition
     *                    filter (q135 thresholds)
+    * @param containment true enables the stage-4b engulfed-doc drop
+    *                    (q140): a document whose shingle set is ≥60%
+    *                    contained in a surviving partner is redundant
+    *                    sub-document duplication and drops
     * @param mixBase     stage-5 keep-rate base: a source keeps
     *                    min(1, mixBase/10000 · sqrt(n_max/n)) of its
     *                    docs (q102's 2000 default ≈ keep 20% of the
@@ -110,6 +118,7 @@ object Curation {
              lmRef: Option[DataFrame] = None,
              qualityMin: Double = 0.55,
              repetition: Boolean = false,
+             containment: Boolean = false,
              mixBase: Long = 2000L,
              unimax: Boolean = false,
              epochDir: Option[String] = None,
@@ -216,6 +225,27 @@ object Curation {
         Window.partitionBy(col("_cluster")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_rn", "_cluster", "rep")
 
+    // 4b ── optional containment drop (q140): the engulfed side of a
+    // ≥60%-containment pair drops IF its outer partner survives (a
+    // partner that already fell to quality/decontamination keeps the
+    // engulfed copy — its content must survive somewhere). Pair-scale
+    // joins against the PostingIndex-derived pair set; the corpus is
+    // never re-shingled here.
+    val contained =
+      if (!containment) deduped
+      else {
+        val pairs = graft.text.TextQueries
+          .queries("q140_containment_pairs").build(spark, corpusDir)
+          .select(col("inner_doc"),
+            when(col("inner_doc") === col("da"), col("db"))
+              .otherwise(col("da")).as("_outer"))
+        val drops = pairs
+          .join(deduped.select(col("doc_id").as("_outer")),
+            Seq("_outer"), "left_semi")
+          .select(col("inner_doc").as("doc_id")).distinct()
+        deduped.join(drops, Seq("doc_id"), "left_anti")
+      }
+
     // 5 ── optional DSIR selection toward the target domain (q115's
     // integer discipline: 256-bucket token-unigram scores as Laplace-
     // smoothed ratio estimates, per-doc weights folded in a NARROW
@@ -223,7 +253,7 @@ object Curation {
     // Both bucket-count passes collapse to ≤256 rows under map-side
     // combine before their driver collect — nothing token-scale moves.
     val selected = dsirTarget match {
-      case None => deduped
+      case None => contained
       case Some(t) =>
         def bucketOf(c: org.apache.spark.sql.Column) =
           graft.text.TextQueries.md5Hash60(c).bitwiseAND(lit(255L))
@@ -232,7 +262,7 @@ object Curation {
           .groupBy(bucketOf(col("t")).as("b")).agg(count(lit(1)).as("c"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val tgt = bcounts(t.filter(col("text").isNotNull))
-        val prop = bcounts(deduped)
+        val prop = bcounts(contained)
         val tTot = tgt.values.sum; val rTot = prop.values.sum
         val scores: Array[Long] = Array.tabulate(256) { b =>
           val tc = tgt.getOrElse(b.toLong, 0L)
@@ -240,7 +270,7 @@ object Curation {
           ((tc + 1) * (rTot + 256) * 10000L) / ((rc + 1) * (tTot + 256))
         }
         val scoreLit = typedlit(scores)
-        deduped
+        contained
           .withColumn("_toks", tokens(col("text")))
           .withColumn("_ss", aggregate(
             transform(col("_toks"),
@@ -296,6 +326,7 @@ object Curation {
         (if (lmRef.isDefined) Seq(ppx -> "perplexity") else Nil) ++
         Seq(clean -> "decontaminated", exact -> "exact_dedup",
           deduped -> "near_dedup") ++
+        (if (containment) Seq(contained -> "containment") else Nil) ++
         (if (dsirTarget.isDefined) Seq(selected -> "dsir") else Nil) ++
         Seq(mixed -> "mixed")
     def cnt(df: DataFrame, stage: Int, name: String) =

@@ -296,6 +296,100 @@ object EventQueries {
                r.n_active * 10000 // s.n_cohort AS retention_e4
         FROM r JOIN s USING (cohort_day)
         ORDER BY r.cohort_day, r.offset_d"""),
+      bench = true),
+
+    // ── hourly volume anomalies (robust median/MAD flagging) ───────
+    // The pipeline-health monitor an event feed runs continuously:
+    // per event type, hourly counts scored against the type's own
+    // MEDIAN and MAD (median absolute deviation) — the robust pair
+    // that a traffic spike can't poison the way it poisons mean/σ
+    // (one 10× hour drags a mean-based threshold; the median barely
+    // moves). An hour is anomalous when |c − med| > 3·max(MAD, 1) —
+    // the MAD floor keeps a perfectly flat type (MAD 0) from flagging
+    // every ±1 jitter. All-integer: nearest-rank (lower) medians, no
+    // interpolation, so both engines pick the identical element.
+    //
+    // Scale shape: the ONE event-scale exchange is the hourly rollup
+    // (map-side combined to |types|×|hours| rows — the persisted
+    // frame every later step reads); medians/MAD/flags run on that
+    // bounded frame (report-scale windows, never over raw events).
+    // The worst hour rides out via one arg-max struct, not a join.
+    "q145_hourly_anomalies" -> QuerySpec(
+      build = (s, d) => {
+        // MEMORY CONTRACT: |types|×|hours| rows — persisted so the
+        // median pass, the MAD pass, and the final scan share one
+        // event-scale rollup
+        val counts = ev(s, d)
+          .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c"))
+          .persist()
+        // nearest-rank lower median of `v` per type: the smallest
+        // value whose rank reaches ceil(n/2) — rn*2 >= n after an
+        // ascending sort, min(v) over qualifying rows
+        def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+          val w = Window.partitionBy(col("event_type"))
+          df.withColumn("_rn", row_number().over(
+              w.orderBy(col(v).asc, col("hr").asc)))
+            .withColumn("_n", count(lit(1)).over(w))
+            .filter(col("_rn") * 2 >= col("_n"))
+            .groupBy(col("event_type")).agg(min(col(v)).as(out))
+        }
+        val med = medianOf(counts, "c", "med")
+        val dev = counts.join(broadcast(med), "event_type")
+          .withColumn("dev", abs(col("c") - col("med")))
+        val mad = medianOf(dev, "dev", "mad")
+        dev.join(broadcast(mad), "event_type")
+          .withColumn("anom",
+            (col("dev") > lit(3) * greatest(col("mad"), lit(1L)))
+              .cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(col("anom")).cast("long").as("n_anom"),
+            max(struct(col("dev"), (-col("hr")).as("_nh"), col("c")))
+              .as("_w"))
+          .select(col("event_type"), col("n_hours"), col("med"),
+            col("mad"), col("n_anom"),
+            (-col("_w._nh")).as("worst_hr"), col("_w.c").as("worst_c"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                          count(*) c
+                   FROM events GROUP BY 1, 2),
+        m AS (SELECT event_type, min(c) med FROM (
+                SELECT event_type, c,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY c, hr) rn,
+                       count(*) OVER (PARTITION BY event_type) n
+                FROM c) WHERE rn * 2 >= n GROUP BY 1),
+        d AS (SELECT c.event_type, c.hr, c.c, m.med,
+                     abs(c.c - m.med) dev
+              FROM c JOIN m USING (event_type)),
+        md AS (SELECT event_type, min(dev) mad FROM (
+                 SELECT event_type, dev,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY dev, hr) rn,
+                        count(*) OVER (PARTITION BY event_type) n
+                 FROM d) WHERE rn * 2 >= n GROUP BY 1),
+        f AS (SELECT d.event_type, d.hr, d.c, d.med, d.dev, md.mad,
+                     CASE WHEN d.dev > 3 * greatest(md.mad, 1)
+                          THEN 1 ELSE 0 END anom
+              FROM d JOIN md USING (event_type)),
+        w AS (SELECT event_type, hr worst_hr, c worst_c FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                  ORDER BY dev DESC, hr ASC) rw FROM f)
+              WHERE rw = 1)
+        SELECT f.event_type, count(*) AS n_hours,
+               CAST(max(f.med) AS BIGINT) AS med,
+               CAST(max(f.mad) AS BIGINT) AS mad,
+               CAST(sum(f.anom) AS BIGINT) AS n_anom,
+               CAST(max(w.worst_hr) AS BIGINT) AS worst_hr,
+               CAST(max(w.worst_c) AS BIGINT) AS worst_c
+        FROM f JOIN w USING (event_type)
+        GROUP BY 1 ORDER BY 1"""),
       bench = true)
 
   )

@@ -1722,9 +1722,14 @@ object CurationQueries {
           .filter(col("text").isNotNull && col("source").isNotNull)
         val regsAgg = toC(graft.plans.HllRegsAgg(toE(col("h")))
           .toAggregateExpression())
+        // MEMORY CONTRACT: |sources| rows × 4 KiB — persisted so the
+        // a-side and b-side of the pair join share ONE corpus-scale
+        // sketch pass (unpersisted, the self-join re-aggregates the
+        // corpus twice)
         val regs = docs
           .select(col("source"), explode(shingle_hashes(col("text"), 8)).as("h"))
           .groupBy(col("source")).agg(regsAgg.as("regs"))
+          .persist()
         // integer Σ 2^(52-M_j): the q104 s_scaled arithmetic over an
         // in-row array — exact, then ONE double division per estimate
         def ssSql(arr: String) =
@@ -2414,6 +2419,163 @@ object CurationQueries {
           CAST(CASE WHEN b99 < 8 THEN b99
                ELSE (4 + (b99 % 4)) << ((b99 // 4) - 1) END AS BIGINT) AS p99_lo
         FROM p ORDER BY source"""),
+      bench = true),
+
+    // ── distribution DRIFT between sources (sketch total variation) ─
+    // q120 answers "what does each source's length distribution look
+    // like"; this answers the monitoring question behind it: "how FAR
+    // has each source drifted from the reference?" Per source, the
+    // total-variation distance ½·Σ_b |p_b − q_b| between its
+    // token-count histogram and src0's (the q128 known-good-reference
+    // convention), over the SAME 256-bucket log-histogram sketch
+    // (plans/HistAgg). Integer-exact end to end: per-bucket
+    // probabilities quantize to millionths by integer division
+    // (c·10⁶ div total — deterministic floor in both engines), the
+    // TV sum is an order-free integer sum of |p6 − q6|, reported in
+    // e4 (div 200 = the ½ and the e6→e4 step together). A drifting
+    // source (scrape change, encoding bug, new boilerplate) moves
+    // probability mass between buckets and the number rises; src0
+    // reports 0 against itself — the row that proves the identity.
+    //
+    // Scale shape: ONE constant-state exchange (2 KiB per mapper-
+    // source) — the same single pass as q120 — then |sources| rows of
+    // array arithmetic against the 1-row reference sketch (bounded
+    // broadcast cross join); the per-bucket algebra runs in codegen'd
+    // higher-order functions over the dense 256-long arrays, so
+    // zero-in-one-side buckets are included by construction. DuckDB
+    // rebuilds every counter on a source×256 skeleton and replays the
+    // identical integer arithmetic.
+    "q143_hist_drift" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val v = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("source"),
+            token_count(col("text")).cast("long").as("v"))
+          .filter(col("v").isNotNull)
+        val hist = toC(graft.plans.HistAgg(toE(col("v")))
+          .toAggregateExpression())
+        // MEMORY CONTRACT: |sources| rows × 2 KiB — persisted so the
+        // reference branch reuses the one corpus-scale histogram pass
+        val sk = v.groupBy(col("source"))
+          .agg(hist.as("_h"), count(lit(1)).as("n_docs"))
+          .persist()
+        val ref = sk.filter(col("source") === "src0")
+          .select(col("_h").as("_r"))
+        def total(arr: String) =
+          s"aggregate($arr, cast(0 as bigint), (a, x) -> a + x)"
+        sk.crossJoin(broadcast(ref)) // deliberate bounded cross: 1-row ref
+          .withColumn("_ts", expr(total("_h")))
+          .withColumn("_tr", expr(total("_r")))
+          .withColumn("_tv", expr(
+            s"""aggregate(
+                  zip_with(_h, _r,
+                    (c, r) -> abs((c * 1000000) div _ts
+                               - (r * 1000000) div _tr)),
+                  cast(0 as bigint), (a, x) -> a + x)"""))
+          .select(col("source"), col("n_docs"),
+            expr("_tv div 200").as("tv_vs_ref_e4"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        v AS (SELECT source, len(toks) AS v FROM t),
+        bk AS (SELECT source,
+                 CASE WHEN v < 8 THEN v
+                      ELSE ((length(bin(v)) - 2) * 4
+                            + ((v >> (length(bin(v)) - 3)) & 3))
+                 END AS b
+               FROM v),
+        c AS (SELECT source, b, count(*) c FROM bk GROUP BY 1, 2),
+        skel AS (SELECT s.source, gr.b, coalesce(c.c, 0) c
+                 FROM (SELECT DISTINCT source FROM v) s
+                 CROSS JOIN (SELECT unnest(generate_series(0, 255)) b) gr
+                 LEFT JOIN c ON c.source = s.source AND c.b = gr.b),
+        tot AS (SELECT source, CAST(sum(c) AS BIGINT) ts
+                FROM skel GROUP BY 1),
+        nd AS (SELECT source, count(*) n_docs FROM v GROUP BY 1),
+        tv AS (SELECT a.source,
+                 CAST(sum(abs((a.c * 1000000) // ta.ts
+                              - (r.c * 1000000) // tr.ts)) AS BIGINT) tvsum
+               FROM skel a
+               JOIN tot ta ON ta.source = a.source
+               JOIN skel r ON r.source = 'src0' AND r.b = a.b
+               JOIN tot tr ON tr.source = 'src0'
+               GROUP BY 1)
+        SELECT tv.source, CAST(nd.n_docs AS BIGINT) AS n_docs,
+               CAST(tvsum // 200 AS BIGINT) AS tv_vs_ref_e4
+        FROM tv JOIN nd ON nd.source = tv.source
+        ORDER BY tv.source"""),
+      bench = true),
+
+    // ── collocation mining by lift (phrase-candidate discovery) ────
+    // The phrase-mining pass a tokenizer pipeline runs BEFORE BPE
+    // (q86/q89): which adjacent token pairs co-occur far above chance?
+    // Score = lift n_ab·N / (n_a·n_b) over bigram OCCURRENCES (all
+    // positions, not per-doc distinct — collocation strength is a
+    // token-stream property): n_ab the pair's count, n_a its count as
+    // a HEAD, n_b as a NEXT, N total bigrams — all four from ONE
+    // bigram table, so the measure is self-consistent (a PMI without
+    // the log: same ranking, no transcendentals). Support floor
+    // n_ab ≥ 5 kills the noise tail; top 20 by (lift desc, pair asc).
+    // The one FP step is the division of exactly-cast integer
+    // products — correctly-rounded IEEE in both engines, then r4.
+    //
+    // Scale shape: ONE token-scale exchange (the bigram groupBy,
+    // map-side combined to observed-bigram cardinality, persisted);
+    // head/next marginals are vocab-bounded rollups of that frame and
+    // broadcast back; N is a 1-row bounded collect; top-20 plans as
+    // TakeOrdered. Nothing event-scale moves twice.
+    "q146_collocations" -> QuerySpec(
+      build = (s, d) => {
+        // all-occurrence adjacent pairs from the tokens array — a
+        // narrow transform+explode, no positional self-join
+        val bg = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(tokens(col("text")).as("_t"))
+          .select(explode(expr(
+            """transform(slice(_t, 1, greatest(size(_t) - 1, 0)),
+               (x, i) -> struct(x AS head,
+                                element_at(_t, i + 2) AS next_tok))"""))
+            .as("b"))
+          .select(col("b.head").as("head"), col("b.next_tok").as("next_tok"))
+        // MEMORY CONTRACT: observed-bigram rows (vocab²-bounded) —
+        // persisted so the marginals and the total reuse one pass
+        val bgc = bg.groupBy(col("head"), col("next_tok"))
+          .agg(count(lit(1)).as("n_ab")).persist()
+        val nTotal = bgc.agg(sum(col("n_ab"))).head.getLong(0)
+        val heads = bgc.groupBy(col("head")).agg(sum(col("n_ab")).as("n_a"))
+        val nexts = bgc.groupBy(col("next_tok"))
+          .agg(sum(col("n_ab")).as("n_b"))
+        bgc.filter(col("n_ab") >= 5)
+          .join(broadcast(heads), "head")
+          .join(broadcast(nexts), "next_tok")
+          .withColumn("lift", StableRound.r4(
+            (col("n_ab").cast("double") * lit(nTotal.toDouble)) /
+              (col("n_a").cast("double") * col("n_b").cast("double"))))
+          .select(col("head"), col("next_tok"), col("n_ab"),
+            col("n_a"), col("n_b"), col("lift"))
+          .orderBy(col("lift").desc, col("head").asc, col("next_tok").asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        bg AS (SELECT toks[i] head, toks[i+1] next_tok
+               FROM t, unnest(generate_series(1, greatest(len(toks)-1, 0)))
+                 AS u(i)),
+        c AS (SELECT head, next_tok, count(*) n_ab FROM bg GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n_ab) AS BIGINT) n FROM c),
+        ha AS (SELECT head, CAST(sum(n_ab) AS BIGINT) n_a FROM c GROUP BY 1),
+        nb AS (SELECT next_tok, CAST(sum(n_ab) AS BIGINT) n_b
+               FROM c GROUP BY 1)
+        SELECT c.head, c.next_tok, CAST(c.n_ab AS BIGINT) AS n_ab,
+               ha.n_a, nb.n_b,
+               ${StableRound.sql4(
+                 """(CAST(c.n_ab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                    / (CAST(ha.n_a AS DOUBLE) * CAST(nb.n_b AS DOUBLE))""")}
+                 AS lift
+        FROM c JOIN ha USING (head) JOIN nb USING (next_tok)
+        CROSS JOIN tot
+        WHERE c.n_ab >= 5
+        ORDER BY lift DESC, c.head, c.next_tok LIMIT 20"""),
       bench = true)
   )
 

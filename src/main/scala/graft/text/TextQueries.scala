@@ -563,6 +563,62 @@ object TextQueries {
         FROM agg"""),
       bench = true),
 
+    // ── train/val/test leakage audit (near-dups across the split) ──
+    // The q71 hash split assigns DOCUMENTS independently, so a near-
+    // duplicate pair can land on both sides — and a test doc whose
+    // near-twin sits in train is contamination that inflates eval
+    // exactly like benchmark leakage (the Lee et al. 2022 finding:
+    // dedup moves test perplexity because test-set near-dups of train
+    // docs were scoring as memorized). This is the query a pipeline
+    // runs AFTER splitting and BEFORE trusting eval numbers: the q25
+    // pair set (from the content-keyed [[PairIndex]] artifact) bucketed
+    // by the split pair it straddles — off-diagonal rows (leaking = 1)
+    // are the leak census, diagonal rows the in-split dup context.
+    // The fix loop it feeds: assign splits by CLUSTER representative
+    // (q108's labels) instead of raw doc_id, rerun, off-diagonals
+    // drop to zero.
+    //
+    // Scale shape: pair-scale only — the split of each endpoint is the
+    // same pure md5-band function q71 uses (no join back to the
+    // corpus), then one ≤6-row groupBy. Nothing corpus-scale moves.
+    "q144_split_leakage" -> QuerySpec(
+      build = (s, d) => {
+        def band(c: String) =
+          expr(s"conv(substring(md5(cast($c as string)), 1, 8), 16, 10)")
+            .cast("long") % 100
+        def sp(c: String) =
+          when(band(c) < 80, "train").when(band(c) < 90, "val")
+            .otherwise("test")
+        PairIndex.load(s, d)
+          .select(sp("da").as("_sa"), sp("db").as("_sb"))
+          .select(least(col("_sa"), col("_sb")).as("split_a"),
+            greatest(col("_sa"), col("_sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaking",
+            (col("split_a") =!= col("split_b")).cast("int"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some(s"""
+        WITH $duckMinhashPairsCtes,
+        b AS (SELECT
+                ('0x' || substring(md5(da::VARCHAR), 1, 8))::BIGINT % 100 ba,
+                ('0x' || substring(md5(db::VARCHAR), 1, 8))::BIGINT % 100 bb
+              FROM pairs),
+        sp AS (SELECT
+                 CASE WHEN ba < 80 THEN 'train'
+                      WHEN ba < 90 THEN 'val' ELSE 'test' END sa,
+                 CASE WHEN bb < 80 THEN 'train'
+                      WHEN bb < 90 THEN 'val' ELSE 'test' END sb
+               FROM b),
+        g AS (SELECT least(sa, sb) split_a, greatest(sa, sb) split_b,
+                     count(*) n_pairs
+              FROM sp GROUP BY 1, 2)
+        SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaking
+        FROM g ORDER BY split_a, split_b"""),
+      bench = true),
+
     // ── incremental near-dup: probe a NEW batch against the corpus ──
     // band index (q119). The operational shape dedup actually runs in
     // at 100 TB: the corpus is already sketched (its band signatures

@@ -187,6 +187,55 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curate: containment stage drops exactly the engulfed prefix doc") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf4-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf4-data").toString
+      // docs 1-4: long varied texts (pairwise shingle-disjoint)
+      // doc 5: the first 10 of doc 1's 40 phrases — every shingle of 5
+      //        is in 1 (containment 1.0) but resemblance is ~0.25, so
+      //        exact dedup, minhash near-dup, and the q24 Jaccard gate
+      //        all miss it; only the containment stage can catch it
+      def varied(tag: String) =
+        (1 to 40).map(i => s"palabra$tag$i de${i}x la${i}y").mkString(" ")
+      val engulfed =
+        (1 to 10).map(i => s"palabraa$i de${i}x la${i}y").mkString(" ")
+      val docs = Seq(
+        (1L, varied("a")), (2L, varied("b")), (3L, varied("c")),
+        (4L, varied("d")), (5L, engulfed)
+      ).map { case (id, t) => (id, t, "es", "s1", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      val r = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        containment = true, mixBase = 0L)
+      assert(r.stages.map(s => s.name -> s.n_docs) == Seq(
+        "raw" -> 5L, "quality" -> 5L, "decontaminated" -> 5L,
+        "exact_dedup" -> 5L, "near_dedup" -> 5L, "containment" -> 4L,
+        "mixed" -> 4L), s"unexpected funnel: ${r.stages}")
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L, 4L),
+        "the engulfed prefix doc must be the one casualty")
+
+      // off by default, nothing drops
+      val r2 = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        mixBase = 0L)
+      assert(!r2.stages.exists(_.name == "containment"))
+      assert(r2.stages.map(_.n_docs).forall(_ == 5L))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("curate: perplexity tail drop and UniMax mixture replay exactly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cf2-art")

@@ -1194,6 +1194,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q143 histogram drift replays driver-side and src0 self-reports 0") {
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).trim.split("\\s+").length.toLong))
+    def bucket(v: Long): Int =
+      if (v < 8) v.toInt
+      else {
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        ((bl - 2) << 2) | ((v >>> (bl - 3)) & 3L).toInt
+      }
+    val hists = rows.groupBy(_._1).view.mapValues { vs =>
+      val h = new Array[Long](256)
+      vs.foreach { case (_, v) => h(bucket(v)) += 1L }
+      h
+    }.toMap
+    val ref = hists("src0")
+    val refTot = ref.sum
+    val expected = hists.map { case (src, h) =>
+      val tot = h.sum
+      val tv = h.indices.map(b =>
+        math.abs(h(b) * 1000000L / tot - ref(b) * 1000000L / refTot)).sum
+      src -> (rows.count(_._1 == src).toLong, tv / 200)
+    }
+    val got = run("q143_hist_drift").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    assert(got("src0")._2 == 0L, "the reference must self-report zero drift")
+    assert(got.exists(_._2._2 > 0L), "some source must show real drift")
+  }
+
+  test("q146 collocations replay driver-side and lift discriminates") {
+    val texts = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).select(col("text")).collect()
+      .map(_.getString(0))
+    val bigrams = texts.flatMap { t =>
+      val toks = t.trim.split("\\s+")
+      toks.dropRight(1).zip(toks.drop(1))
+    }
+    val nAb = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nA = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nB = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bigrams.length.toLong
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000
+    val expected = nAb.toSeq.filter(_._2 >= 5L)
+      .map { case ((a, b), ab) =>
+        (a, b, ab, nA(a), nB(b),
+          r4((ab.toDouble * n.toDouble) / (nA(a).toDouble * nB(b).toDouble)))
+      }
+      .sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(20)
+    val got = run("q146_collocations").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSeq
+    assert(got === expected)
+    // the measure must separate real collocations from chance pairs
+    assert(got.head._6 > 1.2, s"top lift ${got.head._6} barely above chance")
+    assert(got.forall(_._3 >= 5L), "support floor violated")
+  }
+
   test("q141 sketch overlap replays driver-side (registers, algebra, exact)") {
     val root = java.nio.file.Files.createTempDirectory("graft-hllov-spec")
     val prev = sys.props.get("graft.artifacts.dir")

@@ -188,6 +188,46 @@ class OperatorSpec extends SparkSpec {
       "every cohort fully retained — the rate computed nothing")
   }
 
+  test("q145 hourly anomalies replay driver-side and the flag fires") {
+    // sf0.01, not the usual 0.001: the smallest fixture is uniform
+    // enough that no hour deviates (n_anom 0 everywhere) — the spec
+    // must exercise the firing branch
+    val d = "/root/testdata/sf0.01"
+    val e = graft.analytics.Tables.events(spark, d)
+    val rows = e.select(col("event_type"),
+        graft.analytics.Tables.tsUs(e).as("ts_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L))
+    val counts = rows.groupBy(identity).view.mapValues(_.length.toLong)
+      .toMap
+    val types = counts.keys.map(_._1).toSet
+    def nearestRankMin(vs: Seq[(Long, Long)]): Long = {
+      // (value, hr) sorted ascending; nearest-rank lower median
+      val sorted = vs.sortBy(identity)
+      sorted(((sorted.length + 1) / 2) - 1)._1
+    }
+    val expected = types.toSeq.sorted.map { t =>
+      val hrs = counts.collect { case ((`t`, hr), c) => (hr, c) }.toSeq
+      val med = nearestRankMin(hrs.map { case (hr, c) => (c, hr) })
+      val devs = hrs.map { case (hr, c) => (hr, math.abs(c - med)) }
+      val mad = nearestRankMin(devs.map { case (hr, dv) => (dv, hr) })
+      val nAnom = devs.count(_._2 > 3 * math.max(mad, 1L)).toLong
+      val (worstHr, worstDev) = devs.minBy { case (hr, dv) => (-dv, hr) }
+      (t, hrs.length.toLong, med, mad, nAnom,
+        worstHr, counts((t, worstHr)), worstDev)
+    }
+    val got = graft.analytics.EventQueries.queries("q145_hourly_anomalies")
+      .build(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got === expected.map(t => (t._1, t._2, t._3, t._4, t._5, t._6, t._7)))
+    // the monitor must actually monitor: at this SF some hour flags,
+    // and the flagged worst hour really deviates past the threshold
+    assert(expected.exists(_._5 > 0), "no anomaly fired at sf0.01")
+    expected.filter(_._5 > 0).foreach { t =>
+      assert(t._8 > 3 * math.max(t._4, 1L)) }
+  }
+
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-ppr-art")

@@ -341,6 +341,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q141 sketch overlap: ONE register pass reused by both join sides") {
+    val df = SparkEntry.queries("q141_sketch_overlap")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the persisted |sources|-row register frame feeds the a-side and
+    // b-side of the pair join — the corpus-scale sketch aggregation
+    // must appear as cache reads, never re-run per side
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"both pair-join sides must read the cached register frame:\n${p.take(1200)}")
+    // the src_a < src_b pairing is the deliberate bounded cross
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "pair expansion must be the bounded broadcast cross")
+    assert(!p.contains("Window"), "no window anywhere in the sketch path")
+  }
+
+  test("q143 hist drift: one histogram pass, ref row as bounded broadcast") {
+    val df = SparkEntry.queries("q143_hist_drift")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"main and reference branches must share the cached sketch frame:\n${p.take(1200)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row reference must join as a bounded broadcast cross")
+    assert(!p.contains("Window"),
+      "TV distance is array algebra — no per-bucket window")
+  }
+
   test("q107 hard negatives: bounded heaps in one aggregate, no Window") {
     val df = SparkEntry.queries("q107_hard_negatives")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

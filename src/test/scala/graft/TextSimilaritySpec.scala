@@ -870,6 +870,50 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q144 split leakage equals a driver-side band replay over q25 pairs") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-leak-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def md5hex(s: String) =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def split(id: Long): String = {
+        val b = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val expected = pairs
+        .map { case (a, b) =>
+          val (sa, sb) = (split(a), split(b))
+          (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+        }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = graft.text.TextQueries.queries("q144_split_leakage")
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getInt(3))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, leak)) =>
+        assert(n == expected(k), s"$k: $n vs ${expected(k)}")
+        assert(leak == (if (k._1 == k._2) 0 else 1))
+      }
+      // the census must account for every pair, and the fixture must
+      // actually exhibit leakage (else the audit is vacuous)
+      assert(got.values.map(_._1).sum == pairs.length.toLong)
+      assert(got.exists { case (k, _) => k._1 != k._2 },
+        "no cross-split near-dup pair at sf0.001")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q142 triangle census equals a brute-force count over q25 pairs") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
