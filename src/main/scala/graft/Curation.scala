@@ -352,4 +352,38 @@ object Curation {
     graft.text.CurationQueries.queries("q122_corpus_report")
       .build(spark, corpusDir)
   }
+
+  /** The dataset's full DATA CARD: the four oracle-checked monitoring
+    * surfaces a corpus owner publishes and re-runs nightly, in one
+    * call —
+    *
+    *   - `report`  (q122): per-source doc/token totals, length
+    *     percentiles, distinct-token estimate (two constant-state
+    *     sketch exchanges);
+    *   - `overlap` (q141): pairwise cross-source overlap at sketch
+    *     cost, with exact counts and the sketch's own error report;
+    *   - `drift`   (q143): per-source length-distribution TV distance
+    *     vs the reference source;
+    *   - `leakage` (q144): near-dup pairs straddling the train/val/
+    *     test hash split — the eval-contamination census.
+    *
+    * Each frame is lazy; collect what the card needs. Every number is
+    * cross-engine hash-checked under its query id, so the card is
+    * auditable, not just printable. */
+  case class DataCard(report: DataFrame, overlap: DataFrame,
+                      drift: DataFrame, leakage: DataFrame)
+
+  def dataCard(spark: SparkSession, corpusDir: String): DataCard = {
+    GraftSession.configure(spark)
+    def q(name: String): DataFrame = {
+      val specs = graft.text.CurationQueries.queries ++
+        graft.text.TextQueries.queries
+      specs(name).build(spark, corpusDir)
+    }
+    DataCard(
+      report = q("q122_corpus_report"),
+      overlap = q("q141_sketch_overlap"),
+      drift = q("q143_hist_drift"),
+      leakage = q("q144_split_leakage"))
+  }
 }

@@ -17,6 +17,9 @@ object EventStreams {
     * in epoch micros (the engine's canonical clock, see EventQueries). */
   case class Ev(user_id: Long, ts_us: Long, value: Double)
 
+  /** Typed-event shape for the per-type monitors ([[hourlyAnomalies]]). */
+  case class TypedEv(event_type: String, ts_us: Long)
+
   /** A closed session emitted by [[sessionizeStateful]]. */
   case class Session(user_id: Long, session_start_us: Long,
                      session_end_us: Long, n_events: Long, sum_value: Double)
@@ -191,6 +194,43 @@ object EventStreams {
         col("_total").as("n_values"),
         lo("_b50").as("p50_lo"), lo("_b90").as("p90_lo"),
         lo("_b99").as("p99_lo"))
+  }
+
+  /** Live volume monitoring — the streaming twin of q145: windowed
+    * per-type event counts flagged against BATCH-computed robust
+    * thresholds (the (type, median, MAD) triples a nightly q145 run
+    * produces). The anomaly rule is q145's verbatim —
+    * |c − med| > 3·max(MAD, 1) — so a flag on the live feed means
+    * exactly what the audited batch query means by it. An event type
+    * ABSENT from the threshold set flags unconditionally: a brand-new
+    * type in production traffic IS the anomaly.
+    *
+    * Thresholds are driver-held literals (bounded by contract, like
+    * the q110/CMS probe sets), folded per row with an array filter —
+    * no join, no extra state; streaming state is exactly the windowed
+    * count rows. Works identically on a batch frame; StreamingSpec
+    * pins stream output == the batch run of this same function. */
+  def hourlyAnomalies(events: DataFrame,
+                      thresholds: Seq[(String, Long, Long)],
+                      lateness: String = "2 hours"): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 1024,
+      "threshold set must be bounded (driver-held literals)")
+    val thLit = array(thresholds.map { case (t, med, mad) =>
+      struct(lit(t).as("t"), lit(med).as("med"), lit(mad).as("mad"))
+    }: _*)
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", lateness)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_th",
+        element_at(filter(thLit, e => e.getField("t") === col("event_type")), 1))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"),
+        col("_th.med").as("med"), col("_th.mad").as("mad"),
+        when(col("_th").isNull, lit(1))
+          .otherwise((abs(col("n") - col("_th.med")) >
+            lit(3L) * greatest(col("_th.mad"), lit(1L))).cast("int"))
+          .as("anomalous"))
   }
 
   /** Stream-static dimension enrichment: join each micro-batch against

@@ -61,11 +61,13 @@ object PostingIndex {
     * hand). The pair expansion is itself multi-second at 100× — a
     * reuse path that re-paid it per invocation would defeat the
     * artifact for the most common consumer, the pair set. */
-  // the name encodes the df cap AND the two-table layout (v2 added
-  // `pairs` beside `postings`) — a layout change over an existing
-  // artifact dir would otherwise read a path that was never written
+  // the name encodes the df cap AND the table layout (v2 added
+  // `pairs` beside `postings`; v3 added `containment` — the q140 pair
+  // set, whose expansion measured 7.4 s per invocation at 100× when
+  // recomputed) — a layout change over an existing artifact dir would
+  // otherwise read a path that was never written
   private def dir(d: String) =
-    Artifacts.dir(d, s"jaccard_postings_df${TextQueries.jaccardDfCap}_v2")
+    Artifacts.dir(d, s"jaccard_postings_df${TextQueries.jaccardDfCap}_v3")
 
   private def ensure(s: SparkSession, d: String): java.nio.file.Path = {
     val target = dir(d)
@@ -74,12 +76,15 @@ object PostingIndex {
         graft.analytics.Tables.documents(s, d)))
       postings.write.mode("overwrite")
         .parquet(tmp.resolve("postings").toString)
-      // pairs FROM the just-written postings (not the live plan): the
-      // expansion reads back pair-scale parquet instead of re-running
-      // the corpus-scale index subtree a second time
+      // both pair sets FROM the just-written postings (not the live
+      // plan): each expansion reads back posting-scale parquet instead
+      // of re-running the corpus-scale index subtree
       TextQueries.jaccardPairsFromPostings(
           s.read.parquet(tmp.resolve("postings").toString))
         .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      TextQueries.containmentPairsFromPostings(
+          s.read.parquet(tmp.resolve("postings").toString))
+        .write.mode("overwrite").parquet(tmp.resolve("containment").toString)
     }
     target
   }
@@ -92,6 +97,12 @@ object PostingIndex {
     * common consumer surface. */
   def pairs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(ensure(s, d).resolve("pairs").toString)
+
+  /** The q140 containment pair set (da, db, shared, inner_doc,
+    * containment) — the asymmetric-dedup consumer surface, built from
+    * the same postings in the same artifact pass. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ensure(s, d).resolve("containment").toString)
 }
 
 /** Lucene-shaped BM25 posting index — q111's per-dataset structure

@@ -165,6 +165,30 @@ object TextQueries {
         FROM p WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 >= 0.3
         ORDER BY da, db"""
 
+  /** The q140 tail over a posting-list frame: pair expansion →
+    * shared-shingle counts → Broder containment shared/min(|A|,|B|)
+    * ≥ 0.6, with the engulfed side called out. ONE definition for the
+    * artifact build ([[PostingIndex]]) and any direct caller — the
+    * same no-drift contract as [[jaccardPairsFromPostings]]. */
+  private[graft] def containmentPairsFromPostings(
+      postings: DataFrame): DataFrame =
+    postings
+      .select(explode(pairExpand(col("docs"))).as("p"))
+      .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
+      .agg(count(lit(1)).as("shared"))
+      .select(shiftright(col("dx"), 20).as("da"),
+        shiftright(col("dy"), 20).as("db"), col("shared"),
+        col("dx").bitwiseAND(lit(1048575L)).as("na"),
+        col("dy").bitwiseAND(lit(1048575L)).as("nb"))
+      .withColumn("containment",
+        graft.analytics.StableRound.r4(col("shared").cast("double") /
+          least(col("na"), col("nb"))))
+      .filter(col("containment") >= 0.6)
+      .select(col("da"), col("db"), col("shared"),
+        when(col("na") <= col("nb"), col("da")).otherwise(col("db"))
+          .as("inner_doc"),
+        col("containment"))
+
   /** THE minhash banding: explode a frame carrying `doc_id` and a
     * 16-piece `sig` into its 8 two-piece band keys, one row per
     * (doc_id, band, ha, hb). The single definition shared by q25, the
@@ -343,31 +367,17 @@ object TextQueries {
     // with inner_doc = the engulfed side (the one a curation run would
     // drop or merge).
     //
-    // Scale shape: the SAME df-capped posting lists as q24, read from
-    // the content-keyed [[PostingIndex]] artifact — the "any future
-    // Jaccard/containment consumer" promise cashed in: zero corpus
-    // work at read time, pair expansion over posting-scale parquet,
-    // per-doc set sizes travel inside the packed (doc_id, n) longs so
-    // the ratio needs no corpus join.
+    // Scale shape: the SAME df-capped posting lists as q24, via the
+    // content-keyed [[PostingIndex]] artifact — the "any future
+    // Jaccard/containment consumer" promise cashed in: the v3 layout
+    // materializes the containment pair set NEXT TO the jaccard pairs
+    // from one postings build (the expansion measured 7.4 s per
+    // invocation at 100× when recomputed; the read path is pair-scale
+    // parquet), per-doc set sizes travel inside the packed (doc_id, n)
+    // longs so the ratio needs no corpus join.
     "q140_containment_pairs" -> QuerySpec(
-      build = (s, d) =>
-        PostingIndex.load(s, d)
-          .select(explode(pairExpand(col("docs"))).as("p"))
-          .groupBy(col("p.x").as("dx"), col("p.y").as("dy"))
-          .agg(count(lit(1)).as("shared"))
-          .select(shiftright(col("dx"), 20).as("da"),
-            shiftright(col("dy"), 20).as("db"), col("shared"),
-            col("dx").bitwiseAND(lit(1048575L)).as("na"),
-            col("dy").bitwiseAND(lit(1048575L)).as("nb"))
-          .withColumn("containment",
-            graft.analytics.StableRound.r4(col("shared").cast("double") /
-              least(col("na"), col("nb"))))
-          .filter(col("containment") >= 0.6)
-          .select(col("da"), col("db"), col("shared"),
-            when(col("na") <= col("nb"), col("da")).otherwise(col("db"))
-              .as("inner_doc"),
-            col("containment"))
-          .orderBy("da", "db"),
+      build = (s, d) => PostingIndex.containmentPairs(s, d)
+        .orderBy("da", "db"),
       oracle = Some(s"""
         WITH $duckShingles,
         sk0 AS (SELECT doc_id, n,
@@ -611,6 +621,79 @@ object TextQueries {
                  CASE WHEN bb < 80 THEN 'train'
                       WHEN bb < 90 THEN 'val' ELSE 'test' END sb
                FROM b),
+        g AS (SELECT least(sa, sb) split_a, greatest(sa, sb) split_b,
+                     count(*) n_pairs
+              FROM sp GROUP BY 1, 2)
+        SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+               CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaking
+        FROM g ORDER BY split_a, split_b"""),
+      bench = true),
+
+    // ── cluster-aware splitting: q144's leak, FIXED ────────────────
+    // The remedy the leakage audit points at: band on the duplicate-
+    // cluster REPRESENTATIVE (q108's labels) instead of the raw
+    // doc_id, so every member of a dup family lands in the same
+    // split. Same census as q144 over the same pair set — but both
+    // endpoints of any near-dup pair share a rep BY DEFINITION of the
+    // transitive closure, so the matrix collapses to its diagonal:
+    // leaking = 0 on every row, proven by the hash-checked output
+    // (and the oracle, which recomputes the closure independently via
+    // its recursive CTE). Run q144 on a raw split, this on the
+    // cluster-aware one; the pair of results is the before/after of
+    // the fix.
+    //
+    // Scale shape: pair-scale joins against the ClusterIndex artifact
+    // (labels are pair-scale — singletons are implicit); the band is
+    // the same pure md5 function, now of the rep key.
+    "q147_cluster_split" -> QuerySpec(
+      build = (s, d) => {
+        val pairs = PairIndex.load(s, d)
+        val labels = ClusterIndex.load(s, d)
+          .select(col("doc_id"), col("rep"))
+        def sp(c: String) = {
+          val b =
+            expr(s"conv(substring(md5(cast($c as string)), 1, 8), 16, 10)")
+              .cast("long") % 100
+          when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        }
+        pairs
+          .join(labels.select(col("doc_id").as("da"), col("rep").as("_ra")),
+            Seq("da"))
+          .join(labels.select(col("doc_id").as("db"), col("rep").as("_rb")),
+            Seq("db"))
+          .select(sp("_ra").as("_sa"), sp("_rb").as("_sb"))
+          .select(least(col("_sa"), col("_sb")).as("split_a"),
+            greatest(col("_sa"), col("_sb")).as("split_b"))
+          .groupBy(col("split_a"), col("split_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("leaking",
+            (col("split_a") =!= col("split_b")).cast("int"))
+          .orderBy("split_a", "split_b")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $duckMinhashPairsCtes,
+        edges AS (SELECT da a, db b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                   FROM reach GROUP BY a),
+        pb AS (SELECT
+                 ('0x' || substring(md5(la.rep::VARCHAR), 1, 8))::BIGINT
+                   % 100 ba,
+                 ('0x' || substring(md5(lb.rep::VARCHAR), 1, 8))::BIGINT
+                   % 100 bb
+               FROM pairs p
+               JOIN labels la ON la.doc_id = p.da
+               JOIN labels lb ON lb.doc_id = p.db),
+        sp AS (SELECT
+                 CASE WHEN ba < 80 THEN 'train'
+                      WHEN ba < 90 THEN 'val' ELSE 'test' END sa,
+                 CASE WHEN bb < 80 THEN 'train'
+                      WHEN bb < 90 THEN 'val' ELSE 'test' END sb
+               FROM pb),
         g AS (SELECT least(sa, sb) split_a, greatest(sa, sb) split_b,
                      count(*) n_pairs
               FROM sp GROUP BY 1, 2)

@@ -329,4 +329,29 @@ class CurationFacadeSpec extends SparkSpec {
       .build(spark, sf).collect()
     assert(got.nonEmpty && got.toSeq == q122.toSeq)
   }
+
+  test("dataCard composes the four oracle-checked monitoring surfaces") {
+    val sf = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-dc-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val card = Curation.dataCard(spark, sf)
+      def rows(name: String) = {
+        val specs = graft.text.CurationQueries.queries ++
+          graft.text.TextQueries.queries
+        specs(name).build(spark, sf).collect().toSeq
+      }
+      assert(card.report.collect().toSeq == rows("q122_corpus_report"))
+      assert(card.overlap.collect().toSeq == rows("q141_sketch_overlap"))
+      assert(card.drift.collect().toSeq == rows("q143_hist_drift"))
+      assert(card.leakage.collect().toSeq == rows("q144_split_leakage"))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
 }

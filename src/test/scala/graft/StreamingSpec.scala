@@ -967,4 +967,58 @@ class StreamingSpec extends SparkSpec {
     assert(afterCompact === full,
       "compacted state must serve the same buckets through the manifest")
   }
+
+  test("windowed anomaly monitor: stream == batch, unknown type flags") {
+    import spark.implicits._
+    import graft.streaming.EventStreams.TypedEv
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us // hour-aligned
+    // thresholds as a nightly q145 run would hand them over:
+    // click med 10 mad 2 (3·max(2,1)=6 band), view med 3 mad 0
+    // (floor: 3·max(0,1)=3 band); "signup" is deliberately absent
+    val th = Seq(("click", 10L, 2L), ("view", 3L, 0L))
+    // hour 1: click 10 (normal), view 12 (|12-3|=9 > 3 → anomalous)
+    // hour 2: click 20 (|20-10|=10 > 6 → anomalous), signup 1 (unknown
+    // type → anomalous by definition)
+    val h1 = (1 to 10).map(i => TypedEv("click", t0 + i * min)) ++
+      (1 to 12).map(i => TypedEv("view", t0 + i * min))
+    val h2 = (1 to 20).map(i => TypedEv("click", t0 + 60 * min + i * min % (50 * min))) :+
+      TypedEv("signup", t0 + 60 * min + 5 * min)
+    val input = MemoryStream[TypedEv]
+    val q = EventStreams.hourlyAnomalies(input.toDS().toDF(), th,
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    input.addData(h1: _*)
+    q.processAllAvailable()
+    input.addData(h2: _*)
+    q.processAllAvailable()
+    // watermark pushers so both hours close
+    input.addData(TypedEv("click", t0 + 600 * min))
+    q.processAllAvailable()
+    input.addData(TypedEv("click", t0 + 1200 * min))
+    q.processAllAvailable()
+    val streamed = spark.table("anom_out")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(5))).toMap
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val hour2 = new java.sql.Timestamp((t0 + 60 * min) / 1000)
+    assert(streamed((hour1, "click")) == ((10L, 0)), "normal hour flagged")
+    assert(streamed((hour1, "view")) == ((12L, 1)), "9 > 3·max(0,1) must flag")
+    assert(streamed((hour2, "click")) == ((20L, 1)), "10 > 3·2 must flag")
+    assert(streamed((hour2, "signup")) == ((1L, 1)), "unknown type must flag")
+
+    // the SAME function over the same rows as a batch frame agrees on
+    // every closed window (the stream==batch contract)
+    val batch = EventStreams.hourlyAnomalies((h1 ++ h2).toDS().toDF(), th)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getInt(5))).toMap
+    Seq((hour1, "click"), (hour1, "view"), (hour2, "click"),
+      (hour2, "signup")).foreach { k =>
+      assert(streamed(k) == batch(k), s"stream/batch drift at $k")
+    }
+  }
 }

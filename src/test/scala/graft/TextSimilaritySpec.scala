@@ -914,6 +914,59 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q147 cluster-aware split is leak-free and replays driver-side") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-csplit-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def md5hex(s: String) =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def split(id: Long): String = {
+        val b = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+        if (b < 80) "train" else if (b < 90) "val" else "test"
+      }
+      val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      // independent transitive closure: union-find over the pair set
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = pairs
+        .map { case (a, b) =>
+          val (sa, sb) = (split(find(a)), split(find(b)))
+          (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+        }
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = graft.text.TextQueries.queries("q147_cluster_split")
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getInt(3))).toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (n, leak)) =>
+        assert(n == expected(k))
+        // the theorem the query exists to prove: both endpoints share
+        // a representative, so no pair can straddle a split
+        assert(k._1 == k._2 && leak == 0,
+          s"cluster-aware split leaked at $k")
+      }
+      assert(got.values.map(_._1).sum == pairs.length.toLong)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q142 triangle census equals a brute-force count over q25 pairs") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
