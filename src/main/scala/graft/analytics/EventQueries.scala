@@ -390,6 +390,90 @@ object EventQueries {
                CAST(max(w.worst_c) AS BIGINT) AS worst_c
         FROM f JOIN w USING (event_type)
         GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ── conversion latency distribution (click → purchase) ─────────
+    // The funnel-health number product analytics watches: for each
+    // purchase, the time since the SAME user's most recent click (the
+    // q30 backward as-of semantics, reversed to purchase-side), and
+    // the latency distribution p50/p90/p99 in seconds from the
+    // log-histogram sketch. Integer end to end: latency = integer-div
+    // µs→s, quantiles are nearest-rank bucket lower bounds, max is
+    // exact. A purchase with no preceding click counts in n_purchases
+    // but carries no latency (null skips the sketch) — n_converted is
+    // the funnel's numerator.
+    //
+    // Scale shape: the as-of join is the single-shuffle union trick
+    // (operators/AsOfJoin — never a per-row subquery), then ONE
+    // 2 KiB-state aggregate over the joined frame; the quantile
+    // extraction is the window-free fold because the frame is 1 row.
+    // An exact latency percentile would sort every conversion (the
+    // q81 shape — fine once, wrong as a dashboard query).
+    "q149_conversion_latency" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val e = ev(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"),
+            col("ts_us").as("click_ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val conv = graft.operators.AsOfJoin.backward(
+            purchases, "user_id", "ts_us",
+            clicks, "user_id", "ts_us", Seq("click_ts"))
+          .withColumn("lat",
+            when(col("click_ts").isNotNull,
+              expr("(ts_us - click_ts) div 1000000")))
+        val hist = toC(graft.plans.HistAgg(toE(col("lat")))
+          .toAggregateExpression())
+        def qb(p: Int) =
+          expr(graft.plans.HistAgg.quantileBucketSql("_h", "_total", p))
+        def lo(name: String) = expr(graft.plans.HistAgg.loSparkSql(name))
+        conv.agg(count(lit(1)).as("n_purchases"),
+            count(col("lat")).as("n_converted"),
+            max(col("lat")).as("max_latency_s"),
+            hist.as("_h"))
+          .withColumn("_total",
+            expr("aggregate(_h, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("_b50", qb(50)).withColumn("_b90", qb(90))
+          .withColumn("_b99", qb(99))
+          .select(col("n_purchases"), col("n_converted"),
+            lo("_b50").as("p50_lo"), lo("_b90").as("p90_lo"),
+            lo("_b99").as("p99_lo"), col("max_latency_s"))
+      },
+      oracle = Some(s"""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          epoch_us(ts) AS ts_us FROM events),
+        c AS (SELECT DISTINCT user_id AS u, ts_us AS t FROM e
+              WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts_us FROM e WHERE event_type = 'purchase'),
+        j AS (SELECT p.ts_us, c.t AS click_ts
+              FROM p ASOF LEFT JOIN c
+                ON p.user_id = c.u AND p.ts_us >= c.t),
+        l AS (SELECT (ts_us - click_ts) // 1000000 AS lat FROM j
+              WHERE click_ts IS NOT NULL),
+        bk AS (SELECT CASE WHEN lat < 8 THEN lat
+                    ELSE ((length(bin(lat)) - 2) * 4
+                          + ((lat >> (length(bin(lat)) - 3)) & 3))
+               END AS b FROM l),
+        c2 AS (SELECT b, count(*) c FROM bk GROUP BY 1),
+        cum AS (SELECT b, c,
+                  sum(c) OVER (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(c) OVER () total
+                FROM c2),
+        q AS (SELECT
+                min(CASE WHEN cum * 100 >= 50 * total THEN b END) b50,
+                min(CASE WHEN cum * 100 >= 90 * total THEN b END) b90,
+                min(CASE WHEN cum * 100 >= 99 * total THEN b END) b99
+              FROM cum)
+        SELECT (SELECT count(*) FROM j) AS n_purchases,
+               (SELECT count(*) FROM l) AS n_converted,
+               ${graft.plans.HistAgg.loDuckSql("b50")} AS p50_lo,
+               ${graft.plans.HistAgg.loDuckSql("b90")} AS p90_lo,
+               ${graft.plans.HistAgg.loDuckSql("b99")} AS p99_lo,
+               (SELECT CAST(max(lat) AS BIGINT) FROM l) AS max_latency_s
+        FROM q"""),
       bench = true)
 
   )

@@ -679,6 +679,84 @@ object ExtendedQueries {
     "q139_ppr_related" -> QuerySpec(
       build = (s, d) => withPprRanks(s, d)(localTop20(s, _)),
       oracle = Some(pprOracleSql),
+      bench = true),
+
+    // ── graph degree-distribution shape (the salting question) ─────
+    // Before running ANY iterative graph op at 100 TB you ask: how
+    // skewed is the degree distribution — does a hub node exist that
+    // makes a per-node join partition explode (the q48 salting
+    // trigger), and how heavy is the per-iteration frontier? This
+    // answers it at report cost, per side of the bipartite fulfillment
+    // graph: n_nodes, exact max degree, and degree p50/p90/p99 from
+    // the log-histogram sketch ([[graft.plans.HistAgg]]) — the same
+    // constant-state quantiles as q120, here over node degrees. The
+    // quantile extraction is the window-free `aggregate()` fold
+    // (HistAgg.quantileBucketSql — the streaming variant's shared
+    // definition) because the frame is 2 rows.
+    //
+    // Scale shape: degrees ride the [[EdgeIndex]] artifact
+    // DENORMALIZED (every edge row carries its source's degree), so
+    // the query is one node-scale distinct over the bucketed edge
+    // scan + a 2-group constant-state aggregate. Nothing edge-scale
+    // shuffles; the corpus tables are never touched.
+    "q148_degree_shape" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val nodes = EdgeIndex.load(s, d)
+          .select(col("src"), col("d")).distinct()
+          .select(when(col("src") % 2 === 0, "supplier")
+            .otherwise("customer").as("side"), col("d"))
+        val hist = toC(graft.plans.HistAgg(toE(col("d")))
+          .toAggregateExpression())
+        def qb(p: Int) =
+          expr(graft.plans.HistAgg.quantileBucketSql("_h", "_total", p))
+        def lo(name: String) = expr(graft.plans.HistAgg.loSparkSql(name))
+        nodes.groupBy(col("side"))
+          .agg(count(lit(1)).as("n_nodes"), max(col("d")).as("max_deg"),
+            hist.as("_h"))
+          .withColumn("_total",
+            expr("aggregate(_h, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .withColumn("_b50", qb(50)).withColumn("_b90", qb(90))
+          .withColumn("_b99", qb(99))
+          .select(col("side"), col("n_nodes"), col("max_deg"),
+            lo("_b50").as("p50_lo"), lo("_b90").as("p90_lo"),
+            lo("_b99").as("p99_lo"))
+          .orderBy("side")
+      },
+      oracle = Some(s"""
+        WITH e0 AS (SELECT l_suppkey * 2 AS sid, o_custkey * 2 + 1 AS cid
+                    FROM lineitem JOIN orders
+                      ON l_orderkey = o_orderkey),
+        ed AS (SELECT sid AS src FROM e0 UNION ALL SELECT cid FROM e0),
+        deg AS (SELECT src, count(*) AS dg FROM ed GROUP BY 1),
+        sd AS (SELECT CASE WHEN src % 2 = 0 THEN 'supplier'
+                           ELSE 'customer' END AS side, dg FROM deg),
+        bk AS (SELECT side, dg,
+                 CASE WHEN dg < 8 THEN dg
+                      ELSE ((length(bin(dg)) - 2) * 4
+                            + ((dg >> (length(bin(dg)) - 3)) & 3))
+                 END AS b
+               FROM sd),
+        c AS (SELECT side, b, count(*) c FROM bk GROUP BY 1, 2),
+        cum AS (SELECT side, b, c,
+                  sum(c) OVER (PARTITION BY side ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(c) OVER (PARTITION BY side) total
+                FROM c),
+        q AS (SELECT side,
+                min(CASE WHEN cum * 100 >= 50 * total THEN b END) b50,
+                min(CASE WHEN cum * 100 >= 90 * total THEN b END) b90,
+                min(CASE WHEN cum * 100 >= 99 * total THEN b END) b99
+              FROM cum GROUP BY 1),
+        m AS (SELECT side, count(*) n_nodes, max(dg) max_deg FROM sd
+              GROUP BY 1)
+        SELECT m.side, CAST(m.n_nodes AS BIGINT) AS n_nodes,
+               CAST(m.max_deg AS BIGINT) AS max_deg,
+               ${graft.plans.HistAgg.loDuckSql("b50")} AS p50_lo,
+               ${graft.plans.HistAgg.loDuckSql("b90")} AS p90_lo,
+               ${graft.plans.HistAgg.loDuckSql("b99")} AS p99_lo
+        FROM m JOIN q USING (side)
+        ORDER BY side"""),
       bench = true)
   )
 

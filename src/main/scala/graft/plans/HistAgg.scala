@@ -126,4 +126,22 @@ object HistAgg {
   def loDuckSql(name: String): String =
     s"""CAST(CASE WHEN $name < 8 THEN $name
         ELSE (4 + ($name % 4)) << (($name // 4) - 1) END AS BIGINT)"""
+
+  /** Nearest-rank p-quantile BUCKET over a counter array column, as a
+    * window-free `aggregate()` fold: smallest index whose cumulative
+    * count reaches p% of `total`; -1 when the sketch is empty (feed
+    * through [[loSparkSql]], whose -1 branch yields NULL). ONE
+    * definition for every context that can't (streaming) or shouldn't
+    * (single-row frames) spend a Window on a 256-element scan. */
+  def quantileBucketSql(arr: String, total: String, p: Int): String =
+    s"""aggregate($arr,
+        named_struct('cum', CAST(0 AS BIGINT), 'pos', 0, 'b', -1),
+        (acc, x) -> named_struct(
+          'cum', acc.cum + x,
+          'pos', acc.pos + 1,
+          'b', CASE WHEN acc.b >= 0 THEN acc.b
+                    WHEN $total > 0 AND (acc.cum + x) * 100 >= $p * $total
+                      THEN acc.pos
+                    ELSE -1 END),
+        acc -> acc.b)"""
 }

@@ -165,17 +165,10 @@ object EventStreams {
     // reaches p% of the in-sketch total; -1 when the sketch is EMPTY
     // (all values null/negative — the `_total > 0` guard matters:
     // without it `0 >= 0` holds at the first bucket and an empty hour
-    // would report quantile 0 instead of null)
-    def bExpr(p: Int) = expr(s"""aggregate(_h,
-        named_struct('cum', CAST(0 AS BIGINT), 'pos', 0, 'b', -1),
-        (acc, x) -> named_struct(
-          'cum', acc.cum + x,
-          'pos', acc.pos + 1,
-          'b', CASE WHEN acc.b >= 0 THEN acc.b
-                    WHEN _total > 0 AND (acc.cum + x) * 100 >= $p * _total
-                      THEN acc.pos
-                    ELSE -1 END),
-        acc -> acc.b)""")
+    // would report quantile 0 instead of null). One shared fold
+    // definition — see HistAgg.quantileBucketSql.
+    def bExpr(p: Int) =
+      expr(graft.plans.HistAgg.quantileBucketSql("_h", "_total", p))
     // bucket lower bound — HistAgg.loOf's one shared SQL transcription
     // (NULL for the -1 empty-sketch sentinel)
     def lo(name: String) = expr(graft.plans.HistAgg.loSparkSql(name))

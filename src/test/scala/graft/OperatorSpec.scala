@@ -228,6 +228,105 @@ class OperatorSpec extends SparkSpec {
       assert(t._8 > 3 * math.max(t._4, 1L)) }
   }
 
+  test("q148 degree shape replays driver-side over the raw graph") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-deg-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val li = graft.analytics.Tables.lineitem(spark, d)
+        .select(col("l_suppkey"), col("l_orderkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ord = graft.analytics.Tables.orders(spark, d)
+        .select(col("o_orderkey"), col("o_custkey")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val deg = scala.collection.mutable.Map[Long, Long]()
+      li.foreach { case (sk, ok) =>
+        val (sid, cid) = (sk * 2, ord(ok) * 2 + 1)
+        deg(sid) = deg.getOrElse(sid, 0L) + 1
+        deg(cid) = deg.getOrElse(cid, 0L) + 1
+      }
+      def bucket(v: Long): Int =
+        if (v < 8) v.toInt
+        else {
+          val bl = 64 - java.lang.Long.numberOfLeadingZeros(v)
+          ((bl - 2) << 2) | ((v >>> (bl - 3)) & 3L).toInt
+        }
+      def loOf(b: Int): Long =
+        if (b < 8) b.toLong else (4L + (b % 4)) << (b / 4 - 1)
+      def stats(ds: Seq[Long]): (Long, Long, Long, Long, Long) = {
+        val bs = ds.map(bucket).sorted
+        def nr(p: Int) = {
+          val n = bs.length
+          loOf(bs(((n * p + 99) / 100).max(1) - 1))
+        }
+        // nearest-rank on the sorted bucket list == the cumulative
+        // rule min{b : cum*100 >= p*total}
+        (ds.length.toLong, ds.max, nr(50), nr(90), nr(99))
+      }
+      val expected = Seq("customer", "supplier").map { side =>
+        val ds = deg.collect {
+          case (v, dg) if (v % 2 == 0) == (side == "supplier") => dg
+        }.toSeq
+        side -> stats(ds)
+      }.toMap
+      val got = graft.analytics.ExtendedQueries.queries("q148_degree_shape")
+        .build(spark, d).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(got == expected)
+      // the signal the query exists for: the supplier side is the
+      // skewed one on this graph (hub degrees far above customers')
+      assert(got("supplier")._2 > got("customer")._2,
+        "expected supplier-side hubs")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
+  test("q149 conversion latency replays driver-side with exact buckets") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val rows = e.select(col("event_type"), col("user_id"),
+        graft.analytics.Tables.tsUs(e).as("ts_us")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val clicksBy = rows.filter(_._1 == "click").map(t => (t._2, t._3))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val purchases = rows.filter(_._1 == "purchase").map(t => (t._2, t._3))
+    val lats = purchases.flatMap { case (u, ts) =>
+      clicksBy.get(u).flatMap { cs =>
+        val prior = cs.takeWhile(_ <= ts)
+        if (prior.isEmpty) None else Some((ts - prior.last) / 1000000L)
+      }
+    }
+    def bucket(v: Long): Int =
+      if (v < 8) v.toInt
+      else {
+        val bl = 64 - java.lang.Long.numberOfLeadingZeros(v)
+        ((bl - 2) << 2) | ((v >>> (bl - 3)) & 3L).toInt
+      }
+    def loOf(b: Int): Long =
+      if (b < 8) b.toLong else (4L + (b % 4)) << (b / 4 - 1)
+    val bs = lats.map(bucket).sorted
+    def nr(p: Int) = loOf(bs(((bs.length * p + 99) / 100).max(1) - 1))
+    val r = graft.analytics.EventQueries.queries("q149_conversion_latency")
+      .build(spark, d).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_purchases") == purchases.length.toLong)
+    assert(row.getAs[Long]("n_converted") == lats.length.toLong)
+    assert(row.getAs[Long]("p50_lo") == nr(50))
+    assert(row.getAs[Long]("p90_lo") == nr(90))
+    assert(row.getAs[Long]("p99_lo") == nr(99))
+    assert(row.getAs[Long]("max_latency_s") == lats.max)
+    // the funnel must bind both ways at this SF
+    assert(lats.nonEmpty && lats.length < purchases.length,
+      "need both converted and unconverted purchases")
+  }
+
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-ppr-art")
