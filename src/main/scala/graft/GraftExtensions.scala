@@ -123,6 +123,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(oneArg("cms_counters",
       "cms_counters(h60) - Count-Min 4x256 counter array over 60-bit hashes",
       graft.plans.CmsAgg(_)))
+    ext.injectFunction(oneArg("count_sketch",
+      "count_sketch(h60) - signed AGMS 4x256 counter array (unbiased join-size inner products)",
+      graft.plans.CountSketchAgg(_)))
     ext.injectFunction(oneArg("bloom_bits",
       "bloom_bits(h60) - 8192-bit Bloom filter (128 longs) over 60-bit hashes",
       graft.plans.BloomAgg(_)))

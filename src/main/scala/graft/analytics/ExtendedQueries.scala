@@ -757,6 +757,111 @@ object ExtendedQueries {
                ${graft.plans.HistAgg.loDuckSql("b99")} AS p99_lo
         FROM m JOIN q USING (side)
         ORDER BY side"""),
+      bench = true),
+
+    // ── join-size estimation from sketches (size the shuffle BEFORE
+    // paying it) — and an estimator SHOOTOUT the query itself
+    // measures. |A ⨝ B on k| = Σ_k f_A(k)·f_B(k), and two constant-
+    // state sketches price it without running the join:
+    //
+    //   - CMS dot product (min_j Σ_i cA[j][i]·cB[j][i]): one-sided —
+    //     colliding keys only ADD nonnegative cross terms, so it
+    //     never undercounts, but its error ‖A‖₁·‖B‖₁/w drowns the
+    //     truth whenever distinct keys ≫ 256 buckets (at sf0.1 it
+    //     overcounts ~58,000% — reported, not hidden);
+    //   - Count-Sketch / AGMS inner product ([[graft.plans.
+    //     CountSketchAgg]]): signed counters cancel collisions in
+    //     expectation — UNBIASED, variance ~ ‖A‖₂²‖B‖₂²/w, median of
+    //     the 4 independent rows (floor-mean of the middle pair via
+    //     arithmetic shift — identical in both engines). This is the
+    //     number an orchestrator reads to pick broadcast vs shuffle
+    //     vs salting before launching a 100 TB join.
+    //
+    // Cost: ONE 8 KiB-state exchange per side per sketch vs executing
+    // the join; the exact count rides along as the audit. All integer:
+    // counters are exact (signed) counts, dot products order-free
+    // integer sums, so DuckDB rebuilds all cells and every estimate
+    // hash-checks bit-for-bit.
+    "q150_join_size_estimate" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        def h60(c: org.apache.spark.sql.Column) =
+          conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+        def agg2(df: DataFrame, a: String, b: String) = {
+          val cms = toC(graft.plans.CmsAgg(toE(col("h")))
+            .toAggregateExpression())
+          val cs = toC(graft.plans.CountSketchAgg(toE(col("h")))
+            .toAggregateExpression())
+          df.agg(cms.as(a), cs.as(b))
+        }
+        val ca = agg2(lineitem(s, d)
+          .select(h60(col("l_orderkey")).as("h")), "ca", "sa")
+        val cb = agg2(orders(s, d)
+          .select(h60(col("o_orderkey")).as("h")), "cb", "sb")
+        val exact = lineitem(s, d).select(col("l_orderkey"))
+          .join(orders(s, d).select(col("o_orderkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("exact_rows"))
+        val W = graft.plans.CmsAgg.w
+        def dot(x: String, y: String, j: Int) = expr(
+          s"""aggregate(
+              zip_with(slice($x, ${j * W + 1}, $W),
+                       slice($y, ${j * W + 1}, $W), (p, q) -> p * q),
+              CAST(0 AS BIGINT), (a, v) -> a + v)""")
+        val dots = (0 until graft.plans.CmsAgg.d)
+        // deliberate bounded crosses: three 1-row frames
+        ca.crossJoin(cb).crossJoin(exact)
+          .withColumn("cms_est", least(dots.map(dot("ca", "cb", _)): _*))
+          .withColumn("_sd", array_sort(array(dots.map(dot("sa", "sb", _)): _*)))
+          // median of 4 = floor-mean of the middle pair; shiftright
+          // floors for negatives identically in both engines (div
+          // truncates toward zero and would diverge)
+          .withColumn("ams_est",
+            shiftright(element_at(col("_sd"), 2) +
+              element_at(col("_sd"), 3), 1))
+          .select(col("exact_rows"), col("cms_est"),
+            StableRound.r4((col("cms_est") - col("exact_rows"))
+              .cast("double") / col("exact_rows") * 100).as("cms_over_pct"),
+            col("ams_est"),
+            StableRound.r4(abs(col("ams_est") - col("exact_rows"))
+              .cast("double") / col("exact_rows") * 100).as("ams_err_pct"))
+      },
+      oracle = Some(s"""
+        WITH la AS (SELECT ('0x' || substring(md5(l_orderkey::VARCHAR),
+                      1, 15))::BIGINT h FROM lineitem),
+        lb AS (SELECT ('0x' || substring(md5(o_orderkey::VARCHAR),
+                      1, 15))::BIGINT h FROM orders),
+        js AS (SELECT unnest(generate_series(0, 3)) j),
+        ca AS (SELECT j, (h >> (8 * j)) & 255 AS i, count(*) c,
+                 CAST(sum(CASE WHEN ((h >> (32 + j)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS BIGINT) sc
+               FROM la CROSS JOIN js GROUP BY 1, 2),
+        cb AS (SELECT j, (h >> (8 * j)) & 255 AS i, count(*) c,
+                 CAST(sum(CASE WHEN ((h >> (32 + j)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS BIGINT) sc
+               FROM lb CROSS JOIN js GROUP BY 1, 2),
+        dot AS (SELECT js.j,
+                  CAST(coalesce(sum(ca.c * cb.c), 0) AS BIGINT) e,
+                  CAST(coalesce(sum(ca.sc * cb.sc), 0) AS BIGINT) se
+                FROM js
+                LEFT JOIN ca ON ca.j = js.j
+                LEFT JOIN cb ON cb.j = ca.j AND cb.i = ca.i
+                GROUP BY 1),
+        est AS (SELECT min(e) cms_est FROM dot),
+        med AS (SELECT list_sort(list(se)) le FROM dot),
+        ams AS (SELECT (le[2] + le[3]) >> 1 AS ams_est FROM med),
+        ex AS (SELECT count(*) c FROM lineitem JOIN orders
+               ON l_orderkey = o_orderkey)
+        SELECT CAST(ex.c AS BIGINT) AS exact_rows,
+               CAST(est.cms_est AS BIGINT) AS cms_est,
+               ${StableRound.sql4(
+                 "CAST(est.cms_est - ex.c AS DOUBLE) / ex.c * 100")}
+                 AS cms_over_pct,
+               CAST(ams.ams_est AS BIGINT) AS ams_est,
+               ${StableRound.sql4(
+                 "CAST(abs(ams.ams_est - ex.c) AS DOUBLE) / ex.c * 100")}
+                 AS ams_err_pct
+        FROM ex CROSS JOIN est CROSS JOIN ams"""),
       bench = true)
   )
 

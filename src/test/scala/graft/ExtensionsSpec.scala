@@ -72,7 +72,7 @@ class ExtensionsSpec extends SparkSpec {
       val row3 = s.sql(s"""
         SELECT hll_registers(h) AS hll, cms_counters(h) AS cms,
                bloom_bits(h) AS bloom, hist_counts(h) AS hist,
-               hll_reg_array(h) AS hra
+               hll_reg_array(h) AS hra, count_sketch(h) AS csk
         FROM (VALUES (${hs(0)}L), (${hs(1)}L), (${hs(2)}L)) AS v(h)
       """).head()
       val regs = new Array[Int](512)
@@ -107,6 +107,14 @@ class ExtensionsSpec extends SparkSpec {
       // the register-ARRAY variant must carry the same registers the
       // scalar summaries were computed from
       assert(row3.getSeq[Long](4) === regs.map(_.toLong).toSeq)
+      // the SIGNED sketch: same cells as CMS but ±1 by hash bit 32+j
+      val sgn = new Array[Long](1024)
+      hs.foreach { h =>
+        for (j <- 0 until 4)
+          sgn(j * 256 + ((h >>> (8 * j)) & 255L).toInt) +=
+            (if (((h >>> (32 + j)) & 1L) == 1L) 1L else -1L)
+      }
+      assert(row3.getSeq[Long](5) === sgn.toSeq)
 
       // the generator (UDTF) path: LATERAL VIEW over the injected fn
       val gen = s.sql("""

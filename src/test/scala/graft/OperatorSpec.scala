@@ -327,6 +327,52 @@ class OperatorSpec extends SparkSpec {
       "need both converted and unconverted purchases")
   }
 
+  test("q150 join-size estimators replay driver-side; AGMS beats CMS here") {
+    val d = "/root/testdata/sf0.001"
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(v: Long) = java.lang.Long.parseLong(md5hex(v.toString).take(15), 16)
+    val lks = graft.analytics.Tables.lineitem(spark, d)
+      .select(col("l_orderkey")).collect().map(_.getLong(0))
+    val oks = graft.analytics.Tables.orders(spark, d)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val okSet = oks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val exact = lks.map(k => okSet.getOrElse(k, 0L)).sum
+    def sketches(ks: Array[Long]): (Array[Long], Array[Long]) = {
+      val cms = new Array[Long](1024); val ams = new Array[Long](1024)
+      ks.foreach { k =>
+        val h = h60(k)
+        for (j <- 0 until 4) {
+          val cell = j * 256 + ((h >>> (8 * j)) & 255L).toInt
+          cms(cell) += 1L
+          ams(cell) += (if (((h >>> (32 + j)) & 1L) == 1L) 1L else -1L)
+        }
+      }
+      (cms, ams)
+    }
+    val (ca, sa) = sketches(lks); val (cb, sb) = sketches(oks)
+    def dots(x: Array[Long], y: Array[Long]) = (0 until 4).map(j =>
+      (0 until 256).map(i => x(j * 256 + i) * y(j * 256 + i)).sum)
+    val cmsEst = dots(ca, cb).min
+    val sd = dots(sa, sb).sorted
+    val amsEst = (sd(1) + sd(2)) >> 1
+    val r = graft.analytics.ExtendedQueries
+      .queries("q150_join_size_estimate").build(spark, d).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("exact_rows") == exact)
+    assert(row.getAs[Long]("cms_est") == cmsEst)
+    assert(row.getAs[Long]("ams_est") == amsEst)
+    // the estimators' defining properties on real data: CMS one-sided
+    // above truth; AGMS lands within its ~1/sqrt(w) variance band
+    assert(cmsEst >= exact, "CMS inner product must never undercount")
+    assert(math.abs(amsEst - exact) < math.abs(cmsEst - exact),
+      "the signed sketch must beat CMS at this key density")
+    assert(math.abs(amsEst - exact).toDouble / exact < 0.5,
+      s"AGMS estimate $amsEst implausibly far from $exact")
+  }
+
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-ppr-art")
