@@ -474,6 +474,53 @@ object EventQueries {
                ${graft.plans.HistAgg.loDuckSql("b99")} AS p99_lo,
                (SELECT CAST(max(lat) AS BIGINT) FROM l) AS max_latency_s
         FROM q"""),
+      bench = true),
+
+    // ── event transition matrix (Markov next-event structure) ──────
+    // Per (from_type → to_type) over each user's time-ordered event
+    // sequence: transition counts and integer-e4 row-stochastic
+    // probabilities — the structure next-event prediction, funnel
+    // design, and bot detection (a user whose transitions are too
+    // deterministic) all read. Tie order is pinned (ts, then
+    // event_id) so the sequence — and the matrix — is identical
+    // cross-engine.
+    //
+    // Scale shape: sequence ops need the per-user order, so the ONE
+    // event-scale exchange is the user-keyed sort window (lead);
+    // the pair rollup map-side-combines to ≤|types|² rows and the
+    // row totals come from a window over THAT tiny frame (the q138
+    // denominator trick — never a second event-scale pass).
+    "q151_event_transitions" -> QuerySpec(
+      build = (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        ev(s, d)
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("_tot",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            expr("n * 10000 div _tot").as("p_e4"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id, event_type, event_id,
+                          epoch_us(ts) AS ts_us FROM events),
+        t AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts_us, event_id) AS to_type
+              FROM e),
+        g AS (SELECT from_type, to_type, count(*) n FROM t
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        f AS (SELECT from_type, sum(n) tot FROM g GROUP BY 1)
+        SELECT g.from_type, g.to_type, CAST(g.n AS BIGINT) AS n,
+               CAST(g.n * 10000 // f.tot AS BIGINT) AS p_e4
+        FROM g JOIN f USING (from_type)
+        ORDER BY from_type, to_type"""),
       bench = true)
 
   )

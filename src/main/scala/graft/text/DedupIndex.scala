@@ -66,8 +66,10 @@ object PostingIndex {
   // set, whose expansion measured 7.4 s per invocation at 100× when
   // recomputed) — a layout change over an existing artifact dir would
   // otherwise read a path that was never written
-  private def dir(d: String) =
-    Artifacts.dir(d, s"jaccard_postings_df${TextQueries.jaccardDfCap}_v3")
+  private[graft] def artifactName =
+    s"jaccard_postings_df${TextQueries.jaccardDfCap}_v3"
+
+  private def dir(d: String) = Artifacts.dir(d, artifactName)
 
   private def ensure(s: SparkSession, d: String): java.nio.file.Path = {
     val target = dir(d)

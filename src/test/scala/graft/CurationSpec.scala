@@ -611,7 +611,7 @@ class CurationSpec extends SparkSpec {
       assert(first.toSeq == q24.toSeq,
         "the artifact read path must reproduce the direct build")
       val dir = graft.text.Artifacts.dir(sf,
-        s"jaccard_postings_df${graft.text.TextQueries.jaccardDfCap}_v2")
+        graft.text.PostingIndex.artifactName)
       assert(java.nio.file.Files.isDirectory(dir))
       val mtime = java.nio.file.Files.getLastModifiedTime(dir)
       // second read: same rows, no rebuild

@@ -327,6 +327,35 @@ class OperatorSpec extends SparkSpec {
       "need both converted and unconverted purchases")
   }
 
+  test("q151 transition matrix replays driver-side and rows are stochastic") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val rows = e.select(col("user_id"), col("event_id"), col("event_type"),
+        graft.analytics.Tables.tsUs(e).as("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val pairs = rows.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(t => (t._4, t._2)).map(_._3)
+      seq.zip(seq.drop(1))
+    }.toSeq
+    val n = pairs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tot = pairs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = n.toSeq.map { case ((f, t), c) =>
+      (f, t, c, c * 10000 / tot(f))
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.analytics.EventQueries.queries("q151_event_transitions")
+      .build(spark, d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    // row-stochastic up to the integer floor: each from-row's p_e4
+    // sums into (10000 - |row|, 10000]
+    got.groupBy(_._1).foreach { case (f, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 10000 && s > 10000 - rs.length,
+        s"$f row sums to $s over ${rs.length} cells")
+    }
+  }
+
   test("q150 join-size estimators replay driver-side; AGMS beats CMS here") {
     val d = "/root/testdata/sf0.001"
     def md5hex(s: String) =
