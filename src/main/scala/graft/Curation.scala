@@ -228,9 +228,13 @@ object Curation {
     // 4b ── optional containment drop (q140): the engulfed side of a
     // ≥60%-containment pair drops IF its outer partner survives (a
     // partner that already fell to quality/decontamination keeps the
-    // engulfed copy — its content must survive somewhere). Pair-scale
-    // joins against the PostingIndex-derived pair set; the corpus is
-    // never re-shingled here.
+    // engulfed copy — its content must survive somewhere). Containment
+    // is NOT transitive, so in a chain A⊂B⊂C the pass may only drop A
+    // if B itself is KEPT — an outer that is itself engulfed is
+    // excluded from licensing drops this pass (conservative: a rare
+    // chain under-drops rather than losing A's content when B falls
+    // to C). Pair-scale joins against the PostingIndex-derived pair
+    // set; the corpus is never re-shingled here.
     val contained =
       if (!containment) deduped
       else {
@@ -242,6 +246,9 @@ object Curation {
         val drops = pairs
           .join(deduped.select(col("doc_id").as("_outer")),
             Seq("_outer"), "left_semi")
+          // the licensing outer must not be an engulfed doc itself
+          .join(pairs.select(col("inner_doc").as("_outer")).distinct(),
+            Seq("_outer"), "left_anti")
           .select(col("inner_doc").as("doc_id")).distinct()
         deduped.join(drops, Seq("doc_id"), "left_anti")
       }

@@ -413,9 +413,15 @@ object EventQueries {
       build = (s, d) => {
         import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
         val e = ev(s, d)
+        // AsOfJoin's contract: the right side is unique per (key,
+        // time). Today the payload IS the time so duplicate clicks
+        // would tie harmlessly, but honoring the precondition (the
+        // oracle's SELECT DISTINCT) keeps any future payload column
+        // deterministic
         val clicks = e.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts_us"),
             col("ts_us").as("click_ts"))
+          .dropDuplicates("user_id", "ts_us")
         val purchases = e.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_us"), col("event_id"))
         val conv = graft.operators.AsOfJoin.backward(

@@ -785,8 +785,9 @@ object ExtendedQueries {
     "q150_join_size_estimate" -> QuerySpec(
       build = (s, d) => {
         import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        // the ONE canonical 60-bit hash definition (string-cast keys)
         def h60(c: org.apache.spark.sql.Column) =
-          conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+          graft.text.TextQueries.md5Hash60(c.cast("string"))
         def agg2(df: DataFrame, a: String, b: String) = {
           val cms = toC(graft.plans.CmsAgg(toE(col("h")))
             .toAggregateExpression())
@@ -809,9 +810,21 @@ object ExtendedQueries {
                        slice($y, ${j * W + 1}, $W), (p, q) -> p * q),
               CAST(0 AS BIGINT), (a, v) -> a + v)""")
         val dots = (0 until graft.plans.CmsAgg.d)
+        // exactness guard: with every bucket count below 2^27, each
+        // 256-term dot product stays under 2^62 — beyond that Spark's
+        // non-ANSI multiply would WRAP silently while DuckDB throws,
+        // so fail loudly instead of diverging (~1.7e10 rows per side
+        // at uniform keys; widen the accumulator to decimal past it)
+        val lim = 1L << 27
+        def mx(arr: String) = expr(
+          s"aggregate($arr, cast(0 as bigint), (a, x) -> greatest(a, x))")
         // deliberate bounded crosses: three 1-row frames
         ca.crossJoin(cb).crossJoin(exact)
-          .withColumn("cms_est", least(dots.map(dot("ca", "cb", _)): _*))
+          .withColumn("cms_est",
+            when(greatest(mx("ca"), mx("cb")) >= lit(lim),
+              raise_error(lit("q150: bucket counts exceed the exact " +
+                "64-bit dot-product range — widen to decimal")))
+            .otherwise(least(dots.map(dot("ca", "cb", _)): _*)))
           .withColumn("_sd", array_sort(array(dots.map(dot("sa", "sb", _)): _*)))
           // median of 4 = floor-mean of the middle pair; shiftright
           // floors for negatives identically in both engines (div

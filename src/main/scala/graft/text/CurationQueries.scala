@@ -1725,10 +1725,22 @@ object CurationQueries {
         // MEMORY CONTRACT: |sources| rows × 4 KiB — persisted so the
         // a-side and b-side of the pair join share ONE corpus-scale
         // sketch pass (unpersisted, the self-join re-aggregates the
-        // corpus twice)
-        val regs = docs
-          .select(col("source"), explode(shingle_hashes(col("text"), 8)).as("h"))
-          .groupBy(col("source")).agg(regsAgg.as("regs"))
+        // corpus twice). The source list comes from the DOCUMENTS
+        // frame, not the shingle stream: a source whose docs are all
+        // shorter than 8 tokens emits no shingles, and dropping it
+        // here would silently omit its (near-zero-overlap) pair rows
+        // while the oracle — which builds registers per DISTINCT
+        // source with coalesce-0 — still reports them. Empty sketch =
+        // the all-zero register array, exactly the oracle's.
+        val regs = docs.select(col("source")).distinct()
+          .join(docs
+            .select(col("source"),
+              explode(shingle_hashes(col("text"), 8)).as("h"))
+            .groupBy(col("source")).agg(regsAgg.as("regs")),
+            Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("regs"),
+              array_repeat(lit(0L), graft.plans.HllAgg.m)).as("regs"))
           .persist()
         // integer Σ 2^(52-M_j): the q104 s_scaled arithmetic over an
         // in-row array — exact, then ONE double division per estimate
@@ -2541,7 +2553,11 @@ object CurationQueries {
         // persisted so the marginals and the total reuse one pass
         val bgc = bg.groupBy(col("head"), col("next_tok"))
           .agg(count(lit(1)).as("n_ab")).persist()
-        val nTotal = bgc.agg(sum(col("n_ab"))).head.getLong(0)
+        // coalesce(0): sum over an EMPTY bigram table is null — an
+        // all-single-token corpus must yield the oracle's empty top-20,
+        // not an NPE at build time
+        val nTotal = bgc.agg(coalesce(sum(col("n_ab")), lit(0L)))
+          .head.getLong(0)
         val heads = bgc.groupBy(col("head")).agg(sum(col("n_ab")).as("n_a"))
         val nexts = bgc.groupBy(col("next_tok"))
           .agg(sum(col("n_ab")).as("n_b"))

@@ -35,9 +35,22 @@ object TextQueries {
     * reshards, reruns, and engine swaps. Keep [[duckHashBand]] in
     * byte-lockstep. */
   private[graft] def hashBand100: org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr(
-      "conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+    hashBand100Of(org.apache.spark.sql.functions.col("doc_id"))
+  /** The same band over an arbitrary long key — q144/q147 band pair
+    * endpoints and cluster reps; ONE definition so the audits can
+    * never drift from the split they audit. */
+  private[graft] def hashBand100Of(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
+  }
+  /** The q71 train/val/test assignment of a long key (80/10/10 by
+    * [[hashBand100Of]]) — shared by q71, q144, and q147. */
+  private[graft] def splitOf(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val b = hashBand100Of(c)
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
   private[text] val duckHashBand =
     "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
@@ -593,14 +606,9 @@ object TextQueries {
     // corpus), then one ≤6-row groupBy. Nothing corpus-scale moves.
     "q144_split_leakage" -> QuerySpec(
       build = (s, d) => {
-        def band(c: String) =
-          expr(s"conv(substring(md5(cast($c as string)), 1, 8), 16, 10)")
-            .cast("long") % 100
-        def sp(c: String) =
-          when(band(c) < 80, "train").when(band(c) < 90, "val")
-            .otherwise("test")
         PairIndex.load(s, d)
-          .select(sp("da").as("_sa"), sp("db").as("_sb"))
+          .select(splitOf(col("da")).as("_sa"),
+            splitOf(col("db")).as("_sb"))
           .select(least(col("_sa"), col("_sb")).as("split_a"),
             greatest(col("_sa"), col("_sb")).as("split_b"))
           .groupBy(col("split_a"), col("split_b"))
@@ -650,18 +658,13 @@ object TextQueries {
         val pairs = PairIndex.load(s, d)
         val labels = ClusterIndex.load(s, d)
           .select(col("doc_id"), col("rep"))
-        def sp(c: String) = {
-          val b =
-            expr(s"conv(substring(md5(cast($c as string)), 1, 8), 16, 10)")
-              .cast("long") % 100
-          when(b < 80, "train").when(b < 90, "val").otherwise("test")
-        }
         pairs
           .join(labels.select(col("doc_id").as("da"), col("rep").as("_ra")),
             Seq("da"))
           .join(labels.select(col("doc_id").as("db"), col("rep").as("_rb")),
             Seq("db"))
-          .select(sp("_ra").as("_sa"), sp("_rb").as("_sb"))
+          .select(splitOf(col("_ra")).as("_sa"),
+            splitOf(col("_rb")).as("_sb"))
           .select(least(col("_sa"), col("_sb")).as("split_a"),
             greatest(col("_sa"), col("_sb")).as("split_b"))
           .groupBy(col("split_a"), col("split_b"))
@@ -1042,10 +1045,8 @@ object TextQueries {
     // same assignment. Narrow per-row math + one partial-agg groupBy.
     "q71_hash_split" -> QuerySpec(
       build = (s, d) => {
-        val h = hashBand100
         Tables.documents(s, d)
-          .withColumn("split",
-            when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+          .withColumn("split", splitOf(col("doc_id")))
           .groupBy(col("lang"), col("split"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).as("n_chars"))

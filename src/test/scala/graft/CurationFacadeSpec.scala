@@ -236,6 +236,70 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curate: a containment chain drops only the safely-licensed doc") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf5-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf5-data").toString
+      // chain A⊂B⊂C with A⊄C, sized so RESEMBLANCE stays below the
+      // minhash bands (each pair's jaccard ≈ 0.2 — the containment
+      // stage, not near-dup, must be what fires): C = 80 varied
+      // phrases; B = 17 of C's + 3 unique (contained ~0.85 in C,
+      // jaccard(B,C) ≈ 0.2); A = the 3 unique + 1 of C's (contained
+      // 1.0 in B, jaccard(A,B) = 0.2, contained only ~0.25 in C — no
+      // A-C pair). The fixed pass drops B (licensed by C, a pure
+      // outer) and KEEPS A — its only outer is itself engulfed, and
+      // A's content is NOT in C, so dropping both would lose it
+      def ph(tag: String, i: Int) = s"palabra$tag$i de${i}x la${i}y"
+      val cTxt = (1 to 80).map(ph("a", _)).mkString(" ")
+      val uniq = (1 to 3).map(ph("z", _))
+      val bTxt = (uniq ++ (1 to 17).map(ph("a", _))).mkString(" ")
+      val aTxt = (uniq :+ ph("a", 1)).mkString(" ")
+      val docs = Seq((1L, cTxt), (2L, bTxt), (3L, aTxt),
+        (4L, (1 to 40).map(ph("q", _)).mkString(" ")))
+        .map { case (id, t) => (id, t, "es", "s1", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      // preflight: the fixture must actually form the A⊂B⊂C chain and
+      // NOT an A⊂C pair (else the scenario tests nothing)
+      val pairs = graft.text.TextQueries.queries("q140_containment_pairs")
+        .build(spark, dataDir).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Long]("inner_doc"))).toSet
+      assert(pairs.exists(p => p._1 == 2L && p._2 == 3L && p._3 == 3L),
+        s"A must be engulfed by B: $pairs")
+      assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 2L),
+        s"B must be engulfed by C: $pairs")
+      assert(!pairs.exists(p => Set(p._1, p._2) == Set(1L, 3L)),
+        s"A must NOT pair with C directly: $pairs")
+
+      val r = Curation.curate(spark, dataDir, qualityMin = 0.0,
+        containment = true, mixBase = 0L)
+      // the drop must happen at the CONTAINMENT stage — if near-dup
+      // already removed B the scenario degraded into the simple case
+      assert(r.stages.find(_.name == "near_dedup").get.n_docs == 4L,
+        s"near-dup must not fire in this fixture: ${r.stages}")
+      assert(r.stages.find(_.name == "containment").get.n_docs == 3L,
+        s"containment must drop exactly one doc: ${r.stages}")
+      val kept = r.curated.select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(kept == Seq(1L, 3L, 4L),
+        s"chain must drop only B (doc 2), keeping A whose content " +
+          s"is nowhere else: kept $kept")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("curate: perplexity tail drop and UniMax mixture replay exactly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cf2-art")
