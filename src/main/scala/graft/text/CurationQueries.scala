@@ -2592,6 +2592,93 @@ object CurationQueries {
         CROSS JOIN tot
         WHERE c.n_ab >= 5
         ORDER BY lift DESC, c.head, c.next_tok LIMIT 20"""),
+      bench = true),
+
+    // ── padding-waste audit: epoch order vs length bucketing ───────
+    // Training batches pad every sequence to the batch max, so batch
+    // COMPOSITION is a real token budget: this prices it. Within each
+    // of 8 training shards (the q92 sharding domain — batching happens
+    // inside a shard's sequential read), documents form batches of 32
+    // two ways: in reproducible md5 epoch order (the q92/TrainOrder
+    // discipline — effectively random lengths per batch) and sorted
+    // by (length, key) — classic length bucketing. Waste per doc =
+    // batch_max_len − len; per shard: n_docs, both wastes, and the
+    // saving in e4 — the number that decides whether the training
+    // loader should trade shuffle-within-shard randomness for
+    // bucketed batches. All integer (token counts, integer-div e4).
+    //
+    // Scale shape: everything is windowed BY SHARD (shard count scales
+    // with the corpus, each window sorts one shard — the TrainOrder
+    // spill discipline, never a global sort): two rank windows + two
+    // batch-max windows, all on the same shard partitioning, one
+    // 8-row rollup.
+    "q152_padding_waste" -> QuerySpec(
+      build = (s, d) => {
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            token_count(col("text")).cast("long").as("len"))
+          .withColumn("shard",
+            graft.text.TextQueries.hashBand100Of(col("doc_id")) % 8)
+          .withColumn("k",
+            md5(concat(lit("q152|"), col("doc_id").cast("string"))))
+        def wasteOf(order: Seq[org.apache.spark.sql.Column],
+                    out: String): org.apache.spark.sql.DataFrame = {
+          val w = Window.partitionBy(col("shard")).orderBy(order: _*)
+          base
+            .withColumn("_rn", row_number().over(w))
+            .withColumn("_b", expr("(_rn - 1) div 32"))
+            .withColumn("_mx", max(col("len")).over(
+              Window.partitionBy(col("shard"), col("_b"))))
+            .groupBy(col("shard"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("_mx") - col("len")).as(out))
+        }
+        val naive = wasteOf(Seq(col("k")), "naive_waste")
+        val sorted_ = wasteOf(Seq(col("len"), col("k")), "sorted_waste")
+          .drop("n_docs")
+        naive.join(sorted_, "shard")
+          .select(col("shard"), col("n_docs"), col("naive_waste"),
+            col("sorted_waste"),
+            when(col("naive_waste") === 0, lit(0L))
+              .otherwise(expr(
+                "(naive_waste - sorted_waste) * 10000 div naive_waste"))
+              .as("saving_e4"))
+          .orderBy("shard")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        b AS (SELECT doc_id, len(toks) AS len,
+                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 100 % 8 AS shard,
+                md5('q152|' || doc_id::VARCHAR) AS k
+              FROM t),
+        n AS (SELECT shard, len,
+                (row_number() OVER (PARTITION BY shard ORDER BY k) - 1)
+                  // 32 AS bb
+              FROM b),
+        nw AS (SELECT shard, count(*) n_docs,
+                 CAST(sum(mx - len) AS BIGINT) naive_waste
+               FROM (SELECT shard, len,
+                       max(len) OVER (PARTITION BY shard, bb) mx
+                     FROM n)
+               GROUP BY 1),
+        s2 AS (SELECT shard, len,
+                 (row_number() OVER (PARTITION BY shard
+                    ORDER BY len, k) - 1) // 32 AS bb
+               FROM b),
+        sw AS (SELECT shard,
+                 CAST(sum(mx - len) AS BIGINT) sorted_waste
+               FROM (SELECT shard, len,
+                       max(len) OVER (PARTITION BY shard, bb) mx
+                     FROM s2)
+               GROUP BY 1)
+        SELECT nw.shard, CAST(nw.n_docs AS BIGINT) AS n_docs,
+               nw.naive_waste, sw.sorted_waste,
+               CASE WHEN nw.naive_waste = 0 THEN 0
+                    ELSE (nw.naive_waste - sw.sorted_waste) * 10000
+                         // nw.naive_waste END AS saving_e4
+        FROM nw JOIN sw USING (shard)
+        ORDER BY nw.shard"""),
       bench = true)
   )
 

@@ -1254,6 +1254,50 @@ class CurationSpec extends SparkSpec {
     assert(got.forall(_._3 >= 5L), "support floor violated")
   }
 
+  test("q152 padding waste replays driver-side and bucketing always wins") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.analytics.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).trim.split("\\s+").length.toLong))
+    val rows = docs.map { case (id, len) =>
+      val shard = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100 % 8
+      (shard, len, md5hex(s"q152|$id"))
+    }
+    def waste(ordered: Seq[Long]): Long =
+      ordered.grouped(32).map(b => b.map(b.max - _).sum).sum
+    val expected = rows.groupBy(_._1).map { case (shard, rs) =>
+      val naive = waste(rs.sortBy(_._3).map(_._2).toSeq)
+      val sorted_ = waste(rs.sortBy(r => (r._2, r._3)).map(_._2).toSeq)
+      val sav = if (naive == 0) 0L else (naive - sorted_) * 10000 / naive
+      shard -> ((rs.length.toLong, naive, sorted_, sav))
+    }
+    val got = run("q152_padding_waste").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    // the audit must measure something: bucketing never loses, and at
+    // this corpus's length spread it wins substantially somewhere
+    got.values.foreach { case (_, n, s, _) => assert(s <= n) }
+    assert(got.values.exists(_._4 > 2000), "no shard saved > 20%")
+  }
+
+  test("q146 collocations yield an empty frame on a bigram-less corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-colloc-empty").toString
+    Seq((1L, "solo", "es", "s1", 4L), (2L, "uno", "es", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // single-token docs: zero bigrams — the build must return the
+    // oracle's empty top-20, not NPE on the null total
+    assert(CurationQueries.queries("q146_collocations")
+      .build(spark, dir).collect().isEmpty)
+  }
+
   test("q141 sketch overlap replays driver-side (registers, algebra, exact)") {
     val root = java.nio.file.Files.createTempDirectory("graft-hllov-spec")
     val prev = sys.props.get("graft.artifacts.dir")
