@@ -241,14 +241,7 @@ object CurationQueries {
     * recursive CTE, rolled up per cluster. */
   private lazy val dupClusterOracleSql = s"""
         WITH RECURSIVE ${TextQueries.duckMinhashPairsCtes},
-        edges AS (SELECT da a, db b FROM pairs
-                  UNION SELECT db, da FROM pairs),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
-                   FROM reach GROUP BY a)
+        ${TextQueries.duckClosureCtes}
         SELECT rep AS cluster_rep, count(*) AS n_docs,
                max(doc_id) AS max_doc
         FROM labels GROUP BY 1 ORDER BY 1"""

@@ -23,6 +23,17 @@ object TextQueries {
   private val duckPunct =
     "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))"
 
+  /** DuckDB twin of `quality_score_t` (length / punctuation /
+    * stopword-ratio composite, r4) — ONE definition for the q21, q73,
+    * and q153 oracles. */
+  private lazy val duckQualityExpr: String = {
+    val allStops = duckVocabHits(stopwords.flatMap(_._2))
+    s"""floor((0.3 * least(len($duckToks) / 100.0, 1.0)
+      + 0.4 * (1.0 - ($duckPunct) * 1.0 / greatest(length(text), 1))
+      + 0.3 * least($allStops * 1.0 / greatest(len($duckToks), 1) * 5.0, 1.0))
+      * 10000 + 0.5) / 10000"""
+  }
+
   /** q24 document-frequency cut: shingles appearing in more than this
     * many documents are dropped from the inverted index (both engines).
     * See the q24 comment for the rationale. Exposed to [[PostingIndex]],
@@ -98,6 +109,19 @@ object TextQueries {
             ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
                AND a.doc_id < b.doc_id)"""
   }
+
+  /** DuckDB transitive closure over `pairs(da, db)` ending in
+    * `labels(doc_id, rep)` — shared by the q82/q108 cluster oracle and
+    * q153's best-representative oracle (requires WITH RECURSIVE). */
+  private[text] val duckClosureCtes: String = """
+        edges AS (SELECT da a, db b FROM pairs
+                  UNION SELECT db, da FROM pairs),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
+                   FROM reach GROUP BY a)"""
 
   /** q24's inverted-index rows, squeezed to TWO longs per row because
     * the index-build shuffle dominates the query (26M exploded rows at
@@ -287,14 +311,10 @@ object TextQueries {
         val cases = hits.map { case (l, h) =>
           s"WHEN $h = best AND best > 0 THEN '$l'"
         }.mkString(" ")
-        val allStops = duckVocabHits(stopwords.flatMap(_._2))
         s"""
         SELECT doc_id, lang,
                CASE $cases ELSE 'und' END AS lang_guess,
-               floor((0.3 * least(len($duckToks) / 100.0, 1.0)
-                   + 0.4 * (1.0 - ($duckPunct) * 1.0 / greatest(length(text), 1))
-                   + 0.3 * least($allStops * 1.0 / greatest(len($duckToks), 1) * 5.0, 1.0))
-                 * 10000 + 0.5) / 10000 AS quality
+               $duckQualityExpr AS quality
         FROM (SELECT *, $best AS best FROM documents)
         ORDER BY doc_id"""
       },
@@ -675,14 +695,7 @@ object TextQueries {
       },
       oracle = Some(s"""
         WITH RECURSIVE $duckMinhashPairsCtes,
-        edges AS (SELECT da a, db b FROM pairs
-                  UNION SELECT db, da FROM pairs),
-        reach(a, b) AS (
-          SELECT a, b FROM edges
-          UNION
-          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-        labels AS (SELECT a AS doc_id, least(a, min(b)) AS rep
-                   FROM reach GROUP BY a),
+        $duckClosureCtes,
         pb AS (SELECT
                  ('0x' || substring(md5(la.rep::VARCHAR), 1, 8))::BIGINT
                    % 100 ba,
@@ -703,6 +716,62 @@ object TextQueries {
         SELECT split_a, split_b, CAST(n_pairs AS BIGINT) AS n_pairs,
                CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaking
         FROM g ORDER BY split_a, split_b"""),
+      bench = true),
+
+    // ── quality-aware cluster representatives (keep the BEST dup) ──
+    // q82/q108 (and the facade's stage 4) keep the lowest doc_id per
+    // duplicate cluster — deterministic, but blind: the survivor may
+    // be the mangled OCR copy while a clean one is deleted. This is
+    // the selection a curation run should make instead: per cluster,
+    // the member with the highest composite quality score (ties to
+    // the smaller doc_id), next to the naive representative's quality
+    // so the delta — what min-id dedup LOSES — is a hash-checked
+    // column, not a hunch.
+    //
+    // Scale shape: cluster labels from the [[ClusterIndex]] artifact
+    // (pair-scale); ONE corpus-scale hash join attaches each labeled
+    // doc's narrow quality score; the arg-max rides a struct max in a
+    // map-side-combined groupBy — no window, no per-cluster sort. The
+    // oracle recomputes the closure (recursive CTE) and the quality
+    // formula independently.
+    "q153_best_rep" -> QuerySpec(
+      build = (s, d) => {
+        val labels = ClusterIndex.load(s, d)
+          .select(col("doc_id"), col("rep"))
+        val scored = Tables.documents(s, d)
+          .withColumn("_toks", tokens(col("text")))
+          .select(col("doc_id"),
+            quality_score_t(col("text"), col("_toks")).as("q"))
+        labels.join(scored, "doc_id")
+          .groupBy(col("rep"))
+          .agg(count(lit(1)).as("n_docs"),
+            max(struct(col("q").as("q"), (-col("doc_id")).as("nd")))
+              .as("_b"),
+            max(when(col("doc_id") === col("rep"), col("q")))
+              .as("naive_quality"))
+          .select(col("rep").as("cluster_rep"), col("n_docs"),
+            (-col("_b.nd")).as("best_doc"),
+            col("_b.q").as("best_quality"),
+            col("naive_quality"))
+          .orderBy("cluster_rep")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $duckMinhashPairsCtes,
+        $duckClosureCtes,
+        ql AS (SELECT doc_id, $duckQualityExpr AS q FROM documents),
+        j AS (SELECT l.rep, l.doc_id, ql.q
+              FROM labels l JOIN ql USING (doc_id)),
+        g AS (SELECT rep, count(*) n_docs,
+                max(CASE WHEN doc_id = rep THEN q END) naive_quality
+              FROM j GROUP BY 1),
+        b AS (SELECT rep, doc_id, q, row_number() OVER (
+                PARTITION BY rep ORDER BY q DESC, doc_id ASC) rn
+              FROM j)
+        SELECT g.rep AS cluster_rep, CAST(g.n_docs AS BIGINT) AS n_docs,
+               b.doc_id AS best_doc, b.q AS best_quality,
+               g.naive_quality
+        FROM g JOIN b ON b.rep = g.rep AND b.rn = 1
+        ORDER BY cluster_rep"""),
       bench = true),
 
     // ── incremental near-dup: probe a NEW batch against the corpus ──
@@ -894,11 +963,7 @@ object TextQueries {
           .orderBy("stage", "lang")
       },
       oracle = Some {
-        val allStops = duckVocabHits(stopwords.flatMap(_._2))
-        val quality = s"""floor((0.3 * least(len($duckToks) / 100.0, 1.0)
-          + 0.4 * (1.0 - ($duckPunct) * 1.0 / greatest(length(text), 1))
-          + 0.3 * least($allStops * 1.0 / greatest(len($duckToks), 1) * 5.0, 1.0))
-          * 10000 + 0.5) / 10000"""
+        val quality = duckQualityExpr
         val minCols = (0 until 16).map(i =>
           s"min(('0x' || substring(m${i / 4}, ${(i % 4) * 8 + 1}, 8))::BIGINT) h$i")
           .mkString(", ")

@@ -967,6 +967,55 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q153 best representatives replay via union-find + q21 scores") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-brep-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      // scoring truth = the oracle-checked q21 surface; clusters = an
+      // independent union-find over the q25 pair set
+      val quality = graft.text.TextQueries.queries("q21_lang_quality")
+        .build(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality"))
+        .toMap
+      val pairs = graft.text.TextQueries.queries("q25_minhash_lsh")
+        .build(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .groupBy(find)
+      val expected = members.map { case (rep, ms) =>
+        val best = ms.map(m => (m, quality(m)))
+          .minBy { case (m, q) => (-q, m) }
+        rep -> ((ms.length.toLong, best._1, best._2, quality(rep)))
+      }
+      val got = graft.text.TextQueries.queries("q153_best_rep")
+        .build(spark, d).collect()
+        .map(r => r.getAs[Long]("cluster_rep") ->
+          ((r.getAs[Long]("n_docs"), r.getAs[Long]("best_doc"),
+            r.getAs[Double]("best_quality"),
+            r.getAs[Double]("naive_quality")))).toMap
+      assert(got == expected)
+      // the policy must beat min-id somewhere, or the query is inert
+      assert(got.exists { case (rep, (_, best, bq, nq)) =>
+        best != rep && bq > nq }, "no cluster had a better member")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+    }
+  }
+
   test("q142 triangle census equals a brute-force count over q25 pairs") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
