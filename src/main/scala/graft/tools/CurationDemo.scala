@@ -48,6 +48,21 @@ object CurationDemo {
         f"${r.getAs[Long]("p90_lo")}/${r.getAs[Long]("p99_lo")} " +
         f"~distinct_toks=${r.getAs[Double]("distinct_tokens_est")}%.0f")
     }
+
+    // the rest of the data card (q141 overlap / q143 drift / q144
+    // leakage) — headline numbers only; full frames are the card
+    val card = graft.Curation.dataCard(spark, sfDir)
+    val ov = card.overlap.orderBy(col("n_shared").desc).head()
+    println(f"[card] heaviest overlap: ${ov.getAs[String]("src_a")}<->" +
+      f"${ov.getAs[String]("src_b")} shared=${ov.getAs[Long]("n_shared")} " +
+      f"(sketch est ${ov.getAs[Double]("est_inter")}%.0f)")
+    val dr = card.drift.orderBy(col("tv_vs_ref_e4").desc).head()
+    println(s"[card] max drift vs src0: ${dr.getAs[String]("source")} " +
+      s"tv_e4=${dr.getAs[Long]("tv_vs_ref_e4")}")
+    val leaks = card.leakage.filter(col("leaking") === 1)
+      .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
+    println(s"[card] near-dup pairs straddling train/val/test: $leaks" +
+      (if (leaks > 0) "  (fix: split on cluster reps, q147)" else ""))
     spark.stop()
   }
 }
