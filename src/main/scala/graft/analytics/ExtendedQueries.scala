@@ -636,15 +636,20 @@ object ExtendedQueries {
     // diverge — the DuckDB oracle replays the SAME three unrolled
     // iterations exactly. Scale shape: node ids are LONGS (supplier
     // 2k, customer 2k+1 — strings materialize only in the final 20
-    // rows) and the (src, dst, deg) edge list is cached partitioned by
-    // src; each iteration's rank table arrives groupBy(dst)-hash-
-    // partitioned on the SAME key expression, so EnsureRequirements
-    // inserts NO edge-scale exchange — the only per-iteration shuffle
-    // is the map-side-combined contribution sum, ≤ partitions×|V|
+    // rows) and the (src, dst, d) edge list is the src-BUCKETED
+    // EdgeIndex artifact (degrees denormalized at build), so every
+    // iteration's rank⋈edges join exchanges ONLY the |V|-row rank
+    // side — EnsureRequirements inserts NO edge-scale exchange; the
+    // only per-iteration shuffles are the rank-side hash exchange and
+    // the map-side-combined contribution sum, ≤ partitions×|V|
     // two-long rows. A first cut that shuffled string keys per
-    // iteration measured 9.9 s at sf0.1; this shape is the standard
-    // 1000-executor PageRank plan. |V| reaches the driver only as one
-    // bounded count (the same scalar discipline as the max-id reads).
+    // iteration measured 9.9 s at sf0.1; the pre-artifact cut that
+    // persisted the edges ad hoc paid the lineitem⋈orders build per
+    // run (5.0 → 1.4 s warm at sf0.1; at 100× the floor is the 3
+    // |E|-scale probe+agg passes themselves — 29.2 → 26.8 s, SURVEY
+    // §8). This is the standard 1000-executor PageRank plan. |V|
+    // reaches the driver only as one bounded count (the same scalar
+    // discipline as the max-id reads).
     "q136_pagerank" -> QuerySpec(
       build = (s, d) => withPagerankRanks(s, d)(localTop20(s, _)),
       oracle = Some(pagerankOracleSql),
@@ -893,23 +898,36 @@ object ExtendedQueries {
       edges.groupBy(col("src")).agg(count(lit(1)).as("d")), "src")
 
   /** The q136 PageRank rank table (node, rank_scaled), one row per
-    * graph node, handed to `use` inside a managed scope: the edge-list
-    * and degree caches the iteration needs are unpersisted when `use`
-    * returns, so `use` MUST force its result (collect or write) —
-    * the [[graft.text.CurationQueries.withDupClusterLabels]] pattern.
-    * Shared by the q136 direct query and the [[RankIndex]] build. */
+    * graph node, handed to `use` inside a managed scope: the caches
+    * the iteration needs are unpersisted when `use` returns, so `use`
+    * MUST force its result (collect or write) — the
+    * [[graft.text.CurationQueries.withDupClusterLabels]] pattern.
+    * Shared by the q136 direct query and the [[RankIndex]] build.
+    *
+    * Iterates over the src-BUCKETED [[EdgeIndex]] artifact (degrees
+    * already denormalized there), the shape q139 proved: a bucketed
+    * scan's HashPartitioning(src) survives persist(), so every
+    * iteration's rank⋈edges join exchanges ONLY the |V|-row rank side
+    * — the |E|-row edge table is read pre-partitioned and never
+    * re-shuffled. The ad-hoc persist of [[fulfillmentEdges]] this
+    * replaced paid the lineitem⋈orders edge build per run (5.0 →
+    * 1.4 s warm at sf0.1; 29.2 → 26.8 s at 100×, where the floor is
+    * the three |E|-scale probe+agg passes — parallel-edge multiplicity
+    * is 1.02 at scale, so weighted-edge compression cannot cut it).
+    */
   private[graft] def withPagerankRanks[T](s: SparkSession, d: String)
       (use: DataFrame => T): T = {
     val scale = 1000000000000L
     val iters = 3
-    val e = fulfillmentEdges(s, d).persist()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d")).persist()
-    val ed = degreedEdges(e).persist()
+    val ed = EdgeIndex.load(s, d).persist()
+    // node-scale init frame: distinct over the bucketed scan rides
+    // HashPartitioning(src) — no exchange
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
     try {
-      val nNodes = deg.count() // bounded scalar: |suppliers|+|customers|
+      val nNodes = nodes.count() // bounded scalar: |suppliers|+|customers|
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
-      var rank = deg.select(col("src").as("node"), lit(rInit).as("r"))
+      var rank = nodes.select(col("node"), lit(rInit).as("r"))
       for (_ <- 1 to iters) {
         // shuffle_hash, not broadcast: at 100x the |V|-row rank table
         // is 1.6M rows — building and shipping that broadcast 3x
@@ -927,7 +945,7 @@ object ExtendedQueries {
           expr("node div 2")).as("node"),
         col("r").as("rank_scaled")))
     } finally {
-      ed.unpersist(false); deg.unpersist(false); e.unpersist(false)
+      nodes.unpersist(false); ed.unpersist(false)
     }
   }
 

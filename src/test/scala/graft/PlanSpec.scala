@@ -117,21 +117,42 @@ class PlanSpec extends SparkSpec {
     // the public build collects the bounded top-20 inside the managed
     // cache scope (so Verify/Bench leak nothing) — pin the ITERATION
     // plan by entering the scope directly
-    val p = graft.analytics.ExtendedQueries.withPagerankRanks(spark, sf) {
-      ranks => graft.analytics.ExtendedQueries.pagerankTop20(ranks)
-        .queryExecution.executedPlan.toString
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    graft.analytics.ExtendedQueries.withPagerankRanks(spark, sf) { ranks =>
+      // AdaptiveSparkPlanExec hides its children from collect — unwrap
+      val plan = graft.analytics.ExtendedQueries.pagerankTop20(ranks)
+        .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case other => other
+        }
+      val p = plan.toString
+      // all 3 iteration joins hash-join under the hint (measured:
+      // broadcasting a 100x-scale |V|-row rank table per iteration was
+      // ~25% slower cold AND warm)
+      val joins = plan.collect { case j: ShuffledHashJoinExec => j }
+      assert(joins.length == 3,
+        s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
+      // the edge side (streamed/left) is the src-BUCKETED EdgeIndex
+      // artifact CACHED: HashPartitioning(src) survives persist(), so
+      // the |E|-row edge table is NEVER exchanged — every shuffle in
+      // the build is |V|-scale (rank-side alignment + contribution
+      // sums). InMemoryTableScanExec is a physical leaf, so collecting
+      // over the edge branch sees exactly the iteration-time operators.
+      joins.foreach { j =>
+        val edge = j.left
+        assert(edge.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+          s"iterations must read the CACHED edge artifact:\n$edge")
+        assert(edge.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"the bucketed edge side must join with NO Exchange:\n$edge")
+      }
+      assert(p.contains("Bucketed: true"),
+        "iterations must read the bucketed EdgeIndex artifact")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-20 must plan as TakeOrdered, not a full sort")
     }
-    assert(p.contains("InMemoryTableScan"),
-      "iterations must read the CACHED edge list, not rebuild it")
-    // all 3 iteration joins hash-join under the hint (measured:
-    // broadcasting a 100x-scale |V|-row rank table per iteration was
-    // ~25% slower cold AND warm); the one SortMergeJoin the optimizer
-    // may pick for the lineitem-orders BUILD join sits inside the
-    // cached subtree and runs once
-    assert("ShuffledHashJoin".r.findAllIn(p).length == 3,
-      s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
-    assert(p.contains("TakeOrderedAndProject"),
-      "top-20 must plan as TakeOrdered, not a full sort")
   }
 
   test("q137 rank-artifact read: a parquet scan and a heap — no graph rebuild") {
