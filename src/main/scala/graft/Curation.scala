@@ -29,14 +29,17 @@ import org.apache.spark.sql.expressions.Window
   *      join. The corpus is never shuffled by value.
   *   3. '''Exact dedup''' (q22/q23): first document per content
   *      fingerprint (md5 of normalized text) survives.
-  *   4. '''Near-dup dedup''' (q25/q82/q108): one document per
+  *   4. '''Near-dup dedup''' (q25/q82/q108/q153): one document per
   *      duplicate cluster. Cluster labels come from the
   *      [[graft.text.ClusterIndex]] ARTIFACT — the pair set and its
   *      transitive closure are built once per dataset fingerprint and
   *      read from parquet ever after. Within each cluster the
-  *      earliest SURVIVING doc is kept (a cluster whose
-  *      representative already fell to quality/decontamination still
-  *      keeps its best member).
+  *      SURVIVING member with the highest composite quality score is
+  *      kept (q153 measured min-id survivorship keeping a worse
+  *      duplicate in 13/28 clusters at sf0.01; ties go to the smaller
+  *      doc_id, and `keepBestRep = false` restores the legacy min-id
+  *      rule). A cluster whose representative already fell to
+  *      quality/decontamination still keeps its best member.
   *   4b. '''Containment drop''' (q140, optional): a document whose
   *      shingle set is ≥60% contained in a surviving partner is
   *      sub-document duplication Jaccard can't see; the engulfed side
@@ -97,6 +100,12 @@ object Curation {
     * @param qualityMin  stage-1 floor on the composite quality score
     * @param repetition  true enables the stage-1b Gopher repetition
     *                    filter (q135 thresholds)
+    * @param keepBestRep stage-4 survivor rule: true (default) keeps
+    *                    each cluster's highest-quality surviving
+    *                    member via a sort-free struct-max groupBy
+    *                    (the q153 selection); false keeps the lowest
+    *                    doc_id (the legacy deterministic-but-blind
+    *                    rule)
     * @param containment true enables the stage-4b engulfed-doc drop
     *                    (q140): a document whose shingle set is ≥60%
     *                    contained in a surviving partner is redundant
@@ -118,6 +127,7 @@ object Curation {
              lmRef: Option[DataFrame] = None,
              qualityMin: Double = 0.55,
              repetition: Boolean = false,
+             keepBestRep: Boolean = true,
              containment: Boolean = false,
              mixBase: Long = 2000L,
              unimax: Boolean = false,
@@ -214,16 +224,32 @@ object Curation {
       .filter(col("_rn") === 1).drop("_rn")
 
     // 4 ── near-dup dedup: one survivor per duplicate cluster, labels
-    // from the content-keyed artifact (built once per dataset)
+    // from the content-keyed artifact (built once per dataset).
+    // Default survivor = the cluster's highest-quality member (q153:
+    // min-id keeps a worse duplicate in 13/28 clusters at sf0.01),
+    // picked SORT-FREE: the (quality, -doc_id) struct max rides a
+    // map-side-combined groupBy — no per-cluster sort, no window —
+    // and a doc_id semi-join pulls the winners back out
     val labels = graft.text.ClusterIndex.load(spark, corpusDir)
       .select(col("doc_id"), col("rep"))
-    val deduped = exact
+    val labeled = exact
       .join(labels, Seq("doc_id"), "left")
       // singletons (no pair) are their own cluster
       .withColumn("_cluster", coalesce(col("rep"), col("doc_id")))
-      .withColumn("_rn", row_number().over(
-        Window.partitionBy(col("_cluster")).orderBy(col("doc_id"))))
-      .filter(col("_rn") === 1).drop("_rn", "_cluster", "rep")
+    val deduped =
+      if (keepBestRep) {
+        val winners = labeled
+          .select(col("_cluster"), col("doc_id"),
+            quality_score_t(col("text"), tokens(col("text"))).as("_q"))
+          .groupBy(col("_cluster"))
+          .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nd")))
+            .as("_b"))
+          .select((-col("_b.nd")).as("doc_id"))
+        exact.join(winners, Seq("doc_id"), "left_semi")
+      } else labeled
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("_cluster")).orderBy(col("doc_id"))))
+        .filter(col("_rn") === 1).drop("_rn", "_cluster", "rep")
 
     // 4b ── optional containment drop (q140): the engulfed side of a
     // ≥60%-containment pair drops IF its outer partner survives (a
@@ -238,8 +264,11 @@ object Curation {
     val contained =
       if (!containment) deduped
       else {
-        val pairs = graft.text.TextQueries
-          .queries("q140_containment_pairs").build(spark, corpusDir)
+        // the artifact read directly — q140's query spec appends a
+        // pair-scale presentation orderBy this stage would pay twice
+        // (the frame feeds both joins below) for nothing
+        val pairs = graft.text.PostingIndex
+          .containmentPairs(spark, corpusDir)
           .select(col("inner_doc"),
             when(col("inner_doc") === col("da"), col("db"))
               .otherwise(col("da")).as("_outer"))

@@ -52,13 +52,21 @@ object CurationDemo {
     // the rest of the data card (q141 overlap / q143 drift / q144
     // leakage) — headline numbers only; full frames are the card
     val card = graft.Curation.dataCard(spark, sfDir)
-    val ov = card.overlap.orderBy(col("n_shared").desc).head()
-    println(f"[card] heaviest overlap: ${ov.getAs[String]("src_a")}<->" +
-      f"${ov.getAs[String]("src_b")} shared=${ov.getAs[Long]("n_shared")} " +
-      f"(sketch est ${ov.getAs[Double]("est_inter")}%.0f)")
-    val dr = card.drift.orderBy(col("tv_vs_ref_e4").desc).head()
-    println(s"[card] max drift vs src0: ${dr.getAs[String]("source")} " +
-      s"tv_e4=${dr.getAs[Long]("tv_vs_ref_e4")}")
+    // single-source corpora have no pairs; a corpus without src0 has
+    // no drift reference — print the fact rather than throwing
+    card.overlap.orderBy(col("n_shared").desc).take(1).headOption match {
+      case Some(ov) =>
+        println(f"[card] heaviest overlap: ${ov.getAs[String]("src_a")}<->" +
+          f"${ov.getAs[String]("src_b")} shared=${ov.getAs[Long]("n_shared")} " +
+          f"(sketch est ${ov.getAs[Double]("est_inter")}%.0f)")
+      case None => println("[card] no source pairs (single-source corpus)")
+    }
+    card.drift.orderBy(col("tv_vs_ref_e4").desc).take(1).headOption match {
+      case Some(dr) =>
+        println(s"[card] max drift vs src0: ${dr.getAs[String]("source")} " +
+          s"tv_e4=${dr.getAs[Long]("tv_vs_ref_e4")}")
+      case None => println("[card] no drift reference (no src0 in corpus)")
+    }
     val leaks = card.leakage.filter(col("leaking") === 1)
       .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
     println(s"[card] near-dup pairs straddling train/val/test: $leaks" +

@@ -142,6 +142,73 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curate: near-dup survivor is the best-quality member, not min-id") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf6-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf6-data").toString
+      // docs 1-3: clean singletons. Docs 20/21: a near-dup cluster
+      // where the MIN-ID member (20) is the mangled copy — doc 21's
+      // text plus one long pure-punctuation token (near-dup bands
+      // still collide, the punctuation-density term drops the quality
+      // score below the clean copy's, and 0.99 stays far above the
+      // 0.55 floor so stage 1 can't be what saves us)
+      val junky = good("x") + " !!!!!!!!!!!!!!!!!!!!!!!!"
+      val docs = Seq(
+        (1L, good("a")), (2L, good("b")), (3L, good("c")),
+        (20L, junky), (21L, good("x"))
+      ).map { case (id, t) => (id, t, "es", "s1", t.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      // preflight: the pair must exist as a NEAR-dup (not exact), else
+      // the fixture tests nothing
+      val fps = spark.read.parquet(s"$dataDir/documents.parquet")
+        .select(graft.text.TextFunctions.doc_fingerprint(col("text")))
+        .distinct().count()
+      assert(fps == 5L, "the mangled copy must NOT be an exact dup")
+
+      val r = Curation.curate(spark, dataDir, mixBase = 0L)
+      assert(r.stages.find(_.name == "near_dedup").get.n_docs == 4L,
+        s"the cluster must collapse to one survivor: ${r.stages}")
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L, 21L),
+        "the CLEAN copy (21) must survive, not the min-id mangled one")
+      // the q153 selection is sort-free: every Window left in the
+      // funnel is stage 3's md5-fingerprint dedup (the plan references
+      // that subtree twice — winners branch and semi-join left) —
+      // NONE may partition by the stage-4 cluster key
+      // distinguishing mark: the fingerprint window runs straight over
+      // the filtered scan, while a stage-4 cluster window would sit
+      // ABOVE the labels join — so no surviving window may contain a
+      // Join in its subtree
+      val wins = r.curated.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.isEmpty),
+        s"stage 4 must not add a cluster window:\n${wins.mkString("\n")}")
+
+      // the legacy rule is still there behind the switch — and keeps
+      // the worse copy, which is exactly why it is no longer default
+      val r2 = Curation.curate(spark, dataDir, mixBase = 0L,
+        keepBestRep = false)
+      assert(r2.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L, 20L))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("curate: repetition stage drops exactly the engineered spam doc") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cf3-art")
