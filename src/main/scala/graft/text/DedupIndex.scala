@@ -69,24 +69,32 @@ object PostingIndex {
   private[graft] def artifactName =
     s"jaccard_postings_df${TextQueries.jaccardDfCap}_v3"
 
-  private def dir(d: String) = Artifacts.dir(d, artifactName)
+  private[graft] def dir(d: String) = Artifacts.dir(d, artifactName)
+
+  /** The build body over an index-rows frame ([[TextQueries.jaccardIndexRows]]
+    * shape) — ONE definition for the individual build and
+    * [[DedupIndexes.buildAll]]'s shared-kernel feed. */
+  private[graft] def buildInto(s: SparkSession, tmp: java.nio.file.Path,
+                               indexRows: DataFrame): Unit = {
+    TextQueries.jaccardPostings(indexRows)
+      .write.mode("overwrite")
+      .parquet(tmp.resolve("postings").toString)
+    // both pair sets FROM the just-written postings (not the live
+    // plan): each expansion reads back posting-scale parquet instead
+    // of re-running the corpus-scale index subtree
+    TextQueries.jaccardPairsFromPostings(
+        s.read.parquet(tmp.resolve("postings").toString))
+      .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+    TextQueries.containmentPairsFromPostings(
+        s.read.parquet(tmp.resolve("postings").toString))
+      .write.mode("overwrite").parquet(tmp.resolve("containment").toString)
+  }
 
   private def ensure(s: SparkSession, d: String): java.nio.file.Path = {
     val target = dir(d)
     Artifacts.materialize(target) { tmp =>
-      val postings = TextQueries.jaccardPostings(TextQueries.jaccardIndexRows(
+      buildInto(s, tmp, TextQueries.jaccardIndexRows(
         graft.analytics.Tables.documents(s, d)))
-      postings.write.mode("overwrite")
-        .parquet(tmp.resolve("postings").toString)
-      // both pair sets FROM the just-written postings (not the live
-      // plan): each expansion reads back posting-scale parquet instead
-      // of re-running the corpus-scale index subtree
-      TextQueries.jaccardPairsFromPostings(
-          s.read.parquet(tmp.resolve("postings").toString))
-        .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
-      TextQueries.containmentPairsFromPostings(
-          s.read.parquet(tmp.resolve("postings").toString))
-        .write.mode("overwrite").parquet(tmp.resolve("containment").toString)
     }
     target
   }
@@ -208,6 +216,68 @@ object BandIndex {
         .write.mode("overwrite").parquet(tmp.resolve("bands").toString)
     }
     s.read.parquet(dir.resolve("bands").toString)
+  }
+}
+
+/** Combined builder: every text-dedup artifact from ONE corpus kernel
+  * pass. The individual `load()`s each re-scan the corpus and re-run
+  * their kernel on first build — fine when one artifact is wanted, but
+  * a curation run wants all four, and the corpus scan + per-doc
+  * shingle/minhash kernels are the shared ~whole cost (the structures
+  * derived from them are postings/band/pair-scale). `buildAll`
+  * computes both kernels in a single projection over a single scan,
+  * persists only the kernel output, and materializes:
+  *
+  *   - [[BandIndex]]   — the band rows verbatim;
+  *   - [[PairIndex]]   — the q25 tail over the SAME band rows;
+  *   - [[PostingIndex]] (postings + jaccard pairs + containment) —
+  *     the q24 pack/cap tail over the SAME kernel frame;
+  *   - [[ClusterIndex]] — label propagation over the just-built pairs.
+  *
+  * Every tail is the individually-shipped definition
+  * ([[TextQueries.candidatePairsFromBands]],
+  * [[TextQueries.jaccardIndexRowsFromHs]], [[PostingIndex.buildInto]]),
+  * so the combined build produces row-identical artifacts — the
+  * artifact-equals-pipeline proof is inherited, not re-argued.
+  * Already-materialized targets are skipped ([[Artifacts.materialize]]
+  * no-ops), and nothing forces the kernel when all four exist. */
+object DedupIndexes {
+
+  def buildAll(s: SparkSession, d: String): Unit = {
+    import org.apache.spark.sql.functions._
+    // ONE corpus scan, both kernels in one projection. The persisted
+    // kernel frame is position-scale (shingle-hash arrays) — at 100×
+    // ~2.4 GB, the price of never re-reading the corpus below
+    val kernel = graft.analytics.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.minhash_signature(col("text"), 3).as("sig"),
+        TextFunctions.shingle_hashes(col("text"), 3).as("hs"))
+      .persist()
+    // banding-scale (8 rows/doc), feeds the band write AND the pair
+    // expansion — the band groupBy's input is computed once
+    val bands = TextQueries.explodeBands(
+        kernel.filter(col("sig").isNotNull)
+          .select(col("doc_id"), col("sig")))
+      .persist()
+    try {
+      Artifacts.materialize(Artifacts.dir(d, "minhash_bands")) { tmp =>
+        bands.write.mode("overwrite")
+          .parquet(tmp.resolve("bands").toString)
+      }
+      Artifacts.materialize(Artifacts.dir(d, "minhash_pairs")) { tmp =>
+        TextQueries.candidatePairsFromBands(bands).orderBy("da", "db")
+          .write.mode("overwrite").parquet(tmp.resolve("pairs").toString)
+      }
+      Artifacts.materialize(PostingIndex.dir(d)) { tmp =>
+        PostingIndex.buildInto(s, tmp, TextQueries.jaccardIndexRowsFromHs(
+          kernel.select(col("doc_id"), col("lang"), col("hs"))))
+      }
+      // labels propagate over the pair artifact just written (or
+      // already present) — pair-scale, no corpus work
+      ClusterIndex.load(s, d)
+    } finally {
+      bands.unpersist(false); kernel.unpersist(false)
+    }
   }
 }
 

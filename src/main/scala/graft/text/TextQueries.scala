@@ -135,9 +135,16 @@ object TextQueries {
     * pair rule are unchanged. Shared with tools.Q24Probe so the
     * probe's stage timings can never drift from the shipped query. */
   private[graft] def jaccardIndexRows(docs: DataFrame): DataFrame =
-    docs
+    jaccardIndexRowsFromHs(docs
       .select(col("doc_id"), col("lang"),
-        shingle_hashes(col("text"), 3).as("hs"))
+        shingle_hashes(col("text"), 3).as("hs")))
+
+  /** [[jaccardIndexRows]] over a frame already carrying the shingle
+    * hashes (doc_id, lang, hs) — the entry point for
+    * [[DedupIndexes.buildAll]]'s shared kernel pass. ONE definition of
+    * the pack/guard/xor tail either way. */
+  private[graft] def jaccardIndexRowsFromHs(withHs: DataFrame): DataFrame =
+    withHs
       .select(
         // the packing assumption is ENFORCED, not assumed: a >=2^20-
         // shingle document would silently bleed into the doc_id bits
@@ -252,14 +259,21 @@ object TextQueries {
       .select(col("doc_id"),
         minhash_signature(col("text"), 3).as("sig"))
       .filter(col("sig").isNotNull)
-    explodeBands(mh)
+    candidatePairsFromBands(explodeBands(mh))
+  }
+
+  /** The q25 tail over an already-banded frame (doc_id, band, ha, hb)
+    * — the entry point for [[DedupIndexes.buildAll]], which feeds the
+    * SAME band rows to this and to the [[BandIndex]] write. ONE
+    * definition of bucket-collision pair expansion either way. */
+  private[graft] def candidatePairsFromBands(bands: DataFrame): DataFrame =
+    bands
       .groupBy(col("band"), col("ha"), col("hb"))
       .agg(array_sort(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")) > 1)
       .select(explode(pairExpand(col("docs"))).as("p"))
       .select(col("p.x").as("da"), col("p.y").as("db"))
       .distinct()
-  }
 
   /** All pairs (x, y) with x before y from a sorted array column —
     * posting-list pair expansion. Replaces a self-join: one groupBy +

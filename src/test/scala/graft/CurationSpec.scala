@@ -753,6 +753,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("DedupIndexes.buildAll: one pass yields artifacts identical to individual builds") {
+    import graft.text._
+    def surfaces(): Map[String, Seq[String]] = Map(
+      "bands" -> BandIndex.load(spark, sf),
+      "pairs" -> PairIndex.load(spark, sf),
+      "postings" -> PostingIndex.load(spark, sf),
+      "jpairs" -> PostingIndex.pairs(spark, sf),
+      "containment" -> PostingIndex.containmentPairs(spark, sf),
+      "labels" -> ClusterIndex.load(spark, sf)
+    ).map { case (k, df) =>
+      k -> df.collect().map(_.toString).sorted.toSeq }
+    def withRoot[T](f: => T): T = {
+      val root = java.nio.file.Files.createTempDirectory("graft-da-spec")
+      val prev = sys.props.get("graft.artifacts.dir")
+      sys.props("graft.artifacts.dir") = root.toString
+      try f finally {
+        prev match {
+          case Some(v) => sys.props("graft.artifacts.dir") = v
+          case None    => sys.props.remove("graft.artifacts.dir")
+        }
+        Artifacts.deleteRecursively(root)
+      }
+    }
+    // combined build in a fresh root, then every read surface
+    val combined = withRoot {
+      DedupIndexes.buildAll(spark, sf)
+      surfaces()
+    }
+    // individual builds in another fresh root (each load() builds its
+    // own artifact from scratch)
+    val individual = withRoot(surfaces())
+    combined.keySet.foreach { k =>
+      assert(combined(k).nonEmpty, s"$k: combined build produced no rows")
+      assert(combined(k) == individual(k),
+        s"$k: combined and individual builds must be row-identical")
+    }
+  }
+
   test("q103 segment dedup replays driver-side: first-wins + reconstruction") {
     def md5hex(s: String) =
       java.security.MessageDigest.getInstance("MD5")
