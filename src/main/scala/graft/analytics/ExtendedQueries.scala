@@ -610,19 +610,45 @@ object ExtendedQueries {
                  AS BIGINT) AS n_mismatched
         FROM documents GROUP BY source ORDER BY source""")),
 
-    // ── approximate aggregates (HLL / t-digest — the 100 TB path) ──
-    // No DuckDB oracle: sketch internals differ by engine; the driver
-    // records a rows-only check. The exact twins are q15 (distinct)
-    // and q36 (percentiles).
+    // ── approximate aggregates AUDITED (HLL / t-digest — the 100 TB
+    // path). Spark's builtin sketches (xxhash64 HLL++, quantile
+    // summaries) can never be replayed in another engine the way the
+    // repo's own md5-deterministic sketch family is (q104/q110/q112/
+    // q120/q150) — so instead of a rows-only non-check, this is the
+    // q150-style audit: each approximation lands NEXT TO its exact
+    // twin and the row carries the integer verdict that the estimate
+    // honored its published error contract —
+    //   · approx_count_distinct(rsd=0.02): within ±10% of the exact
+    //     distinct count (5σ of the configured 2% rsd);
+    //   · approx_percentile(accuracy=1000): rank error ≤ n/1000, so
+    //     the returned element's value must lie between the exact
+    //     interpolated 45th and 55th percentiles (a ~50× margin).
+    // The oracle recomputes the exact twins and asserts the verdicts
+    // TRUE — a sketch regression (or a broken band) hash-mismatches.
+    // Scale shape: ONE map-side-combined groupBy carries both sketches
+    // AND the exact twins; the exact distinct is the audit's cost, the
+    // production read keeps only the sketch columns.
     "q50_approx_agg" -> QuerySpec(
       build = (s, d) => lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("_ap"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("_am"),
+          expr("percentile(l_extendedprice, 0.45)").as("_p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("_p55"))
+        .select(col("l_returnflag"), col("n"), col("exact_parts"),
+          (abs(col("_ap") - col("exact_parts")) * 10 <= col("exact_parts"))
+            .cast("int").as("parts_in_band"),
+          (col("_am") >= col("_p45") && col("_am") <= col("_p55"))
+            .cast("int").as("median_in_band"))
         .orderBy("l_returnflag"),
-      oracle = None,
+      oracle = Some("""
+        SELECT l_returnflag, count(*) AS n,
+               count(DISTINCT l_partkey) AS exact_parts,
+               1 AS parts_in_band, 1 AS median_in_band
+        FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""),
       bench = true),
 
     // ── PageRank over the supplier↔customer fulfillment graph ──────
