@@ -324,22 +324,10 @@ object EventQueries {
           .groupBy(col("event_type"), col("hr"))
           .agg(count(lit(1)).as("c"))
           .persist()
-        // nearest-rank lower median of `v` per type: the smallest
-        // value whose rank reaches ceil(n/2) — rn*2 >= n after an
-        // ascending sort, min(v) over qualifying rows
-        def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
-          val w = Window.partitionBy(col("event_type"))
-          df.withColumn("_rn", row_number().over(
-              w.orderBy(col(v).asc, col("hr").asc)))
-            .withColumn("_n", count(lit(1)).over(w))
-            .filter(col("_rn") * 2 >= col("_n"))
-            .groupBy(col("event_type")).agg(min(col(v)).as(out))
-        }
-        val med = medianOf(counts, "c", "med")
-        val dev = counts.join(broadcast(med), "event_type")
+        val th = robustThresholds(counts)
+        val dev = counts.join(broadcast(th), "event_type")
           .withColumn("dev", abs(col("c") - col("med")))
-        val mad = medianOf(dev, "dev", "mad")
-        dev.join(broadcast(mad), "event_type")
+        dev
           .withColumn("anom",
             (col("dev") > lit(3) * greatest(col("mad"), lit(1L)))
               .cast("int"))
@@ -530,4 +518,29 @@ object EventQueries {
       bench = true)
 
   )
+
+  /** q145's per-type robust (median, MAD) pair over an hourly count
+    * frame (event_type, hr, c) — THE threshold definition, factored so
+    * the streaming monitor's refresh
+    * ([[graft.streaming.EventStreams.writeAnomalyThresholds]]) derives
+    * EXACTLY the thresholds the audited batch query flags with (no
+    * drift possible). Nearest-rank LOWER medians, all-integer: the
+    * smallest value whose ascending rank reaches ceil(n/2) — rn*2 >= n
+    * — with `hr` as the deterministic tie-break. Report-scale input
+    * (|types|×|hours| rows), so the windows here never see raw
+    * events. */
+  private[graft] def robustThresholds(counts: DataFrame): DataFrame = {
+    def medianOf(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type"))
+      df.withColumn("_rn", row_number().over(
+          w.orderBy(col(v).asc, col("hr").asc)))
+        .withColumn("_n", count(lit(1)).over(w))
+        .filter(col("_rn") * 2 >= col("_n"))
+        .groupBy(col("event_type")).agg(min(col(v)).as(out))
+    }
+    val med = medianOf(counts, "c", "med")
+    val dev = counts.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("c") - col("med")))
+    med.join(medianOf(dev, "dev", "mad"), "event_type")
+  }
 }

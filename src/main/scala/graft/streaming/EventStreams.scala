@@ -205,17 +205,31 @@ object EventStreams {
     * pins stream output == the batch run of this same function. */
   def hourlyAnomalies(events: DataFrame,
                       thresholds: Seq[(String, Long, Long)],
-                      lateness: String = "2 hours"): DataFrame = {
-    require(thresholds.nonEmpty && thresholds.size <= 1024,
-      "threshold set must be bounded (driver-held literals)")
-    val thLit = array(thresholds.map { case (t, med, mad) =>
-      struct(lit(t).as("t"), lit(med).as("med"), lit(mad).as("mad"))
-    }: _*)
+                      lateness: String = "2 hours"): DataFrame =
+    flagAgainst(windowedTypeCounts(events, lateness), thresholds)
+
+  /** The hourly (window, event_type, n) count rollup both anomaly
+    * monitors score — one definition so the fixed-threshold and
+    * refreshing variants cannot drift. */
+  private def windowedTypeCounts(events: DataFrame,
+                                 lateness: String): DataFrame =
     events
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", lateness)
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** q145's flag rule over a windowed count frame: ONE definition for
+    * [[hourlyAnomalies]] and each refreshed micro-batch of
+    * [[hourlyAnomaliesRefreshing]]. */
+  private def flagAgainst(counts: DataFrame,
+                          thresholds: Seq[(String, Long, Long)]): DataFrame = {
+    require(thresholds.nonEmpty && thresholds.size <= 1024,
+      "threshold set must be bounded (driver-held literals)")
+    val thLit = array(thresholds.map { case (t, med, mad) =>
+      struct(lit(t).as("t"), lit(med).as("med"), lit(mad).as("mad"))
+    }: _*)
+    counts
       .withColumn("_th",
         element_at(filter(thLit, e => e.getField("t") === col("event_type")), 1))
       .select(col("window.start").as("hour"), col("event_type"), col("n"),
@@ -224,6 +238,94 @@ object EventStreams {
           .otherwise((abs(col("n") - col("_th.med")) >
             lit(3L) * greatest(col("_th.mad"), lit(1L))).cast("int"))
           .as("anomalous"))
+  }
+
+  /** Derive and publish the anomaly thresholds from an event history
+    * frame (`event_type`, `ts_us`) — the "nightly q145 run" half of the
+    * refresh loop, sharing q145's threshold math verbatim
+    * ([[graft.analytics.EventQueries.robustThresholds]]). Each publish
+    * lands as a new `v<N>` subdir of `dir` via unique-tmp + atomic
+    * rename (the [[graft.text.Artifacts]] discipline), so a reader
+    * never sees a half-written set; versions only grow, and readers
+    * take the highest. */
+  def writeAnomalyThresholds(events: DataFrame, dir: String): Unit = {
+    val counts = events
+      .select(col("event_type"), expr("ts_us div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("c"))
+    val th = graft.analytics.EventQueries.robustThresholds(counts)
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve("._tmp-" + java.util.UUID.randomUUID)
+    th.write.mode("overwrite").parquet(tmp.toString)
+    // claim the next version; a concurrent publisher losing the rename
+    // race just takes the following number
+    var done = false
+    while (!done) {
+      val target = root.resolve("v" + (latestVersion(root) + 1))
+      try {
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+  }
+
+  private def latestVersion(root: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .foldLeft(0L)(math.max)
+    } finally s.close()
+  }
+
+  /** Read the highest-version published threshold set. */
+  def loadAnomalyThresholds(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): Seq[(String, Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    val v = latestVersion(root)
+    require(v > 0, s"no published thresholds under $dir")
+    val rows = spark.read.parquet(root.resolve("v" + v).toString)
+      .select(col("event_type"), col("med"), col("mad")).collect()
+    require(rows.length <= 1024, "threshold set must stay bounded")
+    rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+  }
+
+  /** [[hourlyAnomalies]] for LONG-RUNNING streams: the batch-derived
+    * thresholds drift stale as traffic drifts, so instead of driver
+    * literals fixed at stream start, each micro-batch of closed
+    * windows is flagged in `foreachBatch` against the latest
+    * [[writeAnomalyThresholds]] publication, re-read every
+    * `refreshEvery` triggers (and on the first). The flag rule and
+    * the threshold math are the SAME oracle-checked q145 definitions
+    * as everywhere else — a refresh changes WHICH thresholds bind,
+    * never what a flag means. Flags append to `outDir` as parquet.
+    *
+    * State/scale: streaming state is exactly the windowed count rows
+    * (as [[hourlyAnomalies]]); the threshold read is a tiny bounded
+    * parquet scan every Nth trigger, not per row. */
+  def hourlyAnomaliesRefreshing(events: DataFrame, thresholdDir: String,
+                                outDir: String, checkpointDir: String,
+                                refreshEvery: Int = 12,
+                                lateness: String = "2 hours")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEvery >= 1, "refreshEvery must be >= 1")
+    var th: Seq[(String, Long, Long)] = Seq.empty
+    windowedTypeCounts(events, lateness).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        if (th.isEmpty || id % refreshEvery == 0)
+          th = loadAnomalyThresholds(df.sparkSession, thresholdDir)
+        flagAgainst(df, th).write.mode("append").parquet(outDir)
+      }
+      .start()
   }
 
   /** Stream-static dimension enrichment: join each micro-batch against

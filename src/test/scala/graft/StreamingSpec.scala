@@ -1021,4 +1021,73 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(k) == batch(k), s"stream/batch drift at $k")
     }
   }
+
+  test("anomaly monitor refresh: post-refresh flags equal batch flags under the new thresholds") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.TypedEv
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us // hour-aligned
+    def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+    val thDir = tmp("graft-anomth")
+    val outDir = tmp("graft-anomout") + "/flags"
+    val ckpt = tmp("graft-anomck")
+
+    // nightly publication #1: click history at 8/10/12 per hour →
+    // med 10, mad 2 by the exact q145 nearest-rank math (replayed)
+    def hist(counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (n, h) => (1 to n).map(i => TypedEv("click", (h * 3600L + i) * us))
+    }
+    EventStreams.writeAnomalyThresholds(hist(Seq(8, 10, 12)).toDS().toDF(), thDir)
+    assert(EventStreams.loadAnomalyThresholds(spark, thDir) ==
+      Seq(("click", 10L, 2L)), "publication must match the q145 replay")
+
+    val input = MemoryStream[TypedEv]
+    // refreshEvery = 1: every trigger re-reads the latest publication
+    val q = EventStreams.hourlyAnomaliesRefreshing(input.toDS().toDF(),
+      thDir, outDir, ckpt, refreshEvery = 1, lateness = "10 minutes")
+    val fed = scala.collection.mutable.ArrayBuffer[TypedEv]()
+    def feed(evs: Seq[TypedEv]): Unit = {
+      fed ++= evs; input.addData(evs: _*); q.processAllAvailable()
+    }
+    try {
+      // hour 1: click 20 → |20−10| = 10 > 3·2 → anomalous under set #1
+      feed((1 to 20).map(i => TypedEv("click", t0 + i * min % (50 * min))))
+      feed(Seq(TypedEv("click", t0 + 600 * min))) // closes hour 1
+      // traffic has drifted: publication #2 from an 18/20/22 history →
+      // med 20, mad 2 — the SAME absolute count is now normal
+      EventStreams.writeAnomalyThresholds(
+        hist(Seq(18, 20, 22)).toDS().toDF(), thDir)
+      assert(EventStreams.loadAnomalyThresholds(spark, thDir) ==
+        Seq(("click", 20L, 2L)))
+      // hour 2 (post-refresh): click 20 → dev 0 → NOT anomalous; the
+      // stale set #1 would have flagged it, so a pass proves the
+      // refresh actually bound
+      feed((1 to 20).map(i =>
+        TypedEv("click", t0 + 1200 * min + i * min % (50 * min))))
+      feed(Seq(TypedEv("click", t0 + 2000 * min))) // closes hour 2
+    } finally q.stop()
+
+    val out = spark.read.parquet(outDir)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val hour2 = new java.sql.Timestamp((t0 + 1200 * min) / 1000)
+    assert(out((hour1, "click")) == ((20L, 10L, 2L, 1)),
+      "pre-refresh hour must flag under publication #1")
+    assert(out((hour2, "click")) == ((20L, 20L, 2L, 0)),
+      "post-refresh hour must score against publication #2")
+
+    // the post-refresh stream row equals the BATCH q145-threshold run
+    // (same flag rule, same current publication) on the same window
+    val batch = EventStreams.hourlyAnomalies(fed.toSeq.toDS().toDF(),
+        EventStreams.loadAnomalyThresholds(spark, thDir))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out((hour2, "click")) == batch((hour2, "click")),
+      "stream/batch drift on the post-refresh window")
+  }
 }
