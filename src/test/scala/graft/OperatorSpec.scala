@@ -402,6 +402,46 @@ class OperatorSpec extends SparkSpec {
       s"AGMS estimate $amsEst implausibly far from $exact")
   }
 
+  test("join advisor: broadcast for a dim side, salt for the hot key, shuffle_hash otherwise") {
+    import spark.implicits._
+    import graft.operators.JoinAdvisor
+    import graft.operators.JoinAdvisor._
+
+    // fact 20k rows over 1000 keys (20 each), dim 500 rows → the dim
+    // side is far under broadcastMaxRows: broadcast it
+    val fact = (1 to 20000).map(i => (i.toLong % 1000, i.toLong))
+      .toDF("k", "v")
+    val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("k2", "name")
+    val a1 = JoinAdvisor.recommend(fact, "k", dim, "k2")
+    assert(a1.strategy == BroadcastSide("right"))
+    assert(a1.left == SideStats(20000L, 1000L, 20L))
+    assert(a1.right == SideStats(500L, 500L, 1L))
+    // well-conditioned AGMS estimate: exact join = 500 shared keys ×
+    // 20 × 1 = 10000; ‖A‖₂‖B‖₂/√w noise is ~10% here, assert 50%
+    assert(math.abs(a1.estJoinRows - 10000L) <= 5000L,
+      s"AGMS estimate ${a1.estJoinRows} implausibly far from 10000")
+
+    // the q48 scenario: one hot key holds 90% of the fact side, the
+    // other side too big to broadcast → salt, N sized to bring the
+    // hot key back to the even share (9000 rows / 1250-row share → 8)
+    val hot = ((1 to 9000).map(_ => 1L) ++
+      (1 to 1000).map(i => (i % 500 + 2).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val big = (1 to 5000).map(i => (i.toLong % 2000, i.toLong))
+      .toDF("k2", "v2")
+    val a2 = JoinAdvisor.recommend(hot, "k", big, "k2",
+      partitions = 8, broadcastMaxRows = 1000L)
+    assert(a2.left.maxKeyRows == 9000L && a2.left.distinctKeys == 501L)
+    assert(a2.strategy == Salted(8),
+      s"hot key must trigger salting: ${a2.strategy}")
+
+    // both sides big and even → plain shuffle_hash (fact maxKey 20,
+    // share 2500: nowhere near the skewFactor band)
+    val a3 = JoinAdvisor.recommend(fact, "k", big, "k2",
+      partitions = 8, broadcastMaxRows = 100L)
+    assert(a3.strategy == ShuffleHash)
+  }
+
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-ppr-art")
