@@ -1734,6 +1734,9 @@ object CurationQueries {
           .select(col("source"),
             coalesce(col("regs"),
               array_repeat(lit(0L), graft.plans.HllAgg.m)).as("regs"))
+          // MEMORY CONTRACT: ≤62 sources × 4 KiB register arrays —
+          // retained for the session (the frame feeds both sides of
+          // the pair expansion below; KB-scale, documented retention)
           .persist()
         // integer Σ 2^(52-M_j): the q104 s_scaled arithmetic over an
         // in-row array — exact, then ONE double division per estimate
@@ -2526,10 +2529,14 @@ object CurationQueries {
     // products — correctly-rounded IEEE in both engines, then r4.
     //
     // Scale shape: ONE token-scale exchange (the bigram groupBy,
-    // map-side combined to observed-bigram cardinality, persisted);
-    // head/next marginals are vocab-bounded rollups of that frame and
-    // broadcast back; N is a 1-row bounded collect; top-20 plans as
-    // TakeOrdered. Nothing event-scale moves twice.
+    // map-side combined to observed-bigram cardinality); the head/next
+    // marginals RIDE that exchange as windows over the aggregated
+    // frame (the q138 denominator trick — bigram-scale keyed windows,
+    // never a second token-scale pass), and N arrives as a bounded
+    // 1-row broadcast cross computed by the narrow Σ(|toks|−1)
+    // identity — so nothing is persisted and a long-lived session
+    // retains no bigram cache (it used to hold the vocab²-bounded
+    // table until session end). Top-20 plans as TakeOrdered.
     "q146_collocations" -> QuerySpec(
       build = (s, d) => {
         // all-occurrence adjacent pairs from the tokens array — a
@@ -2542,23 +2549,27 @@ object CurationQueries {
                                 element_at(_t, i + 2) AS next_tok))"""))
             .as("b"))
           .select(col("b.head").as("head"), col("b.next_tok").as("next_tok"))
-        // MEMORY CONTRACT: observed-bigram rows (vocab²-bounded) —
-        // persisted so the marginals and the total reuse one pass
         val bgc = bg.groupBy(col("head"), col("next_tok"))
-          .agg(count(lit(1)).as("n_ab")).persist()
-        // coalesce(0): sum over an EMPTY bigram table is null — an
-        // all-single-token corpus must yield the oracle's empty top-20,
-        // not an NPE at build time
-        val nTotal = bgc.agg(coalesce(sum(col("n_ab")), lit(0L)))
-          .head.getLong(0)
-        val heads = bgc.groupBy(col("head")).agg(sum(col("n_ab")).as("n_a"))
-        val nexts = bgc.groupBy(col("next_tok"))
-          .agg(sum(col("n_ab")).as("n_b"))
-        bgc.filter(col("n_ab") >= 5)
-          .join(broadcast(heads), "head")
-          .join(broadcast(nexts), "next_tok")
+          .agg(count(lit(1)).as("n_ab"))
+        // N by the identity Σ_docs max(|toks|−1, 0) — the exact total
+        // of adjacent pairs, from a NARROW corpus scan (no second
+        // explode+groupBy pass; ReuseExchange declines to dedupe the
+        // bigram subtree across branches, so an agg over bgc would
+        // re-pay it). coalesce(0): an all-single-token corpus must
+        // yield the oracle's empty top-20, not a null N
+        val tot = Tables.documents(s, d).filter(col("text").isNotNull)
+          .agg(coalesce(
+            sum(greatest(size(tokens(col("text"))) - 1, lit(0))
+              .cast("long")), lit(0L)).as("_N"))
+        bgc
+          .withColumn("n_a", sum(col("n_ab")).over(
+            Window.partitionBy(col("head"))))
+          .withColumn("n_b", sum(col("n_ab")).over(
+            Window.partitionBy(col("next_tok"))))
+          .filter(col("n_ab") >= 5)
+          .crossJoin(broadcast(tot)) // deliberate bounded cross: 1 row
           .withColumn("lift", StableRound.r4(
-            (col("n_ab").cast("double") * lit(nTotal.toDouble)) /
+            (col("n_ab").cast("double") * col("_N").cast("double")) /
               (col("n_a").cast("double") * col("n_b").cast("double"))))
           .select(col("head"), col("next_tok"), col("n_ab"),
             col("n_a"), col("n_b"), col("lift"))
