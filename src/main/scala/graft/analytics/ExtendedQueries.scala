@@ -671,9 +671,9 @@ object ExtendedQueries {
     // two-long rows. A first cut that shuffled string keys per
     // iteration measured 9.9 s at sf0.1; the pre-artifact cut that
     // persisted the edges ad hoc paid the lineitem⋈orders build per
-    // run (5.0 → 1.4 s warm at sf0.1; at 100× the floor is the 3
-    // |E|-scale probe+agg passes themselves — 29.2 → 26.8 s, SURVEY
-    // §8). This is the standard 1000-executor PageRank plan. |V|
+    // run AND re-exchanged edge rows (bench min-of-3: 5.0 → 3.2 s at
+    // sf0.1, 29.2 → 11.1 s at 100× — SURVEY §8 round-10 table). This
+    // is the standard 1000-executor PageRank plan. |V|
     // reaches the driver only as one bounded count (the same scalar
     // discipline as the max-id reads).
     "q136_pagerank" -> QuerySpec(
@@ -936,11 +936,11 @@ object ExtendedQueries {
     * iteration's rank⋈edges join exchanges ONLY the |V|-row rank side
     * — the |E|-row edge table is read pre-partitioned and never
     * re-shuffled. The ad-hoc persist of [[fulfillmentEdges]] this
-    * replaced paid the lineitem⋈orders edge build per run (5.0 →
-    * 1.4 s warm at sf0.1; 29.2 → 26.8 s at 100×, where the floor is
-    * the three |E|-scale probe+agg passes — parallel-edge multiplicity
-    * is 1.02 at scale, so weighted-edge compression cannot cut it).
-    */
+    * replaced paid the lineitem⋈orders edge build per run (bench
+    * min-of-3: 5.0 → 3.2 s at sf0.1, 29.2 → 11.1 s at 100×; the
+    * remaining floor is the three |E|-scale probe+agg passes —
+    * parallel-edge multiplicity is 1.02 at scale, so weighted-edge
+    * compression cannot cut it further). */
   private[graft] def withPagerankRanks[T](s: SparkSession, d: String)
       (use: DataFrame => T): T = {
     val scale = 1000000000000L
