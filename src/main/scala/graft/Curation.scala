@@ -139,9 +139,13 @@ object Curation {
     val raw = graft.analytics.Tables.documents(spark, corpusDir)
       .filter(col("text").isNotNull)
 
-    // 1 ── quality floor (narrow scan)
-    val qual = raw.filter(
-      quality_score_t(col("text"), tokens(col("text"))) >= qualityMin)
+    // 1 ── quality floor (narrow scan). The score RIDES the frame as
+    // `_q` so stage 4's best-member selection reuses it instead of
+    // re-tokenizing the surviving corpus a second time (tokenization
+    // is the dominant narrow cost at 100 TB); dropped before return
+    val qual = raw
+      .withColumn("_q", quality_score_t(col("text"), tokens(col("text"))))
+      .filter(col("_q") >= qualityMin)
 
     // 1b ── optional Gopher repetition filter (q135's integer-mass
     // rule: a single 2-gram over 20% of characters, or duplicated
@@ -239,8 +243,7 @@ object Curation {
     val deduped =
       if (keepBestRep) {
         val winners = labeled
-          .select(col("_cluster"), col("doc_id"),
-            quality_score_t(col("text"), tokens(col("text"))).as("_q"))
+          .select(col("_cluster"), col("doc_id"), col("_q"))
           .groupBy(col("_cluster"))
           .agg(max(struct(col("_q").as("q"), (-col("doc_id")).as("nd")))
             .as("_b"))
@@ -374,7 +377,7 @@ object Curation {
       .orderBy("stage").collect()
       .map(r => StageCount(r.getInt(0), r.getString(1), r.getLong(2)))
 
-    Report(mixed, stages.toSeq)
+    Report(mixed.drop("_q"), stages.toSeq)
   }
 
   /** The per-source corpus report card (q122): document counts, token

@@ -187,10 +187,10 @@ object TextQueries {
       .filter(col("jaccard") >= 0.3)
       .orderBy("da", "db")
 
-  /** Shared q24/q114 oracle: the full index → cap → pair → Jaccard
-    * pipeline replayed in DuckDB. */
-  private lazy val jaccardPairsOracleSql: String = s"""
-        WITH $duckShingles,
+  /** The q24 index → cap → pair → Jaccard CTE chain ending in `jp`
+    * (da, db, shared, jaccard ≥ 0.3) — shared by the q24/q114 oracle
+    * and the q154 threshold sweep. */
+  private lazy val duckJaccardPairCtes: String = s"""$duckShingles,
         sk0 AS (SELECT doc_id, n,
                        xor(('0x' || substring(md5(s), 1, 15))::BIGINT,
                            ('0x' || substring(md5(lang), 1, 15))::BIGINT)
@@ -203,10 +203,19 @@ object TextQueries {
                      any_value(a.n) na, any_value(b.n) nb
               FROM sk a JOIN sk b
                 ON a.skey = b.skey AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-        SELECT da, db, shared,
-               floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 AS jaccard
-        FROM p WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5) / 10000 >= 0.3
+              GROUP BY 1, 2),
+        jp AS (SELECT da, db, shared,
+                 floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5)
+                   / 10000 AS jaccard
+               FROM p
+               WHERE floor(shared * 1.0 / (na + nb - shared) * 10000 + 0.5)
+                   / 10000 >= 0.3)"""
+
+  /** Shared q24/q114 oracle: the full index → cap → pair → Jaccard
+    * pipeline replayed in DuckDB. */
+  private lazy val jaccardPairsOracleSql: String = s"""
+        WITH $duckJaccardPairCtes
+        SELECT da, db, shared, jaccard FROM jp
         ORDER BY da, db"""
 
   /** The q140 tail over a posting-list frame: pair expansion →
@@ -786,6 +795,62 @@ object TextQueries {
                g.naive_quality
         FROM g JOIN b ON b.rep = g.rep AND b.rn = 1
         ORDER BY cluster_rep"""),
+      bench = true),
+
+    // ── dedup-threshold sweep (pick the Jaccard cutoff from data) ──
+    // The tuning report a dedup owner reads BEFORE committing a
+    // threshold: for each candidate cutoff t ∈ {30..90}%, how many
+    // pairs survive and how many documents are touched? The cliff in
+    // these curves is where near-dup structure ends and noise begins —
+    // choosing t by eyeballing a handful of pairs is how a 100 TB
+    // dedup silently deletes 30% of a corpus. Sweeps the EXACT q24
+    // pair set (r4 Jaccard values both engines hash-match), so the
+    // report inherits q24's oracle proof.
+    //
+    // Scale shape: reads the pair artifact ([[PostingIndex.pairs]] —
+    // pair-scale parquet, zero corpus work), expands ×7 thresholds,
+    // and the doc counts ride a (t, doc)-distinct — everything
+    // pair-scale. The t×100 integer comparison is the same IEEE
+    // double multiply in both engines.
+    "q154_threshold_sweep" -> QuerySpec(
+      build = (s, d) => {
+        val ths = Array(30, 40, 50, 60, 70, 80, 90)
+        val m = PostingIndex.pairs(s, d)
+          .select(col("da"), col("db"), col("jaccard"),
+            explode(typedlit(ths)).as("t_pct"))
+          .filter(col("jaccard") * 100 >= col("t_pct"))
+        val np = m.groupBy(col("t_pct"))
+          .agg(count(lit(1)).as("_np"))
+        val nd = m.select(col("t_pct"),
+            explode(array(col("da"), col("db"))).as("doc")).distinct()
+          .groupBy(col("t_pct")).agg(count(lit(1)).as("_nd"))
+        import s.implicits._
+        // every candidate threshold appears even when nothing survives
+        // it (a 0-pairs row is the answer "safe to cut here")
+        ths.toSeq.toDF("t_pct")
+          .join(np, Seq("t_pct"), "left")
+          .join(nd, Seq("t_pct"), "left")
+          .select(col("t_pct"),
+            coalesce(col("_np"), lit(0L)).as("n_pairs"),
+            coalesce(col("_nd"), lit(0L)).as("n_docs"))
+          .orderBy("t_pct")
+      },
+      oracle = Some(s"""
+        WITH $duckJaccardPairCtes,
+        ths AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS t_pct),
+        m AS (SELECT t.t_pct, j.da, j.db FROM ths t
+              JOIN jp j ON j.jaccard * 100 >= t.t_pct),
+        np AS (SELECT t_pct, count(*) n_pairs FROM m GROUP BY 1),
+        nd AS (SELECT t_pct, count(*) n_docs FROM (
+                 SELECT DISTINCT t_pct, doc FROM (
+                   SELECT t_pct, da AS doc FROM m
+                   UNION ALL SELECT t_pct, db FROM m))
+               GROUP BY 1)
+        SELECT ths.t_pct,
+               CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+               CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+        FROM ths LEFT JOIN np USING (t_pct) LEFT JOIN nd USING (t_pct)
+        ORDER BY t_pct"""),
       bench = true),
 
     // ── incremental near-dup: probe a NEW batch against the corpus ──

@@ -155,6 +155,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q146 collocations: one bigram explode, window marginals, no cache") {
+    val df = SparkEntry.queries("q146_collocations")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly ONE token-scale explode: the marginals ride the bigram
+    // rollup as keyed windows, and N comes from the narrow Σ(|toks|−1)
+    // identity — a second Generate would mean the bigram subtree is
+    // being re-paid (the pre-round-10 persist removed, nothing may
+    // have re-introduced the double pass)
+    assert("Generate explode".r.findAllIn(p).length == 1,
+      s"expected exactly one bigram explode:\n${p.take(1500)}")
+    assert(p.contains("Window"), "marginals must ride windows")
+    assert(!p.contains("InMemoryTableScan"),
+      "q146 must not retain a bigram cache")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "N must arrive as the bounded 1-row broadcast cross")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrdered, not a full sort")
+  }
+
   test("q137 rank-artifact read: a parquet scan and a heap — no graph rebuild") {
     val root = java.nio.file.Files.createTempDirectory("graft-plan-rank")
     val prev = sys.props.get("graft.artifacts.dir")

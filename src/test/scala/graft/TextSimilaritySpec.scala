@@ -1016,6 +1016,41 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q154 threshold sweep replays from the q24 pair set and is monotone") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-sweep-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val pairs = graft.text.TextQueries.queries("q24_jaccard_pairs")
+        .build(spark, d).collect()
+        .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Double]("jaccard")))
+      val got = graft.text.TextQueries.queries("q154_threshold_sweep")
+        .build(spark, d).collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      assert(got.map(_._1).toSeq == Seq(30, 40, 50, 60, 70, 80, 90))
+      // exact driver replay with the same ×100 double comparison
+      got.foreach { case (t, (np, ndocs)) =>
+        val sel = pairs.filter(_._3 * 100 >= t)
+        assert(np == sel.length, s"t=$t n_pairs")
+        assert(ndocs == sel.flatMap(p => Seq(p._1, p._2)).distinct.length,
+          s"t=$t n_docs")
+      }
+      // the curves are monotone non-increasing in t by construction
+      val ps = got.map(_._2._1)
+      assert(ps.zip(ps.tail).forall { case (a, b) => a >= b })
+      // and t=30 is exactly the full q24 pair set
+      assert(got.head._2._1 == pairs.length)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("q142 triangle census equals a brute-force count over q25 pairs") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
