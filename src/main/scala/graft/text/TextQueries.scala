@@ -797,6 +797,78 @@ object TextQueries {
         ORDER BY cluster_rep"""),
       bench = true),
 
+    // ── vocabulary growth curve (Heaps'-law audit) ─────────────────
+    // The diversity health check a corpus owner plots before and after
+    // curation: cumulative distinct tokens vs cumulative token count
+    // across ten deterministic corpus prefixes (doc_id-order deciles).
+    // A healthy diverse corpus keeps discovering vocabulary (Heaps'
+    // law, V ~ n^β); a curve that flattens early means the tail of the
+    // corpus is re-treading the head — boilerplate, templated spam, or
+    // upstream dedup failure. All-integer output.
+    //
+    // Scale shape: cumulative distinct across prefixes is NOT ten
+    // passes — each token's FIRST decile comes from one token-scale
+    // groupBy (map-side combined), running distinct = prefix sum of
+    // new-token counts over the ≤10-row rollup (a bounded window; the
+    // q138 denominator discipline). Decile boundaries derive from one
+    // bounded max-id scalar.
+    "q155_vocab_growth" -> QuerySpec(
+      build = (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // bounded scalar
+        val dec = (col("doc_id") * 10 / lit(mx + 1)).cast("int").as("dec")
+        // novelty over word-3-SHINGLES (the q24 kernel, 60-bit hashed
+        // — the oracle replays the same md5 arithmetic): the shingle
+        // space is combinatorial, so the curve discriminates even on
+        // corpora whose word vocabulary saturates in the first prefix
+        val shs = docs.select(dec,
+          explode(shingle_hashes(col("text"), 3)).as("h"))
+        val fresh = shs.groupBy(col("h")).agg(min(col("dec")).as("dec"))
+          .groupBy(col("dec")).agg(count(lit(1)).as("_new"))
+        val tot = docs
+          .select(dec, explode(tokens(col("text"))).as("t"))
+          .groupBy(col("dec")).agg(count(lit(1)).as("_n"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        (0 until 10).toDF("decile")
+          .join(fresh.withColumnRenamed("dec", "decile"), Seq("decile"), "left")
+          .join(tot.withColumnRenamed("dec", "decile"), Seq("decile"), "left")
+          // the window runs over exactly 10 rows — bounded by construction
+          .select(col("decile"),
+            sum(coalesce(col("_n"), lit(0L))).over(w).as("cum_tokens"),
+            sum(coalesce(col("_new"), lit(0L))).over(w)
+              .as("cum_distinct_shingles"))
+          .orderBy("decile")
+      },
+      oracle = Some(s"""
+        WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+        mx AS (SELECT max(doc_id) + 1 AS m FROM docs),
+        $duckShingles,
+        hs AS (SELECT CAST(sh.doc_id * 10 // (SELECT m FROM mx) AS INT)
+                        AS dec,
+                      ('0x' || substring(md5(sh.s), 1, 15))::BIGINT AS h
+               FROM sh JOIN docs ON docs.doc_id = sh.doc_id),
+        tk AS (SELECT CAST(doc_id * 10 // (SELECT m FROM mx) AS INT) AS dec,
+                      unnest($duckToks) AS t
+               FROM docs),
+        fr AS (SELECT dec, count(*) AS nw FROM (
+                 SELECT h, min(dec) AS dec FROM hs GROUP BY 1)
+               GROUP BY 1),
+        tt AS (SELECT dec, count(*) AS n FROM tk GROUP BY 1),
+        ds AS (SELECT unnest(generate_series(0, 9)) AS decile)
+        SELECT ds.decile,
+               CAST(sum(coalesce(tt.n, 0)) OVER (ORDER BY ds.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_tokens,
+               CAST(sum(coalesce(fr.nw, 0)) OVER (ORDER BY ds.decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_distinct_shingles
+        FROM ds LEFT JOIN fr ON fr.dec = ds.decile
+                LEFT JOIN tt ON tt.dec = ds.decile
+        ORDER BY ds.decile"""),
+      bench = true),
+
     // ── dedup-threshold sweep (pick the Jaccard cutoff from data) ──
     // The tuning report a dedup owner reads BEFORE committing a
     // threshold: for each candidate cutoff t ∈ {30..90}%, how many
