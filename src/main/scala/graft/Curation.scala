@@ -227,6 +227,13 @@ object Curation {
           .orderBy(col("doc_id"))))
       .filter(col("_rn") === 1).drop("_rn")
 
+    // with the containment stage on, the run needs the cluster labels
+    // AND the posting-derived pair sets: materialize the whole dedup
+    // family from ONE corpus kernel pass up front (buildAll shares the
+    // shingle/minhash scan; a no-op when the artifacts already exist)
+    // instead of letting the stages trigger two separate corpus scans
+    if (containment) graft.text.DedupIndexes.buildAll(spark, corpusDir)
+
     // 4 ── near-dup dedup: one survivor per duplicate cluster, labels
     // from the content-keyed artifact (built once per dataset).
     // Default survivor = the cluster's highest-quality member (q153:
