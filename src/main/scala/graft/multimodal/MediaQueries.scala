@@ -147,20 +147,15 @@ object MediaQueries {
     // for av) drives the same mediaNearDupPairs in MultimodalSpec —
     // the near-dup operator is embedding-agnostic.
     "q85_media_neardup" -> QuerySpec(
+      // payload byte length as an extra blocking key: lossless for
+      // the fingerprint embedding (md5 avalanche — different-length
+      // payloads never embed alike), and it keeps bucket occupancy
+      // flat as the corpus grows instead of n/buckets-linear. The
+      // candidate harvest uses the operator's scoped embedding cache
+      // (the round-10 default); the previous raw-bytes re-scan
+      // override measured 14.6 vs the cache's 12.9 s warm at 100×.
       build = (s, d) => mediaNearDupPairs(q85Embeddings(s, d),
-        // payload byte length as an extra blocking key: lossless for
-        // the fingerprint embedding (md5 avalanche — different-length
-        // payloads never embed alike), and it keeps bucket occupancy
-        // flat as the corpus grows instead of n/buckets-linear
-        blockCols = Seq("blen"),
-        // candidate harvest from the BYTES frame with the broadcast id
-        // probe BELOW the embed projection: the second corpus pass is
-        // a raw scan + hash probe, and the 4-md5/64-conv embed runs
-        // only for the pair-scale survivors (the default harvest
-        // would re-run the full embed + repartition pipeline)
-        candEmbed = Some(ids => q85Bytes(s, d)
-          .join(broadcast(ids), "vec_id")
-          .select(col("vec_id"), md5Embed(col("bytes")).as("embedding")))),
+        blockCols = Seq("blen")),
       oracle = Some(mediaNearDupOracleSql),
       bench = true),
 
@@ -372,43 +367,51 @@ object MediaQueries {
     // a zero-norm embedding (empty payload) has NaN cosine with every
     // plane AND every candidate; NaN compares greater-than in Spark,
     // so it would land in a bucket and pass the cos filter as a
-    // spurious pair — drop degenerate vectors before banding
+    // spurious pair — drop degenerate vectors before banding.
+    // SCOPED cache: the frame feeds the banding pipeline AND the
+    // candidate harvest; both are forced eagerly below (localCheckpoint),
+    // so the cache lives only for this call — unpersisted before the
+    // (pair-scale, checkpoint-backed) result returns. This replaced a
+    // second raw-bytes corpus pass for the harvest (min-of-4 warm at
+    // 100×: 14.6 → 12.9 s, and one corpus pass fewer either way).
     val clean = emb
       .filter(col("embedding").isNotNull &&
         exists(col("embedding"), x => x =!= 0.0f))
-    // Rerank join shape: joining the corpus-scale embedding frame to
-    // the pair list twice plans two sort-merge joins — two full sorts
-    // + three exchanges of the embedding table (~70% of q85's 100×
-    // wall time when measured). The pair set is PAIR-scale (bounded
-    // by the occupancy cap) and three consumers need it (the result's
-    // left side and both candidate harvests), so pin it once with
-    // localCheckpoint (the q82 in-query rebase precedent): the
-    // corpus-scale banding pipeline executes exactly once, and AQE
-    // never has to rediscover that three identical exchange subtrees
-    // are one stage.
-    val pairs = candidatePairs(clean, blockCols).localCheckpoint()
-    val ids = pairs
-      .select(explode(array(col("ma"), col("mb"))).as("vec_id")).distinct()
-    // candidate embeddings: ONE more sort-free stream over the corpus
-    // (broadcast hash probe of the pair-scale id set), harvested down
-    // to pair scale and pinned — the rerank below touches only
-    // checkpointed tiny frames through broadcast joins. Callers whose
-    // embedding is an expression over a cheap source (q85's md5 over
-    // bytes) pass `candEmbed` to put the id probe BELOW the embed, so
-    // the harvest pass never computes corpus-scale vectors.
-    val cand = candEmbed.getOrElse((i: org.apache.spark.sql.DataFrame) =>
-        clean.select(col("vec_id"), col("embedding"))
-          .join(broadcast(i), "vec_id"))
-      .apply(ids).localCheckpoint()
-    pairs
-      .join(broadcast(cand.select(col("vec_id").as("ma"),
-        col("embedding").as("ea"))), "ma")
-      .join(broadcast(cand.select(col("vec_id").as("mb"),
-        col("embedding").as("eb"))), "mb")
-      .select(col("ma"), col("mb"),
-        graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
-      .filter(col("cos") > 0.9)
-      .orderBy("ma", "mb")
+      .persist()
+    try {
+      // Rerank join shape: joining the corpus-scale embedding frame to
+      // the pair list twice plans two sort-merge joins — two full sorts
+      // + three exchanges of the embedding table (~70% of q85's 100×
+      // wall time when measured). The pair set is PAIR-scale (bounded
+      // by the occupancy cap) and three consumers need it (the result's
+      // left side and both candidate harvests), so pin it once with
+      // localCheckpoint (the q82 in-query rebase precedent): the
+      // corpus-scale banding pipeline executes exactly once, and AQE
+      // never has to rediscover that three identical exchange subtrees
+      // are one stage.
+      val pairs = candidatePairs(clean, blockCols).localCheckpoint()
+      val ids = pairs
+        .select(explode(array(col("ma"), col("mb"))).as("vec_id")).distinct()
+      // candidate embeddings: a broadcast hash probe of the pair-scale
+      // id set against the CACHED embedding frame the banding pass just
+      // materialized, harvested down to pair scale and pinned — the
+      // rerank below touches only checkpointed tiny frames through
+      // broadcast joins. Callers whose cache would not fit pass
+      // `candEmbed` to harvest from their own cheaper source instead.
+      val cand = candEmbed.getOrElse((i: org.apache.spark.sql.DataFrame) =>
+          clean.select(col("vec_id"), col("embedding"))
+            .join(broadcast(i), "vec_id"))
+        .apply(ids).localCheckpoint()
+      pairs
+        .join(broadcast(cand.select(col("vec_id").as("ma"),
+          col("embedding").as("ea"))), "ma")
+        .join(broadcast(cand.select(col("vec_id").as("mb"),
+          col("embedding").as("eb"))), "mb")
+        .select(col("ma"), col("mb"),
+          graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
+        .filter(col("cos") > 0.9)
+        .orderBy("ma", "mb")
+    } finally clean.unpersist(false)
   }
 
   /** The declarative candidate-pair pipeline under [[mediaNearDupPairs]]
