@@ -484,6 +484,68 @@ object EventQueries {
     // the pair rollup map-side-combines to ≤|types|² rows and the
     // row totals come from a window over THAT tiny frame (the q138
     // denominator trick — never a second event-scale pass).
+    // ── k-anonymity census over behavioral quasi-identifiers ───────
+    // The quantitative privacy audit beside q78's PII scrub: treating
+    // (event_type, day-of-week, hour-of-day) as a quasi-identifier
+    // cell, how many cells — and how many event rows — sit in small
+    // anonymity sets? A cell whose distinct-user count k is 1 pins a
+    // behavior pattern to ONE user; releasing (or training on) event
+    // data without this census is how "anonymized" logs re-identify.
+    // Buckets: k=1, 2-4, 5-19, ≥20 (the conventional risk bands).
+    // All-integer: dow/hod by epoch-microsecond arithmetic (NOT
+    // engine date functions, whose week conventions differ).
+    //
+    // Scale shape: the ONE event-scale exchange is the (cell, user)
+    // rollup with map-side combine; k and the census run on the
+    // |types|×7×24-bounded cell frame. Nothing event-scale moves
+    // twice — per-cell event counts ride the same rollup as sums.
+    "q156_anonymity_census" -> QuerySpec(
+      build = (s, d) => {
+        val cellUser = ev(s, d)
+          .select(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+            expr("(ts_us div 3600000000) % 24").as("hod"),
+            col("user_id"))
+          .groupBy(col("event_type"), col("dow"), col("hod"),
+            col("user_id"))
+          .agg(count(lit(1)).as("n_ev"))
+        val cells = cellUser
+          .groupBy(col("event_type"), col("dow"), col("hod"))
+          .agg(count(lit(1)).as("k"), sum(col("n_ev")).as("n_events"))
+        cells
+          .select(
+            when(col("k") === 1, "k=1")
+              .when(col("k") <= 4, "k=2-4")
+              .when(col("k") <= 19, "k=5-19")
+              .otherwise("k>=20").as("k_bucket"),
+            col("k"), col("n_events"))
+          .groupBy(col("k_bucket"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("k")).as("n_user_slots"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy("k_bucket")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT event_type, user_id,
+                          (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                          (epoch_us(ts) // 3600000000) % 24 AS hod
+                   FROM events),
+        cu AS (SELECT event_type, dow, hod, user_id, count(*) n_ev
+               FROM e GROUP BY 1, 2, 3, 4),
+        c AS (SELECT event_type, dow, hod, count(*) k, sum(n_ev) n_events
+              FROM cu GROUP BY 1, 2, 3),
+        b AS (SELECT CASE WHEN k = 1 THEN 'k=1'
+                          WHEN k <= 4 THEN 'k=2-4'
+                          WHEN k <= 19 THEN 'k=5-19'
+                          ELSE 'k>=20' END AS k_bucket,
+                     k, n_events
+              FROM c)
+        SELECT k_bucket, count(*) AS n_cells,
+               CAST(sum(k) AS BIGINT) AS n_user_slots,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM b GROUP BY 1 ORDER BY k_bucket"""),
+      bench = true),
+
     "q151_event_transitions" -> QuerySpec(
       build = (s, d) => {
         val w = Window.partitionBy(col("user_id"))

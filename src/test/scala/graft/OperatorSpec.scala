@@ -402,6 +402,31 @@ class OperatorSpec extends SparkSpec {
       s"AGMS estimate $amsEst implausibly far from $exact")
   }
 
+  test("q156 anonymity census replays driver-side and k=1 risk fires") {
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val rows = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
+      .select("event_type", "ts_us", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val cells = rows.groupBy { case (t, ts, _) =>
+      (t, (ts / 86400000000L + 4) % 7, (ts / 3600000000L) % 24) }
+    val census = cells.values.toSeq
+      .map(es => (es.map(_._3).distinct.size.toLong, es.size.toLong))
+      .groupBy { case (k, _) =>
+        if (k == 1) "k=1" else if (k <= 4) "k=2-4"
+        else if (k <= 19) "k=5-19" else "k>=20" }
+      .map { case (b, xs) =>
+        b -> (xs.size.toLong, xs.map(_._1).sum, xs.map(_._2).sum) }
+    val got = graft.analytics.EventQueries.queries("q156_anonymity_census")
+      .build(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == census, s"census mismatch: $got vs $census")
+    // the audit must BIND at this SF: singleton cells exist (the
+    // re-identification finding the query exists to surface)
+    assert(got.contains("k=1") && got("k=1")._1 > 0)
+  }
+
   test("join advisor: broadcast for a dim side, salt for the hot key, shuffle_hash otherwise") {
     import spark.implicits._
     import graft.operators.JoinAdvisor
