@@ -484,6 +484,72 @@ object EventQueries {
     // the pair rollup map-side-combines to ≤|types|² rows and the
     // row totals come from a window over THAT tiny frame (the q138
     // denominator trick — never a second event-scale pass).
+    // ── differentially-private count release (discrete Laplace) ────
+    // The release half of the privacy story (q156 measures risk; this
+    // is how a platform PUBLISHES corpus statistics anyway): per-type
+    // event counts released under ε = ln 2 pure DP via the two-sided
+    // geometric ("discrete Laplace") mechanism, P(Z=z) ∝ 2^{-|z|} —
+    // the integer mechanism of Ghosh-Roughgarden-Sundararajan, so no
+    // float noise and no transcendentals anywhere. The sampler is
+    // EXACT integer arithmetic: a 60-bit md5 of the release key maps
+    // to u ∈ [0, 3·2^40); u < 2^40 → z = 0 (mass exactly 1/3);
+    // otherwise the parity of v = u − 2^40 gives the sign and the
+    // count of leading one-bits of v div 2 (in 40 bits) gives the
+    // magnitude — P(k) = 2^{-k} exactly, leftover mass clamped to
+    // k = 40. Both engines replay the identical bits, so the release
+    // is hash-checked.
+    //
+    // Noise is SEEDED by (mechanism, key) — deliberately: stable
+    // noise per release key is the "consistent noise" practice of
+    // production DP query systems (re-running a release must NOT
+    // hand an attacker fresh samples to average away); rotating the
+    // release epoch re-seeds. The exact count rides along here so the
+    // oracle can audit the mechanism — a production view drops it.
+    // Scale shape: one map-side-combined event rollup; the mechanism
+    // runs on the |types|-bounded frame.
+    "q157_dp_release" -> QuerySpec(
+      build = (s, d) => {
+        val M = 3L << 40
+        val h = graft.text.TextQueries.md5Hash60(
+          concat(lit("dp0|"), col("event_type")))
+        ev(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("_u", pmod(h, lit(M)))
+          .withColumn("_v", col("_u") - lit(1L << 40))
+          .withColumn("_t", lit((1L << 40) - 1) - expr("_v div 2"))
+          .withColumn("_k",
+            when(col("_t") === 0, lit(40))
+              .otherwise(lit(41) - length(bin(col("_t")))).cast("long"))
+          .withColumn("noise",
+            when(col("_u") < lit(1L << 40), lit(0L))
+              .otherwise(when(pmod(col("_v"), lit(2)) === 0, col("_k"))
+                .otherwise(-col("_k"))))
+          .select(col("event_type"), col("n"), col("noise"),
+            (col("n") + col("noise")).as("released"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH g AS (SELECT event_type, count(*) n FROM events GROUP BY 1),
+        s AS (SELECT event_type, n,
+                ('0x' || substring(md5('dp0|' || event_type), 1, 15))::BIGINT
+                  % 3298534883328 AS u
+              FROM g),
+        z AS (SELECT event_type, n, u, u - 1099511627776 AS v FROM s),
+        k AS (SELECT event_type, n, u, v,
+                CASE WHEN 1099511627775 - (v // 2) = 0 THEN 40
+                     ELSE 41 - length(bin(1099511627775 - (v // 2)))
+                END AS kk
+              FROM z),
+        f AS (SELECT event_type, n,
+                CASE WHEN u < 1099511627776 THEN 0
+                     WHEN v % 2 = 0 THEN kk ELSE -kk END AS noise
+              FROM k)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(noise AS BIGINT) AS noise,
+               CAST(n + noise AS BIGINT) AS released
+        FROM f ORDER BY event_type"""),
+      bench = true),
+
     // ── k-anonymity census over behavioral quasi-identifiers ───────
     // The quantitative privacy audit beside q78's PII scrub: treating
     // (event_type, day-of-week, hour-of-day) as a quasi-identifier

@@ -402,6 +402,44 @@ class OperatorSpec extends SparkSpec {
       s"AGMS estimate $amsEst implausibly far from $exact")
   }
 
+  test("q157 discrete-Laplace sampler: exact replay + the 2^-|z| law") {
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noiseOf(key: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex("dp0|" + key).take(15), 16)
+      val u = h % (3L << 40)
+      if (u < (1L << 40)) 0L
+      else {
+        val v = u - (1L << 40)
+        val t = ((1L << 40) - 1) - (v / 2)
+        val k = if (t == 0) 40L else 41L - java.lang.Long.toBinaryString(t).length
+        if (v % 2 == 0) k else -k
+      }
+    }
+    // exact replay of the shipped query's noise column
+    val got = graft.analytics.EventQueries.queries("q157_dp_release")
+      .build(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (t, n, z, rel) =>
+      assert(z == noiseOf(t), s"$t: noise drift")
+      assert(rel == n + z)
+    }
+    // the mechanism's law over many keys: P(z=0) = 1/3 and
+    // P(|z|=k) = (1/3)·2^{1-k} split evenly by sign — empirical
+    // frequencies over 120k keys must land within 2% absolute
+    val zs = (1 to 120000).map(i => noiseOf(s"key$i"))
+    val n = zs.size.toDouble
+    def freq(p: Long => Boolean) = zs.count(p) / n
+    assert(math.abs(freq(_ == 0L) - 1.0 / 3) < 0.02, "P(0) != 1/3")
+    assert(math.abs(freq(_ == 1L) - 1.0 / 6) < 0.02, "P(+1) != 1/6")
+    assert(math.abs(freq(_ == -1L) - 1.0 / 6) < 0.02, "P(-1) != 1/6")
+    assert(math.abs(freq(z => math.abs(z) == 2) - 1.0 / 6) < 0.02,
+      "P(|z|=2) != 1/6")
+    // symmetry of the whole tail
+    assert(math.abs(freq(_ > 0) - freq(_ < 0)) < 0.02, "sign asymmetry")
+  }
+
   test("q156 anonymity census replays driver-side and k=1 risk fires") {
     val d = "/root/testdata/sf0.001"
     val e = graft.analytics.Tables.events(spark, d)
