@@ -411,13 +411,18 @@ object Curation {
     *   - `drift`   (q143): per-source length-distribution TV distance
     *     vs the reference source;
     *   - `leakage` (q144): near-dup pairs straddling the train/val/
-    *     test hash split — the eval-contamination census.
+    *     test hash split — the eval-contamination census;
+    *   - `growth`  (q155): the Heaps'-law novelty curve — cumulative
+    *     tokens vs cumulative distinct shingles across corpus
+    *     prefixes; a curve that flattens early means the tail
+    *     re-treads the head.
     *
     * Each frame is lazy; collect what the card needs. Every number is
     * cross-engine hash-checked under its query id, so the card is
     * auditable, not just printable. */
   case class DataCard(report: DataFrame, overlap: DataFrame,
-                      drift: DataFrame, leakage: DataFrame)
+                      drift: DataFrame, leakage: DataFrame,
+                      growth: DataFrame)
 
   def dataCard(spark: SparkSession, corpusDir: String): DataCard = {
     GraftSession.configure(spark)
@@ -430,6 +435,7 @@ object Curation {
       report = q("q122_corpus_report"),
       overlap = q("q141_sketch_overlap"),
       drift = q("q143_hist_drift"),
-      leakage = q("q144_split_leakage"))
+      leakage = q("q144_split_leakage"),
+      growth = q("q155_vocab_growth"))
   }
 }

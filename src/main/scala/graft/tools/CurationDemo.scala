@@ -67,6 +67,15 @@ object CurationDemo {
           s"tv_e4=${dr.getAs[Long]("tv_vs_ref_e4")}")
       case None => println("[card] no drift reference (no src0 in corpus)")
     }
+    val gr = card.growth.orderBy(col("decile")).collect()
+    if (gr.length >= 2) {
+      val tot = gr.last.getAs[Long]("cum_distinct_shingles")
+      val lastNew = tot - gr(gr.length - 2).getAs[Long]("cum_distinct_shingles")
+      println(s"[card] novelty: last corpus decile added $lastNew new " +
+        s"shingles of $tot total" +
+        (if (lastNew * 20 < tot) "  (flattening: tail re-treads the head)"
+         else ""))
+    }
     val leaks = card.leakage.filter(col("leaking") === 1)
       .agg(coalesce(sum(col("n_pairs")), lit(0L))).head().getLong(0)
     println(s"[card] near-dup pairs straddling train/val/test: $leaks" +

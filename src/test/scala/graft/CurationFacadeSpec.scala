@@ -477,6 +477,7 @@ class CurationFacadeSpec extends SparkSpec {
       assert(card.overlap.collect().toSeq == rows("q141_sketch_overlap"))
       assert(card.drift.collect().toSeq == rows("q143_hist_drift"))
       assert(card.leakage.collect().toSeq == rows("q144_split_leakage"))
+      assert(card.growth.collect().toSeq == rows("q155_vocab_growth"))
     } finally {
       prev match {
         case Some(v) => sys.props("graft.artifacts.dir") = v
