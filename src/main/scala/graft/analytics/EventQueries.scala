@@ -508,46 +508,21 @@ object EventQueries {
     // Scale shape: one map-side-combined event rollup; the mechanism
     // runs on the |types|-bounded frame.
     "q157_dp_release" -> QuerySpec(
-      build = (s, d) => {
-        val M = 3L << 40
-        val h = graft.text.TextQueries.md5Hash60(
-          concat(lit("dp0|"), col("event_type")))
+      build = (s, d) =>
         ev(s, d).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("_u", pmod(h, lit(M)))
-          .withColumn("_v", col("_u") - lit(1L << 40))
-          .withColumn("_t", lit((1L << 40) - 1) - expr("_v div 2"))
-          .withColumn("_k",
-            when(col("_t") === 0, lit(40))
-              .otherwise(lit(41) - length(bin(col("_t")))).cast("long"))
-          .withColumn("noise",
-            when(col("_u") < lit(1L << 40), lit(0L))
-              .otherwise(when(pmod(col("_v"), lit(2)) === 0, col("_k"))
-                .otherwise(-col("_k"))))
+          .withColumn("noise", DpNoise.noiseFor(col("event_type")))
           .select(col("event_type"), col("n"), col("noise"),
             (col("n") + col("noise")).as("released"))
-          .orderBy("event_type")
-      },
-      oracle = Some("""
-        WITH g AS (SELECT event_type, count(*) n FROM events GROUP BY 1),
-        s AS (SELECT event_type, n,
-                ('0x' || substring(md5('dp0|' || event_type), 1, 15))::BIGINT
-                  % 3298534883328 AS u
-              FROM g),
-        z AS (SELECT event_type, n, u, u - 1099511627776 AS v FROM s),
-        k AS (SELECT event_type, n, u, v,
-                CASE WHEN 1099511627775 - (v // 2) = 0 THEN 40
-                     ELSE 41 - length(bin(1099511627775 - (v // 2)))
-                END AS kk
-              FROM z),
-        f AS (SELECT event_type, n,
-                CASE WHEN u < 1099511627776 THEN 0
-                     WHEN v % 2 = 0 THEN kk ELSE -kk END AS noise
-              FROM k)
+          .orderBy("event_type"),
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type, count(*) n FROM events GROUP BY 1)
         SELECT event_type, CAST(n AS BIGINT) AS n,
-               CAST(noise AS BIGINT) AS noise,
-               CAST(n + noise AS BIGINT) AS released
-        FROM f ORDER BY event_type"""),
+               CAST(${DpNoise.duckNoiseSql("event_type")} AS BIGINT)
+                 AS noise,
+               CAST(n + ${DpNoise.duckNoiseSql("event_type")} AS BIGINT)
+                 AS released
+        FROM g ORDER BY event_type"""),
       bench = true),
 
     // ── k-anonymity census over behavioral quasi-identifiers ───────

@@ -328,6 +328,24 @@ object EventStreams {
       .start()
   }
 
+  /** Privacy-preserving live metrics feed — the streaming twin of the
+    * q157 DP release: windowed per-type counts published with
+    * discrete-Laplace noise ([[graft.analytics.DpNoise]], ε = ln 2),
+    * each (window, type) cell its own release key. The seed is the
+    * cell identity, so a recomputed or replayed window publishes the
+    * SAME released value (the consistent-noise property — a restart
+    * must not hand a reader fresh samples to average); the exact count
+    * never leaves the pipeline. Stateless beyond the windowed counts;
+    * works identically on a batch frame (stream==batch pinned in
+    * StreamingSpec). */
+  def hourlyDpCounts(events: DataFrame,
+                     lateness: String = "2 hours"): DataFrame =
+    windowedTypeCounts(events, lateness)
+      .select(col("window.start").as("hour"), col("event_type"),
+        (col("n") + graft.analytics.DpNoise.noiseFor(
+          concat(col("window.start").cast("long"), lit("|"),
+            col("event_type")))).as("released"))
+
   /** Stream-static dimension enrichment: join each micro-batch against
     * a (small) static dimension frame with a broadcast hash join — the
     * streaming twin of the batch pipelines' dim preload (SURVEY §2 A6/

@@ -1022,6 +1022,60 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dp count feed: stream == batch, noise replays, exact count never leaks") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.TypedEv
+    implicit val sc = spark.sqlContext
+
+    val us = 1000000L
+    val min = 60 * us
+    val t0 = 1599998400L * us // hour-aligned
+    val h1 = (1 to 17).map(i => TypedEv("click", t0 + i * min % (50 * min))) ++
+      (1 to 5).map(i => TypedEv("view", t0 + i * min))
+    val input = MemoryStream[TypedEv]
+    val q = EventStreams.hourlyDpCounts(input.toDS().toDF(),
+        lateness = "10 minutes")
+      .writeStream.format("memory").queryName("dp_out")
+      .outputMode("append").start()
+    try {
+      input.addData(h1: _*)
+      q.processAllAvailable()
+      input.addData(TypedEv("click", t0 + 600 * min)) // closes hour 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dp_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+
+    // driver replay of the shared sampler (the q157 OperatorSpec math)
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noiseOf(key: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex("dp0|" + key).take(15), 16)
+      val u = h % (3L << 40)
+      if (u < (1L << 40)) 0L
+      else {
+        val v = u - (1L << 40)
+        val t = ((1L << 40) - 1) - (v >> 1)
+        val k = if (t == 0) 40L
+          else 41L - java.lang.Long.toBinaryString(t).length
+        if (v % 2 == 0) k else -k
+      }
+    }
+    val hour1 = new java.sql.Timestamp(t0 / 1000)
+    val sec = t0 / 1000000 // window start in epoch seconds
+    assert(streamed((hour1, "click")) == 17L + noiseOf(s"$sec|click"))
+    assert(streamed((hour1, "view")) == 5L + noiseOf(s"$sec|view"))
+    // the release column is the ONLY count column (no exact leak)
+    assert(spark.table("dp_out").columns.toSeq ==
+      Seq("hour", "event_type", "released"))
+    // batch twin agrees on the closed window
+    val batch = EventStreams.hourlyDpCounts(h1.toDS().toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(batch((hour1, "click")) == streamed((hour1, "click")))
+    assert(batch((hour1, "view")) == streamed((hour1, "view")))
+  }
+
   test("anomaly monitor refresh: post-refresh flags equal batch flags under the new thresholds") {
     import spark.implicits._
     import graft.streaming.EventStreams
