@@ -797,6 +797,53 @@ object TextQueries {
         ORDER BY cluster_rep"""),
       bench = true),
 
+    // ── dedup savings forecast (what will cluster dedup delete?) ───
+    // The planning scalar beside the q154 threshold sweep: per source,
+    // how many documents — and how many characters, the storage/token
+    // number a budget owner actually reads — would min-id cluster
+    // dedup drop? A droppable doc is any near-dup cluster member that
+    // is not its cluster's representative; clusters spanning sources
+    // attribute each drop to the DROPPED doc's source, so the report
+    // also shows which source is paying for duplication. Run BEFORE
+    // dedup: the forecast prices the run.
+    //
+    // Scale shape: labels come pair-scale from the [[ClusterIndex]]
+    // artifact; the corpus contributes one narrow 3-column scan into a
+    // left join (labels side is tiny and broadcasts); the rollup is
+    // |sources|-bounded. Nothing corpus-scale shuffles.
+    "q158_dedup_savings" -> QuerySpec(
+      build = (s, d) => {
+        val labels = ClusterIndex.load(s, d)
+          .select(col("doc_id"), col("rep"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(broadcast(labels), Seq("doc_id"), "left")
+          .withColumn("_drop",
+            (col("rep").isNotNull && col("rep") =!= col("doc_id"))
+              .cast("long"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("rep").isNotNull.cast("long")).as("n_in_clusters"),
+            sum(col("_drop")).as("n_droppable"),
+            sum(col("_drop") * col("n_chars")).as("chars_droppable"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $duckMinhashPairsCtes,
+        $duckClosureCtes,
+        j AS (SELECT d.source, d.n_chars, l.rep, d.doc_id
+              FROM documents d LEFT JOIN labels l USING (doc_id))
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rep IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_in_clusters,
+               CAST(sum(CASE WHEN rep IS NOT NULL AND rep <> doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_droppable,
+               CAST(sum(CASE WHEN rep IS NOT NULL AND rep <> doc_id
+                             THEN n_chars ELSE 0 END) AS BIGINT)
+                 AS chars_droppable
+        FROM j GROUP BY source ORDER BY source"""),
+      bench = true),
+
     // ── vocabulary growth curve (Heaps'-law audit) ─────────────────
     // The diversity health check a corpus owner plots before and after
     // curation: cumulative distinct tokens vs cumulative token count

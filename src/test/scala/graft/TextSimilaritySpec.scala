@@ -1051,6 +1051,46 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("q158 savings forecast matches the cluster-table identities") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-sav-spec")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val labels = graft.text.ClusterIndex.load(spark, d).collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val got = graft.text.TextQueries.queries("q158_dedup_savings")
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+      // totals: every labeled doc is in a cluster; droppable = labeled
+      // minus one representative per cluster
+      assert(got.map(_._3).sum == labels.length)
+      assert(got.map(_._4).sum ==
+        labels.length - labels.map(_._2).distinct.length)
+      // chars attribute to the DROPPED doc: recompute per source from
+      // the raw table
+      val chars = graft.analytics.Tables.documents(spark, d)
+        .select("doc_id", "source", "n_chars").collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      val dropBySrc = labels.filter { case (id, rep) => id != rep }
+        .groupBy { case (id, _) => chars(id)._1 }
+        .view.mapValues(_.map { case (id, _) => chars(id)._2 }.sum).toMap
+      got.foreach { case (src, _, _, nd, cd) =>
+        assert(cd == dropBySrc.getOrElse(src, 0L), s"$src chars")
+        assert(nd > 0 == dropBySrc.contains(src), s"$src count")
+      }
+      // the forecast must BIND on this corpus
+      assert(got.map(_._4).sum > 0, "fixture corpus must have droppables")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("q142 triangle census equals a brute-force count over q25 pairs") {
     val d = "/root/testdata/sf0.001"
     val root = java.nio.file.Files.createTempDirectory("graft-tri-spec")
