@@ -525,6 +525,43 @@ object EventQueries {
         FROM g ORDER BY event_type"""),
       bench = true),
 
+    // ── DP histogram release of the quasi-identifier marginal ──────
+    // q156 flags the (type, dow, hod) cells as re-identification risk;
+    // this is how the platform still PUBLISHES activity shape: the
+    // (event_type, day-of-week) marginal histogram with per-cell
+    // discrete-Laplace noise ([[DpNoise]]), each cell its own release
+    // key. Cells partition the events, so this is PARALLEL composition
+    // — the whole histogram costs one ε = ln 2, not |cells|·ε. The
+    // exact count rides along for the oracle audit; a production view
+    // drops it (the q157 convention).
+    // Scale shape: one map-side-combined event rollup; the mechanism
+    // runs on the |types|×7-bounded cell frame.
+    "q159_dp_histogram" -> QuerySpec(
+      build = (s, d) =>
+        ev(s, d)
+          .select(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").as("dow"))
+          .groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("noise", DpNoise.noiseFor(
+            concat(col("event_type"), lit("|"), col("dow"))))
+          .select(col("event_type"), col("dow"), col("n"), col("noise"),
+            (col("n") + col("noise")).as("released"))
+          .orderBy("event_type", "dow"),
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                          count(*) n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(dow AS BIGINT) AS dow,
+               CAST(n AS BIGINT) AS n,
+               CAST(${DpNoise.duckNoiseSql("event_type || '|' || dow::VARCHAR")}
+                 AS BIGINT) AS noise,
+               CAST(n + ${DpNoise.duckNoiseSql("event_type || '|' || dow::VARCHAR")}
+                 AS BIGINT) AS released
+        FROM g ORDER BY event_type, dow"""),
+      bench = true),
+
     // ── k-anonymity census over behavioral quasi-identifiers ───────
     // The quantitative privacy audit beside q78's PII scrub: treating
     // (event_type, day-of-week, hour-of-day) as a quasi-identifier
