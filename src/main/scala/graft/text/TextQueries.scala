@@ -797,6 +797,38 @@ object TextQueries {
         ORDER BY cluster_rep"""),
       bench = true),
 
+    // ── curriculum banding audit (the writer's band math, checked) ─
+    // [[TrainOrder.writeCurriculumEpochOf]] orders each shard by
+    // (quality band, md5 key) — low → high quality with reproducible
+    // intra-band shuffle, the curriculum a staged training run reads.
+    // This is its auditable summary: per band, the population and the
+    // exact e4 quality range. Bands are integer-exact — band =
+    // q_e4·bands div 10000 clamped — so the oracle replays them
+    // bit-for-bit, and non-overlapping ranges (max_q of band b below
+    // min_q of band b+1) prove the banding is monotone.
+    // Scale shape: one narrow quality scan + an 8-row rollup.
+    "q160_curriculum_bands" -> QuerySpec(
+      build = (s, d) => TrainOrder
+        .curriculumOrder(Tables.documents(s, d), epoch = 0, shards = 8,
+          bands = 8)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("q_e4")).as("min_q_e4"),
+          max(col("q_e4")).as("max_q_e4"))
+        .orderBy("band"),
+      oracle = Some(s"""
+        WITH q AS (SELECT CAST(floor($duckQualityExpr * 10000 + 0.5)
+                          AS BIGINT) AS q_e4
+                   FROM documents),
+        b AS (SELECT q_e4,
+                least(q_e4 * 8 // 10000, 7) AS band
+              FROM q)
+        SELECT CAST(band AS BIGINT) AS band, count(*) AS n_docs,
+               CAST(min(q_e4) AS BIGINT) AS min_q_e4,
+               CAST(max(q_e4) AS BIGINT) AS max_q_e4
+        FROM b GROUP BY band ORDER BY band"""),
+      bench = true),
+
     // ── dedup savings forecast (what will cluster dedup delete?) ───
     // The planning scalar beside the q154 threshold sweep: per source,
     // how many documents — and how many characters, the storage/token

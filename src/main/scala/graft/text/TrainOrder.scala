@@ -50,4 +50,34 @@ object TrainOrder {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("k"))
       .write.mode("overwrite").partitionBy("shard").parquet(out)
+
+  /** [[epochOrder]] with a CURRICULUM major key: each document gets a
+    * quality band (`band` 0 = lowest .. bands−1 = highest, from the
+    * shared composite quality score, plus `q_e4` for auditing), and
+    * the on-disk order within each shard becomes (band, md5 key) —
+    * a sequential reader sees low → high quality with reproducible
+    * intra-band shuffle (flip `ascending` for the hard-first
+    * curriculum). Band math is floor(q·bands) clamped to bands−1 —
+    * the q160 audit replays it in DuckDB. */
+  def curriculumOrder(docs: DataFrame, epoch: Int, shards: Int,
+                      bands: Int): DataFrame =
+    epochOrder(docs, epoch, shards)
+      .withColumn("q_e4",
+        floor(TextFunctions.quality_score(col("text")) * 10000 + 0.5)
+          .cast("long"))
+      .withColumn("band",
+        least(expr("q_e4 * " + bands + " div 10000"), lit(bands - 1L)))
+
+  /** The curriculum twin of [[writeEpochOf]]: shard-partitioned, rows
+    * per shard in (band, key) order. Same scale contract — one hash
+    * exchange, spillable per-task sorts, no global sort, no window. */
+  def writeCurriculumEpochOf(docs: DataFrame, out: String,
+                             epoch: Int = 0, shards: Int = 8,
+                             bands: Int = 8,
+                             ascending: Boolean = true): Unit =
+    curriculumOrder(docs, epoch, shards, bands)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"),
+        if (ascending) col("band").asc else col("band").desc, col("k"))
+      .write.mode("overwrite").partitionBy("shard").parquet(out)
 }

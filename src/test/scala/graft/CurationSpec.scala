@@ -527,6 +527,52 @@ class CurationSpec extends SparkSpec {
     assert(total == ids.length, "every document appears in exactly one shard")
   }
 
+  test("writeCurriculumEpochOf: band-major order on disk, q160 bands replay") {
+    import scala.jdk.CollectionConverters._
+    val out = java.nio.file.Files.createTempDirectory("graft-curr")
+      .resolve("epoch0").toString
+    val docs = graft.analytics.Tables.documents(spark, sf)
+    graft.text.TrainOrder.writeCurriculumEpochOf(docs, out,
+      epoch = 0, shards = 4, bands = 8)
+    val ids = docs.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("shard="))
+      .toSeq
+    assert(shardDirs.nonEmpty)
+    var seen = Seq.empty[Long]
+    shardDirs.foreach { dir =>
+      val files = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      assert(files.size == 1, s"$dir: one task per shard → one file")
+      val rows = spark.read.parquet(files.head.toString)
+        .select(col("band"), col("k"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // the on-disk contract: band-major, md5-key within band
+      assert(rows.map(r => (r._1, r._2)).toSeq ==
+        rows.map(r => (r._1, r._2)).sortBy(identity).toSeq,
+        s"$dir not in (band, key) order")
+      seen ++= rows.map(_._3)
+    }
+    assert(seen.sorted.toSeq == ids.toSeq,
+      "every doc in exactly one shard")
+    // the q160 audit equals a per-doc replay of the integer band math
+    val q = graft.text.TextQueries.queries("q160_curriculum_bands")
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val qe4 = docs.select(
+        floor(graft.text.TextFunctions.quality_score(col("text")) * 10000
+          + 0.5).cast("long").as("q")).collect().map(_.getLong(0))
+    val expect = qe4.groupBy(q => math.min(q * 8 / 10000, 7L))
+      .map { case (b, xs) => b -> (xs.length.toLong, xs.min, xs.max) }
+    assert(q == expect)
+    // bands must be MONOTONE: ranges do not overlap
+    val sortedBands = q.toSeq.sortBy(_._1)
+    sortedBands.zip(sortedBands.tail).foreach { case ((_, a), (_, b)) =>
+      assert(a._3 < b._2, "band ranges overlap")
+    }
+  }
+
   test("q99 overlap index: builds once, reuses from disk, equals q98") {
     import graft.text.OverlapIndex
     val root = java.nio.file.Files.createTempDirectory("graft-oi-spec")
