@@ -64,20 +64,53 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Millisecond precision and a median line SEPARATE from the final
-    // line: the driver captures a bounded tail of stdout and parses the
-    // last JSON it finds — r8's single line (32 queries × min+median at
-    // full double precision, ~3.4 KB) overflowed that buffer and the
-    // round's perf record came back parsed:null. The canonical record
-    // is the compact final line; medians ride one line above it.
+    // Two-channel record (the r8/r10 lesson, twice-learned): the
+    // driver captures a BOUNDED tail of stdout (~2000 chars) and
+    // parses the last JSON it finds, so the canonical stdout line must
+    // stay well under that at any bench-set size — r10's 73-query
+    // full-name one-liner overflowed it and the round's perf record
+    // came back parsed:null. Therefore:
+    //   1. target/bench_latest.json gets the FULL record (full query
+    //      names, min + median per query, totals, runs, sf) — the
+    //      machine-readable artifact that is sufficient on its own;
+    //   2. stdout's final line keys each query by its short "qNNN" id
+    //      (~14 chars/entry — 73 queries ≈ 1.1 KB), and if even that
+    //      ever outgrows ~1900 chars the queries map is dropped from
+    //      stdout in favor of the file pointer, never truncated.
+    // Medians ride a SEPARATE earlier line in both channels.
     def r3(v: Double) = if (v == -1.0) "-1" else f"$v%.3f"
     def js(xs: Seq[(String, Double)]) = xs.map { case (k, v) =>
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
-    println(s"""{"metric":"total_median","value":${r3(medians.map(_._2).sum)},""" +
-      s""""unit":"sec","queries_median":${js(medians)}}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""queries":${js(mins)},"sf":"$sfDir"}""")
+    val totalMed = medians.map(_._2).sum
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""sf":"$sfDir","total_median":${r3(totalMed)},""" +
+      s""""queries":${js(mins)},"queries_median":${js(medians)}}"""
+    val outFile = java.nio.file.Paths.get("target", "bench_latest.json")
+    java.nio.file.Files.createDirectories(outFile.getParent)
+    java.nio.file.Files.write(outFile,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // short ids: the leading qNNN token of each query name; falls back
+    // to the full name if a name has no qNNN prefix or ids collide
+    val shortId = {
+      val ids = mins.map { case (k, _) => k -> "^q\\d+".r.findFirstIn(k).getOrElse(k) }
+      val counts = ids.groupBy(_._2).view.mapValues(_.size).toMap
+      ids.map { case (k, id) => k -> (if (counts(id) == 1) id else k) }.toMap
+    }
+    def shorten(xs: Seq[(String, Double)]) =
+      xs.map { case (k, v) => shortId(k) -> v }.sortBy(_._1)
+    val minLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""queries":${js(shorten(mins))},"sf":"$sfDir"}"""
+    val medLine = s"""{"metric":"total_median","value":${r3(totalMed)},""" +
+      s""""unit":"sec","queries_median":${js(shorten(medians))}}"""
+    println(s"""{"metric":"bench_file","path":"${outFile.toString}"}""")
+    if (medLine.length <= 1900) println(medLine)
+    if (minLine.length <= 1900) println(minLine)
+    else println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
+      s""""sf":"$sfDir","queries_file":"${outFile.toString}"}""")
     spark.stop()
   }
 }

@@ -4,28 +4,73 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** The q157 discrete-Laplace (two-sided geometric) noise sampler —
-  * THE shared definition for the batch release (q157) and the
+  * THE shared definition for the batch releases (q157/q159) and the
   * streaming twin ([[graft.streaming.EventStreams.hourlyDpCounts]]),
-  * so the two cannot drift and both stay cross-engine replayable.
+  * so the engines cannot drift and the mechanism stays cross-engine
+  * replayable.
   *
   * Mechanism (Ghosh–Roughgarden–Sundararajan's integer mechanism at
-  * ε = ln 2): P(Z = z) = (1/3)·2^{−|z|}. Sampled by EXACT integer
-  * arithmetic from a 60-bit md5 of the release key: u ∈ [0, 3·2⁴⁰);
-  * u < 2⁴⁰ → 0 (mass exactly 1/3); else v = u − 2⁴⁰, parity of v is
-  * the sign and the leading one-bits of v div 2 (in 40 bits) the
-  * magnitude — P(k) = 2^{−k} exactly, leftover mass clamped to 40.
-  * No floats, no transcendentals; both engines replay the same bits.
+  * ε = ln 2): P(Z = z) = (1/3)·2^{−|z|}. Sampled by pure integer
+  * arithmetic from a 60-bit md5 of (secret | release key): u ∈
+  * [0, 3·2⁴⁰); u < 2⁴⁰ → 0; else v = u − 2⁴⁰, parity of v is the
+  * sign and the leading one-bits of v div 2 (in 40 bits) the
+  * magnitude — P(k) = 2^{−k}, leftover mass clamped to 40. No
+  * floats, no transcendentals; both engines replay the same bits.
   *
-  * Seeding is deliberate (see q157's doc): stable noise per release
-  * key is the consistent-noise practice of production DP systems —
-  * re-running a release must not hand an attacker fresh samples to
-  * average; rotating the release epoch (fold it into the key)
-  * re-seeds. */
+  * '''Secret keying (the r10 advisor's high finding).''' The sampler
+  * is a PRF of (secret, key), NEVER of the public release key alone:
+  * noise derived from public inputs only is not noise — anyone who
+  * knows the mechanism recomputes it and subtracts it from the
+  * released value, recovering the exact count. Production callers
+  * MUST supply secret key material the release audience cannot know
+  * (see [[secretFromConf]]); [[OracleSecret]] is a PUBLISHED constant
+  * used ONLY by the DuckDB oracle twins (q157/q159) and the specs,
+  * where the goal is verifying the mechanism's arithmetic
+  * cross-engine, not an actual privacy guarantee.
+  *
+  * '''Exactness caveat.''' Reducing a 60-bit draw mod 3·2⁴⁰ is not
+  * perfectly uniform: 2⁶⁰ = 349525·(3·2⁴⁰) + 2⁴⁰, so residues in
+  * [0, 2⁴⁰) — the z = 0 bucket — occur 349 526 times against 349 525
+  * for the rest: P(0) = 349526/(3·349525⅓) ≈ (1/3)(1 + 1.9·10⁻⁶), a
+  * ~2⁻¹⁹ relative bias toward zero noise. The within-bucket sampling
+  * IS exact; the documented bias is the price of a single md5 draw
+  * (rejection resampling would break the static-SQL oracle twin) and
+  * is orders of magnitude below any statistical test a release
+  * consumer could run at these ε.
+  *
+  * Seeding remains deliberate (see q157's doc): stable noise per
+  * (secret, release key) is the consistent-noise practice of
+  * production DP systems — re-running a release must not hand an
+  * attacker fresh samples to average; rotating the release epoch
+  * (fold it into the key or the secret) re-seeds. */
 object DpNoise {
 
-  /** The noise column for a string release-key column. */
-  def noiseFor(key: Column): Column = {
-    val h = graft.text.TextQueries.md5Hash60(concat(lit("dp0|"), key))
+  /** PUBLISHED verification secret — baked into the static DuckDB
+    * oracle SQL of q157/q159 so the mechanism's arithmetic is
+    * hash-checked cross-engine. By construction it provides NO
+    * privacy (it is in the repo); it exists so the verification
+    * queries are honest about that instead of pretending a
+    * public-key-seeded release is private. */
+  val OracleSecret = "graft-oracle-v1"
+
+  /** Production secret resolution: `spark.graft.dp.secret` conf,
+    * else the `GRAFT_DP_SECRET` environment variable. Throws rather
+    * than silently falling back to the published [[OracleSecret]] —
+    * a DP release with guessable key material is a leak, not a
+    * default. */
+  def secretFromConf(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.dp.secret")
+      .orElse(sys.env.get("GRAFT_DP_SECRET"))
+      .getOrElse(throw new IllegalArgumentException(
+        "DP release requires secret key material: set spark.graft.dp.secret " +
+          "or GRAFT_DP_SECRET (DpNoise.OracleSecret is for oracle tests only)"))
+
+  /** The noise column for a string release-key column, keyed by
+    * `secret` (see the object doc for why the secret is required). */
+  def noiseFor(key: Column, secret: String): Column = {
+    require(secret.nonEmpty, "DP noise requires non-empty secret key material")
+    val h = graft.text.TextQueries.md5Hash60(
+      concat(lit(secret + "|dp0|"), key))
     val u = pmod(h, lit(3L << 40))
     val v = u - lit(1L << 40)
     val t = lit((1L << 40) - 1) - shiftright(v, 1)
@@ -35,19 +80,28 @@ object DpNoise {
       .otherwise(when(pmod(v, lit(2)) === 0, k).otherwise(-k))
   }
 
-  /** The DuckDB twin of [[noiseFor]] over a key SQL expression. */
-  def duckNoiseSql(keySql: String): String = s"""
-    (CASE WHEN (('0x' || substring(md5('dp0|' || ($keySql)), 1, 15))::BIGINT
+  /** The DuckDB twin of [[noiseFor]] over a key SQL expression. Only
+    * meaningful with a secret the SQL text may contain — i.e. the
+    * published [[OracleSecret]] (the default); production releases
+    * have no DuckDB twin BY DESIGN (their secret must not appear in
+    * any query text an auditor can read back). */
+  def duckNoiseSql(keySql: String, secret: String = OracleSecret): String = {
+    require(secret.nonEmpty && !secret.contains("'"),
+      "secret must be non-empty and quote-free in SQL")
+    val seeded = s"md5('$secret|dp0|' || ($keySql))"
+    s"""
+    (CASE WHEN (('0x' || substring($seeded, 1, 15))::BIGINT
                  % 3298534883328) < 1099511627776 THEN 0
-          ELSE (CASE WHEN ((('0x' || substring(md5('dp0|' || ($keySql)), 1, 15))::BIGINT
+          ELSE (CASE WHEN ((('0x' || substring($seeded, 1, 15))::BIGINT
                             % 3298534883328) - 1099511627776) % 2 = 0
                      THEN 1 ELSE -1 END)
              * (CASE WHEN 1099511627775
-                       - (((('0x' || substring(md5('dp0|' || ($keySql)), 1, 15))::BIGINT
+                       - (((('0x' || substring($seeded, 1, 15))::BIGINT
                             % 3298534883328) - 1099511627776) // 2) = 0 THEN 40
                      ELSE 41 - length(bin(1099511627775
-                       - (((('0x' || substring(md5('dp0|' || ($keySql)), 1, 15))::BIGINT
+                       - (((('0x' || substring($seeded, 1, 15))::BIGINT
                             % 3298534883328) - 1099511627776) // 2)))
                 END)
      END)"""
+  }
 }

@@ -491,27 +491,35 @@ object EventQueries {
     // geometric ("discrete Laplace") mechanism, P(Z=z) ∝ 2^{-|z|} —
     // the integer mechanism of Ghosh-Roughgarden-Sundararajan, so no
     // float noise and no transcendentals anywhere. The sampler is
-    // EXACT integer arithmetic: a 60-bit md5 of the release key maps
-    // to u ∈ [0, 3·2^40); u < 2^40 → z = 0 (mass exactly 1/3);
-    // otherwise the parity of v = u − 2^40 gives the sign and the
-    // count of leading one-bits of v div 2 (in 40 bits) gives the
-    // magnitude — P(k) = 2^{-k} exactly, leftover mass clamped to
-    // k = 40. Both engines replay the identical bits, so the release
-    // is hash-checked.
+    // pure integer arithmetic: a 60-bit md5 of (secret | release key)
+    // maps to u ∈ [0, 3·2^40); u < 2^40 → z = 0; otherwise the
+    // parity of v = u − 2^40 gives the sign and the count of leading
+    // one-bits of v div 2 (in 40 bits) gives the magnitude —
+    // P(k) = 2^{-k}, leftover mass clamped to k = 40 (the residue
+    // reduction carries a documented ~2^-19 bias toward z = 0 — see
+    // [[DpNoise]]). Both engines replay the identical bits, so the
+    // release is hash-checked.
     //
-    // Noise is SEEDED by (mechanism, key) — deliberately: stable
-    // noise per release key is the "consistent noise" practice of
-    // production DP query systems (re-running a release must NOT
-    // hand an attacker fresh samples to average away); rotating the
-    // release epoch re-seeds. The exact count rides along here so the
-    // oracle can audit the mechanism — a production view drops it.
+    // Noise is a PRF of (secret, key) — both parts deliberate. The
+    // SECRET ([[DpNoise.OracleSecret]] here, and ONLY here: this is
+    // the verification twin, whose job is proving the mechanism's
+    // arithmetic cross-engine; production releases pass
+    // [[DpNoise.secretFromConf]] material the audience cannot know,
+    // else the "noise" is recomputable and subtractable). The KEY
+    // seeding gives stable noise per release key — the "consistent
+    // noise" practice of production DP query systems (re-running a
+    // release must NOT hand an attacker fresh samples to average
+    // away); rotating the release epoch re-seeds. The exact count
+    // rides along here so the oracle can audit the mechanism — a
+    // production view drops it.
     // Scale shape: one map-side-combined event rollup; the mechanism
     // runs on the |types|-bounded frame.
     "q157_dp_release" -> QuerySpec(
       build = (s, d) =>
         ev(s, d).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("noise", DpNoise.noiseFor(col("event_type")))
+          .withColumn("noise",
+            DpNoise.noiseFor(col("event_type"), DpNoise.OracleSecret))
           .select(col("event_type"), col("n"), col("noise"),
             (col("n") + col("noise")).as("released"))
           .orderBy("event_type"),
@@ -544,7 +552,8 @@ object EventQueries {
           .groupBy(col("event_type"), col("dow"))
           .agg(count(lit(1)).as("n"))
           .withColumn("noise", DpNoise.noiseFor(
-            concat(col("event_type"), lit("|"), col("dow"))))
+            concat(col("event_type"), lit("|"), col("dow")),
+            DpNoise.OracleSecret))
           .select(col("event_type"), col("dow"), col("n"), col("noise"),
             (col("n") + col("noise")).as("released"))
           .orderBy("event_type", "dow"),

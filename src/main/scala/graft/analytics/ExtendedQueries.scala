@@ -3,7 +3,7 @@ package graft.analytics
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{AsOfJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, JoinAdvisor, SaltedJoin}
 
 /** Second wave of the relational surface: pivot, cube, exact
   * percentiles, lead/lag/ntile windows, correlated + scalar subqueries,
@@ -906,6 +906,108 @@ object ExtendedQueries {
                  "CAST(abs(ams.ams_est - ex.c) AS DOUBLE) / ex.c * 100")}
                  AS ams_err_pct
         FROM ex CROSS JOIN est CROSS JOIN ams"""),
+      bench = true),
+
+    // ── measured auto-dispatched join (the JoinAdvisor in production) ─
+    // q48 demonstrates salting BY HAND; this is the join as it should
+    // actually be launched at 100 TB: [[SaltedJoin.auto]] measures both
+    // sides (JoinAdvisor's two cheap passes — degree rollup + AGMS
+    // sketch), picks broadcast/salted/shuffle_hash from the documented
+    // thresholds, and runs the SAME logical join on the chosen physical
+    // plan. The oracle replays ALL of it: the join aggregate (proving
+    // dispatch never changes semantics), each side's row/distinct/
+    // max-key stats, the threshold decision itself (CASE over those
+    // stats with the default broadcastMaxRows=10⁶, partitions=32,
+    // skewFactor=4), AND the AGMS join-size estimate bit-for-bit (the
+    // q150 sketch-rebuild CTEs over the advisor's md5-of-string-cast
+    // hash). On these tables the measured verdict is broadcast_right
+    // (customer fits at every SF) — the salted and shuffle_hash
+    // branches are pinned by OperatorSpec's engineered fixtures.
+    // Scale: two constant-state passes + one distinct-key-scale rollup
+    // per side BEFORE committing a strategy — the 100 TB insurance.
+    "q162_auto_join" -> QuerySpec(
+      build = (s, d) => {
+        val fact = ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"))
+        val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val (joined, advice) = SaltedJoin.auto(fact, "user_id",
+          dim, "c_custkey", saltSrc = xxhash64(col("event_id")))
+        val strat = advice.strategy match {
+          case JoinAdvisor.BroadcastSide(side) => "broadcast_" + side
+          case JoinAdvisor.ShuffleHash => "shuffle_hash"
+          case JoinAdvisor.Salted(n) => "salted_" + n
+        }
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .withColumn("strategy", lit(strat))
+          .withColumn("l_rows", lit(advice.left.rows))
+          .withColumn("l_distinct", lit(advice.left.distinctKeys))
+          .withColumn("l_maxkey", lit(advice.left.maxKeyRows))
+          .withColumn("r_rows", lit(advice.right.rows))
+          .withColumn("r_distinct", lit(advice.right.distinctKeys))
+          .withColumn("r_maxkey", lit(advice.right.maxKeyRows))
+          .withColumn("est_join_rows", lit(advice.estJoinRows))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT event_id, user_id, event_type FROM events
+                   WHERE user_id IS NOT NULL),
+        dm AS (SELECT c_custkey, c_mktsegment FROM customer
+               WHERE c_custkey IS NOT NULL),
+        ldeg AS (SELECT user_id k, count(*) c FROM f GROUP BY 1),
+        rdeg AS (SELECT c_custkey k, count(*) c FROM dm GROUP BY 1),
+        ls AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) nrows,
+                      CAST(count(*) AS BIGINT) nd,
+                      CAST(coalesce(max(c), 0) AS BIGINT) mx FROM ldeg),
+        rs AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) nrows,
+                      CAST(count(*) AS BIGINT) nd,
+                      CAST(coalesce(max(c), 0) AS BIGINT) mx FROM rdeg),
+        la AS (SELECT ('0x' || substring(md5(user_id::VARCHAR),
+                  1, 15))::BIGINT h FROM f),
+        lb AS (SELECT ('0x' || substring(md5(c_custkey::VARCHAR),
+                  1, 15))::BIGINT h FROM dm),
+        js AS (SELECT unnest(generate_series(0, 3)) j),
+        ca AS (SELECT j, (h >> (8 * j)) & 255 AS i,
+                 CAST(sum(CASE WHEN ((h >> (32 + j)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS BIGINT) sc
+               FROM la CROSS JOIN js GROUP BY 1, 2),
+        cb AS (SELECT j, (h >> (8 * j)) & 255 AS i,
+                 CAST(sum(CASE WHEN ((h >> (32 + j)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS BIGINT) sc
+               FROM lb CROSS JOIN js GROUP BY 1, 2),
+        dot AS (SELECT js.j,
+                  CAST(coalesce(sum(ca.sc * cb.sc), 0) AS BIGINT) se
+                FROM js
+                LEFT JOIN ca ON ca.j = js.j
+                LEFT JOIN cb ON cb.j = ca.j AND cb.i = ca.i
+                GROUP BY 1),
+        med AS (SELECT list_sort(list(se)) le FROM dot),
+        ams AS (SELECT greatest(0, (le[2] + le[3]) >> 1) AS est FROM med),
+        dec AS (SELECT
+                  CASE WHEN least(ls.nrows, rs.nrows) <= 1000000 THEN
+                         CASE WHEN ls.nrows <= rs.nrows
+                              THEN 'broadcast_left'
+                              ELSE 'broadcast_right' END
+                       WHEN greatest(ls.mx, rs.mx) >
+                            4 * greatest(greatest(ls.nrows, rs.nrows) // 32, 1)
+                       THEN 'salted_' || least(32, greatest(2,
+                              (greatest(ls.mx, rs.mx)
+                               + greatest(greatest(ls.nrows, rs.nrows) // 32, 1)
+                               - 1)
+                              // greatest(greatest(ls.nrows, rs.nrows) // 32, 1)))
+                       ELSE 'shuffle_hash' END AS strategy
+                FROM ls CROSS JOIN rs),
+        g AS (SELECT c_mktsegment, count(*) AS n_events,
+                     count(DISTINCT user_id) AS n_users
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY 1)
+        SELECT g.c_mktsegment, g.n_events, g.n_users, dec.strategy,
+               ls.nrows AS l_rows, ls.nd AS l_distinct, ls.mx AS l_maxkey,
+               rs.nrows AS r_rows, rs.nd AS r_distinct, rs.mx AS r_maxkey,
+               CAST(ams.est AS BIGINT) AS est_join_rows
+        FROM g CROSS JOIN dec CROSS JOIN ls CROSS JOIN rs CROSS JOIN ams
+        ORDER BY g.c_mktsegment"""),
       bench = true)
   )
 

@@ -87,10 +87,17 @@ object JoinAdvisor {
     Advice(strategy, ls, rs, est)
   }
 
-  /** One degree rollup (the exchange) + one narrow sketch pass. */
-  private def measure(df: DataFrame, key: String)
+  /** One degree rollup (the exchange) + one narrow sketch pass.
+    * NULL join keys are excluded up front (the r10 advisor catch):
+    * the advised joins are equi-joins, which drop null keys, so a
+    * null-heavy column must not read as the hottest key (falsely
+    * triggering Salted) or inflate the broadcast-side row counts —
+    * and the sketch pass already skips null hashes, so filtering
+    * here also makes the two passes consistent. */
+  private def measure(df0: DataFrame, key: String)
       : (SideStats, Array[Long]) = {
     import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+    val df = df0.filter(col(key).isNotNull)
     val deg = df.groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
         count(lit(1)).as("nd"),

@@ -39,4 +39,49 @@ object SaltedJoin {
           saltedFact("_salt") === saltedDim("_salt"))
       .drop("_salt")
   }
+
+  /** Measured auto-dispatch (the [[JoinAdvisor]] consumer): inner
+    * equi-join `left.leftKey == right.rightKey` whose physical
+    * strategy is CHOSEN FROM THE DATA — [[JoinAdvisor.recommend]]'s
+    * two cheap passes per side pick broadcast (a side fits), salted
+    * (a hot key would stall a plain shuffle; `saltSrc` must resolve
+    * against the HOT side — per-row spread, never the join key), or
+    * plain shuffle-hash. Join semantics are identical on every branch
+    * (the q162 oracle checks exactly that); only the physical plan —
+    * and therefore whether the join survives a 100× skewed scale-up —
+    * differs. Returns the joined frame plus the [[JoinAdvisor.Advice]]
+    * it was dispatched on, so callers can log the evidence and size
+    * downstream `shuffle.partitions` from `estJoinRows`.
+    *
+    * Output columns are left-then-right on every branch when names
+    * are globally unique (the dim-join norm); with duplicate names
+    * the branch's natural order is kept. */
+  def auto(left: DataFrame, leftKey: String,
+           right: DataFrame, rightKey: String,
+           saltSrc: Column = monotonically_increasing_id(),
+           partitions: Int = 32,
+           broadcastMaxRows: Long = 1000000L,
+           skewFactor: Long = 4L): (DataFrame, JoinAdvisor.Advice) = {
+    val advice = JoinAdvisor.recommend(left, leftKey, right, rightKey,
+      partitions, broadcastMaxRows, skewFactor)
+    val joined = advice.strategy match {
+      case JoinAdvisor.BroadcastSide("left") =>
+        broadcast(left).join(right, left(leftKey) === right(rightKey))
+      case JoinAdvisor.BroadcastSide(_) =>
+        left.join(broadcast(right), left(leftKey) === right(rightKey))
+      case JoinAdvisor.ShuffleHash =>
+        left.hint("shuffle_hash").join(right,
+          left(leftKey) === right(rightKey))
+      case JoinAdvisor.Salted(n) =>
+        // fact = the side whose key is hotter (the one salting exists
+        // to spread); the other side is replicated n ways
+        if (advice.left.maxKeyRows >= advice.right.maxKeyRows)
+          inner(left, leftKey, right, rightKey, saltSrc, n)
+        else inner(right, rightKey, left, leftKey, saltSrc, n)
+    }
+    val names = left.columns.toSeq ++ right.columns.toSeq
+    val out = if (names.distinct.size == names.size)
+      joined.select(names.map(col): _*) else joined
+    (out, advice)
+  }
 }

@@ -305,7 +305,18 @@ object EventStreams {
     * `refreshEvery` triggers (and on the first). The flag rule and
     * the threshold math are the SAME oracle-checked q145 definitions
     * as everywhere else — a refresh changes WHICH thresholds bind,
-    * never what a flag means. Flags append to `outDir` as parquet.
+    * never what a flag means. Flags land under `outDir` as parquet,
+    * one `batch=<id>` subdirectory per micro-batch (readers scan the
+    * root; the id surfaces as a trailing partition column).
+    *
+    * Idempotence (the r10 advisor catch): `foreachBatch` is
+    * AT-LEAST-ONCE — after a failure/restart the replayed micro-batch
+    * runs again with the SAME batchId, so a plain parquet append
+    * would duplicate its flag rows. Writing mode("overwrite") into
+    * the per-batchId directory makes the replay rewrite its own
+    * output instead (the pattern Spark's foreachBatch docs
+    * recommend); [[writeFlagsBatch]] is the factored sink so the
+    * replay property is unit-testable.
     *
     * State/scale: streaming state is exactly the windowed count rows
     * (as [[hourlyAnomalies]]); the threshold read is a tiny bounded
@@ -323,28 +334,40 @@ object EventStreams {
       .foreachBatch { (df: DataFrame, id: Long) =>
         if (th.isEmpty || id % refreshEvery == 0)
           th = loadAnomalyThresholds(df.sparkSession, thresholdDir)
-        flagAgainst(df, th).write.mode("append").parquet(outDir)
+        writeFlagsBatch(flagAgainst(df, th), outDir, id)
       }
       .start()
   }
 
+  /** The idempotent per-micro-batch flag sink: a replay of batchId
+    * `id` (foreachBatch's at-least-once contract) overwrites its own
+    * `batch=<id>` directory instead of appending duplicates. */
+  private[graft] def writeFlagsBatch(flags: DataFrame, outDir: String,
+                                     id: Long): Unit =
+    flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+
   /** Privacy-preserving live metrics feed — the streaming twin of the
     * q157 DP release: windowed per-type counts published with
     * discrete-Laplace noise ([[graft.analytics.DpNoise]], ε = ln 2),
-    * each (window, type) cell its own release key. The seed is the
-    * cell identity, so a recomputed or replayed window publishes the
-    * SAME released value (the consistent-noise property — a restart
-    * must not hand a reader fresh samples to average); the exact count
-    * never leaves the pipeline. Stateless beyond the windowed counts;
-    * works identically on a batch frame (stream==batch pinned in
+    * each (window, type) cell its own release key, the whole PRF
+    * keyed by caller-supplied SECRET material (required: noise an
+    * audience can recompute from public inputs is subtractable, not
+    * noise — production passes [[graft.analytics.DpNoise.secretFromConf]];
+    * specs pass the published `OracleSecret` to verify the
+    * arithmetic). The seed is (secret, cell identity), so a
+    * recomputed or replayed window publishes the SAME released value
+    * (the consistent-noise property — a restart must not hand a
+    * reader fresh samples to average); the exact count never leaves
+    * the pipeline. Stateless beyond the windowed counts; works
+    * identically on a batch frame (stream==batch pinned in
     * StreamingSpec). */
-  def hourlyDpCounts(events: DataFrame,
+  def hourlyDpCounts(events: DataFrame, secret: String,
                      lateness: String = "2 hours"): DataFrame =
     windowedTypeCounts(events, lateness)
       .select(col("window.start").as("hour"), col("event_type"),
         (col("n") + graft.analytics.DpNoise.noiseFor(
           concat(col("window.start").cast("long"), lit("|"),
-            col("event_type")))).as("released"))
+            col("event_type")), secret)).as("released"))
 
   /** Stream-static dimension enrichment: join each micro-batch against
     * a (small) static dimension frame with a broadcast hash join — the

@@ -817,7 +817,8 @@ object TextQueries {
           max(col("q_e4")).as("max_q_e4"))
         .orderBy("band"),
       oracle = Some(s"""
-        WITH q AS (SELECT CAST(floor($duckQualityExpr * 10000 + 0.5)
+        WITH q AS (SELECT CAST(coalesce(
+                            floor($duckQualityExpr * 10000 + 0.5), 0)
                           AS BIGINT) AS q_e4
                    FROM documents),
         b AS (SELECT q_e4,
@@ -841,15 +842,20 @@ object TextQueries {
     //
     // Scale shape: labels come pair-scale from the [[ClusterIndex]]
     // artifact; the corpus contributes one narrow 3-column scan into a
-    // left join (labels side is tiny and broadcasts); the rollup is
-    // |sources|-bounded. Nothing corpus-scale shuffles.
+    // left join; the rollup is |sources|-bounded. Nothing corpus-scale
+    // shuffles. The label side is deliberately NOT broadcast-hinted:
+    // it grows with the corpus's duplicated mass (multi-GB at 100 TB
+    // with a few-percent dup fraction), and a forced hint would build
+    // and ship it past the broadcast limit while disabling AQE's
+    // size-based fallback — AQE broadcasts it when it IS small (every
+    // sibling consumer, q153 and the facade, already does this).
     "q158_dedup_savings" -> QuerySpec(
       build = (s, d) => {
         val labels = ClusterIndex.load(s, d)
           .select(col("doc_id"), col("rep"))
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
-          .join(broadcast(labels), Seq("doc_id"), "left")
+          .join(labels, Seq("doc_id"), "left")
           .withColumn("_drop",
             (col("rep").isNotNull && col("rep") =!= col("doc_id"))
               .cast("long"))
@@ -895,8 +901,15 @@ object TextQueries {
       build = (s, d) => {
         import s.implicits._
         val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-        val mx = docs.agg(max(col("doc_id"))).head.getLong(0) // bounded scalar
-        val dec = (col("doc_id") * 10 / lit(mx + 1)).cast("int").as("dec")
+        // bounded scalar; coalesced so an empty corpus yields the
+        // all-zero 10-row curve instead of an NPE (max(id) is null)
+        val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L)))
+          .head.getLong(0)
+        // INTEGER division (`div`), matching the oracle's `//` exactly
+        // — `/` on Columns is double division, and cross-engine
+        // equality would then hang on FP rounding never crossing a
+        // decile boundary (it does, for large doc_id)
+        val dec = expr(s"cast(doc_id * 10 div ${mx + 1} as int)").as("dec")
         // novelty over word-3-SHINGLES (the q24 kernel, 60-bit hashed
         // — the oracle replays the same md5 arithmetic): the shingle
         // space is combinatorial, so the curve discriminates even on

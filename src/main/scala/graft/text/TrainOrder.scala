@@ -58,13 +58,18 @@ object TrainOrder {
     * a sequential reader sees low → high quality with reproducible
     * intra-band shuffle (flip `ascending` for the hard-first
     * curriculum). Band math is floor(q·bands) clamped to bands−1 —
-    * the q160 audit replays it in DuckDB. */
+    * the q160 audit replays it in DuckDB. Null text scores q_e4 = 0
+    * (the COALESCE below): without it quality_score(null) is null,
+    * and both engines' null-skipping least() would silently promote
+    * null-text documents into the TOP band — the r10 advisor catch. */
   def curriculumOrder(docs: DataFrame, epoch: Int, shards: Int,
                       bands: Int): DataFrame =
     epochOrder(docs, epoch, shards)
       .withColumn("q_e4",
-        floor(TextFunctions.quality_score(col("text")) * 10000 + 0.5)
-          .cast("long"))
+        coalesce(
+          floor(TextFunctions.quality_score(col("text")) * 10000 + 0.5)
+            .cast("long"),
+          lit(0L)))
       .withColumn("band",
         least(expr("q_e4 * " + bands + " div 10000"), lit(bands - 1L)))
 

@@ -406,7 +406,9 @@ class OperatorSpec extends SparkSpec {
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def noiseOf(key: String): Long = {
-      val h = java.lang.Long.parseLong(md5hex("dp0|" + key).take(15), 16)
+      val h = java.lang.Long.parseLong(
+        md5hex(graft.analytics.DpNoise.OracleSecret + "|dp0|" + key)
+          .take(15), 16)
       val u = h % (3L << 40)
       if (u < (1L << 40)) 0L
       else {
@@ -438,6 +440,41 @@ class OperatorSpec extends SparkSpec {
       "P(|z|=2) != 1/6")
     // symmetry of the whole tail
     assert(math.abs(freq(_ > 0) - freq(_ < 0)) < 0.02, "sign asymmetry")
+  }
+
+  test("DpNoise secret keying: secret changes the noise, empty/default secrets refuse") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.analytics.DpNoise
+    val keys = spark.range(200).select(col("id").cast("string").as("k"))
+    def draw(secret: String) = keys
+      .select(DpNoise.noiseFor(col("k"), secret).as("z")).collect()
+      .map(_.getLong(0)).toSeq
+    val a = draw(DpNoise.OracleSecret)
+    val b = draw("some-production-secret")
+    // a different secret re-keys the PRF: the sample vectors must
+    // differ (they'd only collide with probability ~2^-...tiny), so
+    // knowing the public release keys alone cannot reproduce the noise
+    assert(a != b, "noise must depend on the secret, not the key alone")
+    // same (secret, key) always replays identically — consistent noise
+    assert(draw("some-production-secret") == b)
+    intercept[IllegalArgumentException] {
+      DpNoise.noiseFor(lit("k"), "")
+    }
+    // production resolution refuses to run unkeyed rather than
+    // falling back to the published oracle constant
+    val hadConf = spark.conf.getOption("spark.graft.dp.secret")
+    spark.conf.unset("spark.graft.dp.secret")
+    try {
+      if (!sys.env.contains("GRAFT_DP_SECRET"))
+        intercept[IllegalArgumentException] { DpNoise.secretFromConf(spark) }
+      spark.conf.set("spark.graft.dp.secret", "s3cr3t")
+      assert(DpNoise.secretFromConf(spark) == "s3cr3t")
+    } finally {
+      hadConf match {
+        case Some(v) => spark.conf.set("spark.graft.dp.secret", v)
+        case None => spark.conf.unset("spark.graft.dp.secret")
+      }
+    }
   }
 
   test("q156 anonymity census replays driver-side and k=1 risk fires") {
@@ -503,6 +540,51 @@ class OperatorSpec extends SparkSpec {
     val a3 = JoinAdvisor.recommend(fact, "k", big, "k2",
       partitions = 8, broadcastMaxRows = 100L)
     assert(a3.strategy == ShuffleHash)
+  }
+
+  test("SaltedJoin.auto: dispatches each branch and never changes join semantics") {
+    import spark.implicits._
+    import graft.operators.{JoinAdvisor, SaltedJoin}
+    import graft.operators.JoinAdvisor._
+
+    val fact = (1 to 20000).map(i => (i.toLong % 1000, i.toLong))
+      .toDF("k", "v")
+    val dim = (1 to 500).map(i => (i.toLong, s"d$i")).toDF("k2", "name")
+    val hot = ((1 to 9000).map(_ => 1L) ++
+      (1 to 1000).map(i => (i % 500 + 2).toLong))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val big = (1 to 5000).map(i => (i.toLong % 2000, i.toLong))
+      .toDF("k2", "v2")
+
+    def plain(l: org.apache.spark.sql.DataFrame, lk: String,
+              r: org.apache.spark.sql.DataFrame, rk: String) =
+      l.join(r, l(lk) === r(rk))
+        .select((l.columns ++ r.columns).map(col): _*)
+        .collect().map(_.toSeq).toSet
+
+    // dim side fits → broadcast; the physical plan must actually
+    // carry the broadcast exchange
+    val (j1, a1) = SaltedJoin.auto(fact, "k", dim, "k2")
+    assert(a1.strategy == BroadcastSide("right"))
+    assert(j1.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "broadcast branch must broadcast")
+    assert(j1.collect().map(_.toSeq).toSet == plain(fact, "k", dim, "k2"))
+
+    // hot key + unbroadcastable sides → salted, same rows as plain
+    val (j2, a2) = SaltedJoin.auto(hot, "k", big, "k2",
+      saltSrc = col("v"), partitions = 8, broadcastMaxRows = 1000L)
+    assert(a2.strategy == Salted(8))
+    assert(j2.collect().map(_.toSeq).toSet == plain(hot, "k", big, "k2"))
+    assert(j2.columns.toSeq == Seq("k", "v", "k2", "v2"),
+      "salted branch must keep left-then-right column order")
+
+    // both sides big and even → shuffle_hash branch
+    val (j3, a3) = SaltedJoin.auto(fact, "k", big, "k2",
+      partitions = 8, broadcastMaxRows = 100L)
+    assert(a3.strategy == ShuffleHash)
+    assert(j3.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "shuffle_hash hint must bind")
+    assert(j3.collect().map(_.toSeq).toSet == plain(fact, "k", big, "k2"))
   }
 
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {

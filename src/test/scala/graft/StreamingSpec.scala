@@ -1035,7 +1035,7 @@ class StreamingSpec extends SparkSpec {
       (1 to 5).map(i => TypedEv("view", t0 + i * min))
     val input = MemoryStream[TypedEv]
     val q = EventStreams.hourlyDpCounts(input.toDS().toDF(),
-        lateness = "10 minutes")
+        graft.analytics.DpNoise.OracleSecret, lateness = "10 minutes")
       .writeStream.format("memory").queryName("dp_out")
       .outputMode("append").start()
     try {
@@ -1051,7 +1051,9 @@ class StreamingSpec extends SparkSpec {
     def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def noiseOf(key: String): Long = {
-      val h = java.lang.Long.parseLong(md5hex("dp0|" + key).take(15), 16)
+      val h = java.lang.Long.parseLong(
+        md5hex(graft.analytics.DpNoise.OracleSecret + "|dp0|" + key)
+          .take(15), 16)
       val u = h % (3L << 40)
       if (u < (1L << 40)) 0L
       else {
@@ -1070,7 +1072,8 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dp_out").columns.toSeq ==
       Seq("hour", "event_type", "released"))
     // batch twin agrees on the closed window
-    val batch = EventStreams.hourlyDpCounts(h1.toDS().toDF()).collect()
+    val batch = EventStreams.hourlyDpCounts(h1.toDS().toDF(),
+        graft.analytics.DpNoise.OracleSecret).collect()
       .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(batch((hour1, "click")) == streamed((hour1, "click")))
     assert(batch((hour1, "view")) == streamed((hour1, "view")))
@@ -1143,5 +1146,29 @@ class StreamingSpec extends SparkSpec {
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
     assert(out((hour2, "click")) == batch((hour2, "click")),
       "stream/batch drift on the post-refresh window")
+    // the sink layout is per-batchId directories (the idempotent
+    // shape), surfaced to root readers as a trailing partition column
+    assert(spark.read.parquet(outDir).columns.last == "batch")
+  }
+
+  test("anomaly flag sink: batchId replay overwrites, never duplicates") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-flagsink").toString + "/flags"
+    def flags(n: Long) = Seq(
+      (new java.sql.Timestamp(0L), "click", n, 10L, 2L, 1))
+      .toDF("hour", "event_type", "n", "med", "mad", "anomalous")
+    EventStreams.writeFlagsBatch(flags(20L), out, 0L)
+    EventStreams.writeFlagsBatch(flags(99L), out, 1L)
+    // a failure/restart replays batch 1 (foreachBatch is
+    // at-least-once) — possibly with recomputed content; the replay
+    // must REPLACE batch 1's rows, leaving exactly one copy
+    EventStreams.writeFlagsBatch(flags(21L), out, 1L)
+    val rows = spark.read.parquet(out)
+      .select("event_type", "n", "batch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows == Set(("click", 20L, 0), ("click", 21L, 1)),
+      s"replayed batch must overwrite its own directory, got $rows")
   }
 }
