@@ -1,0 +1,93 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The privacy-budget ledger over the repo's DP release family — the
+  * accounting layer the mechanism ([[DpNoise]]) deliberately does not
+  * do itself.
+  *
+  * '''Composition rule.''' Each release spends its own ε on the
+  * `events` table. WITHIN one release, cells that partition the rows
+  * (q159's (type, dow) histogram, the streaming feed's (hour, type)
+  * windows) compose in PARALLEL — the whole release costs one ε, not
+  * |cells|·ε. ACROSS releases the same rows are queried again, so
+  * SEQUENTIAL composition applies: the table's total spend is the SUM
+  * of the releases' ε. q157 + q159 + the streaming feed each spend
+  * ε = ln 2, so the shipped family's cumulative spend is 3·ln 2 —
+  * which is what the ledger exists to make visible; "we ran three
+  * cheap releases" IS one expensive release, and nothing before this
+  * ledger accounted for it.
+  *
+  * Integer discipline: ε is carried in micro-nats (ln 2 → 693147 =
+  * [[EpsLn2E6]]) so the ledger — including its cumulative column — is
+  * hash-checkable cross-engine (q161).
+  *
+  * Persistence: [[record]]/[[load]] use the versioned-parquet
+  * publication idiom ([[graft.etl.VersionedDir]] — the anomaly
+  * thresholds' discipline): each recorded ledger is a new immutable
+  * `v<N>`, so an auditor can replay spend history and a reader never
+  * sees a half-written ledger. */
+object DpLedger {
+
+  /** ε = ln 2 in integer micro-nats — the budget every shipped
+    * release spends ([[DpNoise]]'s mechanism is fixed at ε = ln 2). */
+  val EpsLn2E6 = 693147L
+
+  /** One ledger row: a named release, its mechanism, its ε spend, and
+    * how many cells it released on the dataset at hand. */
+  case class Release(release: String, mechanism: String,
+                     eps_e6: Long, n_cells: Long)
+
+  /** The shipped release family over an events frame (`event_type`,
+    * `ts_us`), with per-release cell counts measured from THIS
+    * dataset — one narrow scan, three bounded distinct-counts:
+    *   - `q157_counts_by_type`: per-type counts (|types| cells);
+    *   - `q159_hist_type_dow`: the (type, day-of-week) histogram
+    *     (parallel composition across its cells);
+    *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
+    *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
+    *     batch twin's cell space. */
+  def shippedReleases(events: DataFrame): Seq[Release] = {
+    val r = events
+      .select(col("event_type"),
+        expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+        expr("ts_us div 3600000000").as("hr"))
+      .agg(countDistinct(col("event_type")).as("c1"),
+        countDistinct(col("event_type"), col("dow")).as("c2"),
+        countDistinct(col("hr"), col("event_type")).as("c3"))
+      .head() // bounded: one 3-column row
+    Seq(
+      Release("q157_counts_by_type", "discrete_laplace", EpsLn2E6,
+        r.getLong(0)),
+      Release("q159_hist_type_dow", "discrete_laplace", EpsLn2E6,
+        r.getLong(1)),
+      Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
+        r.getLong(2)))
+  }
+
+  /** The ledger frame: one row per release (alphabetical — the q161
+    * oracle's order), with the sequential-composition running total
+    * `cum_eps_e6`. */
+  def ledger(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rel = shippedReleases(events).sortBy(_.release)
+    val cum = rel.scanLeft(0L)(_ + _.eps_e6).tail
+    rel.zip(cum)
+      .map { case (e, c) => (e.release, e.mechanism, e.eps_e6,
+        e.n_cells, c) }
+      .toDF("release", "mechanism", "eps_e6", "n_cells", "cum_eps_e6")
+  }
+
+  /** Total sequential-composition spend of a ledger. */
+  def totalEpsE6(releases: Seq[Release]): Long = releases.map(_.eps_e6).sum
+
+  /** Publish a ledger as the next immutable version under `dir`. */
+  def record(ledger: DataFrame, dir: String): Long =
+    graft.etl.VersionedDir.publish(ledger, dir)
+
+  /** Read the highest-version recorded ledger. */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    graft.etl.VersionedDir.loadLatest(spark, dir)
+}

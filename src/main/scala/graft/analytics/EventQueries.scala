@@ -571,6 +571,50 @@ object EventQueries {
         FROM g ORDER BY event_type, dow"""),
       bench = true),
 
+    // ── privacy-budget ledger (sequential composition, accounted) ──
+    // q157, q159, and the streaming hourly feed EACH spend ε = ln 2 on
+    // the same events table; by sequential composition the table's
+    // actual spend is their SUM, and before this ledger nothing
+    // accounted for it — "three cheap releases" is one expensive one.
+    // One row per shipped release (alphabetical): its mechanism, its
+    // ε in integer micro-nats (ln 2 → 693147), how many cells it
+    // released on THIS dataset (within-release cells partition the
+    // rows — PARALLEL composition, one ε per release regardless of
+    // cell count), and the sequential running total. [[DpLedger]] is
+    // the operator (versioned-parquet record/load for the audit
+    // trail); this is its hash-checkable report.
+    // Scale shape: one narrow event scan, three map-side-combined
+    // distinct rollups; the ledger itself is |releases|-bounded.
+    "q161_dp_ledger" -> QuerySpec(
+      build = (s, d) => DpLedger.ledger(ev(s, d)),
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                          epoch_us(ts) // 3600000000 AS hr
+                   FROM events),
+        c1 AS (SELECT count(DISTINCT event_type) n FROM e),
+        c2 AS (SELECT count(*) n FROM (SELECT DISTINCT event_type, dow
+                                       FROM e)),
+        c3 AS (SELECT count(*) n FROM (SELECT DISTINCT hr, event_type
+                                       FROM e)),
+        l AS (
+          SELECT 'q157_counts_by_type' AS release,
+                 'discrete_laplace' AS mechanism,
+                 ${DpLedger.EpsLn2E6} AS eps_e6,
+                 (SELECT n FROM c1) AS n_cells
+          UNION ALL
+          SELECT 'q159_hist_type_dow', 'discrete_laplace',
+                 ${DpLedger.EpsLn2E6}, (SELECT n FROM c2)
+          UNION ALL
+          SELECT 'stream_hourly_counts', 'discrete_laplace',
+                 ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
+        SELECT release, mechanism, CAST(eps_e6 AS BIGINT) AS eps_e6,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(sum(eps_e6) OVER (ORDER BY release)
+                 AS BIGINT) AS cum_eps_e6
+        FROM l ORDER BY release"""),
+      bench = true),
+
     // ── k-anonymity census over behavioral quasi-identifiers ───────
     // The quantitative privacy audit beside q78's PII scrub: treating
     // (event_type, day-of-week, hour-of-day) as a quasi-identifier

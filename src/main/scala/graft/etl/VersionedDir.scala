@@ -1,0 +1,57 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet publications — THE shared idiom for small frames
+  * that batch jobs publish and long-running readers re-read (anomaly
+  * thresholds, the DP privacy ledger): each publish lands as a new
+  * `v<N>` subdir of the root via unique-tmp + atomic rename (the
+  * [[graft.text.Artifacts]] discipline), so a reader never sees a
+  * half-written set; versions only grow, and readers take the highest.
+  * A concurrent publisher losing the rename race just takes the next
+  * number. Scale contract: publications are driver-bounded frames
+  * (threshold sets, ledgers) — the pattern is for METADATA, not data. */
+object VersionedDir {
+
+  /** Publish `df` as the next `v<N>` under `dir`; returns the claimed
+    * version number. */
+  def publish(df: DataFrame, dir: String): Long = {
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(root)
+    val tmp = root.resolve("._tmp-" + java.util.UUID.randomUUID)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    var claimed = -1L
+    while (claimed < 0) {
+      val v = latestVersion(root) + 1
+      try {
+        java.nio.file.Files.move(tmp, root.resolve("v" + v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        claimed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    claimed
+  }
+
+  /** Highest published version under `root`; 0 when none. */
+  def latestVersion(root: java.nio.file.Path): Long = {
+    if (!java.nio.file.Files.isDirectory(root)) return 0L
+    val s = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+        .foldLeft(0L)(math.max)
+    } finally s.close()
+  }
+
+  /** Read the highest-version publication. */
+  def loadLatest(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(dir)
+    val v = latestVersion(root)
+    require(v > 0, s"no publication under $dir")
+    spark.read.parquet(root.resolve("v" + v).toString)
+  }
+}

@@ -254,44 +254,13 @@ object EventStreams {
       .groupBy(col("event_type"), col("hr"))
       .agg(count(lit(1)).as("c"))
     val th = graft.analytics.EventQueries.robustThresholds(counts)
-    val root = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(root)
-    val tmp = root.resolve("._tmp-" + java.util.UUID.randomUUID)
-    th.write.mode("overwrite").parquet(tmp.toString)
-    // claim the next version; a concurrent publisher losing the rename
-    // race just takes the following number
-    var done = false
-    while (!done) {
-      val target = root.resolve("v" + (latestVersion(root) + 1))
-      try {
-        java.nio.file.Files.move(tmp, target,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        done = true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: java.nio.file.DirectoryNotEmptyException => ()
-      }
-    }
-  }
-
-  private def latestVersion(root: java.nio.file.Path): Long = {
-    if (!java.nio.file.Files.isDirectory(root)) return 0L
-    val s = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-        .foldLeft(0L)(math.max)
-    } finally s.close()
+    graft.etl.VersionedDir.publish(th, dir)
   }
 
   /** Read the highest-version published threshold set. */
   def loadAnomalyThresholds(spark: org.apache.spark.sql.SparkSession,
                             dir: String): Seq[(String, Long, Long)] = {
-    val root = java.nio.file.Paths.get(dir)
-    val v = latestVersion(root)
-    require(v > 0, s"no published thresholds under $dir")
-    val rows = spark.read.parquet(root.resolve("v" + v).toString)
+    val rows = graft.etl.VersionedDir.loadLatest(spark, dir)
       .select(col("event_type"), col("med"), col("mad")).collect()
     require(rows.length <= 1024, "threshold set must stay bounded")
     rows.toSeq.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))

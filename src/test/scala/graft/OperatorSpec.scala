@@ -477,6 +477,40 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("DpLedger: sequential composition sums, versioned record/load audit trail") {
+    import graft.analytics.DpLedger
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
+    val rel = DpLedger.shippedReleases(ev)
+    // three shipped releases at eps = ln 2 each → total 3·ln 2: the
+    // accounting q157/q159/streaming alone never surfaced
+    assert(rel.map(_.release) == Seq("q157_counts_by_type",
+      "q159_hist_type_dow", "stream_hourly_counts"))
+    assert(DpLedger.totalEpsE6(rel) == 3 * DpLedger.EpsLn2E6)
+    // cell counts measured from the data: the histogram refines the
+    // per-type release, the hourly feed refines it further
+    assert(rel(0).n_cells > 0)
+    assert(rel(1).n_cells >= rel(0).n_cells)
+    assert(rel(2).n_cells >= rel(1).n_cells)
+    // the ledger frame's running total ends at the sequential sum
+    val lf = DpLedger.ledger(ev).collect()
+    assert(lf.map(_.getAs[Long]("cum_eps_e6")).max == 3 * DpLedger.EpsLn2E6)
+    // versioned audit trail: each record is a new immutable version,
+    // load returns the latest
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dpledger").toString
+    assert(DpLedger.record(DpLedger.ledger(ev), dir) == 1L)
+    assert(DpLedger.record(DpLedger.ledger(ev.limit(50)), dir) == 2L)
+    val loaded = DpLedger.load(spark, dir)
+    assert(loaded.count() == 3)
+    val smallCells = loaded.orderBy("release").collect()
+      .map(_.getAs[Long]("n_cells"))
+    assert(smallCells.zip(lf.map(_.getAs[Long]("n_cells")))
+      .forall { case (s, f) => s <= f },
+      "v2 (50-event ledger) must not exceed the full ledger's cells")
+  }
+
   test("q156 anonymity census replays driver-side and k=1 risk fires") {
     val d = "/root/testdata/sf0.001"
     val e = graft.analytics.Tables.events(spark, d)
