@@ -1287,12 +1287,13 @@ object CurationQueries {
         // shingles, 2^sources) rows) is persisted so the per-source
         // totals (a ≤62-row bounded collect inside overlapMatrix) and
         // the pair rollup share one computation of the position-scale
-        // exchange. The entry lives until the session clears its
-        // cache — Bench releases it between queries; a curation run
-        // that wants durable reuse uses the q99 disk artifact
+        // exchange. Scoped: the entry releases itself after the
+        // query's first action (ScopedCache) — a curation run that
+        // wants durable reuse uses the q99 disk artifact
         // (OverlapIndex.load) instead.
-        val maskCounts = OverlapIndex.maskCounts(docs, srcs).persist()
-        OverlapIndex.overlapMatrix(maskCounts, srcs)
+        graft.ScopedCache.withScopedCache(
+          OverlapIndex.maskCounts(docs, srcs))(
+          mc => OverlapIndex.overlapMatrix(mc, srcs))
       },
       oracle = Some(overlapOracleSql)),
 
@@ -1725,7 +1726,12 @@ object CurationQueries {
         // while the oracle — which builds registers per DISTINCT
         // source with coalesce-0 — still reports them. Empty sketch =
         // the all-zero register array, exactly the oracle's.
-        val regs = docs.select(col("source")).distinct()
+        // MEMORY CONTRACT: ≤62 sources × 4 KiB register arrays —
+        // persisted (scoped — released after the query's action) so
+        // the pair expansion's two sides share one corpus-scale
+        // sketch pass
+        graft.ScopedCache.withScopedCache(docs
+          .select(col("source")).distinct()
           .join(docs
             .select(col("source"),
               explode(shingle_hashes(col("text"), 8)).as("h"))
@@ -1733,11 +1739,8 @@ object CurationQueries {
             Seq("source"), "left")
           .select(col("source"),
             coalesce(col("regs"),
-              array_repeat(lit(0L), graft.plans.HllAgg.m)).as("regs"))
-          // MEMORY CONTRACT: ≤62 sources × 4 KiB register arrays —
-          // retained for the session (the frame feeds both sides of
-          // the pair expansion below; KB-scale, documented retention)
-          .persist()
+              array_repeat(lit(0L), graft.plans.HllAgg.m))
+              .as("regs"))) { regs =>
         // integer Σ 2^(52-M_j): the q104 s_scaled arithmetic over an
         // in-row array — exact, then ONE double division per estimate
         def ssSql(arr: String) =
@@ -1768,6 +1771,7 @@ object CurationQueries {
             StableRound.r4(abs(col("ei") - col("n_shared")) /
               greatest(col("n_shared"), lit(1L)) * 100).as("err_pct"))
           .orderBy("src_a", "src_b")
+        }
       },
       oracle = Some {
         val cat8 = (0 until 8).map(k => s"toks[i+$k]").mkString("||' '||")
@@ -1944,16 +1948,18 @@ object CurationQueries {
         // docs-containing-query-tokens, never by the corpus token
         // count. df over the pruned table equals full-corpus df for
         // every surviving token (the filter is BY token), so the
-        // scores are unchanged. Persisted: the df rollup and the
-        // scoring join both read it.
-        val terms = dtoks
+        // scores are unchanged. Persisted (scoped — released after
+        // the query's action): the df rollup and the scoring join
+        // both read it.
+        graft.ScopedCache.withScopedCache(dtoks
           .select(col("doc_id"), explode(col("toks")).as("t"))
           .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
-          .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
-          .persist()
-        val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
-        bm25Rank(terms.join(broadcast(qterms), Seq("t"))
-          .join(dl, Seq("doc_id")).join(df_, Seq("t")).crossJoin(stats))
+          .groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))) { terms =>
+          val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          bm25Rank(terms.join(broadcast(qterms), Seq("t"))
+            .join(dl, Seq("doc_id")).join(df_, Seq("t")).crossJoin(stats))
+        }
       },
       oracle = Some(bm25OracleSql),
       bench = true),
@@ -2462,11 +2468,11 @@ object CurationQueries {
           .filter(col("v").isNotNull)
         val hist = toC(graft.plans.HistAgg(toE(col("v")))
           .toAggregateExpression())
-        // MEMORY CONTRACT: |sources| rows × 2 KiB — persisted so the
-        // reference branch reuses the one corpus-scale histogram pass
-        val sk = v.groupBy(col("source"))
-          .agg(hist.as("_h"), count(lit(1)).as("n_docs"))
-          .persist()
+        // MEMORY CONTRACT: |sources| rows × 2 KiB — persisted (scoped
+        // — released after the query's action) so the reference
+        // branch reuses the one corpus-scale histogram pass
+        graft.ScopedCache.withScopedCache(v.groupBy(col("source"))
+          .agg(hist.as("_h"), count(lit(1)).as("n_docs"))) { sk =>
         val ref = sk.filter(col("source") === "src0")
           .select(col("_h").as("_r"))
         def total(arr: String) =
@@ -2483,6 +2489,7 @@ object CurationQueries {
           .select(col("source"), col("n_docs"),
             expr("_tv div 200").as("tv_vs_ref_e4"))
           .orderBy("source")
+        }
       },
       oracle = Some(s"""
         WITH t AS ($duckToks),

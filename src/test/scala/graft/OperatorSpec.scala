@@ -477,6 +477,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("ScopedCache: cache visible in the plan, released after the query's action") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mid = spark.range(1000).toDF("id")
+      .groupBy((col("id") % 10).as("k")).agg(count(lit(1)).as("c"))
+    val out = graft.ScopedCache.withScopedCache(mid) { m =>
+      // two branches read the intermediate — the reason it persists
+      m.agg(sum(col("c")).as("t")).crossJoin(m.agg(max(col("c")).as("mx")))
+    }
+    // the cache must be visible to the consuming plan (PlanSpec pins
+    // InMemoryTableScan shapes on the production queries)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"))
+    assert(out.collect().length == 1)
+    // the release listener is async: the cached blocks must disappear
+    // shortly after the action completes
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+        && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "scoped cache must unpersist after the consuming action")
+  }
+
   test("DpLedger: sequential composition sums, versioned record/load audit trail") {
     import graft.analytics.DpLedger
     val d = "/root/testdata/sf0.001"
