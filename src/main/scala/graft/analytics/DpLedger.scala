@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * `events` table. WITHIN one release, cells that partition the rows
   * (q159's (type, dow) histogram, the streaming feed's (hour, type)
   * windows) compose in PARALLEL — the whole release costs one ε, not
-  * |cells|·ε. ACROSS releases the same rows are queried again, so
+  * |cells|·ε — but ONLY when the cells actually partition the privacy
+  * unit: q163's user-level release breaks that premise (a user spans
+  * cells), so its own price is |cells|·ε before it even composes with
+  * the others. ACROSS releases the same rows are queried again, so
   * SEQUENTIAL composition applies: the table's total spend is the SUM
-  * of the releases' ε. q157 + q159 + the streaming feed each spend
-  * ε = ln 2, so the shipped family's cumulative spend is 3·ln 2 —
-  * which is what the ledger exists to make visible; "we ran three
-  * cheap releases" IS one expensive release, and nothing before this
-  * ledger accounted for it.
+  * of the releases' ε — which is what the ledger exists to make
+  * visible; "we ran a few cheap releases" IS one expensive release,
+  * and nothing before this ledger accounted for it.
   *
   * Integer discipline: ε is carried in micro-nats (ln 2 → 693147 =
   * [[EpsLn2E6]]) so the ledger — including its cumulative column — is
@@ -41,13 +42,20 @@ object DpLedger {
 
   /** The shipped release family over an events frame (`event_type`,
     * `ts_us`), with per-release cell counts measured from THIS
-    * dataset — one narrow scan, three bounded distinct-counts:
-    *   - `q157_counts_by_type`: per-type counts (|types| cells);
+    * dataset — one narrow scan, four bounded distinct-counts:
+    *   - `q157_counts_by_type`: per-type event counts (|types| cells;
+    *     row-level unit, cells partition events → one ε);
     *   - `q159_hist_type_dow`: the (type, day-of-week) histogram
-    *     (parallel composition across its cells);
+    *     (parallel composition across its cells → one ε);
+    *   - `q163_dp_user_counts`: per-type DISTINCT-USER counts — the
+    *     USER-level release. Cells do NOT partition users (one user
+    *     can appear in every cell), so parallel composition does not
+    *     apply and the release costs |cells|·ε — the ledger row's
+    *     eps_e6 is n_cells × [[EpsLn2E6]], the honest price of the
+    *     stronger privacy unit;
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
-    *     batch twin's cell space. */
+    *     batch twin's cell space (row-level → one ε). */
   def shippedReleases(events: DataFrame): Seq[Release] = {
     val r = events
       .select(col("event_type"),
@@ -62,6 +70,8 @@ object DpLedger {
         r.getLong(0)),
       Release("q159_hist_type_dow", "discrete_laplace", EpsLn2E6,
         r.getLong(1)),
+      Release("q163_dp_user_counts", "discrete_laplace",
+        r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))
   }

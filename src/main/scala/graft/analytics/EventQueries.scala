@@ -572,17 +572,20 @@ object EventQueries {
       bench = true),
 
     // ── privacy-budget ledger (sequential composition, accounted) ──
-    // q157, q159, and the streaming hourly feed EACH spend ε = ln 2 on
-    // the same events table; by sequential composition the table's
-    // actual spend is their SUM, and before this ledger nothing
-    // accounted for it — "three cheap releases" is one expensive one.
-    // One row per shipped release (alphabetical): its mechanism, its
-    // ε in integer micro-nats (ln 2 → 693147), how many cells it
-    // released on THIS dataset (within-release cells partition the
-    // rows — PARALLEL composition, one ε per release regardless of
-    // cell count), and the sequential running total. [[DpLedger]] is
-    // the operator (versioned-parquet record/load for the audit
-    // trail); this is its hash-checkable report.
+    // The shipped DP releases (q157, q159, q163, the streaming hourly
+    // feed) all draw on the same events table; by sequential
+    // composition the table's actual spend is their SUM, and before
+    // this ledger nothing accounted for it — "a few cheap releases"
+    // is one expensive one. One row per shipped release
+    // (alphabetical): its mechanism, its ε in integer micro-nats
+    // (ln 2 → 693147), how many cells it released on THIS dataset,
+    // and the sequential running total. Within a ROW-level release the
+    // cells partition the rows — PARALLEL composition, one ε per
+    // release regardless of cell count; q163's USER-level release has
+    // no such partition (a user spans cells), so its own row already
+    // carries |cells|·ε. [[DpLedger]] is the operator
+    // (versioned-parquet record/load for the audit trail); this is
+    // its hash-checkable report.
     // Scale shape: one narrow event scan, three map-side-combined
     // distinct rollups; the ledger itself is |releases|-bounded.
     "q161_dp_ledger" -> QuerySpec(
@@ -606,6 +609,10 @@ object EventQueries {
           SELECT 'q159_hist_type_dow', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c2)
           UNION ALL
+          SELECT 'q163_dp_user_counts', 'discrete_laplace',
+                 (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
+                 (SELECT n FROM c1)
+          UNION ALL
           SELECT 'stream_hourly_counts', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
         SELECT release, mechanism, CAST(eps_e6 AS BIGINT) AS eps_e6,
@@ -613,6 +620,45 @@ object EventQueries {
                CAST(sum(eps_e6) OVER (ORDER BY release)
                  AS BIGINT) AS cum_eps_e6
         FROM l ORDER BY release"""),
+      bench = true),
+
+    // ── USER-level DP release (contribution-bounded distinct counts) ─
+    // q157/q159 are ROW-level DP: the protected unit is one event, and
+    // since each event lands in exactly one cell, the cells partition
+    // the data and the whole release costs one ε (parallel
+    // composition). A platform that promises USER-level privacy needs
+    // more: here the released statistic is the per-type DISTINCT-USER
+    // count, so each user's contribution per cell is bounded at 1 by
+    // construction (the distinct is the clamp) and per-cell
+    // sensitivity is 1 — but one user can appear in EVERY cell, so
+    // the cells do NOT partition users and parallel composition does
+    // NOT apply: the release honestly costs |cells|·ε = |types|·ln 2,
+    // which is exactly what its [[DpLedger]] row records (q161's
+    // eps_e6 for this release is measured from the data as
+    // n_cells × 693147). The exact count rides along for the oracle
+    // audit — a production view drops it (the q157 convention).
+    // Scale shape: one map-side-combined (type, user) distinct rollup
+    // — the q156 exchange — then the mechanism on the |types|-bounded
+    // frame.
+    "q163_dp_user_counts" -> QuerySpec(
+      build = (s, d) =>
+        ev(s, d).groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .withColumn("noise", DpNoise.noiseFor(
+            concat(lit("users|"), col("event_type")),
+            DpNoise.OracleSecret))
+          .select(col("event_type"), col("n_users"), col("noise"),
+            (col("n_users") + col("noise")).as("released"))
+          .orderBy("event_type"),
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type, count(DISTINCT user_id) n
+                   FROM events GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_users,
+               CAST(${DpNoise.duckNoiseSql("'users|' || event_type")}
+                 AS BIGINT) AS noise,
+               CAST(n + ${DpNoise.duckNoiseSql("'users|' || event_type")}
+                 AS BIGINT) AS released
+        FROM g ORDER BY event_type"""),
       bench = true),
 
     // ── k-anonymity census over behavioral quasi-identifiers ───────

@@ -87,6 +87,30 @@ object JoinAdvisor {
     Advice(strategy, ls, rs, est)
   }
 
+  /** Turn [[Advice.estJoinRows]] into the knob it exists for: the
+    * shuffle-partition count of the stage CONSUMING the join. With
+    * even hashing each reducer handles estRows/partitions rows, so
+    * partitions = ceil(estRows·bytesPerRow / targetPartitionBytes)
+    * keeps every post-join partition near the target (default 128 MB —
+    * the HDFS-block-sized unit Spark's own maxPartitionBytes uses),
+    * instead of inheriting a global `spark.sql.shuffle.partitions`
+    * that is simultaneously too big for small joins (scheduling
+    * overhead) and too small for blow-ups (spill). `bytesPerRow` is
+    * the caller's schema knowledge (default 64 B — a handful of
+    * numeric columns); clamp bounds keep a wild estimate from
+    * degenerating to 1 task or millions. */
+  def suggestShufflePartitions(estJoinRows: Long, bytesPerRow: Long = 64L,
+                               targetPartitionBytes: Long = 128L << 20,
+                               minPartitions: Int = 2,
+                               maxPartitions: Int = 1 << 16): Int = {
+    require(estJoinRows >= 0 && bytesPerRow > 0 && targetPartitionBytes > 0)
+    require(1 <= minPartitions && minPartitions <= maxPartitions)
+    val bytes = estJoinRows.toDouble * bytesPerRow
+    val n = math.ceil(bytes / targetPartitionBytes)
+    math.min(maxPartitions.toDouble, math.max(minPartitions.toDouble, n))
+      .toInt
+  }
+
   /** One degree rollup (the exchange) + one narrow sketch pass.
     * NULL join keys are excluded up front (the r10 advisor catch):
     * the advised joins are equi-joins, which drop null keys, so a

@@ -507,19 +507,26 @@ class OperatorSpec extends SparkSpec {
     val e = graft.analytics.Tables.events(spark, d)
     val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
     val rel = DpLedger.shippedReleases(ev)
-    // three shipped releases at eps = ln 2 each → total 3·ln 2: the
-    // accounting q157/q159/streaming alone never surfaced
+    // four shipped releases; the three row-level ones spend ln 2 each,
+    // the user-level one |types|·ln 2 (cells don't partition users) —
+    // total (3 + |types|)·ln 2: the accounting the releases alone
+    // never surfaced
     assert(rel.map(_.release) == Seq("q157_counts_by_type",
-      "q159_hist_type_dow", "stream_hourly_counts"))
-    assert(DpLedger.totalEpsE6(rel) == 3 * DpLedger.EpsLn2E6)
+      "q159_hist_type_dow", "q163_dp_user_counts",
+      "stream_hourly_counts"))
+    val nTypes = rel(0).n_cells
+    assert(nTypes > 0)
+    assert(rel(2).eps_e6 == nTypes * DpLedger.EpsLn2E6 &&
+      rel(2).n_cells == nTypes)
+    assert(DpLedger.totalEpsE6(rel) == (3 + nTypes) * DpLedger.EpsLn2E6)
     // cell counts measured from the data: the histogram refines the
     // per-type release, the hourly feed refines it further
-    assert(rel(0).n_cells > 0)
     assert(rel(1).n_cells >= rel(0).n_cells)
-    assert(rel(2).n_cells >= rel(1).n_cells)
+    assert(rel(3).n_cells >= rel(1).n_cells)
     // the ledger frame's running total ends at the sequential sum
     val lf = DpLedger.ledger(ev).collect()
-    assert(lf.map(_.getAs[Long]("cum_eps_e6")).max == 3 * DpLedger.EpsLn2E6)
+    assert(lf.map(_.getAs[Long]("cum_eps_e6")).max ==
+      (3 + nTypes) * DpLedger.EpsLn2E6)
     // versioned audit trail: each record is a new immutable version,
     // load returns the latest
     val dir = java.nio.file.Files
@@ -527,7 +534,7 @@ class OperatorSpec extends SparkSpec {
     assert(DpLedger.record(DpLedger.ledger(ev), dir) == 1L)
     assert(DpLedger.record(DpLedger.ledger(ev.limit(50)), dir) == 2L)
     val loaded = DpLedger.load(spark, dir)
-    assert(loaded.count() == 3)
+    assert(loaded.count() == 4)
     val smallCells = loaded.orderBy("release").collect()
       .map(_.getAs[Long]("n_cells"))
     assert(smallCells.zip(lf.map(_.getAs[Long]("n_cells")))
@@ -598,6 +605,18 @@ class OperatorSpec extends SparkSpec {
     val a3 = JoinAdvisor.recommend(fact, "k", big, "k2",
       partitions = 8, broadcastMaxRows = 100L)
     assert(a3.strategy == ShuffleHash)
+  }
+
+  test("suggestShufflePartitions: 128MB targets from the AGMS estimate, clamped") {
+    import graft.operators.JoinAdvisor.suggestShufflePartitions
+    // 1 B rows × 64 B = 64 GB → ceil(64e9 / 128 MiB) = 477 partitions
+    assert(suggestShufflePartitions(1000000000L) == 477)
+    // wide rows push the count up proportionally (×10 → 4769)
+    assert(suggestShufflePartitions(1000000000L, bytesPerRow = 640L) == 4769)
+    // tiny join clamps to the floor, never 0/1-task degeneracy
+    assert(suggestShufflePartitions(100L) == 2)
+    // a blown-up estimate clamps to the ceiling
+    assert(suggestShufflePartitions(Long.MaxValue / 128) == (1 << 16))
   }
 
   test("SaltedJoin.auto: dispatches each branch and never changes join semantics") {
