@@ -53,6 +53,9 @@ object DpLedger {
     *     apply and the release costs |cells|·ε — the ledger row's
     *     eps_e6 is n_cells × [[EpsLn2E6]], the honest price of the
     *     stronger privacy unit;
+    *   - `q164_dp_bounded_sum`: per-type contribution-bounded value
+    *     sums — user-level like q163 (same |cells|·ε pricing; the
+    *     clamp bounds sensitivity, not the cell structure);
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
     *     batch twin's cell space (row-level → one ε). */
@@ -71,6 +74,8 @@ object DpLedger {
       Release("q159_hist_type_dow", "discrete_laplace", EpsLn2E6,
         r.getLong(1)),
       Release("q163_dp_user_counts", "discrete_laplace",
+        r.getLong(0) * EpsLn2E6, r.getLong(0)),
+      Release("q164_dp_bounded_sum", "discrete_laplace",
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))

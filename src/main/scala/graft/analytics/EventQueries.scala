@@ -613,6 +613,10 @@ object EventQueries {
                  (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
                  (SELECT n FROM c1)
           UNION ALL
+          SELECT 'q164_dp_bounded_sum', 'discrete_laplace',
+                 (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
+                 (SELECT n FROM c1)
+          UNION ALL
           SELECT 'stream_hourly_counts', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
         SELECT release, mechanism, CAST(eps_e6 AS BIGINT) AS eps_e6,
@@ -658,6 +662,65 @@ object EventQueries {
                  AS BIGINT) AS noise,
                CAST(n + ${DpNoise.duckNoiseSql("'users|' || event_type")}
                  AS BIGINT) AS released
+        FROM g ORDER BY event_type"""),
+      bench = true),
+
+    // ── contribution-bounded SUM release (user-level DP on values) ─
+    // The fourth shape of the DP toolkit (counts → histogram →
+    // distinct users → bounded sums): per-type revenue released at
+    // USER-level privacy. A raw sum has unbounded sensitivity — one
+    // whale user moves it arbitrarily, so no finite noise protects
+    // them. The fix is the standard contribution bound: each user's
+    // per-type value total (integer cents — floor(value·100 + 0.5) is
+    // the same correctly-rounded IEEE step in both engines) is CLAMPED
+    // to [0, C] (C = 10000 cents), making user-removal sensitivity
+    // exactly C; the discrete-Laplace draw is then released on the
+    // C-spaced lattice (released = clamped_sum + C·z), where a ≤C
+    // neighbor shift moves z by ≤1 — the ε = ln 2 guarantee
+    // transfers unchanged. Clamping is a utility/privacy TRADE the
+    // release owner tunes: heavy spenders are deliberately
+    // under-counted so they can hide. Cells (types) again do not
+    // partition USERS, so the ledger prices this release at
+    // |cells|·ε, like q163. Exact aggregates ride for the oracle
+    // audit — a production view drops them.
+    // Scale shape: one map-side-combined (type, user) rollup, clamp
+    // on the rollup, mechanism on the |types|-bounded frame.
+    "q164_dp_bounded_sum" -> QuerySpec(
+      build = (s, d) =>
+        ev(s, d).filter(col("value").isNotNull)
+          .select(col("event_type"), col("user_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("v_e2"))
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("v_e2")).as("uv"))
+          .withColumn("contrib",
+            least(greatest(col("uv"), lit(0L)), lit(10000L)))
+          .groupBy(col("event_type"))
+          .agg(sum(col("contrib")).as("clamped_sum_e2"),
+            count(lit(1)).as("n_users_contributing"))
+          .withColumn("noise", DpNoise.noiseFor(
+            concat(lit("sum|"), col("event_type")),
+            DpNoise.OracleSecret))
+          .select(col("event_type"), col("clamped_sum_e2"),
+            col("n_users_contributing"), col("noise"),
+            (col("clamped_sum_e2") + lit(10000L) * col("noise"))
+              .as("released_e2"))
+          .orderBy("event_type"),
+      oracle = Some(s"""
+        WITH e AS (SELECT event_type, user_id,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) v
+                   FROM events WHERE value IS NOT NULL),
+        u AS (SELECT event_type, user_id,
+                     CAST(least(greatest(sum(v), 0), 10000) AS BIGINT) c
+              FROM e GROUP BY 1, 2),
+        g AS (SELECT event_type, CAST(sum(c) AS BIGINT) s,
+                     count(*) n
+              FROM u GROUP BY 1)
+        SELECT event_type, s AS clamped_sum_e2,
+               CAST(n AS BIGINT) AS n_users_contributing,
+               CAST(${DpNoise.duckNoiseSql("'sum|' || event_type")}
+                 AS BIGINT) AS noise,
+               CAST(s + 10000 * ${DpNoise.duckNoiseSql("'sum|' || event_type")}
+                 AS BIGINT) AS released_e2
         FROM g ORDER BY event_type"""),
       bench = true),
 

@@ -501,32 +501,82 @@ class OperatorSpec extends SparkSpec {
       "scoped cache must unpersist after the consuming action")
   }
 
+  test("q164 bounded-sum release: clamp binds, lattice noise replays driver-side") {
+    import graft.analytics.DpNoise
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val rows = e.filter(col("value").isNotNull)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val C = 10000L
+    val perUser = rows.groupBy(t => (t._1, t._2)).map { case (k, ts) =>
+      k -> ts.map(t => math.floor(t._3 * 100 + 0.5).toLong).sum
+    }
+    val expected = perUser.groupBy(_._1._1).map { case (t, us) =>
+      t -> (us.map(u => math.min(C, math.max(0L, u._2))).sum, us.size.toLong)
+    }
+    // the clamp must BIND at this SF — otherwise the bound (and the
+    // sensitivity claim) is vacuous on the test corpus
+    assert(perUser.values.exists(_ > C),
+      "no user exceeds the contribution cap — q164's clamp is untested")
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def noiseOf(key: String): Long = {
+      val h = java.lang.Long.parseLong(
+        md5hex(DpNoise.OracleSecret + "|dp0|" + key).take(15), 16)
+      val u = h % (3L << 40)
+      if (u < (1L << 40)) 0L
+      else {
+        val v = u - (1L << 40)
+        val t = ((1L << 40) - 1) - (v >> 1)
+        val k = if (t == 0) 40L
+          else 41L - java.lang.Long.toBinaryString(t).length
+        if (v % 2 == 0) k else -k
+      }
+    }
+    val got = graft.analytics.EventQueries.queries("q164_dp_bounded_sum")
+      .build(spark, d).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val (s0, n) = expected(t)
+      assert(r.getLong(1) == s0, s"$t: clamped sum drift")
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == noiseOf("sum|" + t), s"$t: noise drift")
+      assert(r.getLong(4) == s0 + C * noiseOf("sum|" + t),
+        s"$t: lattice release drift")
+    }
+  }
+
   test("DpLedger: sequential composition sums, versioned record/load audit trail") {
     import graft.analytics.DpLedger
     val d = "/root/testdata/sf0.001"
     val e = graft.analytics.Tables.events(spark, d)
     val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
     val rel = DpLedger.shippedReleases(ev)
-    // four shipped releases; the three row-level ones spend ln 2 each,
-    // the user-level one |types|·ln 2 (cells don't partition users) —
-    // total (3 + |types|)·ln 2: the accounting the releases alone
-    // never surfaced
+    // five shipped releases; the three row-level ones spend ln 2 each,
+    // the two user-level ones |types|·ln 2 (cells don't partition
+    // users) — total (3 + 2·|types|)·ln 2: the accounting the
+    // releases alone never surfaced
     assert(rel.map(_.release) == Seq("q157_counts_by_type",
       "q159_hist_type_dow", "q163_dp_user_counts",
-      "stream_hourly_counts"))
+      "q164_dp_bounded_sum", "stream_hourly_counts"))
     val nTypes = rel(0).n_cells
     assert(nTypes > 0)
-    assert(rel(2).eps_e6 == nTypes * DpLedger.EpsLn2E6 &&
-      rel(2).n_cells == nTypes)
-    assert(DpLedger.totalEpsE6(rel) == (3 + nTypes) * DpLedger.EpsLn2E6)
+    Seq(rel(2), rel(3)).foreach { r =>
+      assert(r.eps_e6 == nTypes * DpLedger.EpsLn2E6 &&
+        r.n_cells == nTypes)
+    }
+    assert(DpLedger.totalEpsE6(rel) ==
+      (3 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // cell counts measured from the data: the histogram refines the
     // per-type release, the hourly feed refines it further
     assert(rel(1).n_cells >= rel(0).n_cells)
-    assert(rel(3).n_cells >= rel(1).n_cells)
+    assert(rel(4).n_cells >= rel(1).n_cells)
     // the ledger frame's running total ends at the sequential sum
     val lf = DpLedger.ledger(ev).collect()
     assert(lf.map(_.getAs[Long]("cum_eps_e6")).max ==
-      (3 + nTypes) * DpLedger.EpsLn2E6)
+      (3 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // versioned audit trail: each record is a new immutable version,
     // load returns the latest
     val dir = java.nio.file.Files
@@ -534,7 +584,7 @@ class OperatorSpec extends SparkSpec {
     assert(DpLedger.record(DpLedger.ledger(ev), dir) == 1L)
     assert(DpLedger.record(DpLedger.ledger(ev.limit(50)), dir) == 2L)
     val loaded = DpLedger.load(spark, dir)
-    assert(loaded.count() == 4)
+    assert(loaded.count() == 5)
     val smallCells = loaded.orderBy("release").collect()
       .map(_.getAs[Long]("n_cells"))
     assert(smallCells.zip(lf.map(_.getAs[Long]("n_cells")))
@@ -662,6 +712,46 @@ class OperatorSpec extends SparkSpec {
     assert(j3.queryExecution.executedPlan.toString
       .contains("ShuffledHashJoin"), "shuffle_hash hint must bind")
     assert(j3.collect().map(_.toSeq).toSet == plain(fact, "k", big, "k2"))
+  }
+
+  test("property: SaltedJoin.auto == plain inner join on randomized skewed/null frames") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.SaltedJoin
+
+    // deterministic generation (the TextKernelsSpec discipline): skewed
+    // keys with a hot value, a uniform band, and nulls — the three
+    // things a join dispatcher must never get wrong
+    val keyGen: Gen[Option[Long]] = Gen.frequency(
+      5 -> Gen.const(Some(1L)),
+      10 -> Gen.choose(1L, 40L).map(Some(_)),
+      1 -> Gen.const(Option.empty[Long]))
+    def frame(seed: Long, n: Int, kcol: String, vcol: String) = {
+      val ks = (0 until n).map(i =>
+        keyGen.pureApply(Gen.Parameters.default, Seed(seed + i)))
+      ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF(kcol, vcol)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+
+    val seen = scala.collection.mutable.Set[String]()
+    for (c <- 0 until 5) {
+      val l = frame(1000L * (c + 1), 40 + c * 150, "k", "v")
+      val r = frame(7000L * (c + 1), 25 + c * 90, "k2", "w")
+      val plain = canon(l.join(r, l("k") === r("k2")))
+      // sweep the thresholds so every branch fires across the sweep:
+      // huge broadcastMaxRows → broadcast; 0 → salted (hot key) or
+      // shuffle_hash (skewFactor high enough to never trigger)
+      for ((bmax, skew) <- Seq((1000000L, 4L), (0L, 1L), (0L, 1000000L))) {
+        val (joined, advice) = SaltedJoin.auto(l, "k", r, "k2",
+          partitions = 4, broadcastMaxRows = bmax, skewFactor = skew)
+        seen += advice.strategy.getClass.getSimpleName
+        assert(canon(joined) == plain,
+          s"case $c ($bmax, $skew, ${advice.strategy}): dispatch changed join semantics")
+      }
+    }
+    assert(seen.size == 3, s"sweep must exercise all three branches, got $seen")
   }
 
   test("q139 personalized pagerank replays driver-side: restart mass on seeds only") {
