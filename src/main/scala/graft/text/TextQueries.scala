@@ -1059,6 +1059,62 @@ object TextQueries {
         ORDER BY new_doc, corpus_doc"""),
       bench = true),
 
+    // ── incremental index maintenance (fold a batch INTO the index) ─
+    // The write half of q119: the corpus's band/pair/label structures
+    // exist (built when the corpus did); an accepted ingest batch must
+    // UPDATE them so tomorrow's batch probes today's corpus — without
+    // re-sketching the corpus or re-converging its untouched clusters.
+    // [[IncrementalDedup]] computes the batch's new pairs (q119's
+    // broadcast probe + batch-internal expansion) and re-converges
+    // ONLY the touched components (label semi-join pulls their pair
+    // mass); untouched labels pass through verbatim. The query splits
+    // the corpus deterministically (top ~20% of doc ids = "the
+    // batch"), runs the incremental path, and reports the cluster-size
+    // census of the UPDATED labels — while the oracle computes the
+    // census of the FROM-SCRATCH closure over the whole corpus, so a
+    // hash match proves incremental == rebuild exactly (including
+    // batch docs that BRIDGE two old clusters into one).
+    // Scale shape: batch-scale sketch, one base-band scan with the
+    // batch broadcast, affected-component-scale re-convergence.
+    // Deliberately NOT benched: ~90% of the query's wall time is
+    // constructing the "yesterday" state (base bands + pairs + a full
+    // label convergence) that a production store already has on disk
+    // — benching the demo setup would report the cost the operator
+    // exists to avoid. The correctness gate still runs it at every SF.
+    "q165_incremental_index" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L)))
+          .head.getLong(0) // bounded scalar (the q155 guard)
+        val isBatch = expr(s"doc_id * 5 div ${mx + 1}") === 4
+        def bandsOf(df: DataFrame) = explodeBands(
+          df.select(col("doc_id"),
+            minhash_signature(col("text"), 3).as("sig"))
+            .filter(col("sig").isNotNull))
+        val baseBands = bandsOf(docs.filter(!isBatch))
+        val batchBands = bandsOf(docs.filter(isBatch))
+        val basePairs = candidatePairsFromBands(baseBands)
+        val np = IncrementalDedup.newPairs(baseBands, batchBands)
+        CurationQueries.withDupClusterLabels(s, basePairs) { old =>
+          IncrementalDedup.updatedLabels(s, basePairs, old, np) { upd =>
+            upd.groupBy(col("rep")).agg(count(lit(1)).as("cs"))
+              .groupBy(col("cs"))
+              .agg(count(lit(1)).as("n_clusters"),
+                sum(col("cs")).as("n_docs"))
+              .withColumnRenamed("cs", "cluster_size")
+              .orderBy("cluster_size")
+          }
+        }
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $duckMinhashPairsCtes,
+        $duckClosureCtes,
+        cs AS (SELECT rep, count(*) n FROM labels GROUP BY 1)
+        SELECT CAST(n AS BIGINT) AS cluster_size,
+               count(*) AS n_clusters,
+               CAST(sum(n) AS BIGINT) AS n_docs
+        FROM cs GROUP BY 1 ORDER BY 1""")),
+
     // ── winnowing fingerprints (rolling-hash, local-edit-robust) ───
     // The oracle recomputes the k-gram polynomial hash + window minima
     // with independent SQL arithmetic (base 31, mod 1e9+7, k=5, w=4).

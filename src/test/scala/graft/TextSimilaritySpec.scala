@@ -1130,4 +1130,58 @@ class TextSimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("IncrementalDedup: bridge merges old clusters, untouched labels pass through") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.text.{CurationQueries, IncrementalDedup}
+    // yesterday's corpus: three converged clusters {1,2}, {10,11}, {20,21}
+    val basePairs = Seq((1L, 2L), (10L, 11L), (20L, 21L)).toDF("da", "db")
+    // the batch: doc 100 bridges clusters {1,2} and {10,11} (the hard
+    // case — two old components must MERGE), and 100-101 pair up
+    val newPairs = Seq((2L, 100L), (10L, 100L), (100L, 101L)).toDF("da", "db")
+    val expected = CurationQueries.withDupClusterLabels(spark,
+      basePairs.unionByName(newPairs)) { l =>
+      l.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val got = CurationQueries.withDupClusterLabels(spark, basePairs) { old =>
+      // untouched component {20,21} must survive by REFERENCE, not by
+      // re-convergence: corrupt-proof it by checking its rows verbatim
+      IncrementalDedup.updatedLabels(spark, basePairs, old, newPairs) { upd =>
+        upd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+    }
+    assert(got == expected, s"incremental $got != from-scratch $expected")
+    // the merged component rides rep 1 (min id across BOTH old clusters
+    // and the batch docs); the untouched cluster keeps rep 20
+    assert(got.filter(_._2 == 1L).map(_._1) ==
+      Set(1L, 2L, 10L, 11L, 100L, 101L),
+      "bridge must merge both old clusters and the batch docs under rep 1")
+    assert(got.contains((21L, 20L)) && got.contains((20L, 20L)))
+  }
+
+  test("IncrementalDedup.newPairs == from-scratch pairs touching the batch (real corpus)") {
+    import org.apache.spark.sql.functions._
+    import graft.text.{IncrementalDedup, TextFunctions, TextQueries}
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.analytics.Tables.documents(spark, d)
+    val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.explodeBands(df.select(col("doc_id"),
+        TextFunctions.minhash_signature(col("text"), 3).as("sig"))
+        .filter(col("sig").isNotNull))
+    val isBatch = expr(s"doc_id * 5 div ${mx + 1}") === 4
+    val np = IncrementalDedup.newPairs(
+      bandsOf(docs.filter(!isBatch)), bandsOf(docs.filter(isBatch)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // from-scratch q25 pairs over the whole corpus, restricted to
+    // pairs touching the batch slice
+    val t = (mx + 1) * 4 / 5 + ((mx + 1) * 4 % 5 min 1) // first batch id
+    val full = TextQueries.minhashCandidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val touching = full.filter { case (a, b) =>
+      a * 5 / (mx + 1) == 4 || b * 5 / (mx + 1) == 4 }
+    assert(np == touching, s"${np.size} incremental vs ${touching.size} expected")
+    assert(np.nonEmpty, "batch slice must introduce pairs at this SF")
+  }
 }
