@@ -626,6 +626,61 @@ object EventQueries {
         FROM l ORDER BY release"""),
       bench = true),
 
+    // ── DP post-processing (free): peak-day profile from q159 ──────
+    // The third leg of the DP story (mechanism → composition →
+    // post-processing): any function of ALREADY-RELEASED values costs
+    // ZERO additional ε — the post-processing invariance of DP — so
+    // this query adds NO ledger row. It consumes ONLY q159's released
+    // column (never the exact counts riding along for the oracle):
+    // per type, negatives clamped to 0 (a valid, utility-improving
+    // post-process), the peak day of week, and the peak's share in
+    // integer e4. This is what a consumer dashboard should do with a
+    // DP histogram — derive, don't re-query; every re-query of the
+    // raw data is a new ε the ledger would have to charge.
+    // Scale shape: q159's rollup + arithmetic on the |types|×7 frame.
+    "q166_dp_postprocess" -> QuerySpec(
+      build = (s, d) => {
+        val released = queries("q159_dp_histogram").build(s, d)
+          .select(col("event_type"), col("dow"), col("released"))
+          .withColumn("r", greatest(col("released"), lit(0L)))
+        released
+          .groupBy(col("event_type"))
+          .agg(sum(col("r")).as("total_released"),
+            max(struct(col("r").as("r"), (-col("dow")).as("nd")))
+              .as("_pk"))
+          .select(col("event_type"), col("total_released"),
+            (-col("_pk.nd")).as("peak_dow"),
+            // integer division (`div`): FP division + cast could round
+            // up across the floor at exact multiples
+            expr("_pk.r * 10000 div greatest(total_released, 1)")
+              .as("peak_share_e4"))
+          .orderBy("event_type")
+      },
+      oracle = Some(s"""
+        WITH g AS (SELECT event_type,
+                          (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                          count(*) n
+                   FROM events GROUP BY 1, 2),
+        rel AS (SELECT event_type, dow,
+                  greatest(CAST(n +
+                    ${DpNoise.duckNoiseSql("event_type || '|' || dow::VARCHAR")}
+                    AS BIGINT), 0) AS r
+                FROM g),
+        tot AS (SELECT event_type, CAST(sum(r) AS BIGINT) total_released
+                FROM rel GROUP BY 1),
+        pk AS (SELECT event_type, dow, r FROM (
+                 SELECT *, row_number() OVER (PARTITION BY event_type
+                          ORDER BY r DESC, dow ASC) AS rn
+                 FROM rel)
+               WHERE rn = 1)
+        SELECT t.event_type, t.total_released,
+               CAST(pk.dow AS BIGINT) AS peak_dow,
+               CAST(pk.r * 10000 // greatest(t.total_released, 1)
+                 AS BIGINT) AS peak_share_e4
+        FROM tot t JOIN pk ON pk.event_type = t.event_type
+        ORDER BY t.event_type"""),
+      bench = true),
+
     // ── USER-level DP release (contribution-bounded distinct counts) ─
     // q157/q159 are ROW-level DP: the protected unit is one event, and
     // since each event lands in exactly one cell, the cells partition
