@@ -50,10 +50,16 @@ object ScopedCache {
         p.unpersist(blocking = false)
         session.listenerManager.unregister(this)
       }
+      // SUCCESS only (the r11 advisor's catch): a transient failure of
+      // the first consuming action must NOT release the cache — the
+      // retry of that same action is exactly the second pass the
+      // persist exists to protect. The listener stays armed on
+      // failure, so the retried (or abandoned-then-rerun) action still
+      // gets the scoped release when it completes.
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = fire(qe)
+                             exception: Exception): Unit = ()
     }
     session.listenerManager.register(listener)
     out

@@ -55,7 +55,11 @@ object DpLedger {
     *     stronger privacy unit;
     *   - `q164_dp_bounded_sum`: per-type contribution-bounded value
     *     sums — user-level like q163 (same |cells|·ε pricing; the
-    *     clamp bounds sensitivity, not the cell structure);
+    *     clamp bounds sensitivity, not the cell structure). Mechanism
+    *     recorded as `discrete_laplace_smoothed`: the C-scaled
+    *     discrete-Laplace draw PLUS the uniform lattice-smoothing term
+    *     ([[DpNoise.uniformFor]]) — without the smoothing the ε this
+    *     row prices was not actually provided (the r11 mod-C leak);
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
     *     batch twin's cell space (row-level → one ε). */
@@ -75,7 +79,7 @@ object DpLedger {
         r.getLong(1)),
       Release("q163_dp_user_counts", "discrete_laplace",
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
-      Release("q164_dp_bounded_sum", "discrete_laplace",
+      Release("q164_dp_bounded_sum", "discrete_laplace_smoothed",
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))

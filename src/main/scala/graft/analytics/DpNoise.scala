@@ -80,6 +80,45 @@ object DpNoise {
       .otherwise(when(pmod(v, lit(2)) === 0, k).otherwise(-k))
   }
 
+  /** Independent uniform draw on [0, n) for a string release-key
+    * column — the LATTICE-SMOOTHING companion to [[noiseFor]] (the
+    * r11 advisor's high finding, fixed in q164): a sensitivity-C sum
+    * released as `s + C·G` with G the ε-unit draw has noise ≡ 0
+    * (mod C), so the release leaks `s mod C` EXACTLY — neighboring
+    * datasets whose sums differ by a non-multiple of C have disjoint
+    * output supports and the real ε is ∞, not ε. Adding an
+    * independent U ~ Uniform[0, C) (centered by the caller) fills the
+    * residues: Z = C·G + U decomposes every integer z uniquely as
+    * C·g + u with u ∈ [0, C), and a shift |δ| ≤ C moves g by at most
+    * 1, so P(Z = z)/P(Z = z + δ) = P(G = g)/P(G = g′) ≤ 2 = e^(ln 2)
+    * — the ε = ln 2 guarantee holds for sensitivity C with FULL
+    * integer support. The draw is keyed under a distinct domain
+    * separator ("dpu0") so it is independent of the [[noiseFor]] bits
+    * for the same release key.
+    *
+    * Exactness caveat (same class as the object doc's): reducing the
+    * 60-bit draw mod n is uniform only up to the 2⁶⁰ mod n remainder
+    * — at n = 10⁴ the first 6 976 residues occur once extra in 2⁶⁰
+    * draws, a ~10⁻¹³ relative bias, far below the [[noiseFor]] bias
+    * already documented. */
+  def uniformFor(key: Column, secret: String, n: Long): Column = {
+    require(secret.nonEmpty, "DP noise requires non-empty secret key material")
+    require(n >= 1, "uniform modulus must be positive")
+    val h = graft.text.TextQueries.md5Hash60(
+      concat(lit(secret + "|dpu0|"), key))
+    pmod(h, lit(n))
+  }
+
+  /** The DuckDB twin of [[uniformFor]] — same published-secret-only
+    * contract as [[duckNoiseSql]]. */
+  def duckUniformSql(keySql: String, n: Long,
+                     secret: String = OracleSecret): String = {
+    require(secret.nonEmpty && !secret.contains("'"),
+      "secret must be non-empty and quote-free in SQL")
+    require(n >= 1, "uniform modulus must be positive")
+    s"(('0x' || substring(md5('$secret|dpu0|' || ($keySql)), 1, 15))::BIGINT % $n)"
+  }
+
   /** The DuckDB twin of [[noiseFor]] over a key SQL expression. Only
     * meaningful with a secret the SQL text may contain — i.e. the
     * published [[OracleSecret]] (the default); production releases

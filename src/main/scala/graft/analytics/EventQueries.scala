@@ -613,7 +613,7 @@ object EventQueries {
                  (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
                  (SELECT n FROM c1)
           UNION ALL
-          SELECT 'q164_dp_bounded_sum', 'discrete_laplace',
+          SELECT 'q164_dp_bounded_sum', 'discrete_laplace_smoothed',
                  (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
                  (SELECT n FROM c1)
           UNION ALL
@@ -729,15 +729,24 @@ object EventQueries {
     // per-type value total (integer cents — floor(value·100 + 0.5) is
     // the same correctly-rounded IEEE step in both engines) is CLAMPED
     // to [0, C] (C = 10000 cents), making user-removal sensitivity
-    // exactly C; the discrete-Laplace draw is then released on the
-    // C-spaced lattice (released = clamped_sum + C·z), where a ≤C
-    // neighbor shift moves z by ≤1 — the ε = ln 2 guarantee
-    // transfers unchanged. Clamping is a utility/privacy TRADE the
-    // release owner tunes: heavy spenders are deliberately
-    // under-counted so they can hide. Cells (types) again do not
-    // partition USERS, so the ledger prices this release at
-    // |cells|·ε, like q163. Exact aggregates ride for the oracle
-    // audit — a production view drops them.
+    // exactly C. The mechanism is then Z = C·G + U (released =
+    // clamped_sum + C·g + u): G the ε-unit discrete-Laplace draw, U an
+    // INDEPENDENT uniform on [-C/2, C/2) that smooths the lattice —
+    // the r11 advisor's high finding was that C·G alone is ≡ 0
+    // (mod C), so the release leaked clamped_sum mod C exactly
+    // (disjoint supports across neighbors ⇒ real ε = ∞). With the
+    // smoothing term every integer z decomposes uniquely as C·g + u,
+    // a ≤C neighbor shift moves g by at most 1, and P(Z=z)/P(Z=z+δ)
+    // ≤ 2 — the ε = ln 2 guarantee now actually holds, with full
+    // integer support (see DpNoise.uniformFor for the proof). The
+    // residual E[U] = -0.5 cent bias is documented, not hidden.
+    // Clamping is a utility/privacy TRADE the release owner tunes:
+    // heavy spenders are deliberately under-counted so they can hide.
+    // Cells (types) again do not partition USERS, so the ledger
+    // prices this release at |cells|·ε, like q163 — and with this fix
+    // the mechanism actually PROVIDES the ε the q161 ledger records.
+    // Exact aggregates ride for the oracle audit — a production view
+    // drops them.
     // Scale shape: one map-side-combined (type, user) rollup, clamp
     // on the rollup, mechanism on the |types|-bounded frame.
     "q164_dp_bounded_sum" -> QuerySpec(
@@ -755,10 +764,13 @@ object EventQueries {
           .withColumn("noise", DpNoise.noiseFor(
             concat(lit("sum|"), col("event_type")),
             DpNoise.OracleSecret))
+          .withColumn("smooth", DpNoise.uniformFor(
+            concat(lit("sum|"), col("event_type")),
+            DpNoise.OracleSecret, 10000L) - lit(5000L))
           .select(col("event_type"), col("clamped_sum_e2"),
-            col("n_users_contributing"), col("noise"),
-            (col("clamped_sum_e2") + lit(10000L) * col("noise"))
-              .as("released_e2"))
+            col("n_users_contributing"), col("noise"), col("smooth"),
+            (col("clamped_sum_e2") + lit(10000L) * col("noise")
+              + col("smooth")).as("released_e2"))
           .orderBy("event_type"),
       oracle = Some(s"""
         WITH e AS (SELECT event_type, user_id,
@@ -774,8 +786,11 @@ object EventQueries {
                CAST(n AS BIGINT) AS n_users_contributing,
                CAST(${DpNoise.duckNoiseSql("'sum|' || event_type")}
                  AS BIGINT) AS noise,
+               CAST(${DpNoise.duckUniformSql("'sum|' || event_type", 10000L)}
+                 - 5000 AS BIGINT) AS smooth,
                CAST(s + 10000 * ${DpNoise.duckNoiseSql("'sum|' || event_type")}
-                 AS BIGINT) AS released_e2
+                 + ${DpNoise.duckUniformSql("'sum|' || event_type", 10000L)}
+                 - 5000 AS BIGINT) AS released_e2
         FROM g ORDER BY event_type"""),
       bench = true),
 

@@ -501,7 +501,7 @@ class OperatorSpec extends SparkSpec {
       "scoped cache must unpersist after the consuming action")
   }
 
-  test("q164 bounded-sum release: clamp binds, lattice noise replays driver-side") {
+  test("q164 bounded-sum release: clamp binds, smoothed noise replays driver-side") {
     import graft.analytics.DpNoise
     val d = "/root/testdata/sf0.001"
     val e = graft.analytics.Tables.events(spark, d)
@@ -534,6 +534,13 @@ class OperatorSpec extends SparkSpec {
         if (v % 2 == 0) k else -k
       }
     }
+    // the lattice-smoothing draw (the r11 advisor's high finding:
+    // C·G alone is ≡ 0 mod C and leaks the sum's residue exactly)
+    def uniformOf(key: String): Long = {
+      val h = java.lang.Long.parseLong(
+        md5hex(DpNoise.OracleSecret + "|dpu0|" + key).take(15), 16)
+      h % C - C / 2
+    }
     val got = graft.analytics.EventQueries.queries("q164_dp_bounded_sum")
       .build(spark, d).collect()
     assert(got.nonEmpty)
@@ -543,9 +550,16 @@ class OperatorSpec extends SparkSpec {
       assert(r.getLong(1) == s0, s"$t: clamped sum drift")
       assert(r.getLong(2) == n)
       assert(r.getLong(3) == noiseOf("sum|" + t), s"$t: noise drift")
-      assert(r.getLong(4) == s0 + C * noiseOf("sum|" + t),
-        s"$t: lattice release drift")
+      assert(r.getLong(4) == uniformOf("sum|" + t), s"$t: smooth drift")
+      assert(r.getLong(5) == s0 + C * noiseOf("sum|" + t)
+        + uniformOf("sum|" + t), s"$t: smoothed release drift")
     }
+    // the fix must be non-vacuous on this corpus: at least one
+    // release's residue mod C differs from its clamped sum's — with
+    // the old lattice noise they were ALWAYS equal (the leak)
+    assert(got.exists { r =>
+      ((r.getLong(5) % C) + C) % C != ((r.getLong(1) % C) + C) % C
+    }, "smoothing never moved a residue — the mod-C leak fix is untested")
   }
 
   test("DpLedger: sequential composition sums, versioned record/load audit trail") {
