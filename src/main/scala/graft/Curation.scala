@@ -243,8 +243,31 @@ object Curation {
     // and a doc_id semi-join pulls the winners back out
     val labels = graft.text.ClusterIndex.load(spark, corpusDir)
       .select(col("doc_id"), col("rep"))
-    val labeled = exact
-      .join(labels, Seq("doc_id"), "left")
+    // measured dispatch for the label attach — the facade's one
+    // production lookup join runs on JoinAdvisor evidence instead of a
+    // fixed strategy (the r11 ask). The advisor's two passes per side
+    // run on CHEAP DOMINATING frames: the raw documents' doc_id column
+    // (one pruned parquet scan; doc_id is unique so maxKeyRows = 1,
+    // and every upstream stage only FILTERS rows, so raw's SideStats
+    // dominate exact's — any broadcast/skew decision safe for raw is
+    // safe for exact) and the pair-scale label artifact itself.
+    // Measuring `exact` directly would re-run the funnel's corpus-
+    // scale stages twice just to plan one join. The decision is
+    // re-taken with the left branch masked (a left join can only
+    // broadcast its non-preserved side), then SaltedJoin.dispatch
+    // runs the REAL frames under it: at test scale the labels
+    // artifact broadcasts; past broadcastMaxRows it degrades to a
+    // shuffle-hash (or salted, were the labels ever skewed) without a
+    // code change.
+    val attachAdvice = graft.operators.JoinAdvisor.recommend(
+      raw.select(col("doc_id")), "doc_id", labels, "doc_id")
+    val attachStrategy = graft.operators.JoinAdvisor.choose(
+      attachAdvice.left, attachAdvice.right, partitions = 32,
+      broadcastMaxRows = 1000000L, skewFactor = 4L,
+      canBroadcastLeft = false)
+    val labeled = graft.operators.SaltedJoin.dispatch(
+        exact, "doc_id", labels, "doc_id", attachStrategy, "left",
+        saltSrc = xxhash64(col("doc_id")))
       // singletons (no pair) are their own cluster
       .withColumn("_cluster", coalesce(col("rep"), col("doc_id")))
     val deduped =

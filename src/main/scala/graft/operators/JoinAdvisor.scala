@@ -69,22 +69,37 @@ object JoinAdvisor {
     require(partitions >= 1 && broadcastMaxRows >= 0 && skewFactor >= 1)
     val (ls, lsk) = measure(left, leftKey)
     val (rs, rsk) = measure(right, rightKey)
-    val est = amsEstimate(lsk, rsk)
+    Advice(choose(ls, rs, partitions, broadcastMaxRows, skewFactor),
+      ls, rs, amsEstimate(lsk, rsk))
+  }
 
-    val strategy =
-      if (math.min(ls.rows, rs.rows) <= broadcastMaxRows) {
-        BroadcastSide(if (ls.rows <= rs.rows) "left" else "right")
-      } else {
-        val bigger = if (ls.rows >= rs.rows) ls else rs
-        val evenShare = math.max(bigger.rows / partitions, 1L)
-        val hottest = math.max(ls.maxKeyRows, rs.maxKeyRows)
-        if (hottest > skewFactor * evenShare) {
-          val n = math.min(32L,
-            math.max(2L, (hottest + evenShare - 1) / evenShare)).toInt
-          Salted(n)
-        } else ShuffleHash
-      }
-    Advice(strategy, ls, rs, est)
+  /** The threshold decision from measured stats — THE documented
+    * contract, factored out of [[recommend]] so join types that
+    * cannot broadcast the preserved side (left/left_semi/left_anti
+    * may only broadcast the right — see [[SaltedJoin.auto]]) re-take
+    * the SAME decision with the left branch masked off, and so a
+    * caller that measured its sides on a cheaper dominating frame
+    * can decide without re-measuring. With `canBroadcastLeft` the
+    * decision is exactly the pre-r12 one: smaller fitting side
+    * broadcasts, else the hot-key test picks Salted(n) or
+    * ShuffleHash. */
+  def choose(ls: SideStats, rs: SideStats, partitions: Int,
+             broadcastMaxRows: Long, skewFactor: Long,
+             canBroadcastLeft: Boolean = true): Strategy = {
+    val leftFits = canBroadcastLeft && ls.rows <= broadcastMaxRows
+    val rightFits = rs.rows <= broadcastMaxRows
+    if (leftFits && (ls.rows <= rs.rows || !rightFits)) BroadcastSide("left")
+    else if (rightFits) BroadcastSide("right")
+    else {
+      val bigger = if (ls.rows >= rs.rows) ls else rs
+      val evenShare = math.max(bigger.rows / partitions, 1L)
+      val hottest = math.max(ls.maxKeyRows, rs.maxKeyRows)
+      if (hottest > skewFactor * evenShare) {
+        val n = math.min(32L,
+          math.max(2L, (hottest + evenShare - 1) / evenShare)).toInt
+        Salted(n)
+      } else ShuffleHash
+    }
   }
 
   /** Turn [[Advice.estJoinRows]] into the knob it exists for: the

@@ -142,6 +142,45 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curate: label attach runs under the measured dispatch (broadcast at this scale)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cf-adv")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val dataDir = java.nio.file.Files
+        .createTempDirectory("graft-cf-adv-data").toString
+      val docs = Seq(
+        (1L, good("a")), (2L, good("b")), (3L, good("c")),
+        (4L, good("b") + " extra") // near-dup of 2 → a label pair exists
+      ).map { case (id, text) => (id, text, "es", "src", text.length.toLong) }
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+
+      val r = Curation.curate(spark, dataDir, mixBase = 0L)
+      // the funnel's outcome is unchanged by the dispatch: doc 4 falls
+      // to its cluster's better member, everything else survives
+      assert(r.curated.select("doc_id").collect().map(_.getLong(0)).sorted
+        .toSeq == Seq(1L, 2L, 3L))
+      // the dispatched plan is IN the executed query: at this scale
+      // the advisor measures the pair-scale label artifact under
+      // broadcastMaxRows, the masked re-decision picks
+      // BroadcastSide("right"), and the left-outer attach must carry
+      // the broadcast build — not a fixed sort-merge
+      val plan = r.curated.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") &&
+        plan.contains("LeftOuter, BuildRight"),
+        s"label attach must dispatch as broadcast left join:\n$plan")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
   test("curate: near-dup survivor is the best-quality member, not min-id") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-cf6-art")

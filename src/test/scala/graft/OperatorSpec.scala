@@ -728,6 +728,76 @@ class OperatorSpec extends SparkSpec {
     assert(j3.collect().map(_.toSeq).toSet == plain(fact, "k", big, "k2"))
   }
 
+  test("SaltedJoin.auto left/left_semi/left_anti: every branch matches the plain join") {
+    import spark.implicits._
+    import graft.operators.{JoinAdvisor, SaltedJoin}
+    import graft.operators.JoinAdvisor._
+
+    // shared key name "k" (pins the using-join key drop) and a shared
+    // non-key column "tag" (pins the _r collision rename); hot key +
+    // nulls on the probe side — the left-lookup shape the ETL's C1-C3
+    // joins have
+    val l = ((1 to 4000).map(_ => Some(1L)) ++
+      (1 to 2000).map(i => Some((i % 800).toLong + 2)) ++
+      (1 to 50).map(_ => Option.empty[Long]))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong, s"L$i") }
+      .toDF("k", "v", "tag")
+    val r = ((1 to 600).map(i => Some(i.toLong)) ++
+      Seq(Option.empty[Long]))
+      .zipWithIndex.map { case (k, i) => (k, i * 10L, s"R$i") }
+      .toDF("k", "w", "tag")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val r2 = r.withColumnRenamed("k", "k2").withColumnRenamed("tag", "tag_r")
+    val plainLeft = canon(l.join(r2, l("k") === r2("k2"), "left").drop("k2"))
+    val plainSemi = canon(l.join(r2, l("k") === r2("k2"), "left_semi"))
+    val plainAnti = canon(l.join(r2, l("k") === r2("k2"), "left_anti"))
+
+    // threshold sweep drives all three branches (the inner property
+    // test's discipline): broadcast_right / salted (hot key 4000 vs
+    // 1512-row even share) / shuffle_hash
+    val seen = scala.collection.mutable.Set[String]()
+    for ((bmax, skew) <- Seq((1000000L, 4L), (0L, 1L), (0L, 1000000L))) {
+      val (jl, al) = SaltedJoin.auto(l, "k", r, "k", saltSrc = col("v"),
+        partitions = 4, broadcastMaxRows = bmax, skewFactor = skew,
+        joinType = "left")
+      seen += al.strategy.getClass.getSimpleName
+      assert(jl.columns.toSeq == Seq("k", "v", "tag", "w", "tag_r"),
+        s"collision-safe projection drift: ${jl.columns.toSeq}")
+      assert(canon(jl) == plainLeft, s"left-join drift under ${al.strategy}")
+      val (js, _) = SaltedJoin.auto(l, "k", r, "k", saltSrc = col("v"),
+        partitions = 4, broadcastMaxRows = bmax, skewFactor = skew,
+        joinType = "left_semi")
+      assert(js.columns.toSeq == Seq("k", "v", "tag"))
+      assert(canon(js) == plainSemi, s"semi drift under ${al.strategy}")
+      val (ja, _) = SaltedJoin.auto(l, "k", r, "k", saltSrc = col("v"),
+        partitions = 4, broadcastMaxRows = bmax, skewFactor = skew,
+        joinType = "left_anti")
+      assert(canon(ja) == plainAnti, s"anti drift under ${al.strategy}")
+    }
+    assert(seen == Set("BroadcastSide", "Salted", "ShuffleHash$"),
+      s"threshold sweep must drive every branch: $seen")
+
+    // the preserved side must never broadcast: tiny left + oversized
+    // right re-takes the decision with the left branch masked
+    val (jm, am) = SaltedJoin.auto(r, "k", l, "k",
+      broadcastMaxRows = 1000L, joinType = "left")
+    assert(am.strategy != BroadcastSide("left"),
+      s"left (preserved) side must not broadcast in a left join: ${am.strategy}")
+    val rl = l.withColumnRenamed("k", "k2").withColumnRenamed("tag", "tag_r")
+    assert(canon(jm) == canon(r.join(rl, r("k") === rl("k2"), "left")
+      .drop("k2")))
+    // choose() with the mask: identical stats flip left→right only
+    // when the right fits
+    val small = SideStats(10L, 10L, 1L); val big = SideStats(5000L, 100L, 50L)
+    assert(JoinAdvisor.choose(small, big, 4, 100L, 4L) == BroadcastSide("left"))
+    assert(JoinAdvisor.choose(small, big, 4, 100L, 4L,
+      canBroadcastLeft = false).isInstanceOf[Strategy])
+    assert(JoinAdvisor.choose(small, small, 4, 100L, 4L,
+      canBroadcastLeft = false) == BroadcastSide("right"))
+  }
+
   test("property: SaltedJoin.auto == plain inner join on randomized skewed/null frames") {
     import spark.implicits._
     import org.scalacheck.Gen
