@@ -41,6 +41,20 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    // Concurrent-load context (the r11 lesson: two same-day sessions
+    // disagreed by a uniform 13% — min-of-3 alone cannot separate
+    // machine noise from plan regressions). The record carries the
+    // 1-min loadavg at the start and end of the timed region plus the
+    // JVM GC time spent inside it, so a round-over-round delta can be
+    // attributed: uniform drift + elevated load/GC → environment;
+    // isolated drift at flat load → the plan changed.
+    import scala.jdk.CollectionConverters._
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val loadStart = loadAvg
+    val gcStart = gcMs
     val samples = collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     for (_ <- 1 to runs) timed.foreach { case (name, fn) =>
@@ -83,9 +97,11 @@ object Bench {
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val totalMed = medians.map(_._2).sum
+    val ctx = s""""load":[${r3(loadStart)},${r3(loadAvg)}],""" +
+      s""""gc_ms":${gcMs - gcStart},"cpus":$cpus"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""sf":"$sfDir","total_median":${r3(totalMed)},""" +
+      s""""sf":"$sfDir","total_median":${r3(totalMed)},$ctx,""" +
       s""""queries":${js(mins)},"queries_median":${js(medians)}}"""
     val outFile = java.nio.file.Paths.get("target", "bench_latest.json")
     java.nio.file.Files.createDirectories(outFile.getParent)
@@ -102,7 +118,7 @@ object Bench {
       xs.map { case (k, v) => shortId(k) -> v }.sortBy(_._1)
     val minLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""queries":${js(shorten(mins))},"sf":"$sfDir"}"""
+      s"""$ctx,"queries":${js(shorten(mins))},"sf":"$sfDir"}"""
     val medLine = s"""{"metric":"total_median","value":${r3(totalMed)},""" +
       s""""unit":"sec","queries_median":${js(shorten(medians))}}"""
     println(s"""{"metric":"bench_file","path":"${outFile.toString}"}""")
@@ -110,7 +126,7 @@ object Bench {
     if (minLine.length <= 1900) println(minLine)
     else println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""sf":"$sfDir","queries_file":"${outFile.toString}"}""")
+      s"""$ctx,"sf":"$sfDir","queries_file":"${outFile.toString}"}""")
     spark.stop()
   }
 }
