@@ -1008,6 +1008,81 @@ object ExtendedQueries {
                CAST(ams.est AS BIGINT) AS est_join_rows
         FROM g CROSS JOIN dec CROSS JOIN ls CROSS JOIN rs CROSS JOIN ams
         ORDER BY g.c_mktsegment"""),
+      bench = true),
+
+    // ── measured auto-dispatched LEFT join (r12: the lookup shape) ──
+    // q162 dispatches an inner join; the ETL's real lookup joins
+    // (C1-C3: attach a dimension, keep the misses for a reject split)
+    // are LEFT joins that skew identically — this is SaltedJoin.auto's
+    // left-join surface as a query. Events keep their row whether or
+    // not a customer matches (null user_ids included); the unmatched
+    // mass lands in the '(none)' bucket, n_matched counts the joined
+    // side's hits — over- or under-matching on ANY dispatch branch
+    // breaks one of the two counts. The oracle replays the MASKED
+    // threshold decision too: a left join may only broadcast its
+    // non-preserved right side ([[JoinAdvisor.choose]] with the left
+    // branch off), so the CASE tests the right side alone before
+    // falling through to the skew test — the dispatch rule itself,
+    // cross-engine.
+    // Scale: the advisor pre-flight (two narrow passes per side), then
+    // the dispatched join — here broadcast_right at every SF (customer
+    // fits); the salted/shuffle left variants are pinned by
+    // OperatorSpec's engineered fixtures.
+    "q167_auto_left_join" -> QuerySpec(
+      build = (s, d) => {
+        val fact = ev(s, d).select(col("event_id"), col("user_id"),
+          col("event_type"))
+        val dim = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+        val (joined, advice) = SaltedJoin.auto(fact, "user_id",
+          dim, "c_custkey", saltSrc = xxhash64(col("event_id")),
+          joinType = "left")
+        val strat = advice.strategy match {
+          case JoinAdvisor.BroadcastSide(side) => "broadcast_" + side
+          case JoinAdvisor.ShuffleHash => "shuffle_hash"
+          case JoinAdvisor.Salted(n) => "salted_" + n
+        }
+        joined
+          .groupBy(coalesce(col("c_mktsegment"), lit("(none)"))
+            .as("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            count(col("c_custkey")).as("n_matched"))
+          .withColumn("strategy", lit(strat))
+          .withColumn("l_rows", lit(advice.left.rows))
+          .withColumn("r_rows", lit(advice.right.rows))
+          .withColumn("r_maxkey", lit(advice.right.maxKeyRows))
+          .orderBy("segment")
+      },
+      oracle = Some("""
+        WITH f AS (SELECT event_id, user_id FROM events
+                   WHERE user_id IS NOT NULL),
+        dm AS (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL),
+        ls AS (SELECT CAST(count(*) AS BIGINT) nrows FROM f),
+        rdeg AS (SELECT c_custkey k, count(*) c FROM dm GROUP BY 1),
+        rs AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) nrows,
+                      CAST(coalesce(max(c), 0) AS BIGINT) mx FROM rdeg),
+        ldeg AS (SELECT user_id k, count(*) c FROM f GROUP BY 1),
+        lsk AS (SELECT CAST(coalesce(max(c), 0) AS BIGINT) mx FROM ldeg),
+        dec AS (SELECT
+                  CASE WHEN rs.nrows <= 1000000 THEN 'broadcast_right'
+                       WHEN greatest(lsk.mx, rs.mx) >
+                            4 * greatest(greatest(ls.nrows, rs.nrows) // 32, 1)
+                       THEN 'salted_' || least(32, greatest(2,
+                              (greatest(lsk.mx, rs.mx)
+                               + greatest(greatest(ls.nrows, rs.nrows) // 32, 1)
+                               - 1)
+                              // greatest(greatest(ls.nrows, rs.nrows) // 32, 1)))
+                       ELSE 'shuffle_hash' END AS strategy
+                FROM ls CROSS JOIN rs CROSS JOIN lsk),
+        g AS (SELECT coalesce(c_mktsegment, '(none)') AS segment,
+                     count(*) AS n_events,
+                     count(c_custkey) AS n_matched
+              FROM events LEFT JOIN customer ON user_id = c_custkey
+              GROUP BY 1)
+        SELECT g.segment, g.n_events, g.n_matched, dec.strategy,
+               ls.nrows AS l_rows, rs.nrows AS r_rows,
+               rs.mx AS r_maxkey
+        FROM g CROSS JOIN dec CROSS JOIN ls CROSS JOIN rs
+        ORDER BY g.segment"""),
       bench = true)
   )
 

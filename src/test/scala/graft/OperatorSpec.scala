@@ -501,6 +501,33 @@ class OperatorSpec extends SparkSpec {
       "scoped cache must unpersist after the consuming action")
   }
 
+  test("ScopedCache: a FAILED consuming action keeps the cache for the retry") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mid = spark.range(100).toDF("id")
+      .groupBy((col("id") % 5).as("k")).agg(count(lit(1)).as("c"))
+    val out = graft.ScopedCache.withScopedCache(mid) { m =>
+      m.agg(sum(col("c")).as("t")).crossJoin(m.agg(max(col("c")).as("mx")))
+    }
+    // a failing action OVER the cached subtree (raise_error fires per
+    // row) must not release it — the retry is exactly the second pass
+    // the persist protects (the r11 advisor's catch)
+    intercept[Exception] {
+      out.select(when(col("t") >= 0, raise_error(lit("boom")))).collect()
+    }
+    Thread.sleep(500) // listener dispatch is async; give it time to misfire
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "failure must NOT unpersist the scoped cache")
+    // the successful retry consumes and releases as usual
+    assert(out.collect().length == 1)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+        && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "scoped cache must still release after the successful retry")
+  }
+
   test("q164 bounded-sum release: clamp binds, smoothed noise replays driver-side") {
     import graft.analytics.DpNoise
     val d = "/root/testdata/sf0.001"

@@ -1184,4 +1184,67 @@ class TextSimilaritySpec extends SparkSpec {
     assert(np == touching, s"${np.size} incremental vs ${touching.size} expected")
     assert(np.nonEmpty, "batch slice must introduce pairs at this SF")
   }
+
+  test("IncrementalDedup.newPairsPruned == newPairs on the partitioned store") {
+    import org.apache.spark.sql.functions._
+    import graft.text.{IncrementalDedup, TextFunctions, TextQueries}
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.analytics.Tables.documents(spark, d)
+    val mx = docs.agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      TextQueries.explodeBands(df.select(col("doc_id"),
+        TextFunctions.minhash_signature(col("text"), 3).as("sig"))
+        .filter(col("sig").isNotNull))
+    // a SMALL batch (4% of docs) so the bucket set genuinely prunes:
+    // ≤ 8·|batch| buckets of 512 can be hit
+    val isBatch = expr(s"doc_id * 25 div ${mx + 1}") === 24
+    val buckets = 512
+    val base = bandsOf(docs.filter(!isBatch))
+    val batch = bandsOf(docs.filter(isBatch))
+    val hitBuckets = batch
+      .select(pmod(col("ha"), lit(buckets.toLong))).distinct().count()
+    assert(hitBuckets < buckets,
+      s"fixture must leave unpruned buckets: $hitBuckets of $buckets hit")
+    // the partitioned twin of the base store, written like
+    // BandIndex.loadPartitioned lays it out
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bbp")
+    try {
+      val out = tmp.resolve("bands").toString
+      base.withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+        .repartition(col("_bb"))
+        .write.partitionBy("_bb").parquet(out)
+      val baseP = spark.read.parquet(out)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val flat = pairs(IncrementalDedup.newPairs(base, batch))
+      val pruned = pairs(
+        IncrementalDedup.newPairsPruned(baseP, batch, buckets))
+      assert(pruned == flat,
+        s"pruned probe drift: ${pruned.size} vs ${flat.size}")
+      assert(flat.nonEmpty, "fixture batch must introduce pairs")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
+  test("BandIndex.loadPartitioned: row-identical to the flat store") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft-bip")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      val d = "/root/testdata/sf0.001"
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("doc_id", "band", "ha", "hb")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val flat = rows(graft.text.BandIndex.load(spark, d))
+      val part = graft.text.BandIndex.loadPartitioned(spark, d, 64)
+      assert(part.columns.contains("_bb"), "partition column must ride")
+      assert(rows(part) == flat, "partitioned store must hold the same rows")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None    => sys.props.remove("graft.artifacts.dir")
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
 }
