@@ -1059,6 +1059,53 @@ object TextQueries {
         ORDER BY new_doc, corpus_doc"""),
       bench = true),
 
+    // ── incremental probe from the PARTITIONED band store (r12) ────
+    // q119 with the flat index scan replaced by the flat-COST read:
+    // the corpus bands live in [[BandIndex.loadPartitioned]] (rows
+    // carry `_bb = pmod(ha, 1024)` as a parquet partition), the batch
+    // here is an ingest-sized bite (doc_id % 64 — ~1.6%), and its
+    // ≤ min(8·|batch|, 1024)-bucket set is pushed as a partition
+    // filter, so the index read is bounded by the BATCH's bucket
+    // count at file-listing time — the per-batch cost that stays flat
+    // while the corpus grows 1000× (measured: SURVEY §8 round-12
+    // table; `tools/IncrementalBench`). The oracle is q119's replay
+    // over the smaller batch: pruning is row-invisible by
+    // construction (a matching row shares `ha`, hence its bucket), so
+    // a hash match here proves the pruned read = the full scan on the
+    // real corpus, not just on fixtures.
+    // Scale shape: batch-scale sketch + bounded driver bucket collect
+    // + touched-partition scan + pair-scale distinct.
+    "q168_incremental_pruned" -> QuerySpec(
+      build = (s, d) => {
+        val buckets = 1024
+        val batch = Tables.documents(s, d)
+          .filter(col("doc_id") % 64 === 0)
+          .select(col("doc_id"),
+            minhash_signature(col("text"), 3).as("sig"))
+          .filter(col("sig").isNotNull)
+        val probes = explodeBands(batch)
+          .withColumnRenamed("doc_id", "new_doc")
+          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+        // bounded driver collect: ≤ min(8·|batch|, 1024) bucket ids
+        val hit = probes.select(col("_bb")).distinct().collect()
+          .map(_.get(0))
+        val corpus = BandIndex.loadPartitioned(s, d, buckets)
+          .filter(col("_bb").isin(hit: _*))
+          .filter(col("doc_id") % 64 =!= 0)
+        corpus.join(broadcast(probes.drop("_bb")), Seq("band", "ha", "hb"))
+          .select(col("new_doc"), col("doc_id").as("corpus_doc"))
+          .distinct()
+          .orderBy("new_doc", "corpus_doc")
+      },
+      oracle = Some(s"""
+        WITH $duckMinhashPairsCtes
+        SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS corpus_doc
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.ha = b.ha AND a.hb = b.hb
+        WHERE b.doc_id % 64 = 0 AND a.doc_id % 64 <> 0
+        ORDER BY new_doc, corpus_doc"""),
+      bench = true),
+
     // ── incremental index maintenance (fold a batch INTO the index) ─
     // The write half of q119: the corpus's band/pair/label structures
     // exist (built when the corpus did); an accepted ingest batch must

@@ -521,6 +521,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "rerank must be bounded heaps")
   }
 
+  test("q168 pruned probe: band-store scan prunes _bb partitions, probes broadcast") {
+    val df = SparkEntry.queries("q168_incremental_pruned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scan.contains("_bb"),
+      s"band-store scan must prune on the bucket partition:\n$scan")
+    assert(p.contains("BroadcastHashJoin"), "batch bands must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale shuffle join")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
