@@ -109,6 +109,34 @@ object DpNoise {
     pmod(h, lit(n))
   }
 
+  /** [[uniformFor]] with a COLUMN modulus — the exponential-mechanism
+    * draw (q169): selecting from a weighted candidate list needs
+    * U ~ Uniform[0, total_weight) where the total is data-dependent
+    * (a per-group column), so the fixed-modulus variant cannot serve.
+    * Distinct domain separator ("dpq0") keeps the draw independent of
+    * both [[noiseFor]] and [[uniformFor]] for the same release key.
+    *
+    * Exactness caveat: the mod-n reduction of the 60-bit draw is
+    * uniform up to a 2⁶⁰ mod n remainder; q169's totals stay under
+    * 2⁴⁷ (101 candidates × 2⁴⁰ max weight), so the relative bias is
+    * ≤ 2⁻¹³ — same class as the [[noiseFor]] bias, documented not
+    * hidden. Callers must keep n well under 2⁶⁰. */
+  def uniformModFor(key: Column, secret: String, n: Column): Column = {
+    require(secret.nonEmpty, "DP noise requires non-empty secret key material")
+    val h = graft.text.TextQueries.md5Hash60(
+      concat(lit(secret + "|dpq0|"), key))
+    pmod(h, n)
+  }
+
+  /** The DuckDB twin of [[uniformModFor]] — `nSql` is a SQL expression
+    * for the (positive) modulus column. */
+  def duckUniformModSql(keySql: String, nSql: String,
+                        secret: String = OracleSecret): String = {
+    require(secret.nonEmpty && !secret.contains("'"),
+      "secret must be non-empty and quote-free in SQL")
+    s"(('0x' || substring(md5('$secret|dpq0|' || ($keySql)), 1, 15))::BIGINT % ($nSql))"
+  }
+
   /** The DuckDB twin of [[uniformFor]] — same published-secret-only
     * contract as [[duckNoiseSql]]. */
   def duckUniformSql(keySql: String, n: Long,
