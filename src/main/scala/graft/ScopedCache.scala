@@ -31,8 +31,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Contract: SINGLE consumer. A second run of the same query simply
   * recomputes without the cache (correct, just unaided). If the query
   * is never executed, the (idle) listener stays registered for the
-  * session — a few object references, no storage. */
+  * session — a few object references, no storage. If the consuming
+  * action FAILS, the cache deliberately survives the failure (the
+  * retry is exactly the second pass the persist protects), but not
+  * forever: after [[MaxObservedFailures]] failed attempts of the
+  * consuming plan the entry is released anyway, so a permanently-
+  * failing consumer pins real cached partitions for a bounded number
+  * of attempts, not the session lifetime (the r12 advisor's catch —
+  * the pre-bound behavior leaked storage, not just references, when
+  * a consumer failed and was never retried to success). */
 object ScopedCache {
+
+  /** Failed attempts of the consuming plan tolerated before the
+    * persisted intermediate is released anyway. 3 keeps the cache
+    * through the transient-failure retries it exists for while
+    * bounding the storage a permanently-broken consumer can pin. */
+  val MaxObservedFailures = 3
 
   /** Persist `mid`, build the consuming query with it, then arm the
     * release-on-first-action listener. Returns the built query. */
@@ -50,16 +64,25 @@ object ScopedCache {
         p.unpersist(blocking = false)
         session.listenerManager.unregister(this)
       }
-      // SUCCESS only (the r11 advisor's catch): a transient failure of
-      // the first consuming action must NOT release the cache — the
-      // retry of that same action is exactly the second pass the
-      // persist exists to protect. The listener stays armed on
-      // failure, so the retried (or abandoned-then-rerun) action still
-      // gets the scoped release when it completes.
+      // A transient failure of the first consuming action must NOT
+      // release the cache (the r11 advisor's catch) — the retry of
+      // that same action is exactly the second pass the persist
+      // exists to protect. But a PERMANENTLY failing consumer would
+      // then pin cached partitions for the session lifetime (the r12
+      // advisor's catch), so failures of the consuming plan are
+      // counted and the cache released anyway after
+      // [[MaxObservedFailures]] attempts — by then the "protect the
+      // retry" rationale has been spent.
+      private val failures = new java.util.concurrent.atomic.AtomicInteger(0)
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = fire(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = ()
+                             exception: Exception): Unit =
+        if (consumed(qe) &&
+            failures.incrementAndGet() >= MaxObservedFailures) {
+          p.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
     }
     session.listenerManager.register(listener)
     out

@@ -60,6 +60,11 @@ object DpLedger {
     *     discrete-Laplace draw PLUS the uniform lattice-smoothing term
     *     ([[DpNoise.uniformFor]]) — without the smoothing the ε this
     *     row prices was not actually provided (the r11 mod-C leak);
+    *   - `q169_dp_topk_select`: the exponential-mechanism private
+    *     top-3 selection. k adaptive peeling rounds at ε = ln 2 each
+    *     (the q169 proof) compose SEQUENTIALLY — the release costs
+    *     k·ε and its cell count is k, the released ranks, both
+    *     data-independent constants;
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
     *     batch twin's cell space (row-level → one ε). */
@@ -81,6 +86,7 @@ object DpLedger {
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("q164_dp_bounded_sum", "discrete_laplace_smoothed",
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
+      Release("q169_dp_topk_select", "exponential", 3 * EpsLn2E6, 3),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))
   }

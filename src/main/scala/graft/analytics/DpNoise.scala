@@ -120,7 +120,15 @@ object DpNoise {
     * uniform up to a 2⁶⁰ mod n remainder; q169's totals stay under
     * 2⁴⁷ (101 candidates × 2⁴⁰ max weight), so the relative bias is
     * ≤ 2⁻¹³ — same class as the [[noiseFor]] bias, documented not
-    * hidden. Callers must keep n well under 2⁶⁰. */
+    * hidden. Callers must keep n well under 2⁶⁰.
+    *
+    * Degenerate-modulus contract: `pmod(h, n)` is NULL when n is 0 or
+    * NULL (and negative n would flip the range) — there is no column-
+    * level guard here because the right behavior is caller-specific.
+    * q169 satisfies it by construction: every candidate weight is
+    * ≥ 1, so the total-weight modulus is ≥ |candidates| ≥ 1 whenever
+    * a candidate row exists at all (and with zero candidates there is
+    * no row to draw for). */
   def uniformModFor(key: Column, secret: String, n: Column): Column = {
     require(secret.nonEmpty, "DP noise requires non-empty secret key material")
     val h = graft.text.TextQueries.md5Hash60(

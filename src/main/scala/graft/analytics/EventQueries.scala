@@ -32,6 +32,33 @@ object EventQueries {
     e.withColumn("ts_us", Tables.tsUs(e))
   }
 
+  /** q169's round-`r` DuckDB CTEs — the exponential-mechanism peel
+    * unrolled (static SQL cannot loop): weight, cumulative interval,
+    * draw, winner, and the next round's candidate set. `g$r` must
+    * exist (g1 is the counts rollup); emits w/c/s$r and g${r+1}.
+    * Every aggregate is cast back to BIGINT (DuckDB sums BIGINT into
+    * HUGEINT, which would drift the schema AND the mod arithmetic). */
+  private def duckTopkRound(r: Int): String = {
+    val u = DpNoise.duckUniformModSql(s"'topk|r$r'", "total_weight")
+    s"""
+    w$r AS (SELECT event_type, n,
+              (CAST(1 AS BIGINT) << CAST(40 - least(
+                 (SELECT max(n) FROM g$r) - n, 40) AS INT)) AS weight
+            FROM g$r),
+    c$r AS (SELECT event_type, n, weight,
+              CAST(sum(weight) OVER (ORDER BY event_type
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum,
+              CAST((SELECT sum(weight) FROM w$r) AS BIGINT)
+                AS total_weight
+            FROM w$r),
+    s$r AS (SELECT CAST($r AS BIGINT) AS topk_rank, event_type, n,
+              weight, total_weight, CAST($u AS BIGINT) AS draw
+            FROM c$r WHERE $u >= cum - weight AND $u < cum),
+    g${r + 1} AS (SELECT event_type, n FROM g$r
+              WHERE event_type NOT IN (SELECT event_type FROM s$r))"""
+  }
+
   /** Purchases deduped per (user_id, ts_us) keeping the highest
     * event_id — ns ties collapse under µs truncation; both as-of joins
     * (q30 backward, q47 forward) and their oracles use this exact
@@ -617,6 +644,9 @@ object EventQueries {
                  (SELECT n FROM c1) * ${DpLedger.EpsLn2E6},
                  (SELECT n FROM c1)
           UNION ALL
+          SELECT 'q169_dp_topk_select', 'exponential',
+                 3 * ${DpLedger.EpsLn2E6}, 3
+          UNION ALL
           SELECT 'stream_hourly_counts', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
         SELECT release, mechanism, CAST(eps_e6 AS BIGINT) AS eps_e6,
@@ -792,6 +822,101 @@ object EventQueries {
                  + ${DpNoise.duckUniformSql("'sum|' || event_type", 10000L)}
                  - 5000 AS BIGINT) AS released_e2
         FROM g ORDER BY event_type"""),
+      bench = true),
+
+    // ── exponential mechanism: private top-k selection (q169) ──────
+    // The fifth DP shape (counts → histogram → distinct users →
+    // bounded sums → SELECTION): release which k event types are most
+    // frequent WITHOUT releasing the counts. Noisy-counts-then-sort
+    // answers this at the cost of releasing |types| noisy values; the
+    // exponential mechanism releases only the selection, with utility
+    // u(type) = its event count.
+    //
+    // Mechanism, all-integer so both engines replay the same bits:
+    // weights are base-2, max-shifted, clipped — w_i = 2^(40 − min(m −
+    // c_i, 40)) with m = max count among REMAINING candidates — then
+    // one uniform draw U on [0, Σw) ([[DpNoise.uniformModFor]], domain
+    // separator "dpq0", key "topk|r<round>") picks the candidate whose
+    // cumulative-weight interval (alphabetical candidate order)
+    // contains U. Selected candidates are peeled and the next round
+    // re-weights the remainder — k adaptive rounds, ε each, k·ε total
+    // by sequential composition (the q161 ledger row).
+    //
+    // ε = ln 2 per round, PROOF (the clip and the data-dependent shift
+    // are the subtle parts): a neighboring dataset changes ONE count
+    // by 1, so either (a) m is unchanged and only the changed type's
+    // shift s_i = m − c_i moves by 1 — its weight moves by a factor
+    // ≤ 2 (min(·,40) is 1-Lipschitz) and every other weight is fixed,
+    // so the total W moves by a factor ≤ 2 — or (b) m moves by 1,
+    // which happens only when the changed type attains (or solely
+    // held) the max: then ITS shift stays 0 and every OTHER shift
+    // moves by 1, again each weight ≤ 2× and W ≤ 2×. The case "my
+    // weight 2× one way AND W 2× the other" cannot occur — in (a) W
+    // moves WITH the one changed weight, in (b) the winner's weight
+    // does not move at all — so P(i) = w_i/W changes by ≤ 2 = e^(ln 2)
+    // for every candidate, both directions. (An UNSHIFTED 2^c_i would
+    // give the same ratios — the shift exists so weights fit in 64
+    // bits; the clip only ever fires on candidates ≥ 2⁴⁰× below the
+    // max, and the Lipschitz bound covers it.)
+    //
+    // Honesty notes: (1) the candidate DOMAIN is the types present in
+    // the data — treated as public, the same convention every release
+    // here uses for group keys (q157/q159/q163/q164 all emit
+    // data-derived type rows); (2) the draw is the consistent-noise
+    // PRF convention of the whole DP family (stable per secret+key;
+    // q157's doc); (3) exact counts/weights/draws RIDE for the oracle
+    // audit — a production view releases topk_rank + event_type ONLY
+    // (the q157 convention), since the audit columns obviously reveal
+    // the counts.
+    // Scale shape: ONE event-scale map-side-combined rollup (scoped-
+    // cached across the k peels — the q98 idiom), then k rounds of
+    // arithmetic on the |types|-bounded frame (the unpartitioned
+    // windows run on ≤|types| rows by construction).
+    "q169_dp_topk_select" -> QuerySpec(
+      build = (s, d) => {
+        val k = 3
+        val counts = ev(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        graft.ScopedCache.withScopedCache(counts) { c =>
+          def round(cands: DataFrame, r: Int): DataFrame = {
+            val m = cands.agg(max(col("n")).as("_m"))
+            val scored = cands.crossJoin(broadcast(m))
+              .withColumn("weight", call_function("shiftleft", lit(1L),
+                (lit(40L) - least(col("_m") - col("n"), lit(40L)))
+                  .cast("int")))
+            val tot = scored.agg(sum(col("weight")).as("total_weight"))
+            scored.crossJoin(broadcast(tot))
+              .withColumn("cum", sum(col("weight")).over(
+                Window.orderBy(col("event_type"))
+                  .rowsBetween(Window.unboundedPreceding,
+                    Window.currentRow)))
+              .withColumn("draw", DpNoise.uniformModFor(
+                lit(s"topk|r$r"), DpNoise.OracleSecret,
+                col("total_weight")))
+              .filter(col("draw") >= col("cum") - col("weight") &&
+                col("draw") < col("cum"))
+              .select(lit(r.toLong).as("topk_rank"), col("event_type"),
+                col("n"), col("weight"), col("total_weight"), col("draw"))
+          }
+          var cands: DataFrame = c
+          val winners = (1 to k).map { r =>
+            val w = round(cands, r)
+            cands = cands.join(w.select(col("event_type")),
+              Seq("event_type"), "left_anti")
+            w
+          }
+          winners.reduce(_ unionByName _).orderBy("topk_rank")
+        }
+      },
+      oracle = Some(s"""
+        WITH g1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                    FROM events GROUP BY 1),
+        ${duckTopkRound(1)},
+        ${duckTopkRound(2)},
+        ${duckTopkRound(3)}
+        SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+                       UNION ALL SELECT * FROM s3)
+        ORDER BY topk_rank"""),
       bench = true),
 
     // ── k-anonymity census over behavioral quasi-identifiers ───────

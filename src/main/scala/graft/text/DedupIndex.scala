@@ -242,6 +242,11 @@ object BandIndex {
     Artifacts.materialize(dir) { tmp =>
       load(s, d)
         .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+        // cluster by bucket before the partitioned write: without it
+        // every task emits a file into every bucket dir — up to
+        // tasks × buckets small files (the r12 advisor's catch; the
+        // IncrementalBench twin store already did this)
+        .repartition(col("_bb"))
         .write.partitionBy("_bb")
         .parquet(tmp.resolve("bands").toString)
     }

@@ -528,6 +528,29 @@ class OperatorSpec extends SparkSpec {
       "scoped cache must still release after the successful retry")
   }
 
+  test("ScopedCache: a PERMANENTLY failing consumer releases after the failure bound") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val mid = spark.range(100).toDF("id")
+      .groupBy((col("id") % 5).as("k")).agg(count(lit(1)).as("c"))
+    val out = graft.ScopedCache.withScopedCache(mid) { m =>
+      m.agg(sum(col("c")).as("t")).crossJoin(m.agg(max(col("c")).as("mx")))
+    }
+    val broken =
+      out.select(when(col("t") >= 0, raise_error(lit("boom"))))
+    // a consumer that NEVER succeeds must not pin cached partitions
+    // for the session lifetime (the r12 advisor's catch) — after
+    // MaxObservedFailures failed attempts the entry is released anyway
+    for (_ <- 1 to graft.ScopedCache.MaxObservedFailures)
+      intercept[Exception] { broken.collect() }
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty
+        && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "the failure bound must release a permanently-failing consumer's cache")
+  }
+
   test("q164 bounded-sum release: clamp binds, smoothed noise replays driver-side") {
     import graft.analytics.DpNoise
     val d = "/root/testdata/sf0.001"
@@ -595,29 +618,33 @@ class OperatorSpec extends SparkSpec {
     val e = graft.analytics.Tables.events(spark, d)
     val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
     val rel = DpLedger.shippedReleases(ev)
-    // five shipped releases; the three row-level ones spend ln 2 each,
+    // six shipped releases; the three row-level ones spend ln 2 each,
     // the two user-level ones |types|·ln 2 (cells don't partition
-    // users) — total (3 + 2·|types|)·ln 2: the accounting the
-    // releases alone never surfaced
+    // users), the top-k selection 3·ln 2 (three sequential peels) —
+    // total (6 + 2·|types|)·ln 2: the accounting the releases alone
+    // never surfaced
     assert(rel.map(_.release) == Seq("q157_counts_by_type",
       "q159_hist_type_dow", "q163_dp_user_counts",
-      "q164_dp_bounded_sum", "stream_hourly_counts"))
+      "q164_dp_bounded_sum", "q169_dp_topk_select",
+      "stream_hourly_counts"))
     val nTypes = rel(0).n_cells
     assert(nTypes > 0)
     Seq(rel(2), rel(3)).foreach { r =>
       assert(r.eps_e6 == nTypes * DpLedger.EpsLn2E6 &&
         r.n_cells == nTypes)
     }
+    // the selection's price is data-INDEPENDENT: k rounds, k cells
+    assert(rel(4).eps_e6 == 3 * DpLedger.EpsLn2E6 && rel(4).n_cells == 3)
     assert(DpLedger.totalEpsE6(rel) ==
-      (3 + 2 * nTypes) * DpLedger.EpsLn2E6)
+      (6 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // cell counts measured from the data: the histogram refines the
     // per-type release, the hourly feed refines it further
     assert(rel(1).n_cells >= rel(0).n_cells)
-    assert(rel(4).n_cells >= rel(1).n_cells)
+    assert(rel(5).n_cells >= rel(1).n_cells)
     // the ledger frame's running total ends at the sequential sum
     val lf = DpLedger.ledger(ev).collect()
     assert(lf.map(_.getAs[Long]("cum_eps_e6")).max ==
-      (3 + 2 * nTypes) * DpLedger.EpsLn2E6)
+      (6 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // versioned audit trail: each record is a new immutable version,
     // load returns the latest
     val dir = java.nio.file.Files
@@ -625,12 +652,56 @@ class OperatorSpec extends SparkSpec {
     assert(DpLedger.record(DpLedger.ledger(ev), dir) == 1L)
     assert(DpLedger.record(DpLedger.ledger(ev.limit(50)), dir) == 2L)
     val loaded = DpLedger.load(spark, dir)
-    assert(loaded.count() == 5)
+    assert(loaded.count() == 6)
     val smallCells = loaded.orderBy("release").collect()
       .map(_.getAs[Long]("n_cells"))
     assert(smallCells.zip(lf.map(_.getAs[Long]("n_cells")))
       .forall { case (s, f) => s <= f },
       "v2 (50-event ledger) must not exceed the full ledger's cells")
+  }
+
+  test("q169 exponential mechanism replays driver-side; peels disjoint, intervals exact") {
+    import graft.analytics.DpNoise
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    var cands = e.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cands.size >= 3, "top-3 selection needs >= 3 candidate types")
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the dpq0-separated uniform draw on [0, mod) — DpNoise.uniformModFor
+    def drawOf(key: String, mod: Long): Long = java.lang.Long.parseLong(
+      md5hex(DpNoise.OracleSecret + "|dpq0|" + key).take(15), 16) % mod
+    // three peels: max-shifted clipped base-2 weights, alphabetical
+    // cumulative intervals, winner removed before the next round
+    val expected = (1 to 3).map { r =>
+      val m = cands.values.max
+      val ws = cands.toSeq.sortBy(_._1).map { case (t, n) =>
+        (t, n, 1L << (40L - math.min(m - n, 40L)).toInt)
+      }
+      val tot = ws.map(_._3).sum
+      val u = drawOf(s"topk|r$r", tot)
+      assert(u >= 0 && u < tot)
+      var cum = 0L
+      var win: (String, Long, Long) = null
+      ws.foreach { w =>
+        cum += w._3
+        if (win == null && u < cum) win = w
+      }
+      cands -= win._1
+      (r.toLong, win._1, win._2, win._3, tot, u)
+    }
+    val got = graft.analytics.EventQueries.queries("q169_dp_topk_select")
+      .build(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == expected, "selection drift vs the driver replay")
+    // three DISTINCT types released (the peel actually removes winners)
+    assert(got.map(_._2).distinct.length == 3)
+    // the shift normalizes each round's top candidate to exactly 2^40
+    assert(got.forall(_._4 <= (1L << 40)))
+    // totals stay far under the 2^60 the mod-draw contract requires
+    assert(got.forall(_._5 < (1L << 50)))
   }
 
   test("q156 anonymity census replays driver-side and k=1 risk fires") {
@@ -823,6 +894,16 @@ class OperatorSpec extends SparkSpec {
       canBroadcastLeft = false).isInstanceOf[Strategy])
     assert(JoinAdvisor.choose(small, small, 4, 100L, 4L,
       canBroadcastLeft = false) == BroadcastSide("right"))
+
+    // dispatch() must REFUSE an unmasked left-broadcast decision for a
+    // non-inner join rather than silently flipping to a right-side
+    // broadcast that was never measured (the r12 advisor's catch)
+    intercept[IllegalArgumentException] {
+      SaltedJoin.dispatch(l, "k", r, "k", BroadcastSide("left"), "left")
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.dispatch(l, "k", r, "k", BroadcastSide("left"), "left_semi")
+    }
   }
 
   test("property: SaltedJoin.auto == plain inner join on randomized skewed/null frames") {
