@@ -78,20 +78,25 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    // Two-channel record (the r8/r10 lesson, twice-learned): the
-    // driver captures a BOUNDED tail of stdout (~2000 chars) and
-    // parses the last JSON it finds, so the canonical stdout line must
-    // stay well under that at any bench-set size — r10's 73-query
-    // full-name one-liner overflowed it and the round's perf record
-    // came back parsed:null. Therefore:
+    // Two-channel record (the r8/r10/r12 lesson, THRICE-learned): the
+    // driver captures a BOUNDED tail of stdout (~2000 chars), so only
+    // the END of what we print is guaranteed to survive — r12 put the
+    // total + load/GC stamps at the HEAD of the final line and they
+    // were the part the capture lost. Therefore:
     //   1. target/bench_latest.json gets the FULL record (full query
     //      names, min + median per query, totals, runs, sf) — the
     //      machine-readable artifact that is sufficient on its own;
-    //   2. stdout's final line keys each query by its short "qNNN" id
-    //      (~14 chars/entry — 73 queries ≈ 1.1 KB), and if even that
-    //      ever outgrows ~1900 chars the queries map is dropped from
-    //      stdout in favor of the file pointer, never truncated.
-    // Medians ride a SEPARATE earlier line in both channels.
+    //      round close copies it to a committed BENCH_DETAIL_r<N>.json
+    //      so the durable history never depends on stdout capture;
+    //   2. stdout ends with ONE canonical line ordered so the fields
+    //      that matter most sit LAST (per-query map first, then sf,
+    //      load/GC context, total_median, and finally value): any
+    //      tail truncation eats query entries, never the totals. The
+    //      per-query map uses short "qNNN" ids (~14 chars/entry), and
+    //      if the line ever outgrows ~1900 chars the queries map is
+    //      dropped for the file pointer, never truncated mid-JSON.
+    //      Medians live in the file only — a second stdout line was
+    //      what pushed r12's capture over its budget.
     def r3(v: Double) = if (v == -1.0) "-1" else f"$v%.3f"
     def js(xs: Seq[(String, Double)]) = xs.map { case (k, v) =>
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
@@ -116,17 +121,15 @@ object Bench {
     }
     def shorten(xs: Seq[(String, Double)]) =
       xs.map { case (k, v) => shortId(k) -> v }.sortBy(_._1)
-    val minLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s"""$ctx,"queries":${js(shorten(mins))},"sf":"$sfDir"}"""
-    val medLine = s"""{"metric":"total_median","value":${r3(totalMed)},""" +
-      s""""unit":"sec","queries_median":${js(shorten(medians))}}"""
+    // tail-survivable field order: queries first, totals LAST
+    def tailLine(queriesField: String) =
+      s"""{"metric":"total","unit":"sec","runs":$runs,$queriesField""" +
+      s""""sf":"$sfDir",$ctx,"total_median":${r3(totalMed)},""" +
+      s""""value":${r3(total)}}"""
+    val minLine = tailLine(s""""queries":${js(shorten(mins))},""")
     println(s"""{"metric":"bench_file","path":"${outFile.toString}"}""")
-    if (medLine.length <= 1900) println(medLine)
     if (minLine.length <= 1900) println(minLine)
-    else println(
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s"""$ctx,"sf":"$sfDir","queries_file":"${outFile.toString}"}""")
+    else println(tailLine(s""""queries_file":"${outFile.toString}","""))
     spark.stop()
   }
 }

@@ -410,6 +410,134 @@ object Curation {
     Report(mixed.drop("_q"), stages.toSeq)
   }
 
+  // ───────────────────── incremental ingest (r13) ──────────────────
+  // `curate` rebuilds dedup state from the corpus artifacts — right
+  // for a dataset that changed wholesale, wrong for production ingest
+  // where batches ARRIVE. `initIncremental` + `curateBatch` compose
+  // the measured incremental pieces into the facade's batch path:
+  // probe ([[graft.text.IncrementalDedup.newPairsPruned]] against the
+  // `_bb`-partitioned band store — flat in corpus size), fold
+  // ([[graft.text.LabelStore.fold]] — rewrites only the partitions
+  // holding touched components), then admit the batch's own band rows
+  // (an APPEND into its `_bb` partitions — band rows are immutable
+  // per doc, so admission never rewrites) so the NEXT batch probes
+  // this one. Correctness is the q165 identity lifted to the facade:
+  // CurationFacadeSpec pins that two sequential `curateBatch` folds
+  // leave the store row-identical to one full rebuild over
+  // base ∪ batch1 ∪ batch2 — labels AND survivor set.
+
+  /** Seed the mutable ingest store from a corpus frame (`doc_id`,
+    * `text`): the partitioned band store plus the label/pair store.
+    * One sketch pass over the corpus; the dedup structures are
+    * derived from the just-written bands so store and structures
+    * cannot drift. */
+  def initIncremental(spark: SparkSession, docs: DataFrame,
+                      storeDir: String, buckets: Int = 256): Unit = {
+    GraftSession.configure(spark)
+    graft.text.TextQueries.explodeBands(
+        docs.filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.text.TextFunctions.minhash_signature(col("text"), 3)
+              .as("sig"))
+          .filter(col("sig").isNotNull))
+      .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+      .repartition(col("_bb"))
+      .write.mode("overwrite").partitionBy("_bb")
+      .parquet(s"$storeDir/bands")
+    val bands = spark.read.parquet(s"$storeDir/bands").drop("_bb")
+    val pairs = graft.text.TextQueries.candidatePairsFromBands(bands)
+      .persist()
+    try graft.text.CurationQueries.withDupClusterLabels(spark, pairs) {
+      labels =>
+        graft.text.LabelStore.publish(labels, pairs,
+          s"$storeDir/dedup", buckets)
+    } finally pairs.unpersist(false)
+  }
+
+  /** [[initIncremental]] from a corpus directory's EXISTING dedup
+    * artifacts ([[graft.text.BandIndex]]/[[graft.text.PairIndex]]/
+    * [[graft.text.ClusterIndex]] — built if absent, one shared kernel
+    * pass): no re-sketching when the corpus is already indexed. */
+  def initIncremental(spark: SparkSession, corpusDir: String,
+                      storeDir: String, buckets: Int): Unit = {
+    GraftSession.configure(spark)
+    graft.text.DedupIndexes.buildAll(spark, corpusDir)
+    graft.text.BandIndex.load(spark, corpusDir)
+      .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+      .repartition(col("_bb"))
+      .write.mode("overwrite").partitionBy("_bb")
+      .parquet(s"$storeDir/bands")
+    graft.text.LabelStore.publish(
+      graft.text.ClusterIndex.load(spark, corpusDir),
+      graft.text.PairIndex.load(spark, corpusDir),
+      s"$storeDir/dedup", buckets)
+  }
+
+  /** One ingest batch's result: the funnel counts plus the fold's
+    * per-batch IO evidence. */
+  case class BatchReport(stages: Seq[StageCount],
+                         fold: graft.text.LabelStore.FoldStats)
+
+  /** Ingest one batch (`doc_id` disjoint from everything already in
+    * the store — the probe's precondition) through the incremental
+    * funnel: optional quality floor → batch sketch → pruned probe →
+    * partition-incremental fold → band admission. Per-batch cost is
+    * batch-scale + touched-partition IO, independent of how big the
+    * store has grown (`tools/IncrementalBench`, SURVEY §8 r13).
+    * `qualityMin` defaults OFF (0.0) so the fold identity is exact;
+    * production sets the same floor `curate` uses. */
+  def curateBatch(spark: SparkSession, storeDir: String,
+                  batch: DataFrame, buckets: Int = 256,
+                  qualityMin: Double = 0.0): BatchReport = {
+    import graft.text.TextFunctions._
+    GraftSession.configure(spark)
+    val raw = batch.filter(col("text").isNotNull)
+    val qual =
+      if (qualityMin <= 0) raw
+      else raw.filter(
+        quality_score_t(col("text"), tokens(col("text"))) >= qualityMin)
+    val mh = qual.select(col("doc_id"),
+        minhash_signature(col("text"), 3).as("sig"))
+      .filter(col("sig").isNotNull)
+    val batchBands = graft.text.TextQueries.explodeBands(mh).persist()
+    try {
+      val np = graft.text.IncrementalDedup.newPairsPruned(
+        spark.read.parquet(s"$storeDir/bands"), batchBands, buckets)
+        .persist()
+      try {
+        val fold = graft.text.LabelStore.fold(spark,
+          s"$storeDir/dedup", buckets, np)
+        // admit the batch AFTER the probe (self-hits would otherwise
+        // pair every batch doc with itself): append-only — band rows
+        // are immutable per doc, so admission rewrites nothing
+        batchBands
+          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+          .repartition(col("_bb"))
+          .write.mode("append").partitionBy("_bb")
+          .parquet(s"$storeDir/bands")
+        // funnel counts, the q73 union discipline
+        val cnts = Seq(raw -> "batch_raw", qual -> "quality",
+          mh -> "sketched")
+        val stages = cnts.zipWithIndex.map { case ((df, name), i) =>
+          df.agg(count(lit(1)).as("n"))
+            .select(lit(i + 1).as("stage"), lit(name).as("name"), col("n"))
+        }.reduce(_ unionByName _).orderBy("stage").collect()
+          .map(r => StageCount(r.getInt(0), r.getString(1), r.getLong(2)))
+        BatchReport(stages.toSeq, fold)
+      } finally np.unpersist(false)
+    } finally batchBands.unpersist(false)
+  }
+
+  /** The min-id survivor view over a docs frame given the ingest
+    * store's labels: every labeled non-representative drops, unlisted
+    * docs (singletons) survive — the q165/rebuild-identical rule. */
+  def incrementalSurvivors(spark: SparkSession, storeDir: String,
+                           docs: DataFrame): DataFrame =
+    docs.join(
+      graft.text.LabelStore.labelsByDoc(spark, s"$storeDir/dedup")
+        .filter(col("doc_id") =!= col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+
   /** The per-source corpus report card (q122): document counts, token
     * totals, token-count p50/p90/p99 (log-histogram sketch) and a
     * distinct-token HLL estimate — two constant-state exchanges over

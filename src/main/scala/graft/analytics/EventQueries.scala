@@ -599,8 +599,8 @@ object EventQueries {
       bench = true),
 
     // ── privacy-budget ledger (sequential composition, accounted) ──
-    // The shipped DP releases (q157, q159, q163, the streaming hourly
-    // feed) all draw on the same events table; by sequential
+    // The shipped DP releases (q157, q159, q163, q164, q169, the
+    // streaming hourly feed) all draw on the same events table; by sequential
     // composition the table's actual spend is their SUM, and before
     // this ledger nothing accounted for it — "a few cheap releases"
     // is one expensive one. One row per shipped release

@@ -324,6 +324,14 @@ object DedupIndexes {
   * re-shuffling what is already indexed.
   *
   * Cost contract (the reason this exists at 100 TB):
+  *   - [[newPairsPruned]] — THE default probe (every shipped consumer:
+  *     q119, q168, `Curation.curateBatch`, IncrementalBench) — prunes
+  *     the [[BandIndex.loadPartitioned]] read to the batch's bucket
+  *     set: per-batch IO ∝ batch size, flat in corpus size (measured
+  *     1×→1000×, SURVEY §8). [[newPairs]] is the same probe against a
+  *     flat band frame — kept for callers whose bands are already in
+  *     memory (spec twins, the q165 demo) where a partitioned store
+  *     would be built just to be read once.
   *   - [[newPairs]]: batch-scale sketching + ONE scan of the band
   *     index with the batch bands BROADCAST into it (zero corpus-side
   *     exchange — q119's probe), plus the batch-internal expansion.

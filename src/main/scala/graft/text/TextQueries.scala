@@ -1032,8 +1032,17 @@ object TextQueries {
     // is (new_doc, corpus_doc) candidates — same band semantics as
     // q25, so a batch-vs-corpus hit is exactly a q25 pair that
     // straddles the split (the spec asserts that identity).
+    // r13: the read side is THE partitioned band store
+    // ([[BandIndex.loadPartitioned]] — one band-store layout for
+    // every batch probe; q119 had kept the flat r11 scan while q168
+    // proved the pruned path). This batch is ingest-sized (~12.5%),
+    // so its bucket set often covers most of the store and the prune
+    // degenerates gracefully toward the full scan it replaced —
+    // q168's 1.6% batch is where the pruning bites; both run the SAME
+    // store and probe shape now.
     "q119_incremental_neardup" -> QuerySpec(
       build = (s, d) => {
+        val buckets = 1024
         val batch = Tables.documents(s, d)
           .filter(col("doc_id") % 8 === 0)
           .select(col("doc_id"),
@@ -1041,11 +1050,16 @@ object TextQueries {
           .filter(col("sig").isNotNull)
         val probes = explodeBands(batch)
           .withColumnRenamed("doc_id", "new_doc")
-        // artifact scan with the batch slice filtered out at the read
+          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
+        // bounded driver collect: ≤ min(8·|batch|, 1024) bucket ids
+        val hit = probes.select(col("_bb")).distinct().collect()
+          .map(_.get(0))
+        // partitioned-store scan, batch slice filtered out at the read
         // (pushed to parquet) — "the index the corpus built last week"
-        val corpus = BandIndex.load(s, d)
+        val corpus = BandIndex.loadPartitioned(s, d, buckets)
+          .filter(col("_bb").isin(hit: _*))
           .filter(col("doc_id") % 8 =!= 0)
-        corpus.join(broadcast(probes), Seq("band", "ha", "hb"))
+        corpus.join(broadcast(probes.drop("_bb")), Seq("band", "ha", "hb"))
           .select(col("new_doc"), col("doc_id").as("corpus_doc"))
           .distinct()
           .orderBy("new_doc", "corpus_doc")

@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *     expansion), to the pair count;
   *   - `fold`: [[graft.text.IncrementalDedup.updatedLabels]] over the
   *     M-scaled pair/label artifacts (affected components only), to
-  *     the label count.
+  *     the label count;
+  *   - `foldw` (r13): the PUBLISH fold — [[graft.text.LabelStore
+  *     .fold]] rewriting only the touched partitions of the
+  *     hash-partitioned label/pair store, with `wr` the bytes it
+  *     wrote and `store` the full store size a naive whole-table
+  *     rewrite (what the in-memory union fold implies at publication
+  *     time) would have written instead. The fold mutates the store,
+  *     so each repetition runs against a fresh file-copy (untimed).
   *
   * The artifact scaling writes are OUTSIDE the timed region — they
   * model corpus state that production already has on disk. */
@@ -48,7 +55,20 @@ object IncrementalBench {
     val baseLabels = ClusterIndex.load(s, d)
 
     val K = 1000000000L    // per-replica doc-id shift
-    val OFF = 900000000000L // batch doc-id offset (disjoint from all)
+    // batch doc-id offset — PROVABLY disjoint from every replica range
+    // (the r12 advisor's catch: a fixed 900·K offset collided exactly
+    // with replica 900's shifted ids at M=1000, violating newPairs/
+    // updatedLabels' disjoint-id precondition and corrupting the fold
+    // measurement at the very scale the flat-cost claim rests on).
+    // Replica i occupies [i·K, i·K + maxBaseDocId]; one replica past
+    // the largest multiple clears them all.
+    val OFF = (multiples.max.toLong + 1) * K
+    val maxBaseDocId = graft.analytics.Tables.documents(s, d)
+      .agg(coalesce(max(col("doc_id")), lit(0L))).head.getLong(0)
+    require(maxBaseDocId < K,
+      s"base doc ids must fit one replica stride: $maxBaseDocId >= $K")
+    require(OFF > (multiples.max.toLong - 1) * K + maxBaseDocId,
+      s"batch offset $OFF overlaps replica ${multiples.max - 1}")
     val GOLD = 2654435761L  // signature perturbation per replica
     val tmp = java.nio.file.Files.createTempDirectory("graft-incr")
 
@@ -78,6 +98,16 @@ object IncrementalBench {
       (best, v)
     }
 
+    def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+      val st = java.nio.file.Files.walk(src)
+      try st.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t)
+      } finally st.close()
+    }
+
     val buckets = 4096
     for (m <- multiples) {
       val bandsM = scale(baseBands, m, Seq("doc_id"), Seq("ha", "hb"), "bands")
@@ -94,6 +124,22 @@ object IncrementalBench {
         s.read.parquet(out)
       }
       val nBands = bandsM.count()
+      // the hash-partitioned label/pair store (untimed build): the
+      // publish-half state production already has on disk. Buckets
+      // SCALE with the store (the LabelStore layout rule: a partition
+      // is ~one IO unit — here ~128 labels) so a touched-bucket
+      // rewrite costs the same at every corpus size; a fixed count
+      // would make per-bucket size, and therefore the fold's write,
+      // grow linearly with the corpus.
+      val nStoreLabels = labelsM.count()
+      val storeBuckets = {
+        var p = 256
+        while (p < nStoreLabels / 128 && p < 4096) p *= 2
+        p
+      }
+      val store0 = tmp.resolve(s"store_x$m")
+      LabelStore.publish(labelsM, pairsM, store0.toString, storeBuckets)
+      val storeKb = LabelStore.dirBytes(store0) / 1024
       for (b <- batchSizes) {
         val batch = graft.analytics.Tables.documents(s, d)
           .filter(col("text").isNotNull)
@@ -120,9 +166,26 @@ object IncrementalBench {
         val (tFold, nLabels) = timeMin {
           IncrementalDedup.updatedLabels(s, pairsM, labelsM, np)(_.count())
         }
+        // the PUBLISH fold against a fresh store copy per repetition
+        // (LabelStore.fold mutates; the copy is outside the timing)
+        var tFoldW = Double.MaxValue
+        var stats: LabelStore.FoldStats = null
+        for (_ <- 1 to reps) {
+          val run = tmp.resolve("store_run")
+          Artifacts.deleteRecursively(run)
+          copyDir(store0, run)
+          val t0 = System.nanoTime()
+          stats = LabelStore.fold(s, run.toString, storeBuckets, np)
+          tFoldW = math.min(tFoldW, (System.nanoTime() - t0) / 1e9)
+        }
+        require(stats.newPairs == nPairs,
+          s"store fold saw ${stats.newPairs} pairs, probe saw $nPairs")
         np.unpersist()
         println(f"[incr] M=$m%-5d B=$b%-5d bands=$nBands%-9d " +
           f"probe=$tProbe%6.2fs pruned=$tPruned%6.2fs fold=$tFold%6.2fs " +
+          f"foldw=$tFoldW%6.2fs wr=${stats.bytesWritten / 1024}%-7dKB " +
+          f"store=$storeKb%-8dKB(p$storeBuckets%d) " +
+          f"touched=${stats.touchedReps}%-5d " +
           f"new_pairs=$nPairs%-6d labels=$nLabels%d")
       }
     }

@@ -492,6 +492,65 @@ class CurationFacadeSpec extends SparkSpec {
     }
   }
 
+  test("curateBatch: two sequential folds == one full rebuild (q165 lifted to the facade)") {
+    val d = "/root/testdata/sf0.001"
+    val buckets = 32
+    val docs = graft.analytics.Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val mx = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val band = expr(s"doc_id * 5 div ${mx + 1}")
+    val base = docs.filter(band <= 2)
+    val batch1 = docs.filter(band === 3)
+    val batch2 = docs.filter(band === 4)
+
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-ingest").toString
+    Curation.initIncremental(spark, base, store, buckets)
+    val r1 = Curation.curateBatch(spark, store, batch1, buckets)
+    val r2 = Curation.curateBatch(spark, store, batch2, buckets)
+    // non-vacuous: the batches actually brushed existing components
+    assert(r1.fold.newPairs + r2.fold.newPairs > 0,
+      "the splits produced no cross-batch pairs — identity untested")
+    assert(r1.stages.map(_.name) ==
+      Seq("batch_raw", "quality", "sketched"))
+
+    // ONE full rebuild over base ∪ batch1 ∪ batch2
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.text.TextQueries.explodeBands(
+        df.select(col("doc_id"),
+            graft.text.TextFunctions.minhash_signature(col("text"), 3)
+              .as("sig"))
+          .filter(col("sig").isNotNull))
+    val fullPairs = graft.text.TextQueries
+      .candidatePairsFromBands(bandsOf(docs))
+    val (fullLabels, fullSurvivors) =
+      graft.text.CurationQueries.withDupClusterLabels(spark, fullPairs) {
+        full =>
+          val lbl = full.select(col("doc_id"), col("rep")).collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          val drop = lbl.collect { case (doc, rep) if doc != rep => doc }
+          val ids = docs.select(col("doc_id")).collect()
+            .map(_.getLong(0)).toSet
+          (lbl, ids -- drop)
+      }
+    // labels identical — the store IS the rebuild's closure
+    assert(graft.text.LabelStore.labels(spark, s"$store/dedup")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == fullLabels, "incremental store drifted from the full rebuild")
+    // survivor set identical — the user-facing guarantee
+    val gotSurvivors = Curation
+      .incrementalSurvivors(spark, store, docs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(gotSurvivors == fullSurvivors,
+      "incremental survivor set != rebuild survivor set")
+    // the band store admitted both batches (next batch probes them)
+    assert(spark.read.parquet(s"$store/bands").count()
+      == bandsOf(docs).count())
+    graft.text.Artifacts.deleteRecursively(
+      java.nio.file.Paths.get(store))
+  }
+
   test("reportCard delegates to the oracle-checked q122 surface") {
     val sf = "/root/testdata/sf0.001"
     val got = Curation.reportCard(spark, sf).collect()

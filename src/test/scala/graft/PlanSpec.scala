@@ -532,6 +532,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "no corpus-scale shuffle join")
   }
 
+  test("q119 probe runs the SAME partitioned store shape as q168 (r13 convergence)") {
+    val df = SparkEntry.queries("q119_incremental_neardup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator.filter(_.contains("PartitionFilters"))
+      .mkString("\n")
+    assert(scan.contains("_bb"),
+      s"q119 must read the _bb-partitioned band store:\n$scan")
+    assert(p.contains("BroadcastHashJoin"), "batch bands must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-scale shuffle join")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
