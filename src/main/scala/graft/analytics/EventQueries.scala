@@ -868,45 +868,52 @@ object EventQueries {
     // audit — a production view releases topk_rank + event_type ONLY
     // (the q157 convention), since the audit columns obviously reveal
     // the counts.
-    // Scale shape: ONE event-scale map-side-combined rollup (scoped-
-    // cached across the k peels — the q98 idiom), then k rounds of
-    // arithmetic on the |types|-bounded frame (the unpartitioned
-    // windows run on ≤|types| rows by construction).
+    // Scale shape: ONE event-scale map-side-combined rollup, then ONE
+    // |types|-bounded driver collect (the convention every DP release
+    // here uses — the released frame IS bounded by the public
+    // candidate domain); the k peels run as the SAME column
+    // expressions over the collected rows as a LocalRelation, so the
+    // mechanism costs k rounds of local arithmetic, not k² re-plans
+    // whose every max/total broadcast subjob re-touches the rollup
+    // (measured: 6.3 s → sub-second at sf0.1; the events table is
+    // scanned exactly once either way).
     "q169_dp_topk_select" -> QuerySpec(
       build = (s, d) => {
         val k = 3
-        val counts = ev(s, d).groupBy(col("event_type"))
+        val countRows = ev(s, d).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
-        graft.ScopedCache.withScopedCache(counts) { c =>
-          def round(cands: DataFrame, r: Int): DataFrame = {
-            val m = cands.agg(max(col("n")).as("_m"))
-            val scored = cands.crossJoin(broadcast(m))
-              .withColumn("weight", call_function("shiftleft", lit(1L),
-                (lit(40L) - least(col("_m") - col("n"), lit(40L)))
-                  .cast("int")))
-            val tot = scored.agg(sum(col("weight")).as("total_weight"))
-            scored.crossJoin(broadcast(tot))
-              .withColumn("cum", sum(col("weight")).over(
-                Window.orderBy(col("event_type"))
-                  .rowsBetween(Window.unboundedPreceding,
-                    Window.currentRow)))
-              .withColumn("draw", DpNoise.uniformModFor(
-                lit(s"topk|r$r"), DpNoise.OracleSecret,
-                col("total_weight")))
-              .filter(col("draw") >= col("cum") - col("weight") &&
-                col("draw") < col("cum"))
-              .select(lit(r.toLong).as("topk_rank"), col("event_type"),
-                col("n"), col("weight"), col("total_weight"), col("draw"))
-          }
-          var cands: DataFrame = c
-          val winners = (1 to k).map { r =>
-            val w = round(cands, r)
-            cands = cands.join(w.select(col("event_type")),
-              Seq("event_type"), "left_anti")
-            w
-          }
-          winners.reduce(_ unionByName _).orderBy("topk_rank")
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        import s.implicits._
+        val local = s.createDataset(countRows.toSeq)
+          .toDF("event_type", "n")
+        def round(cands: DataFrame, r: Int): DataFrame = {
+          val m = cands.agg(max(col("n")).as("_m"))
+          val scored = cands.crossJoin(m)
+            .withColumn("weight", call_function("shiftleft", lit(1L),
+              (lit(40L) - least(col("_m") - col("n"), lit(40L)))
+                .cast("int")))
+          val tot = scored.agg(sum(col("weight")).as("total_weight"))
+          scored.crossJoin(tot)
+            .withColumn("cum", sum(col("weight")).over(
+              Window.orderBy(col("event_type"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)))
+            .withColumn("draw", DpNoise.uniformModFor(
+              lit(s"topk|r$r"), DpNoise.OracleSecret,
+              col("total_weight")))
+            .filter(col("draw") >= col("cum") - col("weight") &&
+              col("draw") < col("cum"))
+            .select(lit(r.toLong).as("topk_rank"), col("event_type"),
+              col("n"), col("weight"), col("total_weight"), col("draw"))
         }
+        var cands: DataFrame = local
+        val winners = (1 to k).map { r =>
+          val w = round(cands, r)
+          cands = cands.join(w.select(col("event_type")),
+            Seq("event_type"), "left_anti")
+          w
+        }
+        winners.reduce(_ unionByName _).orderBy("topk_rank")
       },
       oracle = Some(s"""
         WITH g1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

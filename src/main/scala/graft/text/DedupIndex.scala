@@ -236,6 +236,38 @@ object BandIndex {
     * `tokenBuckets`). */
   def loadPartitioned(s: SparkSession, d: String,
                       buckets: Int = 256): DataFrame = {
+    loadPartitionedImpl(s, d, buckets)
+  }
+
+  /** The bucket count the layout rule picks for this dataset: one
+    * bucket ≈ one IO unit (~2048 band rows), pow2 so re-derivations
+    * agree, clamped [16, 4096] — the SAME scale-with-the-store rule
+    * [[LabelStore]] applies (a fixed count makes small stores pay
+    * per-file footer/listing overhead for thousands of near-empty
+    * dirs, and big stores outgrow their buckets). Sized from the
+    * document count (a parquet-metadata read — no kernel work): band
+    * rows = 8 per non-null doc by [[TextQueries.explodeBands]]'
+    * construction. Deterministic per dataset, so every caller that
+    * uses the rule shares ONE artifact; memoized per dataset dir
+    * (the count is a property of the immutable dataset, and probes
+    * run per batch — one metadata job per dataset per session, not
+    * per probe). */
+  def scaledBuckets(s: SparkSession, d: String): Int =
+    bucketCache.getOrElseUpdate(d, {
+      import org.apache.spark.sql.functions._
+      val nDocs = graft.analytics.Tables.documents(s, d)
+        .agg(count(lit(1))).head.getLong(0)
+      val target = (nDocs * 8) / 2048
+      var p = 16
+      while (p < target && p < 4096) p *= 2
+      p
+    })
+
+  private val bucketCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def loadPartitionedImpl(s: SparkSession, d: String,
+                                  buckets: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     require(buckets >= 1)
     val dir = Artifacts.dir(d, s"minhash_bands_p$buckets")

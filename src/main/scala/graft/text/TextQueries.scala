@@ -1039,30 +1039,41 @@ object TextQueries {
     // so its bucket set often covers most of the store and the prune
     // degenerates gracefully toward the full scan it replaced —
     // q168's 1.6% batch is where the pruning bites; both run the SAME
-    // store and probe shape now.
+    // store and probe shape now. The bucket count comes from
+    // [[BandIndex.scaledBuckets]] (one bucket ≈ one IO unit): a FIXED
+    // 1024 was measured at 3.3 s vs the flat scan's 0.4 s at sf0.1 —
+    // all of it per-file footer/listing overhead on a 40 k-row store
+    // split 1024 ways.
     "q119_incremental_neardup" -> QuerySpec(
       build = (s, d) => {
-        val buckets = 1024
+        val buckets = BandIndex.scaledBuckets(s, d)
         val batch = Tables.documents(s, d)
           .filter(col("doc_id") % 8 === 0)
           .select(col("doc_id"),
             minhash_signature(col("text"), 3).as("sig"))
           .filter(col("sig").isNotNull)
-        val probes = explodeBands(batch)
+        // batch-scale probe frame, scoped-cached: the bucket collect
+        // below warms it, the join's broadcast build reuses it — the
+        // batch is sketched ONCE (the q98 builder-collect idiom)
+        graft.ScopedCache.withScopedCache(explodeBands(batch)
           .withColumnRenamed("doc_id", "new_doc")
-          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
-        // bounded driver collect: ≤ min(8·|batch|, 1024) bucket ids
-        val hit = probes.select(col("_bb")).distinct().collect()
-          .map(_.get(0))
-        // partitioned-store scan, batch slice filtered out at the read
-        // (pushed to parquet) — "the index the corpus built last week"
-        val corpus = BandIndex.loadPartitioned(s, d, buckets)
-          .filter(col("_bb").isin(hit: _*))
-          .filter(col("doc_id") % 8 =!= 0)
-        corpus.join(broadcast(probes.drop("_bb")), Seq("band", "ha", "hb"))
-          .select(col("new_doc"), col("doc_id").as("corpus_doc"))
-          .distinct()
-          .orderBy("new_doc", "corpus_doc")
+          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))) {
+          probes =>
+            // bounded collect: ≤ min(8·|batch|, buckets) bucket ids
+            val hit = probes.select(col("_bb")).distinct().collect()
+              .map(_.get(0))
+            // partitioned-store scan, batch slice filtered out at the
+            // read (pushed to parquet) — "the index the corpus built
+            // last week"
+            val corpus = BandIndex.loadPartitioned(s, d, buckets)
+              .filter(col("_bb").isin(hit: _*))
+              .filter(col("doc_id") % 8 =!= 0)
+            corpus.join(broadcast(probes.drop("_bb")),
+                Seq("band", "ha", "hb"))
+              .select(col("new_doc"), col("doc_id").as("corpus_doc"))
+              .distinct()
+              .orderBy("new_doc", "corpus_doc")
+        }
       },
       oracle = Some(s"""
         WITH $duckMinhashPairsCtes
@@ -1076,40 +1087,46 @@ object TextQueries {
     // ── incremental probe from the PARTITIONED band store (r12) ────
     // q119 with the flat index scan replaced by the flat-COST read:
     // the corpus bands live in [[BandIndex.loadPartitioned]] (rows
-    // carry `_bb = pmod(ha, 1024)` as a parquet partition), the batch
-    // here is an ingest-sized bite (doc_id % 64 — ~1.6%), and its
-    // ≤ min(8·|batch|, 1024)-bucket set is pushed as a partition
-    // filter, so the index read is bounded by the BATCH's bucket
-    // count at file-listing time — the per-batch cost that stays flat
-    // while the corpus grows 1000× (measured: SURVEY §8 round-12
-    // table; `tools/IncrementalBench`). The oracle is q119's replay
-    // over the smaller batch: pruning is row-invisible by
-    // construction (a matching row shares `ha`, hence its bucket), so
-    // a hash match here proves the pruned read = the full scan on the
-    // real corpus, not just on fixtures.
+    // carry `_bb = pmod(ha, buckets)` as a parquet partition; bucket
+    // count by [[BandIndex.scaledBuckets]] — one bucket ≈ one IO
+    // unit), the batch here is an ingest-sized bite (doc_id % 64 —
+    // ~1.6%), and its ≤ min(8·|batch|, buckets)-bucket set is pushed
+    // as a partition filter, so the index read is bounded by the
+    // BATCH's bucket set at file-listing time — the per-batch cost
+    // that stays flat while the corpus grows 1000× (measured: SURVEY
+    // §8 round-12 table; `tools/IncrementalBench`). The oracle is
+    // q119's replay over the smaller batch: pruning is row-invisible
+    // by construction (a matching row shares `ha`, hence its bucket),
+    // so a hash match here proves the pruned read = the full scan on
+    // the real corpus, not just on fixtures.
     // Scale shape: batch-scale sketch + bounded driver bucket collect
     // + touched-partition scan + pair-scale distinct.
     "q168_incremental_pruned" -> QuerySpec(
       build = (s, d) => {
-        val buckets = 1024
+        val buckets = BandIndex.scaledBuckets(s, d)
         val batch = Tables.documents(s, d)
           .filter(col("doc_id") % 64 === 0)
           .select(col("doc_id"),
             minhash_signature(col("text"), 3).as("sig"))
           .filter(col("sig").isNotNull)
-        val probes = explodeBands(batch)
+        // batch sketched ONCE: the bucket collect warms the scoped
+        // cache, the join's broadcast build reuses it (q119's shape)
+        graft.ScopedCache.withScopedCache(explodeBands(batch)
           .withColumnRenamed("doc_id", "new_doc")
-          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))
-        // bounded driver collect: ≤ min(8·|batch|, 1024) bucket ids
-        val hit = probes.select(col("_bb")).distinct().collect()
-          .map(_.get(0))
-        val corpus = BandIndex.loadPartitioned(s, d, buckets)
-          .filter(col("_bb").isin(hit: _*))
-          .filter(col("doc_id") % 64 =!= 0)
-        corpus.join(broadcast(probes.drop("_bb")), Seq("band", "ha", "hb"))
-          .select(col("new_doc"), col("doc_id").as("corpus_doc"))
-          .distinct()
-          .orderBy("new_doc", "corpus_doc")
+          .withColumn("_bb", pmod(col("ha"), lit(buckets.toLong)))) {
+          probes =>
+            // bounded collect: ≤ min(8·|batch|, buckets) bucket ids
+            val hit = probes.select(col("_bb")).distinct().collect()
+              .map(_.get(0))
+            val corpus = BandIndex.loadPartitioned(s, d, buckets)
+              .filter(col("_bb").isin(hit: _*))
+              .filter(col("doc_id") % 64 =!= 0)
+            corpus.join(broadcast(probes.drop("_bb")),
+                Seq("band", "ha", "hb"))
+              .select(col("new_doc"), col("doc_id").as("corpus_doc"))
+              .distinct()
+              .orderBy("new_doc", "corpus_doc")
+        }
       },
       oracle = Some(s"""
         WITH $duckMinhashPairsCtes
