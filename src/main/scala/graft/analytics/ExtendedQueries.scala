@@ -1083,6 +1083,70 @@ object ExtendedQueries {
                rs.mx AS r_maxkey
         FROM g CROSS JOIN dec CROSS JOIN ls CROSS JOIN rs
         ORDER BY g.segment"""),
+      bench = true),
+
+    // ── versioned snapshot diff (r13) ──────────────────────────────
+    // "What did the load change?" — [[graft.etl.TableDiff]]: two table
+    // versions diff through a bucket-fingerprint short-circuit (per
+    // bucket, the decimal(38)-summed 60-bit row md5 — one narrow scan
+    // per side, ≤buckets-row exchanges, bounded driver compare), and
+    // ONLY buckets whose fingerprints differ enter the row-level
+    // full-outer join — churn-scale shuffle, not corpus-scale; on a
+    // SilverStore-bucketed table the bucket filter is a parquet
+    // partition filter (TableDiffSpec pins both). Versions here are
+    // derived deterministically from `orders` (removals: key%13,
+    // changes: key%11 price+1, adds: key%17 re-keyed +1e12) so both
+    // engines build identical inputs; the oracle replays the FULL
+    // unpruned diff — the hash match proves bucket pruning is
+    // row-invisible (the q168 proof shape: any changed/added/removed
+    // row flips its bucket's multiset sum). Output is the classified
+    // rollup (counts + key/price checksums), bounded at any SF.
+    "q170_snapshot_diff" -> QuerySpec(
+      build = (s, d) => {
+        val base = orders(s, d).select(col("o_orderkey"),
+          col("o_totalprice"))
+        val v2 = base.filter(col("o_orderkey") % 13 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+          .unionByName(base.filter(col("o_orderkey") % 17 === 0)
+            .withColumn("o_orderkey",
+              col("o_orderkey") + lit(1000000000000L)))
+        val (diff, _) = graft.etl.TableDiff.diff(base, v2,
+          Seq("o_orderkey"), 64)
+        diff.groupBy(col("diff_status"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("key_sum"),
+            round(sum(coalesce(col("v1.o_totalprice"), lit(0.0))), 2)
+              .as("p1_sum"),
+            round(sum(coalesce(col("v2.o_totalprice"), lit(0.0))), 2)
+              .as("p2_sum"))
+          .orderBy("diff_status")
+      },
+      oracle = Some("""
+        WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders),
+        v2 AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                      ELSE o_totalprice END AS o_totalprice
+          FROM orders WHERE o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000000, o_totalprice
+          FROM orders WHERE o_orderkey % 17 = 0),
+        d AS (
+          SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                      WHEN b.o_orderkey IS NULL THEN 'removed'
+                      WHEN a.o_totalprice <> b.o_totalprice
+                      THEN 'changed' END AS diff_status,
+                 coalesce(a.o_orderkey, b.o_orderkey) AS k,
+                 a.o_totalprice AS p1, b.o_totalprice AS p2
+          FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+        SELECT diff_status, count(*) AS n,
+               CAST(sum(k) AS BIGINT) AS key_sum,
+               round(sum(coalesce(p1, 0)), 2) AS p1_sum,
+               round(sum(coalesce(p2, 0)), 2) AS p2_sum
+        FROM d WHERE diff_status IS NOT NULL
+        GROUP BY 1 ORDER BY 1"""),
       bench = true)
   )
 
