@@ -1147,6 +1147,64 @@ object ExtendedQueries {
                round(sum(coalesce(p2, 0)), 2) AS p2_sum
         FROM d WHERE diff_status IS NOT NULL
         GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ── z-order layout locality audit (r13) ────────────────────────
+    // [[graft.etl.ZOrder]]: Morton-interleave (customer, order-day)
+    // into one integer sort key, then audit what the layout buys —
+    // per top-6-bit z-range (the 64 "files" a z-ordered write would
+    // cut), the count and BOTH dimensions' min/max: every bucket
+    // spans a bounded rectangle of (customer, day) space, which is
+    // exactly why parquet footer stats prune range filters on EITHER
+    // dimension after [[graft.etl.ZOrder.writeZOrdered]] (ZOrderSpec
+    // measures the row-group skipping directly: a 10% customer band
+    // materializes ~a quarter of the z-ordered table vs 100% of the
+    // time-sorted twin). All arithmetic is integer (overflow-free
+    // affine 16-bit bucketing + the 4-step magic-mask bit spread), so
+    // DuckDB replays the curve bit-for-bit.
+    // Scale shape: one broadcast 1-row min/max aggregate + one
+    // map-side-combined 64-group rollup — no shuffle beyond the
+    // bounded agg; the layout WRITE is the operator, this query is
+    // its audit.
+    "q171_zorder_locality" -> QuerySpec(
+      build = (s, d) => {
+        val base = orders(s, d).select(
+          col("o_custkey").cast("long").as("ca"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("dy"))
+        graft.etl.ZOrder.zKey(base, col("ca"), col("dy"))
+          .withColumn("zb", shiftright(col("_z"), 26))
+          .groupBy(col("zb"))
+          .agg(count(lit(1)).as("n"),
+            min(col("ca")).as("min_cust"), max(col("ca")).as("max_cust"),
+            min(col("dy")).as("min_day"), max(col("dy")).as("max_day"))
+          .orderBy("zb")
+      },
+      oracle = Some("""
+        WITH base AS (
+          SELECT CAST(o_custkey AS BIGINT) AS ca,
+                 date_diff('day', DATE '1970-01-01',
+                           CAST(o_orderdate AS DATE)) AS dy
+          FROM orders),
+        mm AS (SELECT min(ca) mna, max(ca) mxa,
+                      min(dy) mnb, max(dy) mxb FROM base),
+        sc AS (SELECT ((ca - mna) * 65535) // greatest(mxa - mna, 1) AS a,
+                      ((dy - mnb) * 65535) // greatest(mxb - mnb, 1) AS b,
+                      ca, dy
+               FROM base CROSS JOIN mm),
+        p1 AS (SELECT (a | (a << 8)) & 16711935 AS a1,
+                      (b | (b << 8)) & 16711935 AS b1, ca, dy FROM sc),
+        p2 AS (SELECT (a1 | (a1 << 4)) & 252645135 AS a2,
+                      (b1 | (b1 << 4)) & 252645135 AS b2, ca, dy FROM p1),
+        p3 AS (SELECT (a2 | (a2 << 2)) & 858993459 AS a3,
+                      (b2 | (b2 << 2)) & 858993459 AS b3, ca, dy FROM p2),
+        p4 AS (SELECT (a3 | (a3 << 1)) & 1431655765 AS a4,
+                      (b3 | (b3 << 1)) & 1431655765 AS b4, ca, dy FROM p3),
+        z AS (SELECT (a4 | (b4 << 1)) >> 26 AS zb, ca, dy FROM p4)
+        SELECT zb, count(*) AS n,
+               min(ca) AS min_cust, max(ca) AS max_cust,
+               min(dy) AS min_day, max(dy) AS max_day
+        FROM z GROUP BY 1 ORDER BY 1"""),
       bench = true)
   )
 
