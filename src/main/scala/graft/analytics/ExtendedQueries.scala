@@ -1205,6 +1205,45 @@ object ExtendedQueries {
                min(ca) AS min_cust, max(ca) AS max_cust,
                min(dy) AS min_day, max(dy) AS max_day
         FROM z GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ── Bloom-pruned join (r13) ────────────────────────────────────
+    // [[graft.operators.BloomJoin]]: the join shape neither broadcast
+    // nor plain shuffle prices right — the build side (a selective
+    // customer subset) is too big to broadcast AS PAYLOAD at real
+    // scale, but its KEY SET compresses into one 1 KiB BloomAgg
+    // array, which broadcasts into the probe scan and rejects
+    // non-matching event rows BEFORE the join exchange: the probe
+    // shuffle carries ~selectivity + 0.24% of the rows. No false
+    // negatives by construction, false positives die in the exact
+    // join — so the oracle replays the FULL unpruned semi join and
+    // the hash match proves the pruning is row-invisible (the
+    // q168/q170 proof shape). BloomJoinSpec pins the filter below the
+    // probe-side Exchange and measures the reduction.
+    "q172_bloom_pruned_join" -> QuerySpec(
+      build = (s, d) => {
+        val fact = ev(s, d).select(col("user_id"), col("event_type"))
+          .filter(col("user_id").isNotNull)
+        val dim = customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING" &&
+            col("c_nationkey") < 5)
+          .select(col("c_custkey"))
+        graft.operators.BloomJoin
+          .prunedJoin(fact, "user_id", dim, "c_custkey", "left_semi")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events e
+        WHERE user_id IS NOT NULL AND EXISTS (
+          SELECT 1 FROM customer c
+          WHERE c.c_custkey = e.user_id
+            AND c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5)
+        GROUP BY 1 ORDER BY 1"""),
       bench = true)
   )
 
