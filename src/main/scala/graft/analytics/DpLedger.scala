@@ -65,6 +65,14 @@ object DpLedger {
     *     (the q169 proof) compose SEQUENTIALLY — the release costs
     *     k·ε and its cell count is k, the released ranks, both
     *     data-independent constants;
+    *   - `q173_dp_quantile`: the exponential-mechanism private
+    *     quantile intervals (p25/p50/p90 over the clamped value
+    *     domain). Each draw costs 4·ln 2 (rank AND target each move
+    *     ≤ 1 under a neighbor, so a bucket's |rank − target| moves
+    *     ≤ 2 and its base-2 weight ≤ 4× — the q173 proof, with a
+    *     ≤ 2⁻³¹ clip slack documented there); the three draws compose
+    *     sequentially → 12·ln 2, cells = 3 released intervals, both
+    *     data-independent;
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
     *     batch twin's cell space (row-level → one ε). */
@@ -87,6 +95,7 @@ object DpLedger {
       Release("q164_dp_bounded_sum", "discrete_laplace_smoothed",
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("q169_dp_topk_select", "exponential", 3 * EpsLn2E6, 3),
+      Release("q173_dp_quantile", "exponential", 12 * EpsLn2E6, 3),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))
   }

@@ -59,6 +59,38 @@ object EventQueries {
               WHERE event_type NOT IN (SELECT event_type FROM s$r))"""
   }
 
+  /** q173's per-quantile DuckDB CTEs — the exponential-mechanism
+    * quantile draw unrolled: cumulative ranks over the bucket counts
+    * `bg`, distance to the ceil(q·n) target, max-shifted clipped
+    * base-2 weights, cumulative interval, PRF draw, winner. Every
+    * aggregate cast back to BIGINT (HUGEINT drift). */
+  private def duckQuantRound(qpct: Int): String = {
+    val u = DpNoise.duckUniformModSql(s"'quantile|p$qpct'", "total_weight")
+    s"""
+    qa$qpct AS (SELECT b, cnt,
+               CAST(sum(cnt) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum,
+               ((SELECT n FROM nn) * $qpct + 99) // 100 AS t
+             FROM bg),
+    qb$qpct AS (SELECT b, cnt, cum, t, abs(cum - t) AS d FROM qa$qpct),
+    qc$qpct AS (SELECT b, cnt, cum, t, d,
+               (CAST(1 AS BIGINT) << CAST(40 - least(
+                  d - (SELECT min(d) FROM qb$qpct), 40) AS INT)) AS weight
+             FROM qb$qpct),
+    qd$qpct AS (SELECT *, CAST(sum(weight) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cw,
+               CAST((SELECT sum(weight) FROM qc$qpct) AS BIGINT)
+                 AS total_weight
+             FROM qc$qpct),
+    qs$qpct AS (SELECT CAST($qpct AS BIGINT) AS q_pct, b AS bucket,
+               b * 200 AS lo_cents, b * 200 + 200 AS hi_cents,
+               cnt, cum, t AS target_rank, weight, total_weight,
+               CAST($u AS BIGINT) AS draw
+             FROM qd$qpct WHERE $u >= cw - weight AND $u < cw)"""
+  }
+
   /** Purchases deduped per (user_id, ts_us) keeping the highest
     * event_id — ns ties collapse under µs truncation; both as-of joins
     * (q30 backward, q47 forward) and their oracles use this exact
@@ -599,8 +631,8 @@ object EventQueries {
       bench = true),
 
     // ── privacy-budget ledger (sequential composition, accounted) ──
-    // The shipped DP releases (q157, q159, q163, q164, q169, the
-    // streaming hourly feed) all draw on the same events table; by sequential
+    // The shipped DP releases (q157, q159, q163, q164, q169, q173,
+    // the streaming hourly feed) all draw on the same events table; by sequential
     // composition the table's actual spend is their SUM, and before
     // this ledger nothing accounted for it — "a few cheap releases"
     // is one expensive one. One row per shipped release
@@ -646,6 +678,9 @@ object EventQueries {
           UNION ALL
           SELECT 'q169_dp_topk_select', 'exponential',
                  3 * ${DpLedger.EpsLn2E6}, 3
+          UNION ALL
+          SELECT 'q173_dp_quantile', 'exponential',
+                 12 * ${DpLedger.EpsLn2E6}, 3
           UNION ALL
           SELECT 'stream_hourly_counts', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
@@ -924,6 +959,94 @@ object EventQueries {
         SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
                        UNION ALL SELECT * FROM s3)
         ORDER BY topk_rank"""),
+      bench = true),
+
+    // ── DP quantile release (exponential mechanism over intervals) ─
+    // The aggregate the DP family still lacked: "what is the p50 of
+    // `value`?" answered without the exact order statistics ever
+    // leaving the pipeline. Standard DP-quantile shape (Smith 2011
+    // lineage): the PUBLIC domain [0, 512.00] splits into 256
+    // fixed 2.00-wide buckets (cents-integer edges — no data-dependent
+    // binning to leak); per candidate bucket the utility is
+    // −|cum_rank − target| with target = ceil(q·n); base-2 max-shifted
+    // clipped weights and one dpq0-separated PRF draw select the
+    // released INTERVAL (lo_cents, hi_cents) — p25/p50/p90 as three
+    // sequential draws.
+    //
+    // ε = 4·ln 2 per draw, PROOF: a neighboring dataset moves every
+    // cum_rank by ≤ 1 AND the target by ≤ 1, so each bucket's distance
+    // d moves by ≤ 2 and its unshifted weight 2^(−d) by ≤ 4× — the
+    // total moves ≤ 4× with them, so every P(i) moves ≤ 16 = e^(4·ln2)
+    // (the max-shift cancels in P(i) exactly; the 40-bit clip differs
+    // from the unclipped mechanism by ≤ 255·2⁻⁴⁰ < 2⁻³¹ total
+    // variation — documented slack, not claimed away). Three draws
+    // compose sequentially: the q161 ledger prices the release at
+    // 12·ln 2 with 3 data-independent cells.
+    //
+    // Honesty notes (the family's conventions): candidates are the
+    // OCCUPIED buckets (the same data-derived-domain convention every
+    // release here uses); exact counts/ranks/draws RIDE for the
+    // oracle audit — a production view releases (q_pct, lo_cents,
+    // hi_cents) only.
+    // Scale shape: ONE event-scale map-side-combined bucket rollup,
+    // then a ≤256-row collect and three rounds of LocalRelation
+    // arithmetic (the q169 lesson: windows and 1-row aggs on the
+    // bounded frame, never re-plans against the scan).
+    "q173_dp_quantile" -> QuerySpec(
+      build = (s, d) => {
+        val W = 200L // bucket width in cents; 256 buckets over [0, 512)
+        val bcounts = ev(s, d)
+          .select(least(greatest(floor(col("value") * 100), lit(0.0)),
+            lit(51199.0)).cast("long").as("cents"))
+          .select(call_function("div", col("cents"), lit(W)).as("b"))
+          .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val n = bcounts.map(_._2).sum
+        import s.implicits._
+        val local = s.createDataset(bcounts.toSeq).toDF("b", "cnt")
+        def draw(qpct: Int): DataFrame = {
+          val t = (n * qpct + 99) / 100 // ceil(q·n), driver integers
+          val cum = local.withColumn("cum",
+              sum(col("cnt")).over(Window.orderBy(col("b"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)))
+            .withColumn("d", abs(col("cum") - lit(t)))
+          val scored = cum.crossJoin(cum.agg(min(col("d")).as("_dm")))
+            .withColumn("weight", call_function("shiftleft", lit(1L),
+              (lit(40L) - least(col("d") - col("_dm"), lit(40L)))
+                .cast("int")))
+          scored.crossJoin(scored.agg(sum(col("weight"))
+              .as("total_weight")))
+            .withColumn("cw", sum(col("weight")).over(
+              Window.orderBy(col("b"))
+                .rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)))
+            .withColumn("draw", DpNoise.uniformModFor(
+              lit(s"quantile|p$qpct"), DpNoise.OracleSecret,
+              col("total_weight")))
+            .filter(col("draw") >= col("cw") - col("weight") &&
+              col("draw") < col("cw"))
+            .select(lit(qpct.toLong).as("q_pct"), col("b").as("bucket"),
+              (col("b") * W).as("lo_cents"),
+              (col("b") * W + W).as("hi_cents"),
+              col("cnt"), col("cum"), lit(t).as("target_rank"),
+              col("weight"), col("total_weight"), col("draw"))
+        }
+        Seq(25, 50, 90).map(draw).reduce(_ unionByName _)
+          .orderBy("q_pct")
+      },
+      oracle = Some(s"""
+        WITH bg AS (SELECT CAST(least(greatest(floor(value * 100), 0),
+                      51199) AS BIGINT) // 200 AS b,
+                      count(*) AS cnt
+                    FROM events GROUP BY 1),
+        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bg),
+        ${duckQuantRound(25)},
+        ${duckQuantRound(50)},
+        ${duckQuantRound(90)}
+        SELECT * FROM (SELECT * FROM qs25 UNION ALL SELECT * FROM qs50
+                       UNION ALL SELECT * FROM qs90)
+        ORDER BY q_pct"""),
       bench = true),
 
     // ── k-anonymity census over behavioral quasi-identifiers ───────
