@@ -1257,6 +1257,70 @@ object CurationQueries {
           FROM documents)
         WHERE rk <= 5 ORDER BY source, rk""")),
 
+    // ── weighted sampling without replacement (priority sampling) ──
+    // q97 samples UNIFORMLY; a training-data pipeline also needs
+    // probability ∝ weight ("sample documents ∝ size/quality so the
+    // subsample's token mass mirrors the corpus"). This is
+    // Duffield–Lund–Thorup PRIORITY SAMPLING, integer-exact: each
+    // item draws u ~ Uniform{1..2⁴⁰} as a pure PRF of (seed, doc_id)
+    // (the q71/q75/q92/q97 reproducibility discipline — the sample is
+    // a property of the dataset, not the run), gets priority
+    // p = w·2⁴⁰ div u′ (the integer floor of w/u with u = u′/2⁴⁰ —
+    // the 2⁴⁰ cancels, so p is in W UNITS directly; w = n_chars,
+    // clamped ≥ 1 — w·2⁴⁰ < 2⁶³ for any document under 8 MB), and the
+    // k highest priorities per stratum are the sample. τ = the
+    // (k+1)-th priority is the stratum's threshold: est_w = max(w, τ)
+    // is the DLT estimator whose per-stratum sum is unbiased for the
+    // stratum's total weight (up to τ's integer-floor quantization —
+    // < 1 char-unit); a stratum with ≤ k items keeps everything and
+    // τ = 0, so est_w = w exactly.
+    // CurationSpec replays the whole chain driver-side and checks the
+    // estimator's mean over 200 seeds lands on the true total.
+    //
+    // Scale shape: one narrow scan computes u and p in codegen; the
+    // per-stratum heads ride TopKPerKey bounded heaps (k+1 rows per
+    // key cross the partial/final heaps — never a row_number window);
+    // τ attaches via a ≤|sources|-row broadcast.
+    "q174_priority_sample" -> QuerySpec(
+      build = (s, d) => {
+        val T = 1L << 40
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            greatest(coalesce(col("n_chars"), lit(0L)), lit(1L)).as("w"))
+          .withColumn("u", pmod(TextQueries.md5Hash60(
+            concat(lit("psamp0|"), col("doc_id").cast("string"))),
+            lit(T)) + lit(1L))
+          .withColumn("p",
+            call_function("div", shiftleft(col("w"), 40), col("u")))
+        val top = graft.operators.TopK.perKeyRanked(keyed,
+          Seq("source"), Seq(col("p").desc, col("doc_id").asc), 6, "rk")
+        val tau = top.filter(col("rk") === 6)
+          .select(col("source"), col("p").as("tau"))
+        top.filter(col("rk") <= 5)
+          .join(broadcast(tau), Seq("source"), "left")
+          .withColumn("tau", coalesce(col("tau"), lit(0L)))
+          .select(col("source"), col("rk"), col("doc_id"), col("w"),
+            col("p").as("priority"), col("tau"),
+            greatest(col("w"), col("tau")).as("est_w"))
+          .orderBy("source", "rk")
+      },
+      oracle = Some("""
+        WITH b AS (SELECT doc_id, source,
+                     greatest(coalesce(n_chars, 0), 1) AS w,
+                     ('0x' || substring(md5('psamp0|' || doc_id::VARCHAR),
+                       1, 15))::BIGINT % 1099511627776 + 1 AS u
+                   FROM documents),
+        p AS (SELECT doc_id, source, w,
+                (w * 1099511627776) // u AS p FROM b),
+        r AS (SELECT *, row_number() OVER (PARTITION BY source
+                ORDER BY p DESC, doc_id) AS rk FROM p),
+        tt AS (SELECT source, p AS tau FROM r WHERE rk = 6)
+        SELECT r.source, CAST(rk AS INTEGER) AS rk, doc_id, w,
+               p AS priority, coalesce(tau, 0) AS tau,
+               greatest(w, coalesce(tau, 0)) AS est_w
+        FROM r LEFT JOIN tt ON r.source = tt.source
+        WHERE rk <= 5 ORDER BY r.source, rk""")),
+
     // ── cross-source overlap: the contamination matrix ─────────────
     // Which sources share content with which — the inter-source
     // counterpart of q77's corpus-vs-benchmark decontamination and the

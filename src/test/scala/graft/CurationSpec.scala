@@ -424,6 +424,56 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q174 priority sample replays driver-side; DLT estimator converges over seeds") {
+    def md5hex(s: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h60(s: String) = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val T = 1L << 40
+    val rows = graft.analytics.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        greatest(coalesce(col("n_chars"), lit(0L)), lit(1L)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def sample(seed: String, items: Seq[(Long, Long)]) = {
+      // items: (doc_id, w) -> (top-5 with est, tau)
+      val ranked = items.map { case (id, w) =>
+        val u = h60(s"$seed|$id") % T + 1
+        (id, w, (w << 40) / u)
+      }.sortBy(t => (-t._3, t._1))
+      // p is in w units already (the 2^40 scale cancels against u)
+      val tau = if (ranked.size >= 6) ranked(5)._3 else 0L
+      (ranked.take(5).map { case (id, w, p) =>
+        (id, w, p, tau, math.max(w, tau)) }, tau)
+    }
+    // exact replay of the query's PRF ("psamp0")
+    val expected = rows.groupBy(_._2).map { case (src, g) =>
+      src -> sample("psamp0", g.map(t => (t._1, t._3)).toSeq.sortBy(_._1))._1
+    }
+    val got = run("q174_priority_sample").collect()
+      .groupBy(_.getAs[String]("source"))
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (src, rs) =>
+      val inOrder = rs.sortBy(_.getAs[Int]("rk")).map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+          r.getAs[Long]("priority"), r.getAs[Long]("tau"),
+          r.getAs[Long]("est_w")))
+      assert(inOrder.toSeq == expected(src), s"sample drift for $src")
+    }
+    // the DLT property the integers preserve: over many seeds, the
+    // per-stratum estimator SUM of the k kept items averages to the
+    // stratum's true total weight (unbiasedness, up to the documented
+    // <= 1-unit tau ceil)
+    val (bigSrc, items) = rows.groupBy(_._2).maxBy(_._2.size)
+    assert(items.size > 6, "need a stratum the sample actually truncates")
+    val itemsW = items.map(t => (t._1, t._3)).toSeq
+    val trueTotal = itemsW.map(_._2).sum.toDouble
+    val est = (1 to 200).map { i =>
+      sample(s"seed$i", itemsW)._1.map(_._5).sum.toDouble
+    }.sum / 200
+    assert(math.abs(est - trueTotal) / trueTotal < 0.15,
+      s"DLT estimate $est vs true $trueTotal for $bigSrc")
+  }
+
   test("q98 source overlap replays driver-side from the same shingles") {
     val rows = graft.analytics.Tables.documents(spark, sf)
       .filter(col("text").isNotNull)
