@@ -1088,7 +1088,7 @@ object ExtendedQueries {
     // ── versioned snapshot diff (r13) ──────────────────────────────
     // "What did the load change?" — [[graft.etl.TableDiff]]: two table
     // versions diff through a bucket-fingerprint short-circuit (per
-    // bucket, the decimal(38)-summed 60-bit row md5 — one narrow scan
+    // bucket, the decimal(38)-summed 64-bit row xxhash64 — one narrow scan
     // per side, ≤buckets-row exchanges, bounded driver compare), and
     // ONLY buckets whose fingerprints differ enter the row-level
     // full-outer join — churn-scale shuffle, not corpus-scale; on a
@@ -1244,6 +1244,57 @@ object ExtendedQueries {
           WHERE c.c_custkey = e.user_id
             AND c.c_mktsegment = 'BUILDING' AND c.c_nationkey < 5)
         GROUP BY 1 ORDER BY 1"""),
+      bench = true),
+
+    // ── cascaded rollup (r13) ──────────────────────────────────────
+    // [[graft.operators.CascadedRollup]]: multi-level totals WITHOUT
+    // the Expand node Spark's built-in rollup() puts in front of the
+    // aggregation exchange (L+1 copies of every fact row — a 4-level
+    // rollup over 100 TB shuffles ~500 TB). The cascade aggregates
+    // the fact table ONCE at the finest grain (one map-side-combined
+    // exchange, same as a plain groupBy) and folds each coarser level
+    // from the previous level's group-scale result (sum→sum,
+    // count→sum, max→max — distributive combines only, enforced).
+    // `lvl` = dims retained disambiguates rollup-null from data-null
+    // (GROUPING_ID's job). The oracle replays DuckDB's NATIVE
+    // GROUP BY ROLLUP — the hash match proves the cascade is
+    // level-by-level identical to the textbook lowering. PlanSpec
+    // pins zero Expand nodes + the single fact-table exchange.
+    "q175_cascaded_rollup" -> QuerySpec(
+      build = (s, d) => {
+        import graft.operators.CascadedRollup._
+        val fact = lineitem(s, d).select(
+          col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"),
+          col("l_quantity"), col("l_extendedprice"))
+        rollup(fact,
+          Seq("l_returnflag", "l_linestatus", "ship_year"),
+          Seq(sum_("l_quantity", "sum_qty"), count_("n"),
+            max_("l_extendedprice", "max_price")))
+          .withColumn("sum_qty", round(col("sum_qty"), 2))
+          .orderBy(col("lvl").desc,
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first,
+            col("ship_year").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+                 l_quantity, l_extendedprice
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, ship_year,
+               3 - CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END
+                 - CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END
+                 - CASE WHEN ship_year IS NULL THEN 1 ELSE 0 END AS lvl,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n,
+               max(l_extendedprice) AS max_price
+        FROM f
+        GROUP BY ROLLUP (l_returnflag, l_linestatus, ship_year)
+        ORDER BY lvl DESC, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST,
+                 ship_year ASC NULLS FIRST"""),
       bench = true)
   )
 

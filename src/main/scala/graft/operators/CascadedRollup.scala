@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hierarchical ROLLUP via cascaded re-aggregation — the
+  * Expand-free plan for multi-level totals at 100 TB.
+  *
+  * Spark's built-in `rollup(d1..dL)` (q35's `.cube` sibling) lowers to
+  * an `Expand` node that emits L+1 COPIES of EVERY input row — one per
+  * grouping level — BEFORE the aggregation exchange. On a corpus-scale
+  * fact table that multiplies the map-side row stream (and the
+  * partial-agg hash table's key space) by the hierarchy depth: a
+  * 4-level rollup over 100 TB pushes ~500 TB of rows into the
+  * aggregation.
+  *
+  * The cascade exploits what a hierarchy means: every coarser level is
+  * a RE-aggregation of the level below it, so the fact table needs to
+  * be aggregated exactly ONCE — at the finest grain — and each coarser
+  * level folds the previous level's (group-scale, not corpus-scale)
+  * result:
+  *
+  *   G_L  = fact.groupBy(d1..dL).agg(aggs)        // the ONLY pass over data
+  *   G_k  = G_{k+1}.groupBy(d1..dk).agg(combine)  // |G_{k+1}| rows in
+  *   out  = union of all levels, coarser dims null-filled + `lvl`
+  *
+  * This is valid precisely for DISTRIBUTIVE aggregates — ones with a
+  * combine form: sum→sum, count→sum, min→min, max→max (avg ships as
+  * sum+count and divides at the edge). [[Agg]] encodes the pair; the
+  * operator refuses anything without one rather than silently
+  * mis-combining (a median, for instance, does not cascade).
+  *
+  * Scale shape (PlanSpec pins it): ONE hash exchange of the fact table
+  * keyed on the full dim tuple with map-side partial agg — identical
+  * to a plain groupBy — then L group-scale exchanges over frames the
+  * size of the FINEST grouping (|G_L|, typically orders of magnitude
+  * below the fact table; the union is cheap because every input to it
+  * is already aggregated). `.explain` shows zero `Expand` nodes,
+  * where `rollup()` shows the L+1-projection Expand feeding the big
+  * exchange.
+  *
+  * Null semantics: rollup marks "all values" with NULL, which is
+  * ambiguous when a dim itself holds nulls — the emitted `lvl` column
+  * (number of dims retained; L=finest, 0=grand total) disambiguates,
+  * exactly like SQL's GROUPING_ID. The q175 oracle replays DuckDB's
+  * native GROUP BY ROLLUP against this cascade, proving level-by-level
+  * equivalence cross-engine.
+  *
+  * Reference anchor: the reference has no multi-level reporting at all
+  * (SURVEY §2.D — its aggregates are row counters,
+  * `etl-gcs-cloudsql/src/services/conductor.ts` keeps per-run totals);
+  * this is extension surface priced for the lake-scale fact tables the
+  * reference's CloudSQL sink could never hold.
+  */
+object CascadedRollup {
+
+  /** One cascadable aggregate: `agg` runs at the finest level over the
+    * raw column; `combine` folds a finer level's RESULT column into
+    * the coarser level. Names are fixed so every level unions by name. */
+  final case class Agg(name: String, agg: Column, combine: String => Column)
+
+  /** sum(col) — combines as sum. */
+  def sum_(c: String, as: String): Agg =
+    Agg(as, sum(col(c)).as(as), n => sum(col(n)).as(n))
+
+  /** count(*) — combines as sum. */
+  def count_(as: String): Agg =
+    Agg(as, count(lit(1)).as(as), n => sum(col(n)).as(n))
+
+  /** min(col) — combines as min. */
+  def min_(c: String, as: String): Agg =
+    Agg(as, min(col(c)).as(as), n => min(col(n)).as(n))
+
+  /** max(col) — combines as max. */
+  def max_(c: String, as: String): Agg =
+    Agg(as, max(col(c)).as(as), n => max(col(n)).as(n))
+
+  /** Rollup `df` over the hierarchy `dims` (finest = the whole list,
+    * then drop from the right, down to the grand total), computing
+    * `aggs` at every level. Output columns: dims (coarser levels
+    * null-filled), `lvl` (dims retained — L..0), then one column per
+    * agg. Row-set identical to `df.rollup(dims).agg(...)` + GROUPING_ID,
+    * but the fact table is scanned and shuffled exactly once. */
+  def rollup(df: DataFrame, dims: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(dims.nonEmpty, "rollup needs at least one dim")
+    require(aggs.nonEmpty, "rollup needs at least one aggregate")
+    // the single corpus-scale pass: finest grain, map-side combined
+    val finest = df.groupBy(dims.map(col): _*).agg(aggs.head.agg,
+      aggs.tail.map(_.agg): _*)
+    val dimTypes = dims.map(d => d -> finest.schema(d).dataType).toMap
+    def shape(level: DataFrame, kept: Seq[String]): DataFrame = {
+      val nulled = dims.filterNot(kept.contains)
+        .map(d => lit(null).cast(dimTypes(d)).as(d))
+      level.select(kept.map(col) ++ nulled ++
+        Seq(lit(kept.size).as("lvl")) ++ aggs.map(a => col(a.name)): _*)
+    }
+    // cascade: each coarser level folds the PREVIOUS level's result —
+    // group-scale frames, never the fact table again
+    val levels = Iterator.iterate((finest, dims)) { case (prev, kept) =>
+      val coarser = kept.dropRight(1)
+      val folded =
+        if (coarser.isEmpty)
+          prev.agg(aggs.head.combine(aggs.head.name),
+            aggs.tail.map(a => a.combine(a.name)): _*)
+        else
+          prev.groupBy(coarser.map(col): _*)
+            .agg(aggs.head.combine(aggs.head.name),
+              aggs.tail.map(a => a.combine(a.name)): _*)
+      (folded, coarser)
+    }.take(dims.size + 1).toSeq
+    levels.map { case (lv, kept) => shape(lv, kept) }
+      .reduce(_.unionByName(_))
+  }
+}

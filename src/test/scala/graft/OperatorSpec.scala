@@ -1103,4 +1103,40 @@ class OperatorSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("CascadedRollup == built-in rollup, incl. data-null dims (r13)") {
+    import graft.operators.CascadedRollup
+    import graft.operators.CascadedRollup._
+    // data nulls in BOTH dims: the case where rollup-null is ambiguous
+    // and `lvl` (GROUPING_ID's job) is load-bearing
+    val df = Seq(
+      ("a", "x", 1L, 10.0), ("a", "y", 2L, 20.0), ("a", null, 3L, 5.0),
+      ("b", "x", 4L, 1.0), (null, "y", 5L, 2.0), (null, null, 6L, 3.0)
+    ).toDF("d1", "d2", "v", "w")
+    val got = CascadedRollup.rollup(df, Seq("d1", "d2"),
+      Seq(sum_("v", "sv"), count_("n"), max_("w", "mw"), min_("w", "nw")))
+    val exp = df.rollup(col("d1"), col("d2"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+        max(col("w")).as("mw"), min(col("w")).as("nw"),
+      // spark grouping_id: bit per dim, 1 = rolled up
+        (lit(2) - grouping_id()).as("lvl_raw"))
+      .withColumn("lvl",
+        when(col("lvl_raw") === -1, 0) // grand total: grouping_id=3
+          .otherwise(col("lvl_raw")).cast("int"))
+      .drop("lvl_raw")
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getAs[String]("d1")), Option(r.getAs[String]("d2")),
+        r.getAs[Int]("lvl"))
+    val g = got.collect().map(r => key(r) ->
+      (r.getAs[Long]("sv"), r.getAs[Long]("n"),
+        r.getAs[Double]("mw"), r.getAs[Double]("nw"))).toMap
+    val e = exp.collect().map(r => key(r) ->
+      (r.getAs[Long]("sv"), r.getAs[Long]("n"),
+        r.getAs[Double]("mw"), r.getAs[Double]("nw"))).toMap
+    assert(g === e, s"cascade drifted from built-in rollup:\n$g\nvs\n$e")
+    // the ambiguity lvl resolves: ("a", null) appears BOTH as a data
+    // row (lvl=2) and as a rollup subtotal (lvl=1), with different sums
+    assert(g(( Some("a"), None, 2))._1 === 3L)
+    assert(g((Some("a"), None, 1))._1 === 6L)
+  }
 }

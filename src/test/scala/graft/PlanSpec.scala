@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions: the properties that matter at 100 TB —
   * predicate pushdown into the parquet scan, column pruning, broadcast
@@ -541,6 +542,27 @@ class PlanSpec extends SparkSpec {
       s"q119 must read the _bb-partitioned band store:\n$scan")
     assert(p.contains("BroadcastHashJoin"), "batch bands must broadcast")
     assert(!p.contains("SortMergeJoin"), "no corpus-scale shuffle join")
+  }
+
+  test("q175 cascaded rollup: no Expand, levels fold via ReusedExchange (r13)") {
+    val df = SparkEntry.queries("q175_cascaded_rollup")(spark, sf)
+    df.collect() // finalize AQE so exchange reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    // the built-in rollup() lowering this replaces puts an Expand
+    // (L+1 copies of every fact row) in front of the big exchange
+    assert(!p.contains("Expand"), s"cascade must not Expand:\n${p.take(1200)}")
+    // each coarser level folds the PREVIOUS level's exchange — at
+    // runtime the fact table is scanned and shuffled exactly once
+    assert("ReusedExchange".r.findAllIn(p).length >= 3,
+      s"levels must reuse the finer level's exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // contrast pin: the built-in lowering DOES Expand (if this ever
+    // stops holding, the cascade's reason-to-exist needs re-checking)
+    val builtIn = graft.analytics.Tables.lineitem(spark, sf)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+    assert(builtIn.queryExecution.executedPlan.toString.contains("Expand"),
+      "built-in rollup no longer Expands — revisit CascadedRollup")
   }
 
   test("text kernels stay inside whole-stage codegen") {
