@@ -1295,6 +1295,59 @@ object ExtendedQueries {
         ORDER BY lvl DESC, l_returnflag ASC NULLS FIRST,
                  l_linestatus ASC NULLS FIRST,
                  ship_year ASC NULLS FIRST"""),
+      bench = true),
+
+    // ── incremental rollup maintenance (r13) ───────────────────────
+    // The q175 cascade's finest-grain frame doubles as MAINTAINABLE
+    // state: because every [[graft.operators.CascadedRollup.Agg]] is
+    // distributive, an ingest batch folds into the stored finest table
+    // at batch + GROUP scale ([[graft.operators.CascadedRollup
+    // .foldFinest]]) and every coarser level re-derives from it — the
+    // historical fact rows are NEVER re-read (the materialized-view
+    // maintenance pattern a 100 TB fact table demands: per-day cost ∝
+    // batch + |groups|, not ∝ corpus). Here the events table splits at
+    // a fixed day boundary into "yesterday's store" and "today's
+    // batch"; the oracle replays the FULL recompute (DuckDB ROLLUP
+    // over all events) — the hash match proves fold-then-cascade ≡
+    // rebuild, the same identity discipline as q165/q170. Append-only
+    // by contract: sum/count retract, min/max do not (scaladoc'd).
+    // All-integer measures (floored cents) so both engines agree
+    // exactly regardless of summation order.
+    "q176_incremental_rollup" -> QuerySpec(
+      build = (s, d) => {
+        import graft.operators.CascadedRollup._
+        val cut = 1706054400000000L // 2024-01-24 UTC: the batch boundary
+        val base = ev(s, d).select(
+          col("event_type"),
+          expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("ts_us"))
+        val dims = Seq("event_type", "dow")
+        val aggs = Seq(sum_("cents", "sum_cents"), count_("n"),
+          max_("cents", "max_cents"))
+        val stored = aggregateFinest(
+          base.filter(col("ts_us") < cut).drop("ts_us"), dims, aggs)
+        val folded = foldFinest(stored,
+          base.filter(col("ts_us") >= cut).drop("ts_us"), dims, aggs)
+        cascadeFrom(folded, dims, aggs)
+          .orderBy(col("lvl").desc, col("event_type").asc_nulls_first,
+            col("dow").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events)
+        SELECT event_type, dow,
+               2 - CASE WHEN event_type IS NULL THEN 1 ELSE 0 END
+                 - CASE WHEN dow IS NULL THEN 1 ELSE 0 END AS lvl,
+               CAST(sum(cents) AS BIGINT) AS sum_cents,
+               count(*) AS n, max(cents) AS max_cents
+        FROM f
+        GROUP BY ROLLUP (event_type, dow)
+        ORDER BY lvl DESC, event_type ASC NULLS FIRST,
+                 dow ASC NULLS FIRST"""),
       bench = true)
   )
 

@@ -75,6 +75,34 @@ object CascadedRollup {
   def max_(c: String, as: String): Agg =
     Agg(as, max(col(c)).as(as), n => max(col(n)).as(n))
 
+  /** The single corpus-scale pass: `df` aggregated at the finest grain
+    * (the full `dims` tuple), map-side combined — a plain groupBy.
+    * This frame is also the MAINTAINABLE state of the rollup: because
+    * every [[Agg]] is distributive, [[foldFinest]] absorbs an ingest
+    * batch into it at batch + group scale, and [[cascadeFrom]] re-derives
+    * every coarser level without ever touching the fact table again. */
+  def aggregateFinest(df: DataFrame, dims: Seq[String],
+                      aggs: Seq[Agg]): DataFrame =
+    df.groupBy(dims.map(col): _*).agg(aggs.head.agg,
+      aggs.tail.map(_.agg): _*)
+
+  /** Incremental maintenance of a finest-grain aggregate table: fold a
+    * raw-fact `batch` into `storedFinest` (a prior [[aggregateFinest]]
+    * result). The batch aggregates at BATCH scale, then combines with
+    * the stored groups at GROUP scale — the original fact rows are
+    * never re-read. Distributivity makes this exact:
+    * `foldFinest(aggregateFinest(a), b) == aggregateFinest(a ∪ b)`
+    * row-for-row, which q176's oracle proves cross-engine by replaying
+    * the full recompute. (Deletions/updates need retractable aggs —
+    * sum/count retract, min/max do not; this is append-only ingest,
+    * the [[graft.text.LabelStore]] fold's contract.) */
+  def foldFinest(storedFinest: DataFrame, batch: DataFrame,
+                 dims: Seq[String], aggs: Seq[Agg]): DataFrame =
+    storedFinest.unionByName(aggregateFinest(batch, dims, aggs))
+      .groupBy(dims.map(col): _*)
+      .agg(aggs.head.combine(aggs.head.name),
+        aggs.tail.map(a => a.combine(a.name)): _*)
+
   /** Rollup `df` over the hierarchy `dims` (finest = the whole list,
     * then drop from the right, down to the grand total), computing
     * `aggs` at every level. Output columns: dims (coarser levels
@@ -84,9 +112,16 @@ object CascadedRollup {
   def rollup(df: DataFrame, dims: Seq[String], aggs: Seq[Agg]): DataFrame = {
     require(dims.nonEmpty, "rollup needs at least one dim")
     require(aggs.nonEmpty, "rollup needs at least one aggregate")
-    // the single corpus-scale pass: finest grain, map-side combined
-    val finest = df.groupBy(dims.map(col): _*).agg(aggs.head.agg,
-      aggs.tail.map(_.agg): _*)
+    cascadeFrom(aggregateFinest(df, dims, aggs), dims, aggs)
+  }
+
+  /** The cascade half: every rollup level derived from an
+    * already-aggregated finest-grain frame ([[aggregateFinest]] or a
+    * [[foldFinest]]-maintained store) — group-scale folds only. */
+  def cascadeFrom(finest: DataFrame, dims: Seq[String],
+                  aggs: Seq[Agg]): DataFrame = {
+    require(dims.nonEmpty, "rollup needs at least one dim")
+    require(aggs.nonEmpty, "rollup needs at least one aggregate")
     val dimTypes = dims.map(d => d -> finest.schema(d).dataType).toMap
     def shape(level: DataFrame, kept: Seq[String]): DataFrame = {
       val nulled = dims.filterNot(kept.contains)

@@ -1,5 +1,6 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Scale measurement for [[graft.etl.TableDiff]] — the evidence behind
@@ -25,9 +26,34 @@ import org.apache.spark.sql.functions._
   *   - `naive`: the full-outer-join diff of the same two versions
   *     (what the operator replaces) — BOTH versions shuffle.
   *
-  * The claim to read off: `diff` tracks the scan floor while `naive`
-  * grows with the full shuffle; `differing/buckets` stays ≈ churn/B. */
+  * The claim to read off is in the SHUFFLE columns, not wall time:
+  * local[32] moves shuffle blocks through memory, so a corpus-scale
+  * shuffle costs almost nothing here — on a 1000-executor cluster it
+  * is cross-network. `shf` (shuffle-write bytes, task-metrics
+  * listener) shows `diff` shuffling ≤ 2·buckets fingerprint rows +
+  * the differing buckets' rows (churn-scale) while `naive` shuffles
+  * BOTH full versions (corpus-linear); `differing/buckets` ≈ churn/B. */
 object DiffBench {
+
+  /** Sums task-level shuffle-write bytes between [[reset]] and
+    * [[settle]] (the listener bus is async — settle spins until the
+    * counter stops moving). */
+  private final class ShuffleMeter extends SparkListener {
+    private val w = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) w.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+    }
+    def reset(): Unit = w.set(0)
+    def settle(): Long = {
+      var prev = -1L; var cur = w.get; var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = w.get; spins += 1
+      }
+      cur
+    }
+  }
+
   def main(a: Array[String]): Unit = {
     val d = a.headOption.getOrElse("/root/testdata/sf0.1")
     val multiples = (if (a.length > 1) a(1) else "1,10,100")
@@ -43,14 +69,22 @@ object DiffBench {
     val K = 1000000000L
     val tmp = java.nio.file.Files.createTempDirectory("graft-diffbench")
 
-    def timeMin[T](f: => T): (Double, T) = {
+    val meter = new ShuffleMeter
+    s.sparkContext.addSparkListener(meter)
+
+    // min wall over reps; shuffle bytes from the last rep (the byte
+    // count is deterministic across reps — only wall time jitters)
+    def timeMin[T](f: => T): (Double, T, Long) = {
       var best = Double.MaxValue; var v: T = null.asInstanceOf[T]
+      var bytes = 0L
       for (_ <- 1 to reps) {
+        meter.reset()
         val t0 = System.nanoTime()
         v = f
         best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        bytes = meter.settle()
       }
-      (best, v)
+      (best, v, bytes)
     }
 
     for (m <- multiples) {
@@ -89,11 +123,11 @@ object DiffBench {
       val p1 = publish(v1, "v1")
       val p2 = publish(v2, "v2")
 
-      val (tDiff, stats) = timeMin {
+      val (tDiff, stats, bDiff) = timeMin {
         graft.etl.TableDiff.diffPartitionedDirs(s, p1, p2, "_db",
           Seq("o_orderkey"), buckets)._2
       }
-      val (tNaive, nNaive) = timeMin {
+      val (tNaive, nNaive, bNaive) = timeMin {
         val a1 = s.read.parquet(p1).drop("_db")
         val a2 = s.read.parquet(p2).drop("_db")
           .withColumnRenamed("o_custkey", "ck2")
@@ -107,6 +141,7 @@ object DiffBench {
       require(nDiff == nNaive, s"diff saw $nDiff rows, naive $nNaive")
       println(f"[diff] M=$m%-4d rows=$rows%-10d buckets=$buckets%-5d " +
         f"diff=$tDiff%6.2fs naive=$tNaive%6.2fs " +
+        f"shf=${bDiff / 1024}%-8dKB naive_shf=${bNaive / 1024}%-8dKB " +
         f"differing=${stats.differing.size}%-5d " +
         f"changed=${stats.changed}%-5d added=${stats.added}%-4d " +
         f"removed=${stats.removed}%d")

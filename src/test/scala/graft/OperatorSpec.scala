@@ -1139,4 +1139,28 @@ class OperatorSpec extends SparkSpec {
     assert(g(( Some("a"), None, 2))._1 === 3L)
     assert(g((Some("a"), None, 1))._1 === 6L)
   }
+
+  test("CascadedRollup.foldFinest: sequential folds == full rebuild (r13)") {
+    import graft.operators.CascadedRollup._
+    val dims = Seq("d")
+    val aggs = Seq(sum_("v", "sv"), count_("n"),
+      min_("v", "mn"), max_("v", "mx"))
+    val a = Seq(("x", 1L), ("x", 5L), ("y", 2L)).toDF("d", "v")
+    val b = Seq(("y", 7L), ("z", 3L)).toDF("d", "v") // overlap + new group
+    val c = Seq(("x", -1L), ("w", 9L)).toDF("d", "v")
+    val inc = foldFinest(foldFinest(
+      aggregateFinest(a, dims, aggs), b, dims, aggs), c, dims, aggs)
+    val full = aggregateFinest(a.unionByName(b).unionByName(c), dims, aggs)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("sv"), r.getAs[Long]("n"),
+        r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+    assert(m(inc) === m(full),
+      "two sequential batch folds must equal one full finest rebuild")
+    // the cascade over the folded state == rollup over everything
+    def rk(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.getAs[String]("d")), r.getAs[Int]("lvl")) ->
+        (r.getAs[Long]("sv"), r.getAs[Long]("n"))).toMap
+    assert(rk(cascadeFrom(inc, dims, aggs)) ===
+      rk(rollup(a.unionByName(b).unionByName(c), dims, aggs)))
+  }
 }
