@@ -1171,4 +1171,54 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set(("click", 20L, 0), ("click", 21L, 1)),
       s"replayed batch must overwrite its own directory, got $rows")
   }
+
+  test("rollup maintenance: versioned folds == batch rollup; replay idempotent (r13)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.operators.CascadedRollup._
+    import graft.streaming.RollupStream
+
+    val dims = Seq("u", "dy")
+    val aggs = Seq(sum_("cents", "sc"), count_("n"), max_("cents", "mx"))
+    val us = 1000000L; val day = 86400L * us
+    val t0 = 1600000000L * us
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id").as("u"),
+      expr(s"ts_us div $day").as("dy"),
+      round(col("value") * 100).cast("long").as("cents"))
+
+    val store = tmp("rollup-store")
+    val input = MemoryStream[Ev]
+    val q = RollupStream.maintainRollup(shape(input.toDF()), dims, aggs,
+      store, tmp("rollup-ckpt"))
+    val b1 = Seq(Ev(1, t0, 1.5), Ev(1, t0, 2.0), Ev(2, t0 + day, 3.0))
+    val b2 = Seq(Ev(1, t0, 0.25), Ev(3, t0 + 2 * day, 4.0)) // touch + new
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (Option(r.getAs[Any]("u")), Option(r.getAs[Any]("dy")),
+        r.getAs[Int]("lvl")) ->
+        (r.getAs[Long]("sc"), r.getAs[Long]("n"), r.getAs[Long]("mx"))
+    ).toMap
+    // every level served from the group-scale state == a full batch
+    // rollup over all rows ever streamed
+    val served = asMap(RollupStream.serveRollup(spark, store, dims, aggs))
+    val full = asMap(rollup(shape((b1 ++ b2).toDF()), dims, aggs))
+    assert(served === full, "maintained state must equal a full rebuild")
+
+    // replay of the LAST batch id (foreachBatch at-least-once): folds
+    // from the same below-id state, overwrites its own version —
+    // store row-identical, sums NOT doubled
+    val root = java.nio.file.Paths.get(store)
+    val vmax = java.nio.file.Files.list(root).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf("/v") + 2).toLong).max
+    def stateRows() = spark.read.parquet(s"$store/v$vmax").collect()
+      .map(_.toSeq).toSet
+    val before = stateRows()
+    RollupStream.foldBatch(shape(b2.toDF()), vmax, dims, aggs, store)
+    assert(stateRows() === before,
+      "a replayed micro-batch must leave the store row-identical")
+  }
 }
