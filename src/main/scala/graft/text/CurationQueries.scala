@@ -2754,6 +2754,94 @@ object CurationQueries {
                          // nw.naive_waste END AS saving_e4
         FROM nw JOIN sw USING (shard)
         ORDER BY nw.shard"""),
+      bench = true),
+
+    // ── sequence packing audit: concat-and-chunk vs one-doc-per-row ─
+    // q152 prices BATCH padding (pad every sequence to the batch max
+    // — the finetune/inference loader); pretraining packs the other
+    // way: CONCATENATE the shard's documents in loader order and cut
+    // fixed C-token context windows, padding only the shard's last
+    // chunk. The cost moves from padding to FRAGMENTATION — documents
+    // straddling a chunk boundary get split (attention-mask resets /
+    // truncated context). This audit prices both sides per shard:
+    // concat waste (n_chunks·C − total, ≤ C−1 per shard), solo waste
+    // (each doc alone, padded to ceil(len/C)·C — the no-packing
+    // floor), the saving in e4, and the fragmentation bill (docs
+    // crossing ≥1 boundary, total crossings). Loader order is the
+    // reproducible md5 key — packing happens in EPOCH order, never
+    // length-sorted (sorting is q152's trade, not this one's).
+    // All-integer: token counts, integer div, e4.
+    //
+    // Scale shape (the q152/TrainOrder window discipline): ONE
+    // cumulative-sum window partitioned by shard ordered by the md5
+    // key — a shard-local spillable sort, never a global one (shard
+    // count scales with the corpus) — then an 8-row rollup.
+    "q177_sequence_packing" -> QuerySpec(
+      build = (s, d) => {
+        val C = 2048L
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            token_count(col("text")).cast("long").as("len"))
+          .filter(col("len") > 0)
+          .withColumn("shard",
+            TextQueries.hashBand100Of(col("doc_id")) % 8)
+          .withColumn("k",
+            md5(concat(lit("q177|"), col("doc_id").cast("string"))))
+        val w = Window.partitionBy(col("shard")).orderBy(col("k"))
+        base
+          .withColumn("pos_end", sum(col("len")).over(w))
+          .withColumn("xings",
+            expr(s"(pos_end - 1) div $C - (pos_end - len) div $C"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len")).as("total_tokens"),
+            expr(s"(sum(len) + ${C - 1}) div $C").as("n_chunks"),
+            expr(s"(sum(len) + ${C - 1}) div $C * $C - sum(len)")
+              .as("concat_waste"),
+            sum(when(col("xings") > 0, 1L).otherwise(0L))
+              .as("frag_docs"),
+            sum(col("xings")).as("crossings"),
+            sum(expr(s"(len + ${C - 1}) div $C * $C - len"))
+              .as("solo_waste"))
+          .withColumn("saving_e4",
+            when(col("solo_waste") === 0, lit(0L))
+              .otherwise(expr(
+                "(solo_waste - concat_waste) * 10000 div solo_waste")))
+          .orderBy("shard")
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        b AS (SELECT doc_id, len(toks) AS len,
+                ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 100 % 8 AS shard,
+                md5('q177|' || doc_id::VARCHAR) AS k
+              FROM t WHERE len(toks) > 0),
+        c AS (SELECT shard, len,
+                sum(len) OVER (PARTITION BY shard ORDER BY k
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS pos_end
+              FROM b),
+        x AS (SELECT shard, len,
+                (pos_end - 1) // 2048 - (pos_end - len) // 2048 AS xings
+              FROM c),
+        g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(len) AS BIGINT) AS total_tokens,
+                CAST(count(*) FILTER (xings > 0) AS BIGINT) AS frag_docs,
+                CAST(sum(xings) AS BIGINT) AS crossings,
+                CAST(sum((len + 2047) // 2048 * 2048 - len) AS BIGINT)
+                  AS solo_waste
+              FROM x GROUP BY 1)
+        SELECT shard, n_docs, total_tokens,
+               (total_tokens + 2047) // 2048 AS n_chunks,
+               (total_tokens + 2047) // 2048 * 2048 - total_tokens
+                 AS concat_waste,
+               frag_docs, crossings, solo_waste,
+               CASE WHEN solo_waste = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (solo_waste -
+                          ((total_tokens + 2047) // 2048 * 2048
+                           - total_tokens)) * 10000 // solo_waste
+               END AS saving_e4
+        FROM g ORDER BY shard"""),
       bench = true)
   )
 

@@ -565,6 +565,23 @@ class PlanSpec extends SparkSpec {
       "built-in rollup no longer Expands — revisit CascadedRollup")
   }
 
+  test("q177 packing: one shard-partitioned window, shard-local sort (r13)") {
+    val df = SparkEntry.queries("q177_sequence_packing")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // exactly ONE window — the per-shard cumulative token offset; the
+    // shard exchange bounds every sort to one shard (the TrainOrder
+    // spill discipline: shard count scales with the corpus)
+    assert("(?<!Reused)Window".r.findAllIn(p).length >= 1 &&
+      p.contains("hashpartitioning(shard"),
+      s"expected the shard-partitioned cumsum window:\n${p.take(1500)}")
+    // the window's sort is the shard-prefixed local one — a global
+    // (range-partitioned) sort may only appear for the 8-row output
+    // ordering, never keyed on the md5 loader key
+    assert(!p.contains("rangepartitioning(k"),
+      s"loader-key sort must stay shard-local:\n${p.take(1500)}")
+    assert(!p.contains("Expand"), "no Expand in the packing rollup")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
