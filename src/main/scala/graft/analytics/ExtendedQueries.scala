@@ -1348,6 +1348,127 @@ object ExtendedQueries {
         GROUP BY ROLLUP (event_type, dow)
         ORDER BY lvl DESC, event_type ASC NULLS FIRST,
                  dow ASC NULLS FIRST"""),
+      bench = true),
+
+    // ── cascaded APPROXIMATE-distinct rollup (r13) ─────────────────
+    // q175/q176 cascade DISTRIBUTIVE aggregates; distinct counts are
+    // the canonical NON-distributive one (a user active on two days
+    // double-counts if day-level distincts just sum). But the HLL
+    // REGISTER ARRAY ([[graft.plans.HllRegsAgg]]) is distributive —
+    // registers merge under elementwise max, associatively — so the
+    // sketch cascades where the raw statistic cannot: ONE fact-table
+    // pass builds finest-grain (type, dow) registers (512 B state per
+    // group), each coarser level folds the finer level's 4 KiB arrays
+    // (`aggregate(collect_list(..), zip_with greatest)` over ≤7-row
+    // groups), never re-reading a fact row. The oracle rebuilds every
+    // level's registers DIRECTLY from the raw rows — the hash match
+    // IS the proof that fold-of-maxes == max-over-union, the algebra
+    // the cascade rests on. Exact countDistinct twins ride along per
+    // level (each an honest extra fact pass, the q104/q141 audit
+    // discipline) so every estimate carries its own err_pct; at
+    // 100 TB the register cascade is the nightly path and the exact
+    // twin the escalation audit.
+    "q178_cascaded_distinct_rollup" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val m = graft.plans.HllAgg.m
+        val regsAgg = toC(graft.plans.HllRegsAgg(toE(col("h60")))
+          .toAggregateExpression())
+        // integer Σ 2^(52-M_j) over an in-row array, then ONE double
+        // division per estimate (the q141 recipe)
+        def ssSql(arr: String) =
+          s"aggregate($arr, cast(0 as bigint), (acc, v) -> acc + shiftleft(cast(1 as bigint), 52 - cast(v as int)))"
+        def est(arr: String) =
+          lit(graft.plans.HllAgg.alphaNum) / expr(ssSql(arr)).cast("double")
+        // bounded-group register fold: elementwise max across rows
+        val foldRegs = expr(
+          s"aggregate(collect_list(regs), array_repeat(cast(0 as bigint), $m), (acc, x) -> zip_with(acc, x, (a, b) -> greatest(a, b)))")
+        val base = ev(s, d).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+            graft.text.TextQueries.md5Hash60(
+              col("user_id").cast("string")).as("h60"),
+            col("user_id"))
+        val finest = base.groupBy(col("event_type"), col("dow"))
+          .agg(regsAgg.as("regs"),
+            countDistinct(col("user_id")).as("exact_d"))
+        val l1 = finest.groupBy(col("event_type"))
+          .agg(foldRegs.as("regs"))
+          .join(base.groupBy(col("event_type"))
+            .agg(countDistinct(col("user_id")).as("exact_d")),
+            Seq("event_type"))
+        val l0 = finest.agg(foldRegs.as("regs"))
+          .crossJoin(base.agg(countDistinct(col("user_id"))
+            .as("exact_d")))
+        def shaped(df: DataFrame, lvl: Int, hasType: Boolean,
+                   hasDow: Boolean) = df.select(
+          (if (hasType) col("event_type")
+           else lit(null).cast("string").as("event_type")) ::
+          (if (hasDow) col("dow")
+           else lit(null).cast("bigint").as("dow")) ::
+          lit(lvl).as("lvl") :: col("exact_d") ::
+          StableRound.r4(est("regs")).as("est_d") :: Nil: _*)
+        shaped(finest, 2, hasType = true, hasDow = true)
+          .unionByName(shaped(l1, 1, hasType = true, hasDow = false))
+          .unionByName(shaped(l0, 0, hasType = false, hasDow = false))
+          .withColumn("err_pct", StableRound.r4(
+            abs(col("est_d") - col("exact_d")) / col("exact_d") * 100))
+          .orderBy(col("lvl").desc, col("event_type").asc_nulls_first,
+            col("dow").asc_nulls_first)
+      },
+      oracle = Some {
+        val alpha = graft.plans.HllAgg.alphaNum
+        // s_scaled without the 512-row cross join: absent registers
+        // contribute 2^52 each (present ones have rank >= 1)
+        def lvlCtes(tag: String, dims: String) = {
+          val dsel = if (dims.isEmpty) "" else s"$dims,"
+          val dgrp = if (dims.isEmpty) "" else s"GROUP BY $dims"
+          val dgrpI = if (dims.isEmpty) "GROUP BY idx"
+                      else s"GROUP BY $dims, idx"
+          val djoin = if (dims.isEmpty) "ON TRUE" else s"USING ($dims)"
+          s"""
+        regs$tag AS (SELECT $dsel idx, max(rnk) mr FROM rk $dgrpI),
+        ss$tag AS (SELECT $dsel
+                     CAST(sum(1::BIGINT << (52 - mr))
+                          + (512 - count(*)) * (1::BIGINT << 52)
+                        AS BIGINT) s
+                   FROM regs$tag $dgrp),
+        ex$tag AS (SELECT $dsel count(DISTINCT user_id) ed
+                   FROM b $dgrp),
+        l$tag AS (SELECT $dsel ed,
+                    ${StableRound.sql4(s"$alpha / CAST(s AS DOUBLE)")} est
+                  FROM ss$tag JOIN ex$tag $djoin)"""
+        }
+        s"""
+        WITH b AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                     user_id,
+                     ('0x' || substring(md5(user_id::VARCHAR), 1, 15))
+                       ::BIGINT h60
+                   FROM events WHERE user_id IS NOT NULL),
+        r AS (SELECT event_type, dow, user_id, h60 >> 51 AS idx,
+                h60 & ((1::BIGINT << 51) - 1) AS rem FROM b),
+        rk AS (SELECT event_type, dow, user_id, idx,
+                 CASE WHEN rem = 0 THEN 52
+                      ELSE 52 - length(bin(rem)) END AS rnk
+               FROM r),
+        ${lvlCtes("2", "event_type, dow")},
+        ${lvlCtes("1", "event_type")},
+        ${lvlCtes("0", "")},
+        u AS (
+          SELECT event_type, dow, 2 AS lvl, ed, est FROM l2
+          UNION ALL
+          SELECT event_type, CAST(NULL AS BIGINT), 1, ed, est FROM l1
+          UNION ALL
+          SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 0, ed, est
+          FROM l0)
+        SELECT event_type, dow, lvl, CAST(ed AS BIGINT) AS exact_d,
+               est AS est_d,
+               ${StableRound.sql4("abs(est - ed) / ed * 100")} AS err_pct
+        FROM u
+        ORDER BY lvl DESC, event_type ASC NULLS FIRST,
+                 dow ASC NULLS FIRST"""
+      },
       bench = true)
   )
 
