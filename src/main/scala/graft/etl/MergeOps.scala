@@ -237,4 +237,68 @@ object MergeOps {
       case e: Throwable => store.discardStaged(tmp); throw e
     }
   }
+
+  /** What a keyed delete did: the buckets it rewrote and the rows it
+    * removed (the audit trail retains COUNTS, never the keys — a
+    * forget request must not be remembered verbatim in logs). */
+  final case class DeleteStats(touched: Seq[Int], deleted: Long)
+
+  /** Keyed DELETE over a bucketed table — the right-to-be-forgotten /
+    * retention op the MERGE family lacked. Same pruning discipline as
+    * [[mergeBucketed]]: the deletion keys' bucket set is computed
+    * first (bounded collect), ONLY those `_bucket=` directories are
+    * read and rewritten (stage → per-bucket rename swap), every other
+    * bucket's files stay byte-identical — at 100 TB a forget request
+    * for k users touches ~min(k, nBuckets) buckets, never the table.
+    * A bucket whose every row is deleted is REMOVED (the
+    * [[SilverStore.commitBuckets]] "intentionally emptied" path), and
+    * the id high-water mark in the sidecar is left untouched, so a
+    * later re-insert of a deleted key gets a FRESH surrogate id — ids
+    * are never reused across a forget (the property EtlSpec pins).
+    *
+    * Rows whose key columns contain NULL never match a deletion key
+    * (anti-join equality), and null-keyed deletion rows delete
+    * nothing — both by SQL join semantics, stated here so callers
+    * scrub their request frame.
+    *
+    * Reference anchor: the reference's CloudSQL rows are mutable in
+    * place but it ships no delete path at all (every service under
+    * `etl-gcs-cloudsql/src/services/` upserts only); retention /
+    * GDPR erasure is extension surface a lake-scale store must have. */
+  def deleteBucketed(store: SilverStore, table: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     deleteKeys: DataFrame, keys: Seq[String])
+      : DeleteStats = {
+    require(keys.nonEmpty, "delete needs at least one key column")
+    // single-writer discipline, as mergeBucketed: heal crash asides
+    // before reading, or a stranded bucket's rows would silently
+    // survive the delete
+    store.repairBuckets(table)
+    store.sweepTmp()
+    val meta = store.readMeta(table)
+    require(store.exists(table) && store.isBucketed(table) &&
+      meta.isDefined,
+      s"deleteBucketed needs a bucketed layout with a sidecar for " +
+        s"$table — migrate flat tables through mergeBucketed first")
+    val nb = meta.get._2
+    val bcol = store.bucketCol
+    val bucketOf =
+      pmod(xxhash64(keys.map(col): _*), lit(nb)).cast(IntegerType)
+    val req = deleteKeys.select(keys.map(col): _*).distinct()
+    val touched = req.select(bucketOf.as(bcol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return DeleteStats(Nil, 0L)
+    val sub = store.readBucketed(table, schema)
+      .filter(col(bcol).isin(touched: _*)).drop(bcol)
+    val kept = sub.join(req, keys, "left_anti")
+    // two bounded passes over the TOUCHED buckets only: the count is
+    // the audit record, and counting staged bytes instead would tie
+    // the stat to a re-read of what was just written
+    val deleted = sub.count() - kept.count()
+    if (deleted == 0L) return DeleteStats(touched, 0L)
+    val tmp = store.stageBuckets(table, kept.withColumn(bcol, bucketOf))
+    try store.commitBuckets(table, tmp, touched)
+    catch { case e: Throwable => store.discardStaged(tmp); throw e }
+    DeleteStats(touched, deleted)
+  }
 }

@@ -641,4 +641,82 @@ class EtlSpec extends SparkSpec {
     assert(BronzeReader.classify("empresas_1.txt").isEmpty)
     assert(BronzeReader.classify("EMPRESAS_2025.CSV").isDefined)
   }
+
+  test("bucketed delete: requested keys only, pruned rewrite, no id reuse (r13)") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val store = new SilverStore(spark, mkTmp("silver-bdel"))
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("k", StringType),
+      StructField("v", StringType),
+      StructField("date_created", TimestampType),
+      StructField("date_updated", TimestampType)))
+    def src(rows: (String, String)*) = rows.toDF("k", "v")
+    MergeOps.mergeBucketed(store, "t", schema,
+      src((1 to 120).map(i => s"key$i" -> s"v$i"): _*),
+      Seq("k"), "id", Seq("v"))
+    val ids0 = store.read("t", schema).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    def fileState(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(store.root, "t"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified, f.length)).toMap
+    }
+    val before = fileState()
+
+    val stats = MergeOps.deleteBucketed(store, "t", schema,
+      Seq("key7", "key33").toDF("k"), Seq("k"))
+    assert(stats.deleted === 2L)
+    val after = fileState()
+
+    // only the two keys' buckets were rewritten; the rest byte-identical
+    val changed = (before.keySet ++ after.keySet)
+      .filter(p => before.get(p) != after.get(p))
+    val touchedDirs = changed.map(p =>
+      p.split('/').find(_.startsWith("_bucket=")).getOrElse(p))
+    assert(touchedDirs.size <= 2, s"too many buckets rewritten: $touchedDirs")
+    assert(touchedDirs.forall(d =>
+      stats.touched.map(b => s"_bucket=$b").contains(d)))
+    before.keySet.filterNot(p => touchedDirs.exists(p.contains))
+      .foreach(p => assert(before(p) === after(p), s"$p was rewritten"))
+
+    // content: exactly the two keys gone, every survivor id unchanged
+    val rows = store.read("t", schema).select("k", "id").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rows.size === 118 && !rows.contains("key7") &&
+      !rows.contains("key33"))
+    rows.foreach { case (k, id) => assert(id === ids0(k)) }
+
+    // idempotent: a replayed forget request deletes nothing and
+    // rewrites nothing
+    val before2 = fileState()
+    val again = MergeOps.deleteBucketed(store, "t", schema,
+      Seq("key7", "key33").toDF("k"), Seq("k"))
+    assert(again.deleted === 0L)
+    assert(fileState() === before2, "no-op delete must not rewrite files")
+
+    // a re-inserted forgotten key gets a FRESH surrogate id — the
+    // sidecar high-water mark survives the delete, ids never recycle
+    MergeOps.mergeBucketed(store, "t", schema, src("key7" -> "back"),
+      Seq("k"), "id", Seq("v"))
+    val back = store.read("t", schema).filter(col("k") === "key7")
+      .select("id").collect()(0).getInt(0)
+    assert(back > 120, s"id $back reused after delete")
+
+    // deleting a table's every key empties AND REMOVES its bucket dirs
+    val store2 = new SilverStore(spark, mkTmp("silver-bdel2"))
+    MergeOps.mergeBucketed(store2, "u", schema,
+      src((1 to 10).map(i => s"x$i" -> "v"): _*), Seq("k"), "id", Seq("v"))
+    val all = MergeOps.deleteBucketed(store2, "u", schema,
+      (1 to 10).map(i => s"x$i").toDF("k"), Seq("k"))
+    assert(all.deleted === 10L)
+    assert(store.spark.read.schema(schema)
+      .parquet(new java.io.File(store2.root, "u").getPath).count() === 0L)
+    val dirs = new java.io.File(store2.root, "u").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_bucket="))
+    assert(dirs.isEmpty, s"emptied buckets must be removed: ${dirs.toSeq}")
+  }
 }
