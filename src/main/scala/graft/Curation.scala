@@ -528,6 +528,65 @@ object Curation {
     } finally batchBands.unpersist(false)
   }
 
+  /** What a forget did across the ingest store: the band rows and
+    * partitions it removed plus the label/pair store's own stats.
+    * Counts only — the request keys are not retained. */
+  case class ForgetReport(bandRowsRemoved: Long, bandBucketsRewritten: Int,
+                          bandBytesWritten: Long,
+                          dedup: graft.text.LabelStore.ForgetStats)
+
+  /** FORGET documents from the ingest store — the
+    * right-to-be-forgotten path for the incremental dedup stack
+    * ([[graft.etl.MergeOps.deleteBucketed]] erases source rows; this
+    * erases their DERIVED traces). Two halves:
+    *
+    *   - band store: the docs' band rows vanish so no future batch
+    *     can pair against forgotten content. Bands are `_bb`-keyed
+    *     (by band hash, not doc), so locating a doc's rows costs ONE
+    *     narrow shuffle-free scan (the store is laid out for the
+    *     probe direction, not this one — the same irreducible-floor
+    *     trade as [[graft.etl.TableDiff]]'s fingerprint pass); only
+    *     the partitions that actually held them are rewritten by
+    *     staged swap.
+    *   - label/pair store: [[graft.text.LabelStore.forget]] —
+    *     touched components re-converge from their remaining pairs
+    *     (splits, rep re-election, whole-component erasure), bucket
+    *     IO proportional to those components, never the corpus.
+    *
+    * Correctness is the rebuild identity, CurationFacadeSpec-pinned:
+    * after `forgetBatch(D)` the store's labels, pairs, bands and the
+    * [[incrementalSurvivors]] view are row-identical to
+    * [[initIncremental]] run on the corpus WITHOUT D. */
+  def forgetBatch(spark: SparkSession, storeDir: String,
+                  docs: DataFrame, buckets: Int = 256): ForgetReport = {
+    GraftSession.configure(spark)
+    val d = docs.select(col("doc_id")).distinct().persist()
+    try {
+      val bandsPath = s"$storeDir/bands"
+      val bands = spark.read.parquet(bandsPath)
+      val mine = bands.join(broadcast(d), Seq("doc_id"), "left_semi")
+      val hit = mine.select(col("_bb")).distinct().collect().map {
+        case r => r.get(0) match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+        }
+      }.toSeq.sorted
+      val removed = if (hit.isEmpty) 0L else mine.count()
+      val bandBytes = if (hit.nonEmpty) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bandforget")
+        try {
+          val keep = bands.filter(col("_bb").isin(hit: _*))
+            .join(broadcast(d), Seq("doc_id"), "left_anti")
+          graft.text.LabelStore.rewritePartitions(spark, bandsPath,
+            "_bb", hit, keep, tmp.resolve("stageBands"))
+        } finally graft.text.Artifacts.deleteRecursively(tmp)
+      } else 0L
+      val fs = graft.text.LabelStore.forget(spark, s"$storeDir/dedup",
+        buckets, d)
+      ForgetReport(removed, hit.size, bandBytes, fs)
+    } finally d.unpersist(false)
+  }
+
   /** The min-id survivor view over a docs frame given the ingest
     * store's labels: every labeled non-representative drops, unlisted
     * docs (singletons) survive — the q165/rebuild-identical rule. */

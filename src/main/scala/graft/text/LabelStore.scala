@@ -194,18 +194,22 @@ object LabelStore {
   /** The converged (doc_id, rep) labels — the [[ClusterIndex]]
     * surface: rep-keyed base plus the delta segments. */
   def labels(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(byRepPath(dir)).select(col("doc_id"), col("rep"))
+    // explicit schema: a store whose every base bucket was forgotten
+    // away holds only `_delta/`, and empty parquet cannot infer
+    s.read.schema(labelSchema).parquet(byRepPath(dir))
+      .select(col("doc_id"), col("rep"))
       .unionByName(readDelta(s, byRepPath(dir), labelSchema))
 
   /** The same labels from the doc-keyed lookup twin (the two tables
     * carry identical rows — LabelStoreSpec pins it). */
   def labelsByDoc(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(byDocPath(dir)).select(col("doc_id"), col("rep"))
+    s.read.schema(labelSchema).parquet(byDocPath(dir))
+      .select(col("doc_id"), col("rep"))
       .unionByName(readDelta(s, byDocPath(dir), labelSchema))
 
   /** The component-tagged pair set (da, db, rep). */
   def pairs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(pairsPath(dir))
+    s.read.schema(pairSchema).parquet(pairsPath(dir))
       .select(col("da"), col("db"), col("rep"))
       .unionByName(readDelta(s, pairsPath(dir), pairSchema))
 
@@ -412,6 +416,185 @@ object LabelStore {
     } finally np.unpersist(false)
   }
 
+  /** What a [[forget]] did: requested vs actually-labeled docs, the
+    * components it re-converged, how many components the survivors
+    * re-formed into (splits surface as newComponents > touchedReps),
+    * and the IO bill. Counts only — a forget request must not be
+    * remembered verbatim in an audit object. */
+  case class ForgetStats(docsRequested: Long, labeledDocs: Long,
+                         touchedReps: Long, newComponents: Long,
+                         bytesWritten: Long)
+
+  /** FORGET documents from the label/pair store — the
+    * right-to-be-forgotten path for the dedup structures
+    * ([[graft.etl.MergeOps.deleteBucketed]]'s counterpart for DERIVED
+    * data, where erasure is not row deletion: removing a doc can
+    * SPLIT its component, so the affected components must
+    * re-converge from their remaining pairs).
+    *
+    * Pruning discipline (the [[fold]] recipe in reverse): the
+    * forgotten docs' label rows come from the doc-keyed twin (≤|D|
+    * bucket dirs), their components' pairs and members from the
+    * rep-keyed tables (≤|touched reps| bucket dirs); ONLY the touched
+    * components re-converge ([[CurationQueries.withDupClusterLabels]]
+    * over their remaining pairs — splits, rep re-election when the
+    * old rep itself is forgotten, and whole-component erasure all
+    * fall out of re-convergence from scratch on that bounded
+    * subgraph); only their buckets rewrite by staged swap. Cost is
+    * proportional to the forgotten docs' COMPONENT sizes, never the
+    * corpus. Docs with no label row (singletons) cost nothing here —
+    * their band rows are the caller's business
+    * ([[graft.Curation.forgetBatch]] removes those).
+    *
+    * Every store-reading frame is materialized to the staging dir
+    * BEFORE any directory mutation (the fold's discipline — a lazy
+    * frame re-reading a swapped path would race its own forget). */
+  def forget(s: SparkSession, dir: String, buckets: Int,
+             docs: DataFrame): ForgetStats = {
+    require(buckets >= 1)
+    val b = lit(buckets.toLong)
+    val d = docs.select(col("doc_id")).distinct().persist()
+    try {
+      val nReq = d.count()
+      if (nReq == 0) return ForgetStats(0L, 0L, 0L, 0L, 0L)
+      val epBuckets = d.select(pmod(col("doc_id"), b).as("v"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val dLabels = readBuckets(s, byDocPath(dir), "_db", epBuckets,
+          labelSchema).drop("_db")
+        .unionByName(readDelta(s, byDocPath(dir), labelSchema))
+        .join(broadcast(d), Seq("doc_id"))
+      val touchedRepVals = timed("touchedReps") {
+        dLabels.select(col("rep")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      }
+      if (touchedRepVals.isEmpty)
+        return ForgetStats(nReq, 0L, 0L, 0L, 0L)
+      val trBuckets = touchedRepVals.map(r =>
+        ((r % buckets) + buckets) % buckets).distinct
+      val touchedReps = {
+        import s.implicits._
+        s.createDataset(touchedRepVals).toDF("rep")
+      }
+      val tmp = Files.createTempDirectory("graft-labelforget")
+      try {
+        // ── stage phase: every store read lands in tmp before any
+        // directory mutates ──
+        val affected = readBuckets(s, pairsPath(dir), "_cb", trBuckets,
+            pairSchema).drop("_cb")
+          .unionByName(readDelta(s, pairsPath(dir), pairSchema))
+          .join(broadcast(touchedReps), Seq("rep"), "left_semi")
+          .select(col("da"), col("db"))
+        val remaining = affected
+          .join(broadcast(d.withColumnRenamed("doc_id", "da")),
+            Seq("da"), "left_anti")
+          .join(broadcast(d.withColumnRenamed("doc_id", "db")),
+            Seq("db"), "left_anti")
+        remaining.write.mode("overwrite")
+          .parquet(tmp.resolve("remaining").toString)
+        // explicit schemas on every tmp read: an all-forgotten
+        // component leaves these frames EMPTY, and empty parquet has
+        // no inferable schema
+        val remSchema = org.apache.spark.sql.types.StructType(
+          pairSchema.fields.filter(_.name != "rep"))
+        val rem = s.read.schema(remSchema)
+          .parquet(tmp.resolve("remaining").toString)
+        val oldTouched = readBuckets(s, byRepPath(dir), "_cb", trBuckets,
+            labelSchema).drop("_cb")
+          .unionByName(readDelta(s, byRepPath(dir), labelSchema))
+          .join(broadcast(touchedReps), Seq("rep"), "left_semi")
+          .select(col("doc_id"), col("rep"))
+        oldTouched.write.mode("overwrite")
+          .parquet(tmp.resolve("oldTouched").toString)
+        val oldT = s.read.schema(labelSchema)
+          .parquet(tmp.resolve("oldTouched").toString)
+        val nLabeled = dLabels.count()
+        val subPath = tmp.resolve("sub").toString
+        timed("reconverge") {
+          CurationQueries.withDupClusterLabels(s, rem) { sub =>
+            sub.select(col("doc_id"), col("rep"))
+              .write.mode("overwrite").parquet(subPath)
+          }
+        }
+        val sub = s.read.schema(labelSchema).parquet(subPath)
+        val nComponents = sub.select(col("rep")).distinct().count()
+        val memberDocBuckets = oldT
+          .select(pmod(col("doc_id"), b).as("v"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val newTagged = rem
+          .join(sub.select(col("doc_id").as("da"), col("rep")), Seq("da"))
+          .select(col("da"), col("db"), col("rep"))
+        timed("stage:labels") {
+          stageFlat(s, sub, tmp.resolve("appLabels"), countRows = false)
+        }
+        timed("stage:pairs") {
+          stageFlat(s, newTagged, tmp.resolve("appPairs"),
+            countRows = false)
+        }
+        val deltaKeeps = timed("stage:deltas") {
+          Seq(
+            (byRepPath(dir), stageFlat(s,
+              readDelta(s, byRepPath(dir), labelSchema)
+                .join(broadcast(touchedReps), Seq("rep"), "left_anti"),
+              tmp.resolve("dkRep"), countRows = false)),
+            (byDocPath(dir), stageFlat(s,
+              readDelta(s, byDocPath(dir), labelSchema)
+                .join(oldT.select(col("doc_id")), Seq("doc_id"),
+                  "left_anti"),
+              tmp.resolve("dkDoc"), countRows = false)),
+            (pairsPath(dir), stageFlat(s,
+              readDelta(s, pairsPath(dir), pairSchema)
+                .join(broadcast(touchedReps), Seq("rep"), "left_anti"),
+              tmp.resolve("dkPairs"), countRows = false)))
+        }
+
+        // ── mutate phase: base-bucket swaps (each rewritePartitions
+        // call stages its own output before swapping), delta
+        // re-segment, then the re-converged rows land as deltas ──
+        val keepRep = readBuckets(s, byRepPath(dir), "_cb", trBuckets,
+            labelSchema).drop("_cb")
+          .join(broadcast(touchedReps), Seq("rep"), "left_anti")
+          .withColumn("_cb", pmod(col("rep"), b))
+        val repBytes = timed("swap:rep") {
+          rewritePartitions(s, byRepPath(dir), "_cb", trBuckets,
+            keepRep, tmp.resolve("stageRep"))
+        }
+        val keepDoc = readBuckets(s, byDocPath(dir), "_db",
+            memberDocBuckets, labelSchema).drop("_db")
+          .join(oldT.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .withColumn("_db", pmod(col("doc_id"), b))
+        val docBytes = timed("swap:doc") {
+          rewritePartitions(s, byDocPath(dir), "_db", memberDocBuckets,
+            keepDoc, tmp.resolve("stageDoc"))
+        }
+        val keepPairs = readBuckets(s, pairsPath(dir), "_cb", trBuckets,
+            pairSchema).drop("_cb")
+          .join(broadcast(touchedReps), Seq("rep"), "left_anti")
+          .withColumn("_cb", pmod(col("rep"), b))
+        val pairBytes = timed("swap:pairs") {
+          rewritePartitions(s, pairsPath(dir), "_cb", trBuckets,
+            keepPairs, tmp.resolve("stagePairs"))
+        }
+        val deltaBytes = timed("land:delta") {
+          deltaKeeps.map { case (table, (bytes, _)) =>
+            Artifacts.deleteRecursively(Paths.get(deltaPath(table)))
+            bytes
+          }.sum
+        }
+        moveParts(tmp.resolve("dkRep"), deltaPath(byRepPath(dir)))
+        moveParts(tmp.resolve("dkDoc"), deltaPath(byDocPath(dir)))
+        moveParts(tmp.resolve("dkPairs"), deltaPath(pairsPath(dir)))
+        val appendBytes = timed("land:append") {
+          copyParts(tmp.resolve("appLabels"), deltaPath(byRepPath(dir))) +
+            copyParts(tmp.resolve("appLabels"), deltaPath(byDocPath(dir))) +
+            copyParts(tmp.resolve("appPairs"), deltaPath(pairsPath(dir)))
+        }
+        ForgetStats(nReq, nLabeled, touchedRepVals.size.toLong,
+          nComponents,
+          repBytes + docBytes + pairBytes + deltaBytes + appendBytes)
+      } finally Artifacts.deleteRecursively(tmp)
+    } finally d.unpersist(false)
+  }
+
   /** Write `out` as a single unpartitioned segment file in `staging`;
     * returns (bytes, rows). The single file IS the point — an eager
     * per-bucket append was measured at ~22 ms of parquet writer
@@ -498,7 +681,7 @@ object LabelStore {
     * whole content merged away) is REMOVED, not left stale. Returns
     * the bytes written. Empty `bucketSet` short-circuits (the common
     * merge-free fold never swaps at all). */
-  private def rewritePartitions(s: SparkSession, tablePath: String,
+  private[graft] def rewritePartitions(s: SparkSession, tablePath: String,
                                 partCol: String, bucketSet: Seq[Long],
                                 out: DataFrame, staging: Path): Long = {
     if (bucketSet.isEmpty) return 0L

@@ -584,4 +584,70 @@ class CurationFacadeSpec extends SparkSpec {
       graft.text.Artifacts.deleteRecursively(root)
     }
   }
+
+  test("forgetBatch == initIncremental without the forgotten docs (r13)") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val buckets = 16
+    val docs = graft.analytics.Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+
+    val storeA = java.nio.file.Files
+      .createTempDirectory("graft-forgetA").toString
+    Curation.initIncremental(spark, docs, storeA, buckets)
+
+    // pick: the REP of a multi-member component (forces re-election),
+    // a NON-REP member of a different component, and a singleton (no
+    // label row — only its band rows must vanish)
+    val lbl = graft.text.LabelStore.labels(spark, s"$storeA/dedup")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bySize = lbl.groupBy(_._2).view.mapValues(_.length).toMap
+    val repPick = bySize.collect { case (r, n) if n >= 2 => r }.min
+    val memberPick = lbl.collect {
+      case (doc, rep) if doc != rep && rep != repPick => doc
+    }.min
+    val labeled = lbl.map(_._1).toSet
+    val singleton = docs.select(col("doc_id")).collect()
+      .map(_.getLong(0)).filterNot(labeled).min
+    val forgetIds = Seq(repPick, memberPick, singleton)
+
+    val report = Curation.forgetBatch(spark, storeA,
+      forgetIds.toDF("doc_id"), buckets)
+    assert(report.bandRowsRemoved > 0L,
+      "the forgotten docs' band rows must have existed")
+    assert(report.dedup.labeledDocs == 2L, s"unexpected ${report.dedup}")
+
+    // the oracle: a FRESH init over the corpus minus the forgotten docs
+    val storeB = java.nio.file.Files
+      .createTempDirectory("graft-forgetB").toString
+    Curation.initIncremental(spark,
+      docs.filter(!col("doc_id").isin(forgetIds: _*)), storeB, buckets)
+
+    def lblSet(st: String) = graft.text.LabelStore
+      .labels(spark, s"$st/dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairSet(st: String) = graft.text.LabelStore
+      .pairs(spark, s"$st/dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def bandSet(st: String) = spark.read.parquet(s"$st/bands")
+      .select(col("band"), col("ha"), col("hb"), col("doc_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(lblSet(storeA).nonEmpty, "identity would be vacuous")
+    assert(lblSet(storeA) == lblSet(storeB),
+      "forget drifted from the rebuild: labels")
+    assert(pairSet(storeA) == pairSet(storeB),
+      "forget drifted from the rebuild: pairs")
+    assert(bandSet(storeA) == bandSet(storeB),
+      "forget drifted from the rebuild: bands")
+    // the user-facing guarantee: identical survivor sets
+    val remaining = docs.filter(!col("doc_id").isin(forgetIds: _*))
+    def survivors(st: String) = Curation
+      .incrementalSurvivors(spark, st, remaining)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors(storeA) == survivors(storeB))
+    Seq(storeA, storeB).foreach(p => graft.text.Artifacts
+      .deleteRecursively(java.nio.file.Paths.get(p)))
+  }
 }

@@ -172,4 +172,72 @@ class LabelStoreSpec extends SparkSpec {
     assert(stats == LabelStore.FoldStats(0L, 0L, 0L, 0L, 0, 0, 0L))
     assert(LabelStore.labels(spark, dir).collect().toSeq == before)
   }
+
+  test("forget: bridge split, rep re-election, erasure; untouched byte-identical (r13)") {
+    import spark.implicits._
+    val buckets = 4
+    // {1,2,3,4,5} rep 1 via (1,2),(2,3),(1,4),(3,5) — doc 2 BRIDGES
+    // {1,4} and {3,5}; {8,12} rep 8 lives in byRep bucket 0, never
+    // touched by the first forget
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (8L, 8L), (12L, 8L)).toDF("doc_id", "rep")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 5L), (8L, 12L))
+      .toDF("da", "db")
+    val dir = freshDir()
+    LabelStore.publish(labels, pairs, dir, buckets)
+
+    def snapshot(table: String, b: Long): Seq[(String, Long)] = {
+      val p = Paths.get(dir, table, s"_cb=$b")
+      if (!Files.exists(p)) Seq.empty
+      else {
+        val st = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(f => f.toString -> Files.getLastModifiedTime(f).toMillis)
+            .toSeq.sortBy(_._1)
+        } finally st.close()
+      }
+    }
+    val before0 = snapshot("byRep", 0L)
+    assert(before0.nonEmpty)
+
+    // forgetting a doc with no label row is a label-store no-op
+    val nop = LabelStore.forget(spark, dir, buckets,
+      Seq(999L).toDF("doc_id"))
+    assert(nop == LabelStore.ForgetStats(1L, 0L, 0L, 0L, 0L))
+
+    // forget the bridge: the component must SPLIT into {1,4} and
+    // {3,5}, each re-electing its min-id rep
+    val st = LabelStore.forget(spark, dir, buckets,
+      Seq(2L).toDF("doc_id"))
+    assert(st.labeledDocs == 1L && st.touchedReps == 1L &&
+      st.newComponents == 2L, s"unexpected $st")
+    val got = LabelStore.labels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 3L,
+      8L -> 8L, 12L -> 8L), s"split labels wrong: $got")
+    assert(got == LabelStore.labelsByDoc(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "doc-keyed twin drifted")
+    val pr = LabelStore.pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pr == Set((1L, 4L, 1L), (3L, 5L, 3L), (8L, 12L, 8L)),
+      s"pairs wrong after split: $pr")
+    assert(snapshot("byRep", 0L) == before0,
+      "the untouched component's byRep bucket was rewritten")
+
+    // whole-component erasure: both members forgotten together
+    val st2 = LabelStore.forget(spark, dir, buckets,
+      Seq(8L, 12L).toDF("doc_id"))
+    assert(st2.labeledDocs == 2L && st2.newComponents == 0L)
+    val got2 = LabelStore.labels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 4L -> 1L, 3L -> 3L, 5L -> 3L))
+    assert(!Files.exists(Paths.get(dir, "byRep", "_cb=0")),
+      "the erased component's base bucket must be removed")
+    assert(LabelStore.pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
+      Set((1L, 4L, 1L), (3L, 5L, 3L)))
+  }
 }
