@@ -556,7 +556,15 @@ object Curation {
     * Correctness is the rebuild identity, CurationFacadeSpec-pinned:
     * after `forgetBatch(D)` the store's labels, pairs, bands and the
     * [[incrementalSurvivors]] view are row-identical to
-    * [[initIncremental]] run on the corpus WITHOUT D. */
+    * [[initIncremental]] run on the corpus WITHOUT D.
+    *
+    * Scope note, stated rather than hidden: this cleans the INGEST
+    * STORE. A concurrently-running [[graft.streaming.StreamingNearDup]]
+    * query keeps its own checkpointed band state — forgotten content
+    * stays pairable THERE until that state is rebuilt/compacted from
+    * the cleaned store (its Bloom "seen" gate is read-skipping only,
+    * so no correctness interaction — just retention). A production
+    * forget pipeline bounces the stream after the store fold. */
   def forgetBatch(spark: SparkSession, storeDir: String,
                   docs: DataFrame, buckets: Int = 256): ForgetReport = {
     GraftSession.configure(spark)
