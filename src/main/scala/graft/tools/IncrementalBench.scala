@@ -188,6 +188,33 @@ object IncrementalBench {
           f"touched=${stats.touchedReps}%-5d " +
           f"new_pairs=$nPairs%-6d labels=$nLabels%d")
       }
+      // ── forget cost (r13): erase 50 base-corpus clustered docs ──
+      // `forget` is the label/pair half ([[LabelStore.forget]] on a
+      // fresh store copy per rep — expected FLAT: IO ∝ the docs'
+      // component sizes); `bscan` is the band half's locate scan
+      // (shuffle-free but corpus-LINEAR by design — the band store is
+      // laid out for the probe direction; the honest floor, printed
+      // not hidden).
+      val dForget = baseLabels.select(col("doc_id")).orderBy("doc_id")
+        .limit(50)
+      var tForget = Double.MaxValue
+      var fstats: LabelStore.ForgetStats = null
+      for (_ <- 1 to reps) {
+        val run = tmp.resolve("store_run")
+        Artifacts.deleteRecursively(run)
+        copyDir(store0, run)
+        val t0 = System.nanoTime()
+        fstats = LabelStore.forget(s, run.toString, storeBuckets, dForget)
+        tForget = math.min(tForget, (System.nanoTime() - t0) / 1e9)
+      }
+      val (tScan, nHitB) = timeMin {
+        bandsMP.join(broadcast(dForget), Seq("doc_id"), "left_semi")
+          .select(col("_bb")).distinct().count()
+      }
+      println(f"[incr-forget] M=$m%-5d forget=$tForget%6.2fs " +
+        f"fwr=${fstats.bytesWritten / 1024}%-6dKB " +
+        f"touched=${fstats.touchedReps}%-4d comps=${fstats.newComponents}%-4d " +
+        f"bscan=$tScan%6.2fs hit_bb=$nHitB%d")
     }
     s.stop()
     graft.text.Artifacts.deleteRecursively(tmp)
