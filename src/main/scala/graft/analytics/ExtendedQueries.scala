@@ -1469,6 +1469,111 @@ object ExtendedQueries {
         ORDER BY lvl DESC, event_type ASC NULLS FIRST,
                  dow ASC NULLS FIRST"""
       },
+      bench = true),
+
+    // ── cascaded quantile rollup via the HIST sketch (r13) ─────────
+    // The q178 principle on the DISTRIBUTION statistic: exact
+    // percentiles don't cascade (a parent's p50 is not a function of
+    // its children's p50s — the whole value multiset matters), but
+    // the log-histogram sketch ([[graft.plans.HistAgg]]) is
+    // distributive — bucket counters SUM, associatively. One fact
+    // pass builds finest-grain (type, dow) sketches (2 KiB state per
+    // group); each coarser level folds the finer level's 256-long
+    // arrays (`zip_with(+)` over ≤7-row groups) and extracts p50/p90
+    // with the shared window-free `quantileBucketSql` fold; `n` is
+    // derived from the sketch itself (element sum), so every level's
+    // numbers come from ONE structure. The oracle rebuilds every
+    // level's counters DIRECTLY from raw rows — the hash match proves
+    // sum-fold == recount-over-union. Negative cents are filtered
+    // identically on both sides (HistAgg would skip them silently;
+    // the explicit filter keeps the twins honest).
+    "q179_cascaded_quantile_rollup" -> QuerySpec(
+      build = (s, d) => {
+        import org.apache.spark.sql.graft.ColumnBridge.{column => toC, expression => toE}
+        val w = graft.plans.HistAgg.w
+        val hist = toC(graft.plans.HistAgg(toE(col("cents")))
+          .toAggregateExpression())
+        val foldH = expr(
+          s"aggregate(collect_list(h), array_repeat(cast(0 as bigint), $w), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))")
+        val base = ev(s, d)
+          .select(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").as("dow"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .filter(col("cents") >= 0)
+        val finest = base.groupBy(col("event_type"), col("dow"))
+          .agg(hist.as("h"))
+        val l1 = finest.groupBy(col("event_type")).agg(foldH.as("h"))
+        val l0 = finest.agg(foldH.as("h"))
+        def shaped(df: DataFrame, lvl: Int, hasType: Boolean,
+                   hasDow: Boolean) = df.select(
+            (if (hasType) col("event_type")
+             else lit(null).cast("string").as("event_type")) ::
+            (if (hasDow) col("dow")
+             else lit(null).cast("bigint").as("dow")) ::
+            lit(lvl).as("lvl") :: col("h") :: Nil: _*)
+          .withColumn("n", expr(
+            "aggregate(h, cast(0 as bigint), (acc, x) -> acc + x)"))
+          .withColumn("_b50", expr(
+            graft.plans.HistAgg.quantileBucketSql("h", "n", 50)))
+          .withColumn("_b90", expr(
+            graft.plans.HistAgg.quantileBucketSql("h", "n", 90)))
+          .select(col("event_type"), col("dow"), col("lvl"), col("n"),
+            expr(graft.plans.HistAgg.loSparkSql("_b50")).as("p50_lo"),
+            expr(graft.plans.HistAgg.loSparkSql("_b90")).as("p90_lo"))
+        shaped(finest, 2, hasType = true, hasDow = true)
+          .unionByName(shaped(l1, 1, hasType = true, hasDow = false))
+          .unionByName(shaped(l0, 0, hasType = false, hasDow = false))
+          .orderBy(col("lvl").desc, col("event_type").asc_nulls_first,
+            col("dow").asc_nulls_first)
+      },
+      oracle = Some {
+        def lvlCtes(tag: String, dims: String) = {
+          val dsel = if (dims.isEmpty) "" else s"$dims,"
+          val dgrp = if (dims.isEmpty) "" else s"GROUP BY $dims"
+          val dgrpB = if (dims.isEmpty) "GROUP BY b"
+                      else s"GROUP BY $dims, b"
+          val dpart = if (dims.isEmpty) "" else s"PARTITION BY $dims"
+          s"""
+        c$tag AS (SELECT $dsel b, count(*) c FROM bk $dgrpB),
+        cum$tag AS (SELECT $dsel b, c,
+                  sum(c) OVER ($dpart ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum,
+                  sum(c) OVER ($dpart) total
+                FROM c$tag),
+        p$tag AS (SELECT $dsel CAST(max(total) AS BIGINT) n,
+                min(CASE WHEN cum * 100 >= 50 * total THEN b END) b50,
+                min(CASE WHEN cum * 100 >= 90 * total THEN b END) b90
+              FROM cum$tag $dgrp)"""
+        }
+        def lo(name: String) = graft.plans.HistAgg.loDuckSql(name)
+        s"""
+        WITH v AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                     CAST(floor(value * 100) AS BIGINT) AS cents
+                   FROM events),
+        vf AS (SELECT * FROM v WHERE cents >= 0),
+        bk AS (SELECT event_type, dow,
+                 CASE WHEN cents < 8 THEN cents
+                      ELSE ((length(bin(cents)) - 2) * 4
+                            + ((cents >> (length(bin(cents)) - 3)) & 3))
+                 END AS b
+               FROM vf),
+        ${lvlCtes("2", "event_type, dow")},
+        ${lvlCtes("1", "event_type")},
+        ${lvlCtes("0", "")},
+        u AS (
+          SELECT event_type, dow, 2 AS lvl, n, b50, b90 FROM p2
+          UNION ALL
+          SELECT event_type, CAST(NULL AS BIGINT), 1, n, b50, b90 FROM p1
+          UNION ALL
+          SELECT CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 0, n,
+                 b50, b90 FROM p0)
+        SELECT event_type, dow, lvl, n,
+               ${lo("b50")} AS p50_lo, ${lo("b90")} AS p90_lo
+        FROM u
+        ORDER BY lvl DESC, event_type ASC NULLS FIRST,
+                 dow ASC NULLS FIRST"""
+      },
       bench = true)
   )
 
