@@ -79,6 +79,15 @@ class TableDiffSpec extends SparkSpec {
       s"both rows must classify as changed: $stats")
     assert(d.select(col("id")).collect().map(_.getLong(0)).toSet
       == Set(1L, 2L))
+
+    // the r13 xxhash64-specific hazard: XxHash64 SKIPS null inputs
+    // (the running hash passes through), so (null,"x") and ("x",null)
+    // would hash identically without the bit-packed null mask
+    val c = Seq((3L, null: String, "x")).toDF("id", "x", "y")
+    val e = Seq((3L, "x", null: String)).toDF("id", "x", "y")
+    val (_, st2) = TableDiff.diff(c, e, Seq("id"), 4)
+    assert(st2.changed == 1,
+      s"a null-position swap must flip the fingerprint: $st2")
   }
 
   test("diffBucketed prunes at the parquet partition level") {
