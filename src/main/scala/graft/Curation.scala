@@ -478,6 +478,30 @@ object Curation {
   case class BatchReport(stages: Seq[StageCount],
                          fold: graft.text.LabelStore.FoldStats)
 
+  /** Resolve the store's bucket count from the `_meta` sidecar
+    * [[graft.text.LabelStore.publish]] records (both halves of the
+    * ingest store — bands and dedup — are always initialized with ONE
+    * value, so the dedup sidecar is authoritative for both). A caller
+    * passing an explicit count must agree with it — a silent mismatch
+    * makes [[graft.text.IncrementalDedup.newPairsPruned]] prune with
+    * the wrong modulus (missed duplicate pairs) and the fold read the
+    * wrong `_cb=`/`_db=` dirs (missed components), with no error.
+    * `passed = 0` means "whatever the store says"; a pre-sidecar
+    * store requires an explicit count. */
+  private def storeBuckets(storeDir: String, passed: Int): Int =
+    graft.text.LabelStore.bucketsOf(s"$storeDir/dedup") match {
+      case Some(b) =>
+        require(passed == 0 || passed == b,
+          s"ingest store $storeDir was initialized with buckets=$b " +
+            s"but the caller passed buckets=$passed")
+        b
+      case None =>
+        require(passed > 0,
+          s"ingest store $storeDir predates the _meta sidecar — pass " +
+            "the bucket count it was built with")
+        passed
+    }
+
   /** Ingest one batch (`doc_id` disjoint from everything already in
     * the store — the probe's precondition) through the incremental
     * funnel: optional quality floor → batch sketch → pruned probe →
@@ -487,10 +511,11 @@ object Curation {
     * `qualityMin` defaults OFF (0.0) so the fold identity is exact;
     * production sets the same floor `curate` uses. */
   def curateBatch(spark: SparkSession, storeDir: String,
-                  batch: DataFrame, buckets: Int = 256,
+                  batch: DataFrame, buckets0: Int = 0,
                   qualityMin: Double = 0.0): BatchReport = {
     import graft.text.TextFunctions._
     GraftSession.configure(spark)
+    val buckets = storeBuckets(storeDir, buckets0)
     val raw = batch.filter(col("text").isNotNull)
     val qual =
       if (qualityMin <= 0) raw
@@ -566,8 +591,9 @@ object Curation {
     * so no correctness interaction — just retention). A production
     * forget pipeline bounces the stream after the store fold. */
   def forgetBatch(spark: SparkSession, storeDir: String,
-                  docs: DataFrame, buckets: Int = 256): ForgetReport = {
+                  docs: DataFrame, buckets0: Int = 0): ForgetReport = {
     GraftSession.configure(spark)
+    val buckets = storeBuckets(storeDir, buckets0)
     val d = docs.select(col("doc_id")).distinct().persist()
     try {
       val bandsPath = s"$storeDir/bands"

@@ -158,12 +158,17 @@ object TableDiff {
     val f2 = bucketFingerprints(b2, bucketCol, valueCols)
     // native-typed bucket values: an isin over CAST literals would
     // wrap the partition column in a cast and defeat FileIndex pruning
-    // (SilverStore's `_bucket` is int; diff()'s `_db` is long)
-    val differingVals = f1.select(col(bucketCol), col("fp").as("fp1"))
-      .join(f2.select(col(bucketCol), col("fp").as("fp2")),
+    // (SilverStore's `_bucket` is int; diff()'s `_db` is long).
+    // The row COUNT compares alongside the hash sum: any add/remove
+    // imbalance flips it regardless of hash values, cheaply shaving
+    // the equal-sum collision exposure the scaladoc documents
+    val differingVals = f1.select(col(bucketCol), col("fp").as("fp1"),
+        col("n").as("n1"))
+      .join(f2.select(col(bucketCol), col("fp").as("fp2"),
+          col("n").as("n2")),
         Seq(bucketCol), "full_outer")
       .filter(col("fp1").isNull || col("fp2").isNull ||
-        col("fp1") =!= col("fp2"))
+        col("fp1") =!= col("fp2") || col("n1") =!= col("n2"))
       .select(col(bucketCol)).collect().map(_.get(0))
     val differing = differingVals.map {
       case i: java.lang.Integer => i.longValue

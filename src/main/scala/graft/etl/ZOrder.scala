@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * Everything is integer-exact so the layout is reproducible and the
   * q171 locality audit hash-checks cross-engine:
   *
-  *   - [[scaleTo16]]: `(x − mn) div step`, `step = (mx − mn) div 65536
-  *     + 1` — a rank-free affine bucketing into [0, 65536) that never
-  *     multiplies (no overflow for any long range), identical `div`
+  *   - [[scaleTo16]]: `(x − mn)·65535 div max(mx − mn, 1)` — a
+  *     rank-free affine bucketing onto the FULL [0, 65536) (small
+  *     domains still use the curve's top bits), identical `div`
   *     semantics in Spark and DuckDB for the non-negative operands it
-  *     is given;
+  *     is given. The multiply bounds the contract: the dimension
+  *     RANGE must stay below 2⁴⁷ (see the method doc) — epoch days,
+  *     entity keys and bucket ids qualify; µs clocks pre-divide;
   *   - [[spreadBits16]]: the classic 4-step magic-mask bit spread
   *     (0x00FF00FF → 0x0F0F0F0F → 0x33333333 → 0x55555555);
   *   - [[zValue]]: `spread(a) | spread(b) << 1` < 2³².
@@ -75,10 +77,19 @@ object ZOrder {
     val mm = df.agg(
       min(dimA.cast("long")).as("_mna"), max(dimA.cast("long")).as("_mxa"),
       min(dimB.cast("long")).as("_mnb"), max(dimB.cast("long")).as("_mxb"))
+    // enforce the 2⁴⁷ range contract IN the plan (the bounds only
+    // exist there): a µs-clock caller fails loudly instead of
+    // silently corrupting the layout
+    val tooWide = greatest(col("_mxa") - col("_mna"),
+      col("_mxb") - col("_mnb")) >= lit(1L << 47)
     df.crossJoin(broadcast(mm))
-      .withColumn("_z", zValue(
-        scaleTo16(dimA.cast("long"), col("_mna"), col("_mxa")),
-        scaleTo16(dimB.cast("long"), col("_mnb"), col("_mxb"))))
+      .withColumn("_z",
+        when(tooWide, raise_error(lit(
+          "ZOrder.zKey: a dimension range >= 2^47 overflows scaleTo16" +
+            " — pre-scale the dimension (e.g. us -> s)")))
+          .otherwise(zValue(
+            scaleTo16(dimA.cast("long"), col("_mna"), col("_mxa")),
+            scaleTo16(dimB.cast("long"), col("_mnb"), col("_mxb")))))
       .drop("_mna", "_mxa", "_mnb", "_mxb")
   }
 

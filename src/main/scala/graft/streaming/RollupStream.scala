@@ -62,6 +62,10 @@ object RollupStream {
     val s = batch.sparkSession
     val root = java.nio.file.Paths.get(storeDir)
     java.nio.file.Files.createDirectories(root)
+    sweepTmp(root) // a crash between write and move leaks `_tmp-*`;
+                   // this fold is the single writer, so any survivor
+                   // is stale by definition (SilverStore.sweepTmp's
+                   // discipline)
     val folded = latestBefore(root, id) match {
       case Some(v) =>
         CascadedRollup.foldFinest(
@@ -97,6 +101,21 @@ object RollupStream {
     versions(root).sorted(Ordering[Long].reverse).drop(keep)
       .foreach(v => graft.text.Artifacts.deleteRecursively(
         root.resolve(s"v$v")))
+  }
+
+  /** Delete orphaned `_tmp-*` staging dirs (a crash between the tmp
+    * write and the atomic move leaks one; nothing else ever cleans
+    * them, so they would accumulate across restarts). Called by the
+    * single writer before staging its own tmp. */
+  private[graft] def sweepTmp(root: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val st = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_tmp-"))
+        .foreach(graft.text.Artifacts.deleteRecursively)
+    } finally st.close()
   }
 
   private def versions(root: java.nio.file.Path): Seq[Long] = {

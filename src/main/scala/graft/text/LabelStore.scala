@@ -101,6 +101,47 @@ object LabelStore {
   private def byDocPath(dir: String) = s"$dir/byDoc"
   private def pairsPath(dir: String) = s"$dir/pairs"
   private def deltaPath(tablePath: String) = s"$tablePath/_delta"
+  private def metaPath(dir: String) = Paths.get(dir, "_meta")
+
+  /** The bucket count this store was published with, from the `_meta`
+    * sidecar ([[publish]] writes it). `None` on a pre-sidecar store. */
+  def bucketsOf(dir: String): Option[Int] = {
+    val p = metaPath(dir)
+    if (!Files.isRegularFile(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      Option(props.getProperty("buckets")).map(_.trim.toInt)
+    }
+  }
+
+  private def writeMeta(dir: String, buckets: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val tmp = Paths.get(dir, s"_meta.tmp${System.nanoTime()}")
+    val out = Files.newOutputStream(tmp)
+    try {
+      val props = new java.util.Properties()
+      props.setProperty("buckets", buckets.toString)
+      props.store(out, "graft LabelStore meta")
+    } finally out.close()
+    Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Fail fast when the caller's bucket count disagrees with the
+    * store's recorded one — a silent mismatch corrupts invisibly
+    * (reads prune the WRONG `_cb=`/`_db=` dirs: missed components,
+    * never an error). Pre-sidecar stores (no `_meta`) pass through on
+    * the caller's word, exactly as before the sidecar existed. */
+  private def checkBuckets(dir: String, buckets: Int): Unit =
+    bucketsOf(dir).foreach { stored =>
+      require(stored == buckets,
+        s"LabelStore at $dir was published with buckets=$stored but " +
+          s"the caller passed buckets=$buckets — bucket-keyed partition " +
+          "pruning would silently read the wrong dirs")
+    }
 
   /** Operational phase timing, off unless `-Dgraft.labelstore.debug`
     * (or env `GRAFT_LABELSTORE_DEBUG` — sbt forks the run JVM) — the
@@ -175,6 +216,7 @@ object LabelStore {
   def publish(labels: DataFrame, pairs: DataFrame, dir: String,
               buckets: Int): Unit = {
     require(buckets >= 1)
+    writeMeta(dir, buckets)
     val b = lit(buckets.toLong)
     labels.select(col("doc_id"), col("rep"))
       .withColumn("_cb", pmod(col("rep"), b))
@@ -222,6 +264,7 @@ object LabelStore {
   def fold(s: SparkSession, dir: String, buckets: Int,
            newPairs: DataFrame): FoldStats = {
     require(buckets >= 1)
+    checkBuckets(dir, buckets)
     val b = lit(buckets.toLong)
     val np = newPairs.select(col("da"), col("db")).persist()
     try {
@@ -452,6 +495,7 @@ object LabelStore {
   def forget(s: SparkSession, dir: String, buckets: Int,
              docs: DataFrame): ForgetStats = {
     require(buckets >= 1)
+    checkBuckets(dir, buckets)
     val b = lit(buckets.toLong)
     val d = docs.select(col("doc_id")).distinct().persist()
     try {
@@ -655,13 +699,18 @@ object LabelStore {
     * per fold. */
   def compact(s: SparkSession, dir: String, buckets: Int): Unit = {
     require(buckets >= 1)
+    checkBuckets(dir, buckets)
     Seq((byRepPath(dir), "_cb", "rep", labelSchema),
       (byDocPath(dir), "_db", "doc_id", labelSchema),
       (pairsPath(dir), "_cb", "rep", pairSchema))
       .foreach { case (path, partCol, keyCol, schema) =>
         val tmp = Files.createTempDirectory("graft-labelcompact")
         try {
-          s.read.parquet(path).drop(partCol)
+          // explicit schema (labels()/pairs()' own discipline): a
+          // store whose base buckets were all forgotten away holds
+          // only `_delta/`, and empty parquet cannot infer
+          s.read.schema(schema).parquet(path)
+            .select(schema.fieldNames.map(col).toSeq: _*)
             .unionByName(readDelta(s, path, schema))
             .withColumn(partCol, pmod(col(keyCol), lit(buckets.toLong)))
             .repartition(col(partCol))

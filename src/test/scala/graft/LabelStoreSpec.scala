@@ -173,6 +173,56 @@ class LabelStoreSpec extends SparkSpec {
     assert(LabelStore.labels(spark, dir).collect().toSeq == before)
   }
 
+  test("bucket-count sidecar: mismatched callers fail fast, matching pass (r14)") {
+    import spark.implicits._
+    val dir = freshDir()
+    LabelStore.publish(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "rep"),
+      Seq((1L, 2L)).toDF("da", "db"), dir, 8)
+    assert(LabelStore.bucketsOf(dir).contains(8))
+    // a wrong modulus would silently prune the wrong _cb=/_db= dirs —
+    // the store must refuse instead
+    val np = Seq((2L, 50L)).toDF("da", "db")
+    intercept[IllegalArgumentException] {
+      LabelStore.fold(spark, dir, 16, np)
+    }
+    intercept[IllegalArgumentException] {
+      LabelStore.forget(spark, dir, 4, Seq(1L).toDF("doc_id"))
+    }
+    intercept[IllegalArgumentException] {
+      LabelStore.compact(spark, dir, 32)
+    }
+    // the recorded count still works end to end
+    val stats = LabelStore.fold(spark, dir, 8, np)
+    assert(stats.labelsWritten == 1)
+  }
+
+  test("compact on a store whose base buckets were all forgotten away (delta only) (r14)") {
+    import spark.implicits._
+    val buckets = 4
+    val dir = freshDir()
+    LabelStore.publish(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "rep"),
+      Seq((1L, 2L)).toDF("da", "db"), dir, buckets)
+    // erase the only component: every base bucket dir is removed
+    val st = LabelStore.forget(spark, dir, buckets,
+      Seq(1L, 2L).toDF("doc_id"))
+    assert(st.labeledDocs == 2L && st.newComponents == 0L)
+    // fold a fresh pair: it lands as delta segments only
+    LabelStore.fold(spark, dir, buckets, Seq((10L, 20L)).toDF("da", "db"))
+    // compact used to throw 'Unable to infer schema' on the empty
+    // base read — with explicit schemas it folds the delta into the
+    // bucket layout
+    LabelStore.compact(spark, dir, buckets)
+    Seq("byRep", "byDoc", "pairs").foreach(t =>
+      assert(!Files.exists(Paths.get(dir, t, "_delta")),
+        s"$t delta must be compacted away"))
+    assert(LabelStore.labels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(10L -> 10L, 20L -> 10L))
+    assert(LabelStore.pairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      == Set((10L, 20L, 10L)))
+  }
+
   test("forget: bridge split, rep re-election, erasure; untouched byte-identical (r13)") {
     import spark.implicits._
     val buckets = 4
