@@ -1574,6 +1574,132 @@ object ExtendedQueries {
         ORDER BY lvl DESC, event_type ASC NULLS FIRST,
                  dow ASC NULLS FIRST"""
       },
+      bench = true),
+
+    // ── lossless edit-distance similarity join (r14) ───────────────
+    // The entity-resolution join behind the reference's unused
+    // `fast-levenshtein` dependency (§2.K), priced for an unbounded
+    // string set: prefix-filtered positional q-grams (rarest-gram
+    // postings — complete by the Gravano count bound) + SymSpell
+    // deletion variants for the short tail, ONE exact levenshtein
+    // verify over the deduped candidates. The oracle replays the full
+    // QUADRATIC join — the hash match proves the blocking lossless
+    // (the q168/q170/q172 row-invisibility discipline). Customer
+    // names are the worst case the prefix ordering exists for: every
+    // string shares the hot `Customer#0000…` boilerplate, and only
+    // the rare tail-digit grams enter postings. Non-vacuous at every
+    // SF (…010 vs …020 is distance 1). The %10 slice bounds the
+    // ORACLE's n² replay, not the operator.
+    "q180_edit_sim_join" -> QuerySpec(
+      build = (s, d) => {
+        val strs = customer(s, d)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"))
+        graft.operators.EditSimJoin
+          .join(strs, "c_custkey", "c_name", t = 2)
+          .orderBy("id_a", "id_b")
+      },
+      oracle = Some("""
+        WITH s AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+                   WHERE c_custkey % 10 = 0)
+        SELECT a.id AS id_a, b.id AS id_b,
+               levenshtein(a.nm, b.nm) AS ed
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE levenshtein(a.nm, b.nm) <= 2
+        ORDER BY id_a, id_b"""),
+      bench = true),
+
+    // ── SCD type-2 dimension build (r14) ───────────────────────────
+    // The reference's MERGE dimensions are type-1 (history lost on
+    // every upsert); this builds the TYPE-2 interval table from the
+    // raw change stream — per customer, the order-status history with
+    // change compression (a re-stated status is not a version),
+    // half-open validity intervals and one current row per key. All
+    // window arithmetic over ONE key-hash exchange (PlanSpec pins
+    // it); the oracle replays compression + chaining with the same
+    // (eff, tie) total order.
+    "q181_scd2_history" -> QuerySpec(
+      build = (s, d) => {
+        val changes = orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderstatus").as("status"))
+        graft.etl.Scd2.build(changes,
+            keys = Seq("custkey"),
+            seqCols = Seq("valid_from", "change_key"),
+            attrs = Seq("status"))
+          .withColumnRenamed("valid_to_seq", "valid_to")
+          .orderBy("custkey", "valid_from", "change_key")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT o_custkey AS custkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                          o_orderkey AS change_key,
+                          o_orderstatus AS status
+                   FROM orders),
+        m AS (SELECT *,
+                lag(status) OVER w AS prev,
+                row_number() OVER w AS rn
+              FROM c
+              WINDOW w AS (PARTITION BY custkey
+                           ORDER BY valid_from, change_key)),
+        kept AS (SELECT custkey, valid_from, change_key, status FROM m
+                 WHERE rn = 1 OR prev IS DISTINCT FROM status)
+        SELECT custkey, valid_from, change_key, status,
+               lead(valid_from) OVER (PARTITION BY custkey
+                 ORDER BY valid_from, change_key) AS valid_to,
+               CASE WHEN lead(valid_from) OVER (PARTITION BY custkey
+                 ORDER BY valid_from, change_key) IS NULL
+                 THEN 1 ELSE 0 END AS is_current
+        FROM kept
+        ORDER BY custkey, valid_from, change_key"""),
+      bench = true),
+
+    // ── cascaded CUBE without Expand (r14) ─────────────────────────
+    // q175's cascade on the full subset LATTICE: built-in `cube()`
+    // Expands every fact row 2^L times pre-exchange (3 dims over
+    // 100 TB ⇒ ~800 TB into the shuffle); here the fact table
+    // aggregates once at the finest grain and each of the other
+    // 2^L − 1 groupings folds group-scale from a one-dim-finer
+    // parent. `gid` is the SQL GROUPING_ID (bit ⇔ dim aggregated
+    // away), which the oracle replays with DuckDB's native GROUP BY
+    // CUBE + GROUPING() — the textbook lowering this cascade must
+    // equal.
+    "q182_cascaded_cube" -> QuerySpec(
+      build = (s, d) => {
+        import graft.operators.CascadedRollup._
+        val fact = lineitem(s, d).select(
+          col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).as("ship_year"),
+          col("l_quantity"), col("l_extendedprice"))
+        cube(fact,
+          Seq("l_returnflag", "l_linestatus", "ship_year"),
+          Seq(sum_("l_quantity", "sum_qty"), count_("n"),
+            max_("l_extendedprice", "max_price")))
+          .withColumn("sum_qty", round(col("sum_qty"), 2))
+          .orderBy(col("gid").asc,
+            col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first,
+            col("ship_year").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS ship_year,
+                 l_quantity, l_extendedprice
+          FROM lineitem)
+        SELECT l_returnflag, l_linestatus, ship_year,
+               CAST(GROUPING(l_returnflag) * 4 + GROUPING(l_linestatus) * 2
+                 + GROUPING(ship_year) AS INTEGER) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n,
+               max(l_extendedprice) AS max_price
+        FROM f
+        GROUP BY CUBE (l_returnflag, l_linestatus, ship_year)
+        ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
+                 l_linestatus ASC NULLS FIRST,
+                 ship_year ASC NULLS FIRST"""),
       bench = true)
   )
 

@@ -146,4 +146,67 @@ object CascadedRollup {
     levels.map { case (lv, kept) => shape(lv, kept) }
       .reduce(_.unionByName(_))
   }
+
+  /** CUBE via the same cascade — all 2^L groupings, the fact table
+    * still scanned and shuffled exactly ONCE. Spark's built-in
+    * `cube()` Expands every fact row 2^L times pre-exchange (a
+    * 3-dim cube over 100 TB shuffles ~800 TB); here each of the 2^L−1
+    * coarser groupings folds from a PARENT grouping with exactly one
+    * more dim (parent = the grouping plus its lowest-index missing
+    * dim — always already computed because levels process in
+    * descending dim count), so everything beyond the finest pass is
+    * group-scale. The subset lattice means several groupings fold
+    * from one parent — AQE's ReusedExchange collapses those onto a
+    * single physical exchange per parent.
+    *
+    * Output: dims (missing ones null-filled) + `gid` (SQL
+    * GROUPING_ID convention: bit set ⇔ the dim is AGGREGATED AWAY,
+    * first dim = most significant bit — disambiguates cube-null from
+    * data-null) + the aggs. Row-set identical to
+    * `df.cube(dims).agg(...)` + grouping_id, which q182's DuckDB
+    * `GROUP BY CUBE` oracle replays natively. */
+  def cube(df: DataFrame, dims: Seq[String], aggs: Seq[Agg]): DataFrame = {
+    require(dims.nonEmpty, "cube needs at least one dim")
+    require(aggs.nonEmpty, "cube needs at least one aggregate")
+    cubeFrom(aggregateFinest(df, dims, aggs), dims, aggs)
+  }
+
+  /** The cascade half of [[cube]], from a finest-grain frame (an
+    * [[aggregateFinest]] result or a [[foldFinest]]-maintained store —
+    * incremental cube maintenance falls out for free). */
+  def cubeFrom(finest: DataFrame, dims: Seq[String],
+               aggs: Seq[Agg]): DataFrame = {
+    require(dims.nonEmpty, "cube needs at least one dim")
+    require(aggs.nonEmpty, "cube needs at least one aggregate")
+    require(dims.size <= 8,
+      s"a ${dims.size}-dim cube is ${1 << dims.size} groupings — cap 8")
+    val L = dims.size
+    val full = (1 << L) - 1
+    val dimTypes = dims.map(d => d -> finest.schema(d).dataType).toMap
+    def kept(mask: Int): Seq[String] =
+      dims.zipWithIndex.collect { case (d, i) if (mask & (1 << i)) != 0 => d }
+    def combineAll(prev: DataFrame, ks: Seq[String]): DataFrame =
+      if (ks.isEmpty)
+        prev.agg(aggs.head.combine(aggs.head.name),
+          aggs.tail.map(a => a.combine(a.name)): _*)
+      else
+        prev.groupBy(ks.map(col): _*)
+          .agg(aggs.head.combine(aggs.head.name),
+            aggs.tail.map(a => a.combine(a.name)): _*)
+    val frames = scala.collection.mutable.Map[Int, DataFrame](full -> finest)
+    // descending dim count: every parent is computed before its children
+    (0 until full).sortBy(m => -Integer.bitCount(m)).foreach { m =>
+      val lowestMissing = (0 until L).find(i => (m & (1 << i)) == 0).get
+      frames(m) = combineAll(frames(m | (1 << lowestMissing)), kept(m))
+    }
+    frames.toSeq.sortBy(-_._1).map { case (m, f) =>
+      val ks = kept(m)
+      val nulled = dims.filterNot(ks.contains)
+        .map(d => lit(null).cast(dimTypes(d)).as(d))
+      val gid = (0 until L).map(i =>
+        if ((m & (1 << i)) == 0) 1 << (L - 1 - i) else 0).sum
+      f.select(ks.map(col) ++ nulled ++ Seq(lit(gid).as("gid")) ++
+        aggs.map(a => col(a.name)): _*)
+    }.reduce(_.unionByName(_))
+  }
 }

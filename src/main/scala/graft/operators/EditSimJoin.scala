@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity self-join — LOSSLESS blocking for
+  * `levenshtein(a, b) <= t`, the entity-resolution join the
+  * reference's unused `fast-levenshtein` dependency points at
+  * (SURVEY §2.K; q41 is the quadratic census over a bounded vocab —
+  * this is the operator form that survives an unbounded string set).
+  *
+  * The naive join is the O(n²) cross product q41 runs over its
+  * 150-value vocabulary; at corpus scale the join must see only
+  * CANDIDATE pairs, and — unlike the MinHash/Jaccard family (q24/q25),
+  * which is allowed to miss — an edit-distance predicate is usually a
+  * MATCHING rule, so the blocking must be provably complete. Two
+  * classic devices, composed by string length:
+  *
+  *   - **prefix-filtered positional q-grams** (Gravano et al. 2001;
+  *     the AllPairs/ED-Join prefix principle): strings within edit
+  *     distance `t` share ≥ max(|r|,|s|) − q + 1 − q·t of their
+  *     positional q-grams counting multiplicity (one edit destroys at
+  *     most q grams). Encode the multiset as (gram, occurrence-index)
+  *     elements, order every string's elements by ONE global key
+  *     (ascending document frequency, then gram, then occurrence) and
+  *     index only each string's FIRST q·t + 1 elements: any pair
+  *     meeting the count bound must collide inside those prefixes
+  *     (|A| − T + 1 ≤ q·t + 1 because T ≥ |A| − q·t). Posting lists
+  *     thus hold the RAREST grams of each string — the hot shared
+  *     boilerplate (`Customer#0000…`) sorts to the back and never
+  *     enters a posting, which is what keeps list lengths (and the
+  *     pair expansion) bounded on skewed real-world name sets.
+  *   - **deletion variants** (the SymSpell/FastSS device) for the
+  *     short tail: when BOTH strings are short enough that the count
+  *     bound can reach zero (max(|r|,|s|) ≤ q·t + q − 1 ⇔ the pair can
+  *     be within distance t sharing no gram at all), the gram filter
+  *     is vacuous — but a string of length L has only Σ C(L,k), k ≤ t
+  *     deletion variants, and two strings within edit distance t
+  *     always share one. Variants are generated in-row from a bitmask
+  *     sequence (2^L masks, L ≤ q·t + q − 1 — bounded by construction)
+  *     and joined exactly like postings.
+  *
+  * Candidates from both blocks union, dedup, and verify with ONE
+  * `levenshtein` pass (built-in, codegen'd) — false candidates die
+  * there, so the result is row-identical to the naive join, which is
+  * exactly what q180's DuckDB oracle replays (the full quadratic join;
+  * the hash match proves the blocking lossless — the q168/q170/q172
+  * discipline).
+  *
+  * Scale shape: gram document frequencies are one token-scale groupBy
+  * (vocab-bounded result), prefix selection one id-keyed groupBy with
+  * an in-row sort of ≤ |s| elements (never a global window), and the
+  * candidate join is an equi-join on (gram, occ) — no Cartesian
+  * product anywhere (EditSimJoinSpec pins the plan). Verification cost
+  * is candidate-scale, and candidates track true matches + the rare-
+  * gram collision rate, not n².
+  */
+object EditSimJoin {
+
+  /** All id pairs (`id_a` < `id_b`) whose strings are within edit
+    * distance `t`, with the distance: exactly the rows of the naive
+    * quadratic join. `strs` must carry a unique long id and a string
+    * column; null strings never match. `q` is the gram width (2 suits
+    * name-length strings; 3 shifts work toward longer ones). */
+  def join(strs: DataFrame, idCol: String, strCol: String,
+           t: Int, q: Int = 2): DataFrame = {
+    require(t >= 1, "a zero threshold is an exact groupBy, not a join")
+    require(q >= 2, "q-grams need q >= 2")
+    val shortMax = q * t + q - 1 // count bound vacuous ⇔ BOTH lens <= this
+    require(shortMax <= 20,
+      s"deletion-variant block enumerates 2^len masks: q=$q,t=$t puts " +
+        s"the short boundary at $shortMax — beyond in-row enumeration")
+    val s0 = strs
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+      .withColumn("len", length(col("s")))
+
+    // ── long block: prefix-filtered positional q-gram postings ──
+    // elements (gram, occ) per string, occ = index among equal grams
+    // (multiset intersection == set intersection over these)
+    val grams = s0.filter(col("len") >= q)
+      .withColumn("g", expr(
+        s"transform(sequence(0, len - $q), i -> substring(s, i + 1, $q))"))
+      .withColumn("e", expr(
+        "transform(g, (x, i) -> struct(x AS gram," +
+          " size(filter(slice(g, 1, i), y -> y = x)) AS occ))"))
+      .select(col("id"), col("s"), col("len"), explode(col("e")).as("e"))
+      .select(col("id"), col("s"), col("len"),
+        col("e.gram").as("gram"), col("e.occ").as("occ"))
+    // global element order: rarest gram first — ONE total order shared
+    // by every string, the prefix principle's requirement
+    val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    val prefix = grams.join(df, Seq("gram"))
+      .groupBy(col("id"))
+      .agg(first(col("s")).as("s"), first(col("len")).as("len"),
+        slice(sort_array(collect_list(
+            struct(col("gdf"), col("gram"), col("occ")))),
+          1, q * t + 1).as("pf"))
+      .select(col("id"), col("s"), col("len"), explode(col("pf")).as("p"))
+      .select(col("id"), col("s"), col("len"),
+        col("p.gram").as("gram"), col("p.occ").as("occ"))
+    val candLong = prefix.select(col("gram"), col("occ"),
+        col("id").as("id_a"), col("s").as("sa"), col("len").as("la"))
+      .join(prefix.select(col("gram"), col("occ"), col("id").as("id_b"),
+        col("s").as("sb"), col("len").as("lb")), Seq("gram", "occ"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= t)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+
+    // ── short block: ≤t-deletion variants over bitmask enumeration ──
+    val shorts = s0.filter(col("len") <= shortMax)
+      .withColumn("v", explode(expr(
+        s"""transform(
+              filter(sequence(0, shiftleft(1, len) - 1),
+                     m -> bit_count(m) <= $t),
+              m -> concat_ws('', filter(
+                     transform(sequence(0, len - 1),
+                       i -> IF((m >> i) & 1 = 0,
+                               substring(s, i + 1, 1), NULL)),
+                     x -> x IS NOT NULL)))""")))
+    val candShort = shorts.select(col("v"),
+        col("id").as("id_a"), col("s").as("sa"), col("len").as("la"))
+      .join(shorts.select(col("v"), col("id").as("id_b"),
+        col("s").as("sb"), col("len").as("lb")), Seq("v"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("la") - col("lb")) <= t)
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+
+    // ── verify: exact edit distance over the deduped candidates ──
+    candLong.unionByName(candShort)
+      .distinct()
+      .withColumn("ed", levenshtein(col("sa"), col("sb")))
+      .filter(col("ed") <= t)
+      .select(col("id_a"), col("id_b"), col("ed"))
+  }
+}

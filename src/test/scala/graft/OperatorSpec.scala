@@ -1140,6 +1140,63 @@ class OperatorSpec extends SparkSpec {
     assert(g((Some("a"), None, 1))._1 === 6L)
   }
 
+  test("CascadedRollup.cube == built-in cube, incl. data-null dims + gid bits (r14)") {
+    import graft.operators.CascadedRollup
+    import graft.operators.CascadedRollup._
+    val df = Seq(
+      ("a", "x", 1L, 10.0), ("a", "y", 2L, 20.0), ("a", null, 3L, 5.0),
+      ("b", "x", 4L, 1.0), (null, "y", 5L, 2.0), (null, null, 6L, 3.0)
+    ).toDF("d1", "d2", "v", "w")
+    val got = CascadedRollup.cube(df, Seq("d1", "d2"),
+      Seq(sum_("v", "sv"), count_("n"), max_("w", "mw"), min_("w", "nw")))
+    // built-in cube: grouping_id() IS the gid convention (bit per dim,
+    // 1 = aggregated away, first dim most significant)
+    val exp = df.cube(col("d1"), col("d2"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"),
+        max(col("w")).as("mw"), min(col("w")).as("nw"),
+        grouping_id().cast("int").as("gid"))
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getAs[String]("d1")), Option(r.getAs[String]("d2")),
+        r.getAs[Int]("gid"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      key(r) -> (r.getAs[Long]("sv"), r.getAs[Long]("n"),
+        r.getAs[Double]("mw"), r.getAs[Double]("nw"))).toMap
+    val g = m(got); val e = m(exp)
+    assert(g === e, s"cube cascade drifted from built-in cube:\n$g\nvs\n$e")
+    // the grouping rollup can't express: d2 kept while d1 aggregated
+    // (gid bit for d1 = the HIGH bit → gid 2)
+    assert(g((None, Some("x"), 2))._1 === 5L) // ("a","x") + ("b","x")
+    // data-null vs cube-null disambiguated by gid: (null d1, "y") data
+    // row at gid 0 differs from the d1-aggregated "y" subtotal at gid 2
+    assert(g((None, Some("y"), 0))._1 === 5L)
+    assert(g((None, Some("y"), 2))._1 === 7L)
+  }
+
+  test("Scd2: change compression, half-open chaining, one current row per key (r14)") {
+    import graft.etl.Scd2
+    // key k1: v A(1) A(2: re-stated, compressed) B(3) B(4) A(5) —
+    // versions A[1,3) B[3,5) A[5,∞); k2: null attr handling + single
+    // version; ties broken by the seq tail
+    val changes = Seq(
+      ("k1", 1L, 10L, "A"), ("k1", 2L, 20L, "A"), ("k1", 3L, 30L, "B"),
+      ("k1", 4L, 40L, "B"), ("k1", 5L, 50L, "A"),
+      ("k2", 1L, 11L, null), ("k2", 2L, 21L, null)
+    ).toDF("k", "eff", "tie", "attr")
+    val out = Scd2.build(changes, Seq("k"), Seq("eff", "tie"), Seq("attr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getInt(5))).toSet
+    assert(out === Set(
+      ("k1", 1L, 10L, Some("A"), Some(3L), 0),
+      ("k1", 3L, 30L, Some("B"), Some(5L), 0),
+      ("k1", 5L, 50L, Some("A"), None, 1),
+      // null == null under <=>: the second null change compresses
+      ("k2", 1L, 11L, None, None, 1)))
+    // compress = false: every change is a version
+    assert(Scd2.build(changes, Seq("k"), Seq("eff", "tie"), Seq("attr"),
+      compress = false).count() === 7L)
+  }
+
   test("CascadedRollup.foldFinest: sequential folds == full rebuild (r13)") {
     import graft.operators.CascadedRollup._
     val dims = Seq("d")
