@@ -549,6 +549,37 @@ object SimilarityQueries {
       oracle = Some(ivfOracle),
       bench = true),
 
+    // ── incremental ANN maintenance (r14): fold a batch, then search ─
+    // Production vectors ARRIVE; rebuilding the IvfIndex artifact per
+    // batch re-scans the corpus. [[VectorStore]] is the mutable ingest
+    // twin (FAISS's train-vs-add split): geometry fixed at init, a
+    // batch assigns itself in one narrow pass and APPENDS into its
+    // `_c=` lists — per-batch cost is batch-scale, never corpus-scale.
+    // The ingest split keeps the batch above the centroid range, so
+    // the stored geometry equals the full-corpus q29 centroids and the
+    // folded store must reproduce the direct path's assignment
+    // EXACTLY: q183 shares q29/q121's oracle verbatim — the hash match
+    // IS the fold ≡ rebuild proof, cross-engine (the q165/q176
+    // identity discipline applied to the ANN index).
+    "q183_ann_incremental" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val isBatch =
+          col("vec_id") >= nCentroids && col("vec_id") % 5 === 4
+        val store = graft.text.Artifacts.dir(
+          d, s"vecstore_c${nCentroids}_p${nProbe}_v1", "embeddings.parquet")
+        graft.text.Artifacts.materialize(store) { tmp =>
+          VectorStore.init(s, e.filter(!isBatch), tmp.toString)
+          VectorStore.fold(s, tmp.toString, e.filter(isBatch))
+        }
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        VectorStore.search(s, store.toString, q, nProbe, 5)
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some(ivfOracle),
+      bench = true),
+
     // ── embedding near-dup at scale: LSH candidates + exact rerank ──
     // The 100 TB twin of q27: q27's blocked all-pairs cosine is
     // O(Σ block²) and dies when labels are coarse; here candidates come

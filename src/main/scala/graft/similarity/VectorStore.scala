@@ -1,0 +1,170 @@
+package graft.similarity
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TopK
+import VectorFunctions.cosine
+
+/** Mutable IVF-flat ingest store — incremental maintenance for the ANN
+  * index, the vector twin of [[graft.text.LabelStore]] (labels) and
+  * [[graft.operators.CascadedRollup.foldFinest]] (rollups): production
+  * vectors ARRIVE, and rebuilding [[IvfIndex]]'s immutable artifact per
+  * batch re-scans the corpus.
+  *
+  * The store exploits the IVF split FAISS formalizes as train vs add:
+  * the GEOMETRY (centroids) is trained once at [[init]] and persisted
+  * with the store; assignment of a vector to its inverted list is then
+  * a PURE FUNCTION of (vector, stored centroids). So [[fold]] is
+  * append-only by construction — a batch assigns itself in one narrow
+  * batch-scale pass (the q29 in-closure argmax, zero shuffle) and
+  * APPENDS into its `_c=` list partitions; no existing row is ever
+  * read or rewritten, and fold-then-search is bit-identical to
+  * rebuild-then-search under the same centroids (q183 pins this with
+  * q29/q121's OWN oracle — the folded store must reproduce the direct
+  * path's full-corpus assignment exactly).
+  *
+  * Per-batch cost: batch scan + ≤ nCentroids partition appends —
+  * independent of corpus size. Searches partition-prune to their
+  * nProbe lists exactly like [[IvfIndex]] (per-query cost tracks the
+  * probed lists, never the corpus). [[forget]] completes the
+  * governance pair ([[graft.etl.MergeOps.deleteBucketed]] /
+  * [[graft.text.LabelStore.forget]] discipline): erasure locates its
+  * `_c` partitions with one narrow scan and rewrites ONLY those,
+  * untouched lists byte-identical.
+  *
+  * What this deliberately does NOT do: re-train centroids. Drifted
+  * data degrades list balance, not correctness (assignment stays a
+  * pure function); the production answer is a new [[init]] + swap,
+  * monitored by the list-size census [[listStats]] emits.
+  */
+object VectorStore {
+
+  private def listsPath(dir: String) = s"$dir/lists"
+  private def centsPath(dir: String) = s"$dir/centroids"
+
+  /** What a fold did: vectors appended and the (bounded) list
+    * partitions they landed in. */
+  final case class FoldStats(vectorsAdded: Long, listsTouched: Int)
+
+  /** What a forget did: rows removed and list partitions rewritten —
+    * counts only, the request keys are not retained. */
+  final case class ForgetStats(vectorsRemoved: Long, listsRewritten: Int)
+
+  /** Seed the store: centroids trained from `train` (the q29
+    * convention — the first [[SimilarityQueries.nCentroids]] vec_ids;
+    * a caller with a better codebook pre-shapes `train`) are PERSISTED
+    * as the store's fixed geometry, and `train` itself is assigned and
+    * written as the initial inverted lists. */
+  def init(s: SparkSession, train: DataFrame, storeDir: String): Unit = {
+    val cents = SimilarityQueries.centroids(train)
+    require(cents.nonEmpty, "init needs at least one centroid vector")
+    import s.implicits._
+    cents.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(centsPath(storeDir))
+    assign(train, cents)
+      .write.mode("overwrite").partitionBy("_c")
+      .parquet(listsPath(storeDir))
+  }
+
+  /** The store's fixed geometry (bounded read — ≤ nCentroids rows). */
+  def storedCentroids(s: SparkSession, storeDir: String)
+      : Seq[(Long, Array[Float])] =
+    s.read.parquet(centsPath(storeDir))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+  private def assign(vecs: DataFrame,
+                     cents: Seq[(Long, Array[Float])]): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+      (-array_max(SimilarityQueries.centScores(cents, col("embedding")))
+        .getField("n")).as("_c"))
+
+  /** Fold an ingest batch (vec_ids disjoint from the store): one
+    * narrow batch-scale assignment pass, then an APPEND into the
+    * touched `_c=` partitions — existing lists are never read or
+    * rewritten (assignment under fixed centroids is a pure function,
+    * so admission cannot invalidate anything). */
+  def fold(s: SparkSession, storeDir: String,
+           batch: DataFrame): FoldStats = {
+    val cents = storedCentroids(s, storeDir)
+    val a = assign(batch, cents).persist()
+    try {
+      val n = a.count()
+      if (n == 0) return FoldStats(0L, 0)
+      val touched = a.select(col("_c")).distinct().collect().length
+      a.write.mode("append").partitionBy("_c").parquet(listsPath(storeDir))
+      FoldStats(n, touched)
+    } finally a.unpersist(false)
+  }
+
+  /** The inverted lists (vec_id, embedding, _c) — filter `_c` by the
+    * probed centroid ids to partition-prune a read, exactly like
+    * [[IvfIndex.lists]]. */
+  def lists(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(listsPath(storeDir))
+
+  /** IVF search against the store — q121's probe shape: queries
+    * (`query_id`, `qe`) pick their nProbe nearest stored centroids,
+    * the bounded probed-cid set prunes the list read at the parquet
+    * PARTITION level, probes broadcast into the pruned scan, rerank on
+    * bounded heaps. Output (query_id, rk, vec_id, cos), self-hits
+    * excluded. */
+  def search(s: SparkSession, storeDir: String, queries: DataFrame,
+             nProbe: Int, k: Int): DataFrame = {
+    val cents = storedCentroids(s, storeDir)
+    val probes = queries.select(col("query_id"), col("qe"),
+        explode(slice(reverse(array_sort(
+          SimilarityQueries.centScores(cents, col("qe")))), 1, nProbe))
+          .as("p"))
+      .select(col("query_id"), col("qe"), (-col("p.n")).as("cid"))
+    val probedCids = probes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = lists(s, storeDir)
+      .filter(col("_c").isin(probedCids: _*))
+      .join(broadcast(probes), col("_c") === col("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", graft.analytics.StableRound.r4(
+        cosine(col("qe"), col("embedding"))))
+      .select(col("query_id"), col("vec_id"), col("cos"))
+    TopK.perKeyRanked(cand, Seq("query_id"),
+        Seq(col("cos").desc, col("vec_id")), k, "rk")
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** Per-list population census — the drift monitor [[init]]'s
+    * no-retrain stance points at: skewing list sizes mean the trained
+    * geometry no longer fits the data. */
+  def listStats(s: SparkSession, storeDir: String): DataFrame =
+    lists(s, storeDir).groupBy(col("_c")).agg(count(lit(1)).as("n"))
+
+  /** FORGET vectors by id: one narrow scan locates the ids' list
+    * partitions, ONLY those are rewritten by staged swap (emptied
+    * lists removed), every other list stays byte-identical — the
+    * [[graft.text.LabelStore.forget]] discipline on the vector half. */
+  def forget(s: SparkSession, storeDir: String,
+             ids: DataFrame): ForgetStats = {
+    val d = ids.select(col("vec_id")).distinct().persist()
+    try {
+      val all = lists(s, storeDir)
+      val mine = all.join(broadcast(d), Seq("vec_id"), "left_semi")
+      val hit = mine.select(col("_c")).distinct().collect().map {
+        _.get(0) match {
+          case i: java.lang.Integer => i.longValue
+          case l: java.lang.Long    => l.longValue
+        }
+      }.toSeq.sorted
+      if (hit.isEmpty) return ForgetStats(0L, 0)
+      val removed = mine.count()
+      val keep = all.filter(col("_c").isin(hit: _*))
+        .join(broadcast(d), Seq("vec_id"), "left_anti")
+      val tmp = Files.createTempDirectory("graft-vecforget")
+      try graft.text.LabelStore.rewritePartitions(s, listsPath(storeDir),
+        "_c", hit, keep, tmp.resolve("stage"))
+      finally graft.text.Artifacts.deleteRecursively(tmp)
+      ForgetStats(removed, hit.size)
+    } finally d.unpersist(false)
+  }
+}
