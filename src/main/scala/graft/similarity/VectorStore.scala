@@ -100,6 +100,84 @@ object VectorStore {
     } finally a.unpersist(false)
   }
 
+  /** [[fold]] made IDEMPOTENT under foreachBatch's at-least-once
+    * contract — the streaming ingest path ([[graft.streaming
+    * .VectorIngest]]): a plain append replayed for the same batch id
+    * DOUBLES the batch's vectors; here every file the batch lands
+    * carries a `seg-b<id>-` name prefix, and the fold first sweeps
+    * that prefix from ALL list dirs (assignment under fixed centroids
+    * is deterministic, so a replay targets exactly the dirs its
+    * previous attempt did — the sweep over ≤ nCentroids dirs is
+    * belt-and-braces for a crashed partial write), then copies its
+    * staged parts in. Replay therefore REPLACES its own output
+    * instead of appending beside it — the `batch=<id>` discipline of
+    * [[graft.streaming.RollupStream.foldBatch]], pushed inside the
+    * partition dirs because lists are keyed by `_c`, not by batch. */
+  def foldBatch(s: SparkSession, storeDir: String, batch: DataFrame,
+                batchId: Long): FoldStats = {
+    val cents = storedCentroids(s, storeDir)
+    val a = assign(batch, cents).persist()
+    try {
+      val n = a.count()
+      // the replay sweep runs even for an empty batch: a previous
+      // non-empty attempt of this id may have crashed mid-write
+      sweepBatch(storeDir, batchId)
+      if (n == 0) return FoldStats(0L, 0)
+      val tmp = Files.createTempDirectory("graft-vecfold")
+      try {
+        a.repartition(col("_c")).write.mode("overwrite")
+          .partitionBy("_c").parquet(tmp.resolve("st").toString)
+        val st = Files.list(tmp.resolve("st"))
+        val touched = try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("_c="))
+            .map { src =>
+              val dst = java.nio.file.Paths.get(
+                listsPath(storeDir), src.getFileName.toString)
+              Files.createDirectories(dst)
+              // deterministic destination names (the writer's random
+              // uuid stripped): a replay lands the SAME file names, so
+              // "replaced, not appended" holds at the listing level too
+              val partIdx = "part-(\\d+)".r
+              val parts = Files.list(src)
+              try parts.iterator().asScala
+                .filter(_.getFileName.toString.startsWith("part-"))
+                .foreach { f =>
+                  val idx = partIdx.findFirstMatchIn(f.getFileName.toString)
+                    .map(_.group(1)).getOrElse("0")
+                  Files.copy(f,
+                    dst.resolve(s"seg-b$batchId-p$idx.parquet"),
+                    java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+                }
+              finally parts.close()
+              1
+            }.sum
+        } finally st.close()
+        FoldStats(n, touched)
+      } finally graft.text.Artifacts.deleteRecursively(tmp)
+    } finally a.unpersist(false)
+  }
+
+  /** Remove every file batch `batchId` previously landed (replay /
+    * crash healing — see [[foldBatch]]). */
+  private def sweepBatch(storeDir: String, batchId: Long): Unit = {
+    val root = java.nio.file.Paths.get(listsPath(storeDir))
+    if (!Files.isDirectory(root)) return
+    val dirs = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("_c=")).foreach { d =>
+          val fs = Files.list(d)
+          try fs.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"seg-b$batchId-"))
+            .foreach(Files.delete)
+          finally fs.close()
+        }
+    } finally dirs.close()
+  }
+
   /** The inverted lists (vec_id, embedding, _c) — filter `_c` by the
     * probed centroid ids to partition-prune a read, exactly like
     * [[IvfIndex.lists]]. */

@@ -582,6 +582,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Expand"), "no Expand in the packing rollup")
   }
 
+  test("q181 scd2: all windows ride ONE key-hash exchange, no join (r14)") {
+    val df = SparkEntry.queries("q181_scd2_history")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // compression lag/row_number + interval lead share the (custkey,
+    // seq) partitioning: exactly one hash exchange on the key feeds
+    // every window (the final orderBy's range exchange is output shape)
+    assert("hashpartitioning\\(custkey".r.findAllIn(p).length >= 1,
+      s"expected the key-hash window exchange:\n${p.take(1500)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      "the two window stages must not re-exchange:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), "scd2 is window arithmetic, never a join")
+  }
+
+  test("q182 cascaded cube: no Expand, lattice folds via ReusedExchange (r14)") {
+    val df = SparkEntry.queries("q182_cascaded_cube")(spark, sf)
+    df.collect() // finalize AQE so exchange reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"cube cascade must not Expand:\n${p.take(1200)}")
+    // 2^3 groupings fold from one finest pass: the fact table is
+    // scanned/shuffled once and parents' exchanges are reused across
+    // their children
+    assert("ReusedExchange".r.findAllIn(p).length >= 3,
+      s"lattice must reuse parent exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // contrast pin: built-in cube() Expands 2^L copies pre-exchange
+    val builtIn = graft.analytics.Tables.lineitem(spark, sf)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")))
+    assert(builtIn.queryExecution.executedPlan.toString.contains("Expand"),
+      "built-in cube no longer Expands — revisit CascadedRollup.cube")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

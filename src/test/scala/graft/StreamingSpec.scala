@@ -1221,4 +1221,59 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows() === before,
       "a replayed micro-batch must leave the store row-identical")
   }
+
+  test("vector ingest: streamed folds == full rebuild; replay idempotent (r14)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.similarity.VectorStore
+    import graft.streaming.VectorIngest
+
+    val emb = graft.analytics.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val isBatch = col("vec_id") >= 16 && col("vec_id") % 5 === 4
+    val store = tmp("vec-store")
+    VectorStore.init(spark, emb.filter(!isBatch), store)
+
+    // the ingest slice arrives as TWO micro-batches
+    val arriving = emb.filter(isBatch)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(arriving.length >= 4, "fixture needs a non-trivial ingest slice")
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = VectorIngest.maintainVectorStore(
+      input.toDF().toDF("vec_id", "embedding"), store, tmp("vec-ckpt"))
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    // streamed store == one-shot rebuild over everything (same
+    // geometry: centroids vec_id < 16 all sit in the base slice)
+    val full = tmp("vec-full")
+    VectorStore.init(spark, emb, full)
+    def rows(dir: String) = VectorStore.lists(spark, dir)
+      .select(col("vec_id"), col("_c").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(store) === rows(full),
+      "streamed folds must equal the full rebuild's assignment")
+
+    // at-least-once replay: re-fold the LAST batch id with the same
+    // rows — the store must not change (files replaced, not appended)
+    def files(): Set[(String, Long)] = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(store, "lists"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => f.toString -> java.nio.file.Files.size(f)).toSet
+      } finally st.close()
+    }
+    val before = files()
+    VectorStore.foldBatch(spark, store,
+      b2.toSeq.toDF("vec_id", "embedding"), 1L)
+    assert(files() === before,
+      "a replayed micro-batch must leave the store file-identical")
+    assert(rows(store) === rows(full), "replay must not duplicate vectors")
+  }
 }
