@@ -1753,6 +1753,110 @@ object SimilarityQueries {
                  * 100 // count(*) AS BIGINT) recall_pct
         FROM exact e LEFT JOIN ivf i
           ON i.query_id = e.query_id AND i.vec_id = e.vec_id
-        GROUP BY e.query_id ORDER BY e.query_id"""))
+        GROUP BY e.query_id ORDER BY e.query_id""")),
+
+    // ── nProbe recall/cost sweep (r14) ─────────────────────────────
+    // The tuning table an IVF index owner reads before fixing nProbe
+    // (the q154 threshold-sweep discipline on the ANN stack): for each
+    // probe budget p ∈ {1,2,4,8}, recall@5 against the exact top-5
+    // AND the rows the probe pass would scan — the cost the recall is
+    // bought with. Key identity making this one bounded pass instead
+    // of four searches: an exact neighbor is recovered at budget p iff
+    // the CENTROID RANK of its assigned list (in the query's
+    // preference order) is ≤ p — the rerank can never drop a true
+    // top-5 member once its list is probed (it outscores every other
+    // candidate by definition, under the shared (cos, vec_id) tie
+    // order). So the sweep is: exact top-5 (q28 composed unchanged) ⋈
+    // assignment (the IvfIndex artifact) ⋈ the query's 16-row rank
+    // frame, then four conditional sums over a 50-row frame — q28's
+    // one corpus pass is the only corpus-scale work, and the scan-cost
+    // column folds the per-list census against the same rank frame.
+    "q184_nprobe_sweep" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = centroids(e)
+        val budgets = Seq(1, 2, 4, 8)
+        val exact = queries("q28_ann_bruteforce").build(s, d)
+          .select(col("query_id"), col("vec_id"))
+        val assigned = IvfIndex.lists(s, d)
+          .select(col("vec_id"), col("_c").cast("long").as("cid"))
+        // per query, the full centroid preference order (10×16 rows)
+        val qrank = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"),
+            posexplode(reverse(array_sort(
+              centScores(cents, col("embedding"))))).as(Seq("pos", "p")))
+          .select(col("query_id"), (col("pos") + 1).as("crank"),
+            (-col("p.n")).as("cid"))
+        val ranked = exact.join(assigned, Seq("vec_id"))
+          .join(qrank, Seq("query_id", "cid"))
+        val hits = ranked.agg(
+            count(lit(1)).as("ne"),
+            budgets.map(p => sum(when(col("crank") <= p, 1L).otherwise(0L))
+              .as(s"h$p")): _*)
+          .select(expr(s"stack(${budgets.size}, " +
+            budgets.map(p => s"$p, h$p").mkString(", ") +
+            ") as (nprobe, n_hit)"), col("ne").as("n_exact"))
+        val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("ln"))
+        val scans = qrank.join(sizes, Seq("cid"))
+          .agg(budgets.map(p =>
+            sum(when(col("crank") <= p, col("ln")).otherwise(0L))
+              .as(s"s$p")).head,
+            budgets.map(p =>
+              sum(when(col("crank") <= p, col("ln")).otherwise(0L))
+                .as(s"s$p")).tail: _*)
+          .select(expr(s"stack(${budgets.size}, " +
+            budgets.map(p => s"$p, s$p").mkString(", ") +
+            ") as (nprobe, n_scored)"))
+        hits.join(scans, Seq("nprobe"))
+          .select(col("nprobe"), col("n_exact"), col("n_hit"),
+            expr("n_hit * 100 div n_exact").as("recall_pct"),
+            col("n_scored"))
+          .orderBy("nprobe")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id query_id, embedding qe FROM embeddings
+                   WHERE vec_id < 10),
+        $exactScoredCte,
+        exact AS (SELECT query_id, vec_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos DESC, vec_id) rk FROM scored)
+          WHERE rk <= 5),
+        cent AS (SELECT vec_id cid, embedding ce FROM embeddings
+                 WHERE vec_id < $nCentroids),
+        assigned AS (
+          SELECT vec_id, cid FROM (
+            SELECT b.vec_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY b.vec_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], b.embedding::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crk
+            FROM embeddings b CROSS JOIN cent)
+          WHERE crk = 1),
+        qrank AS (
+          SELECT query_id, cid, crank FROM (
+            SELECT q.query_id, cent.cid, ROW_NUMBER() OVER (
+                PARTITION BY q.query_id
+                ORDER BY floor(list_cosine_similarity(
+                  cent.ce::DOUBLE[], q.qe::DOUBLE[]) * 10000 + 0.5) / 10000
+                  DESC, cent.cid) crank
+            FROM q CROSS JOIN cent)),
+        sizes AS (SELECT cid, count(*) ln FROM assigned GROUP BY cid),
+        r AS (SELECT e.query_id, qr.crank FROM exact e
+              JOIN assigned a ON a.vec_id = e.vec_id
+              JOIN qrank qr ON qr.query_id = e.query_id AND qr.cid = a.cid),
+        b AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(nprobe)),
+        hits AS (SELECT b.nprobe, count(*) n_exact,
+                 CAST(sum(CASE WHEN r.crank <= b.nprobe THEN 1 ELSE 0 END)
+                   AS BIGINT) n_hit
+                 FROM b CROSS JOIN r GROUP BY b.nprobe),
+        scans AS (SELECT b.nprobe, CAST(sum(s.ln) AS BIGINT) n_scored
+                  FROM b CROSS JOIN qrank qr JOIN sizes s ON s.cid = qr.cid
+                  WHERE qr.crank <= b.nprobe GROUP BY b.nprobe)
+        SELECT h.nprobe, h.n_exact, h.n_hit,
+               CAST(h.n_hit * 100 // h.n_exact AS BIGINT) AS recall_pct,
+               s.n_scored
+        FROM hits h JOIN scans s ON s.nprobe = h.nprobe
+        ORDER BY h.nprobe"""),
+      bench = true)
   )
 }
