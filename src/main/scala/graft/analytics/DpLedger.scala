@@ -73,6 +73,12 @@ object DpLedger {
     *     ≤ 2⁻³¹ clip slack documented there); the three draws compose
     *     sequentially → 12·ln 2, cells = 3 released intervals, both
     *     data-independent;
+    *   - `q185_svt_first_anomaly`: the sparse-vector AboveThreshold
+    *     release — released total (ln 2) + threshold draw (ln 2) +
+    *     the halting query's draw (2·ln 2) = 4·ln 2 TOTAL however
+    *     many below-threshold cells the scan examined (the SVT
+    *     theorem; the q185 scaladoc carries the discrete proof). One
+    *     released cell identity, both constants data-independent;
     *   - `stream_hourly_counts`: [[graft.streaming.EventStreams
     *     .hourlyDpCounts]]'s (hour, type) windows, counted on the
     *     batch twin's cell space (row-level → one ε). */
@@ -96,6 +102,8 @@ object DpLedger {
         r.getLong(0) * EpsLn2E6, r.getLong(0)),
       Release("q169_dp_topk_select", "exponential", 3 * EpsLn2E6, 3),
       Release("q173_dp_quantile", "exponential", 12 * EpsLn2E6, 3),
+      Release("q185_svt_first_anomaly", "svt_above_threshold",
+        4 * EpsLn2E6, 1),
       Release("stream_hourly_counts", "discrete_laplace", EpsLn2E6,
         r.getLong(2)))
   }

@@ -682,6 +682,9 @@ object EventQueries {
           SELECT 'q173_dp_quantile', 'exponential',
                  12 * ${DpLedger.EpsLn2E6}, 3
           UNION ALL
+          SELECT 'q185_svt_first_anomaly', 'svt_above_threshold',
+                 4 * ${DpLedger.EpsLn2E6}, 1
+          UNION ALL
           SELECT 'stream_hourly_counts', 'discrete_laplace',
                  ${DpLedger.EpsLn2E6}, (SELECT n FROM c3))
         SELECT release, mechanism, CAST(eps_e6 AS BIGINT) AS eps_e6,
@@ -1142,6 +1145,100 @@ object EventQueries {
                CAST(g.n * 10000 // f.tot AS BIGINT) AS p_e4
         FROM g JOIN f USING (from_type)
         ORDER BY from_type, to_type"""),
+      bench = true),
+
+    // ── sparse vector technique: AboveThreshold release (r14) ──────
+    // The DP primitive the shipped family lacked: answer "which is
+    // the FIRST query in a public scan order to exceed a threshold"
+    // at a TOTAL cost independent of how many below-threshold queries
+    // were examined — the reason SVT exists (naively, scanning 35
+    // cells costs 35 noisy releases; AboveThreshold pays for the
+    // threshold draw and the one halting query only).
+    //
+    // Setup: the public query stream is the (event_type, day-of-week)
+    // cell space in (type, dow) order — cell identities are metadata,
+    // counts are the secrets. The threshold itself derives from a
+    // RELEASED total (one ε = ln 2 draw), then T = 1.2× the released
+    // mean cell count — pure post-processing of a released value, so
+    // T is public. AboveThreshold then draws ρ on the threshold and
+    // ν_i per scanned cell, halting at the first c_i + ν_i ≥ T + ρ.
+    //
+    // ε accounting (the Dwork–Roth AboveThreshold proof, discrete):
+    // a neighboring dataset moves every cell count by ≤ 1 and the
+    // total by ≤ 1. P[halt = k] factors through (a) the threshold
+    // noise absorbing a ±1 shift — the geometric sampler's
+    // P(z)/P(z+δ) ≤ 2^{|δ|} gives a factor ≤ 2; (b) the halting
+    // cell's noise absorbing a ±2 relative shift (its count AND the
+    // threshold each move ≤ 1) — factor ≤ 4; the below-threshold
+    // comparisons cancel in the ratio (the SVT argument). With the
+    // released-total draw: ε = ln 2 + ln 2 + 2·ln 2 = 4·ln 2,
+    // priced as the q161 ledger's `q185_svt_first_anomaly` row.
+    // Released output: the halting cell's identity + scan position,
+    // the released total and the public T — nothing else (exact
+    // counts never leave; an empty frame is the ⊥ "none above"
+    // outcome). OracleSecret keys the draws here ONLY so DuckDB can
+    // replay the arithmetic — production passes secretFromConf.
+    //
+    // Scale shape: ONE map-side-combined event rollup to the 35-row
+    // cell frame; every SVT step is arithmetic on that bounded frame
+    // (the 1-row total broadcast, a bounded-frame window for scan
+    // position). Non-vacuous: the halt lands at position 5/16/24 at
+    // sf0.001/0.01/0.1 — the scan genuinely walks past below-threshold
+    // cells.
+    "q185_svt_release" -> QuerySpec(
+      build = (s, d) => {
+        val sec = DpNoise.OracleSecret
+        val cells = ev(s, d)
+          .groupBy(col("event_type"),
+            expr("(ts_us div 86400000000 + 4) % 7").as("dow"))
+          .agg(count(lit(1)).as("c"))
+        val scanW = Window.orderBy(col("event_type"), col("dow"))
+        cells
+          .withColumn("pos", row_number().over(scanW))
+          .crossJoin(broadcast(cells.agg(
+            sum(col("c")).cast("long").as("total"))))
+          .withColumn("released_total",
+            col("total") + DpNoise.noiseFor(lit("svt_total"), sec))
+          .withColumn("t_pub", expr("released_total * 12 div 350"))
+          .withColumn("rho", DpNoise.noiseFor(lit("svt_thresh"), sec))
+          .withColumn("nu", DpNoise.noiseFor(
+            concat(lit("svt|"), col("event_type"), lit("|"),
+              col("dow").cast("string")), sec))
+          .filter(col("c") + col("nu") >= col("t_pub") + col("rho"))
+          .orderBy("pos").limit(1)
+          .select(col("pos").as("hit_pos"),
+            col("event_type").as("hit_type"), col("dow").as("hit_dow"),
+            col("released_total"), col("t_pub"),
+            lit(4 * DpLedger.EpsLn2E6).as("eps_e6"))
+      },
+      oracle = Some(s"""
+        WITH cells AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cells),
+        rel AS (SELECT total + ${DpNoise.duckNoiseSql("'svt_total'")}
+                  AS released_total FROM tot),
+        th AS (SELECT released_total,
+                      released_total * 12 // 350 AS t_pub,
+                      ${DpNoise.duckNoiseSql("'svt_thresh'")} AS rho
+               FROM rel),
+        scored AS (
+          SELECT event_type, dow, c,
+                 ROW_NUMBER() OVER (ORDER BY event_type, dow) AS pos,
+                 ${DpNoise.duckNoiseSql(
+                   "'svt|' || event_type || '|' || CAST(dow AS VARCHAR)")}
+                   AS nu
+          FROM cells)
+        SELECT s.pos AS hit_pos, s.event_type AS hit_type,
+               CAST(s.dow AS BIGINT) AS hit_dow,
+               CAST(th.released_total AS BIGINT) AS released_total,
+               CAST(th.t_pub AS BIGINT) AS t_pub,
+               CAST(${4 * DpLedger.EpsLn2E6} AS BIGINT) AS eps_e6
+        FROM scored s, th
+        WHERE s.c + s.nu >= th.t_pub + th.rho
+        ORDER BY s.pos LIMIT 1"""),
       bench = true)
 
   )

@@ -618,16 +618,18 @@ class OperatorSpec extends SparkSpec {
     val e = graft.analytics.Tables.events(spark, d)
     val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
     val rel = DpLedger.shippedReleases(ev)
-    // seven shipped releases; the three row-level ones spend ln 2
+    // eight shipped releases; the three row-level ones spend ln 2
     // each, the two user-level ones |types|·ln 2 (cells don't
     // partition users), the top-k selection 3·ln 2 (three sequential
-    // peels), the quantile release 12·ln 2 (three 4·ln 2 draws) —
-    // total (18 + 2·|types|)·ln 2: the accounting the releases alone
-    // never surfaced
+    // peels), the quantile release 12·ln 2 (three 4·ln 2 draws), the
+    // SVT release 4·ln 2 (total + threshold + halting query) — total
+    // (22 + 2·|types|)·ln 2: the accounting the releases alone never
+    // surfaced
     assert(rel.map(_.release) == Seq("q157_counts_by_type",
       "q159_hist_type_dow", "q163_dp_user_counts",
       "q164_dp_bounded_sum", "q169_dp_topk_select",
-      "q173_dp_quantile", "stream_hourly_counts"))
+      "q173_dp_quantile", "q185_svt_first_anomaly",
+      "stream_hourly_counts"))
     val nTypes = rel(0).n_cells
     assert(nTypes > 0)
     Seq(rel(2), rel(3)).foreach { r =>
@@ -637,16 +639,17 @@ class OperatorSpec extends SparkSpec {
     // the selection/quantile prices are data-INDEPENDENT
     assert(rel(4).eps_e6 == 3 * DpLedger.EpsLn2E6 && rel(4).n_cells == 3)
     assert(rel(5).eps_e6 == 12 * DpLedger.EpsLn2E6 && rel(5).n_cells == 3)
+    assert(rel(6).eps_e6 == 4 * DpLedger.EpsLn2E6 && rel(6).n_cells == 1)
     assert(DpLedger.totalEpsE6(rel) ==
-      (18 + 2 * nTypes) * DpLedger.EpsLn2E6)
+      (22 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // cell counts measured from the data: the histogram refines the
     // per-type release, the hourly feed refines it further
     assert(rel(1).n_cells >= rel(0).n_cells)
-    assert(rel(6).n_cells >= rel(1).n_cells)
+    assert(rel(7).n_cells >= rel(1).n_cells)
     // the ledger frame's running total ends at the sequential sum
     val lf = DpLedger.ledger(ev).collect()
     assert(lf.map(_.getAs[Long]("cum_eps_e6")).max ==
-      (18 + 2 * nTypes) * DpLedger.EpsLn2E6)
+      (22 + 2 * nTypes) * DpLedger.EpsLn2E6)
     // versioned audit trail: each record is a new immutable version,
     // load returns the latest
     val dir = java.nio.file.Files
@@ -654,7 +657,7 @@ class OperatorSpec extends SparkSpec {
     assert(DpLedger.record(DpLedger.ledger(ev), dir) == 1L)
     assert(DpLedger.record(DpLedger.ledger(ev.limit(50)), dir) == 2L)
     val loaded = DpLedger.load(spark, dir)
-    assert(loaded.count() == 7)
+    assert(loaded.count() == 8)
     val smallCells = loaded.orderBy("release").collect()
       .map(_.getAs[Long]("n_cells"))
     assert(smallCells.zip(lf.map(_.getAs[Long]("n_cells")))
@@ -704,6 +707,59 @@ class OperatorSpec extends SparkSpec {
     assert(got.forall(_._4 <= (1L << 40)))
     // totals stay far under the 2^60 the mod-draw contract requires
     assert(got.forall(_._5 < (1L << 50)))
+  }
+
+  test("q185 SVT replays driver-side; the scan walks past below-threshold cells") {
+    import graft.analytics.DpNoise
+    val d = "/root/testdata/sf0.001"
+    val e = graft.analytics.Tables.events(spark, d)
+    val ev = e.withColumn("ts_us", graft.analytics.Tables.tsUs(e))
+    val cells = ev.groupBy(col("event_type"),
+        expr("(ts_us div 86400000000 + 4) % 7").as("dow"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // DpNoise.noiseFor's integer arithmetic, replayed in plain JVM
+    def noise(key: String): Long = {
+      val u = java.lang.Long.parseLong(
+        md5hex(DpNoise.OracleSecret + "|dp0|" + key).take(15), 16) %
+        (3L << 40)
+      if (u < (1L << 40)) 0L
+      else {
+        val v = u - (1L << 40)
+        val t = ((1L << 40) - 1) - (v >> 1)
+        val k = if (t == 0) 40L
+          else 41L - (64 - java.lang.Long.numberOfLeadingZeros(t))
+        if (v % 2 == 0) k else -k
+      }
+    }
+    val total = cells.map(_._3).sum
+    val releasedTotal = total + noise("svt_total")
+    val tPub = releasedTotal * 12 / 350
+    val rho = noise("svt_thresh")
+    val scan = cells.zipWithIndex.map { case ((t, dw, c), i) =>
+      (i + 1, t, dw, c, noise(s"svt|$t|$dw"))
+    }
+    val hit = scan.find { case (_, _, _, c, nu) => c + nu >= tPub + rho }
+    assert(hit.isDefined, "fixture must halt somewhere")
+    val got = graft.analytics.EventQueries.queries("q185_svt_release")
+      .build(spark, d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) ==
+      (hit.get._1, hit.get._2, hit.get._3, releasedTotal, tPub),
+      "SVT release drifted from the driver replay")
+    // the point of SVT: the scan genuinely passed below-threshold
+    // cells before halting (pos 5 at sf0.001) — not a first-cell win
+    assert(hit.get._1 > 1, "scan must walk past below-threshold cells")
+    // released columns only: identity, position, released total,
+    // public threshold, price — never an exact count
+    assert(got.head.schema.fieldNames.toSeq ==
+      Seq("hit_pos", "hit_type", "hit_dow", "released_total", "t_pub",
+        "eps_e6"))
   }
 
   test("q173 DP quantile replays driver-side; intervals bracket their targets' mass") {
