@@ -69,28 +69,37 @@ object ZOrder {
     call_function("div", (x - mn) * lit(65535L),
       greatest(mx - mn, lit(1L)))
 
-  /** The z key of `dimA`/`dimB` (both integral), min/max taken from
-    * the frame itself via one broadcast 1-row aggregate — callers that
-    * know their domains pass literal bounds through [[scaleTo16]] /
-    * [[zValue]] directly. */
+  /** The z key of `dimA`/`dimB` (both integral), min/max collected
+    * from the frame itself via ONE eager 1-row aggregate and inlined
+    * as literals — callers that know their domains pass literal
+    * bounds through [[scaleTo16]] / [[zValue]] directly.
+    *
+    * The 2⁴⁷ range contract is enforced HERE, once, driver-side on
+    * the collected bounds (a µs-clock caller fails loudly instead of
+    * silently corrupting the layout) — NOT on the per-row path: the
+    * fact-row projection stays the bare [[zValue]] arithmetic inside
+    * whole-stage codegen, with no join, no conditional and no
+    * `raise_error` (PlanSpec pins this; the guard-in-plan variant
+    * cost q171 2.7× at sf0.1). The bounds job is a count-scale
+    * map-side-combined aggregate — the same work the old broadcast
+    * 1-row frame ran, just materialized eagerly. */
   def zKey(df: DataFrame, dimA: Column, dimB: Column): DataFrame = {
     val mm = df.agg(
-      min(dimA.cast("long")).as("_mna"), max(dimA.cast("long")).as("_mxa"),
-      min(dimB.cast("long")).as("_mnb"), max(dimB.cast("long")).as("_mxb"))
-    // enforce the 2⁴⁷ range contract IN the plan (the bounds only
-    // exist there): a µs-clock caller fails loudly instead of
-    // silently corrupting the layout
-    val tooWide = greatest(col("_mxa") - col("_mna"),
-      col("_mxb") - col("_mnb")) >= lit(1L << 47)
-    df.crossJoin(broadcast(mm))
-      .withColumn("_z",
-        when(tooWide, raise_error(lit(
-          "ZOrder.zKey: a dimension range >= 2^47 overflows scaleTo16" +
-            " — pre-scale the dimension (e.g. us -> s)")))
-          .otherwise(zValue(
-            scaleTo16(dimA.cast("long"), col("_mna"), col("_mxa")),
-            scaleTo16(dimB.cast("long"), col("_mnb"), col("_mxb")))))
-      .drop("_mna", "_mxa", "_mnb", "_mxb")
+      min(dimA.cast("long")), max(dimA.cast("long")),
+      min(dimB.cast("long")), max(dimB.cast("long"))).head
+    if (mm.isNullAt(0)) {
+      // empty frame: no rows to key — keep the schema contract
+      df.withColumn("_z", lit(null).cast("long"))
+    } else {
+      val (mna, mxa, mnb, mxb) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      require(math.max(mxa - mna, mxb - mnb) < (1L << 47),
+        "ZOrder.zKey: a dimension range >= 2^47 overflows scaleTo16" +
+          " — pre-scale the dimension (e.g. us -> s)")
+      df.withColumn("_z", zValue(
+        scaleTo16(dimA.cast("long"), lit(mna), lit(mxa)),
+        scaleTo16(dimB.cast("long"), lit(mnb), lit(mxb))))
+    }
   }
 
   /** Write `df` z-ordered by (`dimA`, `dimB`) into `files` parquet

@@ -615,6 +615,21 @@ class PlanSpec extends SparkSpec {
       "built-in cube no longer Expands — revisit CascadedRollup.cube")
   }
 
+  test("q171 z-key path: bare Morton arithmetic, no per-row guard (r15)") {
+    val df = SparkEntry.queries("q171_zorder_locality")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the 2^47 range contract is enforced ONCE driver-side on the
+    // collected bounds; the fact-row projection must stay the bare
+    // zValue arithmetic — no conditional, no raise_error, and no
+    // bounds-broadcast join (the guard-in-plan variant cost 2.7x)
+    assert(!p.contains("raise_error"),
+      "range guard leaked onto the per-row path")
+    assert(!p.contains("CASE WHEN"),
+      "z projection must be unconditional arithmetic")
+    assert(!p.contains("Join"),
+      "bounds are inlined literals — no broadcast crossJoin")
+  }
+
   test("text kernels stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q21_lang_quality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -65,6 +65,21 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("zKey fails loudly when a dimension range >= 2^47 (contract, r15)") {
+    val wide = Seq((0L, 0L), (1L << 47, 1L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.zKey(wide, col("a"), col("b"))
+    }
+    assert(e.getMessage.contains("2^47"))
+  }
+
+  test("zKey on an empty frame keeps the schema contract") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val out = ZOrder.zKey(empty, col("a"), col("b"))
+    assert(out.columns.contains("_z"))
+    assert(out.count() == 0)
+  }
+
   test("z-ordered files prune a non-time band filter; time-sorted read it all") {
     val n = 200000
     // user ~ uniform 0..999 decorrelated from ts by a multiplicative
