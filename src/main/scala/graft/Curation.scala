@@ -509,7 +509,14 @@ object Curation {
     * batch-scale + touched-partition IO, independent of how big the
     * store has grown (`tools/IncrementalBench`, SURVEY §8 r13).
     * `qualityMin` defaults OFF (0.0) so the fold identity is exact;
-    * production sets the same floor `curate` uses. */
+    * production sets the same floor `curate` uses.
+    *
+    * BREAKING (r14): `buckets0` defaults to 0 = "resolve from the
+    * store's `_meta` sidecar" where it used to default to 256. A
+    * pre-sidecar store (published before r14) now throws at runtime
+    * unless the caller passes the bucket count it was built with —
+    * deliberately: the old silent default mis-pruned any store NOT
+    * built with 256. Same change applies to [[forgetBatch]]. */
   def curateBatch(spark: SparkSession, storeDir: String,
                   batch: DataFrame, buckets0: Int = 0,
                   qualityMin: Double = 0.0): BatchReport = {
@@ -589,7 +596,10 @@ object Curation {
     * stays pairable THERE until that state is rebuilt/compacted from
     * the cleaned store (its Bloom "seen" gate is read-skipping only,
     * so no correctness interaction — just retention). A production
-    * forget pipeline bounces the stream after the store fold. */
+    * forget pipeline bounces the stream after the store fold.
+    *
+    * BREAKING (r14): `buckets0 = 0` now means "resolve from `_meta`"
+    * (was: fixed default 256) — see [[curateBatch]]. */
   def forgetBatch(spark: SparkSession, storeDir: String,
                   docs: DataFrame, buckets0: Int = 0): ForgetReport = {
     GraftSession.configure(spark)

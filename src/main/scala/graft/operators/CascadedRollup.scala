@@ -63,9 +63,15 @@ object CascadedRollup {
   def sum_(c: String, as: String): Agg =
     Agg(as, sum(col(c)).as(as), n => sum(col(n)).as(n))
 
-  /** count(*) — combines as sum. */
+  /** count(*) — combines as sum, coalesced to 0 so the GLOBAL fold
+    * (the grand-total / () grouping set) over an EMPTY finest frame
+    * yields count 0, matching SQL `GROUP BY CUBE`/`ROLLUP` semantics
+    * (sum-of-nothing is NULL; count-of-nothing is 0). On every
+    * grouped fold the coalesce is a no-op — groups only exist where
+    * rows exist and finest counts are never null. */
   def count_(as: String): Agg =
-    Agg(as, count(lit(1)).as(as), n => sum(col(n)).as(n))
+    Agg(as, count(lit(1)).as(as),
+      n => coalesce(sum(col(n)), lit(0L)).as(n))
 
   /** min(col) — combines as min. */
   def min_(c: String, as: String): Agg =

@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
   *     be within distance t sharing no gram at all), the gram filter
   *     is vacuous — but a string of length L has only Σ C(L,k), k ≤ t
   *     deletion variants, and two strings within edit distance t
-  *     always share one. Variants are generated in-row from a bitmask
-  *     sequence (2^L masks, L ≤ q·t + q − 1 — bounded by construction)
-  *     and joined exactly like postings.
+  *     always share one. Deletion-position combinations are built
+  *     in-row by t rounds of extend-by-a-strictly-larger-position —
+  *     exactly the Σ C(L,k) combos, never a 2^L mask sweep (q=2, t=2
+  *     means ≤ 16 combos per row; even at the L = 20 boundary the
+  *     worst case is ~60 k combos where a mask enumeration would
+  *     transiently hold 2^20 elements) — and the variants join
+  *     exactly like postings.
   *
   * Candidates from both blocks union, dedup, and verify with ONE
   * `levenshtein` pass (built-in, codegen'd) — false candidates die
@@ -68,7 +72,7 @@ object EditSimJoin {
     require(q >= 2, "q-grams need q >= 2")
     val shortMax = q * t + q - 1 // count bound vacuous ⇔ BOTH lens <= this
     require(shortMax <= 20,
-      s"deletion-variant block enumerates 2^len masks: q=$q,t=$t puts " +
+      s"deletion-variant block builds C(len, <=$t) combos: q=$q,t=$t puts " +
         s"the short boundary at $shortMax — beyond in-row enumeration")
     val s0 = strs
       .select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
@@ -107,17 +111,30 @@ object EditSimJoin {
         abs(col("la") - col("lb")) <= t)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
 
-    // ── short block: ≤t-deletion variants over bitmask enumeration ──
+    // ── short block: ≤t-deletion variants, combos built directly ──
+    // deletion-position combinations of size 0..t, each round
+    // extending every combo by one STRICTLY LARGER position: exactly
+    // Σ C(len, k) combos materialize — never the 2^len mask sweep
+    // (the r14 form transiently held up to 2^20 elements per row)
+    val combos = Iterator
+      .iterate("array(cast(array() as array<int>))") { prev =>
+        s"""flatten(transform($prev,
+              c -> transform(
+                filter(sequence(0, greatest(len - 1, 0)),
+                       p -> p < len AND
+                            p >= IF(size(c) = 0, 0,
+                                    element_at(c, -1) + 1)),
+                p -> concat(c, array(p)))))"""
+      }
+      .take(t + 1).reduce((a, b) => s"concat($a, $b)")
     val shorts = s0.filter(col("len") <= shortMax)
       .withColumn("v", explode(expr(
-        s"""transform(
-              filter(sequence(0, shiftleft(1, len) - 1),
-                     m -> bit_count(m) <= $t),
-              m -> concat_ws('', filter(
-                     transform(sequence(0, len - 1),
-                       i -> IF((m >> i) & 1 = 0,
+        s"""array_distinct(transform($combos,
+              c -> concat_ws('', filter(
+                     transform(sequence(0, greatest(len - 1, 0)),
+                       i -> IF(i < len AND NOT array_contains(c, i),
                                substring(s, i + 1, 1), NULL)),
-                     x -> x IS NOT NULL)))""")))
+                     x -> x IS NOT NULL))))""")))
     val candShort = shorts.select(col("v"),
         col("id").as("id_a"), col("s").as("sa"), col("len").as("la"))
       .join(shorts.select(col("v"), col("id").as("id_b"),

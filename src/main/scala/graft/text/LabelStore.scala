@@ -212,11 +212,19 @@ object LabelStore {
     * tagged with their component rep via the da endpoint's label (da
     * and db agree — the closure was built over these pairs).
     * `repartition` by the partition column before each write keeps
-    * file counts at ~`buckets`, not tasks × buckets. */
+    * file counts at ~`buckets`, not tasks × buckets.
+    *
+    * The `_meta` sidecar is written LAST, after all three data tables
+    * land: a crash mid-publish (notably a RE-publish with a different
+    * bucket count) must never leave `_meta` asserting a layout the
+    * data does not have — [[checkBuckets]] would then validate every
+    * later fold against the wrong modulus. A crash before the final
+    * step leaves data dirs without (or with the PREVIOUS) `_meta`,
+    * which the readers treat as pre-sidecar / stale and the next
+    * publish overwrites wholesale. */
   def publish(labels: DataFrame, pairs: DataFrame, dir: String,
               buckets: Int): Unit = {
     require(buckets >= 1)
-    writeMeta(dir, buckets)
     val b = lit(buckets.toLong)
     labels.select(col("doc_id"), col("rep"))
       .withColumn("_cb", pmod(col("rep"), b))
@@ -231,6 +239,7 @@ object LabelStore {
       .withColumn("_cb", pmod(col("rep"), b))
       .repartition(col("_cb"))
       .write.mode("overwrite").partitionBy("_cb").parquet(pairsPath(dir))
+    writeMeta(dir, buckets)
   }
 
   /** The converged (doc_id, rep) labels — the [[ClusterIndex]]

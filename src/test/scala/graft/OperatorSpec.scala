@@ -1228,6 +1228,26 @@ class OperatorSpec extends SparkSpec {
     assert(g((None, Some("y"), 2))._1 === 7L)
   }
 
+  test("CascadedRollup cube/rollup on EMPTY input: grand total counts 0 (r15)") {
+    import graft.operators.CascadedRollup
+    import graft.operators.CascadedRollup._
+    val empty = Seq.empty[(String, String, Long)].toDF("d1", "d2", "v")
+    val aggs = Seq(sum_("v", "sv"), count_("n"))
+    // SQL GROUP BY CUBE/ROLLUP on empty input: only the () grouping
+    // set survives — one row, count 0, sum NULL (count-of-nothing is
+    // 0, sum-of-nothing is NULL). The cascade's global fold must
+    // match, not emit a NULL count.
+    Seq(CascadedRollup.cube(empty, Seq("d1", "d2"), aggs),
+        CascadedRollup.rollup(empty, Seq("d1", "d2"), aggs)).foreach { out =>
+      val rows = out.collect()
+      assert(rows.length === 1, s"expected only the grand total: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.isNullAt(r.fieldIndex("d1")) && r.isNullAt(r.fieldIndex("d2")))
+      assert(r.getAs[Long]("n") === 0L, "count-of-nothing must be 0")
+      assert(r.isNullAt(r.fieldIndex("sv")), "sum-of-nothing must stay NULL")
+    }
+  }
+
   test("Scd2: change compression, half-open chaining, one current row per key (r14)") {
     import graft.etl.Scd2
     // key k1: v A(1) A(2: re-stated, compressed) B(3) B(4) A(5) —
