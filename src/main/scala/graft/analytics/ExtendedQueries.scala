@@ -1700,6 +1700,86 @@ object ExtendedQueries {
         ORDER BY gid ASC, l_returnflag ASC NULLS FIRST,
                  l_linestatus ASC NULLS FIRST,
                  ship_year ASC NULLS FIRST"""),
+      bench = true),
+
+    // ── SCD2 as-of probe (r15) ─────────────────────────────────────
+    // The consuming join q181's interval table exists for: each fact
+    // probed against the dimension version in effect at its time —
+    // `valid_from <= t < valid_to`, open current row matches forever,
+    // probes before a key's first version get NULL (left join). The
+    // warehouse "dimension as of" lookup the reference's type-1
+    // MERGE can never answer (conductor.ts:90-98 keeps only the
+    // latest row). Facts: every order probed 90 days BACK — "what
+    // status history was in effect a quarter before this order" —
+    // non-trivial (early probes precede the first version) and
+    // deterministic. Scale shape: the dimension is CHANGE-COMPRESSED
+    // (dimension-scale, orders-of-magnitude under the fact table), so
+    // it broadcasts and the probe is a BroadcastHashJoin on the key
+    // with the interval bounds as residual — the fact side never
+    // shuffles, never explodes (SCD2 intervals are disjoint per key:
+    // ≤ 1 match per fact). PlanSpec pins join-not-nested-loop; at a
+    // dimension too big to broadcast the same probe rides
+    // [[graft.operators.RangeJoin.pointInInterval]] (bucketed
+    // equi-join) — the operator pair q149 already prices.
+    "q186_scd2_asof_probe" -> QuerySpec(
+      build = (s, d) => {
+        val changes = orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderstatus").as("status"))
+        val dim = graft.etl.Scd2.build(changes,
+            keys = Seq("custkey"),
+            seqCols = Seq("valid_from", "change_key"),
+            attrs = Seq("status"))
+          .withColumnRenamed("valid_to_seq", "valid_to")
+          .select(col("custkey").as("d_custkey"), col("valid_from"),
+            col("valid_to"), col("status"))
+        val facts = orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderkey").as("orderkey"),
+          date_format(date_sub(col("o_orderdate").cast("date"), 90),
+            "yyyy-MM-dd").as("probe_date"))
+        facts.join(broadcast(dim),
+            facts("custkey") === dim("d_custkey") &&
+              col("valid_from") <= col("probe_date") &&
+              (col("valid_to").isNull ||
+                col("probe_date") < col("valid_to")),
+            "left")
+          .select(col("custkey"), col("orderkey"), col("probe_date"),
+            col("status").as("status_asof"),
+            col("valid_from").as("status_since"))
+          .orderBy("custkey", "orderkey")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT o_custkey AS custkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                          o_orderkey AS change_key,
+                          o_orderstatus AS status
+                   FROM orders),
+        m AS (SELECT *,
+                lag(status) OVER w AS prev,
+                row_number() OVER w AS rn
+              FROM c
+              WINDOW w AS (PARTITION BY custkey
+                           ORDER BY valid_from, change_key)),
+        kept AS (SELECT custkey, valid_from, change_key, status FROM m
+                 WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        dim AS (SELECT custkey, valid_from, status,
+                       lead(valid_from) OVER (PARTITION BY custkey
+                         ORDER BY valid_from, change_key) AS valid_to
+                FROM kept),
+        f AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                     strftime(CAST(o_orderdate AS DATE)
+                              - INTERVAL 90 DAY, '%Y-%m-%d') AS probe_date
+              FROM orders)
+        SELECT f.custkey, f.orderkey, f.probe_date,
+               d.status AS status_asof,
+               d.valid_from AS status_since
+        FROM f LEFT JOIN dim d ON d.custkey = f.custkey
+          AND d.valid_from <= f.probe_date
+          AND (d.valid_to IS NULL OR f.probe_date < d.valid_to)
+        ORDER BY f.custkey, f.orderkey"""),
       bench = true)
   )
 

@@ -615,6 +615,19 @@ class PlanSpec extends SparkSpec {
       "built-in cube no longer Expands — revisit CascadedRollup.cube")
   }
 
+  test("q186 scd2 as-of probe: broadcast hash join, never a range cross-product (r15)") {
+    val df = SparkEntry.queries("q186_scd2_asof_probe")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the change-compressed dimension broadcasts; the interval bounds
+    // ride as the hash join's residual condition — the fact side is
+    // never shuffled for the probe and never nested-loop-expanded
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe must hash-join on the key:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "interval probe degraded to an unbounded range cross-product")
+  }
+
   test("q171 z-key path: bare Morton arithmetic, no per-row guard (r15)") {
     val df = SparkEntry.queries("q171_zorder_locality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
