@@ -67,7 +67,19 @@ object EditSimJoin {
     * column; null strings never match. `q` is the gram width (2 suits
     * name-length strings; 3 shifts work toward longer ones). */
   def join(strs: DataFrame, idCol: String, strCol: String,
-           t: Int, q: Int = 2): DataFrame = {
+           t: Int, q: Int = 2): DataFrame =
+    candidates(strs, idCol, strCol, t, q)
+      .withColumn("ed", levenshtein(col("sa"), col("sb")))
+      .filter(col("ed") <= t)
+      .select(col("id_a"), col("id_b"), col("ed"))
+
+  /** The deduped candidate set the verify pass scans (id_a, id_b, sa,
+    * sb) — exposed so scale probes can price the blocking directly:
+    * candidate count vs true-match count IS the blocking's selectivity
+    * (`tools/EditSimScale` logs both; the df-ascending prefix claim is
+    * measured there, not argued). */
+  def candidates(strs: DataFrame, idCol: String, strCol: String,
+                 t: Int, q: Int = 2): DataFrame = {
     require(t >= 1, "a zero threshold is an exact groupBy, not a join")
     require(q >= 2, "q-grams need q >= 2")
     val shortMax = q * t + q - 1 // count bound vacuous ⇔ BOTH lens <= this
@@ -143,11 +155,8 @@ object EditSimJoin {
         abs(col("la") - col("lb")) <= t)
       .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
 
-    // ── verify: exact edit distance over the deduped candidates ──
-    candLong.unionByName(candShort)
-      .distinct()
-      .withColumn("ed", levenshtein(col("sa"), col("sb")))
-      .filter(col("ed") <= t)
-      .select(col("id_a"), col("id_b"), col("ed"))
+    // deduped union — the verify pass in [[join]] runs ONE
+    // codegen levenshtein over exactly these rows
+    candLong.unionByName(candShort).distinct()
   }
 }

@@ -34,15 +34,99 @@ import VectorFunctions.cosine
   * `_c` partitions with one narrow scan and rewrites ONLY those,
   * untouched lists byte-identical.
   *
-  * What this deliberately does NOT do: re-train centroids. Drifted
-  * data degrades list balance, not correctness (assignment stays a
-  * pure function); the production answer is a new [[init]] + swap,
-  * monitored by the list-size census [[listStats]] emits.
+  * Drifted data degrades list BALANCE, not correctness (assignment
+  * stays a pure function of the stored geometry); the census
+  * [[listStats]] emits is the drift monitor, and [[retrain]] is the
+  * answer it triggers: new centroids + the full corpus re-assigned,
+  * published as the next `v<N>` GENERATION under the store root via
+  * unique-tmp + atomic rename (the [[graft.etl.VersionedDir]] idiom —
+  * a reader never sees half a geometry swap; in-flight readers keep
+  * the generation they resolved). Every read/mutation entry point
+  * resolves the highest generation first, so fold→retrain→fold just
+  * works — the post-retrain fold assigns under the NEW geometry.
+  *
+  * A `_meta` sidecar (nCentroids, dim — written LAST, after the data
+  * dirs land) rides every generation: [[fold]]/[[foldBatch]]/
+  * [[search]]/[[forget]] fail fast when the stored geometry does not
+  * match it (a store whose centroids were written under a different
+  * convention would otherwise mis-prune SILENTLY — probes pick from
+  * one centroid set, `_c=` dirs were keyed by another), and batch /
+  * query embedding widths are checked against `dim` (a wrong-width
+  * vector would otherwise fold in as garbage cosines, never an
+  * error). Pre-sidecar generations pass through on the caller's word,
+  * the [[graft.text.LabelStore.bucketsOf]] discipline.
   */
 object VectorStore {
 
   private def listsPath(dir: String) = s"$dir/lists"
   private def centsPath(dir: String) = s"$dir/centroids"
+  private def metaPath(dir: String) =
+    java.nio.file.Paths.get(dir, "_meta")
+
+  /** The generation all reads and mutations act on: the highest
+    * `v<N>` subdir when [[retrain]] has published one, else the
+    * store root itself (the base generation [[init]] writes). */
+  private def genRoot(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    val v = graft.etl.VersionedDir.latestVersion(root)
+    if (v > 0) root.resolve("v" + v).toString else dir
+  }
+
+  /** The (nCentroids, dim) this generation was published with; `None`
+    * on a pre-sidecar store. */
+  def metaOf(dir: String): Option[(Int, Int)] = {
+    val p = metaPath(genRoot(dir))
+    if (!Files.isRegularFile(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      for (n <- Option(props.getProperty("nCentroids"));
+           d <- Option(props.getProperty("dim")))
+        yield (n.trim.toInt, d.trim.toInt)
+    }
+  }
+
+  /** Written LAST, after the generation's data dirs land (the
+    * [[graft.text.LabelStore.publish]] crash-ordering lesson): a
+    * crash mid-publish leaves data without meta — treated as
+    * pre-sidecar — never meta asserting a geometry the data lacks. */
+  private def writeMeta(dir: String, nCents: Int, dim: Int): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    val tmp = java.nio.file.Paths.get(dir,
+      s"_meta.tmp${System.nanoTime()}")
+    val out = Files.newOutputStream(tmp)
+    try {
+      val props = new java.util.Properties()
+      props.setProperty("nCentroids", nCents.toString)
+      props.setProperty("dim", dim.toString)
+      props.store(out, "graft VectorStore meta")
+    } finally out.close()
+    Files.move(tmp, metaPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Load the resolved generation's geometry and fail fast when the
+    * `_meta` sidecar disagrees with it — a silent mismatch mis-prunes
+    * (probes pick centroids the `_c=` layout was not keyed by). */
+  private def checkedCentroids(s: SparkSession, root: String)
+      : Seq[(Long, Array[Float])] = {
+    val cents = s.read.parquet(centsPath(root))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+    metaOf(root).foreach { case (n, d) =>
+      require(cents.size == n,
+        s"VectorStore at $root holds ${cents.size} centroids but its " +
+          s"_meta records nCentroids=$n — the list layout was keyed " +
+          "by a different geometry")
+      require(cents.forall(_._2.length == d),
+        s"VectorStore at $root: centroid dim ${cents.head._2.length} " +
+          s"!= _meta dim $d")
+    }
+    cents
+  }
 
   /** What a fold did: vectors appended and the (bounded) list
     * partitions they landed in. */
@@ -58,6 +142,10 @@ object VectorStore {
     * as the store's fixed geometry, and `train` itself is assigned and
     * written as the initial inverted lists. */
   def init(s: SparkSession, train: DataFrame, storeDir: String): Unit = {
+    require(graft.etl.VersionedDir.latestVersion(
+        java.nio.file.Paths.get(storeDir)) == 0,
+      s"store $storeDir already carries retrained generations — " +
+        "init writes the BASE generation only; use retrain to re-seed")
     val cents = SimilarityQueries.centroids(train)
     require(cents.nonEmpty, "init needs at least one centroid vector")
     import s.implicits._
@@ -66,15 +154,78 @@ object VectorStore {
     assign(train, cents)
       .write.mode("overwrite").partitionBy("_c")
       .parquet(listsPath(storeDir))
+    writeMeta(storeDir, cents.size, cents.head._2.length)
   }
 
-  /** The store's fixed geometry (bounded read — ≤ nCentroids rows). */
+  /** The store's fixed geometry (bounded read — ≤ nCentroids rows),
+    * meta-checked, from the current generation. */
   def storedCentroids(s: SparkSession, storeDir: String)
       : Seq[(Long, Array[Float])] =
-    s.read.parquet(centsPath(storeDir))
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1).toSeq
+    checkedCentroids(s, genRoot(storeDir))
+
+  /** RE-TRAIN the geometry against drift ([[listStats]] skew is the
+    * trigger): new centroids from `train` (the same first-nCentroids
+    * convention as [[init]] — a caller with a better codebook
+    * pre-shapes `train`), the CURRENT generation's full vector set
+    * re-assigned under them, and both published atomically as the
+    * next `v<N>` generation (unique tmp inside the store root, then
+    * the [[graft.etl.VersionedDir]] claim loop — losers of a
+    * concurrent race take the next number). Readers and folds resolve
+    * the new generation on their next call; in-flight readers finish
+    * on the one they resolved, which stays on disk for exactly that
+    * reason (prune old `v<N>` dirs once drained — the LabelStore
+    * local-FS caveat applies to the move). Cost is honest: a retrain
+    * IS a corpus-scale rebuild (one scan + one partitioned write) —
+    * what the generation machinery buys is the ATOMIC swap under
+    * live traffic, not incrementality. Returns the claimed version. */
+  def retrain(s: SparkSession, storeDir: String, train: DataFrame): Long = {
+    val cents = SimilarityQueries.centroids(train)
+    require(cents.nonEmpty, "retrain needs at least one centroid vector")
+    val corpus = lists(s, storeDir)
+      .select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Paths.get(storeDir)
+    Files.createDirectories(root)
+    val tmp = root.resolve("._tmp-" + java.util.UUID.randomUUID)
+    import s.implicits._
+    cents.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(centsPath(tmp.toString))
+    assign(corpus, cents)
+      .repartition(col("_c"))
+      .write.mode("overwrite").partitionBy("_c")
+      .parquet(listsPath(tmp.toString))
+    writeMeta(tmp.toString, cents.size, cents.head._2.length)
+    var claimed = -1L
+    while (claimed < 0) {
+      val v = graft.etl.VersionedDir.latestVersion(root) + 1
+      try {
+        Files.move(tmp, root.resolve("v" + v),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        claimed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: java.nio.file.DirectoryNotEmptyException => ()
+      }
+    }
+    claimed
+  }
+
+  /** Fail fast on a batch/query frame whose embedding width differs
+    * from the store's: folded in, it would score garbage cosines
+    * against every probe — silently. One narrow agg over the frame
+    * (`counted` rides along so folds pay no extra pass). */
+  private def checkDims(frame: DataFrame, vecCol: String, dim: Int,
+                        what: String): Long = {
+    val st = frame.agg(count(lit(1)),
+      min(size(col(vecCol))), max(size(col(vecCol)))).head
+    val n = st.getLong(0)
+    if (n > 0) {
+      require(st.getInt(1) == dim && st.getInt(2) == dim,
+        s"$what embedding width [${st.getInt(1)}, ${st.getInt(2)}] != " +
+          s"store dim $dim")
+    }
+    n
+  }
 
   private def assign(vecs: DataFrame,
                      cents: Seq[(Long, Array[Float])]): DataFrame =
@@ -89,13 +240,14 @@ object VectorStore {
     * so admission cannot invalidate anything). */
   def fold(s: SparkSession, storeDir: String,
            batch: DataFrame): FoldStats = {
-    val cents = storedCentroids(s, storeDir)
+    val root = genRoot(storeDir)
+    val cents = checkedCentroids(s, root)
     val a = assign(batch, cents).persist()
     try {
-      val n = a.count()
+      val n = checkDims(a, "embedding", cents.head._2.length, "fold batch")
       if (n == 0) return FoldStats(0L, 0)
       val touched = a.select(col("_c")).distinct().collect().length
-      a.write.mode("append").partitionBy("_c").parquet(listsPath(storeDir))
+      a.write.mode("append").partitionBy("_c").parquet(listsPath(root))
       FoldStats(n, touched)
     } finally a.unpersist(false)
   }
@@ -115,13 +267,15 @@ object VectorStore {
     * partition dirs because lists are keyed by `_c`, not by batch. */
   def foldBatch(s: SparkSession, storeDir: String, batch: DataFrame,
                 batchId: Long): FoldStats = {
-    val cents = storedCentroids(s, storeDir)
+    val root = genRoot(storeDir)
+    val cents = checkedCentroids(s, root)
     val a = assign(batch, cents).persist()
     try {
-      val n = a.count()
+      val n = checkDims(a, "embedding", cents.head._2.length,
+        s"foldBatch $batchId")
       // the replay sweep runs even for an empty batch: a previous
       // non-empty attempt of this id may have crashed mid-write
-      sweepBatch(storeDir, batchId)
+      sweepBatch(root, batchId)
       if (n == 0) return FoldStats(0L, 0)
       val tmp = Files.createTempDirectory("graft-vecfold")
       try {
@@ -134,7 +288,7 @@ object VectorStore {
             .filter(_.getFileName.toString.startsWith("_c="))
             .map { src =>
               val dst = java.nio.file.Paths.get(
-                listsPath(storeDir), src.getFileName.toString)
+                listsPath(root), src.getFileName.toString)
               Files.createDirectories(dst)
               // deterministic destination names (the writer's random
               // uuid stripped): a replay lands the SAME file names, so
@@ -182,7 +336,7 @@ object VectorStore {
     * probed centroid ids to partition-prune a read, exactly like
     * [[IvfIndex.lists]]. */
   def lists(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(listsPath(storeDir))
+    s.read.parquet(listsPath(genRoot(storeDir)))
 
   /** IVF search against the store — q121's probe shape: queries
     * (`query_id`, `qe`) pick their nProbe nearest stored centroids,
@@ -192,7 +346,9 @@ object VectorStore {
     * excluded. */
   def search(s: SparkSession, storeDir: String, queries: DataFrame,
              nProbe: Int, k: Int): DataFrame = {
-    val cents = storedCentroids(s, storeDir)
+    val root = genRoot(storeDir)
+    val cents = checkedCentroids(s, root)
+    checkDims(queries, "qe", cents.head._2.length, "search queries")
     val probes = queries.select(col("query_id"), col("qe"),
         explode(slice(reverse(array_sort(
           SimilarityQueries.centScores(cents, col("qe")))), 1, nProbe))
@@ -200,7 +356,9 @@ object VectorStore {
       .select(col("query_id"), col("qe"), (-col("p.n")).as("cid"))
     val probedCids = probes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val cand = lists(s, storeDir)
+    // read via the SAME resolved generation as the geometry above —
+    // a retrain landing between the two reads must not mix them
+    val cand = s.read.parquet(listsPath(root))
       .filter(col("_c").isin(probedCids: _*))
       .join(broadcast(probes), col("_c") === col("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -224,9 +382,11 @@ object VectorStore {
     * [[graft.text.LabelStore.forget]] discipline on the vector half. */
   def forget(s: SparkSession, storeDir: String,
              ids: DataFrame): ForgetStats = {
+    val root = genRoot(storeDir)
+    checkedCentroids(s, root) // geometry/meta agreement, fail fast
     val d = ids.select(col("vec_id")).distinct().persist()
     try {
-      val all = lists(s, storeDir)
+      val all = s.read.parquet(listsPath(root))
       val mine = all.join(broadcast(d), Seq("vec_id"), "left_semi")
       val hit = mine.select(col("_c")).distinct().collect().map {
         _.get(0) match {
@@ -239,7 +399,7 @@ object VectorStore {
       val keep = all.filter(col("_c").isin(hit: _*))
         .join(broadcast(d), Seq("vec_id"), "left_anti")
       val tmp = Files.createTempDirectory("graft-vecforget")
-      try graft.text.LabelStore.rewritePartitions(s, listsPath(storeDir),
+      try graft.text.LabelStore.rewritePartitions(s, listsPath(root),
         "_c", hit, keep, tmp.resolve("stage"))
       finally graft.text.Artifacts.deleteRecursively(tmp)
       ForgetStats(removed, hit.size)

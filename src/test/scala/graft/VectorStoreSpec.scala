@@ -100,4 +100,120 @@ class VectorStoreSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "lists", s"_c=${someList._1}")),
       "a fully-forgotten list's partition dir must be removed")
   }
+
+  // ── r15: retrain generations + the _meta geometry sidecar ────────
+
+  /** Deterministic pseudo-random unit-ish vector (no Random: replays
+    * bit-for-bit). */
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(8)(k => math.cos(0.7 * seed + 1.3 * k).toFloat)
+
+  private def vdf(rows: Seq[(Long, Array[Float])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("retrain: drift skews listStats, the new generation rebalances, " +
+      "full-probe search is continuous across the swap (r15)") {
+    val dir = freshDir()
+    // base: 16 centroid vectors + 32 satellites → balanced lists
+    val cents = (0L until 16L).map(j => j -> vec(j.toInt))
+    val sats = (16L until 48L).map { i =>
+      val c = vec((i % 16).toInt)
+      i -> c.zipWithIndex.map { case (x, k) =>
+        x + 0.01f * math.cos(i + k).toFloat }
+    }
+    VectorStore.init(spark, vdf(cents ++ sats), dir)
+    assert(VectorStore.metaOf(dir) === Some((16, 8)))
+    def maxList(): Long = VectorStore.listStats(spark, dir)
+      .agg(max(col("n"))).head.getLong(0)
+    val maxBase = maxList()
+
+    // drift: 40 vectors in 8 subclusters around ONE far direction —
+    // they pile into very few of the trained lists
+    val far = vec(999)
+    def driftCenter(i: Int): Array[Float] =
+      far.zipWithIndex.map { case (x, k) =>
+        x + (if (k == i % 8) 0.25f else 0f) }
+    val drifted = (100L until 140L).map { i =>
+      i -> driftCenter((i % 8).toInt).zipWithIndex.map { case (x, k) =>
+        x + 0.001f * math.cos(3 * i + k).toFloat }
+    }
+    VectorStore.fold(spark, dir, vdf(drifted))
+    val maxDrift = maxList()
+    assert(maxDrift >= 14,
+      s"drifted fold should pile into few lists, max=$maxDrift")
+    assert(maxDrift > maxBase)
+
+    // full-probe search BEFORE the swap (exact over the whole store)
+    val q = vdf((0L until 6L).map(j => j -> vec(j.toInt)))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    def res() = VectorStore.search(spark, dir, q, nProbe = 16, k = 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val before = res()
+
+    // retrain: half the codebook re-seeded from the drift region
+    val train = vdf(
+      (0L until 8L).map(j => j -> vec(j.toInt)) ++
+      (8L until 16L).map(j => j -> driftCenter((j - 8).toInt)))
+    val v = VectorStore.retrain(spark, dir, train)
+    assert(v === 1L && Files.isDirectory(Paths.get(dir, "v1")))
+    assert(VectorStore.metaOf(dir) === Some((16, 8)))
+    // same corpus, rebalanced lists
+    assert(VectorStore.lists(spark, dir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet ===
+      (cents ++ sats ++ drifted).map(_._1).toSet,
+      "retrain must preserve every stored vector")
+    assert(maxList() < maxDrift,
+      "the retrained geometry must drain the hot list")
+    // full probe scans everything: the swap cannot change exact results
+    assert(res() === before,
+      "full-probe search must be continuous across the generation swap")
+
+    // fold AFTER the swap lands in the new generation and stays exact
+    val post = (200L until 208L).map(i => i -> vec((i % 16).toInt))
+    val st = VectorStore.fold(spark, dir, vdf(post))
+    assert(st.vectorsAdded === 8L)
+    assert(Files.walk(Paths.get(dir, "v1", "lists")).count() > 0)
+    val ids = VectorStore.lists(spark, dir).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(post.map(_._1).toSet.subsetOf(ids),
+      "post-retrain folds must land in the resolved generation")
+  }
+
+  test("_meta sidecar: geometry mismatch and wrong-width vectors fail fast (r15)") {
+    val dir = freshDir()
+    VectorStore.init(spark,
+      vdf((0L until 16L).map(j => j -> vec(j.toInt))), dir)
+    // wrong-width batch refuses to fold (it would score garbage)
+    val wide = vdf(Seq(500L -> Array.tabulate(9)(_.toFloat)))
+    val e1 = intercept[IllegalArgumentException] {
+      VectorStore.fold(spark, dir, wide)
+    }
+    assert(e1.getMessage.contains("width"))
+    // wrong-width queries refuse to search
+    val e2 = intercept[IllegalArgumentException] {
+      VectorStore.search(spark, dir,
+        wide.select(col("vec_id").as("query_id"),
+          col("embedding").as("qe")), 2, 5).collect()
+    }
+    assert(e2.getMessage.contains("width"))
+    // tampered meta (a foreign-convention store): every entry fails fast
+    val props = new java.util.Properties()
+    props.setProperty("nCentroids", "8"); props.setProperty("dim", "8")
+    val out = Files.newOutputStream(Paths.get(dir, "_meta"))
+    try props.store(out, "tampered") finally out.close()
+    import spark.implicits._
+    Seq(
+      () => VectorStore.fold(spark, dir,
+        vdf(Seq(600L -> vec(3)))): Unit,
+      () => VectorStore.forget(spark, dir,
+        Seq(1L).toDF("vec_id")): Unit
+    ).foreach { f =>
+      val e = intercept[IllegalArgumentException](f())
+      assert(e.getMessage.contains("nCentroids"),
+        "a geometry/meta mismatch must fail fast, not mis-prune")
+    }
+  }
 }
