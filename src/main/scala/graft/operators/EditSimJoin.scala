@@ -55,9 +55,23 @@ import org.apache.spark.sql.functions._
   * (vocab-bounded result), prefix selection one id-keyed groupBy with
   * an in-row sort of ≤ |s| elements (never a global window), and the
   * candidate join is an equi-join on (gram, occ) — no Cartesian
-  * product anywhere (EditSimJoinSpec pins the plan). Verification cost
-  * is candidate-scale, and candidates track true matches + the rare-
-  * gram collision rate, not n².
+  * product anywhere (EditSimJoinSpec pins the plan). Postings and the
+  * pair dedup carry ids + lengths only; strings attach once,
+  * candidate-scale, for the verify. Verification cost is
+  * candidate-scale, and candidates track true matches + the rare-gram
+  * collision rate, not n².
+  *
+  * Choosing `q` — measured, not argued (`tools/EditSimScale`, r15, on
+  * the worst-case `Customer#0000…` boilerplate at sf0.1 ×1 / ×10 with
+  * distance-preserving digit-rotated replicas): the prefix principle
+  * bounds WHICH elements enter postings, but posting LENGTH is
+  * corpus_strings / vocab — once the gram vocabulary saturates
+  * (9-digit ids under q=2 have ~10² digit grams), lists grow linearly
+  * with the corpus and pair expansion quadratically. q=2: cand/string
+  * 540 → 1533 across 10× (super-linear); q=3 (10³ digit grams):
+  * 750 → 844 (flat, candidate growth back to match-tracking) at a
+  * ~1.4× constant. Pick q so the plausible gram vocabulary stays well
+  * above the string count; for digit-heavy keys that means q=3+.
   */
 object EditSimJoin {
 
@@ -93,35 +107,41 @@ object EditSimJoin {
 
     // ── long block: prefix-filtered positional q-gram postings ──
     // elements (gram, occ) per string, occ = index among equal grams
-    // (multiset intersection == set intersection over these)
+    // (multiset intersection == set intersection over these).
+    // Postings and the pair join carry IDS + len ONLY — the strings
+    // themselves never enter a posting row or the candidate dedup
+    // (r15: at corpus scale every posting collision used to drag two
+    // full strings through the join and the distinct; now pairs dedup
+    // at 16 bytes/row and strings attach ONCE, candidate-scale, for
+    // the verify)
     val grams = s0.filter(col("len") >= q)
       .withColumn("g", expr(
         s"transform(sequence(0, len - $q), i -> substring(s, i + 1, $q))"))
       .withColumn("e", expr(
         "transform(g, (x, i) -> struct(x AS gram," +
           " size(filter(slice(g, 1, i), y -> y = x)) AS occ))"))
-      .select(col("id"), col("s"), col("len"), explode(col("e")).as("e"))
-      .select(col("id"), col("s"), col("len"),
+      .select(col("id"), col("len"), explode(col("e")).as("e"))
+      .select(col("id"), col("len"),
         col("e.gram").as("gram"), col("e.occ").as("occ"))
     // global element order: rarest gram first — ONE total order shared
     // by every string, the prefix principle's requirement
     val df = grams.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
     val prefix = grams.join(df, Seq("gram"))
       .groupBy(col("id"))
-      .agg(first(col("s")).as("s"), first(col("len")).as("len"),
+      .agg(first(col("len")).as("len"),
         slice(sort_array(collect_list(
             struct(col("gdf"), col("gram"), col("occ")))),
           1, q * t + 1).as("pf"))
-      .select(col("id"), col("s"), col("len"), explode(col("pf")).as("p"))
-      .select(col("id"), col("s"), col("len"),
+      .select(col("id"), col("len"), explode(col("pf")).as("p"))
+      .select(col("id"), col("len"),
         col("p.gram").as("gram"), col("p.occ").as("occ"))
     val candLong = prefix.select(col("gram"), col("occ"),
-        col("id").as("id_a"), col("s").as("sa"), col("len").as("la"))
+        col("id").as("id_a"), col("len").as("la"))
       .join(prefix.select(col("gram"), col("occ"), col("id").as("id_b"),
-        col("s").as("sb"), col("len").as("lb")), Seq("gram", "occ"))
+        col("len").as("lb")), Seq("gram", "occ"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= t)
-      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .select(col("id_a"), col("id_b"))
 
     // ── short block: ≤t-deletion variants, combos built directly ──
     // deletion-position combinations of size 0..t, each round
@@ -148,15 +168,20 @@ object EditSimJoin {
                                substring(s, i + 1, 1), NULL)),
                      x -> x IS NOT NULL))))""")))
     val candShort = shorts.select(col("v"),
-        col("id").as("id_a"), col("s").as("sa"), col("len").as("la"))
+        col("id").as("id_a"), col("len").as("la"))
       .join(shorts.select(col("v"), col("id").as("id_b"),
-        col("s").as("sb"), col("len").as("lb")), Seq("v"))
+        col("len").as("lb")), Seq("v"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("la") - col("lb")) <= t)
-      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
+      .select(col("id_a"), col("id_b"))
 
-    // deduped union — the verify pass in [[join]] runs ONE
-    // codegen levenshtein over exactly these rows
+    // dedup on the NARROW id pairs, then attach both strings once —
+    // the verify pass in [[join]] runs ONE codegen levenshtein over
+    // exactly these rows (both attach joins are candidate-scale;
+    // AQE broadcasts s0 when it fits, shuffles on id when it does not)
     candLong.unionByName(candShort).distinct()
+      .join(s0.select(col("id").as("id_a"), col("s").as("sa")), Seq("id_a"))
+      .join(s0.select(col("id").as("id_b"), col("s").as("sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sa"), col("sb"))
   }
 }

@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * boilerplate out of the posting lists, so candidate growth tracks
   * true matches, not n²".
   *
-  *   runMain graft.tools.EditSimScale <sfDir> [multiples] [t]
-  *   (defaults: /root/testdata/sf0.1  1,10  2)
+  *   runMain graft.tools.EditSimScale <sfDir> [multiples] [t] [q]
+  *   (defaults: /root/testdata/sf0.1  1,10  2  2)
   *
   * Method: q180's exact input shape (customer %10 slice, `c_name` —
   * the worst case the prefix ordering exists for: every string
@@ -38,6 +38,7 @@ object EditSimScale {
     val multiples = (if (a.length > 1) a(1) else "1,10")
       .split(",").map(_.trim.toInt).toSeq
     val t = if (a.length > 2) a(2).toInt else 2
+    val qg = if (a.length > 3) a(3).toInt else 2
 
     val base = graft.analytics.Tables.customer(spark, d)
       .filter(col("c_custkey") % 10 === 0)
@@ -61,12 +62,12 @@ object EditSimScale {
       }.reduce(_ unionByName _)
       strs.persist(); val n = strs.count()
       val cand = graft.operators.EditSimJoin
-        .candidates(strs, "id", "s", t).count()
+        .candidates(strs, "id", "s", t, qg).count()
       val matches = graft.operators.EditSimJoin
-        .join(strs, "id", "s", t).count()
+        .join(strs, "id", "s", t, qg).count()
       val sec = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        graft.operators.EditSimJoin.join(strs, "id", "s", t).count()
+        graft.operators.EditSimJoin.join(strs, "id", "s", t, qg).count()
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"[editsim] $m%3d $n%8d $cand%10d $matches%10d " +
