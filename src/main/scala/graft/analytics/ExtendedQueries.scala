@@ -1595,8 +1595,15 @@ object ExtendedQueries {
         val strs = customer(s, d)
           .filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), col("c_name"))
+        // q = 3 per EditSimJoin's measured q-selection rule: c_name is
+        // a digit-heavy key ("Customer#000000042"), and q=2's ~10²
+        // digit-gram vocabulary saturates under corpus growth (posting
+        // length goes corpus-linear, pair expansion quadratic — the
+        // r15 EditSimScale table); q=3's ~10³ grams keep candidates
+        // match-tracking. Lossless either way — q changes blocking
+        // only, so the oracle hash is the same.
         graft.operators.EditSimJoin
-          .join(strs, "c_custkey", "c_name", t = 2)
+          .join(strs, "c_custkey", "c_name", t = 2, q = 3)
           .orderBy("id_a", "id_b")
       },
       oracle = Some("""

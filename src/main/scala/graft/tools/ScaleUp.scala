@@ -42,8 +42,26 @@ object ScaleUp {
     val K = 100000000L
     copyOnce("region")
     copyOnce("nation")
-    replicate("customer", (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * K)))
+    // c_name is key-derived ("Customer#000000042"): cloning it verbatim
+    // would hand every name factor-1 distance-0 twins and blow the
+    // edit-sim join's TRUE-match set up O(factor²) — the documents
+    // salt-token rule, applied to names. Digits instead rotate by a
+    // per-replica (even-position, odd-position) offset pair: each track
+    // is a character bijection, so within-replica distances stay
+    // realistic, while any two replicas i != j < 100 disagree on at
+    // least one track and differ in every digit of that track (≥4 of
+    // the 9 id digits) — cross-replica name distance stays above any
+    // sane join threshold.
+    replicate("customer", (df, i) => {
+      val (rEven, rOdd) = ((i / 10) % 10, i % 10)
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * K))
+        .withColumn("c_name", expr(
+          s"""concat_ws('', transform(split(c_name, ''), (ch, p) ->
+                IF(ch BETWEEN '0' AND '9',
+                   CAST((CAST(ch AS INT) +
+                         IF(p % 2 = 0, $rEven, $rOdd)) % 10 AS STRING),
+                   ch)))"""))
+    })
     replicate("supplier", (df, i) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * K)))
     replicate("part", (df, i) =>
