@@ -1787,6 +1787,61 @@ object ExtendedQueries {
           AND d.valid_from <= f.probe_date
           AND (d.valid_to IS NULL OR f.probe_date < d.valid_to)
         ORDER BY f.custkey, f.orderkey"""),
+      bench = true),
+
+    // ── SCD2 incremental fold (r15) ────────────────────────────────
+    // Dimension MAINTENANCE, the production shape q181's build only
+    // bootstraps: yesterday's interval table + today's change batch →
+    // today's interval table, at BATCH-scale cost. Here the stream
+    // splits at 1997-01-01 (append-only per key by construction —
+    // every later change's (valid_from, change_key) sequences after
+    // every earlier one), the pre-1997 table folds the post-1997
+    // batch, and the oracle is q181's FULL-rebuild SQL verbatim: the
+    // hash match IS the fold≡rebuild proof (the q183 discipline).
+    // Untouched keys ride a broadcast anti-join (no shuffle, no
+    // window); only touched keys' histories re-window (PlanSpec pins
+    // the single hash exchange).
+    "q187_scd2_fold" -> QuerySpec(
+      build = (s, d) => {
+        def changesOf(f: DataFrame) = f.select(
+          col("o_custkey").as("custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderstatus").as("status"))
+        val all = orders(s, d)
+        val existing = graft.etl.Scd2.build(
+          changesOf(all.filter(col("o_orderdate") < "1997-01-01")),
+          keys = Seq("custkey"), seqCols = Seq("valid_from", "change_key"),
+          attrs = Seq("status"))
+        graft.etl.Scd2.fold(existing,
+            changesOf(all.filter(col("o_orderdate") >= "1997-01-01")),
+            keys = Seq("custkey"), seqCols = Seq("valid_from", "change_key"),
+            attrs = Seq("status"))
+          .withColumnRenamed("valid_to_seq", "valid_to")
+          .orderBy("custkey", "valid_from", "change_key")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT o_custkey AS custkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                          o_orderkey AS change_key,
+                          o_orderstatus AS status
+                   FROM orders),
+        m AS (SELECT *,
+                lag(status) OVER w AS prev,
+                row_number() OVER w AS rn
+              FROM c
+              WINDOW w AS (PARTITION BY custkey
+                           ORDER BY valid_from, change_key)),
+        kept AS (SELECT custkey, valid_from, change_key, status FROM m
+                 WHERE rn = 1 OR prev IS DISTINCT FROM status)
+        SELECT custkey, valid_from, change_key, status,
+               lead(valid_from) OVER (PARTITION BY custkey
+                 ORDER BY valid_from, change_key) AS valid_to,
+               CASE WHEN lead(valid_from) OVER (PARTITION BY custkey
+                 ORDER BY valid_from, change_key) IS NULL
+                 THEN 1 ELSE 0 END AS is_current
+        FROM kept
+        ORDER BY custkey, valid_from, change_key"""),
       bench = true)
   )
 

@@ -71,4 +71,59 @@ object Scd2 {
       .select((keys ++ seqCols ++ attrs ++
         Seq("valid_to_seq", "is_current")).map(col): _*)
   }
+
+  /** Incremental SCD2 maintenance: fold a batch of new changes into an
+    * existing [[build]] output, row-identical to rebuilding from the
+    * full change stream (q187's oracle IS the full rebuild — the hash
+    * match is the fold≡rebuild proof, the q183 discipline) at
+    * BATCH-scale cost, not dimension-scale.
+    *
+    * Why replaying the stored versions is enough: each interval row
+    * retains its version-opening change verbatim (keys ++ seqCols ++
+    * attrs), and under the APPEND-ONLY contract — every new change
+    * sequences strictly after ALL of its key's original changes — the
+    * compression decisions for old rows cannot be altered by new ones
+    * (a lag-compare only looks backward), so rebuilding the touched
+    * keys from (stored versions ∪ new changes) reproduces the full
+    * rebuild exactly. Out-of-order backfill breaks this (a change
+    * spliced BETWEEN two originals can resurrect a compressed-away
+    * row the interval table no longer holds) — the fold fails loudly
+    * on any new change at-or-before its key's latest stored version
+    * (the strongest check expressible from the interval table alone;
+    * the contract itself covers compressed-away originals too).
+    * Backfill is a [[build]] over the raw change log, not a fold.
+    *
+    * Scale shape: touched keys (batch-scale) broadcast twice — a
+    * broadcast ANTI join passes untouched dimension rows through with
+    * no shuffle and no window work, a broadcast SEMI join selects the
+    * rows to replay; the guard joins the batch against the touched
+    * CURRENT rows (one per key, broadcast); the only hash exchange in
+    * the plan is [[build]]'s window over the touched slice (PlanSpec
+    * pins exactly one). The raise_error guard rides batch rows only —
+    * never a dimension-scale path (the q171/ZOrder lesson). */
+  def fold(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+           seqCols: Seq[String], attrs: Seq[String],
+           compress: Boolean = true): DataFrame = {
+    val cols = keys ++ seqCols ++ attrs
+    val touched = changes.select(keys.map(col): _*).distinct()
+    val untouched = existing.join(broadcast(touched), keys, "left_anti")
+    val replayed = existing.join(broadcast(touched), keys, "left_semi")
+      .select(cols.map(col): _*)
+    // append-only guard: current rows carry each touched key's latest
+    // stored seq; any batch change at-or-before it is out of order
+    val cur = existing.filter(col("is_current") === 1)
+      .join(broadcast(touched), keys, "left_semi")
+      .select(keys.map(col) :+
+        struct(seqCols.map(col): _*).as("_cur_seq"): _*)
+    val guarded = changes.join(broadcast(cur), keys, "left")
+      .withColumn("_seq", struct(seqCols.map(col): _*))
+      .filter(col("_cur_seq").isNull || col("_seq") > col("_cur_seq") ||
+        raise_error(concat(lit("scd2 fold is append-only: change at "),
+          col("_seq").cast("string"), lit(" not after stored "),
+          col("_cur_seq").cast("string"),
+          lit(" — backfill requires a rebuild from the raw change log"))))
+      .select(cols.map(col): _*)
+    untouched.unionByName(
+      build(replayed.unionByName(guarded), keys, seqCols, attrs, compress))
+  }
 }

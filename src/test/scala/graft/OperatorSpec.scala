@@ -1273,6 +1273,36 @@ class OperatorSpec extends SparkSpec {
       compress = false).count() === 7L)
   }
 
+  test("Scd2.fold: append-only fold == full rebuild; backfill throws (r15)") {
+    import graft.etl.Scd2
+    val k = Seq("k"); val sq = Seq("eff", "tie"); val at = Seq("attr")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getInt(5))).toSet
+    val early = Seq( // k1 ends current=B; k2 single null version
+      ("k1", 1L, 10L, "A"), ("k1", 2L, 20L, "A"), ("k1", 3L, 30L, "B"),
+      ("k2", 1L, 11L, null)).toDF("k", "eff", "tie", "attr")
+    val late = Seq( // k1: re-stated B (compresses across the splice) then A;
+      ("k1", 4L, 40L, "B"), ("k1", 5L, 50L, "A"),
+      ("k3", 1L, 12L, "X")).toDF("k", "eff", "tie", "attr") // new key
+    val folded = Scd2.fold(Scd2.build(early, k, sq, at), late, k, sq, at)
+    assert(canon(folded) === canon(
+      Scd2.build(early.unionByName(late), k, sq, at)))
+    // k2 untouched by the batch: its row must ride through unchanged
+    assert(canon(folded).contains(("k2", 1L, 11L, None, None, 1)))
+    // empty batch is identity
+    assert(canon(Scd2.fold(Scd2.build(early, k, sq, at),
+      late.limit(0), k, sq, at)) === canon(Scd2.build(early, k, sq, at)))
+    // a change at-or-before the stored current seq = backfill → loud
+    val bad = Seq(("k1", 2L, 25L, "C")).toDF("k", "eff", "tie", "attr")
+    val ex = intercept[Exception] {
+      Scd2.fold(Scd2.build(early, k, sq, at), bad, k, sq, at).collect()
+    }
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("CascadedRollup.foldFinest: sequential folds == full rebuild (r13)") {
     import graft.operators.CascadedRollup._
     val dims = Seq("d")

@@ -628,6 +628,35 @@ class PlanSpec extends SparkSpec {
       "interval probe degraded to an unbounded range cross-product")
   }
 
+  test("q187 scd2 fold: untouched rows broadcast-anti through, one window exchange (r15)") {
+    val df = SparkEntry.queries("q187_scd2_fold")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // touched keys broadcast (anti = pass-through, semi = replay set,
+    // guard vs current rows): the dimension side never hash-shuffles
+    // for membership; the only hash exchanges feed the two builds'
+    // windows (bootstrap build + touched-slice rebuild)
+    assert(p.contains("BroadcastHashJoin"),
+      s"key membership must be broadcast joins:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "fold membership joins degraded to shuffle joins:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // shuffles OUTSIDE broadcast subtrees (those inside are the
+    // batch-scale touched-key distincts): exactly the two builds'
+    // window exchanges + the output orderBy — the dimension never
+    // hash-shuffles for membership
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    def shuffles(n: SparkPlan): Int = n match {
+      case _: BroadcastExchangeExec => 0
+      case s: ShuffleExchangeExec => 1 + s.children.map(shuffles).sum
+      case o => o.children.map(shuffles).sum
+    }
+    assert(shuffles(df.queryExecution.executedPlan) <= 3,
+      "fold must window only the bootstrap + touched slice:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q171 z-key path: bare Morton arithmetic, no per-row guard (r15)") {
     val df = SparkEntry.queries("q171_zorder_locality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
