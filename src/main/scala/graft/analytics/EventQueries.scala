@@ -1239,6 +1239,64 @@ object EventQueries {
         FROM scored s, th
         WHERE s.c + s.nu >= th.t_pub + th.rho
         ORDER BY s.pos LIMIT 1"""),
+      bench = true),
+
+    // ── multi-touch attribution (r15) ──────────────────────────────
+    // First/last/linear credit for every purchase's view/click touches
+    // in a 7-day lookback — computed WITHOUT the per-user range join
+    // (touches × conversions pair expansion, quadratic on hot users):
+    // per-channel running counts on the touch timeline + two backward
+    // as-of probes per conversion (prefix-difference counts, the
+    // Fenwick idiom) + one (user, idx) equi-join for the first touch.
+    // The oracle replays the NAIVE range join — the hash match proves
+    // the prefix arithmetic computes exactly the window the join
+    // scans. Linear credit in integer millionths (e6 discipline).
+    "q188_attribution" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val channels = Seq("click", "view")
+        val touches = e.filter(col("event_type").isin(channels: _*))
+          .select(col("user_id").as("user"), col("ts_us").as("ts"),
+            col("event_type").as("channel"), col("event_id").as("tie"))
+        val conversions = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user"), col("ts_us").as("ts"))
+        val per = Attribution.perConversion(touches, conversions,
+          channels, lit(7L * 86400 * 1000000))
+        Attribution.byChannel(per, channels).orderBy("channel")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+                          event_type AS ch,
+                          row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS idx
+                   FROM events WHERE event_type IN ('click', 'view')),
+        c AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS cid
+              FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT c.cid, t.ch, t.idx
+              FROM c JOIN t ON t.u = c.u
+                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts),
+        per AS (SELECT cid, count(*) AS n, min(idx) AS fidx,
+                       max(idx) AS lidx
+                FROM w GROUP BY cid),
+        fl AS (SELECT p.cid, f.ch AS first_ch, l.ch AS last_ch
+               FROM per p
+               JOIN w f ON f.cid = p.cid AND f.idx = p.fidx
+               JOIN w l ON l.cid = p.cid AND l.idx = p.lidx),
+        lin AS (SELECT wch.ch, sum((wch.k * 1000000) // p.n) AS lin
+                FROM (SELECT cid, ch, count(*) AS k
+                      FROM w GROUP BY cid, ch) wch
+                JOIN per p USING (cid) GROUP BY wch.ch)
+        SELECT chs.ch AS channel,
+               coalesce(f.cnt, 0) AS first_touch,
+               coalesce(l.cnt, 0) AS last_touch,
+               coalesce(lin.lin, 0) AS linear_e6
+        FROM (VALUES ('click'), ('view')) chs(ch)
+        LEFT JOIN (SELECT first_ch AS ch, count(*) AS cnt
+                   FROM fl GROUP BY 1) f ON f.ch = chs.ch
+        LEFT JOIN (SELECT last_ch AS ch, count(*) AS cnt
+                   FROM fl GROUP BY 1) l ON l.ch = chs.ch
+        LEFT JOIN lin ON lin.ch = chs.ch
+        ORDER BY channel"""),
       bench = true)
 
   )

@@ -1595,15 +1595,16 @@ object ExtendedQueries {
         val strs = customer(s, d)
           .filter(col("c_custkey") % 10 === 0)
           .select(col("c_custkey"), col("c_name"))
-        // q = 3 per EditSimJoin's measured q-selection rule: c_name is
-        // a digit-heavy key ("Customer#000000042"), and q=2's ~10²
-        // digit-gram vocabulary saturates under corpus growth (posting
-        // length goes corpus-linear, pair expansion quadratic — the
-        // r15 EditSimScale table); q=3's ~10³ grams keep candidates
-        // match-tracking. Lossless either way — q changes blocking
-        // only, so the oracle hash is the same.
+        // joinAuto measures the gram vocabulary and picks q (r15):
+        // c_name is a digit-heavy key, and grams over a closed digit
+        // alphabet saturate — q=2's ~10² vocabulary at thousands of
+        // strings, q=3's ~10³ at hundreds of thousands (the r15
+        // EditSimScale table + the 100× rotation measurement). The
+        // pre-flight picks q=2 here at sf0.1, q=4 on the 100× scale
+        // set — any q is lossless (blocking only), so the oracle hash
+        // never moves.
         graft.operators.EditSimJoin
-          .join(strs, "c_custkey", "c_name", t = 2, q = 3)
+          .joinAuto(strs, "c_custkey", "c_name", t = 2)
           .orderBy("id_a", "id_b")
       },
       oracle = Some("""
@@ -1842,6 +1843,121 @@ object ExtendedQueries {
                  THEN 1 ELSE 0 END AS is_current
         FROM kept
         ORDER BY custkey, valid_from, change_key"""),
+      bench = true),
+
+    // ── time-in-state over the SCD2 dimension (r15) ────────────────
+    // The interval table's other consumer (q186 probes it; this
+    // AGGREGATES it): how long does each status version live? Closed
+    // intervals price as valid_to − valid_from days; open (current)
+    // rows clip at a fixed as-of date past the data horizon. Version-
+    // scale input (the dimension is change-compressed), so the whole
+    // query is one groupBy over dimension rows — the fact table is
+    // never re-scanned. avg in integer hundredths of a day (e2
+    // discipline: `div` floor matches DuckDB `//`).
+    "q189_time_in_state" -> QuerySpec(
+      build = (s, d) => {
+        val changes = orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          col("o_orderkey").as("change_key"),
+          col("o_orderstatus").as("status"))
+        graft.etl.Scd2.build(changes,
+            keys = Seq("custkey"), seqCols = Seq("valid_from", "change_key"),
+            attrs = Seq("status"))
+          .withColumn("days", datediff(
+            coalesce(to_date(col("valid_to_seq")),
+              to_date(lit("1998-12-31"))),
+            to_date(col("valid_from"))))
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_versions"),
+            sum(when(col("valid_to_seq").isNotNull, 1L).otherwise(0L))
+              .as("closed_versions"),
+            sum(col("days")).as("total_days"))
+          .withColumn("avg_days_e2",
+            expr("total_days * 100 div n_versions"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH c AS (SELECT o_custkey AS custkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                          o_orderkey AS change_key,
+                          o_orderstatus AS status
+                   FROM orders),
+        m AS (SELECT *,
+                lag(status) OVER w AS prev,
+                row_number() OVER w AS rn
+              FROM c
+              WINDOW w AS (PARTITION BY custkey
+                           ORDER BY valid_from, change_key)),
+        kept AS (SELECT custkey, valid_from, change_key, status FROM m
+                 WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        dim AS (SELECT custkey, valid_from, status,
+                       lead(valid_from) OVER (PARTITION BY custkey
+                         ORDER BY valid_from, change_key) AS valid_to
+                FROM kept),
+        priced AS (SELECT status, valid_to,
+                          date_diff('day', CAST(valid_from AS DATE),
+                            coalesce(CAST(valid_to AS DATE),
+                                     DATE '1998-12-31')) AS days
+                   FROM dim)
+        SELECT status, count(*) AS n_versions,
+               sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                 AS closed_versions,
+               sum(days) AS total_days,
+               (sum(days) * 100) // count(*) AS avg_days_e2
+        FROM priced GROUP BY status ORDER BY status"""),
+      bench = true),
+
+    // ── entity clusters from the edit-distance join (r15) ──────────
+    // EditSimJoin's consumer loop closed the way q186 closed q181's:
+    // pairs → connected components → canonical entities. The scale
+    // lesson is the FIRST step: exact-dedup before fuzzy-join (part
+    // has ~64 distinct names across 2000 rows at sf0.01 — blocking
+    // 2000 strings would re-verify every identical copy against every
+    // other; grouping first makes the join input VOCABULARY-scale and
+    // carries the copy counts as weights). Components via the q82
+    // pointer-doubling min-label engine; names with no ≤t partner stay
+    // singleton entities (left join, own id as rep). The oracle
+    // replays the quadratic join + a recursive-CTE closure.
+    "q190_entity_clusters" -> QuerySpec(
+      build = (s, d) => {
+        val names = part(s, d).groupBy(col("p_name"))
+          .agg(min(col("p_partkey")).as("id"),
+            count(lit(1)).as("n_parts"))
+        val pairs = graft.operators.EditSimJoin
+          .join(names.select(col("id"), col("p_name")),
+            "id", "p_name", t = 1, q = 3)
+          .select(col("id_a").as("da"), col("id_b").as("db"))
+        graft.text.CurationQueries.withDupClusterLabels(s, pairs) { labels =>
+          names.join(labels, names("id") === labels("doc_id"), "left")
+            .withColumn("rep", coalesce(col("rep"), col("id")))
+            .groupBy(col("rep"))
+            .agg(count(lit(1)).as("n_names"),
+              sum(col("n_parts")).as("n_parts"),
+              min_by(col("p_name"), col("id")).as("rep_name"))
+            .localCheckpoint(true)
+        }.orderBy("rep")
+      },
+      oracle = Some("""
+        WITH RECURSIVE names AS (
+          SELECT p_name, min(p_partkey) AS id, count(*) AS n_parts
+          FROM part GROUP BY p_name),
+        p AS (SELECT a.id AS ida, b.id AS idb
+              FROM names a JOIN names b
+              ON a.id < b.id AND levenshtein(a.p_name, b.p_name) <= 1),
+        e AS (SELECT ida AS a, idb AS b FROM p
+              UNION ALL SELECT idb, ida FROM p),
+        reach(n, m) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM e)
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN e ON e.a = r.m),
+        lbl AS (SELECT n AS id, min(m) AS rep FROM reach GROUP BY n),
+        full_n AS (SELECT nm.p_name, nm.id, nm.n_parts,
+                          coalesce(l.rep, nm.id) AS rep
+                   FROM names nm LEFT JOIN lbl l ON l.id = nm.id)
+        SELECT rep, count(*) AS n_names, sum(n_parts) AS n_parts,
+               arg_min(p_name, id) AS rep_name
+        FROM full_n GROUP BY rep ORDER BY rep"""),
       bench = true)
   )
 

@@ -75,11 +75,61 @@ import org.apache.spark.sql.functions._
   */
 object EditSimJoin {
 
+  /** [[join]] with the gram width picked by MEASUREMENT instead of by
+    * the caller: the smallest `q` whose expected posting length
+    * `n · (q·t + 1) / vocab(q)` stays under `postingCap` — the
+    * q-selection rule the r15 EditSimScale table established, turned
+    * into a pre-flight the way [[JoinAdvisor]] measures before
+    * dispatching a join. The pre-flight is ONE token-scale pass
+    * (every candidate width's grams explode from the same scan into
+    * one bounded groupBy) plus a count; against the corpus-scale join
+    * it guards, it is noise — and it is what makes the operator
+    * self-tuning across 100× growth: digit-heavy keys saturate q=2's
+    * ~10² gram vocabulary at thousands of strings and q=3's ~10³ at
+    * hundreds of thousands (grams over a closed alphabet CANNOT
+    * out-grow it), so the right width is a function of the data at
+    * hand, not of the schema. */
+  def joinAuto(strs: DataFrame, idCol: String, strCol: String,
+               t: Int, postingCap: Int = 256): DataFrame =
+    join(strs, idCol, strCol, t, chooseQ(strs, strCol, t, postingCap))
+
+  /** The measured q-selection: smallest width whose expected posting
+    * length is under the cap (else the largest feasible width).
+    * Deterministic — approx_count_distinct's HLL registers fold
+    * commutatively, so the estimate is partitioning-independent. */
+  def chooseQ(strs: DataFrame, strCol: String, t: Int,
+              postingCap: Int = 256): Int = {
+    require(postingCap >= 1, "postingCap must be positive")
+    // q·t + q − 1 <= 20 keeps the short block's in-row enumeration
+    // bounded (same contract join() enforces)
+    val qMax = math.min(7, 21 / (t + 1))
+    require(qMax >= 2, s"t=$t leaves no feasible gram width")
+    val s0 = strs.select(col(strCol).as("s")).filter(col("s").isNotNull)
+    val n = s0.count()
+    if (n == 0) return 2
+    val vocab = s0
+      .select(explode(expr(
+        // the length filter drops the one sub-width stub a string
+        // shorter than q emits (sequence is clamped at 0)
+        (2 to qMax).map(q =>
+          s"""filter(transform(sequence(0, greatest(length(s) - $q, 0)),
+                i -> struct($q AS q, substring(s, i + 1, $q) AS g)),
+                x -> length(x.g) = $q)""")
+          .mkString("concat(", ", ", ")"))).as("e"))
+      .groupBy(col("e.q")).agg(approx_count_distinct(col("e.g")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (2 to qMax).find { q =>
+      vocab.get(q).exists(v => n.toDouble * (q * t + 1) / v <= postingCap)
+    }.getOrElse(qMax)
+  }
+
   /** All id pairs (`id_a` < `id_b`) whose strings are within edit
     * distance `t`, with the distance: exactly the rows of the naive
     * quadratic join. `strs` must carry a unique long id and a string
-    * column; null strings never match. `q` is the gram width (2 suits
-    * name-length strings; 3 shifts work toward longer ones). */
+    * column; null strings never match. `q` is the gram width — any
+    * width is LOSSLESS (it changes blocking, never the answer);
+    * [[joinAuto]] picks it from the data's measured gram vocabulary,
+    * which is what you want unless the width is already known. */
   def join(strs: DataFrame, idCol: String, strCol: String,
            t: Int, q: Int = 2): DataFrame =
     candidates(strs, idCol, strCol, t, q)

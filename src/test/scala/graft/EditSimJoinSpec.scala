@@ -87,4 +87,24 @@ class EditSimJoinSpec extends SparkSpec {
     val got = run(strs.map { case (i, s) => (i, s) }, 2)
     assert(got === Set((1L, 2L, 2), (1L, 4L, 1), (2L, 4L, 1)))
   }
+
+  test("chooseQ: width follows the measured posting length (r15)") {
+    // a few hundred digit-key strings: q=2's ~10^2 vocabulary gives
+    // short postings — the cheap width wins
+    val small = (1L to 300L).map(i => i -> f"K$i%09d").toDF("id", "s")
+    assert(EditSimJoin.chooseQ(small, "s", t = 2) === 2)
+    // 6000 strings over the same closed digit alphabet: q=2 postings
+    // blow past the cap (6000·5/~110 > 256), q=3's ~10^3 grams do not
+    val big = spark.range(1, 6001)
+      .select(col("id"), format_string("K%09d", col("id") * 7).as("s"))
+    assert(EditSimJoin.chooseQ(big, "s", t = 2) === 3)
+    // joinAuto is join at the chosen width — same rows
+    val strs = (0L until 80L).map { i =>
+      val rnd = new scala.util.Random(i)
+      i -> (0 until rnd.nextInt(14)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    }
+    val auto = EditSimJoin.joinAuto(strs.toDF("id", "s"), "id", "s", t = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(auto === brute(strs, 2))
+  }
 }

@@ -1303,6 +1303,44 @@ class OperatorSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("Attribution: half-open window, ties, unattributed — hand oracle (r15)") {
+    import graft.analytics.Attribution
+    val touches = Seq(
+      (1L, 1L, "view", 101L), (1L, 5L, "click", 102L), (1L, 11L, "view", 103L),
+      (2L, 10L, "view", 201L), (2L, 20L, "click", 202L),
+      // same-ts ties: tie order makes view the FIRST, click the LAST
+      (3L, 7L, "view", 301L), (3L, 7L, "click", 302L)
+    ).toDF("user", "ts", "channel", "tie")
+    val convs = Seq((1L, 11L), (2L, 20L), (3L, 8L), (4L, 5L))
+      .toDF("user", "ts")
+    val chs = Seq("view", "click")
+    val per = Attribution.perConversion(touches, convs, chs, lit(10L))
+    val rows = per.collect().map(r => r.getLong(r.fieldIndex("user")) -> (
+      r.getInt(r.fieldIndex("n_touches")),
+      Option(r.getString(r.fieldIndex("first_ch"))),
+      Option(r.getString(r.fieldIndex("last_ch"))),
+      Option(r.get(r.fieldIndex("lin_view_e6"))).map(_.asInstanceOf[Long]),
+      Option(r.get(r.fieldIndex("lin_click_e6"))).map(_.asInstanceOf[Long])
+    )).toMap
+    // u1 window (1, 11]: view@1 sits exactly on the boundary — OUT;
+    // click@5 + view@11 (inclusive at conv ts) split linear credit
+    assert(rows(1L) === ((2, Some("click"), Some("view"),
+      Some(500000L), Some(500000L))))
+    // u2 window (10, 20]: view@10 out, click@20 in
+    assert(rows(2L) === ((1, Some("click"), Some("click"),
+      Some(0L), Some(1000000L))))
+    // u3: both ties in-window; tie column orders view first, click last
+    assert(rows(3L) === ((2, Some("view"), Some("click"),
+      Some(500000L), Some(500000L))))
+    // u4: no touch in window — null credits, zero count
+    assert(rows(4L) === ((0, None, None, None, None)))
+    val by = Attribution.byChannel(per, chs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(by("view") === ((1L, 1L, 1000000L)))
+    assert(by("click") === ((2L, 2L, 2000000L)))
+  }
+
   test("CascadedRollup.foldFinest: sequential folds == full rebuild (r13)") {
     import graft.operators.CascadedRollup._
     val dims = Seq("d")
