@@ -2054,6 +2054,31 @@ object CurationQueries {
       oracle = Some(bm25OracleSql),
       bench = true),
 
+    // ── incremental BM25 index maintenance (r15) ────────────────────
+    // [[graft.text.Bm25Store]]: the ingest-store triple completed —
+    // documents ARRIVE, and rebuilding q116's immutable artifact per
+    // batch re-tokenizes the corpus. The store keeps postings RAW
+    // (df would stale under appends — it is DERIVED from the pruned
+    // read at query time, where it equals full-corpus df because the
+    // filter is by term; dl is doc-local, so it rides denormalized),
+    // making fold append-only by construction. Here the corpus splits
+    // 2:1, the store folds the later third, and the oracle is q111's
+    // VERBATIM — the hash match IS the fold≡rebuild proof (the q183
+    // discipline applied to text retrieval).
+    "q191_bm25_incremental" -> QuerySpec(
+      build = (s, d) => {
+        val docs = Tables.documents(s, d)
+        val isBatch = col("doc_id") % 3 === 1
+        val store = Artifacts.dir(d, "bm25_store_v1")
+        Artifacts.materialize(store) { tmp =>
+          Bm25Store.init(s, docs.filter(!isBatch), tmp.toString)
+          Bm25Store.fold(s, tmp.toString, docs.filter(isBatch))
+        }
+        bm25Rank(Bm25Store.scored(s, store.toString, bm25QueryTerms(s, d)))
+      },
+      oracle = Some(bm25OracleSql),
+      bench = true),
+
     // ── Bloom-filter decontamination pre-filter, exactly replayed ───
     // The third sketch next to q104 (HLL: how many distinct) and q110
     // (CMS: how often): [[graft.plans.BloomAgg]] answers "definitely
