@@ -155,6 +155,90 @@ object Bm25Store {
     } finally p.unpersist(false)
   }
 
+  /** [[fold]] made IDEMPOTENT under foreachBatch's at-least-once
+    * contract — the streaming ingest path
+    * ([[graft.streaming.Bm25Ingest]]): every file this batch lands in
+    * either table carries a `seg-b<id>-` name prefix, and the fold
+    * first sweeps that prefix from ALL partition dirs, then copies its
+    * staged parts in — a replay REPLACES its own output instead of
+    * appending beside it (the [[graft.similarity.VectorStore.foldBatch]]
+    * discipline, applied to both the `_tb` postings and the `_db`
+    * doclens). */
+  def foldBatch(s: SparkSession, storeDir: String, docs: DataFrame,
+                batchId: Long): FoldStats = {
+    val buckets = checkedBuckets(storeDir)
+    val (postings, doclens) = indexRows(docs, buckets)
+    // sweep BOTH tables even for an empty batch: a previous non-empty
+    // attempt of this id may have crashed mid-write
+    sweepBatch(postingsPath(storeDir), "_tb", batchId)
+    sweepBatch(doclensPath(storeDir), "_db", batchId)
+    val p = postings.persist()
+    try {
+      val nPost = stagedAppend(s, p, postingsPath(storeDir), "_tb", batchId)
+      val nDocs = stagedAppend(s, doclens, doclensPath(storeDir), "_db",
+        batchId)
+      FoldStats(nDocs, nPost)
+    } finally p.unpersist(false)
+  }
+
+  /** Stage `rows` partitioned by `partCol`, then copy each part file
+    * into the live partition dir under a deterministic
+    * `seg-b<id>-p<idx>` name (replays land the same names). Returns
+    * the row count. */
+  private def stagedAppend(s: SparkSession, rows: DataFrame,
+                           tablePath: String, partCol: String,
+                           batchId: Long): Long = {
+    val n = rows.count()
+    if (n == 0) return 0L
+    val tmp = Files.createTempDirectory("graft-bm25fold")
+    try {
+      rows.repartition(col(partCol)).write.mode("overwrite")
+        .partitionBy(partCol).parquet(tmp.resolve("st").toString)
+      val st = Files.list(tmp.resolve("st"))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$partCol="))
+          .foreach { src =>
+            val dst = Paths.get(tablePath, src.getFileName.toString)
+            Files.createDirectories(dst)
+            val partIdx = "part-(\\d+)".r
+            val parts = Files.list(src)
+            try parts.iterator().asScala
+              .filter(_.getFileName.toString.startsWith("part-"))
+              .foreach { f =>
+                val idx = partIdx.findFirstMatchIn(f.getFileName.toString)
+                  .map(_.group(1)).getOrElse("0")
+                Files.copy(f, dst.resolve(s"seg-b$batchId-p$idx.parquet"),
+                  java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              }
+            finally parts.close()
+          }
+      } finally st.close()
+      n
+    } finally Artifacts.deleteRecursively(tmp)
+  }
+
+  /** Remove every file batch `batchId` previously landed in
+    * `tablePath` (replay / crash healing — see [[foldBatch]]). */
+  private def sweepBatch(tablePath: String, partCol: String,
+                         batchId: Long): Unit = {
+    val root = Paths.get(tablePath)
+    if (!Files.isDirectory(root)) return
+    val dirs = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      dirs.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"$partCol=")).foreach { d =>
+          val fs = Files.list(d)
+          try fs.iterator().asScala
+            .filter(_.getFileName.toString.startsWith(s"seg-b$batchId-"))
+            .foreach(Files.delete)
+          finally fs.close()
+        }
+    } finally dirs.close()
+  }
+
   /** The raw postings (t, doc_id, tf, dl, _tb). */
   def postings(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(postingsPath(storeDir))

@@ -1276,4 +1276,60 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must leave the store file-identical")
     assert(rows(store) === rows(full), "replay must not duplicate vectors")
   }
+
+  test("bm25 ingest: streamed folds == full rebuild; replay idempotent (r15)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.text.Bm25Store
+    import graft.streaming.Bm25Ingest
+
+    val docs = graft.analytics.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("text").isNotNull)
+    val isBatch = col("doc_id") % 3 === 1
+    val store = tmp("bm25-store")
+    Bm25Store.init(spark, docs.filter(!isBatch), store)
+
+    val arriving = docs.filter(isBatch)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(arriving.length >= 4, "fixture needs a non-trivial ingest slice")
+    val (b1, b2) = arriving.splitAt(arriving.length / 2)
+
+    val input = MemoryStream[(Long, String)]
+    val q = Bm25Ingest.maintainBm25Store(
+      input.toDF().toDF("doc_id", "text"), store, tmp("bm25-ckpt"))
+    input.addData(b1.toSeq: _*); q.processAllAvailable()
+    input.addData(b2.toSeq: _*); q.processAllAvailable()
+    q.stop()
+
+    val full = tmp("bm25-full")
+    Bm25Store.init(spark, docs, full)
+    def postingRows(dir: String) = Bm25Store.postings(spark, dir)
+      .select(col("t"), col("doc_id"), col("tf"), col("dl")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(postingRows(store) === postingRows(full),
+      "streamed folds must equal the full rebuild's postings")
+    assert(Bm25Store.stats(spark, store).collect() ===
+      Bm25Store.stats(spark, full).collect())
+
+    // at-least-once replay: re-fold the LAST batch id with the same
+    // rows — both tables must stay file-identical
+    def files(): Set[(String, Long)] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(store))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .filter(!_.getFileName.toString.startsWith("_meta"))
+          .map(f => f.toString -> java.nio.file.Files.size(f)).toSet
+      } finally st.close()
+    }
+    val before = files()
+    Bm25Store.foldBatch(spark, store, b2.toSeq.toDF("doc_id", "text"), 1L)
+    assert(files() === before,
+      "a replayed micro-batch must leave the store file-identical")
+    assert(postingRows(store) === postingRows(full),
+      "replay must not duplicate postings")
+  }
 }
