@@ -473,6 +473,59 @@ object SimilarityQueries {
         ORDER BY query_id, rk"""),
       bench = true),
 
+    // ── hard-negative mining (r15) ─────────────────────────────────
+    // The contrastive-training data op: for each anchor, the top-3
+    // most similar examples of a DIFFERENT label (the negatives a
+    // bi-encoder learns the most from — easy negatives are already
+    // separated) plus the margin to the anchor's best positive (a
+    // margin near 0 or negative flags label noise / the hardest
+    // training signal). Same scan shape as q28: the bounded anchor
+    // set broadcasts into ONE corpus pass, label predicates are
+    // in-row, top-3 on bounded heaps — at corpus scale the anchor's
+    // candidates come from the IVF/LSH paths (q121/q67) and this
+    // SELECTION composes unchanged on top.
+    "q193_hard_negatives" -> QuerySpec(
+      build = (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+            col("embedding").as("qe"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+          .withColumn("cos", graft.analytics.StableRound.r4(
+            cosine(col("qe"), col("embedding"))))
+        val bestPos = scored.filter(col("label") === col("qlabel"))
+          .groupBy(col("query_id")).agg(max(col("cos")).as("best_pos"))
+        val negs = scored.filter(col("label") =!= col("qlabel"))
+          .select(col("query_id"), col("vec_id"), col("cos"))
+        TopK.perKeyRanked(negs, Seq("query_id"),
+            Seq(col("cos").desc, col("vec_id")), 3, "rk")
+          .join(bestPos, Seq("query_id"), "left")
+          .withColumn("margin_e4",
+            expr("CAST(floor((best_pos - cos) * 10000 + 0.5) AS BIGINT)"))
+          .select(col("query_id"), col("rk"), col("vec_id"), col("cos"),
+            col("margin_e4"))
+          .orderBy("query_id", "rk")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id query_id, label qlabel, embedding qe
+                   FROM embeddings WHERE vec_id < 10),
+        scored AS (
+          SELECT q.query_id, q.qlabel, b.vec_id, b.label, floor(
+            list_cosine_similarity(q.qe::DOUBLE[], b.embedding::DOUBLE[])
+            * 10000 + 0.5) / 10000 cos
+          FROM q JOIN embeddings b ON b.vec_id != q.query_id),
+        bp AS (SELECT query_id, max(cos) best_pos FROM scored
+               WHERE label = qlabel GROUP BY 1),
+        ranked AS (SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+                     PARTITION BY query_id ORDER BY cos DESC, vec_id) rk
+                   FROM scored WHERE label != qlabel)
+        SELECT r.query_id, r.rk, r.vec_id, r.cos,
+               CAST(floor((bp.best_pos - r.cos) * 10000 + 0.5) AS BIGINT)
+                 margin_e4
+        FROM ranked r LEFT JOIN bp USING (query_id)
+        WHERE rk <= 3 ORDER BY query_id, rk"""),
+      bench = true),
+
     // ── IVF-pruned ANN: assign to nearest centroid, probe top-2 ────
     "q29_ann_ivf" -> QuerySpec(
       build = (s, d) => {

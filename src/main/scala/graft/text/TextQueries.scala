@@ -1166,6 +1166,72 @@ object TextQueries {
     // ([[BandIndex.loadPartitioned]] + [[IncrementalDedup
     // .newPairsPruned]]) a 100-doc batch costs ~the same against a
     // 1000× corpus as against 1×.
+    // ── retrieval chunking audit (r15) ──────────────────────────────
+    // The RAG-side counterpart of q79's training packer: documents
+    // split into fixed-width token windows (W=32) with stride S=24
+    // (overlap W−S=8 preserves cross-boundary context). The chunker is
+    // ALL in-row arithmetic — starts are the multiples of S where the
+    // previous window has not already reached the end (no tail chunk
+    // fully inside its predecessor, no token uncovered), so the plan is
+    // one narrow projection + one source-grain rollup; nothing
+    // token-scale ever shuffles. The audit aggregates what a chunk
+    // store costs: chunk counts, the overlap tax in token mass (e4),
+    // and a COVERAGE PROOF — fully_covered must equal n_docs, and the
+    // oracle recomputes the same boundary math, so the hash match pins
+    // the chunker's edge cases (short docs, exact-multiple lengths,
+    // tails) cross-engine.
+    "q192_chunking_audit" -> QuerySpec(
+      build = (s, d) => {
+        val W = 32; val S = 24
+        Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            TextFunctions.tokens(col("text")).as("toks"))
+          .withColumn("len", size(col("toks")))
+          .filter(col("len") > 0)
+          .withColumn("starts", expr(
+            s"""filter(sequence(0, len - 1, $S),
+                  p -> p = 0 OR p + ${W - S} < len)"""))
+          .withColumn("n_chunks", size(col("starts")))
+          .withColumn("ct", expr(
+            s"aggregate(transform(starts, p -> least($W, len - p)), " +
+              "0L, (a, x) -> a + x)"))
+          .withColumn("covered", expr(
+            s"element_at(starts, -1) + least($W, len - element_at(starts, -1))"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chunks")).as("n_chunks"),
+            sum(col("len")).as("doc_tokens"),
+            sum(col("ct")).as("chunk_tokens"),
+            sum(when(col("covered") === col("len"), 1L).otherwise(0L))
+              .as("fully_covered"))
+          .withColumn("overlap_e4",
+            expr("(chunk_tokens - doc_tokens) * 10000 div doc_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, source, $duckToks AS toks
+                   FROM documents WHERE text IS NOT NULL),
+        d AS (SELECT doc_id, source, len(toks) AS l FROM t
+              WHERE len(toks) > 0),
+        st AS (SELECT doc_id, source, l,
+                      unnest([p FOR p IN range(0, l, 24)
+                              IF p = 0 OR p + 8 < l]) AS p
+               FROM d),
+        per AS (SELECT doc_id, source, l, count(*) AS n_chunks,
+                       sum(least(32, l - p)) AS ct,
+                       max(p + least(32, l - p)) AS covered
+                FROM st GROUP BY 1, 2, 3)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+               CAST(sum(l) AS BIGINT) AS doc_tokens,
+               CAST(sum(ct) AS BIGINT) AS chunk_tokens,
+               CAST(sum(CASE WHEN covered = l THEN 1 ELSE 0 END) AS BIGINT)
+                 AS fully_covered,
+               CAST((sum(ct) - sum(l)) * 10000 // sum(l) AS BIGINT)
+                 AS overlap_e4
+        FROM per GROUP BY source ORDER BY source"""),
+      bench = true),
+
     "q165_incremental_index" -> QuerySpec(
       build = (s, d) => {
         val docs = Tables.documents(s, d)
