@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.etl.Scd2
+
+/** Streaming maintenance of an SCD TYPE-2 dimension — the stream twin
+  * of q187's [[Scd2.fold]], completing the fold family's streaming
+  * coverage (rollups: [[RollupStream]]; vectors:
+  * [[VectorIngest]]; retrieval postings: [[Bm25Ingest]]; now the
+  * interval dimension): each micro-batch of change rows folds into
+  * the stored interval table at BATCH scale — untouched keys pass
+  * through the broadcast anti-join, only touched keys' histories
+  * re-window ([[Scd2.fold]]'s contract) — so an as-of probe (q186)
+  * served from the store sees new versions one trigger after the
+  * change arrives, with history intact.
+  *
+  * Idempotence under foreachBatch's AT-LEAST-ONCE contract is the
+  * [[RollupStream.foldBatch]] versioned-store discipline verbatim: a
+  * naive read-fold-overwrite corrupts on replay (the replayed batch
+  * would fold into state that already closed its intervals), so batch
+  * `id` reads the latest version STRICTLY BELOW `id` and writes
+  * `v<id>` by staged swap — a replay rebuilds `v<id>` from exactly
+  * the same input state and overwrites its own output.
+  *
+  * Ordering contract (inherited from [[Scd2.fold]], enforced loudly
+  * there): every change must sequence strictly after its key's stored
+  * current version — the stream must be per-key ordered across
+  * micro-batches (a CDC log offset in `seqCols` gives this for free);
+  * out-of-order backfill is a [[Scd2.build]] over the raw log, not a
+  * stream fold.
+  *
+  * Scale contract: the versioned state is the CHANGE-COMPRESSED
+  * interval table — dimension-scale, not fact-scale (the same
+  * "metadata not data" budget as the rollup store; [[prune]] keeps
+  * the last `keep` versions). */
+object Scd2Stream {
+
+  /** Start the maintainer: every micro-batch of raw change rows folds
+    * into the versioned interval store under `storeDir`. */
+  def maintainScd2(changes: DataFrame, keys: Seq[String],
+                   seqCols: Seq[String], attrs: Seq[String],
+                   storeDir: String, checkpointDir: String,
+                   compress: Boolean = true): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        foldBatch(df, id, keys, seqCols, attrs, storeDir, compress)
+      }
+      .start()
+
+  /** One micro-batch's fold — factored so the replay property is
+    * unit-testable: calling this twice with the same `id` leaves the
+    * store row-identical. */
+  private[graft] def foldBatch(batch: DataFrame, id: Long,
+                               keys: Seq[String], seqCols: Seq[String],
+                               attrs: Seq[String], storeDir: String,
+                               compress: Boolean = true): Unit = {
+    val s = batch.sparkSession
+    val root = java.nio.file.Paths.get(storeDir)
+    java.nio.file.Files.createDirectories(root)
+    RollupStream.sweepTmp(root)
+    val folded = latestBefore(root, id) match {
+      case Some(v) =>
+        Scd2.fold(s.read.parquet(root.resolve(s"v$v").toString),
+          batch, keys, seqCols, attrs, compress)
+      case None => Scd2.build(batch, keys, seqCols, attrs, compress)
+    }
+    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    val dest = root.resolve(s"v$id")
+    graft.text.Artifacts.deleteRecursively(dest) // stale replay output
+    java.nio.file.Files.move(tmp, dest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** The maintained interval table (latest complete version) — the
+    * frame q186's as-of probe joins facts against. */
+  def serveScd2(spark: SparkSession, storeDir: String): DataFrame = {
+    val root = java.nio.file.Paths.get(storeDir)
+    val v = latest(root).getOrElse(
+      sys.error(s"no scd2 state under $storeDir"))
+    spark.read.parquet(root.resolve(s"v$v").toString)
+  }
+
+  /** Drop superseded versions, keeping the newest `keep`. */
+  def prune(storeDir: String, keep: Int = 2): Unit = {
+    val root = java.nio.file.Paths.get(storeDir)
+    versions(root).sorted(Ordering[Long].reverse).drop(keep)
+      .foreach(v => graft.text.Artifacts.deleteRecursively(
+        root.resolve(s"v$v")))
+  }
+
+  private def versions(root: java.nio.file.Path): Seq[Long] = {
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val st = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq
+    } finally st.close()
+  }
+
+  private def latest(root: java.nio.file.Path): Option[Long] =
+    versions(root).maxOption
+
+  private def latestBefore(root: java.nio.file.Path, id: Long)
+      : Option[Long] = versions(root).filter(_ < id).maxOption
+}
