@@ -2079,6 +2079,98 @@ object CurationQueries {
       oracle = Some(bm25OracleSql),
       bench = true),
 
+    // ── chunk-grain BM25 retrieval (r15) ───────────────────────────
+    // q192's chunker composed with q111's scoring: the retrieval unit
+    // becomes the (doc, chunk) window — what a RAG pipeline actually
+    // feeds a context window, with provenance kept (doc_id, chunk_idx,
+    // token offset = chunk_idx·stride). Chunk df/avgdl are the CHUNK
+    // corpus's own statistics (a term in 3 windows of one doc IS more
+    // retrievable at chunk grain — that is the semantic, not a bug).
+    // Same plan discipline as q111: the chunk-term explode prunes to
+    // query tokens BEFORE any exchange, df over the pruned table
+    // equals chunk-corpus df (the filter is by token), the tf groupBy
+    // is the only token-scale exchange. The oracle replays chunking +
+    // scoring wholesale.
+    "q194_chunk_retrieval" -> QuerySpec(
+      build = (s, d) => {
+        val W = 32; val S = 24
+        val dt = Tables.documents(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("l", size(col("toks")))
+          .filter(col("l") > 0)
+        val chunks = dt.select(col("doc_id"), col("toks"), col("l"),
+            explode(expr(s"""filter(sequence(0, l - 1, $S),
+              p -> p = 0 OR p + ${W - S} < l)""")).as("p"))
+          .select(col("doc_id"), expr(s"p div $S").as("ci"),
+            expr(s"slice(toks, p + 1, $W)").as("ctoks"))
+          .withColumn("dl", size(col("ctoks")))
+        val stats = chunks.agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val qterms = bm25QueryTerms(s, d)
+        graft.ScopedCache.withScopedCache(chunks
+          .select(col("doc_id"), col("ci"), col("dl"),
+            explode(col("ctoks")).as("t"))
+          .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
+          .groupBy(col("doc_id"), col("ci"), col("dl"), col("t"))
+          .agg(count(lit(1)).as("tf"))) { terms =>
+          val df_ = terms.groupBy(col("t")).agg(count(lit(1)).as("df"))
+          val scored = terms.join(broadcast(qterms), Seq("t"))
+            .join(broadcast(df_), Seq("t")).crossJoin(broadcast(stats))
+            .select(col("qid"), col("doc_id"), col("ci"), bm25E.as("e"))
+            .groupBy(col("qid"), col("doc_id"), col("ci"))
+            .agg(sum(col("e")).as("score_e4"))
+          graft.operators.TopK.perKeyRanked(scored, Seq("qid"),
+              Seq(col("score_e4").desc, col("doc_id").asc,
+                col("ci").asc), 5, "rank")
+            .select(col("qid"), col("rank"), col("doc_id"),
+              col("ci").as("chunk_idx"), col("score_e4"))
+            .orderBy("qid", "rank")
+        }
+      },
+      oracle = Some(s"""
+        WITH t AS ($duckToks),
+        d AS (SELECT doc_id, toks, len(toks) AS l FROM t
+              WHERE len(toks) > 0),
+        ch AS (SELECT doc_id, p // 24 AS ci,
+                      list_slice(toks, p + 1, least(p + 32, l)) AS ctoks
+               FROM (SELECT doc_id, toks, l,
+                            unnest([p FOR p IN range(0, l, 24)
+                                    IF p = 0 OR p + 8 < l]) AS p
+                     FROM d)),
+        cdl AS (SELECT doc_id, ci, len(ctoks) AS dl FROM ch),
+        cterms AS (SELECT doc_id, ci, tt AS t, count(*) AS tf FROM
+                     (SELECT doc_id, ci, unnest(ctoks) AS tt FROM ch)
+                   GROUP BY 1, 2, 3),
+        cdf AS (SELECT t, count(*) AS df FROM cterms GROUP BY 1),
+        cstats AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+                          CAST(sum(dl) AS DOUBLE) / count(*) avgdl
+                   FROM cdl),
+        dterms AS (SELECT doc_id, tt AS t FROM
+                     (SELECT doc_id, unnest(toks) tt FROM t)
+                   GROUP BY 1, 2),
+        qt0 AS (SELECT doc_id qid, t, ROW_NUMBER() OVER (
+                  PARTITION BY doc_id ORDER BY t) rn
+                FROM dterms WHERE doc_id <= 5),
+        qt AS (SELECT qid, t FROM qt0 WHERE rn <= 8),
+        sc AS (SELECT qt.qid, cterms.doc_id, cterms.ci,
+                 CAST(floor(((s.n_docs - cdf.df + 0.5) / (cdf.df + 0.5)) *
+                   ((cterms.tf * 2.2) / (cterms.tf + 1.2 *
+                     (1.0 - 0.75 + 0.75 * cdl.dl / s.avgdl)))
+                   * 10000 + 0.5) AS BIGINT) e
+               FROM cterms JOIN qt USING (t) JOIN cdf USING (t)
+               JOIN cdl ON cdl.doc_id = cterms.doc_id
+                 AND cdl.ci = cterms.ci
+               CROSS JOIN cstats s),
+        agg AS (SELECT qid, doc_id, ci, CAST(sum(e) AS BIGINT) score_e4
+                FROM sc GROUP BY 1, 2, 3),
+        rk AS (SELECT qid, doc_id, ci, score_e4, ROW_NUMBER() OVER (
+                 PARTITION BY qid ORDER BY score_e4 DESC, doc_id, ci)
+                 rank FROM agg)
+        SELECT qid, CAST(rank AS INTEGER) rank, doc_id,
+               CAST(ci AS BIGINT) chunk_idx, score_e4
+        FROM rk WHERE rank <= 5 ORDER BY qid, rank"""),
+      bench = true),
+
     // ── Bloom-filter decontamination pre-filter, exactly replayed ───
     // The third sketch next to q104 (HLL: how many distinct) and q110
     // (CMS: how often): [[graft.plans.BloomAgg]] answers "definitely
@@ -3002,18 +3094,24 @@ object CurationQueries {
       .select(col("doc_id"), col("source"),
         expr("CAST(se div nb AS BIGINT)").as("score_e4"))
 
-  /** BM25 scoring + rerank over a joined (qid, doc_id, tf, df, dl,
-    * n_docs, avgdl) frame — ONE definition of the score math for both
-    * the direct and the index path, so they cannot drift. */
-  private def bm25Rank(j: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  /** The per-posting BM25 contribution in integer e4 — ONE definition
+    * of the score math for the direct (q111), index (q116/q191) and
+    * chunk-grain (q194) paths, so they cannot drift. Expects tf, df,
+    * dl, n_docs, avgdl columns. */
+  private def bm25E: org.apache.spark.sql.Column = {
     val idf = (col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5))
     val sat = (col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
       (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    floor(idf * sat * lit(10000) + lit(0.5)).cast("long")
+  }
+
+  /** BM25 scoring + rerank over a joined (qid, doc_id, tf, df, dl,
+    * n_docs, avgdl) frame. */
+  private def bm25Rank(j: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val scored = j
-      .select(col("qid"), col("doc_id"),
-        floor(idf * sat * lit(10000) + lit(0.5)).cast("long").as("e"))
+      .select(col("qid"), col("doc_id"), bm25E.as("e"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("e")).as("score_e4"))
     graft.operators.TopK.perKeyRanked(scored, Seq("qid"),
