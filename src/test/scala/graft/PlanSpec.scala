@@ -657,6 +657,18 @@ class PlanSpec extends SparkSpec {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q188 attribution: prefix-difference probes, never a range join (r15)") {
+    val df = SparkEntry.queries("q188_attribution")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the window reads are two as-of UNIONS + one (user, idx) equi-join;
+    // the naive lowering this replaces is a per-user range join that
+    // plans as a nested-loop/cartesian expansion
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"attribution degraded to a range join:\n${p.take(1500)}")
+    assert(p.contains("Window"), "prefix counts must ride window frames")
+  }
+
   test("q171 z-key path: bare Morton arithmetic, no per-row guard (r15)") {
     val df = SparkEntry.queries("q171_zorder_locality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
