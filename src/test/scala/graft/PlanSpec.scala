@@ -669,6 +669,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "prefix counts must ride window frames")
   }
 
+  test("q191 bm25 store read: posting scans partition-prune to the query buckets (r15)") {
+    val df = SparkEntry.queries("q191_bm25_incremental")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the collected query-term set builds the _tb pruning literal at
+    // plan time — the posting read must never list every bucket (the
+    // q116/Bm25Index seek discipline, held by the mutable store too)
+    assert("PartitionFilters: \\[_tb".r.findFirstIn(p).isDefined,
+      s"posting scan lost its _tb partition pruning:\n" +
+        p.linesIterator.filter(_.contains("PartitionFilters"))
+          .mkString("\n").take(1200))
+  }
+
   test("q171 z-key path: bare Morton arithmetic, no per-row guard (r15)") {
     val df = SparkEntry.queries("q171_zorder_locality")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
