@@ -1282,7 +1282,8 @@ object EventQueries {
                FROM per p
                JOIN w f ON f.cid = p.cid AND f.idx = p.fidx
                JOIN w l ON l.cid = p.cid AND l.idx = p.lidx),
-        lin AS (SELECT wch.ch, sum((wch.k * 1000000) // p.n) AS lin
+        lin AS (SELECT wch.ch,
+                       CAST(sum((wch.k * 1000000) // p.n) AS BIGINT) AS lin
                 FROM (SELECT cid, ch, count(*) AS k
                       FROM w GROUP BY cid, ch) wch
                 JOIN per p USING (cid) GROUP BY wch.ch)

@@ -1901,10 +1901,10 @@ object ExtendedQueries {
                                      DATE '1998-12-31')) AS days
                    FROM dim)
         SELECT status, count(*) AS n_versions,
-               sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
-                 AS closed_versions,
-               sum(days) AS total_days,
-               (sum(days) * 100) // count(*) AS avg_days_e2
+               CAST(sum(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS closed_versions,
+               CAST(sum(days) AS BIGINT) AS total_days,
+               (CAST(sum(days) AS BIGINT) * 100) // count(*) AS avg_days_e2
         FROM priced GROUP BY status ORDER BY status"""),
       bench = true),
 
@@ -1955,7 +1955,8 @@ object ExtendedQueries {
         full_n AS (SELECT nm.p_name, nm.id, nm.n_parts,
                           coalesce(l.rep, nm.id) AS rep
                    FROM names nm LEFT JOIN lbl l ON l.id = nm.id)
-        SELECT rep, count(*) AS n_names, sum(n_parts) AS n_parts,
+        SELECT rep, count(*) AS n_names,
+               CAST(sum(n_parts) AS BIGINT) AS n_parts,
                arg_min(p_name, id) AS rep_name
         FROM full_n GROUP BY rep ORDER BY rep"""),
       bench = true)

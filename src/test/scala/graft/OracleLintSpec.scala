@@ -1,0 +1,116 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lint over [[SparkEntry.oracleSql]]: the driver's correctness hash is
+  * TYPE-sensitive, and DuckDB types `sum()` over any integer as HUGEINT
+  * — a type Spark cannot produce — so an uncast integer `sum` in an
+  * oracle's FINAL select list hash-mismatches even when every value is
+  * equal (this shipped three reds in round 15: q188/q189/q190). This
+  * spec scans only the final top-level SELECT list of each oracle —
+  * intermediate CTE sums are legal when downstream arithmetic or casts
+  * consume the HUGEINT (24 green oracles do exactly that, verified by
+  * typing all 194 through DuckDB `LIMIT 0`) — and requires every `sum(`
+  * there to sit under a `cast(`/`round(`/`floor(` wrapper.
+  *
+  * The perfect-fidelity twin of this check lives in the dev loop:
+  * `tools/lint_oracles.py` / `tools/compare.py` type the actual final
+  * schema through DuckDB and fail on any HUGEINT/INT128 column or any
+  * Spark-vs-oracle column-type mismatch. This spec is the in-JVM guard
+  * that runs on every `sbt test`.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  private val SumCall = "(?i)(?<![a-z_])sum\\s*\\(".r
+  private val Tok = "(?i)[()]|\\bselect\\b|\\bfrom\\b".r
+
+  /** Text of the final top-level SELECT list: from the last depth-0
+    * SELECT to its matching depth-0 FROM (or end of string). */
+  private[graft] def finalSelectItems(sql: String): String = {
+    var depth = 0
+    var lastSelectEnd = -1
+    for (m <- Tok.findAllMatchIn(sql)) m.matched match {
+      case "(" => depth += 1
+      case ")" => depth -= 1
+      case t if t.equalsIgnoreCase("select") && depth == 0 =>
+        lastSelectEnd = m.end
+      case _ => ()
+    }
+    if (lastSelectEnd < 0) return ""
+    val tail = sql.substring(lastSelectEnd)
+    depth = 0
+    for (m <- Tok.findAllMatchIn(tail)) m.matched match {
+      case "(" => depth += 1
+      case ")" => depth -= 1
+      case t if t.equalsIgnoreCase("from") && depth == 0 =>
+        return tail.substring(0, m.start)
+      case _ => ()
+    }
+    tail
+  }
+
+  /** Is the call starting at `i` (transitively) inside a cast/round/
+    * floor call within this select list? Backward paren walk: each
+    * unmatched '(' to the left is an enclosing call — read its name. */
+  private[graft] def wrapped(sel: String, i: Int): Boolean = {
+    var pos = i - 1
+    var pendingClose = 0
+    while (pos >= 0) {
+      sel.charAt(pos) match {
+        case ')' => pendingClose += 1
+        case '(' if pendingClose > 0 => pendingClose -= 1
+        case '(' =>
+          var j = pos - 1
+          while (j >= 0 && sel.charAt(j).isWhitespace) j -= 1
+          var k = j
+          while (k >= 0 && (sel.charAt(k).isLetterOrDigit ||
+            sel.charAt(k) == '_')) k -= 1
+          sel.substring(k + 1, j + 1).toLowerCase match {
+            case "cast" | "round" | "floor" => return true
+            case _ => ()
+          }
+        case _ => ()
+      }
+      pos -= 1
+    }
+    false
+  }
+
+  private def uncastFinalSums(sql: String): Seq[String] = {
+    val sel = finalSelectItems(sql)
+    SumCall.findAllMatchIn(sel).toSeq.collect {
+      case m if !wrapped(sel, m.start) =>
+        sel.substring(m.start, math.min(sel.length, m.start + 45))
+          .replace('\n', ' ')
+    }
+  }
+
+  test("no oracle has an uncast sum() in its final select list") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val bad = uncastFinalSums(sql)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(" | ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"\nuncast sum() in final SELECT (DuckDB types it HUGEINT and the " +
+        s"driver hash goes red — wrap in CAST(... AS BIGINT)):\n" +
+        offenders.mkString("\n"))
+  }
+
+  test("lint catches the r15 regression fixtures") {
+    val old189 = "SELECT ch, (sum(days) * 100) // count(*) AS x, " +
+      "sum(days) AS td FROM t GROUP BY 1"
+    val old190 = "WITH n AS (SELECT 1 a) SELECT rep, sum(n_parts) " +
+      "AS n_parts FROM n GROUP BY 1"
+    assert(uncastFinalSums(old189).size == 2)
+    assert(uncastFinalSums(old190).size == 1)
+    // and the fixed spellings pass
+    val fixed = "SELECT ch, (CAST(sum(days) AS BIGINT) * 100) // count(*) " +
+      "AS x, CAST(sum(days) AS BIGINT) AS td FROM t GROUP BY 1"
+    assert(uncastFinalSums(fixed).isEmpty)
+    // intermediate-CTE sums are NOT flagged (downstream math consumes them)
+    val cte = "WITH c AS (SELECT g, sum(n) tot FROM t GROUP BY 1) " +
+      "SELECT g, CAST(tot * 100 // 7 AS BIGINT) AS r FROM c"
+    assert(uncastFinalSums(cte).isEmpty)
+  }
+}

@@ -12,6 +12,44 @@ def norm(v):
         return round(v, 6)
     return v
 
+# The driver's hash is TYPE-sensitive: an oracle column DuckDB types as
+# HUGEINT (e.g. an uncast sum() over BIGINT) hash-mismatches a Spark
+# BIGINT even when every value is equal (r15: q188/q189/q190). Canonical
+# type names let us compare Spark-parquet vs oracle types while ignoring
+# spellings that hash identically.
+_TYPE_CANON = {
+    "TIMESTAMP WITH TIME ZONE": "TIMESTAMP",
+    "TIMESTAMP_NS": "TIMESTAMP", "TIMESTAMP_MS": "TIMESTAMP",
+    "TIMESTAMP_S": "TIMESTAMP",
+    "FLOAT": "FLOAT", "REAL": "FLOAT",
+    # native int widths hash alike (26 driver-green queries pair a Spark
+    # INTEGER with an oracle BIGINT); HUGEINT does NOT — it stays distinct
+    # and is hard-failed above.
+    "TINYINT": "INT", "SMALLINT": "INT", "INTEGER": "INT", "BIGINT": "INT",
+    "UTINYINT": "INT", "USMALLINT": "INT", "UINTEGER": "INT",
+    "UBIGINT": "INT",
+}
+
+def canon_type(t):
+    s = str(t).upper()
+    return _TYPE_CANON.get(s, s)
+
+def type_errors(name, got_cols, got_types, exp_cols, exp_types):
+    """Driver-faithful type checks: no HUGEINT/INT128 on the oracle side,
+    and Spark parquet types must match oracle types column-for-column."""
+    errs = []
+    for c, t in zip(exp_cols, exp_types):
+        s = str(t).upper()
+        if "HUGEINT" in s or "INT128" in s:
+            errs.append(f"oracle col {c} is {s} (uncast sum()? wrap in "
+                        "CAST(... AS BIGINT))")
+    g = {c: canon_type(t) for c, t in zip(got_cols, got_types)}
+    e = {c: canon_type(t) for c, t in zip(exp_cols, exp_types)}
+    for c in sorted(set(g) & set(e)):
+        if g[c] != e[c]:
+            errs.append(f"type mismatch col {c}: spark={g[c]} oracle={e[c]}")
+    return errs
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,13 +66,19 @@ def main(out_dir, sf_dir):
             n_fail += 1
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").fetchall()
-            got_cols = [d[0] for d in con.sql(
-                f"SELECT * FROM '{spark_path}/*.parquet' LIMIT 0").description]
-            exp = con.sql(sql).fetchall()
-            exp_cols = [d[0] for d in con.sql(f"SELECT * FROM ({sql}) LIMIT 0").description]
+            got_rel = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'")
+            got_cols, got_types = got_rel.columns, got_rel.types
+            got = got_rel.fetchall()
+            exp_rel = con.sql(sql)
+            exp_cols, exp_types = exp_rel.columns, exp_rel.types
+            exp = exp_rel.fetchall()
         except Exception as e:
             print(f"ERROR   {name}: {e}")
+            n_fail += 1
+            continue
+        terrs = type_errors(name, got_cols, got_types, exp_cols, exp_types)
+        if terrs:
+            print(f"FAIL    {name}: " + "; ".join(terrs))
             n_fail += 1
             continue
         # driver sorts columns by name before hashing values
