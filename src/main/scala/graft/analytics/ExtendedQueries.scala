@@ -22,6 +22,75 @@ object ExtendedQueries {
   /** DuckDB twin of `split(trim(text), "\\s+")`. */
   private val duckEqToks = """string_split_regex(trim(text), '\s+')"""
 
+  /** ONE oracle for the as-of probe, shared by q186 (broadcast
+    * strategy) and q195 (bucketed range-join strategy) — the hash match
+    * on the same SQL is the strategies-are-row-identical proof. */
+  private val scd2AsOfOracle = """
+        WITH c AS (SELECT o_custkey AS custkey,
+                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                          o_orderkey AS change_key,
+                          o_orderstatus AS status
+                   FROM orders),
+        m AS (SELECT *,
+                lag(status) OVER w AS prev,
+                row_number() OVER w AS rn
+              FROM c
+              WINDOW w AS (PARTITION BY custkey
+                           ORDER BY valid_from, change_key)),
+        kept AS (SELECT custkey, valid_from, change_key, status FROM m
+                 WHERE rn = 1 OR prev IS DISTINCT FROM status),
+        dim AS (SELECT custkey, valid_from, status,
+                       lead(valid_from) OVER (PARTITION BY custkey
+                         ORDER BY valid_from, change_key) AS valid_to
+                FROM kept),
+        f AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+                     strftime(CAST(o_orderdate AS DATE)
+                              - INTERVAL 90 DAY, '%Y-%m-%d') AS probe_date
+              FROM orders)
+        SELECT f.custkey, f.orderkey, f.probe_date,
+               d.status AS status_asof,
+               d.valid_from AS status_since
+        FROM f LEFT JOIN dim d ON d.custkey = f.custkey
+          AND d.valid_from <= f.probe_date
+          AND (d.valid_to IS NULL OR f.probe_date < d.valid_to)
+        ORDER BY f.custkey, f.orderkey"""
+
+  /** ONE definition of the as-of probe pipeline for q186/q195: build
+    * the change-compressed status dimension from orders, probe every
+    * order 90 days back. Only the physical probe `strategy` differs —
+    * a semantic edit here cannot diverge the pair. Bucket width 512
+    * days ≈ the typical version lifetime at sf0.01 (per-customer
+    * change spacing over the 1992–1998 span), so each interval
+    * explodes into ~2 grid buckets. */
+  private def scd2AsOfQuery(s: SparkSession, d: String,
+      strategy: graft.etl.Scd2.AsOfStrategy): DataFrame = {
+    val changes = orders(s, d).select(
+      col("o_custkey").as("custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+      col("o_orderkey").as("change_key"),
+      col("o_orderstatus").as("status"))
+    val dim = graft.etl.Scd2.build(changes,
+        keys = Seq("custkey"),
+        seqCols = Seq("valid_from", "change_key"),
+        attrs = Seq("status"))
+      .withColumnRenamed("valid_to_seq", "valid_to")
+      .select(col("custkey").as("d_custkey"), col("valid_from"),
+        col("valid_to"), col("status"))
+    val facts = orders(s, d).select(
+      col("o_custkey").as("custkey"),
+      col("o_orderkey").as("orderkey"),
+      date_format(date_sub(col("o_orderdate").cast("date"), 90),
+        "yyyy-MM-dd").as("probe_date"))
+    graft.etl.Scd2.asOf(facts, "custkey", "probe_date",
+        dim, "d_custkey", "valid_from", "valid_to",
+        payload = Seq("status", "valid_from"), strategy = strategy,
+        num = c => unix_date(to_date(c)))
+      .select(col("custkey"), col("orderkey"), col("probe_date"),
+        col("status").as("status_asof"),
+        col("valid_from").as("status_since"))
+      .orderBy("custkey", "orderkey")
+  }
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── pivot: months x order status ───────────────────────────────
@@ -1730,64 +1799,8 @@ object ExtendedQueries {
     // [[graft.operators.RangeJoin.pointInInterval]] (bucketed
     // equi-join) — the operator pair q149 already prices.
     "q186_scd2_asof_probe" -> QuerySpec(
-      build = (s, d) => {
-        val changes = orders(s, d).select(
-          col("o_custkey").as("custkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
-          col("o_orderkey").as("change_key"),
-          col("o_orderstatus").as("status"))
-        val dim = graft.etl.Scd2.build(changes,
-            keys = Seq("custkey"),
-            seqCols = Seq("valid_from", "change_key"),
-            attrs = Seq("status"))
-          .withColumnRenamed("valid_to_seq", "valid_to")
-          .select(col("custkey").as("d_custkey"), col("valid_from"),
-            col("valid_to"), col("status"))
-        val facts = orders(s, d).select(
-          col("o_custkey").as("custkey"),
-          col("o_orderkey").as("orderkey"),
-          date_format(date_sub(col("o_orderdate").cast("date"), 90),
-            "yyyy-MM-dd").as("probe_date"))
-        facts.join(broadcast(dim),
-            facts("custkey") === dim("d_custkey") &&
-              col("valid_from") <= col("probe_date") &&
-              (col("valid_to").isNull ||
-                col("probe_date") < col("valid_to")),
-            "left")
-          .select(col("custkey"), col("orderkey"), col("probe_date"),
-            col("status").as("status_asof"),
-            col("valid_from").as("status_since"))
-          .orderBy("custkey", "orderkey")
-      },
-      oracle = Some("""
-        WITH c AS (SELECT o_custkey AS custkey,
-                          strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
-                          o_orderkey AS change_key,
-                          o_orderstatus AS status
-                   FROM orders),
-        m AS (SELECT *,
-                lag(status) OVER w AS prev,
-                row_number() OVER w AS rn
-              FROM c
-              WINDOW w AS (PARTITION BY custkey
-                           ORDER BY valid_from, change_key)),
-        kept AS (SELECT custkey, valid_from, change_key, status FROM m
-                 WHERE rn = 1 OR prev IS DISTINCT FROM status),
-        dim AS (SELECT custkey, valid_from, status,
-                       lead(valid_from) OVER (PARTITION BY custkey
-                         ORDER BY valid_from, change_key) AS valid_to
-                FROM kept),
-        f AS (SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-                     strftime(CAST(o_orderdate AS DATE)
-                              - INTERVAL 90 DAY, '%Y-%m-%d') AS probe_date
-              FROM orders)
-        SELECT f.custkey, f.orderkey, f.probe_date,
-               d.status AS status_asof,
-               d.valid_from AS status_since
-        FROM f LEFT JOIN dim d ON d.custkey = f.custkey
-          AND d.valid_from <= f.probe_date
-          AND (d.valid_to IS NULL OR f.probe_date < d.valid_to)
-        ORDER BY f.custkey, f.orderkey"""),
+      build = (s, d) => scd2AsOfQuery(s, d, graft.etl.Scd2.BroadcastProbe),
+      oracle = Some(scd2AsOfOracle),
       bench = true),
 
     // ── SCD2 incremental fold (r15) ────────────────────────────────
@@ -1959,6 +1972,25 @@ object ExtendedQueries {
                CAST(sum(n_parts) AS BIGINT) AS n_parts,
                arg_min(p_name, id) AS rep_name
         FROM full_n GROUP BY rep ORDER BY rep"""),
+      bench = true),
+
+    // ── SCD2 as-of probe, PAST the broadcast ceiling (r16) ─────────
+    // q186's production fallback made first-class: the SAME probe
+    // (same oracle SQL — the hash match is the strategies-are-
+    // row-identical proof) through Scd2.BucketedProbe, which rides
+    // RangeJoin.pointInIntervalLeft. This is the path that matters at
+    // 100 TB: the change-compressed dimension is ~10 M version rows at
+    // 100× (SURVEY §8) and will not broadcast forever; here both sides
+    // bucket on a 512-day grid and the theta probe becomes a shuffled
+    // EQUI-join on (key, bucket) + residual — one exchange per side,
+    // no nested loop (PlanSpec pins it). Open current versions are
+    // capped at max(probe)+1 via a broadcast 1-row stat frame, so an
+    // open interval explodes into the observed range's ~5 buckets,
+    // never a sentinel-infinity's thousands.
+    "q195_scd2_asof_bucketed" -> QuerySpec(
+      build = (s, d) => scd2AsOfQuery(s, d,
+        graft.etl.Scd2.BucketedProbe(bucketWidth = 512L)),
+      oracle = Some(scd2AsOfOracle),
       bench = true)
   )
 

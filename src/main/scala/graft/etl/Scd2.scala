@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,5 +125,70 @@ object Scd2 {
       .select(cols.map(col): _*)
     untouched.unionByName(
       build(replayed.unionByName(guarded), keys, seqCols, attrs, compress))
+  }
+
+  /** How [[asOf]] physically probes the dimension. */
+  sealed trait AsOfStrategy
+  /** Dimension broadcasts; the probe is a BroadcastHashJoin on the key
+    * with the interval bounds as residual — the fact side never
+    * shuffles. Right whenever the change-compressed dimension fits the
+    * broadcast budget (the common case: dimensions are orders of
+    * magnitude under fact tables). */
+  case object BroadcastProbe extends AsOfStrategy
+  /** Dimension too big to broadcast: the probe rides
+    * [[graft.operators.RangeJoin.pointInIntervalLeft]] — both sides
+    * bucketed on a fixed time grid, so the theta condition becomes an
+    * EQUI-join on (key, bucket) + residual. One hash exchange per side,
+    * shuffled hash/sort-merge join, NEVER a nested loop; linear in
+    * facts + interval-bucket coverage. `bucketWidth` is in the numeric
+    * unit `num` maps times into — pick it near the typical version
+    * lifetime so an interval explodes into ~2 buckets. */
+  final case class BucketedProbe(bucketWidth: Long) extends AsOfStrategy
+
+  /** As-of probe — the interval table's consuming join: each fact row
+    * matched (LEFT) to the dimension version in effect at its time,
+    * `validFrom <= t < validTo`, null `validTo` = open current version
+    * matching forever, facts before their key's first version keep a
+    * null payload. SCD2 intervals are disjoint per key, so the output
+    * is exactly one row per fact under either strategy.
+    *
+    * Output: all fact columns ++ `payload` (from the dimension).
+    * `factTime`/`validFrom`/`validTo` must be mutually comparable; for
+    * [[BucketedProbe]] they must additionally map to numbers via `num`
+    * (monotone, e.g. `unix_date(to_date(_))` for yyyy-MM-dd strings —
+    * the residual compares the mapped numbers, so monotonicity is what
+    * keeps the two strategies row-identical). Open intervals are capped
+    * at max(fact time)+1 — a broadcast 1-row stat frame — so an open
+    * interval explodes into the observed probe range's buckets, never a
+    * sentinel-infinity's. */
+  def asOf(facts: DataFrame, factKey: String, factTime: String,
+           dim: DataFrame, dimKey: String, validFrom: String,
+           validTo: String, payload: Seq[String],
+           strategy: AsOfStrategy = BroadcastProbe,
+           num: Column => Column = identity): DataFrame = strategy match {
+    case BroadcastProbe =>
+      val factCols = facts.columns.toSeq.map(facts(_))
+      facts.join(broadcast(dim),
+          facts(factKey) === dim(dimKey) &&
+            dim(validFrom) <= facts(factTime) &&
+            (dim(validTo).isNull || facts(factTime) < dim(validTo)),
+          "left")
+        .select(factCols ++ payload.map(dim(_)): _*)
+    case BucketedProbe(w) =>
+      val factsN = facts.withColumn("_t", num(col(factTime)).cast("long"))
+      val cap = factsN.agg((max(col("_t")) + 1).as("_cap"))
+      val dimN = dim
+        .withColumn("_s", num(col(validFrom)).cast("long"))
+        .crossJoin(broadcast(cap))
+        .withColumn("_e",
+          coalesce(num(col(validTo)).cast("long"), col("_cap")))
+        // versions opening after every probe can never match — don't
+        // explode them (their open-capped interval would be empty or
+        // inverted anyway)
+        .filter(col("_s") < col("_e"))
+        .drop("_cap")
+      graft.operators.RangeJoin.pointInIntervalLeft(
+          factsN, factKey, "_t", dimN, dimKey, "_s", "_e", payload, w)
+        .drop("_t")
   }
 }

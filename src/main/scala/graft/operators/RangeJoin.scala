@@ -29,7 +29,30 @@ object RangeJoin {
                       intervals: DataFrame, intervalKey: String,
                       startCol: String, endCol: String,
                       rightPayload: Seq[String],
-                      bucketWidth: Long): DataFrame = {
+                      bucketWidth: Long): DataFrame =
+    joined(points, pointKey, pointTime, intervals, intervalKey,
+      startCol, endCol, rightPayload, bucketWidth, "inner")
+
+  /** LEFT variant: every point row survives; points covered by no
+    * interval carry null payload. Still exactly one output row per
+    * unmatched point — a point lives in ONE bucket, so the left join
+    * can't fan it out — and per matched (point, interval) pair. This is
+    * the as-of-probe shape ([[graft.etl.Scd2.asOf]]): a fact before its
+    * key's first dimension version must appear with a null attribute,
+    * not vanish. */
+  def pointInIntervalLeft(points: DataFrame, pointKey: String,
+                          pointTime: String, intervals: DataFrame,
+                          intervalKey: String, startCol: String,
+                          endCol: String, rightPayload: Seq[String],
+                          bucketWidth: Long): DataFrame =
+    joined(points, pointKey, pointTime, intervals, intervalKey,
+      startCol, endCol, rightPayload, bucketWidth, "left")
+
+  private def joined(points: DataFrame, pointKey: String, pointTime: String,
+                     intervals: DataFrame, intervalKey: String,
+                     startCol: String, endCol: String,
+                     rightPayload: Seq[String], bucketWidth: Long,
+                     joinType: String): DataFrame = {
     val p = points.withColumn("_bucket", floor(col(pointTime) / bucketWidth))
     // interval [s, e) covers buckets floor(s/w) .. floor((e-1)/w)
     val i = intervals
@@ -41,7 +64,7 @@ object RangeJoin {
         explode(sequence(floor(col("_s") / bucketWidth),
           floor((col("_e") - 1) / bucketWidth))))
     p.join(i, p(pointKey) === i("_ik") && p("_bucket") === i("_bucket") &&
-        p(pointTime) >= i("_s") && p(pointTime) < i("_e"))
+        p(pointTime) >= i("_s") && p(pointTime) < i("_e"), joinType)
       .drop("_bucket", "_ik", "_s", "_e")
   }
 }

@@ -1303,6 +1303,42 @@ class OperatorSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("append-only")))
   }
 
+  test("Scd2.asOf: bucketed probe == broadcast probe, edge cases (r16)") {
+    import graft.etl.Scd2
+    import org.apache.spark.sql.functions.{col => c}
+    // dim: k1 has A[10,30) B[30,∞ open); k2 single closed [5,9) (a GAP
+    // after 9 — probes in the gap must yield null, not the stale
+    // version); k4 exists only in facts
+    val dim = Seq(
+      ("k1", 10L, Some(30L), "A"), ("k1", 30L, None, "B"),
+      ("k2", 5L, Some(9L), "C")
+    ).toDF("dk", "vf", "vt", "attr")
+      .select(c("dk"), c("vf"), c("vt").cast("long").as("vt"), c("attr"))
+    val facts = Seq(
+      ("k1", 9L, 1), // before first version → null
+      ("k1", 10L, 2), // inclusive start → A
+      ("k1", 29L, 3), // last instant of closed → A
+      ("k1", 30L, 4), // open start → B
+      ("k1", 999L, 5), // deep in the open version → B
+      ("k2", 9L, 6), // exclusive end → null (gap)
+      ("k2", 7L, 7), // inside closed → C
+      ("k4", 50L, 8) // key absent from dim → null
+    ).toDF("fk", "t", "id")
+    def got(strategy: Scd2.AsOfStrategy) =
+      Scd2.asOf(facts, "fk", "t", dim, "dk", "vf", "vt",
+          payload = Seq("attr"), strategy = strategy)
+        .collect().map(r => (r.getInt(r.fieldIndex("id")),
+          Option(r.getString(r.fieldIndex("attr"))))).toSet
+    val expected = Set(1 -> None, 2 -> Some("A"), 3 -> Some("A"),
+      4 -> Some("B"), 5 -> Some("B"), 6 -> None, 7 -> Some("C"),
+      8 -> None)
+    assert(got(Scd2.BroadcastProbe) === expected)
+    // bucket width 7 splits the probed range into many buckets; width
+    // 1000 puts everything in one — both must still be row-identical
+    assert(got(Scd2.BucketedProbe(7L)) === expected)
+    assert(got(Scd2.BucketedProbe(1000L)) === expected)
+  }
+
   test("Attribution: half-open window, ties, unattributed — hand oracle (r15)") {
     import graft.analytics.Attribution
     val touches = Seq(

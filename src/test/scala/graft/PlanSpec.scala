@@ -628,6 +628,29 @@ class PlanSpec extends SparkSpec {
       "interval probe degraded to an unbounded range cross-product")
   }
 
+  test("q195 bucketed as-of probe: shuffled equi-join past the broadcast ceiling (r16)") {
+    // the past-the-ceiling claim: with broadcast unavailable (the 100 TB
+    // dimension), the probe must plan as a SHUFFLED equi-join on
+    // (key, bucket) — never a nested loop over the theta condition. The
+    // only BroadcastNestedLoopJoin allowed is the documented 1-row
+    // open-interval cap frame (an explicit broadcast() hint, immune to
+    // the threshold).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q195_scd2_asof_bucketed")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        "probe degraded to a cartesian range join")
+      assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+        s"only the 1-row cap frame may nested-loop:\n${p.take(1500)}")
+      val equiJoin = "(?m)^.*(SortMergeJoin|ShuffledHashJoin).*_bucket.*$".r
+      assert(equiJoin.findFirstIn(p).isDefined,
+        s"probe must be a shuffled equi-join on (key, bucket):\n" +
+          p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q187 scd2 fold: untouched rows broadcast-anti through, one window exchange (r15)") {
     val df = SparkEntry.queries("q187_scd2_fold")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
