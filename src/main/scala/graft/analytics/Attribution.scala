@@ -61,13 +61,36 @@ object Attribution {
     * must subtract from `ts`'s type — an interval for timestamps, a
     * µs literal for the `ts_us` long clock. */
   def perConversion(touches: DataFrame, conversions: DataFrame,
-                    channels: Seq[String], lookback: Column): DataFrame = {
+                    channels: Seq[String], lookback: Column,
+                    keepCounts: Boolean = false): DataFrame = {
+    val credited = creditsFromAnnotated(annotate(touches, channels),
+      conversions, channels, lookback)
+    if (keepCounts) credited
+    else credited.drop(channels.map(ch => s"k_$ch"): _*)
+  }
+
+  /** Step 1 alone: the per-user prefix-sum timeline — `idx` =
+    * row_number, `cum_<ch>` = running per-channel touch count (one hash
+    * exchange on `user`). [[Attribution.fold]] persists exactly these
+    * rows as its state, continuing the counters batch over batch. */
+  def annotate(touches: DataFrame, channels: Seq[String]): DataFrame = {
     require(channels.nonEmpty, "attribution needs at least one channel")
     val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
-    val annotated = touches
+    touches
       .withColumn("idx", row_number().over(w))
       .withColumns(channels.map(ch => s"cum_$ch" ->
         sum(when(col("channel") === ch, 1L).otherwise(0L)).over(w)).toMap)
+  }
+
+  /** Steps 2–3 over a PRE-ANNOTATED timeline (from [[annotate]] or the
+    * fold state): as-of prefix reads at `ts` and `ts − lookback`, the
+    * (user, idx) first-touch equi-join, credit derivation. Emits the
+    * per-channel in-window counts `k_<ch>` alongside the model columns
+    * — the position/time-decay models reweight the same reads. */
+  private[analytics] def creditsFromAnnotated(
+      annotated: DataFrame, conversions: DataFrame,
+      channels: Seq[String], lookback: Column): DataFrame = {
+    require(channels.nonEmpty, "attribution needs at least one channel")
     // unique (user, ts) rows for the as-of timeline: the LAST row of
     // each tie group carries the whole group's prefix counts
     val groupAggs = Seq(max(col("idx")).as("idx"),
@@ -89,8 +112,8 @@ object Attribution {
       "user", "ts0", grouped.select(startSide: _*),
       "user", "ts", Seq("n0") ++ channels.map(ch => s"c0_$ch"))
     val counted = atStart
-      .withColumn("_n1", coalesce(col("n1"), lit(0)))
-      .withColumn("_n0", coalesce(col("n0"), lit(0)))
+      .withColumn("_n1", coalesce(col("n1"), lit(0L)))
+      .withColumn("_n0", coalesce(col("n0"), lit(0L)))
       .withColumn("n_touches", col("_n1") - col("_n0"))
     val firsts = annotated.select(col("user").as("_fu"),
       col("idx").as("_fidx"), col("channel").as("_fch"))
@@ -100,12 +123,49 @@ object Attribution {
       .withColumn("first_ch", col("_fch"))
       .withColumn("last_ch",
         when(col("n_touches") > 0, col("last_ch")))
+      .withColumns(channels.map(ch => s"k_$ch" ->
+        when(col("n_touches") > 0,
+          coalesce(col(s"c1_$ch"), lit(0L)) -
+            coalesce(col(s"c0_$ch"), lit(0L)))).toMap)
       .withColumns(channels.map(ch => s"lin_${ch}_e6" ->
         when(col("n_touches") > 0,
           expr(s"(coalesce(c1_$ch, 0L) - coalesce(c0_$ch, 0L)) " +
             s"* 1000000L div (_n1 - _n0)"))).toMap)
       .drop((Seq("ts0", "n1", "n0", "_n1", "_n0", "_fu", "_fidx", "_fch") ++
         channels.flatMap(ch => Seq(s"c1_$ch", s"c0_$ch"))): _*)
+  }
+
+  /** POSITION-BASED (U-shaped) credit rollup — the fourth model, read
+    * from the SAME prefix-sum machinery (`perConversion(keepCounts =
+    * true)` output): 40% to the first touch, 40% to the last, 20%
+    * split evenly over the middles. Integer e6 discipline throughout:
+    * n = 1 → 10^6 to the only channel; n = 2 → 500 000 each to
+    * first/last; n ≥ 3 → 400 000 first + 400 000 last + each middle
+    * `200000 div (n − 2)` (the ≤ (n−3)/10^6 truncation shortfall per
+    * conversion is the documented price, as with linear). A channel's
+    * middle count is `k_ch − [first = ch] − [last = ch]` — no re-read
+    * of the touch table. Output: (channel, position_e6). */
+  def positionByChannel(perConvK: DataFrame,
+                        channels: Seq[String]): DataFrame = {
+    val aggs = channels.map { ch =>
+      expr(s"""CAST(sum(CASE
+        WHEN n_touches = 1 THEN coalesce(k_$ch, 0) * 1000000
+        WHEN n_touches = 2 THEN
+          ((CASE WHEN first_ch = '$ch' THEN 1 ELSE 0 END) +
+           (CASE WHEN last_ch = '$ch' THEN 1 ELSE 0 END)) * 500000
+        WHEN n_touches >= 3 THEN
+          ((CASE WHEN first_ch = '$ch' THEN 1 ELSE 0 END) +
+           (CASE WHEN last_ch = '$ch' THEN 1 ELSE 0 END)) * 400000 +
+          (coalesce(k_$ch, 0)
+             - (CASE WHEN first_ch = '$ch' THEN 1 ELSE 0 END)
+             - (CASE WHEN last_ch = '$ch' THEN 1 ELSE 0 END))
+            * (200000 div (n_touches - 2))
+        ELSE 0 END) AS BIGINT)""").as(s"pos_$ch")
+    }
+    val one = perConvK.agg(aggs.head, aggs.tail: _*)
+    val stack = channels.map(ch => s"'$ch', pos_$ch").mkString(", ")
+    one.selectExpr(s"stack(${channels.size}, $stack) AS " +
+      "(channel, position_e6)")
   }
 
   /** The per-channel rollup: one row per channel with first/last
@@ -122,5 +182,111 @@ object Attribution {
       s"'$ch', f_$ch, l_$ch, lin_$ch").mkString(", ")
     one.selectExpr(s"stack(${channels.size}, $stack) AS " +
       "(channel, first_touch, last_touch, linear_e6)")
+  }
+
+  // ── incremental attribution (r16) ────────────────────────────────
+  // The fold family's attribution member (rollups: CascadedRollup.
+  // foldFinest; SCD2: Scd2.fold; vectors/postings: VectorStore/
+  // Bm25Store): conversions credited as they ARRIVE, per-batch cost,
+  // against bounded per-user state instead of the full touch history.
+  //
+  // The state is [[annotate]]'s own rows — (user, ts, channel, tie,
+  // idx, cum_<ch>) — PRUNED per user to the lookback horizon: rows
+  // with ts > max(ts) − L, plus ONE floor sentinel (the newest older
+  // row), which carries the absolute prefix counts every in-horizon
+  // probe needs. Why that is lossless: a future conversion (append-
+  // only ⇒ ts ≥ the user's frontier) probes prefixes at ts and
+  // ts − L ≥ frontier − L — both at-or-after the sentinel — and its
+  // first in-window touch has ts > ts − L ≥ frontier − L, i.e. is a
+  // retained row; nothing a dropped row knew is ever read again.
+  // State is therefore O(touch rate × lookback) per user — a sliding
+  // window of the fact stream, not the fact stream.
+
+  /** Empty fold state with the right schema (`idx` widened to long —
+    * absolute indexes keep growing across batches). */
+  def initState(touches: DataFrame, channels: Seq[String]): DataFrame =
+    annotate(touches.limit(0), channels)
+      .withColumn("idx", col("idx").cast("long"))
+
+  /** Fold one batch: credit `conversions` against (stored state ∪
+    * `touches`), returns (credits, new state). Credits are row-
+    * identical to [[perConversion]] over the full history (q197's
+    * oracle IS the full replay — the q187/q183 fold≡rebuild
+    * discipline), at batch + horizon cost.
+    *
+    * Append-only contract, enforced loudly like [[graft.etl.Scd2
+    * .fold]]: every batch touch must order (ts, tie) strictly after
+    * its user's stored frontier, every batch conversion at-or-after
+    * the frontier's ts — out-of-order backfill would need pruned
+    * rows and must replay from the raw log instead.
+    *
+    * Scale shape: untouched users' state rides a broadcast anti-join
+    * (no window, no shuffle); baselines/guards broadcast (batch-user-
+    * scale); the hash exchanges — batch annotate, the two as-of
+    * unions, the prune windows — all ride the touched slice only. */
+  def fold(state: DataFrame, touches: DataFrame, conversions: DataFrame,
+           channels: Seq[String], lookback: Column)
+      : (DataFrame, DataFrame) = {
+    val users = touches.select("user")
+      .unionByName(conversions.select("user")).distinct()
+    val touchedState = state.join(broadcast(users), Seq("user"), "left_semi")
+    val untouchedState = state.join(broadcast(users), Seq("user"), "left_anti")
+    val baseAggs = Seq(
+      max(struct(col("ts"), col("tie"))).as("_bfront"),
+      max(col("idx")).as("_bidx")) ++
+      channels.map(ch => max(col(s"cum_$ch")).as(s"_bcum_$ch"))
+    val base = touchedState.groupBy(col("user"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    val front = base.select(col("user"), col("_bfront"))
+    val guardedTouches = touches
+      .join(broadcast(front), Seq("user"), "left")
+      .filter(col("_bfront").isNull ||
+        struct(col("ts"), col("tie")) > col("_bfront") ||
+        raise_error(concat(
+          lit("attribution fold is append-only: touch at "),
+          struct(col("ts"), col("tie")).cast("string"),
+          lit(" not after stored frontier "),
+          col("_bfront").cast("string"),
+          lit(" — backfill requires a replay from the raw touch log"))))
+      .drop("_bfront")
+    val guardedConvs = conversions
+      .join(broadcast(front), Seq("user"), "left")
+      .filter(col("_bfront").isNull ||
+        col("ts") >= col("_bfront").getField("ts") ||
+        raise_error(concat(
+          lit("attribution fold is append-only: conversion at "),
+          col("ts").cast("string"), lit(" before stored frontier "),
+          col("_bfront").cast("string"),
+          lit(" — its window needs pruned history; replay instead"))))
+      .drop("_bfront")
+    val offsets = base.drop("_bfront")
+    val newAnnot = annotate(guardedTouches, channels)
+      .join(broadcast(offsets), Seq("user"), "left")
+      .withColumn("idx", col("idx") + coalesce(col("_bidx"), lit(0L)))
+      .withColumns(channels.map(ch => s"cum_$ch" ->
+        (col(s"cum_$ch") + coalesce(col(s"_bcum_$ch"), lit(0L)))).toMap)
+      .drop("_bidx" +: channels.map(ch => s"_bcum_$ch"): _*)
+      .select(touchedState.columns.map(col): _*)
+    val timeline = touchedState.unionByName(newAnnot)
+    val credits =
+      creditsFromAnnotated(timeline, guardedConvs, channels, lookback)
+    (credits, untouchedState.unionByName(pruneState(timeline, lookback)))
+  }
+
+  /** Per-user horizon prune of an annotated timeline: keep rows with
+    * `ts > max(ts) − lookback` plus the newest older row (the floor
+    * sentinel — its tie-group-final prefix counts answer every probe
+    * at-or-after the horizon). */
+  private def pruneState(annotated: DataFrame,
+                         lookback: Column): DataFrame = {
+    val wU = Window.partitionBy(col("user"))
+    annotated
+      .withColumn("_older",
+        col("ts") <= max(col("ts")).over(wU) - lookback)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("user"), col("_older"))
+          .orderBy(col("ts").desc, col("tie").desc)))
+      .filter(!col("_older") || col("_rn") === 1)
+      .drop("_older", "_rn")
   }
 }

@@ -106,6 +106,65 @@ object EventQueries {
       .withColumnRenamed("value", valueAlias)
   }
 
+  /** Channels/lookback/inputs for the attribution family — ONE
+    * definition for q188/q196/q197 and the streaming twin's spec, so
+    * a window-semantics change cannot diverge the models. */
+  private[graft] val attributionChannels = Seq("click", "view")
+  private[graft] val attributionLookback = lit(7L * 86400 * 1000000)
+  private[graft] def attributionInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = ev(s, d)
+    val touches = e.filter(col("event_type").isin(attributionChannels: _*))
+      .select(col("user_id").as("user"), col("ts_us").as("ts"),
+        col("event_type").as("channel"), col("event_id").as("tie"))
+    val conversions = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("user"), col("ts_us").as("ts"))
+    (touches, conversions)
+  }
+
+  /** The naive-range-join window census CTEs every attribution oracle
+    * replays: per-conversion window rows (w), counts/extremes (per),
+    * first/last channels (fl). */
+  private val attributionWindowCtes = """t AS (
+          SELECT user_id AS u, epoch_us(ts) AS ts,
+                 event_type AS ch,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS idx
+          FROM events WHERE event_type IN ('click', 'view')),
+        c AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS cid
+              FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT c.cid, t.ch, t.idx
+              FROM c JOIN t ON t.u = c.u
+                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts),
+        per AS (SELECT cid, count(*) AS n, min(idx) AS fidx,
+                       max(idx) AS lidx
+                FROM w GROUP BY cid),
+        fl AS (SELECT p.cid, f.ch AS first_ch, l.ch AS last_ch
+               FROM per p
+               JOIN w f ON f.cid = p.cid AND f.idx = p.fidx
+               JOIN w l ON l.cid = p.cid AND l.idx = p.lidx)"""
+
+  /** q188's full-replay oracle — also q197's verbatim (fold≡rebuild,
+    * the q187 discipline). */
+  private val attributionOracle = s"""
+        WITH $attributionWindowCtes,
+        lin AS (SELECT wch.ch,
+                       CAST(sum((wch.k * 1000000) // p.n) AS BIGINT) AS lin
+                FROM (SELECT cid, ch, count(*) AS k
+                      FROM w GROUP BY cid, ch) wch
+                JOIN per p USING (cid) GROUP BY wch.ch)
+        SELECT chs.ch AS channel,
+               coalesce(f.cnt, 0) AS first_touch,
+               coalesce(l.cnt, 0) AS last_touch,
+               coalesce(lin.lin, 0) AS linear_e6
+        FROM (VALUES ('click'), ('view')) chs(ch)
+        LEFT JOIN (SELECT first_ch AS ch, count(*) AS cnt
+                   FROM fl GROUP BY 1) f ON f.ch = chs.ch
+        LEFT JOIN (SELECT last_ch AS ch, count(*) AS cnt
+                   FROM fl GROUP BY 1) l ON l.ch = chs.ch
+        LEFT JOIN lin ON lin.ch = chs.ch
+        ORDER BY channel"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── as-of join (backward, inclusive) ───────────────────────────
@@ -1253,51 +1312,88 @@ object EventQueries {
     // scans. Linear credit in integer millionths (e6 discipline).
     "q188_attribution" -> QuerySpec(
       build = (s, d) => {
-        val e = ev(s, d)
-        val channels = Seq("click", "view")
-        val touches = e.filter(col("event_type").isin(channels: _*))
-          .select(col("user_id").as("user"), col("ts_us").as("ts"),
-            col("event_type").as("channel"), col("event_id").as("tie"))
-        val conversions = e.filter(col("event_type") === "purchase")
-          .select(col("user_id").as("user"), col("ts_us").as("ts"))
+        val (touches, conversions) = attributionInputs(s, d)
         val per = Attribution.perConversion(touches, conversions,
-          channels, lit(7L * 86400 * 1000000))
-        Attribution.byChannel(per, channels).orderBy("channel")
+          attributionChannels, attributionLookback)
+        Attribution.byChannel(per, attributionChannels).orderBy("channel")
       },
-      oracle = Some("""
-        WITH t AS (SELECT user_id AS u, epoch_us(ts) AS ts,
-                          event_type AS ch,
-                          row_number() OVER (PARTITION BY user_id
-                            ORDER BY epoch_us(ts), event_id) AS idx
-                   FROM events WHERE event_type IN ('click', 'view')),
-        c AS (SELECT user_id AS u, epoch_us(ts) AS ts, event_id AS cid
-              FROM events WHERE event_type = 'purchase'),
-        w AS (SELECT c.cid, t.ch, t.idx
-              FROM c JOIN t ON t.u = c.u
-                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts),
-        per AS (SELECT cid, count(*) AS n, min(idx) AS fidx,
-                       max(idx) AS lidx
-                FROM w GROUP BY cid),
-        fl AS (SELECT p.cid, f.ch AS first_ch, l.ch AS last_ch
-               FROM per p
-               JOIN w f ON f.cid = p.cid AND f.idx = p.fidx
-               JOIN w l ON l.cid = p.cid AND l.idx = p.lidx),
-        lin AS (SELECT wch.ch,
-                       CAST(sum((wch.k * 1000000) // p.n) AS BIGINT) AS lin
-                FROM (SELECT cid, ch, count(*) AS k
-                      FROM w GROUP BY cid, ch) wch
-                JOIN per p USING (cid) GROUP BY wch.ch)
-        SELECT chs.ch AS channel,
-               coalesce(f.cnt, 0) AS first_touch,
-               coalesce(l.cnt, 0) AS last_touch,
-               coalesce(lin.lin, 0) AS linear_e6
+      oracle = Some(attributionOracle),
+      bench = true),
+
+    // ── position-based (U-shaped) attribution (r16) ────────────────
+    // The fourth credit model over the SAME prefix-sum reads as q188
+    // (the verdict's point: models are weightings of one window
+    // census, not new joins): 40% first touch, 40% last, 20% split
+    // over the middles, integer e6. A channel's middle count is
+    // k_ch − [first] − [last] — k_ch rides out of perConversion
+    // (keepCounts), no extra pass. The oracle replays the naive range
+    // join + the same CASE arithmetic over its window census.
+    "q196_attribution_position" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        val per = Attribution.perConversion(touches, conversions,
+          attributionChannels, attributionLookback, keepCounts = true)
+        Attribution.positionByChannel(per, attributionChannels)
+          .orderBy("channel")
+      },
+      oracle = Some(s"""
+        WITH $attributionWindowCtes,
+        k AS (SELECT cid, ch, count(*) AS k FROM w GROUP BY cid, ch),
+        cred AS (SELECT k.ch,
+                   CAST(sum(CASE
+                     WHEN p.n = 1 THEN k.k * 1000000
+                     WHEN p.n = 2 THEN
+                       ((CASE WHEN fl.first_ch = k.ch THEN 1 ELSE 0 END)
+                        + (CASE WHEN fl.last_ch = k.ch THEN 1 ELSE 0 END))
+                       * 500000
+                     ELSE
+                       ((CASE WHEN fl.first_ch = k.ch THEN 1 ELSE 0 END)
+                        + (CASE WHEN fl.last_ch = k.ch THEN 1 ELSE 0 END))
+                       * 400000 +
+                       (k.k
+                        - (CASE WHEN fl.first_ch = k.ch THEN 1 ELSE 0 END)
+                        - (CASE WHEN fl.last_ch = k.ch THEN 1 ELSE 0 END))
+                       * (200000 // (p.n - 2))
+                     END) AS BIGINT) AS cr
+                 FROM k JOIN per p USING (cid) JOIN fl ON fl.cid = k.cid
+                 GROUP BY k.ch)
+        SELECT chs.ch AS channel, coalesce(cred.cr, 0) AS position_e6
         FROM (VALUES ('click'), ('view')) chs(ch)
-        LEFT JOIN (SELECT first_ch AS ch, count(*) AS cnt
-                   FROM fl GROUP BY 1) f ON f.ch = chs.ch
-        LEFT JOIN (SELECT last_ch AS ch, count(*) AS cnt
-                   FROM fl GROUP BY 1) l ON l.ch = chs.ch
-        LEFT JOIN lin ON lin.ch = chs.ch
+        LEFT JOIN cred ON cred.ch = chs.ch
         ORDER BY channel"""),
+      bench = true),
+
+    // ── incremental attribution fold (r16) ─────────────────────────
+    // q188 as MAINTENANCE, the q187/q183 discipline applied to the
+    // attribution family: the event stream splits into three ten-day
+    // batches (per-user append-only by construction), each batch's
+    // purchases credited by Attribution.fold against the bounded
+    // per-user state (lookback-horizon touches + one floor sentinel
+    // — O(rate × 7 days) per user, NOT the touch history), and the
+    // oracle is q188's full-replay SQL verbatim: the hash match IS
+    // the fold≡rebuild proof, state pruning included (the 10-day
+    // batches are wider than the 7-day lookback, so the prune
+    // genuinely drops rows between folds).
+    "q197_attribution_fold" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        // batch cuts at 2024-01-11 / 2024-01-21 (events span Jan 2024)
+        val cuts = Seq(1704931200000000L, 1705795200000000L)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        def slice(f: DataFrame, lo: Long, hi: Long) =
+          f.filter(col("ts") >= lo && col("ts") < hi)
+        var state = Attribution.initState(touches, attributionChannels)
+        val credits = bounds.map { case (lo, hi) =>
+          val (cr, next) = Attribution.fold(state,
+            slice(touches, lo, hi), slice(conversions, lo, hi),
+            attributionChannels, attributionLookback)
+          state = next
+          cr
+        }.reduce(_.unionByName(_))
+        Attribution.byChannel(credits, attributionChannels)
+          .orderBy("channel")
+      },
+      oracle = Some(attributionOracle),
       bench = true)
 
   )

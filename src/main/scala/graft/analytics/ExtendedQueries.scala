@@ -1948,7 +1948,7 @@ object ExtendedQueries {
             .agg(count(lit(1)).as("n_names"),
               sum(col("n_parts")).as("n_parts"),
               min_by(col("p_name"), col("id")).as("rep_name"))
-            .localCheckpoint(true)
+            .transform(graft.Checkpoints.cut)
         }.orderBy("rep")
       },
       oracle = Some("""

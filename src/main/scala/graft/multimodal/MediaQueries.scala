@@ -389,7 +389,8 @@ object MediaQueries {
       // corpus-scale banding pipeline executes exactly once, and AQE
       // never has to rediscover that three identical exchange subtrees
       // are one stage.
-      val pairs = candidatePairs(clean, blockCols).localCheckpoint()
+      val pairs = graft.Checkpoints.cut(
+        candidatePairs(clean, blockCols))
       val ids = pairs
         .select(explode(array(col("ma"), col("mb"))).as("vec_id")).distinct()
       // candidate embeddings: a broadcast hash probe of the pair-scale
@@ -401,7 +402,7 @@ object MediaQueries {
       val cand = candEmbed.getOrElse((i: org.apache.spark.sql.DataFrame) =>
           clean.select(col("vec_id"), col("embedding"))
             .join(broadcast(i), "vec_id"))
-        .apply(ids).localCheckpoint()
+        .andThen(graft.Checkpoints.cut).apply(ids)
       pairs
         .join(broadcast(cand.select(col("vec_id").as("ma"),
           col("embedding").as("ea"))), "ma")

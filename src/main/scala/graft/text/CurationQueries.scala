@@ -479,10 +479,11 @@ object CurationQueries {
         // below is the query's own work.
         val pairs = PairIndex.load(s, d).select(col("da"), col("db"))
         withDupClusterLabels(s, pairs) { labels =>
-          // the summary is cluster-count-sized; localCheckpoint it so
+          // the summary is cluster-count-sized; cut its lineage so
           // the label table and the edge cache can be released instead
-          // of leaking one node-scale cache per invocation
-          clusterSummary(labels).localCheckpoint(true)
+          // of leaking one node-scale cache per invocation (reliable
+          // checkpoint under spark.graft.checkpoint.dir — Checkpoints)
+          graft.Checkpoints.cut(clusterSummary(labels))
         }.orderBy("cluster_rep")
       },
       oracle = Some(dupClusterOracleSql),

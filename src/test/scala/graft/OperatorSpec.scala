@@ -1339,6 +1339,23 @@ class OperatorSpec extends SparkSpec {
     assert(got(Scd2.BucketedProbe(1000L)) === expected)
   }
 
+  test("Checkpoints.cut: reliable mode == local mode; dir honored (r16)") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = SparkEntry.queries("q190_entity_clusters")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.conf.set(graft.Checkpoints.ConfKey, dir)
+    try {
+      assert(run() === local,
+        "reliable checkpoint must not change the query result")
+      // the escape hatch actually engaged: blocks landed under the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try assert(wrote.count() > 1, "no reliable checkpoint was written")
+      finally wrote.close()
+    } finally spark.conf.unset(graft.Checkpoints.ConfKey)
+  }
+
   test("Attribution: half-open window, ties, unattributed — hand oracle (r15)") {
     import graft.analytics.Attribution
     val touches = Seq(
@@ -1352,7 +1369,7 @@ class OperatorSpec extends SparkSpec {
     val chs = Seq("view", "click")
     val per = Attribution.perConversion(touches, convs, chs, lit(10L))
     val rows = per.collect().map(r => r.getLong(r.fieldIndex("user")) -> (
-      r.getInt(r.fieldIndex("n_touches")),
+      r.getLong(r.fieldIndex("n_touches")),
       Option(r.getString(r.fieldIndex("first_ch"))),
       Option(r.getString(r.fieldIndex("last_ch"))),
       Option(r.get(r.fieldIndex("lin_view_e6"))).map(_.asInstanceOf[Long]),
@@ -1360,21 +1377,73 @@ class OperatorSpec extends SparkSpec {
     )).toMap
     // u1 window (1, 11]: view@1 sits exactly on the boundary — OUT;
     // click@5 + view@11 (inclusive at conv ts) split linear credit
-    assert(rows(1L) === ((2, Some("click"), Some("view"),
+    assert(rows(1L) === ((2L, Some("click"), Some("view"),
       Some(500000L), Some(500000L))))
     // u2 window (10, 20]: view@10 out, click@20 in
-    assert(rows(2L) === ((1, Some("click"), Some("click"),
+    assert(rows(2L) === ((1L, Some("click"), Some("click"),
       Some(0L), Some(1000000L))))
     // u3: both ties in-window; tie column orders view first, click last
-    assert(rows(3L) === ((2, Some("view"), Some("click"),
+    assert(rows(3L) === ((2L, Some("view"), Some("click"),
       Some(500000L), Some(500000L))))
     // u4: no touch in window — null credits, zero count
-    assert(rows(4L) === ((0, None, None, None, None)))
+    assert(rows(4L) === ((0L, None, None, None, None)))
     val by = Attribution.byChannel(per, chs).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     assert(by("view") === ((1L, 1L, 1000000L)))
     assert(by("click") === ((2L, 2L, 2000000L)))
+  }
+
+  test("Attribution.positionByChannel: U-shape endpoints + middle split (r16)") {
+    import graft.analytics.Attribution
+    val touches = Seq(
+      (1L, 5L, "click", 101L),                       // n=1 → 10^6
+      (2L, 4L, "view", 201L), (2L, 6L, "click", 202L), // n=2 → 5e5 each
+      // n=4: view endpoints (8e5), two click middles (2 × 200000 div 2)
+      (5L, 1L, "view", 501L), (5L, 2L, "click", 502L),
+      (5L, 3L, "click", 503L), (5L, 4L, "view", 504L),
+      // n=5: view first, click last, three middles (view, view, click)
+      // → 200000 div 3 = 66666 each; view 4e5+133332, click 4e5+66666
+      (6L, 1L, "view", 601L), (6L, 2L, "view", 602L),
+      (6L, 3L, "view", 603L), (6L, 4L, "click", 604L),
+      (6L, 5L, "click", 605L)
+    ).toDF("user", "ts", "channel", "tie")
+    val convs = Seq((1L, 5L), (2L, 6L), (5L, 4L), (6L, 5L), (9L, 9L))
+      .toDF("user", "ts")
+    val chs = Seq("view", "click")
+    val per = Attribution.perConversion(touches, convs, chs, lit(10L),
+      keepCounts = true)
+    val pos = Attribution.positionByChannel(per, chs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pos("click") ===
+      (1000000L + 500000L + 200000L + 400000L + 66666L))
+    assert(pos("view") === (500000L + 800000L + 400000L + 133332L))
+  }
+
+  test("Attribution.fold: backfill throws; conversions may tie the frontier (r16)") {
+    import graft.analytics.Attribution
+    val chs = Seq("view", "click")
+    val b1 = Seq((1L, 10L, "view", 101L), (1L, 20L, "click", 102L))
+      .toDF("user", "ts", "channel", "tie")
+    val noConv = Seq.empty[(Long, Long, Long)].toDF("user", "ts", "cid")
+    val (_, st1) = Attribution.fold(
+      Attribution.initState(b1, chs), b1, noConv, chs, lit(100L))
+    // a conversion AT the stored frontier ts is legal (window is
+    // inclusive at ts) and reads the full prefix
+    val conv = Seq((1L, 20L, 900L)).toDF("user", "ts", "cid")
+    val (cr, _) = Attribution.fold(st1,
+      b1.limit(0), conv, chs, lit(100L))
+    val r = cr.collect().head
+    assert(r.getLong(r.fieldIndex("n_touches")) === 2L)
+    assert(r.getString(r.fieldIndex("first_ch")) === "view")
+    // a touch at-or-before the frontier is backfill → loud
+    val bad = Seq((1L, 20L, "view", 50L)).toDF("user", "ts", "channel", "tie")
+    val ex = intercept[Exception] {
+      val (c2, s2) = Attribution.fold(st1, bad, noConv, chs, lit(100L))
+      s2.collect()
+    }
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
   }
 
   test("CascadedRollup.foldFinest: sequential folds == full rebuild (r13)") {

@@ -1376,4 +1376,75 @@ class StreamingSpec extends SparkSpec {
     assert(canon(Scd2Stream.serveScd2(spark, store)) === served,
       "a replayed micro-batch must leave the served table row-identical")
   }
+
+  test("attribution stream: streamed folds == batch perConversion; " +
+      "state bounded; replay idempotent (r16)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AttributionStream
+    import graft.analytics.Attribution
+
+    val chs = Seq("click", "view")
+    val L = 7L * 86400 * 1000000
+    val base = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    val raw = base
+      .filter(col("event_type").isin("click", "view", "purchase") &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").as("user"),
+        graft.analytics.Tables.tsUs(base).as("ts"),
+        col("event_type").as("channel"), col("event_id").as("tie"))
+    val rows = raw.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // three ten-day micro-batches (wider than the 7-day lookback, so
+    // the horizon prune genuinely drops state rows between folds); a
+    // time split keeps every user's stream append-only
+    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    val batches = Seq(rows.filter(_._2 < cuts(0)),
+      rows.filter(r => r._2 >= cuts(0) && r._2 < cuts(1)),
+      rows.filter(_._2 >= cuts(1)))
+    assert(batches.forall(_.nonEmpty), "all three batches must be non-trivial")
+
+    val store = tmp("attr-store"); val credits = tmp("attr-credits")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = AttributionStream.maintainAttribution(
+      input.toDF().toDF("user", "ts", "channel", "tie"),
+      chs, "purchase", L, store, credits, tmp("attr-ckpt"))
+    batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(r.fieldIndex("cid")) -> (
+        r.getLong(r.fieldIndex("n_touches")),
+        Option(r.getString(r.fieldIndex("first_ch"))),
+        Option(r.getString(r.fieldIndex("last_ch"))),
+        Option(r.get(r.fieldIndex("lin_click_e6"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("lin_view_e6"))).map(_.asInstanceOf[Long])
+      )).toMap
+    val served = canon(AttributionStream.serveCredits(spark, credits))
+    val batchTwin = canon(Attribution.perConversion(
+      raw.filter(col("channel").isin(chs: _*)),
+      raw.filter(col("channel") === "purchase")
+        .select(col("user"), col("ts"), col("tie").as("cid")),
+      chs, lit(L)))
+    assert(served.size === batchTwin.size && served === batchTwin,
+      "streamed credits must equal the one-shot batch attribution")
+
+    // bounded state: the final version holds only horizon rows + one
+    // sentinel per user — strictly fewer than the full touch history
+    val touchTotal = rows.count(r => chs.contains(r._3))
+    val stateRows = spark.read.parquet(
+      java.nio.file.Paths.get(store).resolve("v2").toString).count()
+    assert(stateRows < touchTotal,
+      s"horizon prune must drop rows ($stateRows vs $touchTotal touches)")
+
+    // at-least-once replay of the LAST batch id: credits and state
+    // must both stay row-identical (v2 rebuilt from v1)
+    AttributionStream.foldBatch(
+      batches(2).toSeq.toDF("user", "ts", "channel", "tie"),
+      2L, chs, "purchase", L, store, credits)
+    assert(canon(AttributionStream.serveCredits(spark, credits)) === served,
+      "a replayed micro-batch must leave the credit output row-identical")
+    assert(spark.read.parquet(java.nio.file.Paths.get(store)
+      .resolve("v2").toString).count() === stateRows)
+  }
 }
