@@ -14,7 +14,15 @@ object Bench {
     // Headline queries only (QuerySpec.bench) — one representative per
     // operator family; correctness of the full surface is Verify's job.
     val headline = SparkEntry.specs.filter(_._2.bench).keySet
+    // Deterministic name order (a hash-ordered Map reshuffles neighbors
+    // every time a query is added, confounding round-over-round
+    // comparisons), with the GC-heavy output-scale queries (q180's 83 s
+    // of GC at 100× measurably inflated its shared-pass neighbors:
+    // q48 3.2×, q112 2.8× — SURVEY §8 r15) segregated into a TRAILING
+    // phase so their heap shadow lands after every other sample.
+    val gcHeavy = Set("q180_edit_sim_join")
     val timed = SparkEntry.queries.filter { case (n, _) => headline(n) }
+      .toSeq.sortBy { case (n, _) => (gcHeavy(n), n) }
     // Warmup: run every timed query shape once at the smallest SF so
     // codegen compilation + JIT happen outside the timed region (plan
     // shape, and therefore generated code, is SF-independent). Without
@@ -57,15 +65,24 @@ object Bench {
     val gcStart = gcMs
     val samples = collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
-    for (_ <- 1 to runs) timed.foreach { case (name, fn) =>
-      release()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
-      // failures are reported as -1, never as a (fast) success
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      samples(name) = t :: samples(name)
+    def timePass(qs: Seq[(String, (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Unit = qs.foreach {
+      case (name, fn) =>
+        release()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        // failures are reported as -1, never as a (fast) success
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        samples(name) = t :: samples(name)
     }
+    val (heavy, normal) = timed.partition { case (n, _) => gcHeavy(n) }
+    // ALL normal passes complete before the first heavy sample — a
+    // per-pass "heavy last" would still put pass N's GC debt under
+    // pass N+1's first queries
+    for (_ <- 1 to runs) timePass(normal)
+    release(); System.gc() // settle: the heavy phase owns its own debt
+    for (_ <- 1 to runs) timePass(heavy)
     release()
     def agg(f: List[Double] => Double) = samples.toSeq.sortBy(_._1).map {
       case (k, ts) => k -> (if (ts.contains(-1.0)) -1.0 else f(ts))

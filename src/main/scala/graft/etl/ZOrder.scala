@@ -87,9 +87,19 @@ object ZOrder {
     val mm = df.agg(
       min(dimA.cast("long")), max(dimA.cast("long")),
       min(dimB.cast("long")), max(dimB.cast("long"))).head
-    if (mm.isNullAt(0)) {
+    if ((0 to 3).forall(mm.isNullAt)) {
       // empty frame: no rows to key — keep the schema contract
       df.withColumn("_z", lit(null).cast("long"))
+    } else if ((0 to 3).exists(mm.isNullAt)) {
+      // min/max ignore nulls, so a null aggregate here means one
+      // dimension is all-null on a NON-empty frame — no meaningful
+      // interleave exists; fail with the cause, not an NPE at getLong
+      throw new IllegalArgumentException(
+        "ZOrder.zKey: a z-order dimension is all-null over a non-empty" +
+          " frame (null bounds: " +
+          Seq("min(dimA)", "max(dimA)", "min(dimB)", "max(dimB)")
+            .zipWithIndex.collect { case (n, i) if mm.isNullAt(i) => n }
+            .mkString(", ") + ") — filter or coalesce the dimension")
     } else {
       val (mna, mxa, mnb, mxb) =
         (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))

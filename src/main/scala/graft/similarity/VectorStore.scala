@@ -177,10 +177,26 @@ object VectorStore {
     * local-FS caveat applies to the move). Cost is honest: a retrain
     * IS a corpus-scale rebuild (one scan + one partitioned write) —
     * what the generation machinery buys is the ATOMIC swap under
-    * live traffic, not incrementality. Returns the claimed version. */
+    * live traffic, not incrementality. Returns the claimed version.
+    *
+    * WRITER contract: the swap protects in-flight READERS only —
+    * retrain re-publishes the corpus it scanned, so a concurrent
+    * [[fold]]/[[foldBatch]] that resolved the old generation and
+    * appended after the scan would be silently absent from the new
+    * one (and lost for good once old `v<N>` dirs are pruned).
+    * Mutations must therefore quiesce across a retrain
+    * (single-writer). The contract is ENFORCED, not just stated: the
+    * old generation's list files are snapshotted at scan time and
+    * re-checked immediately before the claim — any change aborts the
+    * publish (tmp deleted, nothing claimed, loud error) and the
+    * retry's scan includes the racing rows. The residual window is
+    * the check→move instant, milliseconds against the scan-long
+    * window the snapshot closes. */
   def retrain(s: SparkSession, storeDir: String, train: DataFrame): Long = {
     val cents = SimilarityQueries.centroids(train)
     require(cents.nonEmpty, "retrain needs at least one centroid vector")
+    val scanRoot = genRoot(storeDir)
+    val scanSnapshot = listFileSnapshot(scanRoot)
     val corpus = lists(s, storeDir)
       .select(col("vec_id"), col("embedding"))
     val root = java.nio.file.Paths.get(storeDir)
@@ -195,6 +211,14 @@ object VectorStore {
       .write.mode("overwrite").partitionBy("_c")
       .parquet(listsPath(tmp.toString))
     writeMeta(tmp.toString, cents.size, cents.head._2.length)
+    if (listFileSnapshot(scanRoot) != scanSnapshot) {
+      graft.text.Artifacts.deleteRecursively(tmp)
+      throw new IllegalStateException(
+        s"VectorStore.retrain: generation $scanRoot was mutated by a " +
+          "concurrent fold during the retrain scan — publishing would " +
+          "silently drop the folded vectors. Quiesce writers and retry " +
+          "(the retry's scan includes them).")
+    }
     var claimed = -1L
     while (claimed < 0) {
       val v = graft.etl.VersionedDir.latestVersion(root) + 1
@@ -225,6 +249,26 @@ object VectorStore {
           s"store dim $dim")
     }
     n
+  }
+
+  /** (relative path, size) of every data file under a generation's
+    * lists table — the concurrent-mutation witness [[retrain]] compares
+    * across its scan. Hidden/marker files excluded: rewritten
+    * `_SUCCESS` timestamps must not fail an untouched store. */
+  private[graft] def listFileSnapshot(genRoot: String)
+      : Set[(String, Long)] = {
+    val base = java.nio.file.Paths.get(listsPath(genRoot))
+    if (!Files.isDirectory(base)) return Set.empty
+    val st = Files.walk(base)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map(p => (base.relativize(p).toString, Files.size(p)))
+        .toSet
+    } finally st.close()
   }
 
   private def assign(vecs: DataFrame,

@@ -214,17 +214,19 @@ object LabelStore {
     * `repartition` by the partition column before each write keeps
     * file counts at ~`buckets`, not tasks × buckets.
     *
-    * The `_meta` sidecar is written LAST, after all three data tables
-    * land: a crash mid-publish (notably a RE-publish with a different
-    * bucket count) must never leave `_meta` asserting a layout the
-    * data does not have — [[checkBuckets]] would then validate every
-    * later fold against the wrong modulus. A crash before the final
-    * step leaves data dirs without (or with the PREVIOUS) `_meta`,
-    * which the readers treat as pre-sidecar / stale and the next
-    * publish overwrites wholesale. */
+    * `_meta` brackets the data writes: any PREVIOUS sidecar is
+    * DELETED first, the new one written LAST after all three data
+    * tables land. Either crash window then leaves a store with data
+    * dirs and NO `_meta` — which [[checkBuckets]] passes through as
+    * pre-sidecar (the caller's own count is trusted, and a re-publish
+    * overwrites wholesale) — never a store whose `_meta` asserts a
+    * layout the data does not have: a stale sidecar from a re-publish
+    * with a different bucket count would validate later folds against
+    * the wrong modulus and mis-prune reads SILENTLY. */
   def publish(labels: DataFrame, pairs: DataFrame, dir: String,
               buckets: Int): Unit = {
     require(buckets >= 1)
+    Files.deleteIfExists(metaPath(dir)) // stale layout claim, see above
     val b = lit(buckets.toLong)
     labels.select(col("doc_id"), col("rep"))
       .withColumn("_cb", pmod(col("rep"), b))

@@ -18,6 +18,14 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
+    // the c_name digit-rotation pair (rEven, rOdd) = (i/10%10, i%10)
+    // is only injective for i < 100: replica 100 would get (0, 0) and
+    // clone the base names verbatim, silently reintroducing the
+    // distance-0 twin explosion the rotation exists to prevent (the
+    // EditSimScale m <= 10 guard, same reason)
+    require(factor >= 1 && factor <= 100,
+      s"ScaleUp factor must be in [1, 100], got $factor — the c_name" +
+        " replica-disambiguation scheme has 100 distinct offset pairs")
     val spark = graft.GraftSession.create()
 
     def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {

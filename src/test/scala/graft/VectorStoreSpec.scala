@@ -46,6 +46,30 @@ class VectorStoreSpec extends SparkSpec {
       "search over the folded store drifted from the rebuild")
   }
 
+  test("retrain race witness: fold changes the scan snapshot, reads do not (r16)") {
+    // retrain aborts its publish when the generation it scanned was
+    // mutated mid-scan (a concurrent fold would otherwise vanish from
+    // the new generation). The witness is listFileSnapshot: any fold
+    // must change it, and read-only traffic must NOT (a false positive
+    // would abort every retrain under live queries).
+    val dir = freshDir()
+    val isBatch = col("vec_id") >= 16 && col("vec_id") % 5 === 4
+    VectorStore.init(spark, emb.filter(!isBatch), dir)
+    val s0 = VectorStore.listFileSnapshot(dir)
+    assert(s0.nonEmpty)
+    // reads leave the witness untouched
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    VectorStore.search(spark, dir, q, 2, 5).collect()
+    VectorStore.listStats(spark, dir).collect()
+    assert(VectorStore.listFileSnapshot(dir) === s0,
+      "read-only traffic must not trip the retrain race check")
+    // any fold trips it
+    VectorStore.fold(spark, dir, emb.filter(isBatch))
+    assert(VectorStore.listFileSnapshot(dir) !== s0,
+      "a fold must be visible to the retrain race check")
+  }
+
   test("fold appends without rewriting existing list files; empty fold is a no-op") {
     val isBatch = col("vec_id") >= 16 && col("vec_id") % 5 === 4
     val dir = freshDir()

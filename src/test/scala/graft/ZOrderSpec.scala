@@ -80,6 +80,25 @@ class ZOrderSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("zKey fails loudly on an all-null dimension, naming it (r16)") {
+    // min/max ignore nulls — before the guard, an all-null dimA was
+    // silently treated as EMPTY (null _z everywhere) and an all-null
+    // dimB crashed with a bare NPE at the bounds read
+    val nullB = Seq((1L, Option.empty[Long]), (2L, None))
+      .toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      ZOrder.zKey(nullB, col("a"), col("b"))
+    }
+    assert(ex.getMessage.contains("all-null") &&
+      ex.getMessage.contains("dimB"))
+    val nullA = Seq((Option.empty[Long], 1L), (None, 2L))
+      .toDF("a", "b")
+    val ex2 = intercept[IllegalArgumentException] {
+      ZOrder.zKey(nullA, col("a"), col("b"))
+    }
+    assert(ex2.getMessage.contains("min(dimA)"))
+  }
+
   test("z-ordered files prune a non-time band filter; time-sorted read it all") {
     val n = 200000
     // user ~ uniform 0..999 decorrelated from ts by a multiplicative
