@@ -184,6 +184,92 @@ object Attribution {
       "(channel, first_touch, last_touch, linear_e6)")
   }
 
+  /** MARKOV (removal-effect) attribution over TWO channels — the
+    * data-driven model: user journeys as a first-order chain over
+    * states {START, chA, chB} with absorbers {CONV, NULL}; a channel's
+    * credit is its REMOVAL EFFECT — the share of baseline conversion
+    * probability that disappears when every transition into it is
+    * rerouted to NULL — normalized across channels and scaled by total
+    * conversions.
+    *
+    * Chain build: one lag/lead window over each user's (touch ∪
+    * conversion) timeline — journeys reset after a conversion (prev =
+    * CONV ⇒ from = START), an end-of-user touch absorbs to NULL.
+    * Everything downstream of that single user-hash exchange is a
+    * bounded 12-cell conditional aggregate + closed-form cofactor
+    * arithmetic on the 2-transient-state absorption system, fixed-
+    * point e6 at every division (`div` == DuckDB `//` — the oracle
+    * replays each step bit-for-bit). Two channels keep the closed form
+    * honest; N channels need a matrix solve and is a different
+    * operator.
+    *
+    * Output: (channel, removal_e6, credited_conv, p_conv_e6). */
+  def markovByChannel(touches: DataFrame, conversions: DataFrame,
+                      chA: String, chB: String): DataFrame = {
+    val ev = touches.select(col("user"), col("ts"), col("tie"),
+        col("channel").as("st"))
+      .unionByName(conversions
+        .withColumn("tie", lit(Long.MaxValue))
+        .select(col("user"), col("ts"), col("tie"),
+          lit("CONV").as("st")))
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+    val tr = ev
+      .withColumn("prev",
+        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("from_st",
+        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
+    // transition rows: every event contributes from_st -> st; a
+    // journey-final touch (end of user) additionally absorbs to NULL
+    val main = tr.select(col("from_st"), col("st").as("to_st"))
+    val fin = tr.filter(col("st") =!= "CONV" && col("nxt").isNull)
+      .select(col("st").as("from_st"), lit("NULL").as("to_st"))
+    val cells = main.unionByName(fin)
+    def n(f: String, t: String) =
+      sum(when(col("from_st") === f && col("to_st") === t, 1L)
+        .otherwise(0L))
+    val m = cells.agg(
+      n("S", chA).as("nsc"), n("S", chB).as("nsv"),
+      n("S", "CONV").as("nsk"),
+      n(chA, chA).as("ncc"), n(chA, chB).as("ncv"),
+      n(chA, "CONV").as("nck"), n(chA, "NULL").as("ncn"),
+      n(chB, chA).as("nvc"), n(chB, chB).as("nvv"),
+      n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"))
+    m.selectExpr(
+        "nsc + nsv + nsk AS rs",
+        "ncc + ncv + nck + ncn AS rc",
+        "nvc + nvv + nvk + nvn AS rv",
+        "nsc", "nsv", "nsk", "ncc", "ncv", "nck",
+        "nvc", "nvv", "nvk")
+      .selectExpr(
+        "(rc - ncc) * (rv - nvv) - ncv * nvc AS det",
+        "nck * (rv - nvv) + ncv * nvk AS acn",
+        "(rc - ncc) * nvk + nvc * nck AS avn",
+        "*")
+      .selectExpr(
+        "(nsc * ((acn * 1000000) div det) " +
+          "+ nsv * ((avn * 1000000) div det) " +
+          "+ nsk * 1000000) div rs AS as_e6",
+        "(nsv * ((nvk * 1000000) div (rv - nvv)) " +
+          "+ nsk * 1000000) div rs AS asc_e6", // chA removed
+        "(nsc * ((nck * 1000000) div (rc - ncc)) " +
+          "+ nsk * 1000000) div rs AS asv_e6", // chB removed
+        "nsk + nck + nvk AS total_conv")
+      .selectExpr(
+        "1000000 - (asc_e6 * 1000000) div as_e6 AS re_c_e6",
+        "1000000 - (asv_e6 * 1000000) div as_e6 AS re_v_e6",
+        "as_e6", "total_conv")
+      .selectExpr(
+        s"""stack(2,
+             '$chA', re_c_e6,
+               (total_conv * re_c_e6) div (re_c_e6 + re_v_e6),
+             '$chB', re_v_e6,
+               (total_conv * re_v_e6) div (re_c_e6 + re_v_e6))
+           AS (channel, removal_e6, credited_conv)""",
+        "as_e6 AS p_conv_e6")
+      .orderBy("channel")
+  }
+
   // ── incremental attribution (r16) ────────────────────────────────
   // The fold family's attribution member (rollups: CascadedRollup.
   // foldFinest; SCD2: Scd2.fold; vectors/postings: VectorStore/

@@ -1387,13 +1387,163 @@ object EventQueries {
           val (cr, next) = Attribution.fold(state,
             slice(touches, lo, hi), slice(conversions, lo, hi),
             attributionChannels, attributionLookback)
-          state = next
+          // cut each intermediate state's lineage (it is horizon-
+          // bounded, so the materialization is small): lazily chained,
+          // state N's subtree would re-evaluate inside every later
+          // fold's credits AND state — measured 40 s at 100× vs ~14 s
+          // cut. The production twin (AttributionStream) materializes
+          // state to parquet per batch and never pays this at all.
+          state = graft.Checkpoints.cut(next)
           cr
         }.reduce(_.unionByName(_))
         Attribution.byChannel(credits, attributionChannels)
           .orderBy("channel")
       },
       oracle = Some(attributionOracle),
+      bench = true),
+
+    // ── time-decay attribution (r16) ───────────────────────────────
+    // The fifth model: each in-window touch weighted 65536 >> age_days
+    // (the q133 power-of-2 shift — integer-exact in both engines;
+    // day-grain half-life). Unlike first/last/linear/position, a
+    // per-pair age makes the (touch, conversion) pair set inherently
+    // necessary — no prefix-sum shortcut exists for non-telescoping
+    // weights — so the honest plan ENUMERATES exactly the true
+    // in-window pairs and nothing more: conversions become 7-day
+    // intervals and RangeJoin's bucketed equi-join on (user, time
+    // bucket) produces each pair once (output-bound cost, the q180
+    // discipline), vs the naive theta join's nested-loop expansion.
+    "q198_attribution_decay" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        val day = 86400000000L
+        // half-open (ts-7d, ts] as a [s, e) interval in µs
+        val iv = conversions.select(col("user").as("cu"),
+          (col("ts") - lit(7L * day) + 1).as("_ws"),
+          (col("ts") + 1).as("_we"), col("ts").as("cts"))
+        val pairs = graft.operators.RangeJoin.pointInInterval(
+          touches, "user", "ts", iv, "cu", "_ws", "_we",
+          Seq("cts"), bucketWidth = 7L * day)
+        val credited = pairs
+          .withColumn("w", expr(
+            s"shiftright(65536L, CAST((cts - ts) div $day AS INT))"))
+          .groupBy(col("channel"))
+          .agg(sum(col("w")).as("decay_w"),
+            count(lit(1)).as("n_weighted"))
+        val chs = s.createDataFrame(
+          attributionChannels.map(Tuple1(_))).toDF("channel")
+        chs.join(credited, Seq("channel"), "left")
+          .select(col("channel"),
+            coalesce(col("decay_w"), lit(0L)).as("decay_w"),
+            coalesce(col("n_weighted"), lit(0L)).as("n_weighted"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+                          event_type AS ch
+                   FROM events WHERE event_type IN ('click', 'view')),
+        c AS (SELECT user_id AS u, epoch_us(ts) AS ts
+              FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT t.ch,
+                     65536 >> CAST((c.ts - t.ts) // 86400000000 AS INT)
+                       AS w
+              FROM c JOIN t ON t.u = c.u
+                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts)
+        SELECT chs.ch AS channel,
+               coalesce(s.dw, 0) AS decay_w,
+               coalesce(s.n, 0) AS n_weighted
+        FROM (VALUES ('click'), ('view')) chs(ch)
+        LEFT JOIN (SELECT ch, CAST(sum(w) AS BIGINT) AS dw,
+                          count(*) AS n
+                   FROM w GROUP BY ch) s ON s.ch = chs.ch
+        ORDER BY channel"""),
+      bench = true),
+
+    // ── Markov (removal-effect) attribution (r16) ──────────────────
+    // The DATA-DRIVEN model: journeys as a first-order Markov chain
+    // over states {START, click, view} with absorbers {CONV, NULL};
+    // a channel's credit is its removal effect — how much of the
+    // baseline conversion probability disappears when every
+    // transition into that channel is rerouted to NULL — normalized
+    // across channels and scaled by total conversions. Chain
+    // construction is one lag window over each user's (touch ∪
+    // purchase) timeline (journeys reset after a purchase; an
+    // end-of-user touch absorbs to NULL), the transition matrix a
+    // single 12-cell conditional aggregate, and the 2-transient-state
+    // absorption system solves in CLOSED FORM from the integer counts
+    // (det / cofactor arithmetic) — fixed-point e6 at each division
+    // (`div` == DuckDB `//`), so the oracle replays every step
+    // bit-for-bit. Everything after the one user-hash window is a
+    // bounded 1-row frame: nothing event-scale ever re-shuffles.
+    "q199_attribution_markov" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        Attribution.markovByChannel(touches, conversions,
+          chA = "click", chB = "view")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id AS u, epoch_us(ts) AS ts,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 9223372036854775807 ELSE event_id END AS tie,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS st
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')),
+        tr AS (SELECT st,
+                      coalesce(lag(st) OVER w, 'CONV') AS prev,
+                      lead(st) OVER w AS nxt
+               FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, tie)),
+        cells AS (
+          SELECT CASE WHEN prev = 'CONV' THEN 'S' ELSE prev END
+                   AS from_st, st AS to_st FROM tr
+          UNION ALL
+          SELECT st, 'NULL' FROM tr WHERE st <> 'CONV' AND nxt IS NULL),
+        m AS (SELECT
+            CAST(sum(CASE WHEN from_st='S' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nsc,
+            CAST(sum(CASE WHEN from_st='S' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nsv,
+            CAST(sum(CASE WHEN from_st='S' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nsk,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS ncc,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS ncv,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nck,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS ncn,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nvc,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nvv,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nvk,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS nvn
+          FROM cells),
+        r AS (SELECT *, nsc + nsv + nsk AS rs,
+                     ncc + ncv + nck + ncn AS rc,
+                     nvc + nvv + nvk + nvn AS rv FROM m),
+        base AS (SELECT *,
+                   (rc - ncc) * (rv - nvv) - ncv * nvc AS det,
+                   nck * (rv - nvv) + ncv * nvk AS acn,
+                   (rc - ncc) * nvk + nvc * nck AS avn FROM r),
+        probs AS (SELECT
+            (nsc * ((acn * 1000000) // det)
+             + nsv * ((avn * 1000000) // det)
+             + nsk * 1000000) // rs AS as_e6,
+            (nsv * ((nvk * 1000000) // (rv - nvv))
+             + nsk * 1000000) // rs AS asc_e6,
+            (nsc * ((nck * 1000000) // (rc - ncc))
+             + nsk * 1000000) // rs AS asv_e6,
+            nsk + nck + nvk AS total_conv
+          FROM base),
+        re AS (SELECT
+            1000000 - (asc_e6 * 1000000) // as_e6 AS re_c,
+            1000000 - (asv_e6 * 1000000) // as_e6 AS re_v,
+            as_e6, total_conv
+          FROM probs)
+        SELECT chs.ch AS channel,
+               CAST(CASE chs.ch WHEN 'click' THEN re_c ELSE re_v END
+                 AS BIGINT) AS removal_e6,
+               CAST(CASE chs.ch
+                 WHEN 'click' THEN (total_conv * re_c) // (re_c + re_v)
+                 ELSE (total_conv * re_v) // (re_c + re_v) END
+                 AS BIGINT) AS credited_conv,
+               CAST(as_e6 AS BIGINT) AS p_conv_e6
+        FROM re, (VALUES ('click'), ('view')) chs(ch)
+        ORDER BY channel"""),
       bench = true)
 
   )

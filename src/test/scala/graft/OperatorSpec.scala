@@ -1420,6 +1420,28 @@ class OperatorSpec extends SparkSpec {
     assert(pos("view") === (500000L + 800000L + 400000L + 133332L))
   }
 
+  test("Attribution.markovByChannel: hand-computed chain, fixed-point e6 (r16)") {
+    import graft.analytics.Attribution
+    // u1: v@1 c@2 K@3 | v@4(end->NULL); u2: K@1 | c@2(end->NULL);
+    // u3: c@1 c@2(end->NULL). Transition counts (S=start, K=CONV):
+    // nsc=2 nsv=2 nsk=1; ncc=1 ncv=0 nck=1 ncn=2; nvc=1 nvv=0 nvk=0
+    // nvn=1 -> rs=5 rc=4 rv=2; det=6, a_c=333333, a_v=166666 (e6),
+    // as=399999; remove click: 200000; remove view: 333333;
+    // re_c=499999 re_v=166666; credits of 2 conv: click 1, view 0.
+    val touches = Seq(
+      (1L, 1L, "view", 11L), (1L, 2L, "click", 12L), (1L, 4L, "view", 14L),
+      (2L, 2L, "click", 22L),
+      (3L, 1L, "click", 31L), (3L, 2L, "click", 32L)
+    ).toDF("user", "ts", "channel", "tie")
+    val convs = Seq((1L, 3L), (2L, 1L)).toDF("user", "ts")
+    val out = Attribution.markovByChannel(touches, convs,
+        chA = "click", chB = "view")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("click") === ((499999L, 1L, 399999L)))
+    assert(out("view") === ((166666L, 0L, 399999L)))
+  }
+
   test("Attribution.fold: backfill throws; conversions may tie the frontier (r16)") {
     import graft.analytics.Attribution
     val chs = Seq("view", "click")

@@ -651,6 +651,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q198 decay attribution: bucketed pair join, never a nested loop (r16)") {
+    val df = SparkEntry.queries("q198_attribution_decay")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // per-pair ages make pair enumeration inherent to the model; the
+    // plan must produce pairs through the bucketed (user, bucket)
+    // equi-join, never the naive theta join's nested-loop expansion
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"decay pair join degraded to a range cross-product:\n${p.take(1500)}")
+  }
+
+  test("q199 markov attribution: one event-scale window, bounded tail (r16)") {
+    val df = SparkEntry.queries("q199_attribution_markov")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "chain build must ride the lag window")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the closed-form tail must stay a bounded 1-row pipeline")
+  }
+
   test("q187 scd2 fold: untouched rows broadcast-anti through, one window exchange (r15)") {
     val df = SparkEntry.queries("q187_scd2_fold")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
