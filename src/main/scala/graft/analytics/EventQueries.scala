@@ -1544,6 +1544,119 @@ object EventQueries {
                CAST(as_e6 AS BIGINT) AS p_conv_e6
         FROM re, (VALUES ('click'), ('view')) chs(ch)
         ORDER BY channel"""),
+      bench = true),
+
+    // ── ordered conversion funnel (r16) ────────────────────────────
+    // The product-analytics staple the transition matrix (q151) and
+    // attribution family circle around: users progressing through an
+    // ORDERED step sequence — first signup, then first click AT OR
+    // AFTER it (within 7 days), then first purchase at or after that
+    // click (within 7 days) — earliest-completion semantics. Three
+    // chained min-over-partition windows on ONE user-hash exchange
+    // (each stage's floor is the previous stage's column — no joins,
+    // no re-shuffle: same partitioning, Catalyst stacks the Window
+    // nodes on one sort), then a per-user rollup and a single
+    // bounded summary row. Conversion rates in integer e4.
+    "q200_funnel" -> QuerySpec(
+      build = (s, d) => {
+        val L = 7L * 86400 * 1000000
+        val w = Window.partitionBy(col("user_id"))
+        ev(s, d).filter(col("user_id").isNotNull)
+          .select(col("user_id"), col("ts_us"), col("event_type"))
+          .withColumn("s1", min(when(col("event_type") === "signup",
+            col("ts_us"))).over(w))
+          .withColumn("c1", min(when(col("event_type") === "click" &&
+            col("ts_us") >= col("s1") &&
+            col("ts_us") < col("s1") + L, col("ts_us"))).over(w))
+          .withColumn("p1", min(when(col("event_type") === "purchase" &&
+            col("ts_us") >= col("c1") &&
+            col("ts_us") < col("c1") + L, col("ts_us"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(max(col("s1")).as("s1"), max(col("c1")).as("c1"),
+            max(col("p1")).as("p1"))
+          .agg(count(lit(1)).as("n_users"),
+            count(col("s1")).as("stage_signup"),
+            count(col("c1")).as("stage_click"),
+            count(col("p1")).as("stage_purchase"))
+          .selectExpr("n_users", "stage_signup", "stage_click",
+            "stage_purchase",
+            "(stage_click * 10000) div greatest(stage_signup, 1)" +
+              " AS conv_click_e4",
+            "(stage_purchase * 10000) div greatest(stage_click, 1)" +
+              " AS conv_purchase_e4")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                          event_type AS ty
+                   FROM events WHERE user_id IS NOT NULL),
+        s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
+                 OVER (PARTITION BY u) AS s1 FROM e),
+        c1 AS (SELECT *, min(CASE WHEN ty = 'click' AND t >= s1
+                 AND t < s1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS c1 FROM s1),
+        p1 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t >= c1
+                 AND t < c1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS p1 FROM c1),
+        pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
+               FROM p1 GROUP BY u)
+        SELECT count(*) AS n_users,
+               count(s1) AS stage_signup,
+               count(c1) AS stage_click,
+               count(p1) AS stage_purchase,
+               (count(c1) * 10000) // greatest(count(s1), 1)
+                 AS conv_click_e4,
+               (count(p1) * 10000) // greatest(count(c1), 1)
+                 AS conv_purchase_e4
+        FROM pu"""),
+      bench = true),
+
+    // ── top session paths (r16) ────────────────────────────────────
+    // The journey census over q31's sessions: each session's ordered
+    // event-type sequence (first 8 events — bounded row width), the
+    // ten most common paths. Per-session order comes from ONE
+    // array_sort over the collected (ts, tie, type) structs — the
+    // sort is session-local (bounded), never a global sort; the
+    // top-10 is a TakeOrdered, not a full path-table sort. Total
+    // order (count desc, path asc) keeps rank-boundary ties
+    // deterministic cross-engine.
+    "q201_top_paths" -> QuerySpec(
+      build = (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+        val gapUs = 30L * 60 * 1000000
+        ev(s, d).filter(col("user_id").isNotNull)
+          .withColumn("_prev", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("_new", when(col("_prev").isNull ||
+            col("ts_us") - col("_prev") > gapUs, 1).otherwise(0))
+          .withColumn("session_id", sum(col("_new"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(array_sort(collect_list(struct(col("ts_us"),
+            col("event_id"), col("event_type")))).as("evs"))
+          .select(concat_ws(">",
+            slice(expr("transform(evs, x -> x.event_type)"), 1, 8))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                          event_id AS eid, event_type AS ty
+                   FROM events WHERE user_id IS NOT NULL),
+        s AS (SELECT *, CASE WHEN lag(t) OVER w IS NULL
+                   OR t - lag(t) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS nw
+              FROM e WINDOW w AS (PARTITION BY u ORDER BY t, eid)),
+        s2 AS (SELECT *, sum(nw) OVER (PARTITION BY u ORDER BY t, eid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS sid FROM s),
+        p AS (SELECT array_to_string(list(ty ORDER BY t, eid)[:8], '>')
+                 AS path
+              FROM s2 GROUP BY u, sid)
+        SELECT path, count(*) AS n_sessions
+        FROM p GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 10"""),
       bench = true)
 
   )

@@ -671,6 +671,30 @@ class PlanSpec extends SparkSpec {
       "the closed-form tail must stay a bounded 1-row pipeline")
   }
 
+  test("q200 funnel: three stacked windows on ONE user exchange (r16)") {
+    val df = SparkEntry.queries("q200_funnel")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the three stage floors chain through min-over-partition windows
+    // that REUSE one hash exchange + sort; the only other exchange is
+    // the bounded 1-row summary's SinglePartition
+    assert("Window \\[min".r.findAllIn(p).size == 3,
+      s"stage floors must ride min windows:\n${p.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "stacked windows + per-user rollup must share one user exchange")
+    assert(!p.contains("Join"), "funnel must not join stage tables")
+  }
+
+  test("q201 top paths: session-local sort, TakeOrdered top-10 (r16)") {
+    val df = SparkEntry.queries("q201_top_paths")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-10 must be a bounded TakeOrdered, not a global sort+limit")
+    // user exchange (sessionize) + path exchange (count) — the session
+    // event-struct sort is array_sort inside the row, never a shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected exactly user + path exchanges:\n${p.take(1200)}")
+  }
+
   test("q187 scd2 fold: untouched rows broadcast-anti through, one window exchange (r15)") {
     val df = SparkEntry.queries("q187_scd2_fold")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
