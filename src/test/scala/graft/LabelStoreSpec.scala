@@ -173,6 +173,32 @@ class LabelStoreSpec extends SparkSpec {
     assert(LabelStore.labels(spark, dir).collect().toSeq == before)
   }
 
+  test("re-publish with a different bucket count: layout swaps whole (r16)") {
+    import spark.implicits._
+    val dir = freshDir()
+    LabelStore.publish(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "rep"),
+      Seq((1L, 2L)).toDF("da", "db"), dir, 4)
+    assert(LabelStore.bucketsOf(dir).contains(4))
+    // the re-publish deletes the old _meta BEFORE the data overwrites
+    // (a crash in between leaves a pre-sidecar store, never a stale
+    // sidecar asserting the 4-bucket layout over 8-bucket data) and
+    // lands the new modulus last
+    LabelStore.publish(
+      Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "rep"),
+      Seq((1L, 2L), (3L, 4L)).toDF("da", "db"), dir, 8)
+    assert(LabelStore.bucketsOf(dir).contains(8))
+    assert(LabelStore.labels(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    // folds against the NEW modulus work; the old one refuses
+    intercept[IllegalArgumentException] {
+      LabelStore.fold(spark, dir, 4, Seq((2L, 50L)).toDF("da", "db"))
+    }
+    LabelStore.fold(spark, dir, 8, Seq((2L, 50L)).toDF("da", "db"))
+    assert(LabelStore.labels(spark, dir).filter(col("doc_id") === 50L)
+      .count() === 1L)
+  }
+
   test("bucket-count sidecar: mismatched callers fail fast, matching pass (r14)") {
     import spark.implicits._
     val dir = freshDir()

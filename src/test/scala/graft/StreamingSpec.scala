@@ -1446,5 +1446,19 @@ class StreamingSpec extends SparkSpec {
       "a replayed micro-batch must leave the credit output row-identical")
     assert(spark.read.parquet(java.nio.file.Paths.get(store)
       .resolve("v2").toString).count() === stateRows)
+
+    // the served credits carry the window counts (k_<ch>), so every
+    // DOWNSTREAM model rolls up from the stream store without
+    // re-touching events: position rollup over served == batch q196
+    def posOf(df: org.apache.spark.sql.DataFrame) =
+      Attribution.positionByChannel(df, chs).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(posOf(AttributionStream.serveCredits(spark, credits)) ===
+      posOf(Attribution.perConversion(
+        raw.filter(col("channel").isin(chs: _*)),
+        raw.filter(col("channel") === "purchase")
+          .select(col("user"), col("ts"), col("tie").as("cid")),
+        chs, lit(L), keepCounts = true)),
+      "position model over streamed credits drifted from batch")
   }
 }
