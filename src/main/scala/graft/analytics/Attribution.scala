@@ -312,6 +312,28 @@ object Attribution {
     * unions, the prune windows — all ride the touched slice only. */
   def fold(state: DataFrame, touches: DataFrame, conversions: DataFrame,
            channels: Seq[String], lookback: Column)
+      : (DataFrame, DataFrame) =
+    foldImpl(state, touches, conversions, channels, lookback, identity)
+
+  /** [[fold]] with the shared timeline PINNED (persisted): the credits
+    * and the new state both read (stored slice ∪ annotated batch) —
+    * two separate ACTIONS over it (the stream twin writes each to
+    * parquet) would otherwise evaluate the state read + batch window +
+    * guards twice. Returns a release thunk the caller MUST invoke
+    * after its last action over either frame. */
+  def foldPinned(state: DataFrame, touches: DataFrame,
+                 conversions: DataFrame, channels: Seq[String],
+                 lookback: Column)
+      : (DataFrame, DataFrame, () => Unit) = {
+    var pinned: Option[DataFrame] = None
+    val (credits, next) = foldImpl(state, touches, conversions,
+      channels, lookback, tl => { val p = tl.persist(); pinned = Some(p); p })
+    (credits, next, () => pinned.foreach(_.unpersist(false)))
+  }
+
+  private def foldImpl(state: DataFrame, touches: DataFrame,
+                       conversions: DataFrame, channels: Seq[String],
+                       lookback: Column, pin: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
     val users = touches.select("user")
       .unionByName(conversions.select("user")).distinct()
@@ -353,7 +375,7 @@ object Attribution {
         (col(s"cum_$ch") + coalesce(col(s"_bcum_$ch"), lit(0L)))).toMap)
       .drop("_bidx" +: channels.map(ch => s"_bcum_$ch"): _*)
       .select(touchedState.columns.map(col): _*)
-    val timeline = touchedState.unionByName(newAnnot)
+    val timeline = pin(touchedState.unionByName(newAnnot))
     val credits =
       creditsFromAnnotated(timeline, guardedConvs, channels, lookback)
     (credits, untouchedState.unionByName(pruneState(timeline, lookback)))

@@ -1383,17 +1383,19 @@ object EventQueries {
         def slice(f: DataFrame, lo: Long, hi: Long) =
           f.filter(col("ts") >= lo && col("ts") < hi)
         var state = Attribution.initState(touches, attributionChannels)
-        val credits = bounds.map { case (lo, hi) =>
+        val credits = bounds.zipWithIndex.map { case ((lo, hi), i) =>
           val (cr, next) = Attribution.fold(state,
             slice(touches, lo, hi), slice(conversions, lo, hi),
             attributionChannels, attributionLookback)
-          // cut each intermediate state's lineage (it is horizon-
-          // bounded, so the materialization is small): lazily chained,
-          // state N's subtree would re-evaluate inside every later
-          // fold's credits AND state — measured 40 s at 100× vs ~14 s
-          // cut. The production twin (AttributionStream) materializes
-          // state to parquet per batch and never pays this at all.
-          state = graft.Checkpoints.cut(next)
+          // cut each INTERMEDIATE state's lineage (horizon-bounded, so
+          // the materialization is small): lazily chained, state N's
+          // subtree would re-evaluate inside every later fold's
+          // credits AND state — measured 40 s at 100× vs ~14 s cut.
+          // The last batch's state is never read — don't pay for it.
+          // The production twin (AttributionStream) materializes state
+          // to parquet per batch and never pays any of this.
+          state = if (i < bounds.size - 1) graft.Checkpoints.cut(next)
+                  else next
           cr
         }.reduce(_.unionByName(_))
         Attribution.byChannel(credits, attributionChannels)

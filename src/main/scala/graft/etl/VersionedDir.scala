@@ -35,16 +35,37 @@ object VersionedDir {
     claimed
   }
 
-  /** Highest published version under `root`; 0 when none. */
-  def latestVersion(root: java.nio.file.Path): Long = {
-    if (!java.nio.file.Files.isDirectory(root)) return 0L
+  /** Every published version number under `root` (unsorted). ONE
+    * implementation of the `v<N>` listing protocol — the streaming
+    * state stores (RollupStream / Scd2Stream / AttributionStream)
+    * share it rather than re-implementing the regex walk. */
+  def versions(root: java.nio.file.Path): Seq[Long] = {
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
     val s = java.nio.file.Files.list(root)
     try {
       import scala.jdk.CollectionConverters._
       s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
-        .foldLeft(0L)(math.max)
+        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq
     } finally s.close()
+  }
+
+  /** Highest published version under `root`; 0 when none. */
+  def latestVersion(root: java.nio.file.Path): Long =
+    versions(root).foldLeft(0L)(math.max)
+
+  /** Highest version strictly below `id` — the replay-idempotent
+    * foldBatch read rule (batch `id` folds from state produced by
+    * earlier batches only, so a replay sees exactly its original
+    * input). */
+  def latestBefore(root: java.nio.file.Path, id: Long): Option[Long] =
+    versions(root).filter(_ < id).maxOption
+
+  /** Drop superseded versions, keeping the newest `keep`. */
+  def prune(dir: String, keep: Int): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    versions(root).sorted(Ordering[Long].reverse).drop(keep)
+      .foreach(v => graft.text.Artifacts.deleteRecursively(
+        root.resolve("v" + v)))
   }
 
   /** Read the highest-version publication. */

@@ -86,8 +86,9 @@ object ZOrder {
   def zKey(df: DataFrame, dimA: Column, dimB: Column): DataFrame = {
     val mm = df.agg(
       min(dimA.cast("long")), max(dimA.cast("long")),
-      min(dimB.cast("long")), max(dimB.cast("long"))).head
-    if ((0 to 3).forall(mm.isNullAt)) {
+      min(dimB.cast("long")), max(dimB.cast("long")),
+      count(lit(1))).head
+    if (mm.getLong(4) == 0L) {
       // empty frame: no rows to key — keep the schema contract
       df.withColumn("_z", lit(null).cast("long"))
     } else if ((0 to 3).exists(mm.isNullAt)) {

@@ -68,19 +68,25 @@ object AttributionStream {
       case Some(v) => s.read.parquet(root.resolve(s"v$v").toString)
       case None    => Attribution.initState(touches, channels)
     }
-    val (credits, nextState) = Attribution.fold(state, touches,
-      conversions, channels,
+    // pinned fold: the credit write and the state write are two
+    // ACTIONS over the shared (stored slice ∪ annotated batch)
+    // timeline — unpinned they would evaluate the state read + batch
+    // window + guards twice per micro-batch
+    val (credits, nextState, release) = Attribution.foldPinned(state,
+      touches, conversions, channels,
       org.apache.spark.sql.functions.lit(lookbackUs))
-    // credits first: if we crash between the two writes, the replay
-    // re-reads the OLD state version (v<id> not yet swapped) and
-    // overwrites batch=<id> with identical rows
-    credits.write.mode("overwrite").parquet(s"$creditsDir/batch=$id")
-    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-    nextState.write.mode("overwrite").parquet(tmp.toString)
-    val dest = root.resolve(s"v$id")
-    graft.text.Artifacts.deleteRecursively(dest) // stale replay output
-    java.nio.file.Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      // credits first: if we crash between the two writes, the replay
+      // re-reads the OLD state version (v<id> not yet swapped) and
+      // overwrites batch=<id> with identical rows
+      credits.write.mode("overwrite").parquet(s"$creditsDir/batch=$id")
+      val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
+      nextState.write.mode("overwrite").parquet(tmp.toString)
+      val dest = root.resolve(s"v$id")
+      graft.text.Artifacts.deleteRecursively(dest) // stale replay output
+      java.nio.file.Files.move(tmp, dest,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } finally release()
   }
 
   /** All credited conversions so far (every batch directory). */
@@ -89,23 +95,9 @@ object AttributionStream {
     spark.read.parquet(creditsDir)
 
   /** Drop superseded state versions, keeping the newest `keep`. */
-  def prune(storeDir: String, keep: Int = 2): Unit = {
-    val root = java.nio.file.Paths.get(storeDir)
-    versions(root).sorted(Ordering[Long].reverse).drop(keep)
-      .foreach(v => graft.text.Artifacts.deleteRecursively(
-        root.resolve(s"v$v")))
-  }
-
-  private def versions(root: java.nio.file.Path): Seq[Long] = {
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val st = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq
-    } finally st.close()
-  }
+  def prune(storeDir: String, keep: Int = 2): Unit =
+    graft.etl.VersionedDir.prune(storeDir, keep)
 
   private def latestBefore(root: java.nio.file.Path, id: Long)
-      : Option[Long] = versions(root).filter(_ < id).maxOption
+      : Option[Long] = graft.etl.VersionedDir.latestBefore(root, id)
 }

@@ -96,12 +96,8 @@ object RollupStream {
     * complete group-scale snapshot, so retention is a pure
     * storage/lineage choice — replay never reaches past the previous
     * version). */
-  def prune(storeDir: String, keep: Int = 2): Unit = {
-    val root = java.nio.file.Paths.get(storeDir)
-    versions(root).sorted(Ordering[Long].reverse).drop(keep)
-      .foreach(v => graft.text.Artifacts.deleteRecursively(
-        root.resolve(s"v$v")))
-  }
+  def prune(storeDir: String, keep: Int = 2): Unit =
+    graft.etl.VersionedDir.prune(storeDir, keep)
 
   /** Delete orphaned `_tmp-*` staging dirs (a crash between the tmp
     * write and the atomic move leaks one; nothing else ever cleans
@@ -118,20 +114,9 @@ object RollupStream {
     } finally st.close()
   }
 
-  private def versions(root: java.nio.file.Path): Seq[Long] = {
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val st = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d+")).map(_.drop(1).toLong).toSeq
-    } finally st.close()
-  }
-
   private def latest(root: java.nio.file.Path): Option[Long] =
-    versions(root).maxOption
+    graft.etl.VersionedDir.versions(root).maxOption
 
   private def latestBefore(root: java.nio.file.Path, id: Long)
-      : Option[Long] =
-    versions(root).filter(_ < id).maxOption
+      : Option[Long] = graft.etl.VersionedDir.latestBefore(root, id)
 }

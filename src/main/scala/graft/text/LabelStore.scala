@@ -103,10 +103,34 @@ object LabelStore {
   private def deltaPath(tablePath: String) = s"$tablePath/_delta"
   private def metaPath(dir: String) = Paths.get(dir, "_meta")
 
+  /** The generation all reads and mutations act on: the highest `v<N>`
+    * subdir once a RE-publish has claimed one, else the store root
+    * itself (the base layout the FIRST publish writes — pre-generation
+    * stores keep working unchanged). The [[graft.etl.VersionedDir]]
+    * claim idiom, as [[graft.similarity.VectorStore]] uses for
+    * retrain. */
+  private def genRoot(dir: String): String = {
+    val v = graft.etl.VersionedDir.latestVersion(Paths.get(dir))
+    if (v > 0) s"$dir/v$v" else dir
+  }
+
+  /** Delete orphaned `._stage-*` re-publish staging dirs (a crash
+    * between the staged write and the atomic claim leaks one). */
+  private def sweepStage(root: Path): Unit = {
+    if (!Files.isDirectory(root)) return
+    val st = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("._stage-"))
+        .foreach(Artifacts.deleteRecursively)
+    } finally st.close()
+  }
+
   /** The bucket count this store was published with, from the `_meta`
     * sidecar ([[publish]] writes it). `None` on a pre-sidecar store. */
-  def bucketsOf(dir: String): Option[Int] = {
-    val p = metaPath(dir)
+  def bucketsOf(storeDir: String): Option[Int] = {
+    val p = metaPath(genRoot(storeDir))
     if (!Files.isRegularFile(p)) None
     else {
       val props = new java.util.Properties()
@@ -207,64 +231,110 @@ object LabelStore {
     else s.read.parquet(p.toString)
   }
 
-  /** Initial publication: `labels` (doc_id, rep) and `pairs` (da, db)
-    * written into the three partitioned tables (no delta). Pairs are
-    * tagged with their component rep via the da endpoint's label (da
-    * and db agree — the closure was built over these pairs).
-    * `repartition` by the partition column before each write keeps
-    * file counts at ~`buckets`, not tasks × buckets.
+  /** Publication: `labels` (doc_id, rep) and `pairs` (da, db) written
+    * into the three partitioned tables (no delta). Pairs are tagged
+    * with their component rep via the da endpoint's label (da and db
+    * agree — the closure was built over these pairs). `repartition` by
+    * the partition column before each write keeps file counts at
+    * ~`buckets`, not tasks × buckets.
     *
-    * `_meta` brackets the data writes: any PREVIOUS sidecar is
-    * DELETED first, the new one written LAST after all three data
-    * tables land. Either crash window then leaves a store with data
-    * dirs and NO `_meta` — which [[checkBuckets]] passes through as
-    * pre-sidecar (the caller's own count is trusted, and a re-publish
-    * overwrites wholesale) — never a store whose `_meta` asserts a
-    * layout the data does not have: a stale sidecar from a re-publish
-    * with a different bucket count would validate later folds against
-    * the wrong modulus and mis-prune reads SILENTLY. */
+    * Crash safety: the FIRST publish writes the base layout at the
+    * store root, `_meta` LAST after all three data tables land (a
+    * crash leaves data without a sidecar — pre-sidecar trust, and the
+    * next publish supersedes it wholesale). A RE-publish over a store
+    * that already holds data NEVER overwrites in place — a crash
+    * mid-overwrite would leave mixed-modulus tables that pre-sidecar
+    * trust then reads with silent mis-pruning. It stages the complete
+    * new layout (three tables + `_meta`) under `._stage-<uuid>` and
+    * claims the next `v<N>` generation with one atomic rename (the
+    * [[graft.etl.VersionedDir]] / `VectorStore.retrain` idiom): a
+    * crash before the claim changes nothing readers can see, and every
+    * entry point resolves the highest complete generation. Old
+    * generations stay on disk for in-flight readers; [[pruneGenerations]]
+    * drops them once drained. */
   def publish(labels: DataFrame, pairs: DataFrame, dir: String,
               buckets: Int): Unit = {
     require(buckets >= 1)
-    Files.deleteIfExists(metaPath(dir)) // stale layout claim, see above
+    val root = Paths.get(dir)
+    val current = genRoot(dir)
+    val hasData = Files.isDirectory(Paths.get(byRepPath(current))) ||
+      Files.isRegularFile(metaPath(current))
+    if (!hasData) publishInto(labels, pairs, dir, buckets)
+    else {
+      Files.createDirectories(root)
+      sweepStage(root)
+      val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
+      publishInto(labels, pairs, stage.toString, buckets)
+      var claimed = -1L
+      while (claimed < 0) {
+        val v = graft.etl.VersionedDir.latestVersion(root) + 1
+        try {
+          Files.move(stage, root.resolve("v" + v),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          claimed = v
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => ()
+          case _: java.nio.file.DirectoryNotEmptyException => ()
+        }
+      }
+    }
+  }
+
+  /** Drop superseded `v<N>` generations, keeping the newest `keep`
+    * (call once in-flight readers of older generations are drained;
+    * the root-level BASE layout of a since-superseded store is left in
+    * place — it is generation "v0" and harmless). */
+  def pruneGenerations(dir: String, keep: Int = 2): Unit =
+    graft.etl.VersionedDir.prune(dir, keep)
+
+  private def publishInto(labels: DataFrame, pairs: DataFrame,
+                          dst: String, buckets: Int): Unit = {
     val b = lit(buckets.toLong)
     labels.select(col("doc_id"), col("rep"))
       .withColumn("_cb", pmod(col("rep"), b))
       .repartition(col("_cb"))
-      .write.mode("overwrite").partitionBy("_cb").parquet(byRepPath(dir))
+      .write.mode("overwrite").partitionBy("_cb").parquet(byRepPath(dst))
     labels.select(col("doc_id"), col("rep"))
       .withColumn("_db", pmod(col("doc_id"), b))
       .repartition(col("_db"))
-      .write.mode("overwrite").partitionBy("_db").parquet(byDocPath(dir))
+      .write.mode("overwrite").partitionBy("_db").parquet(byDocPath(dst))
     pairs.select(col("da"), col("db"))
       .join(labels.select(col("doc_id").as("da"), col("rep")), Seq("da"))
       .withColumn("_cb", pmod(col("rep"), b))
       .repartition(col("_cb"))
-      .write.mode("overwrite").partitionBy("_cb").parquet(pairsPath(dir))
-    writeMeta(dir, buckets)
+      .write.mode("overwrite").partitionBy("_cb").parquet(pairsPath(dst))
+    // LAST, after all three data tables: a crash above leaves a
+    // sidecar-less stage/base that is never claimed / trusted wholesale
+    writeMeta(dst, buckets)
   }
 
   /** The converged (doc_id, rep) labels — the [[ClusterIndex]]
     * surface: rep-keyed base plus the delta segments. */
-  def labels(s: SparkSession, dir: String): DataFrame =
+  def labels(s: SparkSession, storeDir: String): DataFrame = {
+    val dir = genRoot(storeDir)
     // explicit schema: a store whose every base bucket was forgotten
     // away holds only `_delta/`, and empty parquet cannot infer
     s.read.schema(labelSchema).parquet(byRepPath(dir))
       .select(col("doc_id"), col("rep"))
       .unionByName(readDelta(s, byRepPath(dir), labelSchema))
+  }
 
   /** The same labels from the doc-keyed lookup twin (the two tables
     * carry identical rows — LabelStoreSpec pins it). */
-  def labelsByDoc(s: SparkSession, dir: String): DataFrame =
+  def labelsByDoc(s: SparkSession, storeDir: String): DataFrame = {
+    val dir = genRoot(storeDir)
     s.read.schema(labelSchema).parquet(byDocPath(dir))
       .select(col("doc_id"), col("rep"))
       .unionByName(readDelta(s, byDocPath(dir), labelSchema))
+  }
 
   /** The component-tagged pair set (da, db, rep). */
-  def pairs(s: SparkSession, dir: String): DataFrame =
+  def pairs(s: SparkSession, storeDir: String): DataFrame = {
+    val dir = genRoot(storeDir)
     s.read.schema(pairSchema).parquet(pairsPath(dir))
       .select(col("da"), col("db"), col("rep"))
       .unionByName(readDelta(s, pairsPath(dir), pairSchema))
+  }
 
   /** Fold a batch's new pairs ([[IncrementalDedup.newPairsPruned]] /
     * [[IncrementalDedup.newPairs]] output) into the store: additions
@@ -272,9 +342,10 @@ object LabelStore {
     * rewrite just the merged reps' buckets. Row-for-row equivalent to
     * publishing [[IncrementalDedup.updatedLabels]]'s full union fold
     * (the spec's identity), at delta IO instead of corpus IO. */
-  def fold(s: SparkSession, dir: String, buckets: Int,
+  def fold(s: SparkSession, storeDir: String, buckets: Int,
            newPairs: DataFrame): FoldStats = {
     require(buckets >= 1)
+    val dir = genRoot(storeDir)
     checkBuckets(dir, buckets)
     val b = lit(buckets.toLong)
     val np = newPairs.select(col("da"), col("db")).persist()
@@ -503,9 +574,10 @@ object LabelStore {
     * Every store-reading frame is materialized to the staging dir
     * BEFORE any directory mutation (the fold's discipline — a lazy
     * frame re-reading a swapped path would race its own forget). */
-  def forget(s: SparkSession, dir: String, buckets: Int,
+  def forget(s: SparkSession, storeDir: String, buckets: Int,
              docs: DataFrame): ForgetStats = {
     require(buckets >= 1)
+    val dir = genRoot(storeDir)
     checkBuckets(dir, buckets)
     val b = lit(buckets.toLong)
     val d = docs.select(col("doc_id")).distinct().persist()
@@ -708,8 +780,9 @@ object LabelStore {
     * requires (the [[graft.streaming.StreamingNearDup.compactState]]
     * precedent). Content-preserving; schedule by segment count, not
     * per fold. */
-  def compact(s: SparkSession, dir: String, buckets: Int): Unit = {
+  def compact(s: SparkSession, storeDir: String, buckets: Int): Unit = {
     require(buckets >= 1)
+    val dir = genRoot(storeDir)
     checkBuckets(dir, buckets)
     Seq((byRepPath(dir), "_cb", "rep", labelSchema),
       (byDocPath(dir), "_db", "doc_id", labelSchema),

@@ -179,10 +179,10 @@ class LabelStoreSpec extends SparkSpec {
     LabelStore.publish(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "rep"),
       Seq((1L, 2L)).toDF("da", "db"), dir, 4)
     assert(LabelStore.bucketsOf(dir).contains(4))
-    // the re-publish deletes the old _meta BEFORE the data overwrites
-    // (a crash in between leaves a pre-sidecar store, never a stale
-    // sidecar asserting the 4-bucket layout over 8-bucket data) and
-    // lands the new modulus last
+    // a re-publish NEVER overwrites in place: it stages the complete
+    // new layout and claims the next v<N> generation atomically — a
+    // crash mid-stage leaves the 4-bucket store fully intact (no
+    // mixed-modulus tables, no stale sidecar)
     LabelStore.publish(
       Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L)).toDF("doc_id", "rep"),
       Seq((1L, 2L), (3L, 4L)).toDF("da", "db"), dir, 8)
@@ -197,6 +197,22 @@ class LabelStoreSpec extends SparkSpec {
     LabelStore.fold(spark, dir, 8, Seq((2L, 50L)).toDF("da", "db"))
     assert(LabelStore.labels(spark, dir).filter(col("doc_id") === 50L)
       .count() === 1L)
+    // crashed re-publish simulation: an unclaimed ._stage-* dir with
+    // partial data is INVISIBLE to readers (the old generation stays
+    // the resolved one) and the next publish sweeps it
+    val stage = Paths.get(dir, "._stage-deadbeef")
+    Files.createDirectories(stage.resolve("byRep"))
+    val before = LabelStore.labels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(LabelStore.bucketsOf(dir).contains(8))
+    assert(LabelStore.labels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === before)
+    LabelStore.publish(Seq((9L, 9L)).toDF("doc_id", "rep"),
+      Seq.empty[(Long, Long)].toDF("da", "db"), dir, 8)
+    assert(!Files.exists(stage), "next publish must sweep crashed stages")
+    assert(LabelStore.labels(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set(9L -> 9L))
   }
 
   test("bucket-count sidecar: mismatched callers fail fast, matching pass (r14)") {

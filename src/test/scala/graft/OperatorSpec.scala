@@ -1345,15 +1345,24 @@ class OperatorSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     val local = run()
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    def filesUnder(): Long = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try st.count() finally st.close()
+    }
     spark.conf.set(graft.Checkpoints.ConfKey, dir)
     try {
       assert(run() === local,
         "reliable checkpoint must not change the query result")
       // the escape hatch actually engaged: blocks landed under the dir
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-      try assert(wrote.count() > 1, "no reliable checkpoint was written")
-      finally wrote.close()
+      assert(filesUnder() > 1, "no reliable checkpoint was written")
     } finally spark.conf.unset(graft.Checkpoints.ConfKey)
+    // unsetting the conf REVERTS to local mode even though the
+    // SparkContext checkpoint dir can never be unset — a later cut
+    // must not keep writing into the leftover directory
+    val after = filesUnder()
+    assert(run() === local)
+    assert(filesUnder() === after,
+      "conf-unset must restore local mode (no new reliable blocks)")
   }
 
   test("Attribution: half-open window, ties, unattributed — hand oracle (r15)") {

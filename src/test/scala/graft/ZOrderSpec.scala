@@ -97,6 +97,13 @@ class ZOrderSpec extends SparkSpec {
       ZOrder.zKey(nullA, col("a"), col("b"))
     }
     assert(ex2.getMessage.contains("min(dimA)"))
+    // BOTH dims all-null on a non-empty frame is the same defect, not
+    // an empty frame — min/max ignoring nulls must not fake emptiness
+    val nullBoth = Seq((Option.empty[Long], Option.empty[Long]),
+      (None, None)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      ZOrder.zKey(nullBoth, col("a"), col("b"))
+    }
   }
 
   test("z-ordered files prune a non-time band filter; time-sorted read it all") {
