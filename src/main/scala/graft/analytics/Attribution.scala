@@ -270,6 +270,185 @@ object Attribution {
       .orderBy("channel")
   }
 
+  /** N-CHANNEL Markov (removal-effect) attribution — [[markovByChannel]]
+    * generalized past the 2-transient closed form. Determinant/cofactor
+    * arithmetic grows as count^|channels| and overflows BIGINT at scale;
+    * instead the absorption probabilities come from `rounds` UNROLLED
+    * fixed-point Jacobi iterations in integer e6 (the q136 PageRank
+    * recipe): per round and transient state f,
+    *
+    *   a_f ← (n_fK·10^6 + Σ_j n_fj·a_j) div max(r_f, 1)
+    *
+    * — every term ≤ count·10^6, so magnitudes are SCALE-INDEPENDENT,
+    * and both engines replay the same `rounds` steps bit-for-bit (the
+    * model is DEFINED as this fixed-point recipe; iteration error
+    * shrinks geometrically in the per-step continue probability and is
+    * identical cross-engine by construction). The same recurrence runs
+    * once for the full chain and once per removed channel (transitions
+    * into the removed channel reroute to NULL — its terms just drop
+    * out), all over one bounded 1-row count frame; the only event-scale
+    * work is the lag/lead chain window [[markovByChannel]] also uses.
+    *
+    * ONE generator emits both the Spark `selectExpr` strings and the
+    * DuckDB oracle CTE chain ([[markovNOracleSql]]), so the two
+    * engines cannot drift. Output: (channel, removal_e6,
+    * credited_conv, p_conv_e6), one row per channel. */
+  def markovNByChannel(touches: DataFrame, conversions: DataFrame,
+                       channels: Seq[String],
+                       rounds: Int = 24): DataFrame = {
+    require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9_]+")),
+      "channel names must be sql-identifier-safe")
+    val ev = touches.select(col("user"), col("ts"), col("tie"),
+        col("channel").as("st"))
+      .unionByName(conversions
+        .withColumn("tie", lit(Long.MaxValue))
+        .select(col("user"), col("ts"), col("tie"),
+          lit("CONV").as("st")))
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+    val tr = ev
+      .withColumn("prev",
+        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("from_st",
+        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
+    val cells = tr.select(col("from_st"), col("st").as("to_st"))
+      .unionByName(tr.filter(col("st") =!= "CONV" && col("nxt").isNull)
+        .select(col("st").as("from_st"), lit("NULL").as("to_st")))
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    val froms = "S" +: channels
+    val tos = channels ++ Seq("CONV", "NULL")
+    val aggs = for (f <- froms; t <- tos) yield
+      sum(when(col("from_st") === f && col("to_st") === t, 1L)
+        .otherwise(0L)).as(nm(f, t))
+    val m = cells.agg(aggs.head, aggs.tail: _*)
+    val steps = markovNSteps(channels, rounds)
+    val folded = steps.foldLeft(m) { (df, roundExprs) =>
+      df.selectExpr("*" +: roundExprs.map { case (alias, e) =>
+        s"${e.replace("//", "div")} AS $alias" }: _*)
+    }
+    val (reCols, stackSql) = markovNFinal(channels, rounds)
+    folded
+      .selectExpr("*" +: reCols.map { case (alias, e) =>
+        s"${e.replace("//", "div")} AS $alias" }: _*)
+      .selectExpr(stackSql.replace("//", "div"),
+        s"a_full_S_$rounds AS p_conv_e6")
+      .orderBy("channel")
+  }
+
+  /** The shared formula generator: per round, (alias, expr) pairs for
+    * the full system and each removed-channel system. Exprs use the
+    * DuckDB `//` integer-division spelling; the Spark side rewrites it
+    * to `div`. System id "full" keeps every channel; "no_<x>" drops
+    * transitions into x. Round 0 aliases are the zero seeds. */
+  private def markovNSteps(channels: Seq[String], rounds: Int)
+      : Seq[Seq[(String, String)]] = {
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    def r(f: String) =
+      (channels ++ Seq("CONV", "NULL")).map(t => nm(f, t)).mkString(" + ")
+    val systems: Seq[(String, Seq[String])] =
+      ("full" -> channels) +:
+        channels.map(x => s"no_$x" -> channels.filterNot(_ == x))
+    val seed: Seq[(String, String)] = for ((sys, kept) <- systems;
+        f <- kept) yield (s"a_${sys}_${f}_0", "CAST(0 AS BIGINT)")
+    val iters = (1 to rounds).map { t =>
+      for ((sys, kept) <- systems; f <- kept) yield {
+        val flow = kept.map(j =>
+          s"${nm(f, j)} * a_${sys}_${j}_${t - 1}").mkString(" + ")
+        (s"a_${sys}_${f}_$t",
+          s"(${nm(f, "CONV")} * 1000000 + $flow) " +
+            s"// greatest(${r(f)}, 1)")
+      }
+    }
+    // start-state read per system, after the last transient round
+    val starts = for ((sys, kept) <- systems) yield {
+      val flow = kept.map(j =>
+        s"${nm("S", j)} * a_${sys}_${j}_$rounds").mkString(" + ")
+      (s"a_${sys}_S_$rounds",
+        s"(${nm("S", "CONV")} * 1000000 + $flow) " +
+          s"// greatest(${r("S")}, 1)")
+    }
+    (seed +: iters) :+ starts
+  }
+
+  /** Removal effects + credit split + stack, shared spelling. */
+  private def markovNFinal(channels: Seq[String], rounds: Int)
+      : (Seq[(String, String)], String) = {
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    val total = ("S" +: channels).map(f => nm(f, "CONV")).mkString(" + ")
+    val reCols = channels.map { x =>
+      (s"re_${x}_e6",
+        s"1000000 - (a_no_${x}_S_$rounds * 1000000) " +
+          s"// greatest(a_full_S_$rounds, 1)")
+    } :+ ("total_conv" -> total)
+    val reSum = channels.map(x => s"re_${x}_e6").mkString(" + ")
+    val stackArgs = channels.map { x =>
+      s"'$x', re_${x}_e6, " +
+        s"(total_conv * re_${x}_e6) // greatest($reSum, 1)"
+    }.mkString(", ")
+    (reCols, s"stack(${channels.size}, $stackArgs) " +
+      "AS (channel, removal_e6, credited_conv)")
+  }
+
+  /** The DuckDB twin of [[markovNByChannel]] over the `events` table:
+    * the SAME generated formulas, CTE-chained. `touchTypes` are the
+    * channels (event_type values), conversions are 'purchase'. */
+  def markovNOracleSql(channels: Seq[String], rounds: Int = 24): String = {
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    val inList = channels.map(c => s"'$c'").mkString(", ")
+    val froms = "S" +: channels
+    val tos = channels ++ Seq("CONV", "NULL")
+    val countCells = (for (f <- froms; t <- tos) yield
+      s"CAST(sum(CASE WHEN from_st='$f' AND to_st='$t' THEN 1 ELSE 0 " +
+        s"END) AS BIGINT) AS ${nm(f, t)}").mkString(",\n            ")
+    val steps = markovNSteps(channels, rounds)
+    val roundCtes = steps.zipWithIndex.map { case (es, i) =>
+      val cols = es.map { case (a, e) => s"$e AS $a" }.mkString(",\n           ")
+      s"j$i AS (SELECT *,\n           $cols\n         FROM ${if (i == 0) "m" else s"j${i - 1}"})"
+    }.mkString(",\n        ")
+    val (reCols, _) = markovNFinal(channels, rounds)
+    val reSql = reCols.map { case (a, e) => s"$e AS $a" }
+      .mkString(",\n           ")
+    val reSum = channels.map(x => s"re_${x}_e6").mkString(" + ")
+    val branches = channels.map { x =>
+      s"WHEN '$x' THEN re_${x}_e6"
+    }.mkString(" ")
+    val credit = channels.map { x =>
+      s"WHEN '$x' THEN (total_conv * re_${x}_e6) // greatest($reSum, 1)"
+    }.mkString(" ")
+    val values = channels.map(c => s"('$c')").mkString(", ")
+    s"""
+        WITH ev AS (
+          SELECT user_id AS u, epoch_us(ts) AS ts,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 9223372036854775807 ELSE event_id END AS tie,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS st
+          FROM events
+          WHERE event_type IN ($inList, 'purchase')),
+        tr AS (SELECT st,
+                      coalesce(lag(st) OVER w, 'CONV') AS prev,
+                      lead(st) OVER w AS nxt
+               FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, tie)),
+        cells AS (
+          SELECT CASE WHEN prev = 'CONV' THEN 'S' ELSE prev END
+                   AS from_st, st AS to_st FROM tr
+          UNION ALL
+          SELECT st, 'NULL' FROM tr WHERE st <> 'CONV' AND nxt IS NULL),
+        m AS (SELECT
+            $countCells
+          FROM cells),
+        $roundCtes,
+        fin AS (SELECT *,
+           $reSql
+         FROM j${steps.size - 1})
+        SELECT chs.ch AS channel,
+               CAST(CASE chs.ch $branches END AS BIGINT) AS removal_e6,
+               CAST(CASE chs.ch $credit END AS BIGINT) AS credited_conv,
+               CAST(a_full_S_$rounds AS BIGINT) AS p_conv_e6
+        FROM fin, (VALUES $values) chs(ch)
+        ORDER BY channel"""
+  }
+
   // ── incremental attribution (r16) ────────────────────────────────
   // The fold family's attribution member (rollups: CascadedRollup.
   // foldFinest; SCD2: Scd2.fold; vectors/postings: VectorStore/

@@ -165,6 +165,10 @@ object EventQueries {
         LEFT JOIN lin ON lin.ch = chs.ch
         ORDER BY channel"""
 
+  /** q202's channel set — alphabetical so the stacked output's
+    * ORDER BY channel is stable. */
+  private val markov3Channels = Seq("click", "signup", "view")
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── as-of join (backward, inclusive) ───────────────────────────
@@ -1659,6 +1663,30 @@ object EventQueries {
         SELECT path, count(*) AS n_sessions
         FROM p GROUP BY path
         ORDER BY n_sessions DESC, path LIMIT 10"""),
+      bench = true),
+
+    // ── N-channel Markov attribution (r16) ─────────────────────────
+    // q199 generalized past the 2-transient closed form: THREE touch
+    // channels (click, signup, view). Cofactor arithmetic grows as
+    // count^3 and overflows BIGINT at scale, so absorption comes from
+    // 24 UNROLLED fixed-point Jacobi rounds in integer e6 — the q136
+    // unrolled-PageRank recipe: magnitudes stay ≤ count·10^6 at ANY
+    // scale, and the oracle replays the same 24 rounds from the SAME
+    // generator (markovNOracleSql — the two engines share one formula
+    // source and cannot drift). One event-scale chain window; the
+    // 4 systems × 24 rounds all ride a bounded 1-row count frame.
+    "q202_markov_multichannel" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val chs = markov3Channels
+        val touches = e.filter(col("event_type").isin(chs: _*))
+          .select(col("user_id").as("user"), col("ts_us").as("ts"),
+            col("event_type").as("channel"), col("event_id").as("tie"))
+        val conversions = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user"), col("ts_us").as("ts"))
+        Attribution.markovNByChannel(touches, conversions, chs)
+      },
+      oracle = Some(Attribution.markovNOracleSql(markov3Channels)),
       bench = true)
 
   )

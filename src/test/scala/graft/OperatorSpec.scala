@@ -1451,6 +1451,54 @@ class OperatorSpec extends SparkSpec {
     assert(out("view") === ((166666L, 0L, 399999L)))
   }
 
+  test("Attribution.markovNByChannel: engine == pure-Scala recurrence replay (r16)") {
+    import graft.analytics.Attribution
+    val chs = Seq("click", "signup", "view")
+    // journeys: u1 g,c,K | v(end); u2 K | c(end); u3 v,g,v(end)
+    val touches = Seq(
+      (1L, 1L, "signup", 11L), (1L, 2L, "click", 12L), (1L, 4L, "view", 14L),
+      (2L, 2L, "click", 22L),
+      (3L, 1L, "view", 31L), (3L, 2L, "signup", 32L), (3L, 3L, "view", 33L)
+    ).toDF("user", "ts", "channel", "tie")
+    val convs = Seq((1L, 3L), (2L, 1L)).toDF("user", "ts")
+    val rounds = 24
+    val got = Attribution.markovNByChannel(touches, convs, chs, rounds)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // independent replay: count the chain by hand, run the SAME
+    // integer recurrence in plain Scala (no Spark, no SQL)
+    // transitions: u1: S->g, g->c, c->K, S->v, v->NULL
+    //              u2: S->K, S->c, c->NULL
+    //              u3: S->v, v->g, g->v, v->NULL
+    val states = "S" +: chs
+    val n = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+    for (t <- Seq(("S","signup"),("signup","click"),("click","CONV"),
+        ("S","view"),("view","NULL"),("S","CONV"),("S","click"),
+        ("click","NULL"),("S","view"),("view","signup"),
+        ("signup","view"),("view","NULL"))) n(t) += 1
+    def row(f: String) = (chs ++ Seq("CONV","NULL")).map(t => n(f -> t)).sum
+    def jacobi(kept: Seq[String]): Long = {
+      var a = kept.map(_ => 0L)
+      for (_ <- 1 to rounds)
+        a = kept.map(f => (n(f -> "CONV") * 1000000L +
+          kept.zip(a).map { case (j, aj) => n(f -> j) * aj }.sum) /
+          math.max(row(f), 1L))
+      (n("S" -> "CONV") * 1000000L +
+        kept.zip(a).map { case (j, aj) => n("S" -> j) * aj }.sum) /
+        math.max(row("S"), 1L)
+    }
+    val aFull = jacobi(chs)
+    val re = chs.map(x => x -> (1000000L -
+      (jacobi(chs.filterNot(_ == x)) * 1000000L) / math.max(aFull, 1L))).toMap
+    val totalConv = states.map(f => n(f -> "CONV")).sum
+    val reSum = re.values.sum
+    chs.foreach { x =>
+      assert(got(x) === ((re(x), totalConv * re(x) / math.max(reSum, 1L),
+        aFull)), s"channel $x drifted from the pure-Scala replay")
+    }
+  }
+
   test("Attribution.fold: backfill throws; conversions may tie the frontier (r16)") {
     import graft.analytics.Attribution
     val chs = Seq("view", "click")
