@@ -169,6 +169,40 @@ object EventQueries {
     * ORDER BY channel is stable. */
   private val markov3Channels = Seq("click", "signup", "view")
 
+  /** q200/q203's funnel definition — ONE source for the batch build
+    * and the incremental fold, so step semantics cannot diverge. */
+  private val funnelSteps = Seq("signup", "click", "purchase")
+  private def funnelEvents(s: SparkSession, d: String): DataFrame =
+    ev(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id").as("user"), col("ts_us").as("ts"),
+        col("event_type").as("step"))
+
+  /** q200's full-replay funnel oracle — also q203's verbatim
+    * (fold≡rebuild, the q187/q197 discipline). */
+  private val q200OracleSql = """
+        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                          event_type AS ty
+                   FROM events WHERE user_id IS NOT NULL),
+        s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
+                 OVER (PARTITION BY u) AS s1 FROM e),
+        c1 AS (SELECT *, min(CASE WHEN ty = 'click' AND t >= s1
+                 AND t < s1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS c1 FROM s1),
+        p1 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t >= c1
+                 AND t < c1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS p1 FROM c1),
+        pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
+               FROM p1 GROUP BY u)
+        SELECT count(*) AS n_users,
+               count(s1) AS stage_signup,
+               count(c1) AS stage_click,
+               count(p1) AS stage_purchase,
+               (count(c1) * 10000) // greatest(count(s1), 1)
+                 AS conv_click_e4,
+               (count(p1) * 10000) // greatest(count(c1), 1)
+                 AS conv_purchase_e4
+        FROM pu"""
+
   val queries: Map[String, QuerySpec] = Map(
 
     // ── as-of join (backward, inclusive) ───────────────────────────
@@ -1564,56 +1598,10 @@ object EventQueries {
     // nodes on one sort), then a per-user rollup and a single
     // bounded summary row. Conversion rates in integer e4.
     "q200_funnel" -> QuerySpec(
-      build = (s, d) => {
-        val L = 7L * 86400 * 1000000
-        val w = Window.partitionBy(col("user_id"))
-        ev(s, d).filter(col("user_id").isNotNull)
-          .select(col("user_id"), col("ts_us"), col("event_type"))
-          .withColumn("s1", min(when(col("event_type") === "signup",
-            col("ts_us"))).over(w))
-          .withColumn("c1", min(when(col("event_type") === "click" &&
-            col("ts_us") >= col("s1") &&
-            col("ts_us") < col("s1") + L, col("ts_us"))).over(w))
-          .withColumn("p1", min(when(col("event_type") === "purchase" &&
-            col("ts_us") >= col("c1") &&
-            col("ts_us") < col("c1") + L, col("ts_us"))).over(w))
-          .groupBy(col("user_id"))
-          .agg(max(col("s1")).as("s1"), max(col("c1")).as("c1"),
-            max(col("p1")).as("p1"))
-          .agg(count(lit(1)).as("n_users"),
-            count(col("s1")).as("stage_signup"),
-            count(col("c1")).as("stage_click"),
-            count(col("p1")).as("stage_purchase"))
-          .selectExpr("n_users", "stage_signup", "stage_click",
-            "stage_purchase",
-            "(stage_click * 10000) div greatest(stage_signup, 1)" +
-              " AS conv_click_e4",
-            "(stage_purchase * 10000) div greatest(stage_click, 1)" +
-              " AS conv_purchase_e4")
-      },
-      oracle = Some("""
-        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
-                          event_type AS ty
-                   FROM events WHERE user_id IS NOT NULL),
-        s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
-                 OVER (PARTITION BY u) AS s1 FROM e),
-        c1 AS (SELECT *, min(CASE WHEN ty = 'click' AND t >= s1
-                 AND t < s1 + 604800000000 THEN t END)
-                 OVER (PARTITION BY u) AS c1 FROM s1),
-        p1 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t >= c1
-                 AND t < c1 + 604800000000 THEN t END)
-                 OVER (PARTITION BY u) AS p1 FROM c1),
-        pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
-               FROM p1 GROUP BY u)
-        SELECT count(*) AS n_users,
-               count(s1) AS stage_signup,
-               count(c1) AS stage_click,
-               count(p1) AS stage_purchase,
-               (count(c1) * 10000) // greatest(count(s1), 1)
-                 AS conv_click_e4,
-               (count(p1) * 10000) // greatest(count(c1), 1)
-                 AS conv_purchase_e4
-        FROM pu"""),
+      build = (s, d) => Funnel.summary(
+        Funnel.stages(funnelEvents(s, d), funnelSteps,
+          lit(7L * 86400 * 1000000)), funnelSteps),
+      oracle = Some(q200OracleSql),
       bench = true),
 
     // ── top session paths (r16) ────────────────────────────────────
@@ -1687,6 +1675,30 @@ object EventQueries {
         Attribution.markovNByChannel(touches, conversions, chs)
       },
       oracle = Some(Attribution.markovNOracleSql(markov3Channels)),
+      bench = true),
+
+    // ── incremental funnel fold (r16) ──────────────────────────────
+    // q200 as MAINTENANCE (the q187/q197 discipline, third member):
+    // per-user state is just the k stage floors + the event-time
+    // frontier — O(1) per user, no event retained — because stages
+    // fill once, in order, and append-only arrival means no older
+    // event can ever satisfy a stage set later. Three ten-day batches
+    // fold sequentially; the oracle is q200's full-replay SQL
+    // VERBATIM: the hash match is the fold≡rebuild proof.
+    "q203_funnel_fold" -> QuerySpec(
+      build = (s, d) => {
+        val evs = funnelEvents(s, d)
+        val cuts = Seq(1704931200000000L, 1705795200000000L)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        val state = bounds.foldLeft(
+          Funnel.initState(evs, funnelSteps)) { case (st, (lo, hi)) =>
+          graft.Checkpoints.cut(Funnel.fold(st,
+            evs.filter(col("ts") >= lo && col("ts") < hi),
+            funnelSteps, lit(7L * 86400 * 1000000)))
+        }
+        Funnel.summary(state, funnelSteps)
+      },
+      oracle = Some(q200OracleSql),
       bench = true)
 
   )

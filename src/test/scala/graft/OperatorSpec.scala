@@ -1451,6 +1451,45 @@ class OperatorSpec extends SparkSpec {
     assert(out("view") === ((166666L, 0L, 399999L)))
   }
 
+  test("Funnel.fold: floors fill across batches; backfill throws (r16)") {
+    import graft.analytics.Funnel
+    val steps = Seq("a", "b", "c")
+    def df(rows: (Long, Long, String)*) = rows.toDF("user", "ts", "step")
+    // u1: a@10 in b1; b@15 (within 20 of a) in b2; c@40 OUT of b's
+    //     window (15+20=35) — stage c stays null forever
+    // u2: b@5 before any a — never qualifies; a@30 in b2; b@31, c@32
+    //     complete the funnel entirely in b2
+    // u3: only in b1 (a@1), untouched by b2 — state rides through
+    val L = lit(20L)
+    val st0 = Funnel.initState(df(), steps)
+    val st1 = Funnel.fold(st0,
+      df((1L, 10L, "a"), (2L, 5L, "b"), (3L, 1L, "a")), steps, L)
+    val st2 = Funnel.fold(st1,
+      df((1L, 15L, "b"), (1L, 40L, "c"),
+        (2L, 30L, "a"), (2L, 31L, "b"), (2L, 32L, "c")), steps, L)
+    def floors(s: org.apache.spark.sql.DataFrame) =
+      s.collect().map(r => r.getLong(0) -> (
+        Option(r.get(r.fieldIndex("f_a"))),
+        Option(r.get(r.fieldIndex("f_b"))),
+        Option(r.get(r.fieldIndex("f_c"))))).toMap
+    val f = floors(st2)
+    assert(f(1L) === ((Some(10L), Some(15L), None)))
+    assert(f(2L) === ((Some(30L), Some(31L), Some(32L))))
+    assert(f(3L) === ((Some(1L), None, None)))
+    // fold == rebuild over the concatenated history
+    val all = df((1L, 10L, "a"), (2L, 5L, "b"), (3L, 1L, "a"),
+      (1L, 15L, "b"), (1L, 40L, "c"),
+      (2L, 30L, "a"), (2L, 31L, "b"), (2L, 32L, "c"))
+    assert(floors(st2.drop("frontier")) ===
+      floors(Funnel.stages(all, steps, L)))
+    // an event at-or-before the stored frontier is backfill → loud
+    val ex = intercept[Exception] {
+      Funnel.fold(st2, df((1L, 40L, "a")), steps, L).collect()
+    }
+    assert(ex.getMessage.contains("append-only") ||
+      Option(ex.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
   test("Attribution.markovNByChannel: engine == pure-Scala recurrence replay (r16)") {
     import graft.analytics.Attribution
     val chs = Seq("click", "signup", "view")
