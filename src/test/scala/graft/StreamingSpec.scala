@@ -1461,4 +1461,48 @@ class StreamingSpec extends SparkSpec {
         chs, lit(L), keepCounts = true)),
       "position model over streamed credits drifted from batch")
   }
+
+  test("funnel stream: streamed folds == batch stages; replay idempotent (r16)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.FunnelStream
+    import graft.analytics.Funnel
+
+    val steps = Seq("signup", "click", "purchase")
+    val L = 7L * 86400 * 1000000
+    val base = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    val raw = base
+      .filter(col("event_type").isin(steps: _*) &&
+        col("user_id").isNotNull)
+      .select(col("user_id").as("user"),
+        graft.analytics.Tables.tsUs(base).as("ts"),
+        col("event_type").as("step"))
+    val rows = raw.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    val batches = Seq(rows.filter(_._2 < cuts(0)),
+      rows.filter(r => r._2 >= cuts(0) && r._2 < cuts(1)),
+      rows.filter(_._2 >= cuts(1)))
+    assert(batches.forall(_.nonEmpty))
+
+    val store = tmp("funnel-store")
+    val input = MemoryStream[(Long, Long, String)]
+    val q = FunnelStream.maintainFunnel(
+      input.toDF().toDF("user", "ts", "step"),
+      steps, L, store, tmp("funnel-ckpt"))
+    batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val served = canon(FunnelStream.serveSummary(spark, store, steps))
+    assert(served === canon(Funnel.summary(
+      Funnel.stages(raw, steps, lit(L)), steps)),
+      "streamed funnel summary must equal the one-shot batch build")
+    // replay of the last batch id leaves the served report identical
+    FunnelStream.foldBatch(
+      batches(2).toSeq.toDF("user", "ts", "step"), 2L, steps, L, store)
+    assert(canon(FunnelStream.serveSummary(spark, store, steps)) === served)
+  }
+
 }
