@@ -1699,6 +1699,73 @@ object EventQueries {
         Funnel.summary(state, funnelSteps)
       },
       oracle = Some(q200OracleSql),
+      bench = true),
+
+    // ── funnel stage-latency distribution (r16) ────────────────────
+    // How long each completed funnel transition takes — q149 prices
+    // click→purchase latency approximately (hist sketch, event-pair
+    // grain); this is the STAGE-grain exact report over the q200
+    // floors: per transition, n / min / max / integer-µs mean and the
+    // exact nearest-rank-lower median (both engines pick the identical
+    // element; the value at a rank of a sorted multiset is unique, so
+    // ties cannot diverge). Scale shape: the floors frame is USER-
+    // grain (already reduced by the funnel's one exchange); the
+    // per-transition rank window sorts user-grain rows only, never
+    // events.
+    "q204_funnel_latency" -> QuerySpec(
+      build = (s, d) => {
+        val floors = Funnel.stages(funnelEvents(s, d), funnelSteps,
+          lit(7L * 86400 * 1000000))
+        val lats = funnelSteps.sliding(2).collect { case Seq(a, b) =>
+          floors.filter(col(s"f_$b").isNotNull)
+            .select(lit(s"${a}_to_$b").as("transition"),
+              (col(s"f_$b") - col(s"f_$a")).as("lat_us"))
+        }.reduce(_.unionByName(_))
+        lats
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("transition")).orderBy(col("lat_us"))))
+          .withColumn("n", count(lit(1)).over(Window
+            .partitionBy(col("transition"))))
+          .groupBy(col("transition"))
+          .agg(max(col("n")).as("n"),
+            min(col("lat_us")).as("min_us"),
+            max(col("lat_us")).as("max_us"),
+            expr("sum(lat_us) div max(n)").as("avg_us"),
+            max(when(col("rn") === expr("(n + 1) div 2"),
+              col("lat_us"))).as("p50_us"))
+          .orderBy("transition")
+      },
+      oracle = Some("""
+        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+                          event_type AS ty
+                   FROM events WHERE user_id IS NOT NULL),
+        s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
+                 OVER (PARTITION BY u) AS s1 FROM e),
+        c1 AS (SELECT *, min(CASE WHEN ty = 'click' AND t >= s1
+                 AND t < s1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS c1 FROM s1),
+        p1 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t >= c1
+                 AND t < c1 + 604800000000 THEN t END)
+                 OVER (PARTITION BY u) AS p1 FROM c1),
+        pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
+               FROM p1 GROUP BY u),
+        lat AS (
+          SELECT 'signup_to_click' AS transition, c1 - s1 AS lat_us
+          FROM pu WHERE c1 IS NOT NULL
+          UNION ALL
+          SELECT 'click_to_purchase', p1 - c1
+          FROM pu WHERE p1 IS NOT NULL),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY transition
+                  ORDER BY lat_us) AS rn,
+                count(*) OVER (PARTITION BY transition) AS n
+              FROM lat)
+        SELECT transition, max(n) AS n,
+               min(lat_us) AS min_us, max(lat_us) AS max_us,
+               CAST(sum(lat_us) // max(n) AS BIGINT) AS avg_us,
+               max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
+                 AS p50_us
+        FROM r GROUP BY transition ORDER BY transition"""),
       bench = true)
 
   )
