@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Lineage cut for iterative-closure results — the one device behind
@@ -18,40 +19,48 @@ import org.apache.spark.sql.DataFrame
   * plan changes. Default stays local: the cheap mode is the correct
   * one for tests, the bench, and the driver's local[32] runs.
   *
-  * Mode resolution tracks what THIS object configured, because
-  * `SparkContext.checkpointDir` can never be unset and
-  * `getCheckpointDir` returns the per-application UUID SUBDIR that
-  * `setCheckpointDir` creates (never equal to the raw configured
-  * path): unsetting the conf reverts to local mode even though the
-  * leftover context dir persists, and a conf value is applied to the
-  * context exactly once — not re-`setCheckpointDir`-ed (a fresh UUID
-  * subdir) on every cut. A context checkpoint dir the CALLER set
-  * before any cut is still honored as reliable intent. */
+  * Mode resolution tracks what this object configured ON WHICH
+  * SparkContext, because `SparkContext.checkpointDir` can never be
+  * unset and `getCheckpointDir` returns the per-application UUID
+  * SUBDIR that `setCheckpointDir` creates (never equal to the raw
+  * configured path): unsetting the conf reverts to local mode even
+  * though the leftover context dir persists; a conf value is applied
+  * to a given context exactly once (not re-`setCheckpointDir`-ed into
+  * a fresh UUID subdir per cut); a RESTARTED context with the same
+  * conf is configured afresh instead of crashing on a skipped set;
+  * and a context checkpoint dir the CALLER set (this object never
+  * touched that context) is honored as reliable intent. Only the
+  * bookkeeping is locked — the checkpoint job itself runs outside the
+  * lock, so concurrent cuts never serialize on each other. */
 object Checkpoints {
 
   val ConfKey = "spark.graft.checkpoint.dir"
 
-  /** The conf value this object last applied via setCheckpointDir —
-    * the "we set it" marker that keeps conf-unset reverting to local. */
-  private var applied: Option[String] = None
+  /** (context, conf dir) this object last applied via
+    * setCheckpointDir — identity-keyed so a restarted context is
+    * never mistaken for the configured one. */
+  private var applied: Option[(SparkContext, String)] = None
 
   /** Eagerly materialize `df` and cut its lineage — reliably when a
     * checkpoint dir is configured, locally otherwise. */
-  def cut(df: DataFrame): DataFrame = synchronized {
+  def cut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     val sc = s.sparkContext
-    s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
-      case Some(dir) =>
-        if (!applied.contains(dir)) {
-          sc.setCheckpointDir(dir)
-          applied = Some(dir)
-        }
-        df.checkpoint(eager = true)
-      case None =>
-        if (sc.getCheckpointDir.isDefined && applied.isEmpty)
-          df.checkpoint(eager = true) // caller's own pre-set dir
-        else
-          df.localCheckpoint(eager = true)
+    val reliable = synchronized {
+      s.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+        case Some(dir) =>
+          if (!applied.contains((sc, dir))) {
+            sc.setCheckpointDir(dir)
+            applied = Some((sc, dir))
+          }
+          true
+        case None =>
+          // a pre-set context dir is reliable intent UNLESS this
+          // object set it (then a conf unset means: back to local)
+          sc.getCheckpointDir.isDefined && !applied.exists(_._1 eq sc)
+      }
     }
+    if (reliable) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
   }
 }

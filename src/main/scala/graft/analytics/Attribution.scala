@@ -296,8 +296,12 @@ object Attribution {
   def markovNByChannel(touches: DataFrame, conversions: DataFrame,
                        channels: Seq[String],
                        rounds: Int = 24): DataFrame = {
-    require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9_]+")),
-      "channel names must be sql-identifier-safe")
+    // no underscores: generated aliases are a_<system>_<state>_<round>
+    // with '_'-joined parts, and channels like ("a", "a_a") would
+    // collide (system no_a + state a_a == system no_a_a + state a)
+    require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9]+")),
+      "channel names must be lowercase alphanumeric (no underscores — " +
+        "the generated alias scheme joins parts with '_')")
     val ev = touches.select(col("user"), col("ts"), col("tie"),
         col("channel").as("st"))
       .unionByName(conversions

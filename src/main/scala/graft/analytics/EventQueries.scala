@@ -177,10 +177,10 @@ object EventQueries {
       .select(col("user_id").as("user"), col("ts_us").as("ts"),
         col("event_type").as("step"))
 
-  /** q200's full-replay funnel oracle — also q203's verbatim
-    * (fold≡rebuild, the q187/q197 discipline). */
-  private val q200OracleSql = """
-        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
+  /** The funnel floor CTE chain (signup→click→purchase windows) every
+    * funnel oracle replays — ONE definition so q200/q203/q204 cannot
+    * diverge on window or step semantics. */
+  private val funnelFloorCtes = """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
                           event_type AS ty
                    FROM events WHERE user_id IS NOT NULL),
         s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
@@ -192,7 +192,12 @@ object EventQueries {
                  AND t < c1 + 604800000000 THEN t END)
                  OVER (PARTITION BY u) AS p1 FROM c1),
         pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
-               FROM p1 GROUP BY u)
+               FROM p1 GROUP BY u)"""
+
+  /** q200's full-replay funnel oracle — also q203's verbatim
+    * (fold≡rebuild, the q187/q197 discipline). */
+  private val q200OracleSql = s"""
+        $funnelFloorCtes
         SELECT count(*) AS n_users,
                count(s1) AS stage_signup,
                count(c1) AS stage_click,
@@ -1735,20 +1740,8 @@ object EventQueries {
               col("lat_us"))).as("p50_us"))
           .orderBy("transition")
       },
-      oracle = Some("""
-        WITH e AS (SELECT user_id AS u, epoch_us(ts) AS t,
-                          event_type AS ty
-                   FROM events WHERE user_id IS NOT NULL),
-        s1 AS (SELECT *, min(CASE WHEN ty = 'signup' THEN t END)
-                 OVER (PARTITION BY u) AS s1 FROM e),
-        c1 AS (SELECT *, min(CASE WHEN ty = 'click' AND t >= s1
-                 AND t < s1 + 604800000000 THEN t END)
-                 OVER (PARTITION BY u) AS c1 FROM s1),
-        p1 AS (SELECT *, min(CASE WHEN ty = 'purchase' AND t >= c1
-                 AND t < c1 + 604800000000 THEN t END)
-                 OVER (PARTITION BY u) AS p1 FROM c1),
-        pu AS (SELECT u, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
-               FROM p1 GROUP BY u),
+      oracle = Some(s"""
+        $funnelFloorCtes,
         lat AS (
           SELECT 'signup_to_click' AS transition, c1 - s1 AS lat_us
           FROM pu WHERE c1 IS NOT NULL

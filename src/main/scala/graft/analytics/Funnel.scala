@@ -16,16 +16,16 @@ import org.apache.spark.sql.functions._
   * pins it for q200). No joins, no re-shuffle per stage.
   *
   * [[fold]] is the incremental twin (q203; the q187/q197 fold family):
-  * per-user state is just the k floors + the event-time frontier —
-  * O(1) per user, nothing event-scale is retained — and folding a
-  * batch is the SAME chained windows over the batch alone, seeded with
-  * the stored floors. Why floors suffice: stages fill once, in order,
-  * and under the append-only contract a stage set in THIS batch can
-  * never be satisfied by an OLDER event (every old event precedes
-  * every new one for its user, and stage i's candidates must be
-  * at-or-after stage i−1's floor), so the stored floors summarize the
-  * entire history exactly. fold ≡ rebuild is proven the q197 way:
-  * q203's oracle is q200's full-replay SQL verbatim. */
+  * per-user state is the k floors + the event-time frontier + the
+  * frontier's same-ts tie group — O(1 + tie group) per user, nothing
+  * history-scale is retained — and folding a batch is the SAME chained
+  * windows over (batch ∪ tie-group replay), seeded with the stored
+  * floors. Why that state suffices: stages fill once, in order, and
+  * under the at-or-after-frontier contract the only OLD event a new
+  * batch can make qualify is one AT the frontier instant (any other
+  * old event precedes every possible new floor) — exactly the retained
+  * tie group. fold ≡ rebuild is proven the q197 way: q203's oracle is
+  * q200's full-replay SQL verbatim. */
 object Funnel {
 
   /** Per-user stage floors over the full event history. Input columns:
@@ -70,11 +70,23 @@ object Funnel {
     * [[initState]]. Returns the new state; [[summary]] reads it.
     *
     * Append-only contract, enforced loudly (the [[Attribution.fold]]
-    * guard): every batch event must be strictly after its user's
-    * stored frontier. Scale shape: untouched users pass through a
-    * broadcast anti-join; only the batch's users re-window, and the
-    * windows run over the BATCH alone (state contributes k floors per
-    * user, not events). */
+    * guard): every batch event must be AT-OR-AFTER its user's stored
+    * frontier. Equality is legal — a coarse-timestamp source
+    * routinely splits a same-ts tie group across micro-batches, and a
+    * strict guard would wedge the stream on a history the batch
+    * rebuild handles fine. What makes equality EXACT and not just
+    * accepted: floors alone do not summarize the frontier instant (an
+    * old event AT the frontier can qualify retroactively once a later
+    * same-ts event sets the previous stage's floor — e.g. b@10 folded
+    * before a@10 arrives must still yield f_b = 10), so the state
+    * additionally retains the frontier tie group's step multiset
+    * (`frontier_steps`, bounded by the tie-group size) and every fold
+    * replays it as virtual events beside the batch.
+    *
+    * Scale shape: untouched users pass through a broadcast anti-join;
+    * only the batch's users re-window, and the windows run over the
+    * BATCH (+ tie-group) alone — state contributes k floors and one
+    * tie group per user, never history. */
   def fold(state: DataFrame, events: DataFrame, steps: Seq[String],
            window: Column): DataFrame = {
     val users = events.select("user").distinct()
@@ -82,18 +94,29 @@ object Funnel {
     val touchedState = state.join(broadcast(users), Seq("user"), "left_semi")
     val seeds = touchedState.select(
       col("user") +: col("frontier").as("_sf") +:
+        col("frontier_steps").as("_sfs") +:
         steps.map(st => col(s"f_$st").as(s"_s_$st")): _*)
     val guarded = events.join(broadcast(seeds), Seq("user"), "left")
-      .filter(col("_sf").isNull || col("ts") > col("_sf") ||
+      .filter(col("_sf").isNull || col("ts") >= col("_sf") ||
         raise_error(concat(
           lit("funnel fold is append-only: event at "),
-          col("ts").cast("string"), lit(" not after stored frontier "),
+          col("ts").cast("string"), lit(" before stored frontier "),
           col("_sf").cast("string"),
           lit(" — backfill requires a rebuild from the raw event log"))))
+    // the stored frontier tie group rides along as virtual events (its
+    // floors contribution is idempotent — mins — and it is the ONLY
+    // old history a same-ts continuation can still qualify)
+    val virtual = seeds.filter(col("_sf").isNotNull)
+      .select(Seq(col("user"), col("_sf"), col("_sfs")) ++
+        steps.map(st => col(s"_s_$st")): _*)
+      .withColumn("step", explode(col("_sfs")))
+      .withColumn("ts", col("_sf"))
+      .select(guarded.columns.map(col).toSeq: _*)
+    val replay = guarded.unionByName(virtual)
     // the same chained windows as [[stages]], seeded with the stored
     // floors: a stage already set stays set (floors only fill once)
     val w = Window.partitionBy(col("user"))
-    val withFloors = steps.zipWithIndex.foldLeft(guarded) {
+    val withFloors = steps.zipWithIndex.foldLeft(replay) {
       case (df, (st, i)) =>
         val hit =
           if (i == 0) when(col("step") === st, col("ts"))
@@ -105,9 +128,13 @@ object Funnel {
         df.withColumn(s"f_$st",
           coalesce(col(s"_s_$st"), min(hit).over(w)))
     }
-    val folded = withFloors.groupBy(col("user"))
-      .agg(greatest(max(col("ts")), max(col("_sf"))).as("frontier"),
-        steps.map(st => max(col(s"f_$st")).as(s"f_$st")): _*)
+    val folded = withFloors
+      .withColumn("_front", max(col("ts")).over(w))
+      .groupBy(col("user"))
+      .agg(max(col("_front")).as("frontier"),
+        array_sort(collect_list(when(col("ts") === col("_front"),
+          col("step")))).as("frontier_steps") +:
+          steps.map(st => max(col(s"f_$st")).as(s"f_$st")): _*)
       .select(state.columns.map(col): _*)
     untouched.unionByName(folded)
   }
@@ -116,4 +143,6 @@ object Funnel {
   def initState(events: DataFrame, steps: Seq[String]): DataFrame =
     stages(events.limit(0), steps, lit(0L))
       .withColumn("frontier", lit(null).cast("long"))
+      .withColumn("frontier_steps",
+        lit(null).cast("array<string>"))
 }

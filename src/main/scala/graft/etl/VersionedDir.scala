@@ -20,11 +20,21 @@ object VersionedDir {
     java.nio.file.Files.createDirectories(root)
     val tmp = root.resolve("._tmp-" + java.util.UUID.randomUUID)
     df.write.mode("overwrite").parquet(tmp.toString)
+    claim(root, tmp)
+  }
+
+  /** Atomically claim the next `v<N>` for a fully-staged payload dir —
+    * THE one implementation of the claim-race loop (LabelStore
+    * re-publish and VectorStore.retrain stage their own payloads and
+    * claim here): losers of a concurrent rename race just take the
+    * next number. Returns the claimed version. */
+  def claim(root: java.nio.file.Path,
+            staged: java.nio.file.Path): Long = {
     var claimed = -1L
     while (claimed < 0) {
       val v = latestVersion(root) + 1
       try {
-        java.nio.file.Files.move(tmp, root.resolve("v" + v),
+        java.nio.file.Files.move(staged, root.resolve("v" + v),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         claimed = v
       } catch {
@@ -33,6 +43,21 @@ object VersionedDir {
       }
     }
     claimed
+  }
+
+  /** Delete orphaned staging dirs by name prefix (a crash between a
+    * staged write and its claim/swap leaks one; nothing else cleans
+    * them). Shared by the streaming state stores (`_tmp-`) and the
+    * re-publish stagers (`._stage-`). */
+  def sweep(root: java.nio.file.Path, prefix: String): Unit = {
+    if (!java.nio.file.Files.isDirectory(root)) return
+    val st = java.nio.file.Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(graft.text.Artifacts.deleteRecursively)
+    } finally st.close()
   }
 
   /** Every published version number under `root` (unsorted). ONE

@@ -219,19 +219,7 @@ object VectorStore {
           "silently drop the folded vectors. Quiesce writers and retry " +
           "(the retry's scan includes them).")
     }
-    var claimed = -1L
-    while (claimed < 0) {
-      val v = graft.etl.VersionedDir.latestVersion(root) + 1
-      try {
-        Files.move(tmp, root.resolve("v" + v),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        claimed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => ()
-        case _: java.nio.file.DirectoryNotEmptyException => ()
-      }
-    }
-    claimed
+    graft.etl.VersionedDir.claim(root, tmp)
   }
 
   /** Fail fast on a batch/query frame whose embedding width differs

@@ -103,16 +103,8 @@ object RollupStream {
     * write and the atomic move leaks one; nothing else ever cleans
     * them, so they would accumulate across restarts). Called by the
     * single writer before staging its own tmp. */
-  private[graft] def sweepTmp(root: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.isDirectory(root)) return
-    val st = java.nio.file.Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("_tmp-"))
-        .foreach(graft.text.Artifacts.deleteRecursively)
-    } finally st.close()
-  }
+  private[graft] def sweepTmp(root: java.nio.file.Path): Unit =
+    graft.etl.VersionedDir.sweep(root, "_tmp-")
 
   private def latest(root: java.nio.file.Path): Option[Long] =
     graft.etl.VersionedDir.versions(root).maxOption

@@ -116,16 +116,8 @@ object LabelStore {
 
   /** Delete orphaned `._stage-*` re-publish staging dirs (a crash
     * between the staged write and the atomic claim leaks one). */
-  private def sweepStage(root: Path): Unit = {
-    if (!Files.isDirectory(root)) return
-    val st = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala
-        .filter(_.getFileName.toString.startsWith("._stage-"))
-        .foreach(Artifacts.deleteRecursively)
-    } finally st.close()
-  }
+  private def sweepStage(root: Path): Unit =
+    graft.etl.VersionedDir.sweep(root, "._stage-")
 
   /** The bucket count this store was published with, from the `_meta`
     * sidecar ([[publish]] writes it). `None` on a pre-sidecar store. */
@@ -265,18 +257,8 @@ object LabelStore {
       sweepStage(root)
       val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
       publishInto(labels, pairs, stage.toString, buckets)
-      var claimed = -1L
-      while (claimed < 0) {
-        val v = graft.etl.VersionedDir.latestVersion(root) + 1
-        try {
-          Files.move(stage, root.resolve("v" + v),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          claimed = v
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => ()
-          case _: java.nio.file.DirectoryNotEmptyException => ()
-        }
-      }
+      graft.etl.VersionedDir.claim(root, stage)
+      ()
     }
   }
 

@@ -1480,11 +1480,19 @@ class OperatorSpec extends SparkSpec {
     val all = df((1L, 10L, "a"), (2L, 5L, "b"), (3L, 1L, "a"),
       (1L, 15L, "b"), (1L, 40L, "c"),
       (2L, 30L, "a"), (2L, 31L, "b"), (2L, 32L, "c"))
-    assert(floors(st2.drop("frontier")) ===
+    assert(floors(st2.drop("frontier", "frontier_steps")) ===
       floors(Funnel.stages(all, steps, L)))
-    // an event at-or-before the stored frontier is backfill → loud
+    // a same-ts tie group SPLIT across batches must still equal the
+    // rebuild: b@10 folds first, a@10 arrives later — the retained
+    // frontier tie group lets the old b qualify retroactively
+    val t1 = Funnel.fold(Funnel.initState(df(), steps),
+      df((7L, 10L, "b")), steps, L)
+    val t2 = Funnel.fold(t1, df((7L, 10L, "a")), steps, L)
+    assert(floors(t2) === floors(
+      Funnel.stages(df((7L, 10L, "b"), (7L, 10L, "a")), steps, L)))
+    // an event strictly BEFORE the stored frontier is backfill → loud
     val ex = intercept[Exception] {
-      Funnel.fold(st2, df((1L, 40L, "a")), steps, L).collect()
+      Funnel.fold(st2, df((1L, 39L, "a")), steps, L).collect()
     }
     assert(ex.getMessage.contains("append-only") ||
       Option(ex.getCause).exists(_.getMessage.contains("append-only")))
