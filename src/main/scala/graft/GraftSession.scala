@@ -38,6 +38,14 @@ object GraftSession {
     val spark = builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // ad-hoc runtime conf for the measurement tools (QueryBench & co):
+    // SPARK_GRAFT_CONF="k=v;k2=v2" — e.g. disabling auto-broadcast to
+    // price a plan in its past-the-ceiling regime
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     spark
   }
 
