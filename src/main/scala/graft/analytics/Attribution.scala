@@ -235,6 +235,21 @@ object Attribution {
       n(chA, "CONV").as("nck"), n(chA, "NULL").as("ncn"),
       n(chB, chA).as("nvc"), n(chB, chB).as("nvv"),
       n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"))
+    // every division guarded greatest(x, 1) — the markovNByChannel
+    // discipline: a degenerate chain (a channel with no outgoing
+    // transitions, zero conversions) yields 0 denominators, and the
+    // guard turns silent null rows into well-defined zeros. The q199
+    // oracle carries the IDENTICAL guards, so non-degenerate inputs
+    // (every denominator ≥ 1) are bit-for-bit unchanged.
+    markovFromCounts(m, chA, chB)
+  }
+
+  /** The 2-channel closed form over a 1-row transition-count frame —
+    * shared by [[markovByChannel]] (counts from the full chain window)
+    * and the q205 incremental fold (counts from the maintained cell
+    * store), so the two cannot drift. */
+  private[analytics] def markovFromCounts(m: DataFrame, chA: String,
+                                          chB: String): DataFrame =
     m.selectExpr(
         "nsc + nsv + nsk AS rs",
         "ncc + ncv + nck + ncn AS rc",
@@ -247,28 +262,27 @@ object Attribution {
         "(rc - ncc) * nvk + nvc * nck AS avn",
         "*")
       .selectExpr(
-        "(nsc * ((acn * 1000000) div det) " +
-          "+ nsv * ((avn * 1000000) div det) " +
-          "+ nsk * 1000000) div rs AS as_e6",
-        "(nsv * ((nvk * 1000000) div (rv - nvv)) " +
-          "+ nsk * 1000000) div rs AS asc_e6", // chA removed
-        "(nsc * ((nck * 1000000) div (rc - ncc)) " +
-          "+ nsk * 1000000) div rs AS asv_e6", // chB removed
+        "(nsc * ((acn * 1000000) div greatest(det, 1)) " +
+          "+ nsv * ((avn * 1000000) div greatest(det, 1)) " +
+          "+ nsk * 1000000) div greatest(rs, 1) AS as_e6",
+        "(nsv * ((nvk * 1000000) div greatest(rv - nvv, 1)) " +
+          "+ nsk * 1000000) div greatest(rs, 1) AS asc_e6", // chA removed
+        "(nsc * ((nck * 1000000) div greatest(rc - ncc, 1)) " +
+          "+ nsk * 1000000) div greatest(rs, 1) AS asv_e6", // chB removed
         "nsk + nck + nvk AS total_conv")
       .selectExpr(
-        "1000000 - (asc_e6 * 1000000) div as_e6 AS re_c_e6",
-        "1000000 - (asv_e6 * 1000000) div as_e6 AS re_v_e6",
+        "1000000 - (asc_e6 * 1000000) div greatest(as_e6, 1) AS re_c_e6",
+        "1000000 - (asv_e6 * 1000000) div greatest(as_e6, 1) AS re_v_e6",
         "as_e6", "total_conv")
       .selectExpr(
         s"""stack(2,
              '$chA', re_c_e6,
-               (total_conv * re_c_e6) div (re_c_e6 + re_v_e6),
+               (total_conv * re_c_e6) div greatest(re_c_e6 + re_v_e6, 1),
              '$chB', re_v_e6,
-               (total_conv * re_v_e6) div (re_c_e6 + re_v_e6))
+               (total_conv * re_v_e6) div greatest(re_c_e6 + re_v_e6, 1))
            AS (channel, removal_e6, credited_conv)""",
         "as_e6 AS p_conv_e6")
       .orderBy("channel")
-  }
 
   /** N-CHANNEL Markov (removal-effect) attribution — [[markovByChannel]]
     * generalized past the 2-transient closed form. Determinant/cofactor

@@ -1565,26 +1565,27 @@ object EventQueries {
                    nck * (rv - nvv) + ncv * nvk AS acn,
                    (rc - ncc) * nvk + nvc * nck AS avn FROM r),
         probs AS (SELECT
-            (nsc * ((acn * 1000000) // det)
-             + nsv * ((avn * 1000000) // det)
-             + nsk * 1000000) // rs AS as_e6,
-            (nsv * ((nvk * 1000000) // (rv - nvv))
-             + nsk * 1000000) // rs AS asc_e6,
-            (nsc * ((nck * 1000000) // (rc - ncc))
-             + nsk * 1000000) // rs AS asv_e6,
+            (nsc * ((acn * 1000000) // greatest(det, 1))
+             + nsv * ((avn * 1000000) // greatest(det, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS as_e6,
+            (nsv * ((nvk * 1000000) // greatest(rv - nvv, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS asc_e6,
+            (nsc * ((nck * 1000000) // greatest(rc - ncc, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS asv_e6,
             nsk + nck + nvk AS total_conv
           FROM base),
         re AS (SELECT
-            1000000 - (asc_e6 * 1000000) // as_e6 AS re_c,
-            1000000 - (asv_e6 * 1000000) // as_e6 AS re_v,
+            1000000 - (asc_e6 * 1000000) // greatest(as_e6, 1) AS re_c,
+            1000000 - (asv_e6 * 1000000) // greatest(as_e6, 1) AS re_v,
             as_e6, total_conv
           FROM probs)
         SELECT chs.ch AS channel,
                CAST(CASE chs.ch WHEN 'click' THEN re_c ELSE re_v END
                  AS BIGINT) AS removal_e6,
                CAST(CASE chs.ch
-                 WHEN 'click' THEN (total_conv * re_c) // (re_c + re_v)
-                 ELSE (total_conv * re_v) // (re_c + re_v) END
+                 WHEN 'click' THEN
+                   (total_conv * re_c) // greatest(re_c + re_v, 1)
+                 ELSE (total_conv * re_v) // greatest(re_c + re_v, 1) END
                  AS BIGINT) AS credited_conv,
                CAST(as_e6 AS BIGINT) AS p_conv_e6
         FROM re, (VALUES ('click'), ('view')) chs(ch)

@@ -114,6 +114,28 @@ object LabelStore {
     if (v > 0) s"$dir/v$v" else dir
   }
 
+  /** Abort loudly if a concurrent RE-publish claimed a newer generation
+    * after this operation resolved `dir` — the [[graft.similarity
+    * .VectorStore]] retrain write-race, LabelStore's side. fold/forget/
+    * compact call this immediately before their FIRST directory
+    * mutation: everything earlier is a read or a staging write outside
+    * the store, so aborting here strands nothing; past this point the
+    * single-writer contract holds (publishers must quiesce folds — a
+    * claim that lands mid-mutation is the caller's violation, and this
+    * check shrinks that window to the mutation phase instead of the
+    * whole operation). */
+  private def checkGeneration(storeDir: String, resolved: String): Unit = {
+    val now = genRoot(storeDir)
+    if (now != resolved)
+      throw new IllegalStateException(
+        s"LabelStore at $storeDir: a concurrent re-publish claimed " +
+          s"generation $now while this operation was working against " +
+          s"$resolved — aborting before mutating the superseded " +
+          "generation (its delta would be stranded and lost at " +
+          "pruneGenerations). Quiesce fold/forget/compact around " +
+          "publish, then retry against the new generation.")
+  }
+
   /** Delete orphaned `._stage-*` re-publish staging dirs (a crash
     * between the staged write and the atomic claim leaks one). */
   private def sweepStage(root: Path): Unit =
@@ -470,6 +492,7 @@ object LabelStore {
 
         // ── base-bucket rewrites: merged-away rows out (merge-scale;
         // the common merge-free fold swaps NOTHING) ──
+        checkGeneration(storeDir, dir)
         val keepRep = readBuckets(s, byRepPath(dir), "_cb",
             changedBuckets, labelSchema).drop("_cb")
           .join(broadcast(changedReps), Seq("rep"), "left_anti")
@@ -659,6 +682,7 @@ object LabelStore {
         // ── mutate phase: base-bucket swaps (each rewritePartitions
         // call stages its own output before swapping), delta
         // re-segment, then the re-converged rows land as deltas ──
+        checkGeneration(storeDir, dir)
         val keepRep = readBuckets(s, byRepPath(dir), "_cb", trBuckets,
             labelSchema).drop("_cb")
           .join(broadcast(touchedReps), Seq("rep"), "left_anti")
@@ -783,6 +807,7 @@ object LabelStore {
             .write.mode("overwrite").partitionBy(partCol)
             .parquet(tmp.resolve("t").toString)
           val live = Paths.get(path)
+          checkGeneration(storeDir, dir)
           Artifacts.deleteRecursively(live)
           Files.createDirectories(live.getParent)
           Files.move(tmp.resolve("t"), live)

@@ -24,29 +24,43 @@ class OracleLintSpec extends AnyFunSuite {
   private val SumCall = "(?i)(?<![a-z_])sum\\s*\\(".r
   private val Tok = "(?i)[()]|\\bselect\\b|\\bfrom\\b".r
 
-  /** Text of the final top-level SELECT list: from the last depth-0
-    * SELECT to its matching depth-0 FROM (or end of string). */
-  private[graft] def finalSelectItems(sql: String): String = {
+  /** Text of EVERY top-level SELECT list — one entry per depth-0
+    * SELECT (a top-level UNION ALL contributes every branch, since
+    * every branch's types flow into the result; linting only the last
+    * would let an uncast sum() in an earlier branch through), each
+    * running to its matching depth-0 FROM / next depth-0 SELECT / end
+    * of string. CTE bodies sit inside parens (depth > 0) and are
+    * intentionally excluded — downstream arithmetic or casts consume
+    * their HUGEINTs. */
+  private[graft] def topLevelSelectItems(sql: String): Seq[String] = {
     var depth = 0
-    var lastSelectEnd = -1
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
     for (m <- Tok.findAllMatchIn(sql)) m.matched match {
       case "(" => depth += 1
       case ")" => depth -= 1
       case t if t.equalsIgnoreCase("select") && depth == 0 =>
-        lastSelectEnd = m.end
+        starts += m.end
       case _ => ()
     }
-    if (lastSelectEnd < 0) return ""
-    val tail = sql.substring(lastSelectEnd)
-    depth = 0
-    for (m <- Tok.findAllMatchIn(tail)) m.matched match {
-      case "(" => depth += 1
-      case ")" => depth -= 1
-      case t if t.equalsIgnoreCase("from") && depth == 0 =>
-        return tail.substring(0, m.start)
-      case _ => ()
+    starts.toSeq.map { s =>
+      val tail = sql.substring(s)
+      var d = 0
+      var end = tail.length
+      val it = Tok.findAllMatchIn(tail).iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val m = it.next()
+        m.matched match {
+          case "(" => d += 1
+          case ")" => d -= 1
+          case t if d == 0 && (t.equalsIgnoreCase("from") ||
+              t.equalsIgnoreCase("select")) =>
+            end = m.start; done = true
+          case _ => ()
+        }
+      }
+      tail.substring(0, end)
     }
-    tail
   }
 
   /** Is the call starting at `i` (transitively) inside a cast/round/
@@ -76,14 +90,14 @@ class OracleLintSpec extends AnyFunSuite {
     false
   }
 
-  private def uncastFinalSums(sql: String): Seq[String] = {
-    val sel = finalSelectItems(sql)
-    SumCall.findAllMatchIn(sel).toSeq.collect {
-      case m if !wrapped(sel, m.start) =>
-        sel.substring(m.start, math.min(sel.length, m.start + 45))
-          .replace('\n', ' ')
+  private def uncastFinalSums(sql: String): Seq[String] =
+    topLevelSelectItems(sql).flatMap { sel =>
+      SumCall.findAllMatchIn(sel).toSeq.collect {
+        case m if !wrapped(sel, m.start) =>
+          sel.substring(m.start, math.min(sel.length, m.start + 45))
+            .replace('\n', ' ')
+      }
     }
-  }
 
   test("no oracle has an uncast sum() in its final select list") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
@@ -112,5 +126,14 @@ class OracleLintSpec extends AnyFunSuite {
     val cte = "WITH c AS (SELECT g, sum(n) tot FROM t GROUP BY 1) " +
       "SELECT g, CAST(tot * 100 // 7 AS BIGINT) AS r FROM c"
     assert(uncastFinalSums(cte).isEmpty)
+    // a top-level UNION ALL is linted in EVERY branch: an uncast sum
+    // in the FIRST branch types the whole union's column HUGEINT even
+    // when the last branch casts
+    val union = "SELECT g, sum(n) AS tot FROM a GROUP BY 1 " +
+      "UNION ALL SELECT g, CAST(sum(n) AS BIGINT) AS tot FROM b GROUP BY 1"
+    assert(uncastFinalSums(union).size == 1)
+    // and a FROM-less trailing branch does not swallow the scan
+    val fromless = "SELECT sum(n) AS tot FROM a UNION ALL SELECT 0"
+    assert(uncastFinalSums(fromless).size == 1)
   }
 }
