@@ -206,35 +206,9 @@ object Attribution {
     * Output: (channel, removal_e6, credited_conv, p_conv_e6). */
   def markovByChannel(touches: DataFrame, conversions: DataFrame,
                       chA: String, chB: String): DataFrame = {
-    val ev = touches.select(col("user"), col("ts"), col("tie"),
-        col("channel").as("st"))
-      .unionByName(conversions
-        .withColumn("tie", lit(Long.MaxValue))
-        .select(col("user"), col("ts"), col("tie"),
-          lit("CONV").as("st")))
-    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
-    val tr = ev
-      .withColumn("prev",
-        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
-      .withColumn("nxt", lead(col("st"), 1).over(w))
-      .withColumn("from_st",
-        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
-    // transition rows: every event contributes from_st -> st; a
-    // journey-final touch (end of user) additionally absorbs to NULL
-    val main = tr.select(col("from_st"), col("st").as("to_st"))
-    val fin = tr.filter(col("st") =!= "CONV" && col("nxt").isNull)
-      .select(col("st").as("from_st"), lit("NULL").as("to_st"))
-    val cells = main.unionByName(fin)
-    def n(f: String, t: String) =
-      sum(when(col("from_st") === f && col("to_st") === t, 1L)
-        .otherwise(0L))
-    val m = cells.agg(
-      n("S", chA).as("nsc"), n("S", chB).as("nsv"),
-      n("S", "CONV").as("nsk"),
-      n(chA, chA).as("ncc"), n(chA, chB).as("ncv"),
-      n(chA, "CONV").as("nck"), n(chA, "NULL").as("ncn"),
-      n(chB, chA).as("nvc"), n(chB, chB).as("nvv"),
-      n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"))
+    val cells = chainCells(chainEvents(touches, conversions))
+      .withColumn("n", lit(1L))
+    val m = countCells2(cells, chA, chB)
     // every division guarded greatest(x, 1) — the markovNByChannel
     // discipline: a degenerate chain (a channel with no outgoing
     // transitions, zero conversions) yields 0 denominators, and the
@@ -284,6 +258,157 @@ object Attribution {
         "as_e6 AS p_conv_e6")
       .orderBy("channel")
 
+  /** The Markov chain's event timeline: touches as their channel,
+    * conversions as the CONV absorber with a max tiebreaker (same-ts
+    * conversions order after touches — the q199 convention both
+    * engines share). */
+  private[analytics] def chainEvents(touches: DataFrame,
+                                     conversions: DataFrame): DataFrame =
+    touches.select(col("user"), col("ts"), col("tie"),
+        col("channel").as("st"))
+      .unionByName(conversions
+        .withColumn("tie", lit(Long.MaxValue))
+        .select(col("user"), col("ts"), col("tie"),
+          lit("CONV").as("st")))
+
+  /** Transition rows over a chain timeline — one lag/lead window per
+    * user (the only event-scale work in the Markov family): every
+    * event contributes from_st → st (journeys reset after a CONV:
+    * prev = CONV ⇒ from = S), a journey-final touch (end of user)
+    * additionally absorbs to NULL. */
+  private[analytics] def chainCells(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+    val tr = ev
+      .withColumn("prev",
+        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("from_st",
+        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
+    tr.select(col("from_st"), col("st").as("to_st"))
+      .unionByName(tr.filter(col("st") =!= "CONV" && col("nxt").isNull)
+        .select(col("st").as("from_st"), lit("NULL").as("to_st")))
+  }
+
+  /** The 2-channel 12-cell count frame from WEIGHTED transition rows
+    * (from_st, to_st, n) — `n` = 1 for the one-shot chain, a
+    * maintained count for the fold state; both roads meet at
+    * [[markovFromCounts]]'s closed form. */
+  private[analytics] def countCells2(cells: DataFrame, chA: String,
+                                     chB: String): DataFrame = {
+    def n(f: String, t: String) =
+      sum(when(col("from_st") === f && col("to_st") === t, col("n"))
+        .otherwise(0L))
+    cells.agg(
+      n("S", chA).as("nsc"), n("S", chB).as("nsv"),
+      n("S", "CONV").as("nsk"),
+      n(chA, chA).as("ncc"), n(chA, chB).as("ncv"),
+      n(chA, "CONV").as("nck"), n(chA, "NULL").as("ncn"),
+      n(chB, chA).as("nvc"), n(chB, chB).as("nvv"),
+      n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"))
+  }
+
+  // ── incremental Markov attribution (r17) ─────────────────────────
+  // q199 as MAINTENANCE (the q197/q203 discipline, the one r16 model
+  // without a fold twin). The transition-count table is ASSOCIATIVE —
+  // every chain event contributes exactly one from→st cell increment
+  // whose `from` is its immediate predecessor — so the maintained
+  // state is (a) the bounded cell-count table and (b) one frontier
+  // row per user (the LAST event: the only predecessor a future
+  // event can have). The single cross-batch correction is the NULL
+  // absorption: a fold's per-user final touch absorbs to NULL, and
+  // when a later batch appends events the stored frontier row rides
+  // the fold's window as a VIRTUAL event that RETRACTS its own
+  // absorption (n = −1) — counts are signed, so retraction is just
+  // another row. The absorption arithmetic recomputes from the counts
+  // at serve time ([[markovServe]] → [[markovFromCounts]], the same
+  // closed form the one-shot chain uses), so q205's oracle is q199's
+  // full-replay SQL verbatim: the hash match is the fold ≡ rebuild
+  // proof.
+
+  /** Empty fold state: (frontier (user, ts, tie, st), cells
+    * (from_st, to_st, n)) — clean LocalRelations (an empty frame
+    * derived by `limit(0)`+aliased selects drags its source's
+    * constraints into every later union; Spark's Union constraint
+    * rewrite chokes on the aliased attrs). */
+  def markovInitState(touches: DataFrame, conversions: DataFrame)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val s = touches.sparkSession
+    def empty(schema: StructType) = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    (empty(chainEvents(touches, conversions).schema),
+      empty(StructType(Seq(StructField("from_st", StringType),
+        StructField("to_st", StringType),
+        StructField("n", LongType)))))
+  }
+
+  /** Fold one batch into the Markov state. Append-only contract,
+    * enforced loudly (the [[fold]] guard): every batch event must
+    * order (ts, tie) strictly after its user's stored frontier.
+    * Scale shape: untouched users' frontiers ride a broadcast
+    * anti-join; the chain window runs over (batch ∪ one virtual row
+    * per touched user) — batch-scale; the cell table is bounded
+    * ((channels + 2)² rows) and folds by a tiny groupBy. */
+  def markovFold(frontier: DataFrame, cells: DataFrame,
+                 touches: DataFrame, conversions: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val ev = chainEvents(touches, conversions)
+    val users = ev.select("user").distinct()
+    val untouched = frontier.join(broadcast(users), Seq("user"), "left_anti")
+    val touchedF = frontier.join(broadcast(users), Seq("user"), "left_semi")
+    val guard = touchedF.select(col("user"),
+      struct(col("ts"), col("tie")).as("_bfront"))
+    val guarded = ev.join(broadcast(guard), Seq("user"), "left")
+      .filter(col("_bfront").isNull ||
+        struct(col("ts"), col("tie")) > col("_bfront") ||
+        raise_error(concat(
+          lit("markov fold is append-only: event at "),
+          struct(col("ts"), col("tie")).cast("string"),
+          lit(" not after stored frontier "),
+          col("_bfront").cast("string"),
+          lit(" — backfill requires a rebuild from the raw event log"))))
+      .drop("_bfront")
+    val replay = guarded.withColumn("_virtual", lit(false))
+      .unionByName(touchedF.withColumn("_virtual", lit(true)))
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+    val tr = replay
+      .withColumn("prev",
+        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
+      .withColumn("nxt", lead(col("st"), 1).over(w))
+      .withColumn("from_st",
+        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
+    // batch events: their own transition (the virtual predecessor
+    // supplies the first one's `from`), plus the new journey-final
+    // NULL absorption; the virtual row's previous absorption — it was
+    // chain-final at its own fold by definition — RETRACTS (−1)
+    val delta = tr.filter(!col("_virtual"))
+        .select(col("from_st"), col("st").as("to_st"), lit(1L).as("n"))
+      .unionByName(tr
+        .filter(!col("_virtual") && col("st") =!= "CONV" &&
+          col("nxt").isNull)
+        .select(col("st").as("from_st"), lit("NULL").as("to_st"),
+          lit(1L).as("n")))
+      .unionByName(tr.filter(col("_virtual") && col("st") =!= "CONV")
+        .select(col("st").as("from_st"), lit("NULL").as("to_st"),
+          lit(-1L).as("n")))
+    val newCells = cells.unionByName(delta)
+      .groupBy(col("from_st"), col("to_st")).agg(sum(col("n")).as("n"))
+    val newFrontier = tr
+      .groupBy(col("user"))
+      .agg(max_by(struct(col("ts"), col("tie"), col("st")),
+        struct(col("ts"), col("tie"))).as("_m"))
+      .select(col("user"), col("_m.ts").as("ts"),
+        col("_m.tie").as("tie"), col("_m.st").as("st"))
+    (untouched.unionByName(newFrontier), newCells)
+  }
+
+  /** The q199 report from maintained cell counts — the serve half of
+    * the fold, sharing [[markovFromCounts]]'s arithmetic with the
+    * one-shot chain so fold and rebuild cannot drift. */
+  def markovServe(cells: DataFrame, chA: String, chB: String): DataFrame =
+    markovFromCounts(countCells2(cells, chA, chB), chA, chB)
+
   /** N-CHANNEL Markov (removal-effect) attribution — [[markovByChannel]]
     * generalized past the 2-transient closed form. Determinant/cofactor
     * arithmetic grows as count^|channels| and overflows BIGINT at scale;
@@ -316,22 +441,7 @@ object Attribution {
     require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9]+")),
       "channel names must be lowercase alphanumeric (no underscores — " +
         "the generated alias scheme joins parts with '_')")
-    val ev = touches.select(col("user"), col("ts"), col("tie"),
-        col("channel").as("st"))
-      .unionByName(conversions
-        .withColumn("tie", lit(Long.MaxValue))
-        .select(col("user"), col("ts"), col("tie"),
-          lit("CONV").as("st")))
-    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
-    val tr = ev
-      .withColumn("prev",
-        coalesce(lag(col("st"), 1).over(w), lit("CONV")))
-      .withColumn("nxt", lead(col("st"), 1).over(w))
-      .withColumn("from_st",
-        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
-    val cells = tr.select(col("from_st"), col("st").as("to_st"))
-      .unionByName(tr.filter(col("st") =!= "CONV" && col("nxt").isNull)
-        .select(col("st").as("from_st"), lit("NULL").as("to_st")))
+    val cells = chainCells(chainEvents(touches, conversions))
     def nm(f: String, t: String) = s"n_${f}_$t"
     val froms = "S" +: channels
     val tos = channels ++ Seq("CONV", "NULL")

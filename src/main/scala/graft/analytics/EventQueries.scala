@@ -165,6 +165,75 @@ object EventQueries {
         LEFT JOIN lin ON lin.ch = chs.ch
         ORDER BY channel"""
 
+  /** q199's full-replay 2-channel Markov oracle — also q205's verbatim
+    * (fold≡rebuild, the q187/q197 discipline): the whole chain window +
+    * 12-cell count + guarded closed form, matching
+    * [[Attribution.markovFromCounts]] step for step. */
+  private val markov2Oracle = """
+        WITH ev AS (
+          SELECT user_id AS u, epoch_us(ts) AS ts,
+                 CASE WHEN event_type = 'purchase'
+                      THEN 9223372036854775807 ELSE event_id END AS tie,
+                 CASE WHEN event_type = 'purchase' THEN 'CONV'
+                      ELSE event_type END AS st
+          FROM events
+          WHERE event_type IN ('click', 'view', 'purchase')),
+        tr AS (SELECT st,
+                      coalesce(lag(st) OVER w, 'CONV') AS prev,
+                      lead(st) OVER w AS nxt
+               FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, tie)),
+        cells AS (
+          SELECT CASE WHEN prev = 'CONV' THEN 'S' ELSE prev END
+                   AS from_st, st AS to_st FROM tr
+          UNION ALL
+          SELECT st, 'NULL' FROM tr WHERE st <> 'CONV' AND nxt IS NULL),
+        m AS (SELECT
+            CAST(sum(CASE WHEN from_st='S' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nsc,
+            CAST(sum(CASE WHEN from_st='S' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nsv,
+            CAST(sum(CASE WHEN from_st='S' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nsk,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS ncc,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS ncv,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nck,
+            CAST(sum(CASE WHEN from_st='click' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS ncn,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nvc,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nvv,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nvk,
+            CAST(sum(CASE WHEN from_st='view' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS nvn
+          FROM cells),
+        r AS (SELECT *, nsc + nsv + nsk AS rs,
+                     ncc + ncv + nck + ncn AS rc,
+                     nvc + nvv + nvk + nvn AS rv FROM m),
+        base AS (SELECT *,
+                   (rc - ncc) * (rv - nvv) - ncv * nvc AS det,
+                   nck * (rv - nvv) + ncv * nvk AS acn,
+                   (rc - ncc) * nvk + nvc * nck AS avn FROM r),
+        probs AS (SELECT
+            (nsc * ((acn * 1000000) // greatest(det, 1))
+             + nsv * ((avn * 1000000) // greatest(det, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS as_e6,
+            (nsv * ((nvk * 1000000) // greatest(rv - nvv, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS asc_e6,
+            (nsc * ((nck * 1000000) // greatest(rc - ncc, 1))
+             + nsk * 1000000) // greatest(rs, 1) AS asv_e6,
+            nsk + nck + nvk AS total_conv
+          FROM base),
+        re AS (SELECT
+            1000000 - (asc_e6 * 1000000) // greatest(as_e6, 1) AS re_c,
+            1000000 - (asv_e6 * 1000000) // greatest(as_e6, 1) AS re_v,
+            as_e6, total_conv
+          FROM probs)
+        SELECT chs.ch AS channel,
+               CAST(CASE chs.ch WHEN 'click' THEN re_c ELSE re_v END
+                 AS BIGINT) AS removal_e6,
+               CAST(CASE chs.ch
+                 WHEN 'click' THEN
+                   (total_conv * re_c) // greatest(re_c + re_v, 1)
+                 ELSE (total_conv * re_v) // greatest(re_c + re_v, 1) END
+                 AS BIGINT) AS credited_conv,
+               CAST(as_e6 AS BIGINT) AS p_conv_e6
+        FROM re, (VALUES ('click'), ('view')) chs(ch)
+        ORDER BY channel"""
+
   /** q202's channel set — alphabetical so the stacked output's
     * ORDER BY channel is stable. */
   private val markov3Channels = Seq("click", "signup", "view")
@@ -1526,70 +1595,7 @@ object EventQueries {
         Attribution.markovByChannel(touches, conversions,
           chA = "click", chB = "view")
       },
-      oracle = Some("""
-        WITH ev AS (
-          SELECT user_id AS u, epoch_us(ts) AS ts,
-                 CASE WHEN event_type = 'purchase'
-                      THEN 9223372036854775807 ELSE event_id END AS tie,
-                 CASE WHEN event_type = 'purchase' THEN 'CONV'
-                      ELSE event_type END AS st
-          FROM events
-          WHERE event_type IN ('click', 'view', 'purchase')),
-        tr AS (SELECT st,
-                      coalesce(lag(st) OVER w, 'CONV') AS prev,
-                      lead(st) OVER w AS nxt
-               FROM ev WINDOW w AS (PARTITION BY u ORDER BY ts, tie)),
-        cells AS (
-          SELECT CASE WHEN prev = 'CONV' THEN 'S' ELSE prev END
-                   AS from_st, st AS to_st FROM tr
-          UNION ALL
-          SELECT st, 'NULL' FROM tr WHERE st <> 'CONV' AND nxt IS NULL),
-        m AS (SELECT
-            CAST(sum(CASE WHEN from_st='S' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nsc,
-            CAST(sum(CASE WHEN from_st='S' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nsv,
-            CAST(sum(CASE WHEN from_st='S' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nsk,
-            CAST(sum(CASE WHEN from_st='click' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS ncc,
-            CAST(sum(CASE WHEN from_st='click' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS ncv,
-            CAST(sum(CASE WHEN from_st='click' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nck,
-            CAST(sum(CASE WHEN from_st='click' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS ncn,
-            CAST(sum(CASE WHEN from_st='view' AND to_st='click' THEN 1 ELSE 0 END) AS BIGINT) AS nvc,
-            CAST(sum(CASE WHEN from_st='view' AND to_st='view' THEN 1 ELSE 0 END) AS BIGINT) AS nvv,
-            CAST(sum(CASE WHEN from_st='view' AND to_st='CONV' THEN 1 ELSE 0 END) AS BIGINT) AS nvk,
-            CAST(sum(CASE WHEN from_st='view' AND to_st='NULL' THEN 1 ELSE 0 END) AS BIGINT) AS nvn
-          FROM cells),
-        r AS (SELECT *, nsc + nsv + nsk AS rs,
-                     ncc + ncv + nck + ncn AS rc,
-                     nvc + nvv + nvk + nvn AS rv FROM m),
-        base AS (SELECT *,
-                   (rc - ncc) * (rv - nvv) - ncv * nvc AS det,
-                   nck * (rv - nvv) + ncv * nvk AS acn,
-                   (rc - ncc) * nvk + nvc * nck AS avn FROM r),
-        probs AS (SELECT
-            (nsc * ((acn * 1000000) // greatest(det, 1))
-             + nsv * ((avn * 1000000) // greatest(det, 1))
-             + nsk * 1000000) // greatest(rs, 1) AS as_e6,
-            (nsv * ((nvk * 1000000) // greatest(rv - nvv, 1))
-             + nsk * 1000000) // greatest(rs, 1) AS asc_e6,
-            (nsc * ((nck * 1000000) // greatest(rc - ncc, 1))
-             + nsk * 1000000) // greatest(rs, 1) AS asv_e6,
-            nsk + nck + nvk AS total_conv
-          FROM base),
-        re AS (SELECT
-            1000000 - (asc_e6 * 1000000) // greatest(as_e6, 1) AS re_c,
-            1000000 - (asv_e6 * 1000000) // greatest(as_e6, 1) AS re_v,
-            as_e6, total_conv
-          FROM probs)
-        SELECT chs.ch AS channel,
-               CAST(CASE chs.ch WHEN 'click' THEN re_c ELSE re_v END
-                 AS BIGINT) AS removal_e6,
-               CAST(CASE chs.ch
-                 WHEN 'click' THEN
-                   (total_conv * re_c) // greatest(re_c + re_v, 1)
-                 ELSE (total_conv * re_v) // greatest(re_c + re_v, 1) END
-                 AS BIGINT) AS credited_conv,
-               CAST(as_e6 AS BIGINT) AS p_conv_e6
-        FROM re, (VALUES ('click'), ('view')) chs(ch)
-        ORDER BY channel"""),
+      oracle = Some(markov2Oracle),
       bench = true),
 
     // ── ordered conversion funnel (r16) ────────────────────────────
@@ -1760,6 +1766,44 @@ object EventQueries {
                max(CASE WHEN rn = (n + 1) // 2 THEN lat_us END)
                  AS p50_us
         FROM r GROUP BY transition ORDER BY transition"""),
+      bench = true),
+
+    // ── incremental Markov attribution fold (r17) ──────────────────
+    // q199 as MAINTENANCE (the q197/q203 discipline, the last r16
+    // model without a fold twin). Transition counts are ASSOCIATIVE,
+    // so the state is the bounded (from_st, to_st, n) cell table plus
+    // ONE frontier row per user (the only predecessor a future event
+    // can have); each fold's chain window runs over (batch ∪ one
+    // virtual frontier row per touched user) — batch-scale — and the
+    // virtual row RETRACTS (n = −1) the NULL absorption its own fold
+    // counted, so the summed cells equal the one-shot chain's exactly.
+    // Serve recomputes the guarded closed form from the counts
+    // (Attribution.markovServe shares markovFromCounts with q199);
+    // the oracle is q199's full-replay SQL verbatim — the hash match
+    // IS the fold ≡ rebuild proof.
+    "q205_markov_fold" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        val cuts = Seq(1704931200000000L, 1705795200000000L)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        def slice(f: DataFrame, lo: Long, hi: Long) =
+          f.filter(col("ts") >= lo && col("ts") < hi)
+        var (frontier, cells) =
+          Attribution.markovInitState(touches, conversions)
+        bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val (nf, nc) = Attribution.markovFold(frontier, cells,
+            slice(touches, lo, hi), slice(conversions, lo, hi))
+          // cut intermediate state lineage (the q197 lesson): lazily
+          // chained, fold N's window would re-evaluate inside every
+          // later fold. Frontier is user-grain, cells ~20 rows.
+          frontier = if (i < bounds.size - 1) graft.Checkpoints.cut(nf)
+                     else nf
+          cells = if (i < bounds.size - 1) graft.Checkpoints.cut(nc)
+                  else nc
+        }
+        Attribution.markovServe(cells, chA = "click", chB = "view")
+      },
+      oracle = Some(markov2Oracle),
       bench = true)
 
   )

@@ -1,10 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.analytics.Attribution
+import graft.etl.VersionedDir
 
 /** Streaming multi-touch attribution — the stream twin of q197's
   * [[Attribution.fold]], completing the fold family's streaming
@@ -25,6 +28,20 @@ import graft.analytics.Attribution
   * `batch=<id>` directory (the [[EventStreams.writeFlagsBatch]]
   * pattern) instead of appending duplicates.
   *
+  * Scale contract (r17): the user-grain timeline lives in
+  * [[BucketedStateStore]] — hash-bucketed by user, a fold reads and
+  * rewrites ONLY the buckets containing the batch's users, the version
+  * manifest references the rest in their previous owners — so
+  * per-batch write cost tracks the batch, not the user population
+  * (the r16 store rewrote the full timeline every trigger). The credit
+  * sink side gets [[compactCredits]]: `batch=<id>` directories grow
+  * one per trigger forever (~500k/year at a 1-minute trigger), so
+  * compaction merges all but the newest (the only replayable id) into
+  * a versioned `_compacted` store and [[serveCredits]] reads
+  * compacted ∪ newer batch dirs — row-identical across compaction,
+  * and a stale replay of an already-compacted id is EXCLUDED by the
+  * compaction watermark instead of double-served.
+  *
   * Ordering contract (inherited from [[Attribution.fold]], enforced
   * loudly there): per-user event-time order across micro-batches —
   * touches strictly after the user's stored frontier, conversions
@@ -38,13 +55,15 @@ object AttributionStream {
   def maintainAttribution(events: DataFrame, channels: Seq[String],
                           conversionType: String, lookbackUs: Long,
                           storeDir: String, creditsDir: String,
-                          checkpointDir: String): StreamingQuery =
+                          checkpointDir: String,
+                          buckets: Int = 64): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
         foldBatch(df, id, channels, conversionType, lookbackUs,
-          storeDir, creditsDir)
+          storeDir, creditsDir, buckets)
+        ()
       }
       .start()
 
@@ -54,19 +73,26 @@ object AttributionStream {
   private[graft] def foldBatch(batch: DataFrame, id: Long,
                                channels: Seq[String],
                                conversionType: String, lookbackUs: Long,
-                               storeDir: String,
-                               creditsDir: String): Unit = {
+                               storeDir: String, creditsDir: String,
+                               buckets: Int = 64)
+      : BucketedStateStore.FoldStats = {
     val s = batch.sparkSession
-    val root = java.nio.file.Paths.get(storeDir)
-    java.nio.file.Files.createDirectories(root)
-    RollupStream.sweepTmp(root)
+    val root = Paths.get(storeDir)
+    Files.createDirectories(root)
+    VersionedDir.sweep(root, "_tmp-")
     val touches = batch.filter(col("channel").isin(channels: _*))
       .select(col("user"), col("ts"), col("channel"), col("tie"))
     val conversions = batch.filter(col("channel") === conversionType)
       .select(col("user"), col("ts"), col("tie").as("cid"))
-    val state = latestBefore(root, id) match {
-      case Some(v) => s.read.parquet(root.resolve(s"v$v").toString)
-      case None    => Attribution.initState(touches, channels)
+    // touched buckets come from the RAW batch (touch ∪ conversion
+    // users — a conversion-only user's stored timeline must be read)
+    val touched = BucketedStateStore.touchedBuckets(
+      batch, Seq("user"), buckets)
+    val prev = VersionedDir.latestBefore(root, id)
+    val state = prev match {
+      case Some(v) =>
+        BucketedStateStore.readSlice(s, root, v, touched, buckets)
+      case None => Attribution.initState(touches, channels)
     }
     // pinned fold: the credit write and the state write are two
     // ACTIONS over the shared (stored slice ∪ annotated batch)
@@ -80,24 +106,190 @@ object AttributionStream {
       // re-reads the OLD state version (v<id> not yet swapped) and
       // overwrites batch=<id> with identical rows
       credits.write.mode("overwrite").parquet(s"$creditsDir/batch=$id")
-      val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-      nextState.write.mode("overwrite").parquet(tmp.toString)
-      val dest = root.resolve(s"v$id")
-      graft.text.Artifacts.deleteRecursively(dest) // stale replay output
-      java.nio.file.Files.move(tmp, dest,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      BucketedStateStore.publish(nextState, root, id, prev, touched,
+        Seq("user"), buckets)
     } finally release()
   }
 
-  /** All credited conversions so far (every batch directory). */
-  def serveCredits(spark: org.apache.spark.sql.SparkSession,
-                   creditsDir: String): DataFrame =
-    spark.read.parquet(creditsDir)
+  /** All credited conversions so far: the compacted store (if any
+    * compaction ran) plus every `batch=<id>` directory ABOVE the
+    * compaction watermark — a stale replay directory of an
+    * already-compacted id is excluded rather than double-served.
+    * Fails with a descriptive error when nothing has been credited
+    * yet (the [[FunnelStream.serveSummary]] convention). */
+  def serveCredits(spark: SparkSession, creditsDir: String): DataFrame = {
+    val (through, compacted) = compactedState(spark, creditsDir)
+    val fresh = batchDirs(creditsDir).filter(_._1 > through)
+    val parts = compacted.toSeq ++
+      (if (fresh.isEmpty) Nil
+       else Seq(spark.read.parquet(fresh.map(_._2): _*)))
+    require(parts.nonEmpty,
+      s"no credited batches yet under $creditsDir — the maintainer has " +
+        "not completed a micro-batch (or the directory is wrong)")
+    parts.reduce(_ unionByName _)
+  }
 
-  /** Drop superseded state versions, keeping the newest `keep`. */
+  /** Merge every `batch=<id>` directory EXCEPT the newest (the only id
+    * foreachBatch can replay) into the versioned `_compacted` store,
+    * then delete the merged directories — bounding the sink at one
+    * live batch dir + one compacted store instead of one directory per
+    * trigger forever. Crash-safe in the [[graft.etl.VersionedDir]]
+    * way: the merged payload (rows + `through` watermark sidecar)
+    * stages completely and lands by atomic claim; a crash before the
+    * claim changes nothing, a crash after it leaves stale batch dirs
+    * at-or-below the watermark that [[serveCredits]] already excludes
+    * and the next compaction sweeps. Returns the new watermark (or the
+    * old one when there was nothing to compact). */
+  def compactCredits(spark: SparkSession, creditsDir: String): Long = {
+    val dirs = batchDirs(creditsDir)
+    val (through, compacted) = compactedState(spark, creditsDir)
+    if (dirs.isEmpty) return through
+    val newest = dirs.map(_._1).max
+    val newThrough = math.max(newest - 1, through)
+    val merge = dirs.filter(d => d._1 > through && d._1 < newest)
+    val stale = dirs.filter(_._1 <= through) // already-compacted replays
+    if (merge.nonEmpty || newThrough > through) {
+      val root = Paths.get(creditsDir, "_compacted")
+      Files.createDirectories(root)
+      VersionedDir.sweep(root, "._stage-")
+      val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
+      val merged = (compacted.toSeq ++
+        (if (merge.isEmpty) Nil
+         else Seq(spark.read.parquet(merge.map(_._2): _*))))
+        .reduceOption(_ unionByName _)
+      merged match {
+        case Some(df) =>
+          df.write.mode("overwrite")
+            .parquet(stage.resolve("rows").toString)
+        case None => Files.createDirectories(stage.resolve("rows"))
+      }
+      Files.writeString(stage.resolve("through"), newThrough.toString)
+      VersionedDir.claim(root, stage)
+      VersionedDir.prune(root.toString, 2)
+    }
+    // merged dirs and stale replay leftovers are now redundant — their
+    // rows are served from the compacted store
+    (merge ++ stale).foreach(d =>
+      graft.text.Artifacts.deleteRecursively(Paths.get(d._2)))
+    newThrough
+  }
+
+  /** (watermark, compacted rows) from the newest complete `_compacted`
+    * version; (-1, None) when compaction has never run. */
+  private def compactedState(spark: SparkSession, creditsDir: String)
+      : (Long, Option[DataFrame]) = {
+    val root = Paths.get(creditsDir, "_compacted")
+    VersionedDir.versions(root).maxOption match {
+      case None => (-1L, None)
+      case Some(v) =>
+        val vdir = root.resolve(s"v$v")
+        val through = Files.readString(vdir.resolve("through")).trim.toLong
+        val rows = vdir.resolve("rows")
+        val hasRows = Files.isDirectory(rows) && {
+          val st = Files.list(rows)
+          try st.anyMatch(p =>
+            p.getFileName.toString.startsWith("part-"))
+          finally st.close()
+        }
+        (through,
+          if (hasRows) Some(spark.read.parquet(rows.toString)) else None)
+    }
+  }
+
+  private def batchDirs(creditsDir: String): Seq[(Long, String)] = {
+    val root = Paths.get(creditsDir)
+    if (!Files.isDirectory(root)) return Nil
+    val st = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.matches("batch=\\d+"))
+        .map(n => n.drop(6).toLong ->
+          root.resolve(n).toString).toSeq.sortBy(_._1)
+    } finally st.close()
+  }
+
+  /** Drop superseded state versions, keeping the newest `keep` plus
+    * whatever their manifests still reference. */
   def prune(storeDir: String, keep: Int = 2): Unit =
-    graft.etl.VersionedDir.prune(storeDir, keep)
+    BucketedStateStore.prune(storeDir, keep)
 
-  private def latestBefore(root: java.nio.file.Path, id: Long)
-      : Option[Long] = graft.etl.VersionedDir.latestBefore(root, id)
+  // ── streaming Markov attribution (r17) ───────────────────────────
+
+  /** Start the Markov (removal-effect) maintainer — the stream twin of
+    * q205's [[Attribution.markovFold]]: per-user chain frontiers live
+    * in a [[BucketedStateStore]] (user-grain — touched-bucket folds),
+    * the bounded transition-cell counts in a plain batch-id-versioned
+    * sidecar store (≤ (channels+2)² rows — a full rewrite per trigger
+    * IS the batch-proportional cost here), and [[serveMarkov]] reads
+    * the q199 report from the latest cell version without touching
+    * events. Same input contract as [[maintainAttribution]]. */
+  def maintainMarkov(events: DataFrame, channels: Seq[String],
+                     conversionType: String, frontierDir: String,
+                     cellsDir: String, checkpointDir: String,
+                     buckets: Int = 64): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        foldMarkovBatch(df, id, channels, conversionType, frontierDir,
+          cellsDir, buckets)
+        ()
+      }
+      .start()
+
+  /** One micro-batch's Markov fold — replay-unit-testable like
+    * [[foldBatch]]. Cells write FIRST (the credits discipline): a
+    * crash between the two writes leaves cells `v<id>` orphaned; the
+    * replay reads both stores strictly below `id`, rebuilds from
+    * identical inputs, and overwrites it. */
+  private[graft] def foldMarkovBatch(batch: DataFrame, id: Long,
+                                     channels: Seq[String],
+                                     conversionType: String,
+                                     frontierDir: String,
+                                     cellsDir: String,
+                                     buckets: Int = 64)
+      : BucketedStateStore.FoldStats = {
+    val s = batch.sparkSession
+    val froot = Paths.get(frontierDir)
+    val croot = Paths.get(cellsDir)
+    Files.createDirectories(froot); Files.createDirectories(croot)
+    VersionedDir.sweep(froot, "_tmp-"); VersionedDir.sweep(croot, "_tmp-")
+    val touches = batch.filter(col("channel").isin(channels: _*))
+      .select(col("user"), col("ts"), col("channel"), col("tie"))
+    val conversions = batch.filter(col("channel") === conversionType)
+      .select(col("user"), col("ts"))
+    val touched = BucketedStateStore.touchedBuckets(
+      batch, Seq("user"), buckets)
+    val prevF = VersionedDir.latestBefore(froot, id)
+    val prevC = VersionedDir.latestBefore(croot, id)
+    require(prevF == prevC,
+      s"markov stores out of step (frontier $prevF vs cells $prevC) — " +
+        "both write every batch, so only manual surgery desyncs them")
+    val (frontier, cells) = prevF match {
+      case Some(v) =>
+        (BucketedStateStore.readSlice(s, froot, v, touched, buckets),
+          s.read.parquet(croot.resolve(s"v$v").toString))
+      case None => Attribution.markovInitState(touches, conversions)
+    }
+    val (nf, nc) = Attribution.markovFold(frontier, cells,
+      touches, conversions)
+    val tmp = croot.resolve("_tmp-" + java.util.UUID.randomUUID)
+    nc.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val cdest = croot.resolve(s"v$id")
+    graft.text.Artifacts.deleteRecursively(cdest) // stale replay output
+    Files.move(tmp, cdest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    BucketedStateStore.publish(nf, froot, id, prevF, touched,
+      Seq("user"), buckets)
+  }
+
+  /** The q199 Markov report from the latest maintained cell counts. */
+  def serveMarkov(spark: SparkSession, cellsDir: String,
+                  chA: String, chB: String): DataFrame = {
+    val croot = Paths.get(cellsDir)
+    val v = VersionedDir.versions(croot).maxOption
+      .getOrElse(sys.error(s"no markov cell state under $cellsDir"))
+    Attribution.markovServe(
+      spark.read.parquet(croot.resolve(s"v$v").toString), chA, chB)
+  }
 }

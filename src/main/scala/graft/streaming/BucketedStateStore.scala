@@ -1,0 +1,248 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.etl.VersionedDir
+import graft.text.Artifacts
+
+/** Hash-bucketed, manifest-layered versioned state store — the shared
+  * publication layer for the streaming fold stores ([[RollupStream]],
+  * [[Scd2Stream]], [[AttributionStream]], [[FunnelStream]]).
+  *
+  * Why it exists: the r16 stores versioned their state by FULL rewrite —
+  * batch `id` read the previous complete state and wrote a complete
+  * `v<id>` — which is replay-idempotent but O(|state|) write cost per
+  * micro-batch: at 10⁹ users a batch touching 0.01% of them still
+  * rewrote the whole user-grain table, every trigger. This store keeps
+  * the exact same versioned-read discipline (batch `id` folds from the
+  * latest version STRICTLY BELOW `id`; `v<id>` lands by staged swap;
+  * a replay rebuilds `v<id>` from identical inputs) but makes the
+  * per-batch WRITE proportional to the batch: state rows hash-bucket by
+  * key (`pmod(hash(keys), buckets)` — Spark's deterministic Murmur3),
+  * a fold rewrites ONLY the buckets containing the batch's keys, and
+  * each version's `_manifest` maps every bucket to the version that
+  * owns its current content — untouched buckets are REFERENCED, never
+  * copied (the [[graft.text.LabelStore]] touched-bucket recipe, lifted
+  * from delta-segments to immutable version layers; on an object store
+  * the manifest plays the role hardlinks would on a local FS).
+  *
+  * Layout under `storeDir`:
+  * {{{
+  *   v<id>/_manifest      # properties: buckets=<n>, b<bucket>=<owner>
+  *   v<id>/_schema.json   # state schema (empty-slice reads need it)
+  *   v<id>/_sb=<b>/ …parquet   # ONLY the buckets batch <id> touched
+  * }}}
+  * Underscore names keep the sidecars invisible to parquet readers
+  * (`_sb=<b>` stays visible — Spark only hides `_`-names without `=`).
+  * A bucket the manifest maps to `v` but whose `_sb=<b>` dir does not
+  * exist under `v` is EMPTY (the fold emptied it) — emptied buckets
+  * must override their previous owner, so touched buckets always map
+  * to the writing version, dir or no dir.
+  *
+  * Fold contract (the caller's side): the fold must be KEY-LOCAL — a
+  * key's next state depends only on that key's stored rows and the
+  * batch — so feeding it the touched-bucket slice instead of the full
+  * state is exact, and its output contains only keys from touched
+  * buckets ([[publish]] verifies the written dirs stay inside the
+  * touched set). All four stream folds are key-local by construction.
+  *
+  * Retention: [[prune]] keeps the newest `keep` versions PLUS every
+  * version their manifests still reference (layering makes old
+  * versions live until every bucket they own is rewritten); unlike the
+  * r16 full-snapshot stores, dropping to `keep = 1` is safe only
+  * between batches — the default 2 preserves the replay input of the
+  * newest batch. [[compact]] rewrites everything into one version for
+  * lineage hygiene. */
+object BucketedStateStore {
+
+  /** What one fold's publication cost: `touched` buckets rewritten out
+    * of `buckets` total, `bytesWritten` = staged parquet + sidecars —
+    * the evidence column for the bytes-∝-touched-buckets claim
+    * (`tools/FoldBench`). */
+  case class FoldStats(version: Long, buckets: Int, touched: Int,
+                       bytesWritten: Long)
+
+  /** The deterministic bucket of a key tuple. Murmur3 `hash` is stable
+    * across sessions/versions (seed 42), so a key's bucket never
+    * moves while `buckets` is fixed. */
+  def bucketCol(keyCols: Seq[String], buckets: Int) =
+    pmod(hash(keyCols.map(col): _*), lit(buckets))
+
+  /** The distinct buckets a batch's keys hash into — a bounded driver
+    * collect (≤ `buckets` values, the LabelStore fold's budget). */
+  def touchedBuckets(batch: DataFrame, keyCols: Seq[String],
+                     buckets: Int): Seq[Int] =
+    batch.select(bucketCol(keyCols, buckets).as("_sb")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** One micro-batch's fold, end to end: resolve the previous version,
+    * read the touched slice, fold, publish `v<id>`. `init` builds the
+    * first version's state straight from the batch (no previous
+    * version); `fold` takes (touched slice, batch). Factored so every
+    * stream's foldBatch is these same five steps. */
+  def foldBatch(batch: DataFrame, id: Long, storeDir: String,
+                keyCols: Seq[String], buckets: Int,
+                init: DataFrame => DataFrame,
+                fold: (DataFrame, DataFrame) => DataFrame): FoldStats = {
+    val s = batch.sparkSession
+    val root = Paths.get(storeDir)
+    Files.createDirectories(root)
+    VersionedDir.sweep(root, "_tmp-")
+    val touched = touchedBuckets(batch, keyCols, buckets)
+    val prev = VersionedDir.latestBefore(root, id)
+    val next = prev match {
+      case Some(v) => fold(readSlice(s, root, v, touched, buckets), batch)
+      case None    => init(batch)
+    }
+    publish(next, root, id, prev, touched, keyCols, buckets)
+  }
+
+  /** Read EXACTLY the `touched` buckets of version `version` — each
+    * bucket from the version its manifest names, all dirs in one read
+    * (missing dirs are empty buckets; zero dirs yields an empty frame
+    * with the stored schema). */
+  def readSlice(s: SparkSession, root: Path, version: Long,
+                touched: Seq[Int], buckets: Int): DataFrame = {
+    val vdir = root.resolve(s"v$version")
+    val (storedBuckets, owners) = readManifest(vdir)
+    require(storedBuckets == buckets,
+      s"state store at $root was published with buckets=$storedBuckets " +
+        s"but the caller passed buckets=$buckets — bucket-keyed reads " +
+        "would silently miss keys; republish or pass the stored count")
+    readOwned(s, root, vdir,
+      touched.flatMap(b => owners.get(b).map(b -> _)))
+  }
+
+  /** The complete state at `version` (every owned bucket). */
+  def readAllAt(s: SparkSession, root: Path, version: Long): DataFrame = {
+    val vdir = root.resolve(s"v$version")
+    readOwned(s, root, vdir, readManifest(vdir)._2.toSeq)
+  }
+
+  /** The complete state at the latest version; loud error when the
+    * store has no version yet. */
+  def readAll(s: SparkSession, root: Path, what: String): DataFrame = {
+    val v = VersionedDir.versions(root).maxOption
+      .getOrElse(sys.error(s"no $what state under $root"))
+    readAllAt(s, root, v)
+  }
+
+  private def readOwned(s: SparkSession, root: Path, vdir: Path,
+                        owned: Seq[(Int, Long)]): DataFrame = {
+    val schema = DataType.fromJson(Files.readString(schemaPath(vdir)))
+      .asInstanceOf[StructType]
+    val dirs = owned
+      .map { case (b, v) => root.resolve(s"v$v").resolve(s"_sb=$b") }
+      .filter(Files.isDirectory(_)).map(_.toString)
+    if (dirs.isEmpty)
+      s.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else s.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /** Stage `nextSlice` bucket-partitioned, write the layered manifest
+    * (touched → `id`, everything else → its previous owner), land
+    * `v<id>` by delete-stale + atomic move — a replay overwrites its
+    * own output from identical inputs, exactly the r16 swap. */
+  def publish(nextSlice: DataFrame, root: Path, id: Long,
+              prev: Option[Long], touched: Seq[Int],
+              keyCols: Seq[String], buckets: Int): FoldStats = {
+    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
+    nextSlice.withColumn("_sb", bucketCol(keyCols, buckets))
+      .repartition(col("_sb"))
+      .write.mode("overwrite").partitionBy("_sb").parquet(tmp.toString)
+    // key-locality guard: a fold that emitted keys OUTSIDE the touched
+    // buckets would write dirs the manifest never references — fail
+    // loudly instead of silently serving the previous owner's rows
+    val written = listBucketDirs(tmp)
+    val stray = written.filterNot(touched.contains)
+    require(stray.isEmpty,
+      s"fold emitted keys outside its touched buckets ($stray ⊄ " +
+        s"$touched) — the fold is not key-local; its output would be " +
+        "invisible behind the manifest's previous owners")
+    Files.writeString(schemaPath(tmp), nextSlice.schema.json)
+    val prevOwners = prev
+      .map(v => readManifest(root.resolve(s"v$v"))._2)
+      .getOrElse(Map.empty[Int, Long])
+    writeManifest(tmp, buckets,
+      prevOwners ++ touched.map(_ -> id))
+    val bytes = dirBytes(tmp)
+    val dest = root.resolve(s"v$id")
+    Artifacts.deleteRecursively(dest) // stale replay output
+    Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    FoldStats(id, buckets, touched.size, bytes)
+  }
+
+  /** Drop superseded versions, keeping the newest `keep` AND every
+    * version their manifests still reference (a layered version stays
+    * live until all its buckets are rewritten). */
+  def prune(storeDir: String, keep: Int = 2): Unit = {
+    val root = Paths.get(storeDir)
+    val vs = VersionedDir.versions(root).sorted(Ordering[Long].reverse)
+    val kept = vs.take(keep)
+    val live = kept.toSet ++ kept.flatMap(v =>
+      readManifest(root.resolve(s"v$v"))._2.values)
+    vs.drop(keep).filterNot(live)
+      .foreach(v => Artifacts.deleteRecursively(root.resolve(s"v$v")))
+  }
+
+  /** Rewrite the latest version's full state into a single
+    * self-contained version (every bucket owned locally), claimed as
+    * the next version number — after which [[prune]] can retire every
+    * layer. Call on lineage-hygiene cadence, not per batch. */
+  def compact(s: SparkSession, storeDir: String,
+              keyCols: Seq[String]): Long = {
+    val root = Paths.get(storeDir)
+    val latest = VersionedDir.versions(root).maxOption
+      .getOrElse(sys.error(s"no state to compact under $root"))
+    val buckets = readManifest(root.resolve(s"v$latest"))._1
+    val all = readAllAt(s, root, latest)
+    val id = latest + 1
+    publish(all, root, id, None, (0 until buckets), keyCols, buckets)
+      .version
+  }
+
+  private def schemaPath(vdir: Path) = vdir.resolve("_schema.json")
+
+  /** (bucket count, bucket → owner version) from a version's manifest. */
+  private[streaming] def readManifest(vdir: Path): (Int, Map[Int, Long]) = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(vdir.resolve("_manifest"))
+    try props.load(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    val owners = props.stringPropertyNames().asScala.toSeq
+      .filter(_.matches("b\\d+"))
+      .map(k => k.drop(1).toInt -> props.getProperty(k).toLong).toMap
+    (props.getProperty("buckets").toInt, owners)
+  }
+
+  private def writeManifest(vdir: Path, buckets: Int,
+                            owners: Map[Int, Long]): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("buckets", buckets.toString)
+    owners.foreach { case (b, v) =>
+      props.setProperty(s"b$b", v.toString) }
+    val out = Files.newOutputStream(vdir.resolve("_manifest"))
+    try props.store(out, "graft bucketed state manifest")
+    finally out.close()
+  }
+
+  private def listBucketDirs(dir: Path): Seq[Int] = {
+    val st = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_sb=")).map(_.drop(4).toInt).toSeq
+    } finally st.close()
+  }
+
+  private def dirBytes(p: Path): Long = {
+    val st = Files.walk(p)
+    try st.filter(Files.isRegularFile(_))
+      .mapToLong(f => Files.size(f)).sum()
+    finally st.close()
+  }
+}

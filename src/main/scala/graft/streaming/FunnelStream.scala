@@ -17,17 +17,26 @@ import graft.analytics.Funnel
   * STRICTLY BELOW `id` and claims `v<id>` by staged swap — a replay
   * rebuilds `v<id>` from exactly the same input. Ordering contract
   * inherited from [[Funnel.fold]] and enforced loudly there: per-user
-  * event-time order across micro-batches. */
+  * event-time order across micro-batches.
+  *
+  * Scale contract (r17): state lives in [[BucketedStateStore]],
+  * hash-bucketed by user — a fold reads and rewrites ONLY the buckets
+  * containing the batch's users (the manifest references the rest in
+  * their previous owners), so per-batch write cost tracks the batch,
+  * not the user population; the r16 store rewrote the full user-grain
+  * table every trigger. */
 object FunnelStream {
 
   def maintainFunnel(events: DataFrame, steps: Seq[String],
                      windowUs: Long, storeDir: String,
-                     checkpointDir: String): StreamingQuery =
+                     checkpointDir: String,
+                     buckets: Int = 64): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        foldBatch(df, id, steps, windowUs, storeDir)
+        foldBatch(df, id, steps, windowUs, storeDir, buckets)
+        ()
       }
       .start()
 
@@ -35,36 +44,22 @@ object FunnelStream {
     * unit-testable. */
   private[graft] def foldBatch(batch: DataFrame, id: Long,
                                steps: Seq[String], windowUs: Long,
-                               storeDir: String): Unit = {
-    val s = batch.sparkSession
-    val root = java.nio.file.Paths.get(storeDir)
-    java.nio.file.Files.createDirectories(root)
-    RollupStream.sweepTmp(root)
-    val state = graft.etl.VersionedDir.latestBefore(root, id) match {
-      case Some(v) => s.read.parquet(root.resolve(s"v$v").toString)
-      case None    => Funnel.initState(batch, steps)
-    }
-    val next = Funnel.fold(state, batch, steps,
-      org.apache.spark.sql.functions.lit(windowUs))
-    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-    next.write.mode("overwrite").parquet(tmp.toString)
-    val dest = root.resolve(s"v$id")
-    graft.text.Artifacts.deleteRecursively(dest) // stale replay output
-    java.nio.file.Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                               storeDir: String, buckets: Int = 64)
+      : BucketedStateStore.FoldStats = {
+    val w = org.apache.spark.sql.functions.lit(windowUs)
+    BucketedStateStore.foldBatch(batch, id, storeDir, Seq("user"), buckets,
+      init = b => Funnel.fold(Funnel.initState(b, steps), b, steps, w),
+      fold = (slice, b) => Funnel.fold(slice, b, steps, w))
   }
 
   /** The funnel report from the latest complete state version. */
   def serveSummary(spark: SparkSession, storeDir: String,
-                   steps: Seq[String]): DataFrame = {
-    val root = java.nio.file.Paths.get(storeDir)
-    val v = graft.etl.VersionedDir.versions(root).maxOption
-      .getOrElse(sys.error(s"no funnel state under $storeDir"))
-    Funnel.summary(
-      spark.read.parquet(root.resolve(s"v$v").toString), steps)
-  }
+                   steps: Seq[String]): DataFrame =
+    Funnel.summary(BucketedStateStore.readAll(spark,
+      java.nio.file.Paths.get(storeDir), "funnel"), steps)
 
-  /** Drop superseded state versions, keeping the newest `keep`. */
+  /** Drop superseded state versions, keeping the newest `keep` plus
+    * whatever their manifests still reference. */
   def prune(storeDir: String, keep: Int = 2): Unit =
-    graft.etl.VersionedDir.prune(storeDir, keep)
+    BucketedStateStore.prune(storeDir, keep)
 }

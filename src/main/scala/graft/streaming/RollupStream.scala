@@ -20,35 +20,35 @@ import graft.operators.CascadedRollup.Agg
   * would fold into state that already contains it — sums double).
   * The store is therefore VERSIONED BY BATCH ID: batch `id` reads the
   * latest version STRICTLY BELOW `id` and writes `v<id>` by staged
-  * swap (write tmp → delete any stale `v<id>` from a crashed attempt
-  * → atomic rename), so a replay rebuilds `v<id>` from exactly the
-  * same input state and overwrites its own output — the
-  * `batch=<id>`-directory discipline of
-  * [[EventStreams.writeFlagsBatch]], upgraded to a read-modify-write
-  * fold. Readers take the highest complete version; a crash between
-  * delete and rename leaves `v<id>` missing, which the replay
-  * recreates, and never a half-written dir (tmp is underscore-hidden
-  * so even a listing race cannot read it as a version).
+  * swap, so a replay rebuilds `v<id>` from exactly the same input
+  * state and overwrites its own output — the `batch=<id>`-directory
+  * discipline of [[EventStreams.writeFlagsBatch]], upgraded to a
+  * read-modify-write fold.
   *
-  * Scale contract: the versioned state is the FINEST-GRAIN frame —
-  * |groups| rows, group-scale, the same "metadata not data" budget as
-  * [[graft.etl.VersionedDir]] (retention: old versions are
-  * supersedable; [[prune]] keeps the last `keep`). Append-only
-  * semantics, as [[CascadedRollup.foldFinest]] documents: sum/count
-  * retract, min/max do not.
+  * Scale contract (r17): state lives in [[BucketedStateStore]] — rows
+  * hash-bucket by the FULL dims tuple, a batch's fold reads and
+  * rewrites ONLY the buckets its groups hash into, and the version
+  * manifest references untouched buckets in their previous owners.
+  * Per-batch write cost is therefore O(|touched buckets|), never
+  * O(|groups|) — the LabelStore publication discipline; the r16 store
+  * rewrote the complete group table every trigger. [[foldBatch]]
+  * returns the [[BucketedStateStore.FoldStats]] evidence. Distributive
+  * aggs only, as [[CascadedRollup.foldFinest]] documents: sum/count
+  * retract, min/max do not (append-only ingest).
   */
 object RollupStream {
 
   /** Start the maintainer: every micro-batch of raw fact rows folds
     * into the versioned finest-grain store under `storeDir`. */
   def maintainRollup(facts: DataFrame, dims: Seq[String], aggs: Seq[Agg],
-                     storeDir: String, checkpointDir: String)
-      : StreamingQuery =
+                     storeDir: String, checkpointDir: String,
+                     buckets: Int = 64): StreamingQuery =
     facts.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        foldBatch(df, id, dims, aggs, storeDir)
+        foldBatch(df, id, dims, aggs, storeDir, buckets)
+        ()
       }
       .start()
 
@@ -58,46 +58,24 @@ object RollupStream {
     * below-`id` input state and overwrites its own `v<id>`). */
   private[graft] def foldBatch(batch: DataFrame, id: Long,
                                dims: Seq[String], aggs: Seq[Agg],
-                               storeDir: String): Unit = {
-    val s = batch.sparkSession
-    val root = java.nio.file.Paths.get(storeDir)
-    java.nio.file.Files.createDirectories(root)
-    sweepTmp(root) // a crash between write and move leaks `_tmp-*`;
-                   // this fold is the single writer, so any survivor
-                   // is stale by definition (SilverStore.sweepTmp's
-                   // discipline)
-    val folded = latestBefore(root, id) match {
-      case Some(v) =>
-        CascadedRollup.foldFinest(
-          s.read.parquet(root.resolve(s"v$v").toString),
-          batch, dims, aggs)
-      case None => CascadedRollup.aggregateFinest(batch, dims, aggs)
-    }
-    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-    folded.write.mode("overwrite").parquet(tmp.toString)
-    val dest = root.resolve(s"v$id")
-    graft.text.Artifacts.deleteRecursively(dest) // stale replay output
-    java.nio.file.Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+                               storeDir: String, buckets: Int = 64)
+      : BucketedStateStore.FoldStats =
+    BucketedStateStore.foldBatch(batch, id, storeDir, dims, buckets,
+      init = b => CascadedRollup.aggregateFinest(b, dims, aggs),
+      fold = (slice, b) => CascadedRollup.foldFinest(slice, b, dims, aggs))
 
   /** Serve every rollup level from the maintained state — group-scale
     * input, no fact-table access. */
   def serveRollup(spark: SparkSession, storeDir: String,
-                  dims: Seq[String], aggs: Seq[Agg]): DataFrame = {
-    val root = java.nio.file.Paths.get(storeDir)
-    val v = latest(root).getOrElse(
-      sys.error(s"no rollup state under $storeDir"))
+                  dims: Seq[String], aggs: Seq[Agg]): DataFrame =
     CascadedRollup.cascadeFrom(
-      spark.read.parquet(root.resolve(s"v$v").toString), dims, aggs)
-  }
+      BucketedStateStore.readAll(spark,
+        java.nio.file.Paths.get(storeDir), "rollup"), dims, aggs)
 
-  /** Drop superseded versions, keeping the newest `keep` (each is a
-    * complete group-scale snapshot, so retention is a pure
-    * storage/lineage choice — replay never reaches past the previous
-    * version). */
+  /** Drop superseded versions, keeping the newest `keep` plus whatever
+    * their manifests still reference. */
   def prune(storeDir: String, keep: Int = 2): Unit =
-    graft.etl.VersionedDir.prune(storeDir, keep)
+    BucketedStateStore.prune(storeDir, keep)
 
   /** Delete orphaned `_tmp-*` staging dirs (a crash between the tmp
     * write and the atomic move leaks one; nothing else ever cleans
@@ -105,10 +83,4 @@ object RollupStream {
     * single writer before staging its own tmp. */
   private[graft] def sweepTmp(root: java.nio.file.Path): Unit =
     graft.etl.VersionedDir.sweep(root, "_tmp-")
-
-  private def latest(root: java.nio.file.Path): Option[Long] =
-    graft.etl.VersionedDir.versions(root).maxOption
-
-  private def latestBefore(root: java.nio.file.Path, id: Long)
-      : Option[Long] = graft.etl.VersionedDir.latestBefore(root, id)
 }

@@ -7,14 +7,13 @@ import graft.etl.Scd2
 
 /** Streaming maintenance of an SCD TYPE-2 dimension — the stream twin
   * of q187's [[Scd2.fold]], completing the fold family's streaming
-  * coverage (rollups: [[RollupStream]]; vectors:
-  * [[VectorIngest]]; retrieval postings: [[Bm25Ingest]]; now the
-  * interval dimension): each micro-batch of change rows folds into
-  * the stored interval table at BATCH scale — untouched keys pass
-  * through the broadcast anti-join, only touched keys' histories
-  * re-window ([[Scd2.fold]]'s contract) — so an as-of probe (q186)
-  * served from the store sees new versions one trigger after the
-  * change arrives, with history intact.
+  * coverage (rollups: [[RollupStream]]; vectors: [[VectorIngest]];
+  * retrieval postings: [[Bm25Ingest]]; now the interval dimension):
+  * each micro-batch of change rows folds into the stored interval
+  * table at BATCH scale — untouched keys pass through the broadcast
+  * anti-join, only touched keys' histories re-window ([[Scd2.fold]]'s
+  * contract) — so an as-of probe (q186) served from the store sees new
+  * versions one trigger after the change arrives, with history intact.
   *
   * Idempotence under foreachBatch's AT-LEAST-ONCE contract is the
   * [[RollupStream.foldBatch]] versioned-store discipline verbatim: a
@@ -31,10 +30,12 @@ import graft.etl.Scd2
   * out-of-order backfill is a [[Scd2.build]] over the raw log, not a
   * stream fold.
   *
-  * Scale contract: the versioned state is the CHANGE-COMPRESSED
-  * interval table — dimension-scale, not fact-scale (the same
-  * "metadata not data" budget as the rollup store; [[prune]] keeps
-  * the last `keep` versions). */
+  * Scale contract (r17): state lives in [[BucketedStateStore]],
+  * hash-bucketed by the dimension key — a fold reads and rewrites
+  * ONLY the buckets containing the batch's keys (the manifest
+  * references the rest in their previous owners), so per-batch write
+  * cost tracks the batch, not the dimension; the r16 store rewrote
+  * the complete interval table every trigger. */
 object Scd2Stream {
 
   /** Start the maintainer: every micro-batch of raw change rows folds
@@ -42,12 +43,15 @@ object Scd2Stream {
   def maintainScd2(changes: DataFrame, keys: Seq[String],
                    seqCols: Seq[String], attrs: Seq[String],
                    storeDir: String, checkpointDir: String,
-                   compress: Boolean = true): StreamingQuery =
+                   compress: Boolean = true,
+                   buckets: Int = 64): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
-        foldBatch(df, id, keys, seqCols, attrs, storeDir, compress)
+        foldBatch(df, id, keys, seqCols, attrs, storeDir, compress,
+          buckets)
+        ()
       }
       .start()
 
@@ -57,41 +61,22 @@ object Scd2Stream {
   private[graft] def foldBatch(batch: DataFrame, id: Long,
                                keys: Seq[String], seqCols: Seq[String],
                                attrs: Seq[String], storeDir: String,
-                               compress: Boolean = true): Unit = {
-    val s = batch.sparkSession
-    val root = java.nio.file.Paths.get(storeDir)
-    java.nio.file.Files.createDirectories(root)
-    RollupStream.sweepTmp(root)
-    val folded = latestBefore(root, id) match {
-      case Some(v) =>
-        Scd2.fold(s.read.parquet(root.resolve(s"v$v").toString),
-          batch, keys, seqCols, attrs, compress)
-      case None => Scd2.build(batch, keys, seqCols, attrs, compress)
-    }
-    val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-    folded.write.mode("overwrite").parquet(tmp.toString)
-    val dest = root.resolve(s"v$id")
-    graft.text.Artifacts.deleteRecursively(dest) // stale replay output
-    java.nio.file.Files.move(tmp, dest,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-  }
+                               compress: Boolean = true,
+                               buckets: Int = 64)
+      : BucketedStateStore.FoldStats =
+    BucketedStateStore.foldBatch(batch, id, storeDir, keys, buckets,
+      init = b => Scd2.build(b, keys, seqCols, attrs, compress),
+      fold = (slice, b) =>
+        Scd2.fold(slice, b, keys, seqCols, attrs, compress))
 
   /** The maintained interval table (latest complete version) — the
     * frame q186's as-of probe joins facts against. */
-  def serveScd2(spark: SparkSession, storeDir: String): DataFrame = {
-    val root = java.nio.file.Paths.get(storeDir)
-    val v = latest(root).getOrElse(
-      sys.error(s"no scd2 state under $storeDir"))
-    spark.read.parquet(root.resolve(s"v$v").toString)
-  }
+  def serveScd2(spark: SparkSession, storeDir: String): DataFrame =
+    BucketedStateStore.readAll(spark,
+      java.nio.file.Paths.get(storeDir), "scd2")
 
-  /** Drop superseded versions, keeping the newest `keep`. */
+  /** Drop superseded versions, keeping the newest `keep` plus whatever
+    * their manifests still reference. */
   def prune(storeDir: String, keep: Int = 2): Unit =
-    graft.etl.VersionedDir.prune(storeDir, keep)
-
-  private def latest(root: java.nio.file.Path): Option[Long] =
-    graft.etl.VersionedDir.versions(root).maxOption
-
-  private def latestBefore(root: java.nio.file.Path, id: Long)
-      : Option[Long] = graft.etl.VersionedDir.latestBefore(root, id)
+    BucketedStateStore.prune(storeDir, keep)
 }

@@ -1212,14 +1212,19 @@ class StreamingSpec extends SparkSpec {
     // from the same below-id state, overwrites its own version —
     // store row-identical, sums NOT doubled
     val root = java.nio.file.Paths.get(store)
-    val vmax = java.nio.file.Files.list(root).toArray.map(_.toString)
-      .map(p => p.substring(p.lastIndexOf("/v") + 2).toLong).max
-    def stateRows() = spark.read.parquet(s"$store/v$vmax").collect()
-      .map(_.toSeq).toSet
+    val vmax = graft.etl.VersionedDir.versions(root).max
+    def stateRows() = graft.streaming.BucketedStateStore
+      .readAllAt(spark, root, vmax).collect().map(_.toSeq).toSet
     val before = stateRows()
-    RollupStream.foldBatch(shape(b2.toDF()), vmax, dims, aggs, store)
+    val stats = RollupStream.foldBatch(shape(b2.toDF()), vmax, dims,
+      aggs, store)
     assert(stateRows() === before,
       "a replayed micro-batch must leave the store row-identical")
+    // bucketed publication: the replayed 2-group batch rewrote at most
+    // 2 of the 64 buckets — untouched groups are REFERENCED in earlier
+    // versions, never copied
+    assert(stats.touched <= 2 && stats.buckets === 64,
+      s"2-group batch must touch ≤ 2 buckets, touched ${stats.touched}")
   }
 
   test("vector ingest: streamed folds == full rebuild; replay idempotent (r14)") {
@@ -1432,8 +1437,10 @@ class StreamingSpec extends SparkSpec {
     // bounded state: the final version holds only horizon rows + one
     // sentinel per user — strictly fewer than the full touch history
     val touchTotal = rows.count(r => chs.contains(r._3))
-    val stateRows = spark.read.parquet(
-      java.nio.file.Paths.get(store).resolve("v2").toString).count()
+    val storeRoot = java.nio.file.Paths.get(store)
+    def fullState() = graft.streaming.BucketedStateStore
+      .readAllAt(spark, storeRoot, 2L)
+    val stateRows = fullState().count()
     assert(stateRows < touchTotal,
       s"horizon prune must drop rows ($stateRows vs $touchTotal touches)")
 
@@ -1444,8 +1451,7 @@ class StreamingSpec extends SparkSpec {
       2L, chs, "purchase", L, store, credits)
     assert(canon(AttributionStream.serveCredits(spark, credits)) === served,
       "a replayed micro-batch must leave the credit output row-identical")
-    assert(spark.read.parquet(java.nio.file.Paths.get(store)
-      .resolve("v2").toString).count() === stateRows)
+    assert(fullState().count() === stateRows)
 
     // the served credits carry the window counts (k_<ch>), so every
     // DOWNSTREAM model rolls up from the stream store without
@@ -1503,6 +1509,165 @@ class StreamingSpec extends SparkSpec {
     FunnelStream.foldBatch(
       batches(2).toSeq.toDF("user", "ts", "step"), 2L, steps, L, store)
     assert(canon(FunnelStream.serveSummary(spark, store, steps)) === served)
+  }
+
+  test("bucketed state store: a fold writes ONLY touched buckets; " +
+      "untouched buckets are referenced, not copied; layered prune + " +
+      "compact (r17)") {
+    import spark.implicits._
+    import graft.streaming.{BucketedStateStore, FunnelStream}
+    import graft.analytics.Funnel
+
+    val steps = Seq("a", "b")
+    val L = 1000L
+    val store = tmp("bucketed-store")
+    val root = java.nio.file.Paths.get(store)
+    // batch 0: 200 users spread across most of the 64 buckets
+    val b0 = (1L to 200L).map(u => (u, 10L * u, "a"))
+    val s0 = FunnelStream.foldBatch(b0.toDF("user", "ts", "step"),
+      0L, steps, L, store)
+    assert(s0.touched > 40, s"200 users must spread buckets, ${s0.touched}")
+    // batch 1: ONE user — exactly one bucket rewritten, bytes a small
+    // fraction of the full-state publication the r16 store would do
+    val b1 = Seq((7L, 100L, "b"))
+    val s1 = FunnelStream.foldBatch(b1.toDF("user", "ts", "step"),
+      1L, steps, L, store)
+    assert(s1.touched === 1,
+      s"1-user batch must rewrite exactly 1 bucket, got ${s1.touched}")
+    assert(s1.bytesWritten < s0.bytesWritten / 10,
+      s"1-bucket publication (${s1.bytesWritten} B) must be a small " +
+        s"fraction of the 0-batch's full write (${s0.bytesWritten} B)")
+    // v1 holds exactly one _sb= dir; every other bucket is served from
+    // v0 through the manifest
+    val v1Dirs = java.nio.file.Files.list(root.resolve("v1")).toArray
+      .map(_.toString).count(_.contains("_sb="))
+    assert(v1Dirs === 1)
+    // served state == one-shot batch rebuild over all events
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val all = (b0 ++ b1).toDF("user", "ts", "step")
+    val rebuilt = canon(Funnel.fold(Funnel.initState(all, steps), all,
+      steps, lit(L)))
+    assert(canon(BucketedStateStore.readAll(spark, root, "t")) === rebuilt)
+    // layered retention: prune(keep=1) keeps v1 AND v0 (v1's manifest
+    // still references v0's buckets)
+    BucketedStateStore.prune(store, keep = 1)
+    assert(java.nio.file.Files.isDirectory(root.resolve("v0")),
+      "a version owning live buckets must survive prune")
+    // compact rewrites everything self-contained; then prune retires
+    // the layers and the state is unchanged
+    val cv = BucketedStateStore.compact(spark, store, Seq("user"))
+    BucketedStateStore.prune(store, keep = 1)
+    assert(!java.nio.file.Files.isDirectory(root.resolve("v0")) &&
+      !java.nio.file.Files.isDirectory(root.resolve("v1")),
+      "compacted layers must be prunable")
+    assert(java.nio.file.Files.isDirectory(root.resolve(s"v$cv")))
+    assert(canon(BucketedStateStore.readAll(spark, root, "t")) === rebuilt,
+      "compaction must preserve the state")
+  }
+
+  test("markov stream: streamed cell folds == one-shot markovByChannel; " +
+      "replay idempotent (r17)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AttributionStream
+    import graft.analytics.Attribution
+
+    val chs = Seq("click", "view")
+    val base = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    val raw = base
+      .filter(col("event_type").isin("click", "view", "purchase") &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").as("user"),
+        graft.analytics.Tables.tsUs(base).as("ts"),
+        col("event_type").as("channel"), col("event_id").as("tie"))
+    val rows = raw.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    val batches = Seq(rows.filter(_._2 < cuts(0)),
+      rows.filter(r => r._2 >= cuts(0) && r._2 < cuts(1)),
+      rows.filter(_._2 >= cuts(1)))
+    assert(batches.forall(_.nonEmpty))
+
+    val fdir = tmp("mk-frontier"); val cdir = tmp("mk-cells")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = AttributionStream.maintainMarkov(
+      input.toDF().toDF("user", "ts", "channel", "tie"),
+      chs, "purchase", fdir, cdir, tmp("mk-ckpt"))
+    batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val served = canon(AttributionStream.serveMarkov(spark, cdir,
+      "click", "view"))
+    val oneShot = canon(Attribution.markovByChannel(
+      raw.filter(col("channel").isin(chs: _*)),
+      raw.filter(col("channel") === "purchase")
+        .select(col("user"), col("ts")), "click", "view"))
+    assert(served === oneShot,
+      "streamed markov report must equal the one-shot chain")
+
+    // at-least-once replay of the LAST batch id: both stores rebuild
+    // from strictly-below versions — served report identical
+    AttributionStream.foldMarkovBatch(
+      batches(2).toSeq.toDF("user", "ts", "channel", "tie"),
+      2L, chs, "purchase", fdir, cdir)
+    assert(canon(AttributionStream.serveMarkov(spark, cdir,
+      "click", "view")) === served,
+      "a replayed micro-batch must leave the markov report identical")
+  }
+
+  test("credit sink compaction: batch dirs merge into the versioned " +
+      "store, served rows identical, replay of the live id still " +
+      "idempotent (r17)") {
+    import spark.implicits._
+    import graft.streaming.AttributionStream
+
+    val chs = Seq("click", "view")
+    val L = 1000000L
+    val store = tmp("cc-store"); val credits = tmp("cc-credits")
+    // serve before any batch: descriptive error, not a raw parquet one
+    val err = intercept[IllegalArgumentException] {
+      AttributionStream.serveCredits(spark, credits)
+    }
+    assert(err.getMessage.contains("no credited batches"))
+
+    // three micro-batches: touches then a conversion per user-epoch
+    def batch(id: Long, users: Seq[Long], t0: Long) = {
+      val rows = users.flatMap(u => Seq(
+        (u, t0, "click", 10 * t0 + u),
+        (u, t0 + 1, "view", 10 * t0 + 100 + u),
+        (u, t0 + 2, "purchase", 10 * t0 + 200 + u)))
+      AttributionStream.foldBatch(rows.toDF("user", "ts", "channel", "tie"),
+        id, chs, "purchase", L, store, credits)
+    }
+    batch(0L, Seq(1L, 2L, 3L), 1000L)
+    batch(1L, Seq(2L, 4L), 5000L)
+    batch(2L, Seq(1L, 5L), 9000L)
+    def canon() = AttributionStream.serveCredits(spark, credits)
+      .collect().map(_.toSeq).toSet
+    val before = canon()
+    assert(before.size === 7, s"7 conversions credited, ${before.size}")
+
+    val through = AttributionStream.compactCredits(spark, credits)
+    assert(through === 1L)
+    val croot = java.nio.file.Paths.get(credits)
+    assert(!java.nio.file.Files.isDirectory(croot.resolve("batch=0")) &&
+      !java.nio.file.Files.isDirectory(croot.resolve("batch=1")),
+      "compacted batch dirs must be deleted")
+    assert(java.nio.file.Files.isDirectory(croot.resolve("batch=2")),
+      "the newest (replayable) batch dir must survive")
+    assert(canon() === before,
+      "compaction must not change the served credits")
+
+    // at-least-once replay of the live id after compaction
+    batch(2L, Seq(1L, 5L), 9000L)
+    assert(canon() === before,
+      "a replayed live batch must leave served credits row-identical")
+    // second compaction is a no-op on rows (nothing newly compactable)
+    AttributionStream.compactCredits(spark, credits)
+    assert(canon() === before)
   }
 
 }
