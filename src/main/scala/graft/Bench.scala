@@ -9,6 +9,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // dirty-heap containment (r17): q180's pair-expansion sorts used
+      // to grow Tungsten pages and pointer arrays past 1 GiB in SINGLE
+      // allocations — after three full passes of the bench set, heap
+      // fragmentation made those allocations fail even with free
+      // memory (the r16 shared-JVM OOM; q180 had to report from its
+      // own JVM). Capping the page size and forcing sorter spill at
+      // 16 M elements bounds every single allocation to ~128 MB, so
+      // the trailing q180 phase survives the dirty heap at a small
+      // spill-IO cost on the very biggest sorts.
+      .config("spark.buffer.pageSize", "16m")
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+        (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Headline queries only (QuerySpec.bench) — one representative per

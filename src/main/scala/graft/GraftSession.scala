@@ -32,6 +32,14 @@ object GraftSession {
       // parquet-mr maps to no Spark type; read those as Long (ns since
       // epoch). Harmless for µs-typed files (Tables.tsUs handles both).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // dirty-heap containment (r17, the Bench settings): bound every
+      // single Tungsten allocation (pages; sorter pointer arrays via
+      // forced spill at 16 M elements) to ~128 MB so output-quadratic
+      // operators (q180) survive a long-lived, fragmented JVM heap
+      // instead of OOMing on a 1 GiB single allocation.
+      .config("spark.buffer.pageSize", "16m")
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold",
+        (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   def create(): SparkSession = {
