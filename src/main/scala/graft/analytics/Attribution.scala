@@ -360,14 +360,14 @@ object Attribution {
     val guard = touchedF.select(col("user"),
       struct(col("ts"), col("tie")).as("_bfront"))
     val guarded = ev.join(broadcast(guard), Seq("user"), "left")
-      .filter(col("_bfront").isNull ||
-        struct(col("ts"), col("tie")) > col("_bfront") ||
-        raise_error(concat(
+      .filter(when(col("_bfront").isNull ||
+          struct(col("ts"), col("tie")) > col("_bfront"), lit(true))
+        .otherwise(raise_error(concat(
           lit("markov fold is append-only: event at "),
           struct(col("ts"), col("tie")).cast("string"),
           lit(" not after stored frontier "),
           col("_bfront").cast("string"),
-          lit(" — backfill requires a rebuild from the raw event log"))))
+          lit(" — backfill requires a rebuild from the raw event log")))))
       .drop("_bfront")
     val replay = guarded.withColumn("_virtual", lit(false))
       .unionByName(touchedF.withColumn("_virtual", lit(true)))
@@ -653,26 +653,28 @@ object Attribution {
     val base = touchedState.groupBy(col("user"))
       .agg(baseAggs.head, baseAggs.tail: _*)
     val front = base.select(col("user"), col("_bfront"))
+    // when().otherwise(raise_error) — the guard's pass/raise split is
+    // branch-structural, not reliant on Or-disjunct evaluation order
     val guardedTouches = touches
       .join(broadcast(front), Seq("user"), "left")
-      .filter(col("_bfront").isNull ||
-        struct(col("ts"), col("tie")) > col("_bfront") ||
-        raise_error(concat(
+      .filter(when(col("_bfront").isNull ||
+          struct(col("ts"), col("tie")) > col("_bfront"), lit(true))
+        .otherwise(raise_error(concat(
           lit("attribution fold is append-only: touch at "),
           struct(col("ts"), col("tie")).cast("string"),
           lit(" not after stored frontier "),
           col("_bfront").cast("string"),
-          lit(" — backfill requires a replay from the raw touch log"))))
+          lit(" — backfill requires a replay from the raw touch log")))))
       .drop("_bfront")
     val guardedConvs = conversions
       .join(broadcast(front), Seq("user"), "left")
-      .filter(col("_bfront").isNull ||
-        col("ts") >= col("_bfront").getField("ts") ||
-        raise_error(concat(
+      .filter(when(col("_bfront").isNull ||
+          col("ts") >= col("_bfront").getField("ts"), lit(true))
+        .otherwise(raise_error(concat(
           lit("attribution fold is append-only: conversion at "),
           col("ts").cast("string"), lit(" before stored frontier "),
           col("_bfront").cast("string"),
-          lit(" — its window needs pruned history; replay instead"))))
+          lit(" — its window needs pruned history; replay instead")))))
       .drop("_bfront")
     val offsets = base.drop("_bfront")
     val newAnnot = annotate(guardedTouches, channels)

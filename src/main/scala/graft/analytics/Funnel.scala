@@ -96,13 +96,16 @@ object Funnel {
       col("user") +: col("frontier").as("_sf") +:
         col("frontier_steps").as("_sfs") +:
         steps.map(st => col(s"f_$st").as(s"_s_$st")): _*)
+    // when().otherwise(raise_error): pass/raise is branch-structural,
+    // not reliant on Or-disjunct evaluation order
     val guarded = events.join(broadcast(seeds), Seq("user"), "left")
-      .filter(col("_sf").isNull || col("ts") >= col("_sf") ||
-        raise_error(concat(
+      .filter(when(col("_sf").isNull || col("ts") >= col("_sf"),
+          lit(true))
+        .otherwise(raise_error(concat(
           lit("funnel fold is append-only: event at "),
           col("ts").cast("string"), lit(" before stored frontier "),
           col("_sf").cast("string"),
-          lit(" — backfill requires a rebuild from the raw event log"))))
+          lit(" — backfill requires a rebuild from the raw event log")))))
     // the stored frontier tie group rides along as virtual events (its
     // floors contribution is idempotent — mins — and it is the ONLY
     // old history a same-ts continuation can still qualify)

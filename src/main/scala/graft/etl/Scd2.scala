@@ -115,13 +115,17 @@ object Scd2 {
       .join(broadcast(touched), keys, "left_semi")
       .select(keys.map(col) :+
         struct(seqCols.map(col): _*).as("_cur_seq"): _*)
+    // when().otherwise(raise_error): pass/raise is branch-structural,
+    // not reliant on Or-disjunct evaluation order
     val guarded = changes.join(broadcast(cur), keys, "left")
       .withColumn("_seq", struct(seqCols.map(col): _*))
-      .filter(col("_cur_seq").isNull || col("_seq") > col("_cur_seq") ||
-        raise_error(concat(lit("scd2 fold is append-only: change at "),
-          col("_seq").cast("string"), lit(" not after stored "),
-          col("_cur_seq").cast("string"),
-          lit(" — backfill requires a rebuild from the raw change log"))))
+      .filter(when(col("_cur_seq").isNull || col("_seq") > col("_cur_seq"),
+          lit(true))
+        .otherwise(raise_error(
+          concat(lit("scd2 fold is append-only: change at "),
+            col("_seq").cast("string"), lit(" not after stored "),
+            col("_cur_seq").cast("string"),
+            lit(" — backfill requires a rebuild from the raw change log")))))
       .select(cols.map(col): _*)
     untouched.unionByName(
       build(replayed.unionByName(guarded), keys, seqCols, attrs, compress))
