@@ -352,6 +352,27 @@ object Attribution {
     * ((channels + 2)² rows) and folds by a tiny groupBy. */
   def markovFold(frontier: DataFrame, cells: DataFrame,
                  touches: DataFrame, conversions: DataFrame)
+      : (DataFrame, DataFrame) =
+    markovFoldImpl(frontier, cells, touches, conversions, identity)
+
+  /** [[markovFold]] with the shared chain window PINNED (persisted):
+    * the new cells and the new frontier both read it — two separate
+    * ACTIONS over them (the stream twin writes each to parquet) would
+    * otherwise evaluate the frontier read + guards + window twice.
+    * Returns a release thunk the caller MUST invoke after its last
+    * action over either frame (the [[foldPinned]] contract). */
+  def markovFoldPinned(frontier: DataFrame, cells: DataFrame,
+                       touches: DataFrame, conversions: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    var pinned: Option[DataFrame] = None
+    val (nf, nc) = markovFoldImpl(frontier, cells, touches, conversions,
+      tr => { val p = tr.persist(); pinned = Some(p); p })
+    (nf, nc, () => pinned.foreach(_.unpersist(false)))
+  }
+
+  private def markovFoldImpl(frontier: DataFrame, cells: DataFrame,
+                             touches: DataFrame, conversions: DataFrame,
+                             pin: DataFrame => DataFrame)
       : (DataFrame, DataFrame) = {
     val ev = chainEvents(touches, conversions)
     val users = ev.select("user").distinct()
@@ -372,12 +393,12 @@ object Attribution {
     val replay = guarded.withColumn("_virtual", lit(false))
       .unionByName(touchedF.withColumn("_virtual", lit(true)))
     val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
-    val tr = replay
+    val tr = pin(replay
       .withColumn("prev",
         coalesce(lag(col("st"), 1).over(w), lit("CONV")))
       .withColumn("nxt", lead(col("st"), 1).over(w))
       .withColumn("from_st",
-        when(col("prev") === "CONV", lit("S")).otherwise(col("prev")))
+        when(col("prev") === "CONV", lit("S")).otherwise(col("prev"))))
     // batch events: their own transition (the virtual predecessor
     // supplies the first one's `from`), plus the new journey-final
     // NULL absorption; the virtual row's previous absorption — it was
@@ -408,6 +429,134 @@ object Attribution {
     * one-shot chain so fold and rebuild cannot drift. */
   def markovServe(cells: DataFrame, chA: String, chB: String): DataFrame =
     markovFromCounts(countCells2(cells, chA, chB), chA, chB)
+
+  // ── incremental TIME-DECAY attribution (q206, round 17) ──────────
+  // q198's fold twin, closing the family: every model now has an
+  // incremental path. Per-channel decay totals are ASSOCIATIVE —
+  // each conversion's in-window pairs are enumerated exactly once, in
+  // the fold that receives the conversion — so state is (horizon:
+  // the per-user in-window touch rows plus one frontier-holder row,
+  // the [[fold]] prune shape minus the prefix annotations; totals:
+  // one (channel, decay_w, n_weighted) row per channel, bounded).
+  // All in-window touches of a batch conversion are PRESENT at fold
+  // time: the stored horizon covers (frontier − L, frontier] and the
+  // guard pins conversions at-or-after the frontier, so a window
+  // (ts − L, ts] ⊆ stored ∪ batch. Fold ≡ rebuild exactly — q206's
+  // oracle is q198's full-replay SQL verbatim. Ordering contract is
+  // the family's ([[fold]]): per-user event-time order across
+  // micro-batches.
+
+  /** Empty decay state: (horizon (user, ts, channel, tie), totals
+    * (channel, decay_w, n_weighted)) — clean LocalRelations (the
+    * [[markovInitState]] constraint-rewrite note). */
+  def decayInitState(touches: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val s = touches.sparkSession
+    def empty(schema: StructType) = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    (empty(touches.select(col("user"), col("ts"), col("channel"),
+        col("tie")).schema),
+      empty(StructType(Seq(StructField("channel", StringType),
+        StructField("decay_w", LongType),
+        StructField("n_weighted", LongType)))))
+  }
+
+  /** Fold one batch into the decay state. Append-only contract,
+    * enforced loudly (the [[fold]] guard). Scale shape: untouched
+    * users' horizons ride a broadcast anti-join; the pair set is the
+    * q198 plan over (stored horizon ∪ batch) vs batch conversions —
+    * [[graft.operators.RangeJoin.pointInInterval]]'s bucketed
+    * (user, time-bucket) equi-join, output-bound, never a nested
+    * loop; the totals fold is a bounded groupBy. */
+  def decayFold(horizon: DataFrame, totals: DataFrame,
+                touches: DataFrame, conversions: DataFrame,
+                lookbackUs: Long,
+                decayUnitUs: Long = 86400000000L)
+      : (DataFrame, DataFrame) =
+    decayFoldImpl(horizon, totals, touches, conversions, lookbackUs,
+      decayUnitUs, identity)
+
+  /** [[decayFold]] with the shared timeline PINNED — the
+    * [[foldPinned]] contract for the stream twin's two actions. */
+  def decayFoldPinned(horizon: DataFrame, totals: DataFrame,
+                      touches: DataFrame, conversions: DataFrame,
+                      lookbackUs: Long,
+                      decayUnitUs: Long = 86400000000L)
+      : (DataFrame, DataFrame, () => Unit) = {
+    var pinned: Option[DataFrame] = None
+    val (nh, nt) = decayFoldImpl(horizon, totals, touches, conversions,
+      lookbackUs, decayUnitUs,
+      tl => { val p = tl.persist(); pinned = Some(p); p })
+    (nh, nt, () => pinned.foreach(_.unpersist(false)))
+  }
+
+  private def decayFoldImpl(horizon: DataFrame, totals: DataFrame,
+                            touches: DataFrame, conversions: DataFrame,
+                            lookbackUs: Long, decayUnitUs: Long,
+                            pin: DataFrame => DataFrame)
+      : (DataFrame, DataFrame) = {
+    val users = touches.select("user")
+      .unionByName(conversions.select("user")).distinct()
+    val untouched = horizon.join(broadcast(users), Seq("user"), "left_anti")
+    val touchedH = horizon.join(broadcast(users), Seq("user"), "left_semi")
+    val front = touchedH.groupBy(col("user"))
+      .agg(max(struct(col("ts"), col("tie"))).as("_bfront"))
+    val guardedT = touches
+      .join(broadcast(front), Seq("user"), "left")
+      .filter(when(col("_bfront").isNull ||
+          struct(col("ts"), col("tie")) > col("_bfront"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("decay fold is append-only: touch at "),
+          struct(col("ts"), col("tie")).cast("string"),
+          lit(" not after stored frontier "),
+          col("_bfront").cast("string"),
+          lit(" — backfill requires a replay from the raw touch log")))))
+      .drop("_bfront")
+      .select(col("user"), col("ts"), col("channel"), col("tie"))
+    val guardedC = conversions
+      .join(broadcast(front), Seq("user"), "left")
+      .filter(when(col("_bfront").isNull ||
+          col("ts") >= col("_bfront").getField("ts"), lit(true))
+        .otherwise(raise_error(concat(
+          lit("decay fold is append-only: conversion at "),
+          col("ts").cast("string"), lit(" before stored frontier "),
+          col("_bfront").cast("string"),
+          lit(" — its window needs pruned history; replay instead")))))
+      .drop("_bfront")
+    val timeline = pin(touchedH.unionByName(guardedT))
+    // the q198 pair plan: conversions as half-open (ts−L, ts]
+    // intervals, bucketed point-in-interval equi-join
+    val iv = guardedC.select(col("user").as("cu"),
+      (col("ts") - lit(lookbackUs) + 1).as("_ws"),
+      (col("ts") + 1).as("_we"), col("ts").as("cts"))
+    val delta = graft.operators.RangeJoin.pointInInterval(
+        timeline, "user", "ts", iv, "cu", "_ws", "_we",
+        Seq("cts"), bucketWidth = lookbackUs)
+      .withColumn("w", expr(
+        s"shiftright(65536L, CAST((cts - ts) div $decayUnitUs AS INT))"))
+      .groupBy(col("channel"))
+      .agg(sum(col("w")).as("decay_w"),
+        count(lit(1)).as("n_weighted"))
+    val newTotals = totals.unionByName(delta)
+      .groupBy(col("channel"))
+      .agg(sum(col("decay_w")).as("decay_w"),
+        sum(col("n_weighted")).as("n_weighted"))
+    (untouched.unionByName(pruneState(timeline, lit(lookbackUs))),
+      newTotals)
+  }
+
+  /** The q198 report from maintained decay totals — zero-filled over
+    * the channel list, the serve half of the fold. */
+  def decayServe(totals: DataFrame, channels: Seq[String]): DataFrame = {
+    val s = totals.sparkSession
+    val chs = s.createDataFrame(channels.map(Tuple1(_))).toDF("channel")
+    chs.join(totals, Seq("channel"), "left")
+      .select(col("channel"),
+        coalesce(col("decay_w"), lit(0L)).as("decay_w"),
+        coalesce(col("n_weighted"), lit(0L)).as("n_weighted"))
+      .orderBy("channel")
+  }
 
   /** N-CHANNEL Markov (removal-effect) attribution — [[markovByChannel]]
     * generalized past the 2-transient closed form. Determinant/cofactor

@@ -169,6 +169,29 @@ object EventQueries {
     * (fold≡rebuild, the q187/q197 discipline): the whole chain window +
     * 12-cell count + guarded closed form, matching
     * [[Attribution.markovFromCounts]] step for step. */
+  /** q198's full-replay time-decay oracle — also q206's VERBATIM (the
+    * fold-twin hash match IS the fold ≡ rebuild proof, the q205
+    * discipline). */
+  private val decayOracle = """
+        WITH t AS (SELECT user_id AS u, epoch_us(ts) AS ts,
+                          event_type AS ch
+                   FROM events WHERE event_type IN ('click', 'view')),
+        c AS (SELECT user_id AS u, epoch_us(ts) AS ts
+              FROM events WHERE event_type = 'purchase'),
+        w AS (SELECT t.ch,
+                     65536 >> CAST((c.ts - t.ts) // 86400000000 AS INT)
+                       AS w
+              FROM c JOIN t ON t.u = c.u
+                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts)
+        SELECT chs.ch AS channel,
+               coalesce(s.dw, 0) AS decay_w,
+               coalesce(s.n, 0) AS n_weighted
+        FROM (VALUES ('click'), ('view')) chs(ch)
+        LEFT JOIN (SELECT ch, CAST(sum(w) AS BIGINT) AS dw,
+                          count(*) AS n
+                   FROM w GROUP BY ch) s ON s.ch = chs.ch
+        ORDER BY channel"""
+
   private val markov2Oracle = """
         WITH ev AS (
           SELECT user_id AS u, epoch_us(ts) AS ts,
@@ -1552,25 +1575,7 @@ object EventQueries {
             coalesce(col("n_weighted"), lit(0L)).as("n_weighted"))
           .orderBy("channel")
       },
-      oracle = Some("""
-        WITH t AS (SELECT user_id AS u, epoch_us(ts) AS ts,
-                          event_type AS ch
-                   FROM events WHERE event_type IN ('click', 'view')),
-        c AS (SELECT user_id AS u, epoch_us(ts) AS ts
-              FROM events WHERE event_type = 'purchase'),
-        w AS (SELECT t.ch,
-                     65536 >> CAST((c.ts - t.ts) // 86400000000 AS INT)
-                       AS w
-              FROM c JOIN t ON t.u = c.u
-                AND t.ts > c.ts - 604800000000 AND t.ts <= c.ts)
-        SELECT chs.ch AS channel,
-               coalesce(s.dw, 0) AS decay_w,
-               coalesce(s.n, 0) AS n_weighted
-        FROM (VALUES ('click'), ('view')) chs(ch)
-        LEFT JOIN (SELECT ch, CAST(sum(w) AS BIGINT) AS dw,
-                          count(*) AS n
-                   FROM w GROUP BY ch) s ON s.ch = chs.ch
-        ORDER BY channel"""),
+      oracle = Some(decayOracle),
       bench = true),
 
     // ── Markov (removal-effect) attribution (r16) ──────────────────
@@ -1804,6 +1809,40 @@ object EventQueries {
         Attribution.markovServe(cells, chA = "click", chB = "view")
       },
       oracle = Some(markov2Oracle),
+      bench = true),
+
+    // ── incremental time-decay attribution (r17) ───────────────────
+    // q198's fold twin, closing the family: every attribution model
+    // now has an incremental path. State is (per-user horizon touch
+    // rows — the q197 prune shape minus the prefix annotations; one
+    // bounded decay-total row per channel). Each fold enumerates
+    // EXACTLY its batch conversions' in-window pairs via q198's
+    // bucketed point-in-interval plan over (stored horizon ∪ batch),
+    // adds the integer 65536 >> age_days weights into the totals, and
+    // prunes the horizon. The oracle is q198's full-replay SQL
+    // VERBATIM — the hash match is the fold ≡ rebuild proof.
+    "q206_decay_fold" -> QuerySpec(
+      build = (s, d) => {
+        val (touches, conversions) = attributionInputs(s, d)
+        val cuts = Seq(1704931200000000L, 1705795200000000L)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        def slice(f: DataFrame, lo: Long, hi: Long) =
+          f.filter(col("ts") >= lo && col("ts") < hi)
+        var (horizon, totals) = Attribution.decayInitState(touches)
+        bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val (nh, nt) = Attribution.decayFold(horizon, totals,
+            slice(touches, lo, hi), slice(conversions, lo, hi),
+            lookbackUs = 7L * 86400000000L)
+          // cut intermediate state lineage (the q197 lesson); horizon
+          // is user-grain, totals |channels| rows
+          horizon = if (i < bounds.size - 1) graft.Checkpoints.cut(nh)
+                    else nh
+          totals = if (i < bounds.size - 1) graft.Checkpoints.cut(nt)
+                   else nt
+        }
+        Attribution.decayServe(totals, attributionChannels)
+      },
+      oracle = Some(decayOracle),
       bench = true)
 
   )

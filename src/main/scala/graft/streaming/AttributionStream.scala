@@ -88,7 +88,7 @@ object AttributionStream {
     // users — a conversion-only user's stored timeline must be read)
     val touched = BucketedStateStore.touchedBuckets(
       batch, Seq("user"), buckets)
-    val prev = VersionedDir.latestBefore(root, id)
+    val prev = BucketedStateStore.prevVersion(root, id)
     val state = prev match {
       case Some(v) =>
         BucketedStateStore.readSlice(s, root, v, touched, buckets)
@@ -111,23 +111,34 @@ object AttributionStream {
     } finally release()
   }
 
-  /** All credited conversions so far: the compacted store (if any
-    * compaction ran) plus every `batch=<id>` directory ABOVE the
-    * compaction watermark — a stale replay directory of an
-    * already-compacted id is excluded rather than double-served.
-    * Fails with a descriptive error when nothing has been credited
-    * yet (the [[FunnelStream.serveSummary]] convention). */
+  /** All credited conversions so far — WITH their `batch` provenance
+    * column (the micro-batch id that credited each conversion, long):
+    * the compacted store (if any compaction ran, batch preserved as a
+    * data column) plus every `batch=<id>` directory ABOVE the
+    * compaction watermark, read under `basePath` so the partition
+    * column survives the explicit leaf-dir listing — a stale replay
+    * directory of an already-compacted id is excluded rather than
+    * double-served. Fails with a descriptive error when nothing has
+    * been credited yet (the [[FunnelStream.serveSummary]] convention). */
   def serveCredits(spark: SparkSession, creditsDir: String): DataFrame = {
     val (through, compacted) = compactedState(spark, creditsDir)
     val fresh = batchDirs(creditsDir).filter(_._1 > through)
     val parts = compacted.toSeq ++
       (if (fresh.isEmpty) Nil
-       else Seq(spark.read.parquet(fresh.map(_._2): _*)))
+       else Seq(readBatchDirs(spark, creditsDir, fresh)))
     require(parts.nonEmpty,
       s"no credited batches yet under $creditsDir — the maintainer has " +
         "not completed a micro-batch (or the directory is wrong)")
     parts.reduce(_ unionByName _)
   }
+
+  /** Explicit `batch=<id>` leaf dirs under a shared basePath, so the
+    * `batch` partition column is inferred; cast long (inference would
+    * type small ids int) so compacted data rows union losslessly. */
+  private def readBatchDirs(spark: SparkSession, creditsDir: String,
+                            dirs: Seq[(Long, String)]): DataFrame =
+    spark.read.option("basePath", creditsDir).parquet(dirs.map(_._2): _*)
+      .withColumn("batch", col("batch").cast("long"))
 
   /** Merge every `batch=<id>` directory EXCEPT the newest (the only id
     * foreachBatch can replay) into the versioned `_compacted` store,
@@ -155,7 +166,7 @@ object AttributionStream {
       val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
       val merged = (compacted.toSeq ++
         (if (merge.isEmpty) Nil
-         else Seq(spark.read.parquet(merge.map(_._2): _*))))
+         else Seq(readBatchDirs(spark, creditsDir, merge))))
         .reduceOption(_ unionByName _)
       merged match {
         case Some(df) =>
@@ -239,10 +250,7 @@ object AttributionStream {
       .start()
 
   /** One micro-batch's Markov fold — replay-unit-testable like
-    * [[foldBatch]]. Cells write FIRST (the credits discipline): a
-    * crash between the two writes leaves cells `v<id>` orphaned; the
-    * replay reads both stores strictly below `id`, rebuilds from
-    * identical inputs, and overwrites it. */
+    * [[foldBatch]]. */
   private[graft] def foldMarkovBatch(batch: DataFrame, id: Long,
                                      channels: Seq[String],
                                      conversionType: String,
@@ -250,46 +258,158 @@ object AttributionStream {
                                      cellsDir: String,
                                      buckets: Int = 64)
       : BucketedStateStore.FoldStats = {
-    val s = batch.sparkSession
-    val froot = Paths.get(frontierDir)
-    val croot = Paths.get(cellsDir)
-    Files.createDirectories(froot); Files.createDirectories(croot)
-    VersionedDir.sweep(froot, "_tmp-"); VersionedDir.sweep(croot, "_tmp-")
+    val (touches, conversions) = splitBatch(batch, channels,
+      conversionType, convTie = false)
+    foldUserPlusSidecar(batch, id, frontierDir, cellsDir, buckets,
+      "markov",
+      init = Attribution.markovInitState(touches, conversions),
+      fold = (frontier, cells) =>
+        // pinned: the cells write and the frontier publish are two
+        // ACTIONS over the shared chain window — unpinned they would
+        // evaluate the frontier read + guards + window twice
+        Attribution.markovFoldPinned(frontier, cells,
+          touches, conversions))
+  }
+
+  /** (touches, conversions) projections of a raw event micro-batch —
+    * the ONE place the stream twins split their input. */
+  private def splitBatch(batch: DataFrame, channels: Seq[String],
+                         conversionType: String, convTie: Boolean)
+      : (DataFrame, DataFrame) = {
     val touches = batch.filter(col("channel").isin(channels: _*))
       .select(col("user"), col("ts"), col("channel"), col("tie"))
-    val conversions = batch.filter(col("channel") === conversionType)
-      .select(col("user"), col("ts"))
+    val conv = batch.filter(col("channel") === conversionType)
+    (touches,
+      if (convTie) conv.select(col("user"), col("ts"), col("tie"))
+      else conv.select(col("user"), col("ts")))
+  }
+
+  /** The shared two-store fold: user-grain state in a
+    * [[BucketedStateStore]] (touched-bucket publication), a tiny
+    * bounded sidecar in a plain batch-id-versioned store (full rewrite
+    * per trigger IS the batch-proportional cost there). Sidecar writes
+    * FIRST (the credits discipline): a crash between the two writes
+    * leaves sidecar `v<id>` orphaned; the replay reads both stores
+    * strictly below `id`, rebuilds from identical inputs, and
+    * overwrites it. `fold` returns (next user state, next sidecar,
+    * release thunk) — the pinned-fold contract. */
+  private def foldUserPlusSidecar(batch: DataFrame, id: Long,
+      userDir: String, sidecarDir: String, buckets: Int, what: String,
+      init: => (DataFrame, DataFrame),
+      fold: (DataFrame, DataFrame) => (DataFrame, DataFrame, () => Unit))
+      : BucketedStateStore.FoldStats = {
+    val s = batch.sparkSession
+    val uroot = Paths.get(userDir)
+    val croot = Paths.get(sidecarDir)
+    Files.createDirectories(uroot); Files.createDirectories(croot)
+    VersionedDir.sweep(uroot, "_tmp-"); VersionedDir.sweep(croot, "_tmp-")
     val touched = BucketedStateStore.touchedBuckets(
       batch, Seq("user"), buckets)
-    val prevF = VersionedDir.latestBefore(froot, id)
+    val prevU = BucketedStateStore.prevVersion(uroot, id)
     val prevC = VersionedDir.latestBefore(croot, id)
-    require(prevF == prevC,
-      s"markov stores out of step (frontier $prevF vs cells $prevC) — " +
+    // the user store versions by SLOT (a compaction may own the
+    // latest slot), the tiny sidecar by raw batch id — in-step means
+    // both resolve to the same last batch
+    require(prevU.map(_ >> 1) == prevC,
+      s"$what stores out of step (user $prevU vs sidecar $prevC) — " +
         "both write every batch, so only manual surgery desyncs them")
-    val (frontier, cells) = prevF match {
-      case Some(v) =>
-        (BucketedStateStore.readSlice(s, froot, v, touched, buckets),
-          s.read.parquet(croot.resolve(s"v$v").toString))
-      case None => Attribution.markovInitState(touches, conversions)
+    val (userState, sidecar) = (prevU, prevC) match {
+      case (Some(uv), Some(cv)) =>
+        (BucketedStateStore.readSlice(s, uroot, uv, touched, buckets),
+          s.read.parquet(croot.resolve(s"v$cv").toString))
+      case _ => init
     }
-    val (nf, nc) = Attribution.markovFold(frontier, cells,
-      touches, conversions)
-    val tmp = croot.resolve("_tmp-" + java.util.UUID.randomUUID)
-    nc.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val cdest = croot.resolve(s"v$id")
-    graft.text.Artifacts.deleteRecursively(cdest) // stale replay output
-    Files.move(tmp, cdest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    BucketedStateStore.publish(nf, froot, id, prevF, touched,
-      Seq("user"), buckets)
+    val (nu, nc, release) = fold(userState, sidecar)
+    try {
+      val tmp = croot.resolve("_tmp-" + java.util.UUID.randomUUID)
+      nc.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val cdest = croot.resolve(s"v$id")
+      graft.text.Artifacts.deleteRecursively(cdest) // stale replay output
+      Files.move(tmp, cdest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      BucketedStateStore.publish(nu, uroot, id, prevU, touched,
+        Seq("user"), buckets)
+    } finally release()
+  }
+
+  /** Drop superseded Markov state: layered prune on the frontier store
+    * plus keep-newest on the cell sidecar (each version is a full
+    * ≤ (channels+2)²-row rewrite, so old ones are pure dead weight —
+    * without this the sidecar grows one `v<id>` dir per trigger
+    * forever, the credit-sink problem in version clothing). `keep = 2`
+    * preserves the newest batch's replay input on both stores. */
+  def pruneMarkov(frontierDir: String, cellsDir: String,
+                  keep: Int = 2): Unit = {
+    BucketedStateStore.prune(frontierDir, keep)
+    VersionedDir.prune(cellsDir, keep)
   }
 
   /** The q199 Markov report from the latest maintained cell counts. */
   def serveMarkov(spark: SparkSession, cellsDir: String,
-                  chA: String, chB: String): DataFrame = {
-    val croot = Paths.get(cellsDir)
-    val v = VersionedDir.versions(croot).maxOption
-      .getOrElse(sys.error(s"no markov cell state under $cellsDir"))
-    Attribution.markovServe(
-      spark.read.parquet(croot.resolve(s"v$v").toString), chA, chB)
+                  chA: String, chB: String): DataFrame =
+    Attribution.markovServe(latestSidecar(spark, cellsDir, "markov cell"),
+      chA, chB)
+
+  private def latestSidecar(spark: SparkSession, dir: String,
+                            what: String): DataFrame = {
+    val root = Paths.get(dir)
+    val v = VersionedDir.versions(root).maxOption
+      .getOrElse(sys.error(s"no $what state under $dir"))
+    spark.read.parquet(root.resolve(s"v$v").toString)
+  }
+
+  // ── streaming time-decay attribution (r17) ───────────────────────
+
+  /** Start the time-decay maintainer — the stream twin of q206's
+    * [[Attribution.decayFold]]: per-user horizon rows live in a
+    * [[BucketedStateStore]], the bounded per-channel decay totals in
+    * a batch-id-versioned sidecar, and [[serveDecay]] reads the q198
+    * report from the latest totals without touching events. Same
+    * input contract as [[maintainAttribution]]. */
+  def maintainDecay(events: DataFrame, channels: Seq[String],
+                    conversionType: String, lookbackUs: Long,
+                    horizonDir: String, totalsDir: String,
+                    checkpointDir: String,
+                    buckets: Int = 64): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        foldDecayBatch(df, id, channels, conversionType, lookbackUs,
+          horizonDir, totalsDir, buckets)
+        ()
+      }
+      .start()
+
+  /** One micro-batch's decay fold — replay-unit-testable like
+    * [[foldBatch]]. */
+  private[graft] def foldDecayBatch(batch: DataFrame, id: Long,
+                                    channels: Seq[String],
+                                    conversionType: String,
+                                    lookbackUs: Long,
+                                    horizonDir: String,
+                                    totalsDir: String,
+                                    buckets: Int = 64)
+      : BucketedStateStore.FoldStats = {
+    val (touches, conversions) = splitBatch(batch, channels,
+      conversionType, convTie = false)
+    foldUserPlusSidecar(batch, id, horizonDir, totalsDir, buckets,
+      "decay",
+      init = Attribution.decayInitState(touches),
+      fold = (horizon, totals) =>
+        Attribution.decayFoldPinned(horizon, totals,
+          touches, conversions, lookbackUs))
+  }
+
+  /** The q198 time-decay report from the latest maintained totals. */
+  def serveDecay(spark: SparkSession, totalsDir: String,
+                 channels: Seq[String]): DataFrame =
+    Attribution.decayServe(
+      latestSidecar(spark, totalsDir, "decay totals"), channels)
+
+  /** [[pruneMarkov]] for the decay stores. */
+  def pruneDecay(horizonDir: String, totalsDir: String,
+                 keep: Int = 2): Unit = {
+    BucketedStateStore.prune(horizonDir, keep)
+    VersionedDir.prune(totalsDir, keep)
   }
 }

@@ -50,14 +50,37 @@ import graft.text.Artifacts
   * buckets ([[publish]] verifies the written dirs stay inside the
   * touched set). All four stream folds are key-local by construction.
   *
+  * Version slots: micro-batch `id` claims version `2·id` (the EVEN
+  * slot) and a compaction claims the ODD slot directly above the
+  * version it compacts. This keeps compaction OUT of the batch-id
+  * namespace: batch `id` reads the latest version strictly below
+  * `2·id` — which correctly includes a compaction of any earlier
+  * batch's state — and a replay of batch `id` deletes only its own
+  * even slot, never a compaction. (A compaction claiming `latest + 1`
+  * in batch-id space would collide with the NEXT micro-batch: the
+  * batch would treat the compacted version as its own stale replay
+  * output, delete it, and — after a prune — silently reinitialize the
+  * whole state from one batch.) Checkpoint batch ids are tiny, so the
+  * ×2 can never overflow.
+  *
   * Retention: [[prune]] keeps the newest `keep` versions PLUS every
   * version their manifests still reference (layering makes old
   * versions live until every bucket they own is rewritten); unlike the
   * r16 full-snapshot stores, dropping to `keep = 1` is safe only
   * between batches — the default 2 preserves the replay input of the
   * newest batch. [[compact]] rewrites everything into one version for
-  * lineage hygiene. */
+  * lineage hygiene; because it owns its own slot it is durable on a
+  * LIVE store (later folds layer on top of it). */
 object BucketedStateStore {
+
+  /** The version slot micro-batch `id` publishes to. */
+  private[streaming] def foldSlot(id: Long): Long = id << 1
+
+  /** The version a fold of batch `id` reads: the latest slot strictly
+    * below the batch's own — the previous batch's fold or a compaction
+    * of it, whichever is newer. */
+  def prevVersion(root: Path, id: Long): Option[Long] =
+    VersionedDir.latestBefore(root, foldSlot(id))
 
   /** What one fold's publication cost: `touched` buckets rewritten out
     * of `buckets` total, `bytesWritten` = staged parquet + sidecars —
@@ -93,7 +116,7 @@ object BucketedStateStore {
     Files.createDirectories(root)
     VersionedDir.sweep(root, "_tmp-")
     val touched = touchedBuckets(batch, keyCols, buckets)
-    val prev = VersionedDir.latestBefore(root, id)
+    val prev = prevVersion(root, id)
     val next = prev match {
       case Some(v) => fold(readSlice(s, root, v, touched, buckets), batch)
       case None    => init(batch)
@@ -144,12 +167,24 @@ object BucketedStateStore {
   }
 
   /** Stage `nextSlice` bucket-partitioned, write the layered manifest
-    * (touched → `id`, everything else → its previous owner), land
-    * `v<id>` by delete-stale + atomic move — a replay overwrites its
-    * own output from identical inputs, exactly the r16 swap. */
+    * (touched → batch `id`'s slot, everything else → its previous
+    * owner), land `v<2·id>` by delete-stale + atomic move — a replay
+    * overwrites its own output from identical inputs, exactly the r16
+    * swap. `prev` is an internal version number as returned by
+    * [[prevVersion]]. */
   def publish(nextSlice: DataFrame, root: Path, id: Long,
               prev: Option[Long], touched: Seq[Int],
               keyCols: Seq[String], buckets: Int): FoldStats = {
+    val prevOwners = prev
+      .map(v => readManifest(root.resolve(s"v$v"))._2)
+      .getOrElse(Map.empty[Int, Long])
+    publishAt(nextSlice, root, foldSlot(id), prevOwners, touched,
+      keyCols, buckets)
+  }
+
+  private def publishAt(nextSlice: DataFrame, root: Path, version: Long,
+                        prevOwners: Map[Int, Long], touched: Seq[Int],
+                        keyCols: Seq[String], buckets: Int): FoldStats = {
     val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
     nextSlice.withColumn("_sb", bucketCol(keyCols, buckets))
       .repartition(col("_sb"))
@@ -164,16 +199,13 @@ object BucketedStateStore {
         s"$touched) — the fold is not key-local; its output would be " +
         "invisible behind the manifest's previous owners")
     Files.writeString(schemaPath(tmp), nextSlice.schema.json)
-    val prevOwners = prev
-      .map(v => readManifest(root.resolve(s"v$v"))._2)
-      .getOrElse(Map.empty[Int, Long])
     writeManifest(tmp, buckets,
-      prevOwners ++ touched.map(_ -> id))
+      prevOwners ++ touched.map(_ -> version))
     val bytes = dirBytes(tmp)
-    val dest = root.resolve(s"v$id")
+    val dest = root.resolve(s"v$version")
     Artifacts.deleteRecursively(dest) // stale replay output
     Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    FoldStats(id, buckets, touched.size, bytes)
+    FoldStats(version, buckets, touched.size, bytes)
   }
 
   /** Drop superseded versions, keeping the newest `keep` AND every
@@ -191,18 +223,24 @@ object BucketedStateStore {
 
   /** Rewrite the latest version's full state into a single
     * self-contained version (every bucket owned locally), claimed as
-    * the next version number — after which [[prune]] can retire every
-    * layer. Call on lineage-hygiene cadence, not per batch. */
+    * the ODD slot directly above it — after which [[prune]] can retire
+    * every layer. The odd slot keeps the compaction outside the
+    * batch-id namespace, so it is durable on a LIVE store: the next
+    * micro-batch reads it (it is the latest version strictly below
+    * that batch's own slot) and layers on top, rather than mistaking
+    * it for stale replay output. A latest version that is already a
+    * compaction is self-contained — no-op. Call on lineage-hygiene
+    * cadence, not per batch. */
   def compact(s: SparkSession, storeDir: String,
               keyCols: Seq[String]): Long = {
     val root = Paths.get(storeDir)
     val latest = VersionedDir.versions(root).maxOption
       .getOrElse(sys.error(s"no state to compact under $root"))
+    if (latest % 2 == 1) return latest // already a compaction
     val buckets = readManifest(root.resolve(s"v$latest"))._1
     val all = readAllAt(s, root, latest)
-    val id = latest + 1
-    publish(all, root, id, None, (0 until buckets), keyCols, buckets)
-      .version
+    publishAt(all, root, latest + 1, Map.empty, (0 until buckets),
+      keyCols, buckets).version
   }
 
   private def schemaPath(vdir: Path) = vdir.resolve("_schema.json")

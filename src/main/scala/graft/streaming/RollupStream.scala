@@ -76,11 +76,4 @@ object RollupStream {
     * their manifests still reference. */
   def prune(storeDir: String, keep: Int = 2): Unit =
     BucketedStateStore.prune(storeDir, keep)
-
-  /** Delete orphaned `_tmp-*` staging dirs (a crash between the tmp
-    * write and the atomic move leaks one; nothing else ever cleans
-    * them, so they would accumulate across restarts). Called by the
-    * single writer before staging its own tmp. */
-  private[graft] def sweepTmp(root: java.nio.file.Path): Unit =
-    graft.etl.VersionedDir.sweep(root, "_tmp-")
 }

@@ -662,6 +662,18 @@ class PlanSpec extends SparkSpec {
       s"decay pair join degraded to a range cross-product:\n${p.take(1500)}")
   }
 
+  test("q206 decay fold: every fold's pair join bucketed, never a " +
+      "nested loop (r17)") {
+    val df = SparkEntry.queries("q206_decay_fold")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the fold twin must keep q198's pair discipline in EVERY fold:
+    // pairs through the bucketed (user, bucket) equi-join over
+    // (stored horizon ∪ batch), never a theta-join nested loop
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"decay fold pair join degraded to a cross-product:\n${p.take(1500)}")
+  }
+
   test("q199 markov attribution: one event-scale window, bounded tail (r16)") {
     val df = SparkEntry.queries("q199_attribution_markov")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -1213,10 +1213,11 @@ class StreamingSpec extends SparkSpec {
     // store row-identical, sums NOT doubled
     val root = java.nio.file.Paths.get(store)
     val vmax = graft.etl.VersionedDir.versions(root).max
+    val lastId = vmax >> 1 // fold slots are 2·id
     def stateRows() = graft.streaming.BucketedStateStore
       .readAllAt(spark, root, vmax).collect().map(_.toSeq).toSet
     val before = stateRows()
-    val stats = RollupStream.foldBatch(shape(b2.toDF()), vmax, dims,
+    val stats = RollupStream.foldBatch(shape(b2.toDF()), lastId, dims,
       aggs, store)
     assert(stateRows() === before,
       "a replayed micro-batch must leave the store row-identical")
@@ -1439,7 +1440,7 @@ class StreamingSpec extends SparkSpec {
     val touchTotal = rows.count(r => chs.contains(r._3))
     val storeRoot = java.nio.file.Paths.get(store)
     def fullState() = graft.streaming.BucketedStateStore
-      .readAllAt(spark, storeRoot, 2L)
+      .readAll(spark, storeRoot, "attribution")
     val stateRows = fullState().count()
     assert(stateRows < touchTotal,
       s"horizon prune must drop rows ($stateRows vs $touchTotal touches)")
@@ -1537,9 +1538,10 @@ class StreamingSpec extends SparkSpec {
     assert(s1.bytesWritten < s0.bytesWritten / 10,
       s"1-bucket publication (${s1.bytesWritten} B) must be a small " +
         s"fraction of the 0-batch's full write (${s0.bytesWritten} B)")
-    // v1 holds exactly one _sb= dir; every other bucket is served from
-    // v0 through the manifest
-    val v1Dirs = java.nio.file.Files.list(root.resolve("v1")).toArray
+    // batch 1 publishes slot v2 (fold versions are 2·id — odd slots
+    // belong to compactions) holding exactly one _sb= dir; every other
+    // bucket is served from v0 through the manifest
+    val v1Dirs = java.nio.file.Files.list(root.resolve("v2")).toArray
       .map(_.toString).count(_.contains("_sb="))
     assert(v1Dirs === 1)
     // served state == one-shot batch rebuild over all events
@@ -1549,21 +1551,39 @@ class StreamingSpec extends SparkSpec {
     val rebuilt = canon(Funnel.fold(Funnel.initState(all, steps), all,
       steps, lit(L)))
     assert(canon(BucketedStateStore.readAll(spark, root, "t")) === rebuilt)
-    // layered retention: prune(keep=1) keeps v1 AND v0 (v1's manifest
+    // layered retention: prune(keep=1) keeps v2 AND v0 (v2's manifest
     // still references v0's buckets)
     BucketedStateStore.prune(store, keep = 1)
     assert(java.nio.file.Files.isDirectory(root.resolve("v0")),
       "a version owning live buckets must survive prune")
-    // compact rewrites everything self-contained; then prune retires
-    // the layers and the state is unchanged
+    // compact rewrites everything self-contained into the ODD slot
+    // above the latest fold; then prune retires the layers and the
+    // state is unchanged
     val cv = BucketedStateStore.compact(spark, store, Seq("user"))
+    assert(cv === 3L, s"compaction of v2 must claim slot v3, got $cv")
     BucketedStateStore.prune(store, keep = 1)
     assert(!java.nio.file.Files.isDirectory(root.resolve("v0")) &&
-      !java.nio.file.Files.isDirectory(root.resolve("v1")),
+      !java.nio.file.Files.isDirectory(root.resolve("v2")),
       "compacted layers must be prunable")
     assert(java.nio.file.Files.isDirectory(root.resolve(s"v$cv")))
     assert(canon(BucketedStateStore.readAll(spark, root, "t")) === rebuilt,
       "compaction must preserve the state")
+    // LIVE-store compaction: the next micro-batch must fold ON TOP of
+    // the compacted version, not mistake it for its own stale replay
+    // output and reinitialize from one batch (the compaction slot is
+    // outside the batch-id namespace precisely for this)
+    val b2 = Seq((7L, 200L, "a"), (300L, 5L, "a"))
+    FunnelStream.foldBatch(b2.toDF("user", "ts", "step"),
+      2L, steps, L, store)
+    val all3 = (b0 ++ b1 ++ b2).toDF("user", "ts", "step")
+    assert(canon(BucketedStateStore.readAll(spark, root, "t")) ===
+      canon(Funnel.fold(Funnel.initState(all3, steps), all3,
+        steps, lit(L))),
+      "a fold after compact+prune must keep the compacted state")
+    // compacting a compaction is a no-op (already self-contained)
+    val cv2 = BucketedStateStore.compact(spark, store, Seq("user"))
+    assert(cv2 === 5L && BucketedStateStore.compact(spark, store,
+      Seq("user")) === 5L)
   }
 
   test("markov stream: streamed cell folds == one-shot markovByChannel; " +
@@ -1616,6 +1636,79 @@ class StreamingSpec extends SparkSpec {
     assert(canon(AttributionStream.serveMarkov(spark, cdir,
       "click", "view")) === served,
       "a replayed micro-batch must leave the markov report identical")
+
+    // retention: the cell sidecar would otherwise grow one v<id> per
+    // trigger forever; pruneMarkov drops superseded versions on both
+    // stores without changing the served report
+    AttributionStream.pruneMarkov(fdir, cdir)
+    val cellVs = graft.etl.VersionedDir.versions(
+      java.nio.file.Paths.get(cdir)).sorted
+    assert(cellVs === Seq(1L, 2L),
+      s"pruneMarkov must keep the newest two cell versions, $cellVs")
+    assert(canon(AttributionStream.serveMarkov(spark, cdir,
+      "click", "view")) === served,
+      "pruning must not change the served markov report")
+  }
+
+  test("decay stream: streamed totals == one-shot q198 pair plan; " +
+      "replay idempotent (r17)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.streaming.AttributionStream
+    import graft.analytics.Attribution
+
+    val chs = Seq("click", "view")
+    val L = 7L * 86400000000L
+    val base = graft.analytics.Tables.events(spark, "/root/testdata/sf0.001")
+    val raw = base
+      .filter(col("event_type").isin("click", "view", "purchase") &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").as("user"),
+        graft.analytics.Tables.tsUs(base).as("ts"),
+        col("event_type").as("channel"), col("event_id").as("tie"))
+    val rows = raw.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cuts = Seq(1704931200000000L, 1705795200000000L)
+    val batches = Seq(rows.filter(_._2 < cuts(0)),
+      rows.filter(r => r._2 >= cuts(0) && r._2 < cuts(1)),
+      rows.filter(_._2 >= cuts(1)))
+    assert(batches.forall(_.nonEmpty))
+
+    val hdir = tmp("dc-horizon"); val tdir = tmp("dc-totals")
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val q = AttributionStream.maintainDecay(
+      input.toDF().toDF("user", "ts", "channel", "tie"),
+      chs, "purchase", L, hdir, tdir, tmp("dc-ckpt"))
+    batches.foreach { b => input.addData(b.toSeq: _*); q.processAllAvailable() }
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val served = canon(AttributionStream.serveDecay(spark, tdir, chs))
+    // one-shot twin: a single fold over everything IS q198's pair plan
+    val (h0, t0) = Attribution.decayInitState(raw.limit(0))
+    val (_, oneTotals) = Attribution.decayFold(h0, t0,
+      raw.filter(col("channel").isin(chs: _*)),
+      raw.filter(col("channel") === "purchase")
+        .select(col("user"), col("ts")), L)
+    assert(served === canon(Attribution.decayServe(oneTotals, chs)),
+      "streamed decay totals must equal the one-shot pair plan")
+    // the horizon state is bounded: strictly fewer rows than touches
+    val touchTotal = rows.count(r => chs.contains(r._3))
+    val stateRows = graft.streaming.BucketedStateStore
+      .readAll(spark, java.nio.file.Paths.get(hdir), "decay").count()
+    assert(stateRows < touchTotal,
+      s"horizon prune must drop rows ($stateRows vs $touchTotal)")
+
+    // at-least-once replay of the LAST batch id
+    AttributionStream.foldDecayBatch(
+      batches(2).toSeq.toDF("user", "ts", "channel", "tie"),
+      2L, chs, "purchase", L, hdir, tdir)
+    assert(canon(AttributionStream.serveDecay(spark, tdir, chs)) ===
+      served, "a replayed micro-batch must leave the report identical")
+    AttributionStream.pruneDecay(hdir, tdir)
+    assert(canon(AttributionStream.serveDecay(spark, tdir, chs)) ===
+      served, "pruning must not change the served decay report")
   }
 
   test("credit sink compaction: batch dirs merge into the versioned " +
@@ -1649,6 +1742,13 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val before = canon()
     assert(before.size === 7, s"7 conversions credited, ${before.size}")
+    // served credits carry their micro-batch provenance (and keep it
+    // through compaction below — `before` embeds the batch values)
+    val provenance = AttributionStream.serveCredits(spark, credits)
+      .groupBy("batch").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(provenance === Map(0L -> 3L, 1L -> 2L, 2L -> 2L),
+      s"batch provenance column drifted: $provenance")
 
     val through = AttributionStream.compactCredits(spark, credits)
     assert(through === 1L)
