@@ -131,6 +131,40 @@ object FoldBench {
         lit(5L).as("cnt"), lit(50L).as("mx"))
       val (rolDir, rB, rKb) = seed("rollup", m, rollState, n, Seq("g"))
 
+      /** Bounded sidecar seeded as raw-id `v0` (the tiny half of the
+        * markov/decay two-store folds — full rewrite per batch IS
+        * batch-proportional there). */
+      def seedSidecar(name: String, df: DataFrame): String = {
+        val dir = tmp.resolve(s"${name}_x$m")
+        java.nio.file.Files.createDirectories(dir)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(dir.resolve("v0").toString)
+        dir.toString
+      }
+
+      // ── markov: one chain frontier row per user + cell counts ──
+      val mkFrontier = s.range(n).select(
+        col("id").as("user"),
+        (lit(T0) + col("id") % 1000).as("ts"),
+        col("id").as("tie"),
+        lit("click").as("st"))
+      val (mkDir, mB, mKb) = seed("markov", m, mkFrontier, n, Seq("user"))
+      import s.implicits._
+      val mkCells = seedSidecar("mkcells",
+        Seq(("S", "click", n), ("click", "NULL", n))
+          .toDF("from_st", "to_st", "n"))
+
+      // ── decay: one horizon touch row per user + channel totals ──
+      val dcHorizon = s.range(n).select(
+        col("id").as("user"),
+        (lit(T0) + col("id") % 1000).as("ts"),
+        lit("click").as("channel"),
+        col("id").as("tie"))
+      val (dcDir, dB, dKb) = seed("decay", m, dcHorizon, n, Seq("user"))
+      val dcTotals = seedSidecar("dctotals",
+        Seq(("click", 65536L * n, n), ("view", 0L, 0L))
+          .toDF("channel", "decay_w", "n_weighted"))
+
       for (b <- batchSizes.map(_ min n.toInt)) {
         val ids = sliverIds(n, b)
 
@@ -172,6 +206,18 @@ object FoldBench {
             rolDir, rB)
         }
 
+        // markov/decay fold the SAME raw-event batch their stream
+        // twins receive (touches + conversions per user)
+        val (tM, stM) = timeMin {
+          AttributionStream.foldMarkovBatch(attrBatch, 1L,
+            Seq("click", "view"), "purchase", mkDir, mkCells, mB)
+        }
+        val (tD, stD) = timeMin {
+          AttributionStream.foldDecayBatch(attrBatch, 1L,
+            Seq("click", "view"), "purchase", 86400000000L,
+            dcDir, dcTotals, dB)
+        }
+
         println(f"[foldw] M=$m%-5d B=$b%-5d users=$n%-9d " +
           f"attr=$tA%6.2fs wr=${stA.bytesWritten / 1024}%-6dKB " +
           f"tb=${stA.touched}%-5d(of $aB%d, store=${aKb}KB) " +
@@ -182,6 +228,11 @@ object FoldBench {
           f"tb=${stS.touched}%-5d(of $sB%d, store=${sKb}KB) " +
           f"rollup=$tR%6.2fs wr=${stR.bytesWritten / 1024}%-6dKB " +
           f"tb=${stR.touched}%-5d(of $rB%d, store=${rKb}KB)")
+        println(f"[foldw]                              " +
+          f"markov=$tM%6.2fs wr=${stM.bytesWritten / 1024}%-6dKB " +
+          f"tb=${stM.touched}%-5d(of $mB%d, store=${mKb}KB) " +
+          f"decay=$tD%6.2fs wr=${stD.bytesWritten / 1024}%-6dKB " +
+          f"tb=${stD.touched}%-5d(of $dB%d, store=${dKb}KB)")
       }
     }
     s.stop()
