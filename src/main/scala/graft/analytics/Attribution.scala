@@ -583,21 +583,43 @@ object Attribution {
     * credited_conv, p_conv_e6), one row per channel. */
   def markovNByChannel(touches: DataFrame, conversions: DataFrame,
                        channels: Seq[String],
-                       rounds: Int = 24): DataFrame = {
+                       rounds: Int = 24): DataFrame =
+    markovNFromCounts(countCellsN(
+      chainCells(chainEvents(touches, conversions))
+        .withColumn("n", lit(1L)), channels), channels, rounds)
+
+  /** q202's N-channel report from maintained (from_st, to_st, n) cell
+    * counts — the N-channel serve half of [[markovFold]] (q207). The
+    * fold's cell table is channel-agnostic (each transition counts
+    * under whatever states appear), so the SAME maintained state
+    * serves both the 2-channel closed form ([[markovServe]]) and this
+    * Jacobi recipe; both roads meet q202's formula generator. */
+  def markovNServe(cells: DataFrame, channels: Seq[String],
+                   rounds: Int = 24): DataFrame =
+    markovNFromCounts(countCellsN(cells, channels), channels, rounds)
+
+  /** The (1+|channels|)·(|channels|+2)-cell count frame from WEIGHTED
+    * transition rows — [[countCells2]]'s N-channel sibling. */
+  private[analytics] def countCellsN(cells: DataFrame,
+                                     channels: Seq[String]): DataFrame = {
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    val froms = "S" +: channels
+    val tos = channels ++ Seq("CONV", "NULL")
+    val aggs = for (f <- froms; t <- tos) yield
+      sum(when(col("from_st") === f && col("to_st") === t, col("n"))
+        .otherwise(0L)).as(nm(f, t))
+    cells.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[analytics] def markovNFromCounts(m: DataFrame,
+                                           channels: Seq[String],
+                                           rounds: Int): DataFrame = {
     // no underscores: generated aliases are a_<system>_<state>_<round>
     // with '_'-joined parts, and channels like ("a", "a_a") would
     // collide (system no_a + state a_a == system no_a_a + state a)
     require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9]+")),
       "channel names must be lowercase alphanumeric (no underscores — " +
         "the generated alias scheme joins parts with '_')")
-    val cells = chainCells(chainEvents(touches, conversions))
-    def nm(f: String, t: String) = s"n_${f}_$t"
-    val froms = "S" +: channels
-    val tos = channels ++ Seq("CONV", "NULL")
-    val aggs = for (f <- froms; t <- tos) yield
-      sum(when(col("from_st") === f && col("to_st") === t, 1L)
-        .otherwise(0L)).as(nm(f, t))
-    val m = cells.agg(aggs.head, aggs.tail: _*)
     val steps = markovNSteps(channels, rounds)
     val folded = steps.foldLeft(m) { (df, roundExprs) =>
       df.selectExpr("*" +: roundExprs.map { case (alias, e) =>

@@ -1843,6 +1843,42 @@ object EventQueries {
         Attribution.decayServe(totals, attributionChannels)
       },
       oracle = Some(decayOracle),
+      bench = true),
+
+    // ── incremental N-channel Markov attribution (r17) ─────────────
+    // q202's fold twin, for free: markovFold's cell state is
+    // CHANNEL-AGNOSTIC (each transition counts under whatever states
+    // appear in the chain), so the same fold that serves q199's
+    // 2-channel closed form (q205) serves q202's N-channel Jacobi
+    // recipe — only the serve half differs (markovNServe shares
+    // markovNFromCounts with the one-shot q202; one formula source).
+    // The oracle is q202's generated SQL VERBATIM: fold ≡ rebuild.
+    "q207_markov_n_fold" -> QuerySpec(
+      build = (s, d) => {
+        val e = ev(s, d)
+        val chs = markov3Channels
+        val touches = e.filter(col("event_type").isin(chs: _*))
+          .select(col("user_id").as("user"), col("ts_us").as("ts"),
+            col("event_type").as("channel"), col("event_id").as("tie"))
+        val conversions = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user"), col("ts_us").as("ts"))
+        val cuts = Seq(1704931200000000L, 1705795200000000L)
+        val bounds = (Long.MinValue +: cuts).zip(cuts :+ Long.MaxValue)
+        def slice(f: DataFrame, lo: Long, hi: Long) =
+          f.filter(col("ts") >= lo && col("ts") < hi)
+        var (frontier, cells) =
+          Attribution.markovInitState(touches, conversions)
+        bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val (nf, nc) = Attribution.markovFold(frontier, cells,
+            slice(touches, lo, hi), slice(conversions, lo, hi))
+          frontier = if (i < bounds.size - 1) graft.Checkpoints.cut(nf)
+                     else nf
+          cells = if (i < bounds.size - 1) graft.Checkpoints.cut(nc)
+                  else nc
+        }
+        Attribution.markovNServe(cells, chs)
+      },
+      oracle = Some(Attribution.markovNOracleSql(markov3Channels)),
       bench = true)
 
   )

@@ -349,6 +349,15 @@ object AttributionStream {
     Attribution.markovServe(latestSidecar(spark, cellsDir, "markov cell"),
       chA, chB)
 
+  /** The q202 N-channel Markov report from the SAME maintained cell
+    * counts — [[maintainMarkov]]'s state is channel-agnostic, so one
+    * maintained store serves both the 2-channel closed form and the
+    * N-channel Jacobi recipe (q207). */
+  def serveMarkovN(spark: SparkSession, cellsDir: String,
+                   channels: Seq[String], rounds: Int = 24): DataFrame =
+    Attribution.markovNServe(latestSidecar(spark, cellsDir, "markov cell"),
+      channels, rounds)
+
   private def latestSidecar(spark: SparkSession, dir: String,
                             what: String): DataFrame = {
     val root = Paths.get(dir)

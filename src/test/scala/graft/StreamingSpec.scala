@@ -1648,6 +1648,15 @@ class StreamingSpec extends SparkSpec {
     assert(canon(AttributionStream.serveMarkov(spark, cdir,
       "click", "view")) === served,
       "pruning must not change the served markov report")
+
+    // the SAME maintained cell store serves the N-channel Jacobi
+    // recipe (q207's serve half) — the state is channel-agnostic
+    assert(canon(AttributionStream.serveMarkovN(spark, cdir, chs)) ===
+      canon(Attribution.markovNByChannel(
+        raw.filter(col("channel").isin(chs: _*)),
+        raw.filter(col("channel") === "purchase")
+          .select(col("user"), col("ts")), chs)),
+      "N-channel serve over maintained cells drifted from one-shot q202")
   }
 
   test("decay stream: streamed totals == one-shot q198 pair plan; " +
