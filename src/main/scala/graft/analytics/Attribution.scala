@@ -533,8 +533,8 @@ object Attribution {
     val delta = graft.operators.RangeJoin.pointInInterval(
         timeline, "user", "ts", iv, "cu", "_ws", "_we",
         Seq("cts"), bucketWidth = lookbackUs)
-      .withColumn("w", expr(
-        s"shiftright(65536L, CAST((cts - ts) div $decayUnitUs AS INT))"))
+      .withColumn("w",
+        expr(decayWeightSql(s"(cts - ts) div $decayUnitUs")))
       .groupBy(col("channel"))
       .agg(sum(col("w")).as("decay_w"),
         count(lit(1)).as("n_weighted"))
@@ -545,6 +545,18 @@ object Attribution {
     (untouched.unionByName(pruneState(timeline, lit(lookbackUs))),
       newTotals)
   }
+
+  /** The `65536 >> age` decay weight with the shift CLAMPED: Spark's
+    * `shiftright` masks the shift amount mod 64 for longs, so a pair
+    * aged ≥ 64 decay units would wrap back to FULL weight (65536 at
+    * age 64) while DuckDB's `>>` returns 0 for any shift ≥ 64 — a
+    * silent engine divergence for lookbacks of 64+ units (e.g. 90-day
+    * lookback at day grain). Any shift > 16 is exactly 0 for a 2^16
+    * weight, so clamping there matches DuckDB at every age. `age` is
+    * a SQL expression, non-negative by the pair join's window. */
+  private[analytics] def decayWeightSql(age: String): String =
+    s"CASE WHEN ($age) > 16 THEN 0L " +
+      s"ELSE shiftright(65536L, CAST(($age) AS INT)) END"
 
   /** The q198 report from maintained decay totals — zero-filled over
     * the channel list, the serve half of the fold. */

@@ -165,10 +165,6 @@ object EventQueries {
         LEFT JOIN lin ON lin.ch = chs.ch
         ORDER BY channel"""
 
-  /** q199's full-replay 2-channel Markov oracle — also q205's verbatim
-    * (fold≡rebuild, the q187/q197 discipline): the whole chain window +
-    * 12-cell count + guarded closed form, matching
-    * [[Attribution.markovFromCounts]] step for step. */
   /** q198's full-replay time-decay oracle — also q206's VERBATIM (the
     * fold-twin hash match IS the fold ≡ rebuild proof, the q205
     * discipline). */
@@ -192,6 +188,10 @@ object EventQueries {
                    FROM w GROUP BY ch) s ON s.ch = chs.ch
         ORDER BY channel"""
 
+  /** q199's full-replay 2-channel Markov oracle — also q205's verbatim
+    * (fold≡rebuild, the q187/q197 discipline): the whole chain window +
+    * 12-cell count + guarded closed form, matching
+    * [[Attribution.markovFromCounts]] step for step. */
   private val markov2Oracle = """
         WITH ev AS (
           SELECT user_id AS u, epoch_us(ts) AS ts,
@@ -1563,7 +1563,7 @@ object EventQueries {
           Seq("cts"), bucketWidth = 7L * day)
         val credited = pairs
           .withColumn("w", expr(
-            s"shiftright(65536L, CAST((cts - ts) div $day AS INT))"))
+            Attribution.decayWeightSql(s"(cts - ts) div $day")))
           .groupBy(col("channel"))
           .agg(sum(col("w")).as("decay_w"),
             count(lit(1)).as("n_weighted"))

@@ -80,10 +80,9 @@ object AttributionStream {
     val root = Paths.get(storeDir)
     Files.createDirectories(root)
     VersionedDir.sweep(root, "_tmp-")
-    val touches = batch.filter(col("channel").isin(channels: _*))
-      .select(col("user"), col("ts"), col("channel"), col("tie"))
-    val conversions = batch.filter(col("channel") === conversionType)
-      .select(col("user"), col("ts"), col("tie").as("cid"))
+    val (touches, conv) = splitBatch(batch, channels, conversionType,
+      convTie = true)
+    val conversions = conv.withColumnRenamed("tie", "cid")
     // touched buckets come from the RAW batch (touch ∪ conversion
     // users — a conversion-only user's stored timeline must be read)
     val touched = BucketedStateStore.touchedBuckets(
@@ -202,8 +201,16 @@ object AttributionStream {
             p.getFileName.toString.startsWith("part-"))
           finally st.close()
         }
-        (through,
-          if (hasRows) Some(spark.read.parquet(rows.toString)) else None)
+        (through, if (!hasRows) None else {
+          val df = spark.read.parquet(rows.toString)
+          // a store compacted before credits carried their provenance
+          // column has no `batch` — null-fill it (the ids are gone for
+          // good: merged rows predate the column) so serve/compact
+          // union cleanly instead of throwing on the schema gap
+          Some(if (df.columns.contains("batch")) df
+               else df.withColumn("batch",
+                 org.apache.spark.sql.functions.lit(null).cast("long")))
+        })
     }
   }
 

@@ -1429,6 +1429,32 @@ class OperatorSpec extends SparkSpec {
     assert(pos("view") === (500000L + 800000L + 400000L + 133332L))
   }
 
+  test("decay weight clamps past shift 16 — no mod-64 wrap (r17)") {
+    import graft.analytics.Attribution
+    val day = 86400000000L
+    // user 1: a touch 70 days before its conversion — inside a 90-day
+    // lookback, so the pair IS enumerated, but 65536 >> 70 must be 0:
+    // Spark's shiftright masks the shift mod 64, which without the
+    // clamp wraps age 70 to shift 6 = weight 1024 (DuckDB: 0).
+    // user 2: age 10 days — weight 65536 >> 10 = 64, the sanity twin.
+    val touches = Seq(
+      (1L, 0L, "click", 1L),
+      (2L, 0L, "click", 2L)
+    ).toDF("user", "ts", "channel", "tie")
+    val conversions = Seq(
+      (1L, 70L * day), (2L, 10L * day)
+    ).toDF("user", "ts")
+    val (h0, t0) = Attribution.decayInitState(touches)
+    val (_, totals) = Attribution.decayFold(h0, t0, touches,
+      conversions, lookbackUs = 90L * day)
+    val served = Attribution.decayServe(totals, Seq("click", "view"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(served("click") === (64L, 2L),
+      s"aged-out pair must weigh 0 (wrap would add 1024): $served")
+    assert(served("view") === (0L, 0L))
+  }
+
   test("Attribution.markovByChannel: hand-computed chain, fixed-point e6 (r16)") {
     import graft.analytics.Attribution
     // u1: v@1 c@2 K@3 | v@4(end->NULL); u2: K@1 | c@2(end->NULL);

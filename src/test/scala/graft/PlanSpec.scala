@@ -662,13 +662,16 @@ class PlanSpec extends SparkSpec {
       s"decay pair join degraded to a range cross-product:\n${p.take(1500)}")
   }
 
-  test("q206 decay fold: every fold's pair join bucketed, never a " +
+  test("q206 decay fold: the fold's pair join bucketed, never a " +
       "nested loop (r17)") {
     val df = SparkEntry.queries("q206_decay_fold")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the fold twin must keep q198's pair discipline in EVERY fold:
-    // pairs through the bucketed (user, bucket) equi-join over
-    // (stored horizon ∪ batch), never a theta-join nested loop
+    // the fold twin must keep q198's pair discipline: pairs through
+    // the bucketed (user, bucket) equi-join over (stored horizon ∪
+    // batch), never a theta-join nested loop. The fixture's earlier
+    // folds are lineage-cut (Checkpoints.cut), so this plan shows the
+    // FINAL fold — all folds run the same decayFoldImpl builder over a
+    // non-empty horizon, so its shape is the operative one.
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"),
       s"decay fold pair join degraded to a cross-product:\n${p.take(1500)}")
