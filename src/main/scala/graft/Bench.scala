@@ -73,6 +73,23 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // Calibration stamp (the r17 lesson): the r17 driver run was a
+    // UNIFORM 1.2–1.4× the builder's same-binary same-morning run and
+    // neither load nor gc_ms flagged it — min-of-3 cannot subtract a
+    // sustained background load. This times a FIXED, data-independent,
+    // IO-free workload (64M-row hash+sum across all cores — the same
+    // resource the queries contend for) at the start and end of the
+    // timed region; cross-round per-query deltas divide by the
+    // calibration ratio before being read as plan changes, and a
+    // calibration drift >15% between rounds means re-run, not
+    // regression. Min-of-3 keeps the stamp itself noise-resistant.
+    def calibrate(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 26)
+        .selectExpr("sum(xxhash64(id, id + 1, id * 3)) s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val calibStart = calibrate()
     val loadStart = loadAvg
     val gcStart = gcMs
     val samples = collection.mutable.Map[String, List[Double]]()
@@ -131,8 +148,10 @@ object Bench {
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val totalMed = medians.map(_._2).sum
+    val calibEnd = calibrate()
     val ctx = s""""load":[${r3(loadStart)},${r3(loadAvg)}],""" +
-      s""""gc_ms":${gcMs - gcStart},"cpus":$cpus"""
+      s""""gc_ms":${gcMs - gcStart},"cpus":$cpus,""" +
+      s""""calib":[${r3(calibStart)},${r3(calibEnd)}]"""
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
       s""""sf":"$sfDir","total_median":${r3(totalMed)},$ctx,""" +

@@ -289,22 +289,52 @@ object Attribution {
         .select(col("st").as("from_st"), lit("NULL").as("to_st")))
   }
 
+  /** Weight of cell rows naming a state OUTSIDE {S, CONV, NULL} ∪
+    * `channels` — the guard term [[countCells2]]/[[countCellsN]]
+    * aggregate alongside the named cells (r18, the advisor's catch):
+    * the per-cell `when(... === ch)` sums silently DROP any cell whose
+    * state is not in the serve list, so serving a MAINTAINED store
+    * with a narrower channel list than its maintainer's would report
+    * numbers matching neither one-shot variant, with no error. The
+    * guard rides the same aggregate (no extra job) and
+    * [[strayGuard]]'s branch-structural raise_error fires before any
+    * formula reads the counts. */
+  private def strayAgg(channels: Seq[String]) = {
+    val allowed = Seq("S", "CONV", "NULL") ++ channels
+    sum(when(!col("from_st").isin(allowed: _*) ||
+        !col("to_st").isin(allowed: _*), abs(col("n")))
+      .otherwise(0L)).as("_stray")
+  }
+
+  private def strayGuard(cells: DataFrame): DataFrame =
+    cells.filter(when(coalesce(col("_stray"), lit(0L)) === 0L, lit(true))
+      .otherwise(raise_error(concat(
+        lit("Markov cells name chain states outside the serve channel " +
+          "list (total |n| of stray cells = "),
+        col("_stray").cast("string"),
+        lit(") — serving a maintained store with a channel list " +
+          "narrower than its maintainer's would silently drop those " +
+          "transitions; pass the maintained channel set")))))
+      .drop("_stray")
+
   /** The 2-channel 12-cell count frame from WEIGHTED transition rows
     * (from_st, to_st, n) — `n` = 1 for the one-shot chain, a
     * maintained count for the fold state; both roads meet at
-    * [[markovFromCounts]]'s closed form. */
+    * [[markovFromCounts]]'s closed form. Loud when the cells name a
+    * state outside {S, CONV, NULL, chA, chB} — see [[strayAgg]]. */
   private[analytics] def countCells2(cells: DataFrame, chA: String,
                                      chB: String): DataFrame = {
     def n(f: String, t: String) =
       sum(when(col("from_st") === f && col("to_st") === t, col("n"))
         .otherwise(0L))
-    cells.agg(
+    strayGuard(cells.agg(
       n("S", chA).as("nsc"), n("S", chB).as("nsv"),
       n("S", "CONV").as("nsk"),
       n(chA, chA).as("ncc"), n(chA, chB).as("ncv"),
       n(chA, "CONV").as("nck"), n(chA, "NULL").as("ncn"),
       n(chB, chA).as("nvc"), n(chB, chB).as("nvv"),
-      n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"))
+      n(chB, "CONV").as("nvk"), n(chB, "NULL").as("nvn"),
+      strayAgg(Seq(chA, chB))))
   }
 
   // ── incremental Markov attribution (r17) ─────────────────────────
@@ -463,9 +493,20 @@ object Attribution {
   }
 
   /** Fold one batch into the decay state. Append-only contract,
-    * enforced loudly (the [[fold]] guard). Scale shape: untouched
-    * users' horizons ride a broadcast anti-join; the pair set is the
-    * q198 plan over (stored horizon ∪ batch) vs batch conversions —
+    * enforced loudly on BOTH frontiers (r18 — the advisor's catch):
+    * the touch frontier (the [[fold]] guard) AND the per-user maximum
+    * FOLDED-CONVERSION ts, carried in the horizon as one marker row
+    * per converted user (`channel` IS NULL — real touches always have
+    * a channel). Without the second frontier, a touch arriving in a
+    * later batch with ts after the stored touch frontier but at-or-
+    * before an already-folded conversion's ts passed silently, and its
+    * pairs with that conversion were permanently missed (fold ≠
+    * rebuild with no error — the conversion's weights were already
+    * added from a window that predates the touch). Markov does not
+    * need the marker: its chain frontier already stores CONV rows.
+    * Scale shape: untouched users' horizons ride a broadcast
+    * anti-join; the pair set is the q198 plan over (stored horizon ∪
+    * batch) vs batch conversions —
     * [[graft.operators.RangeJoin.pointInInterval]]'s bucketed
     * (user, time-bucket) equi-join, output-bound, never a nested
     * loop; the totals fold is a bounded groupBy. */
@@ -499,20 +540,30 @@ object Attribution {
     val users = touches.select("user")
       .unionByName(conversions.select("user")).distinct()
     val untouched = horizon.join(broadcast(users), Seq("user"), "left_anti")
-    val touchedH = horizon.join(broadcast(users), Seq("user"), "left_semi")
+    val touchedAll = horizon.join(broadcast(users), Seq("user"), "left_semi")
+    // conversion-frontier marker rows (channel IS NULL) vs real
+    // horizon touches — see the fold contract in the scaladoc
+    val touchedH = touchedAll.filter(col("channel").isNotNull)
+    val markers = touchedAll.filter(col("channel").isNull)
     val front = touchedH.groupBy(col("user"))
       .agg(max(struct(col("ts"), col("tie"))).as("_bfront"))
+    val cfront = markers.groupBy(col("user"))
+      .agg(max(col("ts")).as("_cfront"))
     val guardedT = touches
       .join(broadcast(front), Seq("user"), "left")
-      .filter(when(col("_bfront").isNull ||
-          struct(col("ts"), col("tie")) > col("_bfront"), lit(true))
+      .join(broadcast(cfront), Seq("user"), "left")
+      .filter(when((col("_bfront").isNull ||
+            struct(col("ts"), col("tie")) > col("_bfront")) &&
+          (col("_cfront").isNull || col("ts") > col("_cfront")), lit(true))
         .otherwise(raise_error(concat(
           lit("decay fold is append-only: touch at "),
           struct(col("ts"), col("tie")).cast("string"),
-          lit(" not after stored frontier "),
-          col("_bfront").cast("string"),
-          lit(" — backfill requires a replay from the raw touch log")))))
-      .drop("_bfront")
+          lit(" not after stored frontiers (touch "),
+          col("_bfront").cast("string"), lit(", conversion "),
+          col("_cfront").cast("string"),
+          lit(") — an already-folded conversion's window would have " +
+            "included it; backfill requires a replay from the raw log")))))
+      .drop("_bfront", "_cfront")
       .select(col("user"), col("ts"), col("channel"), col("tie"))
     val guardedC = conversions
       .join(broadcast(front), Seq("user"), "left")
@@ -525,6 +576,15 @@ object Attribution {
           lit(" — its window needs pruned history; replay instead")))))
       .drop("_bfront")
     val timeline = pin(touchedH.unionByName(guardedT))
+    // next conversion frontier per touched user: max(stored marker,
+    // batch conversions) — one bounded row per converted user, tie =
+    // MaxValue so the marker can never shadow a real touch ordering
+    val newMarkers = markers.select(col("user"), col("ts"))
+      .unionByName(guardedC.select(col("user"), col("ts")))
+      .groupBy(col("user")).agg(max(col("ts")).as("ts"))
+      .select(col("user"), col("ts"),
+        lit(null).cast("string").as("channel"),
+        lit(Long.MaxValue).as("tie"))
     // the q198 pair plan: conversions as half-open (ts−L, ts]
     // intervals, bucketed point-in-interval equi-join
     val iv = guardedC.select(col("user").as("cu"),
@@ -542,7 +602,8 @@ object Attribution {
       .groupBy(col("channel"))
       .agg(sum(col("decay_w")).as("decay_w"),
         sum(col("n_weighted")).as("n_weighted"))
-    (untouched.unionByName(pruneState(timeline, lit(lookbackUs))),
+    (untouched.unionByName(pruneState(timeline, lit(lookbackUs)))
+      .unionByName(newMarkers),
       newTotals)
   }
 
@@ -611,16 +672,17 @@ object Attribution {
     markovNFromCounts(countCellsN(cells, channels), channels, rounds)
 
   /** The (1+|channels|)·(|channels|+2)-cell count frame from WEIGHTED
-    * transition rows — [[countCells2]]'s N-channel sibling. */
+    * transition rows — [[countCells2]]'s N-channel sibling, with the
+    * same loud stray-state guard ([[strayAgg]]). */
   private[analytics] def countCellsN(cells: DataFrame,
                                      channels: Seq[String]): DataFrame = {
     def nm(f: String, t: String) = s"n_${f}_$t"
     val froms = "S" +: channels
     val tos = channels ++ Seq("CONV", "NULL")
-    val aggs = for (f <- froms; t <- tos) yield
+    val aggs = (for (f <- froms; t <- tos) yield
       sum(when(col("from_st") === f && col("to_st") === t, col("n"))
-        .otherwise(0L)).as(nm(f, t))
-    cells.agg(aggs.head, aggs.tail: _*)
+        .otherwise(0L)).as(nm(f, t))) :+ strayAgg(channels)
+    strayGuard(cells.agg(aggs.head, aggs.tail: _*))
   }
 
   private[analytics] def markovNFromCounts(m: DataFrame,
@@ -790,11 +852,16 @@ object Attribution {
     * oracle IS the full replay — the q187/q183 fold≡rebuild
     * discipline), at batch + horizon cost.
     *
-    * Append-only contract, enforced loudly like [[graft.etl.Scd2
-    * .fold]]: every batch touch must order (ts, tie) strictly after
-    * its user's stored frontier, every batch conversion at-or-after
-    * the frontier's ts — out-of-order backfill would need pruned
-    * rows and must replay from the raw log instead.
+    * Append-only contract, enforced loudly on BOTH frontiers (r18,
+    * like [[decayFold]]): every batch touch must order (ts, tie)
+    * strictly after its user's stored touch frontier AND strictly
+    * after the user's last already-credited conversion (carried as a
+    * channel-IS-NULL marker row in the state — a later-arriving touch
+    * at-or-before that conversion's ts would have been in its window,
+    * so the credits already in the sink are wrong and the fold must
+    * abort, not absorb); every batch conversion at-or-after the touch
+    * frontier's ts. Out-of-order backfill needs pruned rows and must
+    * replay [[perConversion]] from the raw log instead.
     *
     * Scale shape: untouched users' state rides a broadcast anti-join
     * (no window, no shuffle); baselines/guards broadcast (batch-user-
@@ -827,8 +894,12 @@ object Attribution {
       : (DataFrame, DataFrame) = {
     val users = touches.select("user")
       .unionByName(conversions.select("user")).distinct()
-    val touchedState = state.join(broadcast(users), Seq("user"), "left_semi")
+    val touchedAll = state.join(broadcast(users), Seq("user"), "left_semi")
     val untouchedState = state.join(broadcast(users), Seq("user"), "left_anti")
+    // conversion-frontier marker rows (channel IS NULL — see
+    // [[decayFold]], the same enforcement) vs real annotated touches
+    val touchedState = touchedAll.filter(col("channel").isNotNull)
+    val markers = touchedAll.filter(col("channel").isNull)
     val baseAggs = Seq(
       max(struct(col("ts"), col("tie"))).as("_bfront"),
       max(col("idx")).as("_bidx")) ++
@@ -836,19 +907,25 @@ object Attribution {
     val base = touchedState.groupBy(col("user"))
       .agg(baseAggs.head, baseAggs.tail: _*)
     val front = base.select(col("user"), col("_bfront"))
+    val cfront = markers.groupBy(col("user"))
+      .agg(max(col("ts")).as("_cfront"))
     // when().otherwise(raise_error) — the guard's pass/raise split is
     // branch-structural, not reliant on Or-disjunct evaluation order
     val guardedTouches = touches
       .join(broadcast(front), Seq("user"), "left")
-      .filter(when(col("_bfront").isNull ||
-          struct(col("ts"), col("tie")) > col("_bfront"), lit(true))
+      .join(broadcast(cfront), Seq("user"), "left")
+      .filter(when((col("_bfront").isNull ||
+            struct(col("ts"), col("tie")) > col("_bfront")) &&
+          (col("_cfront").isNull || col("ts") > col("_cfront")), lit(true))
         .otherwise(raise_error(concat(
           lit("attribution fold is append-only: touch at "),
           struct(col("ts"), col("tie")).cast("string"),
-          lit(" not after stored frontier "),
-          col("_bfront").cast("string"),
-          lit(" — backfill requires a replay from the raw touch log")))))
-      .drop("_bfront")
+          lit(" not after stored frontiers (touch "),
+          col("_bfront").cast("string"), lit(", conversion "),
+          col("_cfront").cast("string"),
+          lit(") — an already-credited conversion's window would have " +
+            "included it; backfill requires a replay from the raw log")))))
+      .drop("_bfront", "_cfront")
     val guardedConvs = conversions
       .join(broadcast(front), Seq("user"), "left")
       .filter(when(col("_bfront").isNull ||
@@ -870,7 +947,19 @@ object Attribution {
     val timeline = pin(touchedState.unionByName(newAnnot))
     val credits =
       creditsFromAnnotated(timeline, guardedConvs, channels, lookback)
-    (credits, untouchedState.unionByName(pruneState(timeline, lookback)))
+    // next conversion frontier per touched user: max(stored marker,
+    // batch conversions) — the annotation columns are null on the
+    // marker (it is not a touch and never enters the timeline)
+    val newMarkers = markers.select(col("user"), col("ts"))
+      .unionByName(guardedConvs.select(col("user"), col("ts")))
+      .groupBy(col("user")).agg(max(col("ts")).as("ts"))
+      .select(Seq(col("user"), col("ts"),
+        lit(null).cast("string").as("channel"),
+        lit(Long.MaxValue).as("tie"),
+        lit(null).cast("long").as("idx")) ++
+        channels.map(ch => lit(null).cast("long").as(s"cum_$ch")): _*)
+    (credits, untouchedState.unionByName(pruneState(timeline, lookback))
+      .unionByName(newMarkers))
   }
 
   /** Per-user horizon prune of an annotated timeline: keep rows with

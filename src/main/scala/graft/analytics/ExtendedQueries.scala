@@ -1991,6 +1991,43 @@ object ExtendedQueries {
       build = (s, d) => scd2AsOfQuery(s, d,
         graft.etl.Scd2.BucketedProbe(bucketWidth = 512L)),
       oracle = Some(scd2AsOfOracle),
+      bench = true),
+
+    // ── incremental graph maintenance (r18) ────────────────────────
+    // q136's fold twin — the LAST derived-artifact family without an
+    // incremental path (labels/vectors/postings/rollups/SCD2/
+    // attribution/funnel/markov/decay all fold; EdgeIndex rebuilt from
+    // scratch on any lineitem change). Parallel edges are weights, so
+    // the edge relation folds associatively: three lineitem slices
+    // (l_orderkey mod 3 — a partition of the fact table) each derive
+    // their edge batch through the SAME fulfillmentEdges definition
+    // and fold into a BucketedStateStore by per-(src, dst) weight
+    // addition (touched-bucket publication; key-local by
+    // construction). Serve re-runs the fixed unrolled iterations with
+    // weighted contributions (integer-identical — see
+    // withMaintainedPagerankRanks). The oracle is q136's generated
+    // SQL VERBATIM over the full tables = the union of the folded
+    // batches: the hash match IS the fold ≡ rebuild proof.
+    "q208_pagerank_fold" -> QuerySpec(
+      build = (s, d) => {
+        val store = graft.text.Artifacts.dirMulti(d,
+          "edgefold_b64_i3_v1", Seq("lineitem.parquet", "orders.parquet"))
+        graft.text.Artifacts.materialize(store) { tmp =>
+          val stateDir = tmp.resolve("state").toString
+          (0 until 3).foreach { i =>
+            val li = lineitem(s, d)
+              .filter(pmod(col("l_orderkey"), lit(3)) === i)
+            EdgeFold.fold(fulfillmentEdgesFrom(li, orders(s, d)),
+              id = i + 1L, stateDir, buckets = 64)
+          }
+          // corpus-slice folds touch every bucket, so only the last
+          // version's layer is live — retire the earlier two
+          EdgeFold.prune(stateDir, keep = 1)
+        }
+        withMaintainedPagerankRanks(s, store.resolve("state").toString)(
+          localTop20(s, _))
+      },
+      oracle = Some(pagerankOracleSql),
       bench = true)
   )
 
@@ -2073,9 +2110,17 @@ object ExtendedQueries {
     * the q136 direct build and the [[EdgeIndex]] artifact. Both
     * directions are emitted in one pass over the join (a union of two
     * selects would recompute the scan+join per branch). */
-  private[graft] def fulfillmentEdges(s: SparkSession, d: String): DataFrame = {
-    val e0 = lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+  private[graft] def fulfillmentEdges(s: SparkSession, d: String): DataFrame =
+    fulfillmentEdgesFrom(lineitem(s, d), orders(s, d))
+
+  /** [[fulfillmentEdges]] over CALLER-SUPPLIED fact frames — the same
+    * one-pass both-directions build, factored so the incremental path
+    * ([[EdgeFold]], q208) derives a BATCH of edges from a batch of
+    * lineitem rows through the identical definition. */
+  private[graft] def fulfillmentEdgesFrom(li: DataFrame,
+                                          ord: DataFrame): DataFrame = {
+    val e0 = li.select(col("l_suppkey"), col("l_orderkey"))
+      .join(ord.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("l_suppkey") * 2).as("sid"),
         (col("o_custkey") * 2 + 1).as("cid"))
@@ -2083,6 +2128,50 @@ object ExtendedQueries {
         struct(col("sid").as("src"), col("cid").as("dst")),
         struct(col("cid").as("src"), col("sid").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
+  }
+
+  /** The q136 rank table served from the MAINTAINED weighted edge
+    * state ([[EdgeFold]]) — [[withPagerankRanks]]'s recurrence with
+    * weighted contributions: degree = Σw per src (= the parallel-edge
+    * multiplicity the one-shot build counts), per-edge contribution
+    * `w · (r div d)` (= the sum of the w identical per-parallel-row
+    * `r // d` terms), so the served ranks are integer-identical to the
+    * one-shot q136 build over the union of the folded batches. Same
+    * managed-scope contract as [[withPagerankRanks]]: `use` must force
+    * its result. The maintained edge table is |E|-scale, read once,
+    * repartitioned by src once and persisted so each iteration
+    * exchanges ONLY the |V|-row rank side (the EdgeIndex co-location
+    * property, re-established at read time because parquet bucketing
+    * metadata does not survive the state store's generic layout). */
+  private[graft] def withMaintainedPagerankRanks[T](s: SparkSession,
+      storeDir: String)(use: DataFrame => T): T = {
+    val scale = 1000000000000L
+    val iters = 3
+    val we = EdgeFold.edges(s, storeDir)
+    val ed = we.join(
+        we.groupBy(col("src")).agg(sum(col("w")).as("d")), "src")
+      .repartition(col("src")).persist()
+    val nodes = ed.select(col("src").as("node")).distinct().persist()
+    try {
+      val nNodes = nodes.count()
+      val rInit = scale / nNodes
+      val base = rInit * 15 / 100
+      var rank = nodes.select(col("node"), lit(rInit).as("r"))
+      for (_ <- 1 to iters) {
+        rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+          .select(col("dst"), (col("w") * expr("r div d")).as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      }
+      use(rank.select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          expr("node div 2")).as("node"),
+        col("r").as("rank_scaled")))
+    } finally {
+      nodes.unpersist(false); ed.unpersist(false)
+    }
   }
 
   /** q139's seed suppliers (suppkey values; node ids are 2k). Baked

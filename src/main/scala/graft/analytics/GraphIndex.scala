@@ -84,6 +84,61 @@ object EdgeIndex {
   }
 }
 
+/** INCREMENTAL maintenance for the fulfillment graph — the fold twin
+  * the artifact family was missing (r17 verdict: labels, vectors,
+  * postings, rollups, SCD2, attribution, funnel, markov and decay all
+  * fold; [[EdgeIndex]]/[[RankIndex]] rebuilt from scratch on any
+  * lineitem/orders change). Edge counts are ASSOCIATIVE — a parallel
+  * edge is a weight, so the maintained state is the weighted edge
+  * relation (src, dst, w) and a batch of new fulfillment facts folds
+  * by per-(src, dst) weight addition: key-local by construction, so
+  * it rides the [[graft.streaming.BucketedStateStore]] touched-bucket
+  * publication (hash-bucketed by src — the [[EdgeIndex]] co-location
+  * key — a fold rewrites only the buckets containing the batch's
+  * sources; per-batch write cost tracks the batch, not |E|).
+  *
+  * The serve half re-runs q136's fixed unrolled iterations from the
+  * maintained edge table with WEIGHTED contributions: the oracle's
+  * per-parallel-edge `r // d` terms sum to exactly `w · (r div d)`
+  * (each parallel row contributes the identical integer), and the
+  * degree is `Σ w` per src = the multiplicity count — so fold+serve
+  * is integer-identical to the one-shot build, and q208's oracle is
+  * q136's generated SQL verbatim over the union of the folded batches
+  * (the q205/q207 fold ≡ rebuild proof pattern, ridden through the
+  * driver's own hash gate). */
+object EdgeFold {
+
+  import org.apache.spark.sql.functions.{col, count, lit, sum}
+  import graft.streaming.BucketedStateStore
+
+  /** Fold a batch of raw directed edges (src, dst — one row per
+    * parallel edge, [[ExtendedQueries.fulfillmentEdges]]' shape) into
+    * the weighted edge state at `storeDir`. Micro-batch `id` follows
+    * the store's replay discipline (a re-fold of the same id rebuilds
+    * its own version from identical inputs). */
+  def fold(edges: DataFrame, id: Long, storeDir: String,
+           buckets: Int = 64): BucketedStateStore.FoldStats =
+    BucketedStateStore.foldBatch(
+      edges.select(col("src"), col("dst")), id, storeDir,
+      Seq("src"), buckets,
+      init = weights,
+      fold = (slice, b) => slice.unionByName(weights(b))
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w")))
+
+  /** Batch edges collapsed to their weights — the associative unit. */
+  private def weights(b: DataFrame): DataFrame =
+    b.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+
+  /** The complete maintained weighted edge relation (src, dst, w). */
+  def edges(s: SparkSession, storeDir: String): DataFrame =
+    BucketedStateStore.readAll(s,
+      java.nio.file.Paths.get(storeDir), "edge")
+
+  /** Drop superseded state versions (the store's layered prune). */
+  def prune(storeDir: String, keep: Int = 2): Unit =
+    BucketedStateStore.prune(storeDir, keep)
+}
+
 object RankIndex {
 
   /** (node, rank_scaled) for every node of the fulfillment graph under

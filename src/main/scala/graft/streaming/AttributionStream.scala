@@ -44,9 +44,11 @@ import graft.etl.VersionedDir
   *
   * Ordering contract (inherited from [[Attribution.fold]], enforced
   * loudly there): per-user event-time order across micro-batches —
-  * touches strictly after the user's stored frontier, conversions
-  * at-or-after it. Out-of-order backfill needs pruned rows and must
-  * replay [[Attribution.perConversion]] over the raw log instead. */
+  * touches strictly after the user's stored touch frontier AND
+  * strictly after the user's last credited conversion (a marker row
+  * in the state, r18), conversions at-or-after the touch frontier.
+  * Out-of-order backfill needs pruned rows and must replay
+  * [[Attribution.perConversion]] over the raw log instead. */
 object AttributionStream {
 
   /** Start the maintainer over a raw event stream with columns
@@ -112,120 +114,29 @@ object AttributionStream {
 
   /** All credited conversions so far — WITH their `batch` provenance
     * column (the micro-batch id that credited each conversion, long):
-    * the compacted store (if any compaction ran, batch preserved as a
-    * data column) plus every `batch=<id>` directory ABOVE the
-    * compaction watermark, read under `basePath` so the partition
-    * column survives the explicit leaf-dir listing — a stale replay
-    * directory of an already-compacted id is excluded rather than
-    * double-served. Fails with a descriptive error when nothing has
-    * been credited yet (the [[FunnelStream.serveSummary]] convention). */
-  def serveCredits(spark: SparkSession, creditsDir: String): DataFrame = {
-    val (through, compacted) = compactedState(spark, creditsDir)
-    val fresh = batchDirs(creditsDir).filter(_._1 > through)
-    val parts = compacted.toSeq ++
-      (if (fresh.isEmpty) Nil
-       else Seq(readBatchDirs(spark, creditsDir, fresh)))
-    require(parts.nonEmpty,
-      s"no credited batches yet under $creditsDir — the maintainer has " +
-        "not completed a micro-batch (or the directory is wrong)")
-    parts.reduce(_ unionByName _)
-  }
-
-  /** Explicit `batch=<id>` leaf dirs under a shared basePath, so the
-    * `batch` partition column is inferred; cast long (inference would
-    * type small ids int) so compacted data rows union losslessly. */
-  private def readBatchDirs(spark: SparkSession, creditsDir: String,
-                            dirs: Seq[(Long, String)]): DataFrame =
-    spark.read.option("basePath", creditsDir).parquet(dirs.map(_._2): _*)
-      .withColumn("batch", col("batch").cast("long"))
+    * [[BatchDirSink.serve]] over the credit sink (compacted store ∪
+    * above-watermark batch dirs; stale replays of already-compacted
+    * ids excluded). Fails with a descriptive error when nothing has
+    * been credited yet (the [[FunnelStream.serveSummary]] convention).
+    *
+    * NULL-batch rows: a store compacted BEFORE credits carried the
+    * provenance column serves those merged rows with `batch` = null
+    * (the ids are gone for good — they predate the column), and later
+    * compactions re-write the null rows permanently alongside real
+    * ids. A consumer grouping by `batch` must handle the null group
+    * deliberately (it means "credited before provenance tracking",
+    * not "no batch"). */
+  def serveCredits(spark: SparkSession, creditsDir: String): DataFrame =
+    BatchDirSink.serve(spark, creditsDir, "credited")
 
   /** Merge every `batch=<id>` directory EXCEPT the newest (the only id
     * foreachBatch can replay) into the versioned `_compacted` store,
     * then delete the merged directories — bounding the sink at one
     * live batch dir + one compacted store instead of one directory per
-    * trigger forever. Crash-safe in the [[graft.etl.VersionedDir]]
-    * way: the merged payload (rows + `through` watermark sidecar)
-    * stages completely and lands by atomic claim; a crash before the
-    * claim changes nothing, a crash after it leaves stale batch dirs
-    * at-or-below the watermark that [[serveCredits]] already excludes
-    * and the next compaction sweeps. Returns the new watermark (or the
-    * old one when there was nothing to compact). */
-  def compactCredits(spark: SparkSession, creditsDir: String): Long = {
-    val dirs = batchDirs(creditsDir)
-    val (through, compacted) = compactedState(spark, creditsDir)
-    if (dirs.isEmpty) return through
-    val newest = dirs.map(_._1).max
-    val newThrough = math.max(newest - 1, through)
-    val merge = dirs.filter(d => d._1 > through && d._1 < newest)
-    val stale = dirs.filter(_._1 <= through) // already-compacted replays
-    if (merge.nonEmpty || newThrough > through) {
-      val root = Paths.get(creditsDir, "_compacted")
-      Files.createDirectories(root)
-      VersionedDir.sweep(root, "._stage-")
-      val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
-      val merged = (compacted.toSeq ++
-        (if (merge.isEmpty) Nil
-         else Seq(readBatchDirs(spark, creditsDir, merge))))
-        .reduceOption(_ unionByName _)
-      merged match {
-        case Some(df) =>
-          df.write.mode("overwrite")
-            .parquet(stage.resolve("rows").toString)
-        case None => Files.createDirectories(stage.resolve("rows"))
-      }
-      Files.writeString(stage.resolve("through"), newThrough.toString)
-      VersionedDir.claim(root, stage)
-      VersionedDir.prune(root.toString, 2)
-    }
-    // merged dirs and stale replay leftovers are now redundant — their
-    // rows are served from the compacted store
-    (merge ++ stale).foreach(d =>
-      graft.text.Artifacts.deleteRecursively(Paths.get(d._2)))
-    newThrough
-  }
-
-  /** (watermark, compacted rows) from the newest complete `_compacted`
-    * version; (-1, None) when compaction has never run. */
-  private def compactedState(spark: SparkSession, creditsDir: String)
-      : (Long, Option[DataFrame]) = {
-    val root = Paths.get(creditsDir, "_compacted")
-    VersionedDir.versions(root).maxOption match {
-      case None => (-1L, None)
-      case Some(v) =>
-        val vdir = root.resolve(s"v$v")
-        val through = Files.readString(vdir.resolve("through")).trim.toLong
-        val rows = vdir.resolve("rows")
-        val hasRows = Files.isDirectory(rows) && {
-          val st = Files.list(rows)
-          try st.anyMatch(p =>
-            p.getFileName.toString.startsWith("part-"))
-          finally st.close()
-        }
-        (through, if (!hasRows) None else {
-          val df = spark.read.parquet(rows.toString)
-          // a store compacted before credits carried their provenance
-          // column has no `batch` — null-fill it (the ids are gone for
-          // good: merged rows predate the column) so serve/compact
-          // union cleanly instead of throwing on the schema gap
-          Some(if (df.columns.contains("batch")) df
-               else df.withColumn("batch",
-                 org.apache.spark.sql.functions.lit(null).cast("long")))
-        })
-    }
-  }
-
-  private def batchDirs(creditsDir: String): Seq[(Long, String)] = {
-    val root = Paths.get(creditsDir)
-    if (!Files.isDirectory(root)) return Nil
-    val st = Files.list(root)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.matches("batch=\\d+"))
-        .map(n => n.drop(6).toLong ->
-          root.resolve(n).toString).toSeq.sortBy(_._1)
-    } finally st.close()
-  }
+    * trigger forever. [[BatchDirSink.compact]] carries the crash-safety
+    * argument. Returns the new watermark. */
+  def compactCredits(spark: SparkSession, creditsDir: String): Long =
+    BatchDirSink.compact(spark, creditsDir)
 
   /** Drop superseded state versions, keeping the newest `keep` plus
     * whatever their manifests still reference. */

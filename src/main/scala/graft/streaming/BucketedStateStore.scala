@@ -245,11 +245,37 @@ object BucketedStateStore {
 
   private def schemaPath(vdir: Path) = vdir.resolve("_schema.json")
 
-  /** (bucket count, bucket → owner version) from a version's manifest. */
+  /** The layout-scheme tag every manifest carries ([[foldSlot]]'s
+    * even/odd slot versioning). A store published by PRE-slot code
+    * (raw `v<id>` per batch, no tag) must NOT be read silently: under
+    * the slot scheme, replaying legacy batch `k` would resolve
+    * `prevVersion = latestBefore(2k) = v<k>` — the batch's OWN old
+    * output — and fold the batch into state that already contains it
+    * (a silent double count); [[compact]] would likewise mistake a
+    * legacy odd batch id for an existing compaction. [[readManifest]]
+    * therefore fails loudly on any manifest without this tag (or with
+    * no manifest at all), instructing a rebuild. */
+  private[streaming] val layoutScheme = "slot2"
+
+  /** (bucket count, bucket → owner version) from a version's manifest.
+    * Loud on a pre-slot-scheme store — see [[layoutScheme]]. */
   private[streaming] def readManifest(vdir: Path): (Int, Map[Int, Long]) = {
     val props = new java.util.Properties()
-    val in = Files.newInputStream(vdir.resolve("_manifest"))
+    val mf = vdir.resolve("_manifest")
+    require(Files.isRegularFile(mf),
+      s"state store version $vdir has no _manifest — this directory " +
+        "was written by a pre-bucketed (full-rewrite) store layout; " +
+        "reading it under the slot-versioned scheme would silently " +
+        "double-fold replayed batches. Rebuild the store (wipe the " +
+        "directory and re-fold from the checkpointed source).")
+    val in = Files.newInputStream(mf)
     try props.load(in) finally in.close()
+    require(props.getProperty("scheme") == layoutScheme,
+      s"state store version $vdir was published under scheme " +
+        s"'${props.getProperty("scheme")}' but this code reads " +
+        s"'$layoutScheme' (even fold slots / odd compaction slots) — " +
+        "version numbers would be misinterpreted as batch ids. " +
+        "Rebuild the store from the checkpointed source.")
     import scala.jdk.CollectionConverters._
     val owners = props.stringPropertyNames().asScala.toSeq
       .filter(_.matches("b\\d+"))
@@ -260,6 +286,7 @@ object BucketedStateStore {
   private def writeManifest(vdir: Path, buckets: Int,
                             owners: Map[Int, Long]): Unit = {
     val props = new java.util.Properties()
+    props.setProperty("scheme", layoutScheme)
     props.setProperty("buckets", buckets.toString)
     owners.foreach { case (b, v) =>
       props.setProperty(s"b$b", v.toString) }

@@ -315,6 +315,29 @@ object EventStreams {
                                      id: Long): Unit =
     flags.write.mode("overwrite").parquet(s"$outDir/batch=$id")
 
+  /** All flags written so far — WITH the `batch` provenance column:
+    * [[BatchDirSink.serve]] over the flags sink (compacted store ∪
+    * above-watermark batch dirs; a stale replay of an already-compacted
+    * id is excluded rather than double-served). Fails with a
+    * descriptive error when no micro-batch has completed yet. */
+  def serveFlags(spark: org.apache.spark.sql.SparkSession,
+                 outDir: String): DataFrame =
+    BatchDirSink.serve(spark, outDir, "flag")
+
+  /** Merge every flags `batch=<id>` directory EXCEPT the newest (the
+    * only id foreachBatch can replay) into the watermarked
+    * `_compacted` store and delete the merged directories — without
+    * this the sink of [[hourlyAnomaliesRefreshing]] grows one
+    * directory per trigger FOREVER (~500k/year at a 1-minute trigger):
+    * the credit-sink recipe ([[AttributionStream.compactCredits]]),
+    * applied to the flags side. Call on lineage-hygiene cadence (e.g.
+    * every Nth trigger or nightly), concurrent-safe with the running
+    * stream because the newest (replayable) batch dir is never
+    * touched. Returns the new watermark. */
+  def compactFlags(spark: org.apache.spark.sql.SparkSession,
+                   outDir: String): Long =
+    BatchDirSink.compact(spark, outDir)
+
   /** Privacy-preserving live metrics feed — the streaming twin of the
     * q157 DP release: windowed per-type counts published with
     * discrete-Laplace noise ([[graft.analytics.DpNoise]], ε = ln 2),

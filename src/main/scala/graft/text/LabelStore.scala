@@ -124,7 +124,15 @@ object LabelStore {
     * claim that lands mid-mutation is the caller's violation, and this
     * check shrinks that window to the mutation phase instead of the
     * whole operation). */
+  /** Test seam: runs inside [[checkGeneration]], i.e. immediately
+    * before the generation re-check that gates the first directory
+    * mutation of fold/forget/compact — LabelStoreSpec injects a
+    * concurrent re-publish here to prove the race aborts loudly with
+    * the store untouched. No-op in production. */
+  private[graft] var beforeMutate: () => Unit = () => ()
+
   private def checkGeneration(storeDir: String, resolved: String): Unit = {
+    beforeMutate()
     val now = genRoot(storeDir)
     if (now != resolved)
       throw new IllegalStateException(

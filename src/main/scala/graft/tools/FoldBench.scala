@@ -165,6 +165,14 @@ object FoldBench {
         Seq(("click", 65536L * n, n), ("view", 0L, 0L))
           .toDF("channel", "decay_w", "n_weighted"))
 
+      // ── graph: one weighted edge row per node (the r18 EdgeFold
+      // state — src-keyed, so the sliver batch's sources pick the
+      // touched buckets exactly like the user-keyed stores) ──
+      val egState = s.range(n).select(
+        col("id").as("src"), ((col("id") + 1) % n).as("dst"),
+        lit(3L).as("w"))
+      val (egDir, eB, eKb) = seed("edges", m, egState, n, Seq("src"))
+
       for (b <- batchSizes.map(_ min n.toInt)) {
         val ids = sliverIds(n, b)
 
@@ -218,6 +226,13 @@ object FoldBench {
             dcDir, dcTotals, dB)
         }
 
+        // new parallel edges on the sliver's sources (weight folds)
+        val edgeBatch = ids.select(col("user").as("src"),
+          ((col("user") + 1) % n).as("dst"))
+        val (tE, stE) = timeMin {
+          graft.analytics.EdgeFold.fold(edgeBatch, 1L, egDir, eB)
+        }
+
         println(f"[foldw] M=$m%-5d B=$b%-5d users=$n%-9d " +
           f"attr=$tA%6.2fs wr=${stA.bytesWritten / 1024}%-6dKB " +
           f"tb=${stA.touched}%-5d(of $aB%d, store=${aKb}KB) " +
@@ -233,6 +248,9 @@ object FoldBench {
           f"tb=${stM.touched}%-5d(of $mB%d, store=${mKb}KB) " +
           f"decay=$tD%6.2fs wr=${stD.bytesWritten / 1024}%-6dKB " +
           f"tb=${stD.touched}%-5d(of $dB%d, store=${dKb}KB)")
+        println(f"[foldw]                              " +
+          f"edges=$tE%6.2fs wr=${stE.bytesWritten / 1024}%-6dKB " +
+          f"tb=${stE.touched}%-5d(of $eB%d, store=${eKb}KB)")
       }
     }
     s.stop()

@@ -332,4 +332,65 @@ class LabelStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ==
       Set((1L, 4L, 1L), (3L, 5L, 3L)))
   }
+
+  test("concurrent re-publish mid-fold: loud abort before any mutation, " +
+      "superseded generation untouched, retry succeeds (r18)") {
+    import spark.implicits._
+    val buckets = 4
+    val dir = freshDir()
+    LabelStore.publish(Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "rep"),
+      Seq((1L, 2L)).toDF("da", "db"), dir, buckets)
+
+    // full on-disk snapshot of the base generation's three tables —
+    // the abort contract is that NOTHING under them changes
+    def snapshot(): Seq[(String, Long, Long)] = {
+      val root = Paths.get(dir)
+      Seq("byRep", "byDoc", "pairs").flatMap { t =>
+        val p = root.resolve(t)
+        val st = Files.walk(p)
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(Files.isRegularFile(_))
+            .map(f => (root.relativize(f).toString, Files.size(f),
+              Files.getLastModifiedTime(f).toMillis)).toSeq
+        } finally st.close()
+      }.sortBy(_._1)
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    // the race, injected deterministically at the worst instant: a
+    // RE-publish claims generation v1 immediately before the fold's
+    // first directory mutation (the scan-snapshot witness window the
+    // VectorStore.retrain enforcement closes on its side)
+    LabelStore.beforeMutate = () =>
+      LabelStore.publish(
+        Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "rep"),
+        Seq((1L, 2L), (2L, 3L)).toDF("da", "db"), dir, buckets)
+    val err =
+      try intercept[IllegalStateException] {
+        LabelStore.fold(spark, dir, buckets,
+          Seq((2L, 50L)).toDF("da", "db"))
+      } finally LabelStore.beforeMutate = () => ()
+    assert(err.getMessage.contains("concurrent re-publish"),
+      s"race must abort with the generation message: ${err.getMessage}")
+
+    // the superseded generation is byte-untouched — the fold's delta
+    // was NOT stranded into it
+    assert(snapshot() === before,
+      "aborted fold must leave the superseded generation untouched")
+    // readers resolve the publisher's new generation
+    assert(LabelStore.labels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // the documented recovery: retry the fold against the new
+    // generation — it lands normally
+    val st = LabelStore.fold(spark, dir, buckets,
+      Seq((3L, 50L)).toDF("da", "db"))
+    assert(st.newPairs === 1L)
+    assert(LabelStore.labels(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 50L -> 1L))
+  }
 }

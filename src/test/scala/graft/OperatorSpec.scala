@@ -1145,6 +1145,66 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("q208 edge fold: 3-batch fold + weighted serve == one-shot q136 (r18)") {
+    val d = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-edgefold-art")
+    val prev = sys.props.get("graft.artifacts.dir")
+    sys.props("graft.artifacts.dir") = root.toString
+    try {
+      def run(q: String) = graft.analytics.ExtendedQueries.queries(q)
+        .build(spark, d).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(run("q208_pagerank_fold") === run("q136_pagerank"),
+        "the maintained-edge serve must equal the one-shot build " +
+          "bit-for-bit (fold ≡ rebuild)")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.artifacts.dir") = v
+        case None => sys.props -= "graft.artifacts.dir"
+      }
+      graft.text.Artifacts.deleteRecursively(root)
+    }
+  }
+
+  test("EdgeFold: sliver batch folds incrementally — touched-bucket " +
+      "publication, replay idempotent, two-batch == one-batch (r18)") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val li = graft.analytics.Tables.lineitem(spark, d)
+    val ord = graft.analytics.Tables.orders(spark, d)
+    import graft.analytics.{EdgeFold, ExtendedQueries}
+    def edgesOf(liSlice: org.apache.spark.sql.DataFrame) =
+      ExtendedQueries.fulfillmentEdgesFrom(liSlice, ord)
+    val isSliver = col("l_orderkey") % 97 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-edgefold")
+    val twoStep = tmp.resolve("two").toString
+    val oneShot = tmp.resolve("one").toString
+    val buckets = 64
+    try {
+      val base = EdgeFold.fold(edgesOf(li.filter(!isSliver)), 1L,
+        twoStep, buckets)
+      val sliver = EdgeFold.fold(edgesOf(li.filter(isSliver)), 2L,
+        twoStep, buckets)
+      // the sliver's publication is partition-incremental: far fewer
+      // buckets than the store has (the r17 touched-bucket contract)
+      assert(sliver.touched < buckets / 2,
+        s"sliver fold rewrote ${sliver.touched}/$buckets buckets — " +
+          "not incremental")
+      assert(base.touched > buckets / 2,
+        s"corpus-scale base fold should span most buckets: ${base.touched}")
+      EdgeFold.fold(edgesOf(li), 1L, oneShot, buckets)
+      def weights(dir: String) = EdgeFold.edges(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val two = weights(twoStep)
+      assert(two === weights(oneShot),
+        "two-batch fold must equal the one-batch fold (associativity)")
+      // at-least-once replay of the last id rebuilds identically
+      EdgeFold.fold(edgesOf(li.filter(isSliver)), 2L, twoStep, buckets)
+      assert(weights(twoStep) === two,
+        "a replayed batch must leave the maintained edges identical")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
@@ -1453,6 +1513,137 @@ class OperatorSpec extends SparkSpec {
     assert(served("click") === (64L, 2L),
       s"aged-out pair must weigh 0 (wrap would add 1024): $served")
     assert(served("view") === (0L, 0L))
+  }
+
+  test("decay fold: a touch behind an already-folded conversion aborts " +
+      "loudly — the conversion frontier is enforced, not documented (r18)") {
+    import graft.analytics.Attribution
+    val day = 86400000000L
+    val chs = Seq("click", "view")
+    // batch 1: touch @ day 1, conversion @ day 5 — the conversion's
+    // window weights are folded into the totals NOW
+    val t1 = Seq((1L, 1L * day, "click", 1L))
+      .toDF("user", "ts", "channel", "tie")
+    val c1 = Seq((1L, 5L * day)).toDF("user", "ts")
+    val (h0, tt0) = Attribution.decayInitState(t1)
+    val (h1, tot1) = Attribution.decayFold(h0, tt0, t1, c1,
+      lookbackUs = 7L * day)
+    // sanity: the folded conversion credited its one in-window touch
+    assert(Attribution.decayServe(tot1, chs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap.apply("click") === 1L)
+
+    // batch 2: a touch @ day 3 — AFTER the stored touch frontier
+    // (day 1), so the r17 guard passed it silently, but INSIDE the
+    // already-folded conversion's (day −2, day 5] window: its pair is
+    // permanently missed (fold ≠ rebuild). The conversion-frontier
+    // marker must reject it.
+    val lateTouch = Seq((1L, 3L * day, "view", 2L))
+      .toDF("user", "ts", "channel", "tie")
+    val noConvs = c1.limit(0)
+    // force the HORIZON output (the stream twin always publishes it):
+    // a conversion-less batch's totals path never evaluates the
+    // guarded touches (empty-side join pruning), but the touch cannot
+    // enter the stored horizon either — that is where the guard bites
+    val err = intercept[Exception] {
+      Attribution.decayFold(h1, tot1, lateTouch, noConvs,
+        lookbackUs = 7L * day)._1.collect()
+    }
+    def msgHas(e: Throwable, s: String): Boolean =
+      Option(e.getMessage).exists(_.contains(s)) ||
+        Option(e.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains(s)))
+    assert(msgHas(err, "append-only"),
+      s"touch behind the conversion frontier must abort: ${err.getMessage}")
+
+    // a touch strictly AFTER the conversion frontier folds fine, and
+    // fold ≡ rebuild holds across the batches
+    val okTouch = Seq((1L, 6L * day, "view", 3L))
+      .toDF("user", "ts", "channel", "tie")
+    val c2 = Seq((1L, 6L * day + 1)).toDF("user", "ts")
+    val (_, tot2) = Attribution.decayFold(h1, tot1, okTouch, c2,
+      lookbackUs = 7L * day)
+    val folded = Attribution.decayServe(tot2, chs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (oh, ot) = Attribution.decayInitState(t1)
+    val (_, oneTot) = Attribution.decayFold(oh, ot,
+      t1.unionByName(okTouch), c1.unionByName(c2),
+      lookbackUs = 7L * day)
+    val oneShot = Attribution.decayServe(oneTot, chs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(folded === oneShot,
+      "fold with marker rows must still equal the one-shot rebuild")
+  }
+
+  test("attribution fold: a touch behind an already-credited conversion " +
+      "aborts loudly; marker rows keep fold ≡ rebuild (r18)") {
+    import graft.analytics.Attribution
+    val day = 86400000000L
+    val chs = Seq("click", "view")
+    val t1 = Seq((1L, 1L * day, "click", 1L))
+      .toDF("user", "ts", "channel", "tie")
+    val c1 = Seq((1L, 5L * day, 100L)).toDF("user", "ts", "cid")
+    val s0 = Attribution.initState(t1, chs)
+    val (cr1, s1) = Attribution.fold(s0, t1, c1, chs, lit(7L * day))
+    assert(cr1.count() === 1L)
+
+    // a touch after the touch frontier (day 1) but inside the credited
+    // conversion's (day −2, day 5] window must abort — its absence
+    // from cr1 is already-served wrong output
+    val lateTouch = Seq((1L, 3L * day, "view", 2L))
+      .toDF("user", "ts", "channel", "tie")
+    def msgHas(e: Throwable, s: String): Boolean =
+      Option(e.getMessage).exists(_.contains(s)) ||
+        Option(e.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains(s)))
+    val err = intercept[Exception] {
+      Attribution.fold(s1, lateTouch, c1.limit(0), chs,
+        lit(7L * day))._2.collect()
+    }
+    assert(msgHas(err, "append-only"),
+      s"late touch must abort: ${err.getMessage}")
+
+    // a compliant later batch folds, and its credits equal the
+    // full-history replay (marker rows never reach the timeline)
+    val t2 = Seq((1L, 6L * day, "view", 3L))
+      .toDF("user", "ts", "channel", "tie")
+    val c2 = Seq((1L, 6L * day + 1, 200L)).toDF("user", "ts", "cid")
+    val (cr2, _) = Attribution.fold(s1, t2, c2, chs, lit(7L * day))
+    val folded = (cr1.collect() ++ cr2.collect()).map(_.toSeq).toSet
+    val replay = Attribution.perConversion(t1.unionByName(t2),
+        c1.unionByName(c2), chs, lit(7L * day), keepCounts = true)
+      .collect().map(_.toSeq).toSet
+    assert(folded === replay, "fold with markers must equal the replay")
+  }
+
+  test("markov serve: a channel list narrower than the maintained set " +
+      "aborts loudly instead of silently dropping transitions (r18)") {
+    import graft.analytics.Attribution
+    // maintain with 3 channels, then serve 2: the signup cells would
+    // silently vanish from every per-cell sum without the guard
+    val touches = Seq(
+      (1L, 1L, "click", 11L), (1L, 2L, "signup", 12L),
+      (2L, 1L, "view", 21L)
+    ).toDF("user", "ts", "channel", "tie")
+    val convs = Seq((1L, 3L)).toDF("user", "ts")
+    val (f0, c0) = Attribution.markovInitState(touches, convs)
+    val (_, cells) = Attribution.markovFold(f0, c0, touches, convs)
+    def msgHas(e: Throwable, s: String): Boolean =
+      Option(e.getMessage).exists(_.contains(s)) ||
+        Option(e.getCause).exists(c =>
+          Option(c.getMessage).exists(_.contains(s)))
+    val err = intercept[Exception] {
+      Attribution.markovServe(cells, chA = "click", chB = "view").collect()
+    }
+    assert(msgHas(err, "outside the serve channel list"),
+      s"narrow serve must fail loudly: ${err.getMessage}")
+    val errN = intercept[Exception] {
+      Attribution.markovNServe(cells, Seq("click", "view")).collect()
+    }
+    assert(msgHas(errN, "outside the serve channel list"))
+    // the full maintained set serves fine
+    val ok = Attribution.markovNServe(cells,
+      Seq("click", "signup", "view")).collect()
+    assert(ok.length === 3)
   }
 
   test("Attribution.markovByChannel: hand-computed chain, fixed-point e6 (r16)") {

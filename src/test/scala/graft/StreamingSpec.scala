@@ -1779,4 +1779,97 @@ class StreamingSpec extends SparkSpec {
     assert(canon() === before)
   }
 
+  test("flags sink compaction: batch dirs merge into the versioned " +
+      "store, served flags row-identical, stale replay of an " +
+      "already-compacted id excluded (r18)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val out = tmp("flags-compact") + "/flags"
+    // serve before any batch: descriptive error, not a raw parquet one
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.serveFlags(spark, out)
+    }
+    assert(err.getMessage.contains("no flag batches"))
+
+    def flags(ty: String, n: Long) = Seq(
+      (new java.sql.Timestamp(0L), ty, n, 10L, 2L, 1))
+      .toDF("hour", "event_type", "n", "med", "mad", "anomalous")
+    EventStreams.writeFlagsBatch(flags("click", 20L), out, 0L)
+    EventStreams.writeFlagsBatch(flags("view", 99L), out, 1L)
+    EventStreams.writeFlagsBatch(flags("click", 7L), out, 2L)
+    def canon() = EventStreams.serveFlags(spark, out)
+      .collect().map(_.toSeq).toSet
+    val before = canon()
+    assert(before.size === 3)
+
+    val through = EventStreams.compactFlags(spark, out)
+    assert(through === 1L)
+    val root = java.nio.file.Paths.get(out)
+    assert(!java.nio.file.Files.isDirectory(root.resolve("batch=0")) &&
+      !java.nio.file.Files.isDirectory(root.resolve("batch=1")),
+      "compacted batch dirs must be deleted")
+    assert(java.nio.file.Files.isDirectory(root.resolve("batch=2")),
+      "the newest (replayable) batch dir must survive")
+    assert(canon() === before,
+      "compaction must not change the served flags (provenance included)")
+
+    // a STALE at-least-once replay re-materializes an already-compacted
+    // id (crash between the sink write and the checkpoint commit, then
+    // a delayed restart): its rows are already in the compacted store,
+    // so serve must EXCLUDE the directory, not double-serve it — and
+    // the next compaction sweeps it without re-merging
+    EventStreams.writeFlagsBatch(flags("view", 99L), out, 1L)
+    assert(canon() === before,
+      "a stale replay below the watermark must not double-serve")
+    EventStreams.compactFlags(spark, out)
+    assert(!java.nio.file.Files.isDirectory(root.resolve("batch=1")),
+      "the next compaction must sweep the stale replay dir")
+    assert(canon() === before)
+
+    // growth is bounded: new batches + compaction keep ONE live batch
+    // dir + the _compacted store, rows always served exactly once
+    EventStreams.writeFlagsBatch(flags("signup", 3L), out, 3L)
+    EventStreams.compactFlags(spark, out)
+    val dirs = java.nio.file.Files.list(root).iterator()
+    val names = {
+      import scala.jdk.CollectionConverters._
+      dirs.asScala.map(_.getFileName.toString).toSet
+    }
+    assert(names === Set("batch=3", "_compacted"),
+      s"sink must stay bounded at one live dir + compacted store: $names")
+    assert(canon().size === 4)
+  }
+
+  test("bucketed state store: pre-slot-scheme layouts are rejected " +
+      "loudly, never silently double-folded (r18)") {
+    import spark.implicits._
+    import graft.streaming.BucketedStateStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-legacy-store")
+    // a store as PRE-slot code wrote it: raw v<id> full-state parquet,
+    // no manifest — replaying batch 1 under the slot scheme would
+    // resolve prevVersion = latestBefore(2) = v1, the batch's OWN old
+    // output, and silently double-fold
+    Seq((1L, 10L)).toDF("k", "v").write
+      .parquet(dir.resolve("v1").toString)
+    val err = intercept[IllegalArgumentException] {
+      BucketedStateStore.foldBatch(
+        Seq((1L, 5L)).toDF("k", "v"), 1L, dir.toString, Seq("k"), 4,
+        init = identity, fold = (s, b) => s.unionByName(b))
+    }
+    assert(err.getMessage.contains("pre-bucketed") ||
+      err.getMessage.contains("_manifest"),
+      s"legacy layout must fail with a rebuild instruction: ${err.getMessage}")
+    // a manifest from a hypothetical OTHER scheme is rejected too
+    val v3 = dir.resolve("v3")
+    java.nio.file.Files.createDirectories(v3)
+    java.nio.file.Files.writeString(v3.resolve("_manifest"),
+      "buckets=4\nb0=3\n")
+    val err2 = intercept[IllegalArgumentException] {
+      BucketedStateStore.readAll(spark, dir, "test")
+    }
+    assert(err2.getMessage.contains("scheme"),
+      s"unmarked manifest must name the scheme gap: ${err2.getMessage}")
+    graft.text.Artifacts.deleteRecursively(dir)
+  }
+
 }
