@@ -559,8 +559,9 @@ object Attribution {
           lit("decay fold is append-only: touch at "),
           struct(col("ts"), col("tie")).cast("string"),
           lit(" not after stored frontiers (touch "),
-          col("_bfront").cast("string"), lit(", conversion "),
-          col("_cfront").cast("string"),
+          coalesce(col("_bfront").cast("string"), lit("none")),
+          lit(", conversion "),
+          coalesce(col("_cfront").cast("string"), lit("none")),
           lit(") — an already-folded conversion's window would have " +
             "included it; backfill requires a replay from the raw log")))))
       .drop("_bfront", "_cfront")
@@ -921,8 +922,9 @@ object Attribution {
           lit("attribution fold is append-only: touch at "),
           struct(col("ts"), col("tie")).cast("string"),
           lit(" not after stored frontiers (touch "),
-          col("_bfront").cast("string"), lit(", conversion "),
-          col("_cfront").cast("string"),
+          coalesce(col("_bfront").cast("string"), lit("none")),
+          lit(", conversion "),
+          coalesce(col("_cfront").cast("string"), lit("none")),
           lit(") — an already-credited conversion's window would have " +
             "included it; backfill requires a replay from the raw log")))))
       .drop("_bfront", "_cfront")

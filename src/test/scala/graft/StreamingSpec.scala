@@ -1840,6 +1840,39 @@ class StreamingSpec extends SparkSpec {
     assert(canon().size === 4)
   }
 
+  test("graph stream: streamed edge folds == one-batch fold, replay " +
+      "idempotent, ranks served from maintained state (r18)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.analytics.EdgeFold
+    import graft.streaming.GraphStream
+    val store = tmp("edges-store")
+    val input = MemoryStream[(Long, Long)]
+    val q = GraphStream.maintainEdges(input.toDF().toDF("src", "dst"),
+      store, tmp("edges-ckpt"), buckets = 8)
+    // parallel edge (0,1) recurs across batches — weights must add
+    val b1 = Seq((0L, 1L), (1L, 0L), (0L, 1L))
+    val b2 = Seq((2L, 3L), (3L, 2L), (0L, 1L))
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def weights(dir: String) = EdgeFold.edges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val served = weights(store)
+    assert(served === Map((0L, 1L) -> 3L, (1L, 0L) -> 1L,
+      (2L, 3L) -> 1L, (3L, 2L) -> 1L))
+    val oneDir = tmp("edges-one")
+    EdgeFold.fold((b1 ++ b2).toDF("src", "dst"), 1L, oneDir, buckets = 8)
+    assert(served === weights(oneDir),
+      "streamed folds must equal the one-batch fold (associativity)")
+    // at-least-once replay of the last micro-batch id
+    EdgeFold.fold(b2.toDF("src", "dst"), 1L, store, buckets = 8)
+    assert(weights(store) === served,
+      "a replayed micro-batch must leave the maintained edges identical")
+    GraphStream.prune(store)
+    assert(weights(store) === served)
+  }
+
   test("bucketed state store: pre-slot-scheme layouts are rejected " +
       "loudly, never silently double-folded (r18)") {
     import spark.implicits._
