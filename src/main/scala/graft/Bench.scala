@@ -89,6 +89,13 @@ object Bench {
         .selectExpr("sum(xxhash64(id, id + 1, id * 3)) s").collect()
       (System.nanoTime() - t0) / 1e9
     }.min
+    // JIT-warm the calibration shape untimed (min-of-3 absorbs the
+    // codegen compile but not C2 compilation of the generated class —
+    // the first measured stamp otherwise reads ~4× the warm cost and
+    // start/end become a JVM-warmup meter instead of a machine-load one)
+    for (_ <- 1 to 5)
+      spark.range(1L << 26)
+        .selectExpr("sum(xxhash64(id, id + 1, id * 3)) s").collect()
     val calibStart = calibrate()
     val loadStart = loadAvg
     val gcStart = gcMs

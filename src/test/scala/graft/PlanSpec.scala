@@ -198,6 +198,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q208 maintained pagerank: iterations hash-join rank onto the " +
+      "cached once-exchanged edge state (r18)") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val tmpd = java.nio.file.Files.createTempDirectory("graft-plan-edgefold")
+    try {
+      val store = tmpd.resolve("state").toString
+      graft.analytics.EdgeFold.fold(
+        graft.analytics.ExtendedQueries.fulfillmentEdges(spark, sf),
+        1L, store, buckets = 16)
+      graft.analytics.ExtendedQueries.withMaintainedPagerankRanks(
+          spark, store) { ranks =>
+        val plan = graft.analytics.ExtendedQueries.pagerankTop20(ranks)
+          .queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case other => other
+          }
+        val p = plan.toString
+        val joins = plan.collect { case j: ShuffledHashJoinExec => j }
+        assert(joins.length == 3,
+          s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
+        // the maintained edge state has no parquet bucketing metadata,
+        // so co-location is re-established by ONE explicit repartition
+        // below the persist — the cached edge side then joins with NO
+        // per-iteration Exchange, the q136/q139 property
+        joins.foreach { j =>
+          val edge = j.left
+          assert(edge.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+            s"iterations must read the CACHED maintained edges:\n$edge")
+          assert(edge.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"the repartitioned edge side must join with NO Exchange:\n$edge")
+        }
+        assert(p.contains("TakeOrderedAndProject"),
+          "top-20 must plan as TakeOrdered, not a full sort")
+      }
+    } finally graft.text.Artifacts.deleteRecursively(tmpd)
+  }
+
   test("q138 cohort retention: one scan, dedup and first-day window ride one exchange") {
     val df = SparkEntry.queries("q138_cohort_retention")(spark, sf)
     // ONE events scan: the cohort-size denominator must come from a
