@@ -2009,27 +2009,48 @@ object ExtendedQueries {
     // SQL VERBATIM over the full tables = the union of the folded
     // batches: the hash match IS the fold ≡ rebuild proof.
     "q208_pagerank_fold" -> QuerySpec(
-      build = (s, d) => {
-        val store = graft.text.Artifacts.dirMulti(d,
-          "edgefold_b64_i3_v1", Seq("lineitem.parquet", "orders.parquet"))
-        graft.text.Artifacts.materialize(store) { tmp =>
-          val stateDir = tmp.resolve("state").toString
-          (0 until 3).foreach { i =>
-            val li = lineitem(s, d)
-              .filter(pmod(col("l_orderkey"), lit(3)) === i)
-            EdgeFold.fold(fulfillmentEdgesFrom(li, orders(s, d)),
-              id = i + 1L, stateDir, buckets = 64)
-          }
-          // corpus-slice folds touch every bucket, so only the last
-          // version's layer is live — retire the earlier two
-          EdgeFold.prune(stateDir, keep = 1)
-        }
-        withMaintainedPagerankRanks(s, store.resolve("state").toString)(
-          localTop20(s, _))
-      },
+      build = (s, d) =>
+        withMaintainedPagerankRanks(s, maintainedEdgeStore(s, d))(
+          localTop20(s, _)),
       oracle = Some(pagerankOracleSql),
+      bench = true),
+
+    // ── personalized PageRank from the SAME maintained edge store ──
+    // q139's fold twin for free (the q205→q207 pattern on the graph
+    // side): the maintained weighted edge relation is report-agnostic,
+    // so the store q208 folds serves the personalized recurrence too —
+    // only the serve half differs (seed restart mass, full-outer
+    // rule). Oracle is q139's SQL verbatim: fold ≡ rebuild again.
+    "q209_ppr_fold" -> QuerySpec(
+      build = (s, d) =>
+        withMaintainedPprRanks(s, maintainedEdgeStore(s, d))(
+          localTop20(s, _)),
+      oracle = Some(pprOracleSql),
       bench = true)
   )
+
+  /** The q208/q209 fixture store: three lineitem slices (l_orderkey
+    * mod 3 — a partition of the fact table) each derive their edge
+    * batch through the SAME [[fulfillmentEdges]] definition and fold
+    * into a [[EdgeFold]] `BucketedStateStore`, materialized once per
+    * (lineitem, orders) content fingerprint. Corpus-slice folds touch
+    * every bucket, so only the last version's layer is live — the
+    * build prunes the earlier two. Returns the state dir. */
+  private def maintainedEdgeStore(s: SparkSession, d: String): String = {
+    val store = graft.text.Artifacts.dirMulti(d,
+      "edgefold_b64_i3_v1", Seq("lineitem.parquet", "orders.parquet"))
+    graft.text.Artifacts.materialize(store) { tmp =>
+      val stateDir = tmp.resolve("state").toString
+      (0 until 3).foreach { i =>
+        val li = lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(3)) === i)
+        EdgeFold.fold(fulfillmentEdgesFrom(li, orders(s, d)),
+          id = i + 1L, stateDir, buckets = 64)
+      }
+      EdgeFold.prune(stateDir, keep = 1)
+    }
+    store.resolve("state").toString
+  }
 
   /** The q136 PageRank rank table (node, rank_scaled), one row per
     * graph node — THE shared definition for the direct query and the
@@ -2212,6 +2233,52 @@ object ExtendedQueries {
           .select(col("node"),
             (coalesce(col("rc"), lit(0L)) + coalesce(col("rb"), lit(0L)))
               .as("r"))
+      }
+      use(rank.select(
+        concat(when(col("node") % 2 === 0, "s").otherwise("c"),
+          expr("node div 2")).as("node"),
+        col("r").as("rank_scaled")))
+    } finally { seeds.unpersist(false); ed.unpersist(false) }
+  }
+
+  /** q139's PPR served from the MAINTAINED weighted edge state — the
+    * [[withMaintainedPagerankRanks]] weighting applied to
+    * [[withPprRanks]]' recurrence, so ONE maintained store serves the
+    * whole graph-report family (global centrality q208, personalized
+    * q209) the way one maintained Markov cell table serves q205 and
+    * q207. Weighted contributions are integer-identical to the
+    * per-parallel-row sums (same argument as the global serve); the
+    * full-outer restart rule is unchanged. Managed scope — `use` must
+    * force its result. */
+  private[graft] def withMaintainedPprRanks[T](s: SparkSession,
+      storeDir: String)(use: DataFrame => T): T = {
+    val scale = 1000000000000L
+    val seedNodes = pprSeedSuppliers.map(_ * 2)
+    val rInit = scale / seedNodes.size
+    val base = scale * 15 / 100 / seedNodes.size
+    val we = EdgeFold.edges(s, storeDir)
+    val ed = we.join(
+        we.groupBy(col("src")).agg(sum(col("w")).as("d")), "src")
+      .repartition(col("src")).persist()
+    val seeds = ed.select(col("src").as("node"))
+      .filter(col("node").isin(seedNodes: _*)).distinct().persist()
+    try {
+      var rank = seeds.select(col("node"), lit(rInit).as("r"))
+      for (_ <- 1 to 3) {
+        val contribs = ed
+          .join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+          .select(col("dst"), (col("w") * expr("r div d")).as("contrib"))
+          .groupBy(col("dst"))
+          .agg(sum(col("contrib")).as("sc"))
+          .select(col("dst").as("node"), expr("(85 * sc) div 100").as("rc"))
+        // the restart rule as union + re-aggregate instead of q139's
+        // FULL OUTER join: coalesce(rc,0)+coalesce(rb,0) ≡ sum over
+        // {damped row, seed row} per node — same integers, but the
+        // hash agg rides contribs' existing partitioning where the
+        // SMJ full-outer sorted the frontier every round
+        rank = contribs.select(col("node"), col("rc").as("r"))
+          .unionByName(seeds.select(col("node"), lit(base).as("r")))
+          .groupBy(col("node")).agg(sum(col("r")).as("r"))
       }
       use(rank.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),

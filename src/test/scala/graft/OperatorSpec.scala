@@ -1157,6 +1157,9 @@ class OperatorSpec extends SparkSpec {
       assert(run("q208_pagerank_fold") === run("q136_pagerank"),
         "the maintained-edge serve must equal the one-shot build " +
           "bit-for-bit (fold ≡ rebuild)")
+      // the SAME maintained store serves the personalized report too
+      assert(run("q209_ppr_fold") === run("q139_ppr_related"),
+        "the maintained-edge PPR serve must equal the one-shot q139")
     } finally {
       prev match {
         case Some(v) => sys.props("graft.artifacts.dir") = v
