@@ -2227,12 +2227,13 @@ object ExtendedQueries {
           .groupBy(col("dst"))
           .agg(sum(col("contrib")).as("sc"))
           .select(col("dst").as("node"), expr("(85 * sc) div 100").as("rc"))
-        rank = contribs
-          .join(seeds.select(col("node"), lit(base).as("rb")), Seq("node"),
-            "full")
-          .select(col("node"),
-            (coalesce(col("rc"), lit(0L)) + coalesce(col("rb"), lit(0L)))
-              .as("r"))
+        // restart rule as union + re-aggregate (r18, the q209 lesson):
+        // coalesce(rc,0)+coalesce(rb,0) ≡ sum over {damped row, seed
+        // row} per node — the same integers the oracle's FULL JOIN
+        // computes, without the SMJ sort of the frontier every round
+        rank = contribs.select(col("node"), col("rc").as("r"))
+          .unionByName(seeds.select(col("node"), lit(base).as("r")))
+          .groupBy(col("node")).agg(sum(col("r")).as("r"))
       }
       use(rank.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),
