@@ -159,9 +159,38 @@ object Bench {
     val ctx = s""""load":[${r3(loadStart)},${r3(loadAvg)}],""" +
       s""""gc_ms":${gcMs - gcStart},"cpus":$cpus,""" +
       s""""calib":[${r3(calibStart)},${r3(calibEnd)}]"""
+    // Calibration-NORMALIZED round-over-round deltas (r18 directive):
+    // when SPARK_GRAFT_BENCH_PREV points at a previous bench record
+    // (BENCH_DETAIL_r<N>.json / bench_latest.json — must carry "calib"
+    // and "queries"), each shared query's min-ratio divides by the
+    // calib ratio (machine speed now / machine speed then, each the
+    // mean of the run's start/end stamps), turning "is this drift or a
+    // regression" from a narrated argument into one computed column:
+    // normalized ≈ 1.0 → pure environment; normalized ≫ 1.0 → the
+    // plan/code changed. File-record only (stdout budget).
+    val normField = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
+      try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(new java.io.File(p))
+        val pc = root.get("calib")
+        val prevCalib = (pc.get(0).asDouble + pc.get(1).asDouble) / 2
+        val calibRatio = ((calibStart + calibEnd) / 2) / prevCalib
+        val pq = root.get("queries")
+        val norms = mins.flatMap { case (k, v) =>
+          Option(pq.get(k)).map(_.asDouble)
+            .filter(pv => pv > 0 && v > 0)
+            .map(pv => k -> (v / pv) / calibRatio)
+        }
+        Some(s""""calib_ratio_vs_prev":${f"$calibRatio%.3f"},""" +
+          s""""normalized_delta":${js(norms)},""")
+      } catch { case e: Throwable =>
+        System.err.println(s"bench: could not normalize vs $p: $e")
+        None
+      }
+    }.getOrElse("")
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""sf":"$sfDir","total_median":${r3(totalMed)},$ctx,""" +
+      s""""sf":"$sfDir","total_median":${r3(totalMed)},$ctx,$normField""" +
       s""""queries":${js(mins)},"queries_median":${js(medians)}}"""
     val outFile = java.nio.file.Paths.get("target", "bench_latest.json")
     java.nio.file.Files.createDirectories(outFile.getParent)

@@ -509,7 +509,16 @@ object Attribution {
     * batch) vs batch conversions —
     * [[graft.operators.RangeJoin.pointInInterval]]'s bucketed
     * (user, time-bucket) equi-join, output-bound, never a nested
-    * loop; the totals fold is a bounded groupBy. */
+    * loop; the totals fold is a bounded groupBy.
+    *
+    * Guard evaluation-dependence (r18 ADVICE): both frontier guards
+    * are expression-level `raise_error`s on the returned HORIZON
+    * output, so they fire when that output is materialized. The
+    * stream twin always publishes the horizon, so every batch is
+    * checked there; a BATCH caller that forces only the totals output
+    * (`._2`) in a conversion-less batch does not evaluate the guarded
+    * rows and gets no error for that batch — force `._1` (or both,
+    * as the stream does) to arm the guard unconditionally. */
   def decayFold(horizon: DataFrame, totals: DataFrame,
                 touches: DataFrame, conversions: DataFrame,
                 lookbackUs: Long,

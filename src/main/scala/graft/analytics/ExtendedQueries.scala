@@ -2026,8 +2026,66 @@ object ExtendedQueries {
         withMaintainedPprRanks(s, maintainedEdgeStore(s, d))(
           localTop20(s, _)),
       oracle = Some(pprOracleSql),
+      bench = true),
+
+    // ── incremental rank DELTA-SERVE (r19, the r18 stretch) ─────────
+    // the fold made the BUILD batch-proportional; this makes the SERVE
+    // sliver-proportional too: after a sliver fold, only the changed
+    // sources' ≤3-hop out-neighborhood can change rank, so the serve
+    // recomputes exactly that neighborhood over the maintained bucketed
+    // edges and overlays the previous full serve's per-iteration rank
+    // history (RankHistory). Oracle is q136's SQL verbatim over the
+    // union of ALL folded batches — the fold ≡ rebuild proof pattern
+    // applied to the serve half, through the driver's own hash gate.
+    "q210_pagerank_delta_serve" -> QuerySpec(
+      build = (s, d) => {
+        val dir = maintainedDeltaStore(s, d)
+        RankHistory.withDeltaServedRanks(s,
+          dir.resolve("state").toString,
+          dir.resolve("history").toString,
+          s.read.parquet(dir.resolve("changed").toString))(
+          localTop20(s, _))
+      },
+      oracle = Some(pagerankOracleSql),
       bench = true)
   )
+
+  /** The q210 fixture: batches 1–2 (l_orderkey % 199 != 0, split by
+    * parity) fold into the store and the full serve publishes the
+    * per-iteration rank history; batch 3 — the SLIVER, l_orderkey %
+    * 199 == 0 (~0.5% of the fact rows) — folds after it, so the
+    * query-time serve exercises the delta path: history + sliver.
+    * The changed-source set (the sliver's edge endpoints) is persisted
+    * at build time, tiny; the three slices partition lineitem, so the
+    * union of the folded batches is the full table and q136's oracle
+    * applies verbatim. Returns the artifact dir (state/, history/,
+    * changed/). */
+  private def maintainedDeltaStore(s: SparkSession,
+                                   d: String): java.nio.file.Path = {
+    val store = graft.text.Artifacts.dirMulti(d,
+      "edgefold_delta_b64_v1", Seq("lineitem.parquet", "orders.parquet"))
+    graft.text.Artifacts.materialize(store) { tmp =>
+      val stateDir = tmp.resolve("state").toString
+      val li = lineitem(s, d)
+      val isSliver = pmod(col("l_orderkey"), lit(199)) === 0
+      val parity = pmod(col("l_orderkey"), lit(2))
+      EdgeFold.fold(fulfillmentEdgesFrom(
+        li.filter(!isSliver && parity === 0), orders(s, d)),
+        id = 1L, stateDir, buckets = 64)
+      EdgeFold.fold(fulfillmentEdgesFrom(
+        li.filter(!isSliver && parity === 1), orders(s, d)),
+        id = 2L, stateDir, buckets = 64)
+      RankHistory.publish(s, stateDir, tmp.resolve("history").toString)
+      val sliverEdges = fulfillmentEdgesFrom(
+        li.filter(isSliver), orders(s, d)).persist()
+      try {
+        EdgeFold.fold(sliverEdges, id = 3L, stateDir, buckets = 64)
+        sliverEdges.select(col("src")).distinct()
+          .write.parquet(tmp.resolve("changed").toString)
+      } finally sliverEdges.unpersist(false)
+    }
+    store
+  }
 
   /** The q208/q209 fixture store: three lineitem slices (l_orderkey
     * mod 3 — a partition of the fact table) each derive their edge
@@ -2038,7 +2096,7 @@ object ExtendedQueries {
     * build prunes the earlier two. Returns the state dir. */
   private def maintainedEdgeStore(s: SparkSession, d: String): String = {
     val store = graft.text.Artifacts.dirMulti(d,
-      "edgefold_b64_i3_v1", Seq("lineitem.parquet", "orders.parquet"))
+      "edgefold_b64_i3_v2", Seq("lineitem.parquet", "orders.parquet"))
     graft.text.Artifacts.materialize(store) { tmp =>
       val stateDir = tmp.resolve("state").toString
       (0 until 3).foreach { i =>
@@ -2159,19 +2217,18 @@ object ExtendedQueries {
     * `r // d` terms), so the served ranks are integer-identical to the
     * one-shot q136 build over the union of the folded batches. Same
     * managed-scope contract as [[withPagerankRanks]]: `use` must force
-    * its result. The maintained edge table is |E|-scale, read once,
-    * repartitioned by src once and persisted so each iteration
-    * exchanges ONLY the |V|-row rank side (the EdgeIndex co-location
-    * property, re-established at read time because parquet bucketing
-    * metadata does not survive the state store's generic layout). */
+    * its result. The maintained edge table arrives as the store's
+    * composed BUCKETED scan ([[EdgeFold.degreedEdgesBucketed]]) with
+    * the degree maintained in-state, so the serve carries ZERO
+    * |E|-scale exchange end to end — setup included: no per-serve
+    * repartition, no degree self-join (r18's weak mark); each
+    * iteration exchanges ONLY the |V|-row rank side (the EdgeIndex
+    * co-location property, inherited from the store's own layout). */
   private[graft] def withMaintainedPagerankRanks[T](s: SparkSession,
       storeDir: String)(use: DataFrame => T): T = {
     val scale = 1000000000000L
     val iters = 3
-    val we = EdgeFold.edges(s, storeDir)
-    val ed = we.join(
-        we.groupBy(col("src")).agg(sum(col("w")).as("d")), "src")
-      .repartition(col("src")).persist()
+    val ed = EdgeFold.degreedEdgesBucketed(s, storeDir).persist()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     try {
       val nNodes = nodes.count()
@@ -2250,17 +2307,17 @@ object ExtendedQueries {
     * q207. Weighted contributions are integer-identical to the
     * per-parallel-row sums (same argument as the global serve); the
     * full-outer restart rule is unchanged. Managed scope — `use` must
-    * force its result. */
+    * force its result. Edge side: the composed bucketed scan with
+    * in-state degrees ([[EdgeFold.degreedEdgesBucketed]]) — zero
+    * |E|-scale exchange, setup included (see
+    * [[withMaintainedPagerankRanks]]). */
   private[graft] def withMaintainedPprRanks[T](s: SparkSession,
       storeDir: String)(use: DataFrame => T): T = {
     val scale = 1000000000000L
     val seedNodes = pprSeedSuppliers.map(_ * 2)
     val rInit = scale / seedNodes.size
     val base = scale * 15 / 100 / seedNodes.size
-    val we = EdgeFold.edges(s, storeDir)
-    val ed = we.join(
-        we.groupBy(col("src")).agg(sum(col("w")).as("d")), "src")
-      .repartition(col("src")).persist()
+    val ed = EdgeFold.degreedEdgesBucketed(s, storeDir).persist()
     val seeds = ed.select(col("src").as("node"))
       .filter(col("node").isin(seedNodes: _*)).distinct().persist()
     try {

@@ -53,18 +53,28 @@ object AttributionStream {
 
   /** Start the maintainer over a raw event stream with columns
     * (`user`, `ts`, `channel`, `tie`) where `channel` ∈ `channels`
-    * marks a touch and `channel` == `conversionType` a conversion. */
+    * marks a touch and `channel` == `conversionType` a conversion.
+    *
+    * `autoCompactEvery` wires [[BatchDirSink.maybeCompact]] into the
+    * trigger loop (r18 directive): every Nth micro-batch compacts the
+    * credit sink right after its own `batch=<id>` write, so the
+    * bounded-growth guarantee (≤ N live batch dirs + one compacted
+    * store) holds BY CONSTRUCTION instead of by operator cadence.
+    * `<= 0` disables (compact manually via [[compactCredits]]). */
   def maintainAttribution(events: DataFrame, channels: Seq[String],
                           conversionType: String, lookbackUs: Long,
                           storeDir: String, creditsDir: String,
                           checkpointDir: String,
-                          buckets: Int = 64): StreamingQuery =
+                          buckets: Int = 64,
+                          autoCompactEvery: Int = 64): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, id: Long) =>
         foldBatch(df, id, channels, conversionType, lookbackUs,
           storeDir, creditsDir, buckets)
+        BatchDirSink.maybeCompact(df.sparkSession, creditsDir, id,
+          autoCompactEvery)
         ()
       }
       .start()
@@ -119,13 +129,14 @@ object AttributionStream {
     * ids excluded). Fails with a descriptive error when nothing has
     * been credited yet (the [[FunnelStream.serveSummary]] convention).
     *
-    * NULL-batch rows: a store compacted BEFORE credits carried the
-    * provenance column serves those merged rows with `batch` = null
-    * (the ids are gone for good — they predate the column), and later
-    * compactions re-write the null rows permanently alongside real
-    * ids. A consumer grouping by `batch` must handle the null group
-    * deliberately (it means "credited before provenance tracking",
-    * not "no batch"). */
+    * Pre-provenance rows: a store compacted BEFORE credits carried the
+    * provenance column serves those merged rows with `batch` =
+    * [[BatchDirSink.PreProvenanceBatch]] (-1 — the real ids are gone
+    * for good; they predate the column), never null (r19: the null
+    * group consumers had to special-case is retired —
+    * [[BatchDirSink.migratePreProvenance]] stamps stores whose
+    * compacted rows still carry nulls). -1 means "credited before
+    * provenance tracking", not "no batch". */
   def serveCredits(spark: SparkSession, creditsDir: String): DataFrame =
     BatchDirSink.serve(spark, creditsDir, "credited")
 

@@ -32,6 +32,11 @@ import graft.etl.VersionedDir
   * pin each end to end. */
 object BatchDirSink {
 
+  /** The `batch` value stamped on rows whose true micro-batch id is
+    * gone for good (compacted before the provenance column existed).
+    * -1 sorts below every real id and can never collide with one. */
+  val PreProvenanceBatch: Long = -1L
+
   /** Everything written so far — WITH the `batch` provenance column
     * (the micro-batch id, long): the compacted store (if a compaction
     * ran — `batch` preserved as a data column) plus every `batch=<id>`
@@ -39,17 +44,45 @@ object BatchDirSink {
     * so the partition column survives the explicit leaf-dir listing.
     * A stale replay directory of an already-compacted id is excluded
     * rather than double-served. Fails with a descriptive error when
-    * the sink is empty (`what` names it). */
+    * the sink is empty (`what` names it).
+    *
+    * Concurrent-compact safety (r18 ADVICE): between resolving the
+    * compacted watermark and listing the batch dirs, a concurrent
+    * [[compact]] may claim a NEWER watermark and delete the dirs it
+    * merged — a read against the stale pair would silently miss those
+    * rows. serve re-resolves the compacted state AFTER listing and
+    * retries while the watermark moved, so the returned frame's
+    * (watermark, dirs) pair is consistent. The frame is still lazy:
+    * materialize it promptly — a compact that runs between serve() and
+    * the action can delete a listed dir, which fails LOUDLY
+    * (FileNotFoundException), never silently. */
   def serve(spark: SparkSession, dir: String, what: String): DataFrame = {
-    val (through, compacted) = compactedState(spark, dir)
-    val fresh = batchDirs(dir).filter(_._1 > through)
-    val parts = compacted.toSeq ++
-      (if (fresh.isEmpty) Nil
-       else Seq(readBatchDirs(spark, dir, fresh)))
-    require(parts.nonEmpty,
-      s"no $what batches yet under $dir — the maintainer has not " +
-        "completed a micro-batch (or the directory is wrong)")
-    parts.reduce(_ unionByName _)
+    var attempt = 0
+    var result: Option[DataFrame] = None
+    while (result.isEmpty) {
+      val (through, compacted) = compactedState(spark, dir)
+      val fresh = batchDirs(dir).filter(_._1 > through)
+      raceSeam() // test seam: injects a concurrent compact here
+      // consistency check: the compacted version we read must still be
+      // the newest AFTER the dir listing — else a concurrent compact
+      // merged (and deleted) some of the dirs we would have skipped
+      if (compactedState(spark, dir)._1 == through) {
+        val parts = compacted.toSeq ++
+          (if (fresh.isEmpty) Nil
+           else Seq(readBatchDirs(spark, dir, fresh)))
+        require(parts.nonEmpty,
+          s"no $what batches yet under $dir — the maintainer has not " +
+            "completed a micro-batch (or the directory is wrong)")
+        result = Some(parts.reduce(_ unionByName _))
+      } else {
+        attempt += 1
+        require(attempt < 50,
+          s"serve($dir) could not observe a stable compaction " +
+            "watermark after 50 attempts — a compact loop is running " +
+            "hot; serve between compactions")
+      }
+    }
+    result.get
   }
 
   /** Merge every `batch=<id>` directory EXCEPT the newest into the
@@ -90,6 +123,49 @@ object BatchDirSink {
     newThrough
   }
 
+  /** The every-N-triggers auto-compaction hook for `foreachBatch`
+    * sinks (r18 directive — the bounded-growth guarantee by
+    * construction instead of by operator discipline, wired the way
+    * [[EventStreams.hourlyAnomaliesRefreshing]] refreshes thresholds):
+    * call after writing `batch=<id>`; every `every`-th trigger runs
+    * [[compact]], bounding the sink at ≤ `every` live batch dirs plus
+    * one compacted store. Safe within the trigger that just wrote
+    * `batch=<id>` — that id is the newest and compact never touches
+    * the newest (replayable) dir. `every <= 0` disables. */
+  def maybeCompact(spark: SparkSession, dir: String, id: Long,
+                   every: Int): Option[Long] =
+    if (every > 0 && id > 0 && id % every == 0) Some(compact(spark, dir))
+    else None
+
+  /** One-time migration stamping [[PreProvenanceBatch]] onto compacted
+    * rows whose `batch` is NULL (stores compacted by the release that
+    * null-filled pre-provenance rows instead of stamping the sentinel;
+    * r18 directive). Rewrites the newest `_compacted` version in place
+    * via the staged-claim idiom, preserving the watermark; later
+    * compactions carry the sentinel forward as an ordinary value.
+    * Returns the number of rows stamped (0 = nothing to migrate — also
+    * when no compaction ever ran). */
+  def migratePreProvenance(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val (through, compacted) = compactedState(spark, dir)
+    compacted match {
+      case None => 0L
+      case Some(df) =>
+        val nulls = df.filter(col("batch").isNull).count()
+        if (nulls == 0) return 0L
+        val root = Paths.get(dir, "_compacted")
+        VersionedDir.sweep(root, "._stage-")
+        val stage = root.resolve("._stage-" + java.util.UUID.randomUUID)
+        df.withColumn("batch",
+            coalesce(col("batch"), lit(PreProvenanceBatch)))
+          .write.mode("overwrite").parquet(stage.resolve("rows").toString)
+        Files.writeString(stage.resolve("through"), through.toString)
+        VersionedDir.claim(root, stage)
+        VersionedDir.prune(root.toString, 2)
+        nulls
+    }
+  }
+
   /** Explicit `batch=<id>` leaf dirs under a shared basePath, so the
     * `batch` partition column is inferred; cast long (inference would
     * type small ids int) so compacted data rows union losslessly. */
@@ -118,15 +194,24 @@ object BatchDirSink {
         (through, if (!hasRows) None else {
           val df = spark.read.parquet(rows.toString)
           // a store compacted before rows carried their provenance
-          // column has no `batch` — null-fill it (the ids are gone for
-          // good: merged rows predate the column) so serve/compact
-          // union cleanly instead of throwing on the schema gap
+          // column has no `batch` — stamp the sentinel (the ids are
+          // gone for good: merged rows predate the column) so
+          // serve/compact union cleanly and consumers never see a
+          // null batch group (r18 directive; [[migratePreProvenance]]
+          // persists the same stamp for stores whose compacted ROWS
+          // already carry nulls)
           Some(if (df.columns.contains("batch")) df
                else df.withColumn("batch",
-                 org.apache.spark.sql.functions.lit(null).cast("long")))
+                 org.apache.spark.sql.functions.lit(PreProvenanceBatch)))
         })
     }
   }
+
+  /** Test seam (the LabelStore.beforeMutate pattern): runs between
+    * [[serve]]'s dir listing and its watermark re-check, so the spec
+    * can inject a concurrent [[compact]] into the exact window the
+    * retry exists for. No-op in production. */
+  private[graft] var raceSeam: () => Unit = () => ()
 
   private def batchDirs(dir: String): Seq[(Long, String)] = {
     val root = Paths.get(dir)

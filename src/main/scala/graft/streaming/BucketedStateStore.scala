@@ -106,11 +106,21 @@ object BucketedStateStore {
     * read the touched slice, fold, publish `v<id>`. `init` builds the
     * first version's state straight from the batch (no previous
     * version); `fold` takes (touched slice, batch). Factored so every
-    * stream's foldBatch is these same five steps. */
+    * stream's foldBatch is these same five steps.
+    *
+    * `bucketedFiles = true` additionally writes every `_sb=<b>` dir's
+    * parquet through Spark's bucketed writer (bucket id encoded in the
+    * file name — identical to `_sb` because both are
+    * `pmod(murmur3(keys), buckets)`), which lets
+    * [[readLatestBucketedTable]] expose `HashPartitioning(keys)` to
+    * readers with ZERO exchange. Folds and [[readAll]] are
+    * byte-compatible either way; only the bucketed-table read path
+    * requires it. */
   def foldBatch(batch: DataFrame, id: Long, storeDir: String,
                 keyCols: Seq[String], buckets: Int,
                 init: DataFrame => DataFrame,
-                fold: (DataFrame, DataFrame) => DataFrame): FoldStats = {
+                fold: (DataFrame, DataFrame) => DataFrame,
+                bucketedFiles: Boolean = false): FoldStats = {
     val s = batch.sparkSession
     val root = Paths.get(storeDir)
     Files.createDirectories(root)
@@ -121,7 +131,8 @@ object BucketedStateStore {
       case Some(v) => fold(readSlice(s, root, v, touched, buckets), batch)
       case None    => init(batch)
     }
-    publish(next, root, id, prev, touched, keyCols, buckets)
+    publish(next, root, id, prev, touched, keyCols, buckets,
+      bucketedFiles)
   }
 
   /** Read EXACTLY the `touched` buckets of version `version` — each
@@ -145,6 +156,16 @@ object BucketedStateStore {
     val vdir = root.resolve(s"v$version")
     readOwned(s, root, vdir, readManifest(vdir)._2.toSeq)
   }
+
+  /** (bucket count, bucket → owner version) of a version — the public
+    * manifest view (consumers: delta-serve coverage checks that need
+    * "which buckets changed after version X"). */
+  def bucketOwners(root: Path, version: Long): (Int, Map[Int, Long]) =
+    readManifest(root.resolve(s"v$version"))
+
+  /** The newest version number; None for an empty store. */
+  def latestVersion(root: Path): Option[Long] =
+    VersionedDir.versions(root).maxOption
 
   /** The complete state at the latest version; loud error when the
     * store has no version yet. */
@@ -174,21 +195,38 @@ object BucketedStateStore {
     * [[prevVersion]]. */
   def publish(nextSlice: DataFrame, root: Path, id: Long,
               prev: Option[Long], touched: Seq[Int],
-              keyCols: Seq[String], buckets: Int): FoldStats = {
+              keyCols: Seq[String], buckets: Int,
+              bucketedFiles: Boolean = false): FoldStats = {
     val prevOwners = prev
       .map(v => readManifest(root.resolve(s"v$v"))._2)
       .getOrElse(Map.empty[Int, Long])
     publishAt(nextSlice, root, foldSlot(id), prevOwners, touched,
-      keyCols, buckets)
+      keyCols, buckets, bucketedFiles)
   }
 
   private def publishAt(nextSlice: DataFrame, root: Path, version: Long,
                         prevOwners: Map[Int, Long], touched: Seq[Int],
-                        keyCols: Seq[String], buckets: Int): FoldStats = {
+                        keyCols: Seq[String], buckets: Int,
+                        bucketedFiles: Boolean = false): FoldStats = {
     val tmp = root.resolve("_tmp-" + java.util.UUID.randomUUID)
-    nextSlice.withColumn("_sb", bucketCol(keyCols, buckets))
+    val staged = nextSlice.withColumn("_sb", bucketCol(keyCols, buckets))
       .repartition(col("_sb"))
-      .write.mode("overwrite").partitionBy("_sb").parquet(tmp.toString)
+    if (bucketedFiles) {
+      // bucketBy can only write through saveAsTable (the EdgeIndex
+      // staging trick): EXTERNAL table at the tmp path, drop the
+      // catalog entry, the bucket-named files stay. `_sb` equals the
+      // in-file bucket id (same pmod∘murmur3), so each `_sb=<b>` dir
+      // holds exactly its bucket-b file(s).
+      val stage = "graft_state_stage_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val s = nextSlice.sparkSession
+      try staged.write.mode("overwrite").partitionBy("_sb")
+        .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+        .option("path", tmp.toString).saveAsTable(stage)
+      finally s.sql(s"DROP TABLE IF EXISTS $stage")
+    } else
+      staged.write.mode("overwrite").partitionBy("_sb")
+        .parquet(tmp.toString)
     // key-locality guard: a fold that emitted keys OUTSIDE the touched
     // buckets would write dirs the manifest never references — fail
     // loudly instead of silently serving the previous owner's rows
@@ -200,7 +238,8 @@ object BucketedStateStore {
         "invisible behind the manifest's previous owners")
     Files.writeString(schemaPath(tmp), nextSlice.schema.json)
     writeManifest(tmp, buckets,
-      prevOwners ++ touched.map(_ -> version))
+      prevOwners ++ touched.map(_ -> version),
+      if (bucketedFiles) Some(keyCols) else None)
     val bytes = dirBytes(tmp)
     val dest = root.resolve(s"v$version")
     Artifacts.deleteRecursively(dest) // stale replay output
@@ -237,10 +276,14 @@ object BucketedStateStore {
     val latest = VersionedDir.versions(root).maxOption
       .getOrElse(sys.error(s"no state to compact under $root"))
     if (latest % 2 == 1) return latest // already a compaction
-    val buckets = readManifest(root.resolve(s"v$latest"))._1
+    val vdir = root.resolve(s"v$latest")
+    val buckets = readManifest(vdir)._1
     val all = readAllAt(s, root, latest)
+    // a bucketed-files store stays bucketed-files across compaction —
+    // the readLatestBucketedTable contract must survive lineage hygiene
     publishAt(all, root, latest + 1, Map.empty, (0 until buckets),
-      keyCols, buckets).version
+      keyCols, buckets,
+      bucketedFiles = bucketedKeys(vdir).isDefined).version
   }
 
   private def schemaPath(vdir: Path) = vdir.resolve("_schema.json")
@@ -270,6 +313,17 @@ object BucketedStateStore {
         "directory and re-fold from the checkpointed source).")
     val in = Files.newInputStream(mf)
     try props.load(in) finally in.close()
+    // tag-less ≠ pre-slot: a manifest with no scheme property was
+    // written by the slot-layout release that predates tagging — the
+    // LAYOUT is compatible, only the stamp is missing (r18 ADVICE).
+    // Point at the one-time migration instead of demanding a rebuild.
+    require(props.getProperty("scheme") != null,
+      s"state store version $vdir has a _manifest without a scheme " +
+        "tag — written by the slot-layout release that predates " +
+        "scheme tagging. The layout is compatible; run " +
+        "BucketedStateStore.migrateScheme(storeDir) once (it verifies " +
+        "slot-shape evidence per version and stamps scheme=" +
+        s"$layoutScheme in place, no data rewrite).")
     require(props.getProperty("scheme") == layoutScheme,
       s"state store version $vdir was published under scheme " +
         s"'${props.getProperty("scheme")}' but this code reads " +
@@ -284,15 +338,135 @@ object BucketedStateStore {
   }
 
   private def writeManifest(vdir: Path, buckets: Int,
-                            owners: Map[Int, Long]): Unit = {
+                            owners: Map[Int, Long],
+                            bucketedKeys: Option[Seq[String]]): Unit = {
     val props = new java.util.Properties()
     props.setProperty("scheme", layoutScheme)
     props.setProperty("buckets", buckets.toString)
+    bucketedKeys.foreach(ks =>
+      props.setProperty("bucketed_keys", ks.mkString(",")))
     owners.foreach { case (b, v) =>
       props.setProperty(s"b$b", v.toString) }
     val out = Files.newOutputStream(vdir.resolve("_manifest"))
     try props.store(out, "graft bucketed state manifest")
     finally out.close()
+  }
+
+  /** The bucket key columns a version's files were bucket-NAMED under
+    * (`bucketed_keys` manifest property), None for a plain publish. */
+  private[streaming] def bucketedKeys(vdir: Path): Option[Seq[String]] = {
+    val props = new java.util.Properties()
+    val in = Files.newInputStream(vdir.resolve("_manifest"))
+    try props.load(in) finally in.close()
+    Option(props.getProperty("bucketed_keys"))
+      .map(_.split(",").toSeq)
+  }
+
+  /** The latest state as a session-catalog EXTERNAL table that exposes
+    * the store's bucketing to Catalyst: `CLUSTERED BY (keys)` with one
+    * `ADD PARTITION (_sb=b) LOCATION <owner-version>/_sb=b` per owned
+    * bucket — the manifest-composed layers become ONE bucketed scan
+    * reporting `HashPartitioning(keys, buckets)`, so joins/aggregations
+    * on the keys run with ZERO exchange on the state side (the
+    * [[graft.analytics.EdgeIndex]] co-location property, inherited from
+    * the store's own layout instead of re-established by a per-serve
+    * repartition). The returned frame excludes the `_sb` partition
+    * column.
+    *
+    * Requires every OWNER version to have been published with
+    * `bucketedFiles = true` (bucket ids live in the file names; a plain
+    * publish's files carry none and a bucketed read would refuse them
+    * at scan time with a file-level error) — checked loudly up front
+    * per owner manifest. Local-FS and object-store alike: partitions
+    * are registered by reference, no file is copied or linked. */
+  def readLatestBucketedTable(s: SparkSession, storeDir: String,
+                              what: String): DataFrame = {
+    val root = Paths.get(storeDir)
+    val version = VersionedDir.versions(root).maxOption
+      .getOrElse(sys.error(s"no $what state under $root"))
+    val vdir = root.resolve(s"v$version")
+    val (buckets, owners) = readManifest(vdir)
+    val keyCols = bucketedKeys(vdir).getOrElse(sys.error(
+      s"state store version $vdir was not published with " +
+        "bucketedFiles=true — its parquet files carry no bucket ids, " +
+        "so a bucketed-table read would fail at scan time. Re-publish " +
+        "(or compact) the store with bucketedFiles=true, or read it " +
+        "through readAll."))
+    owners.values.toSeq.distinct.filter(_ != version).foreach { v =>
+      require(bucketedKeys(root.resolve(s"v$v")).contains(keyCols),
+        s"owner version v$v under $root is not bucketed-files under " +
+          s"keys ${keyCols.mkString(",")} — mixed-layout layers cannot " +
+          "compose into one bucketed table; compact the store first.")
+    }
+    val schema = DataType.fromJson(Files.readString(schemaPath(vdir)))
+      .asInstanceOf[StructType]
+    // name keys on (root, version): a new version is a new partition
+    // map, a same-path replay rebuilds identical owners (REFRESH drops
+    // any stale file listing)
+    val name = "graft_state_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s"$root#v$version".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    try s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}, _sb INT)
+          USING parquet PARTITIONED BY (_sb)
+          CLUSTERED BY (${keyCols.mkString(", ")}) INTO $buckets BUCKETS
+          LOCATION '$root'""")
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+    owners.toSeq.sortBy(_._1).foreach { case (b, v) =>
+      val loc = root.resolve(s"v$v").resolve(s"_sb=$b")
+      if (Files.isDirectory(loc)) // a missing dir is an emptied bucket
+        s.sql(s"ALTER TABLE $name ADD IF NOT EXISTS " +
+          s"PARTITION (_sb=$b) LOCATION '$loc'")
+    }
+    s.sql(s"REFRESH TABLE $name")
+    s.table(name).select(schema.fieldNames.map(col): _*)
+  }
+
+  /** One-time scheme-tag migration for stores written by the slot-
+    * layout release that PREDATES the `scheme` manifest property (their
+    * layout is already [[layoutScheme]]-shaped — even fold slots, odd
+    * compaction slots, layered manifests — only the tag is missing, so
+    * [[readManifest]]'s refusal is over-broad for them; r18 ADVICE).
+    * Verifies slot-shape evidence per version (a `_manifest` with a
+    * `buckets` property AND a `_schema.json` — the genuinely pre-slot
+    * full-rewrite layout had neither) and stamps `scheme=slot2`
+    * in place, preserving every other property. Returns the number of
+    * versions stamped; versions already tagged are left alone; any
+    * version tagged with a DIFFERENT scheme aborts the migration
+    * before touching the store. */
+  def migrateScheme(storeDir: String): Int = {
+    val root = Paths.get(storeDir)
+    val vs = VersionedDir.versions(root)
+    require(vs.nonEmpty, s"no state versions under $root")
+    val loaded = vs.map { v =>
+      val vdir = root.resolve(s"v$v")
+      val mf = vdir.resolve("_manifest")
+      require(Files.isRegularFile(mf) &&
+          Files.isRegularFile(schemaPath(vdir)),
+        s"version v$v under $root has no _manifest/_schema.json — this " +
+          "store (or this version) was written by the pre-bucketed " +
+          "full-rewrite layout; migration cannot make it slot-safe. " +
+          "Rebuild the store from the checkpointed source.")
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(mf)
+      try props.load(in) finally in.close()
+      require(props.getProperty("buckets") != null,
+        s"version v$v under $root has a _manifest without a buckets " +
+          "property — not a slot-layout store; rebuild it.")
+      val scheme = Option(props.getProperty("scheme"))
+      require(scheme.forall(_ == layoutScheme),
+        s"version v$v under $root is tagged scheme='${scheme.get}' — " +
+          "refusing to restamp a foreign layout.")
+      (vdir, props, scheme.isEmpty)
+    }
+    loaded.filter(_._3).map { case (vdir, props, _) =>
+      props.setProperty("scheme", layoutScheme)
+      val out = Files.newOutputStream(vdir.resolve("_manifest"))
+      try props.store(out, "graft bucketed state manifest")
+      finally out.close()
+      1
+    }.sum
   }
 
   private def listBucketDirs(dir: Path): Seq[Int] = {

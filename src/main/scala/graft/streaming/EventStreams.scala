@@ -293,7 +293,8 @@ object EventStreams {
   def hourlyAnomaliesRefreshing(events: DataFrame, thresholdDir: String,
                                 outDir: String, checkpointDir: String,
                                 refreshEvery: Int = 12,
-                                lateness: String = "2 hours")
+                                lateness: String = "2 hours",
+                                autoCompactEvery: Int = 64)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(refreshEvery >= 1, "refreshEvery must be >= 1")
     var th: Seq[(String, Long, Long)] = Seq.empty
@@ -304,6 +305,12 @@ object EventStreams {
         if (th.isEmpty || id % refreshEvery == 0)
           th = loadAnomalyThresholds(df.sparkSession, thresholdDir)
         writeFlagsBatch(flagAgainst(df, th), outDir, id)
+        // every Nth trigger compacts the sink it just appended to —
+        // bounded growth by construction (≤ N live dirs + one
+        // compacted store; r18 directive). <= 0 disables.
+        BatchDirSink.maybeCompact(df.sparkSession, outDir, id,
+          autoCompactEvery)
+        ()
       }
       .start()
   }
@@ -331,9 +338,14 @@ object EventStreams {
     * directory per trigger FOREVER (~500k/year at a 1-minute trigger):
     * the credit-sink recipe ([[AttributionStream.compactCredits]]),
     * applied to the flags side. Call on lineage-hygiene cadence (e.g.
-    * every Nth trigger or nightly), concurrent-safe with the running
-    * stream because the newest (replayable) batch dir is never
-    * touched. Returns the new watermark. */
+    * every Nth trigger or nightly — [[hourlyAnomaliesRefreshing]]'s
+    * `autoCompactEvery` wires exactly that), concurrent-safe with the
+    * running stream because the newest (replayable) batch dir is never
+    * touched, AND with concurrent [[serveFlags]] readers:
+    * [[BatchDirSink.serve]] re-checks the watermark after listing and
+    * retries if a compaction moved it (r18 ADVICE — the stale
+    * (watermark, dirs) pair that could silently miss merged rows).
+    * Returns the new watermark. */
   def compactFlags(spark: org.apache.spark.sql.SparkSession,
                    outDir: String): Long =
     BatchDirSink.compact(spark, outDir)

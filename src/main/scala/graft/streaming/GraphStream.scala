@@ -40,9 +40,15 @@ object GraphStream {
       }
       .start()
 
-  /** The complete maintained weighted edge relation (src, dst, w). */
+  /** The complete maintained weighted edge relation (src, dst, w, d —
+    * the out-degree is maintained in-state, see [[EdgeFold.fold]]). */
   def serveEdges(spark: SparkSession, storeDir: String): DataFrame =
     EdgeFold.edges(spark, storeDir)
+
+  /** The maintained relation as the composed BUCKETED scan — the
+    * zero-exchange serve-side frame ([[EdgeFold.degreedEdgesBucketed]]). */
+  def serveEdgesBucketed(spark: SparkSession, storeDir: String): DataFrame =
+    EdgeFold.degreedEdgesBucketed(spark, storeDir)
 
   /** Drop superseded versions (the store's layered prune). */
   def prune(storeDir: String, keep: Int = 2): Unit =

@@ -1208,6 +1208,59 @@ class OperatorSpec extends SparkSpec {
     } finally graft.text.Artifacts.deleteRecursively(tmp)
   }
 
+  test("RankHistory delta-serve: sliver-neighborhood recompute equals " +
+      "the full maintained serve; coverage and node-set guards fire (r19)") {
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val li = graft.analytics.Tables.lineitem(spark, d)
+    val ord = graft.analytics.Tables.orders(spark, d)
+    import graft.analytics.{EdgeFold, ExtendedQueries, RankHistory}
+    def edgesOf(s: org.apache.spark.sql.DataFrame) =
+      ExtendedQueries.fulfillmentEdgesFrom(s, ord)
+    val isSliver = col("l_orderkey") % 97 === 0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-deltaserve")
+    val store = tmp.resolve("state").toString
+    val hist = tmp.resolve("history").toString
+    try {
+      EdgeFold.fold(edgesOf(li.filter(!isSliver)), 1L, store, 64)
+      RankHistory.publish(spark, store, hist)
+      val sliver = edgesOf(li.filter(isSliver)).persist()
+      val changed = sliver.select(col("src")).distinct()
+      assert(changed.count() > 0, "fixture sliver must be non-trivial")
+      EdgeFold.fold(sliver, 2L, store, 64)
+      sliver.unpersist(false)
+      // the delta path must be exercised AND exact: compare the FULL
+      // rank table (not just a top-k) against the full maintained serve
+      val full = ExtendedQueries.withMaintainedPagerankRanks(
+        spark, store)(_.collect().map(_.toSeq).toSet)
+      val delta = RankHistory.withDeltaServedRanks(spark, store, hist,
+        changed)(_.collect().map(_.toSeq).toSet)
+      assert(delta === full,
+        "delta serve must be integer-identical to the full serve on " +
+          "EVERY node, not only the top-20")
+      // coverage guard: a fold the caller forgot cannot pass silently
+      val err = intercept[IllegalArgumentException] {
+        RankHistory.withDeltaServedRanks(spark, store, hist,
+          changed.limit(0))(_.count())
+      }
+      assert(err.getMessage.contains("coverage gap"),
+        s"missing changed sources must abort loudly: ${err.getMessage}")
+      // node-set guard: a brand-new node shifts rInit = scale/|V| and
+      // with it every rank — the history must refuse to overlay
+      import spark.implicits._
+      val alien = Seq((999999998L, 1L), (1L, 999999998L))
+        .toDF("src", "dst")
+      EdgeFold.fold(alien, 3L, store, 64)
+      val err2 = intercept[IllegalArgumentException] {
+        RankHistory.withDeltaServedRanks(spark, store, hist,
+          changed.unionByName(alien.select(col("src"))).distinct())(
+          _.count())
+      }
+      assert(err2.getMessage.contains("node set changed"),
+        s"a new node must force a history republish: ${err2.getMessage}")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))

@@ -198,19 +198,52 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q208 maintained pagerank: iterations hash-join rank onto the " +
-      "cached once-exchanged edge state (r18)") {
+  test("q208/q209 maintained graph serve: ZERO |E|-scale Exchange, " +
+      "setup included — the composed bucketed state scan (r19)") {
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
     val tmpd = java.nio.file.Files.createTempDirectory("graft-plan-edgefold")
     try {
       val store = tmpd.resolve("state").toString
+      // two folds so the served state COMPOSES two manifest layers —
+      // the bucketing must survive multi-version composition, not just
+      // a single self-contained publish
+      val all = graft.analytics.ExtendedQueries
+        .fulfillmentEdges(spark, sf)
       graft.analytics.EdgeFold.fold(
-        graft.analytics.ExtendedQueries.fulfillmentEdges(spark, sf),
-        1L, store, buckets = 16)
-      graft.analytics.ExtendedQueries.withMaintainedPagerankRanks(
-          spark, store) { ranks =>
+        all.filter(col("src") % 2 === 0), 1L, store, buckets = 16)
+      graft.analytics.EdgeFold.fold(
+        all.filter(col("src") % 2 === 1), 2L, store, buckets = 16)
+
+      // ── SETUP: the serve-side edge frame itself (r18's weak mark
+      // was a per-serve |E| repartition + degree self-join here) ──
+      val ed = graft.analytics.EdgeFold.degreedEdgesBucketed(spark, store)
+      val edPlan = ed.queryExecution.executedPlan.toString
+      // standalone, nothing above the scan benefits from clustering, so
+      // DisableUnnecessaryBucketedScan may print `Bucketed: false
+      // (disabled by query planner)` — the bucket-CAPABLE scan is what
+      // we pin here; `Bucketed: true` is pinned below, in the plans
+      // that consume the partitioning (cached plans skip the disable
+      // rule, SPARK-35332)
+      assert(edPlan.contains("Bucketed:"),
+        s"the state must be read through a bucket-aware scan:\n${edPlan.take(1200)}")
+      assert(!edPlan.contains("Exchange"),
+        s"the serve-side edge frame must carry NO exchange:\n${edPlan.take(1200)}")
+      assert(!edPlan.contains("Join"),
+        s"no degree self-join — d is maintained in-state:\n${edPlan.take(1200)}")
+      // src-keyed aggregation (the nodes-distinct the serves run)
+      // rides the bucketing: zero exchange, bucketed scan ENABLED
+      val nodes = ed.select(col("src")).distinct()
+      val nodesPlan = nodes.queryExecution.executedPlan.toString
+      assert(!nodesPlan.contains("Exchange"),
+        s"nodes-distinct must ride HashPartitioning(src) with no exchange:\n$nodesPlan")
+      assert(nodesPlan.contains("Bucketed: true"),
+        s"nodes-distinct must consume the bucketed scan:\n$nodesPlan")
+
+      // ── ITERATIONS: both serves join rank onto the cached bucketed
+      // scan with no edge-side exchange ──
+      def pinIterations(ranks: DataFrame, joinsExpected: Int): Unit = {
         val plan = graft.analytics.ExtendedQueries.pagerankTop20(ranks)
           .queryExecution.executedPlan match {
             case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
@@ -219,21 +252,80 @@ class PlanSpec extends SparkSpec {
           }
         val p = plan.toString
         val joins = plan.collect { case j: ShuffledHashJoinExec => j }
-        assert(joins.length == 3,
-          s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
-        // the maintained edge state has no parquet bucketing metadata,
-        // so co-location is re-established by ONE explicit repartition
-        // below the persist — the cached edge side then joins with NO
-        // per-iteration Exchange, the q136/q139 property
+        assert(joins.length == joinsExpected,
+          s"expected the $joinsExpected iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
         joins.foreach { j =>
           val edge = j.left
           assert(edge.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
             s"iterations must read the CACHED maintained edges:\n$edge")
           assert(edge.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-            s"the repartitioned edge side must join with NO Exchange:\n$edge")
+            s"the bucketed edge side must join with NO Exchange:\n$edge")
         }
+        assert(p.contains("Bucketed: true"),
+          s"the cached edge plan must retain the bucketed scan:\n${p.take(1500)}")
         assert(p.contains("TakeOrderedAndProject"),
           "top-20 must plan as TakeOrdered, not a full sort")
+      }
+      graft.analytics.ExtendedQueries.withMaintainedPagerankRanks(
+        spark, store)(pinIterations(_, 3))
+      graft.analytics.ExtendedQueries.withMaintainedPprRanks(
+        spark, store)(pinIterations(_, 3))
+    } finally graft.text.Artifacts.deleteRecursively(tmpd)
+  }
+
+  test("q210 delta-serve: the cached |E| relation is never re-exchanged " +
+      "— every Exchange carries derived (neighborhood/rank-scale) rows (r19)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val tmpd = java.nio.file.Files.createTempDirectory("graft-plan-delta")
+    try {
+      val store = tmpd.resolve("state").toString
+      val hist = tmpd.resolve("history").toString
+      // split by ORDER key (not by src — the symmetric reverse edges
+      // must travel with their twins, and every node must stay in the
+      // base graph's node set)
+      val li = graft.analytics.Tables.lineitem(spark, sf)
+      val ord = graft.analytics.Tables.orders(spark, sf)
+      def edgesOf(slice: org.apache.spark.sql.DataFrame) =
+        graft.analytics.ExtendedQueries.fulfillmentEdgesFrom(slice, ord)
+      val isSliver = col("l_orderkey") % 97 === 0
+      graft.analytics.EdgeFold.fold(edgesOf(li.filter(!isSliver)),
+        1L, store, 16)
+      graft.analytics.RankHistory.publish(spark, store, hist)
+      val sliver = edgesOf(li.filter(isSliver))
+      graft.analytics.EdgeFold.fold(sliver, 2L, store, 16)
+      graft.analytics.RankHistory.withDeltaServedRanks(spark, store,
+        hist, sliver.select(col("src")).distinct()) { ranks =>
+        val plan = graft.analytics.ExtendedQueries.pagerankTop20(ranks)
+          .queryExecution.executedPlan match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              a.executedPlan
+            case other => other
+          }
+        // the rule: an Exchange may carry rows DERIVED from the edge
+        // cache (join outputs = the sliver's neighborhood, aggregates =
+        // rank-scale) but never the raw |E| relation itself — a pure
+        // project/filter path from an Exchange down to the cached scan
+        // would be the per-serve |E| repartition this path exists to kill
+        // the |E| relation is the ONLY cache whose rows are edges
+        // (src/dst/w/d) — the other pinned frames are node- or
+        // rank-shaped ([node] / [node, r])
+        def isEdgeCache(s: InMemoryTableScanExec): Boolean =
+          s.relation.output.map(_.name).contains("dst")
+        def rawScanBelow(p: SparkPlan): Boolean = p match {
+          case s: InMemoryTableScanExec => isEdgeCache(s)
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+          case other => other.children.exists(rawScanBelow)
+        }
+        val offenders = plan.collect {
+          case e: ShuffleExchangeExec if rawScanBelow(e.child) => e
+        }
+        assert(offenders.isEmpty,
+          s"the raw cached edge relation feeds an Exchange:\n${offenders.headOption}")
+        assert(plan.collect { case s: InMemoryTableScanExec => s }.nonEmpty,
+          "the delta serve must read the cached maintained edges")
       }
     } finally graft.text.Artifacts.deleteRecursively(tmpd)
   }

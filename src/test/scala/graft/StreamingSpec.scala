@@ -1873,6 +1873,206 @@ class StreamingSpec extends SparkSpec {
     assert(weights(store) === served)
   }
 
+  test("auto-compaction hook: N triggers with autoCompactEvery=k keep " +
+      "at most k live batch dirs + one compacted store (r19)") {
+    import spark.implicits._
+    import graft.streaming.{AttributionStream, BatchDirSink}
+    val chs = Seq("click", "view")
+    val store = tmp("ac-store"); val credits = tmp("ac-credits")
+    val every = 2
+    // the exact foreachBatch body maintainAttribution wires: fold the
+    // batch, then maybeCompact — driven directly so the trigger count
+    // is deterministic
+    def trigger(id: Long, u: Long, t0: Long): Unit = {
+      val rows = Seq((u, t0, "click", t0 + u),
+        (u, t0 + 2, "purchase", t0 + 200 + u))
+      AttributionStream.foldBatch(rows.toDF("user", "ts", "channel", "tie"),
+        id, chs, "purchase", 1000000L, store, credits)
+      BatchDirSink.maybeCompact(spark, credits, id, every)
+      ()
+    }
+    (0L until 7L).foreach(i => trigger(i, 100L + i, 1000L * (i + 1)))
+    def liveDirs() = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(credits))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=")).toSeq.sorted
+      finally st.close()
+    }
+    // last compaction fired at id=6, merging everything below: one
+    // live dir; in general ≤ every live dirs at any point
+    assert(liveDirs() === Seq("batch=6"),
+      s"auto-compaction must bound the sink: ${liveDirs()}")
+    val served = AttributionStream.serveCredits(spark, credits)
+      .collect().map(_.toSeq).toSet
+    assert(served.size === 7, "every trigger's conversion still served")
+    // stale replay of an already-compacted id stays excluded
+    trigger(3L, 103L, 4000L)
+    assert(AttributionStream.serveCredits(spark, credits)
+      .collect().map(_.toSeq).toSet === served,
+      "a stale replay below the auto-compaction watermark must not " +
+        "double-serve")
+  }
+
+  test("serve vs concurrent compact: the watermark re-check retries " +
+      "instead of silently missing merged rows (r18 ADVICE)") {
+    import spark.implicits._
+    import graft.streaming.{BatchDirSink, EventStreams}
+    val out = tmp("race-flags") + "/flags"
+    def flags(ty: String, n: Long) = Seq(
+      (new java.sql.Timestamp(0L), ty, n, 10L, 2L, 1))
+      .toDF("hour", "event_type", "n", "med", "mad", "anomalous")
+    (0L to 3L).foreach(i => EventStreams.writeFlagsBatch(
+      flags(s"t$i", i * 10), out, i))
+    val before = EventStreams.serveFlags(spark, out)
+      .collect().map(_.toSeq).toSet
+    assert(before.size === 4)
+    // inject a compact into the window between serve's dir listing and
+    // its watermark re-check — the exact interleave that deleted the
+    // merged dirs out from under the stale (watermark, dirs) pair
+    var fired = false
+    BatchDirSink.raceSeam = () => if (!fired) {
+      fired = true
+      EventStreams.compactFlags(spark, out)
+    }
+    try {
+      val raced = EventStreams.serveFlags(spark, out)
+        .collect().map(_.toSeq).toSet
+      assert(fired, "the seam must have fired inside serve")
+      assert(raced === before,
+        "serve racing a compact must retry and return ALL rows — " +
+          "missing rows are exactly the silent loss the re-check closes")
+    } finally BatchDirSink.raceSeam = () => ()
+  }
+
+  test("pre-provenance credits: sentinel stamped at serve time and " +
+      "persisted by migratePreProvenance; no null batch group (r19)") {
+    import spark.implicits._
+    import graft.streaming.BatchDirSink
+    val dir = tmp("preprov") + "/credits"
+    // a store whose compacted rows were written by the release that
+    // null-filled pre-provenance rows: _compacted/v0 with null batch
+    val root = java.nio.file.Paths.get(dir, "_compacted", "v0")
+    java.nio.file.Files.createDirectories(root.getParent)
+    Seq((1L, "click", 10L, Option.empty[Long]),
+        (2L, "view", 20L, Option.empty[Long]),
+        (3L, "click", 30L, Some(7L)))
+      .toDF("user", "channel", "credit", "batch")
+      .write.parquet(root.resolve("rows").toString)
+    java.nio.file.Files.writeString(root.resolve("through"), "7")
+    // one live batch above the watermark
+    Seq((4L, "view", 40L)).toDF("user", "channel", "credit")
+      .write.parquet(s"$dir/batch=8")
+
+    val stamped = BatchDirSink.migratePreProvenance(spark, dir)
+    assert(stamped === 2L, s"exactly the null rows stamp: $stamped")
+    val served = BatchDirSink.serve(spark, dir, "credited")
+    assert(served.filter(col("batch").isNull).count() === 0,
+      "migrated store must serve zero null-batch rows")
+    assert(served.count() === 4, "row counts identical across migration")
+    assert(served.filter(col("batch") === BatchDirSink.PreProvenanceBatch)
+      .count() === 2, "stamped rows carry the sentinel")
+    // re-compaction preserves the sentinel as an ordinary value
+    Seq((5L, "click", 50L)).toDF("user", "channel", "credit")
+      .write.parquet(s"$dir/batch=9")
+    BatchDirSink.compact(spark, dir)
+    val after = BatchDirSink.serve(spark, dir, "credited")
+    assert(after.count() === 5)
+    assert(after.filter(col("batch") === BatchDirSink.PreProvenanceBatch)
+      .count() === 2, "re-compaction must preserve the sentinel")
+    // idempotent: nothing left to migrate
+    assert(BatchDirSink.migratePreProvenance(spark, dir) === 0L)
+  }
+
+  test("scheme migration: tag-less slot-shaped manifests stamp in " +
+      "place; genuinely pre-slot layouts still rebuild (r18 ADVICE)") {
+    import spark.implicits._
+    import graft.streaming.BucketedStateStore
+    val dir = tmp("scheme-migrate")
+    def fold(id: Long, rows: Seq[(Long, Long)]) =
+      BucketedStateStore.foldBatch(rows.toDF("k", "v"), id, dir,
+        Seq("k"), 4,
+        init = identity,
+        fold = (s, b) => s.unionByName(b))
+    fold(1L, Seq((1L, 10L), (2L, 20L)))
+    fold(2L, Seq((3L, 30L)))
+    val before = BucketedStateStore.readAll(spark,
+      java.nio.file.Paths.get(dir), "test").collect().map(_.toSeq).toSet
+    // strip the scheme tag the way the pre-tagging release wrote
+    // manifests (layout identical, tag absent)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.filter(_.getFileName.toString.startsWith("v"))
+      .foreach { v =>
+        val mf = v.resolve("_manifest")
+        val kept = java.nio.file.Files.readAllLines(mf).asScala
+          .filterNot(_.startsWith("scheme="))
+        java.nio.file.Files.write(mf, kept.asJava)
+      }
+    val err = intercept[IllegalArgumentException] {
+      BucketedStateStore.readAll(spark,
+        java.nio.file.Paths.get(dir), "test")
+    }
+    assert(err.getMessage.contains("migrateScheme"),
+      s"tag-less manifest must point at the migration, not a rebuild: " +
+        err.getMessage)
+    assert(BucketedStateStore.migrateScheme(dir) === 2,
+      "both versions stamp")
+    assert(BucketedStateStore.readAll(spark,
+      java.nio.file.Paths.get(dir), "test").collect().map(_.toSeq).toSet
+      === before, "migration must not change the state")
+    assert(BucketedStateStore.migrateScheme(dir) === 0, "idempotent")
+    // a genuinely pre-slot layout (no manifest at all) cannot migrate
+    val legacy = java.nio.file.Files.createTempDirectory("graft-preslot")
+    Seq((1L, 10L)).toDF("k", "v").write
+      .parquet(legacy.resolve("v1").toString)
+    val err2 = intercept[IllegalArgumentException] {
+      BucketedStateStore.migrateScheme(legacy.toString)
+    }
+    assert(err2.getMessage.contains("Rebuild"),
+      s"pre-slot layout must still demand a rebuild: ${err2.getMessage}")
+    graft.text.Artifacts.deleteRecursively(legacy)
+  }
+
+  test("bucketed-files state: the composed bucketed-table read equals " +
+      "the generic read, in-state degrees exact, compaction keeps the " +
+      "mode (r19)") {
+    import spark.implicits._
+    import graft.analytics.EdgeFold
+    import graft.streaming.BucketedStateStore
+    val dir = tmp("bktfiles")
+    EdgeFold.fold(Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L))
+      .toDF("src", "dst"), 1L, dir, buckets = 8)
+    EdgeFold.fold(Seq((0L, 1L), (2L, 0L)).toDF("src", "dst"),
+      2L, dir, buckets = 8)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val generic = canon(EdgeFold.edges(spark, dir))
+    val bucketed = canon(EdgeFold.degreedEdgesBucketed(spark, dir))
+    assert(bucketed === generic,
+      "the bucketed-table composition must serve exactly the state")
+    // degrees maintained in-state: d = Σw per src
+    assert(generic === Set(
+      Seq(0L, 1L, 3L, 4L), Seq(0L, 2L, 1L, 4L),
+      Seq(1L, 0L, 1L, 1L), Seq(2L, 0L, 1L, 1L)),
+      s"weights/degrees drifted: $generic")
+    // compaction preserves the bucketed-files mode
+    BucketedStateStore.compact(spark, dir, Seq("src"))
+    assert(canon(EdgeFold.degreedEdgesBucketed(spark, dir)) === generic,
+      "a compacted bucketed-files store must still read as a " +
+        "bucketed table")
+    // a plain (non-bucketed-files) store refuses the bucketed read
+    val plain = tmp("bktfiles-plain")
+    BucketedStateStore.foldBatch(Seq((1L, 1L)).toDF("k", "v"), 1L,
+      plain, Seq("k"), 4, init = identity,
+      fold = (s, b) => s.unionByName(b))
+    val err = intercept[RuntimeException] {
+      BucketedStateStore.readLatestBucketedTable(spark, plain, "test")
+    }
+    assert(err.getMessage.contains("bucketedFiles"),
+      s"plain store must refuse with the re-publish hint: ${err.getMessage}")
+  }
+
   test("bucketed state store: pre-slot-scheme layouts are rejected " +
       "loudly, never silently double-folded (r18)") {
     import spark.implicits._
