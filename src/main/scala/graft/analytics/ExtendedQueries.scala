@@ -2235,14 +2235,8 @@ object ExtendedQueries {
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
       var rank = nodes.select(col("node"), lit(rInit).as("r"))
-      for (_ <- 1 to iters) {
-        rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
-          .select(col("dst"), (col("w") * expr("r div d")).as("contrib"))
-          .groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("sc"))
-          .select(col("dst").as("node"),
-            (lit(base) + expr("(85 * sc) div 100")).as("r"))
-      }
+      for (_ <- 1 to iters)
+        rank = RankHistory.stepRank(ed, rank, base)
       use(rank.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),
           expr("node div 2")).as("node"),

@@ -221,6 +221,24 @@ object RankHistory {
   private val scale = 1000000000000L
   private val iters = 3
 
+  /** ONE weighted PageRank iteration over a degree-carrying edge frame
+    * — THE shared step for the full maintained serve
+    * ([[graft.analytics.ExtendedQueries.withMaintainedPagerankRanks]]),
+    * [[publish]], and [[withDeltaServedRanks]]' saturation fallback
+    * (three copies of this arithmetic could drift; one cannot). */
+  private[analytics] def stepRank(ed: DataFrame, rank: DataFrame,
+                                  base: Long): DataFrame =
+    ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
+      .select(col("dst"), (col("w") * expr("r div d")).as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("sc"))
+      .select(col("dst").as("node"),
+        (lit(base) + expr("(85 * sc) div 100")).as("r"))
+
+  /** Which path the last [[withDeltaServedRanks]] call took — "delta"
+    * or "full" (saturation fallback). Test seam, not an API. */
+  @volatile private[graft] var lastServeMode: String = ""
+
   /** Run the full maintained recurrence ([[graft.analytics
     * .ExtendedQueries.withMaintainedPagerankRanks]]'s integers) from
     * the CURRENT latest state version and persist the per-iteration
@@ -243,12 +261,7 @@ object RankHistory {
       var rank = nodes.select(col("node"), lit(rInit).as("r"))
       Files.createDirectories(tmp)
       for (i <- 1 to iters) {
-        rank = ed.join(rank.hint("shuffle_hash"), ed("src") === rank("node"))
-          .select(col("dst"), (col("w") * expr("r div d")).as("contrib"))
-          .groupBy(col("dst"))
-          .agg(sum(col("contrib")).as("sc"))
-          .select(col("dst").as("node"),
-            (lit(base) + expr("(85 * sc) div 100")).as("r"))
+        rank = stepRank(ed, rank, base)
         rank.write.parquet(tmp.resolve(s"r$i").toString)
         rank = s.read.parquet(tmp.resolve(s"r$i").toString)
       }
@@ -268,9 +281,24 @@ object RankHistory {
     * overlaying the published history — managed scope, `use` must
     * force its result. `changedSrcs` is one `src` column covering
     * every source folded since [[publish]] (both endpoints — the
-    * fulfillment fold emits both directions). */
+    * fulfillment fold emits both directions).
+    *
+    * HYBRID (saturation fallback): on a dense graph the k-hop
+    * neighborhood of even a small sliver can saturate to most of |V|
+    * (the TPC-H fulfillment bipartite graph saturates by hop ≤ 3, ~3k
+    * changed sources reach every node) — past that point the delta
+    * path does full-graph work PLUS overlay joins, i.e. strictly worse
+    * than the full serve. Each hop therefore counts its affected set
+    * (the frame is pinned anyway) and, once
+    * `|Aᵢ| ≥ saturationFrac · |V|`, abandons the overlay and runs the
+    * full maintained recurrence from the SAME pinned bucketed edges
+    * ([[stepRank]] — identical integers either way, so the switch is
+    * invisible to the result). [[lastServeMode]] records the path for
+    * the spec; the sliver (production) regime stays
+    * neighborhood-proportional. */
   def withDeltaServedRanks[T](s: SparkSession, storeDir: String,
-      historyDir: String, changedSrcs: DataFrame)
+      historyDir: String, changedSrcs: DataFrame,
+      saturationFrac: Double = 0.34)
       (use: DataFrame => T): T = {
     val root = Paths.get(storeDir)
     val hroot = Paths.get(historyDir)
@@ -310,7 +338,8 @@ object RankHistory {
       var affectedPrev: DataFrame = null // A_{i-1}
       var rNewPrev: DataFrame = null     // recomputed r_{i-1} on A_{i-1}
       var served: DataFrame = null
-      for (i <- 1 to iters) {
+      var i = 1
+      while (i <= iters && served == null) {
         val sources =
           if (i == 1) c
           else affectedPrev.unionByName(c).distinct()
@@ -319,41 +348,54 @@ object RankHistory {
         val affected = pin(ed.join(sources.hint("shuffle_hash"),
             ed("src") === sources("node"))
           .select(ed("dst").as("node")).distinct())
-        // in-edges of A_i: out-edges of A_i reversed (w symmetric),
-        // d(s) from the maintained degree — edge side never exchanged
-        val inE = ed.join(affected.hint("shuffle_hash"),
-            ed("src") === affected("node"))
-          .select(ed("src").as("n"), ed("dst").as("s"), ed("w").as("w"))
-        // r_{i-1} for the in-edge SOURCES: uniform at i=1, else the
-        // stored table overlaid with the recomputed values on A_{i-1}
-        val withR =
-          if (i == 1)
-            inE.join(deg.hint("shuffle_hash"), "s")
-              .select(col("n"),
-                (col("w") * expr(s"$rInit div ds")).as("contrib"))
-          else {
-            val rPrevEff = s.read
-              .parquet(hroot.resolve(s"r${i - 1}").toString)
-              .join(affectedPrev, Seq("node"), "left_anti")
-              .unionByName(rNewPrev)
-            inE.join(deg.hint("shuffle_hash"), "s")
-              .join(rPrevEff.withColumnRenamed("node", "s")
-                .hint("shuffle_hash"), "s")
-              .select(col("n"),
-                (col("w") * expr("r div ds")).as("contrib"))
+        if (affected.count() >= saturationFrac * nNodes) {
+          // the neighborhood reached most of the graph — the overlay
+          // path is now full-graph work PLUS joins; serve fully from
+          // the same pinned edges instead (identical integers)
+          RankHistory.lastServeMode = "full"
+          var rank = ed.select(col("src").as("node")).distinct()
+            .select(col("node"), lit(rInit).as("r"))
+          for (_ <- 1 to iters) rank = stepRank(ed, rank, base)
+          served = rank
+        } else {
+          // in-edges of A_i: out-edges of A_i reversed (w symmetric),
+          // d(s) from the maintained degree — edge side never exchanged
+          val inE = ed.join(affected.hint("shuffle_hash"),
+              ed("src") === affected("node"))
+            .select(ed("src").as("n"), ed("dst").as("s"), ed("w").as("w"))
+          // r_{i-1} for the in-edge SOURCES: uniform at i=1, else the
+          // stored table overlaid with the recomputed values on A_{i-1}
+          val withR =
+            if (i == 1)
+              inE.join(deg.hint("shuffle_hash"), "s")
+                .select(col("n"),
+                  (col("w") * expr(s"$rInit div ds")).as("contrib"))
+            else {
+              val rPrevEff = s.read
+                .parquet(hroot.resolve(s"r${i - 1}").toString)
+                .join(affectedPrev, Seq("node"), "left_anti")
+                .unionByName(rNewPrev)
+              inE.join(deg.hint("shuffle_hash"), "s")
+                .join(rPrevEff.withColumnRenamed("node", "s")
+                  .hint("shuffle_hash"), "s")
+                .select(col("n"),
+                  (col("w") * expr("r div ds")).as("contrib"))
+            }
+          val rNew = withR.groupBy(col("n"))
+            .agg(sum(col("contrib")).as("sc"))
+            .select(col("n").as("node"),
+              (lit(base) + expr("(85 * sc) div 100")).as("r"))
+          if (i == iters) {
+            RankHistory.lastServeMode = "delta"
+            served = s.read.parquet(hroot.resolve(s"r$i").toString)
+              .join(affected, Seq("node"), "left_anti")
+              .unionByName(rNew)
+          } else {
+            rNewPrev = pin(rNew)
+            affectedPrev = affected
           }
-        val rNew = withR.groupBy(col("n"))
-          .agg(sum(col("contrib")).as("sc"))
-          .select(col("n").as("node"),
-            (lit(base) + expr("(85 * sc) div 100")).as("r"))
-        if (i == iters)
-          served = s.read.parquet(hroot.resolve(s"r$i").toString)
-            .join(affected, Seq("node"), "left_anti")
-            .unionByName(rNew)
-        else {
-          rNewPrev = pin(rNew)
-          affectedPrev = affected
         }
+        i += 1
       }
       use(served.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),

@@ -1261,6 +1261,47 @@ class OperatorSpec extends SparkSpec {
     } finally graft.text.Artifacts.deleteRecursively(tmp)
   }
 
+  test("RankHistory delta-serve: sparse graph takes the DELTA path " +
+      "(neighborhood-proportional), dense saturation falls back (r19)") {
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.{EdgeFold, ExtendedQueries, RankHistory}
+    import spark.implicits._
+    // a 2N-node ring of both-direction edges: the ≤3-hop neighborhood
+    // of one changed node is ~7 nodes — the regime the delta path is
+    // FOR (the TPC-H bipartite fixture saturates by hop ≤3 and must
+    // take the fallback; both paths are integer-identical)
+    val n = 400
+    val ring = (0 until n).flatMap { i =>
+      val j = (i + 1) % n
+      Seq((i.toLong, j.toLong), (j.toLong, i.toLong))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sparse-delta")
+    val store = tmp.resolve("state").toString
+    val hist = tmp.resolve("history").toString
+    try {
+      EdgeFold.fold(ring.toDF("src", "dst"), 1L, store, 32)
+      RankHistory.publish(spark, store, hist)
+      // sliver: one extra parallel edge on the (0,1) pair
+      val sliver = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+      EdgeFold.fold(sliver, 2L, store, 32)
+      val changed = sliver.select(col("src")).distinct()
+      val delta = RankHistory.withDeltaServedRanks(spark, store, hist,
+        changed)(_.collect().map(_.toSeq).toSet)
+      assert(RankHistory.lastServeMode === "delta",
+        "a 2-node sliver on a ring must stay under the saturation bar")
+      val full = ExtendedQueries.withMaintainedPagerankRanks(
+        spark, store)(_.collect().map(_.toSeq).toSet)
+      assert(delta === full,
+        "sparse delta path must be integer-identical to the full serve")
+      // force saturation on the SAME fixture: threshold 0 ⇒ fallback,
+      // result unchanged
+      val fb = RankHistory.withDeltaServedRanks(spark, store, hist,
+        changed, saturationFrac = 0.0)(_.collect().map(_.toSeq).toSet)
+      assert(RankHistory.lastServeMode === "full")
+      assert(fb === full, "the fallback path must serve the same ranks")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))
