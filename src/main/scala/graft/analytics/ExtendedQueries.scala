@@ -2050,39 +2050,66 @@ object ExtendedQueries {
       bench = true)
   )
 
-  /** The q210 fixture: batches 1–2 (l_orderkey % 199 != 0, split by
-    * parity) fold into the store and the full serve publishes the
-    * per-iteration rank history; batch 3 — the SLIVER, l_orderkey %
-    * 199 == 0 (~0.5% of the fact rows) — folds after it, so the
-    * query-time serve exercises the delta path: history + sliver.
-    * The changed-source set (the sliver's edge endpoints) is persisted
-    * at build time, tiny; the three slices partition lineitem, so the
-    * union of the folded batches is the full table and q136's oracle
-    * applies verbatim. Returns the artifact dir (state/, history/,
-    * changed/). */
+  /** The q210 fixture: batches 1–2 (split by orderkey parity) fold
+    * into the store and the full serve publishes the per-iteration
+    * rank history; batch 3 — the SLIVER, l_orderkey % 199 == 0
+    * (~0.5% of the fact rows) — folds after it, so the query-time
+    * serve exercises the delta path: history + sliver.
+    *
+    * Node coverage (the r19 100× lesson): a sliver order whose
+    * supplier or customer appears in NO base row would add a new node
+    * at fold 3, shift rInit = scale/\|V\|, and the delta serve's
+    * node-set guard would (correctly) refuse — at 100× the mod-199
+    * keys contain 4 such orders. Those orders are DEMOTED into batch 1
+    * at build time (a bounded anti-join per side), so the sliver only
+    * ever touches nodes the history already ranks — the regime the
+    * delta serve exists for, at every scale. The three slices still
+    * partition lineitem, so the union of the folded batches is the
+    * full table and q136's oracle applies verbatim. The changed-source
+    * set (the sliver's edge endpoints) is persisted at build time.
+    * Returns the artifact dir (state/, history/, changed/). */
   private def maintainedDeltaStore(s: SparkSession,
                                    d: String): java.nio.file.Path = {
     val store = graft.text.Artifacts.dirMulti(d,
-      "edgefold_delta_b64_v1", Seq("lineitem.parquet", "orders.parquet"))
+      "edgefold_delta_b64_v2", Seq("lineitem.parquet", "orders.parquet"))
     graft.text.Artifacts.materialize(store) { tmp =>
       val stateDir = tmp.resolve("state").toString
       val li = lineitem(s, d)
-      val isSliver = pmod(col("l_orderkey"), lit(199)) === 0
-      val parity = pmod(col("l_orderkey"), lit(2))
-      EdgeFold.fold(fulfillmentEdgesFrom(
-        li.filter(!isSliver && parity === 0), orders(s, d)),
-        id = 1L, stateDir, buckets = 64)
-      EdgeFold.fold(fulfillmentEdgesFrom(
-        li.filter(!isSliver && parity === 1), orders(s, d)),
-        id = 2L, stateDir, buckets = 64)
-      RankHistory.publish(s, stateDir, tmp.resolve("history").toString)
-      val sliverEdges = fulfillmentEdgesFrom(
-        li.filter(isSliver), orders(s, d)).persist()
+      val ord = orders(s, d)
+      val isSliverKey = pmod(col("l_orderkey"), lit(199)) === 0
+      val cand = li.filter(isSliverKey)
+      val rest = li.filter(!isSliverKey)
+      val custOf = ord.select(col("o_orderkey"), col("o_custkey"))
+      val badSupp = cand.join(
+          rest.select(col("l_suppkey")).distinct(),
+          Seq("l_suppkey"), "left_anti")
+        .select(col("l_orderkey"))
+      val badCust = cand.select(col("l_orderkey")).distinct()
+        .join(custOf, col("l_orderkey") === col("o_orderkey"))
+        .join(rest.select(col("l_orderkey").as("rk"))
+            .join(custOf, col("rk") === col("o_orderkey"))
+            .select(col("o_custkey")).distinct(),
+          Seq("o_custkey"), "left_anti")
+        .select(col("l_orderkey"))
+      val badKeys = badSupp.unionByName(badCust).distinct().persist()
+      val demoted = cand.join(badKeys, Seq("l_orderkey"), "left_semi")
+      val sliver = cand.join(badKeys, Seq("l_orderkey"), "left_anti")
       try {
-        EdgeFold.fold(sliverEdges, id = 3L, stateDir, buckets = 64)
-        sliverEdges.select(col("src")).distinct()
-          .write.parquet(tmp.resolve("changed").toString)
-      } finally sliverEdges.unpersist(false)
+        val parity = pmod(col("l_orderkey"), lit(2))
+        EdgeFold.fold(fulfillmentEdgesFrom(
+          rest.filter(parity === 0).unionByName(demoted), ord),
+          id = 1L, stateDir, buckets = 64)
+        EdgeFold.fold(fulfillmentEdgesFrom(
+          rest.filter(parity === 1), ord),
+          id = 2L, stateDir, buckets = 64)
+        RankHistory.publish(s, stateDir, tmp.resolve("history").toString)
+        val sliverEdges = fulfillmentEdgesFrom(sliver, ord).persist()
+        try {
+          EdgeFold.fold(sliverEdges, id = 3L, stateDir, buckets = 64)
+          sliverEdges.select(col("src")).distinct()
+            .write.parquet(tmp.resolve("changed").toString)
+        } finally sliverEdges.unpersist(false)
+      } finally badKeys.unpersist(false)
     }
     store
   }

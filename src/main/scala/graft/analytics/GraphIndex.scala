@@ -332,9 +332,12 @@ object RankHistory {
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
       // per-src degree from the maintained state: first(d) per src
-      // rides the bucketing (zero exchange), |V| rows
-      val deg = ed.groupBy(col("src")).agg(first(col("d")).as("ds"))
-        .withColumnRenamed("src", "s")
+      // rides the bucketing (zero exchange), |V| rows — PINNED: three
+      // hops join it (an unpinned frame re-aggregates the |E| cache
+      // per evaluation)
+      val deg = pin(ed.groupBy(col("src")).agg(first(col("d")).as("ds"))
+        .withColumnRenamed("src", "s"))
+      val degByNode = deg.withColumnRenamed("s", "node")
       var affectedPrev: DataFrame = null // A_{i-1}
       var rNewPrev: DataFrame = null     // recomputed r_{i-1} on A_{i-1}
       var served: DataFrame = null
@@ -343,12 +346,17 @@ object RankHistory {
         val sources =
           if (i == 1) c
           else affectedPrev.unionByName(c).distinct()
-        // A_i = out-neighbors(new) of (A_{i-1} ∪ C); pinned — it keys
-        // both this iteration's in-edge join and the next overlay
-        val affected = pin(ed.join(sources.hint("shuffle_hash"),
-            ed("src") === sources("node"))
-          .select(ed("dst").as("node")).distinct())
-        if (affected.count() >= saturationFrac * nNodes) {
+        // saturation pre-check on the UPPER BOUND |A_i| ≤ Σ deg(src):
+        // a rank-scale join instead of materializing A_i first — in
+        // the sparse regime (the delta path's reason to exist) the sum
+        // is tiny and the exact path proceeds untouched; past the bar
+        // we fall back WITHOUT paying the |A_i| expansion (a
+        // hub-concentrated 1-hop could be bounded below the sum, but
+        // its rank changes fan out next hop anyway — documented trade)
+        val degUb = sources.join(degByNode.hint("shuffle_hash"), "node")
+          .agg(sum(col("ds"))).collect()(0)
+        val ub = if (degUb.isNullAt(0)) 0L else degUb.getLong(0)
+        if (ub >= saturationFrac * nNodes) {
           // the neighborhood reached most of the graph — the overlay
           // path is now full-graph work PLUS joins; serve fully from
           // the same pinned edges instead (identical integers)
@@ -358,6 +366,11 @@ object RankHistory {
           for (_ <- 1 to iters) rank = stepRank(ed, rank, base)
           served = rank
         } else {
+          // A_i = out-neighbors(new) of (A_{i-1} ∪ C); pinned — it
+          // keys this iteration's in-edge join and the next overlay
+          val affected = pin(ed.join(sources.hint("shuffle_hash"),
+              ed("src") === sources("node"))
+            .select(ed("dst").as("node")).distinct())
           // in-edges of A_i: out-edges of A_i reversed (w symmetric),
           // d(s) from the maintained degree — edge side never exchanged
           val inE = ed.join(affected.hint("shuffle_hash"),

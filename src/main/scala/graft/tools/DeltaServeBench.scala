@@ -4,57 +4,58 @@ import org.apache.spark.sql.functions._
 
 /** Serve-cost-∝-affected-neighborhood evidence for the q210 rank
   * delta-serve (the r18 directive's FoldBench-style cell, applied to
-  * the SERVE half): on a graph whose k-hop neighborhoods stay small, a
-  * sliver fold's delta serve should cost ~flat as the GRAPH grows,
-  * while the full maintained serve grows with |E|.
+  * the SERVE half): the delta path recomputes O(neighborhood · degree)
+  * contributions plus O(|V|) overlay rows, where the full serve pays
+  * O(|E|) contributions per iteration — so the win factor is ~the
+  * average degree, PROVIDED the k-hop neighborhood stays bounded.
+  * Graphs where it cannot win, measured and documented rather than
+  * hidden: average degree ~2 (ring — |E| ≈ |V|, the overlay constants
+  * swamp the saved work; measured 0.3×) and dense-bipartite TPC-H
+  * (neighborhood saturates; the hybrid's upper-bound pre-check bails
+  * to the full serve, q210's bench cell ≈ q208's).
   *
-  *   runMain graft.tools.DeltaServeBench [nodeCounts] [sliverPairs]
-  *   (defaults: 10000,100000,1000000  1)
+  *   runMain graft.tools.DeltaServeBench [cliqueCounts] [cliqueSize]
+  *   (defaults: 100,1000,10000  64)
   *
-  * Method: the graph is a both-direction ring of n nodes (the sparse
-  * regime the delta path is FOR — the 3-hop out-neighborhood of a
-  * changed pair is ~8 nodes at ANY n; the dense-bipartite TPC-H
-  * fixture saturates and takes the hybrid's full-serve fallback, the
-  * honest complement measured in the bench table). Per n: fold the
-  * ring (untimed — production already maintains the store), publish
-  * the rank history (untimed — it is the previous full serve), fold a
-  * sliver of `sliverPairs` extra parallel edges, then time (min of 3)
+  * Method: C disjoint K-cliques (both directions emitted per pair →
+  * symmetric weights, the EdgeFold contract): |V| = C·K grows with C,
+  * |E| = C·K·(K−1) grows with C, but a sliver inside clique 0 has a
+  * ≤3-hop neighborhood of exactly K nodes at EVERY C. Per C: fold the
+  * graph (untimed), publish the rank history (untimed — it is the
+  * previous full serve), fold a one-pair sliver, then time (min of 3)
   * the DELTA serve vs the FULL maintained serve, both forced by
-  * count() over the final rank table. Also reports `mode` (the hybrid
-  * must stay on the delta path) and |A∪C| per hop summed (`affected`)
-  * so the flat column is attributable: delta cost tracks the
-  * neighborhood, full cost tracks |E|. */
+  * count(). `mode` must read "delta" — the hybrid staying under its
+  * saturation bar is part of the evidence. Expect the delta column
+  * ~flat in C while the full column grows with |E|. */
 object DeltaServeBench {
 
   def main(a: Array[String]): Unit = {
-    val ns = (if (a.length > 0) a(0) else "10000,100000,1000000")
+    val cs = (if (a.length > 0) a(0) else "100,1000,10000")
       .split(",").map(_.toLong).toSeq
-    val sliverPairs = if (a.length > 1) a(1).toInt else 1
+    val k = if (a.length > 1) a(1).toInt else 64
     val reps = 3
     val s = graft.GraftSession.create()
-    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-deltaservebench")
 
-    println(f"${"n"}%9s ${"|E|"}%9s ${"delta"}%8s ${"full"}%8s " +
-      f"${"ratio"}%6s ${"mode"}%6s")
-    ns.foreach { n =>
-      val store = tmp.resolve(s"state-$n").toString
-      val hist = tmp.resolve(s"hist-$n").toString
-      // both-direction ring, generated distributed (no driver seq)
-      val ring = s.range(n).select(col("id").as("src"),
-          ((col("id") + 1) % n).as("dst"))
-        .select(explode(array(
-          struct(col("src"), col("dst")),
-          struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
-        .select(col("p.src"), col("p.dst"))
-      val buckets = 64
-      graft.analytics.EdgeFold.fold(ring, 1L, store, buckets)
+    println(f"${"cliques"}%8s ${"|V|"}%9s ${"|E|"}%10s ${"delta"}%8s " +
+      f"${"full"}%8s ${"full/delta"}%10s ${"mode"}%6s")
+    cs.foreach { c =>
+      val store = tmp.resolve(s"state-$c").toString
+      val hist = tmp.resolve(s"hist-$c").toString
+      // C disjoint K-cliques: node n edges to every clique-mate; each
+      // direction arrives from its own source row — symmetric by
+      // construction, generated distributed (no driver materialization)
+      val graph = s.range(c * k)
+        .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+        .filter(col("j") =!= col("id") % k)
+        .select(col("id").as("src"),
+          ((col("id") - col("id") % k) + col("j")).as("dst"))
+      graft.analytics.EdgeFold.fold(graph, 1L, store, 64)
       graft.analytics.RankHistory.publish(s, store, hist)
-      val sliver = (0 until sliverPairs).flatMap(i =>
-        Seq((i.toLong, (i + 1L) % n), ((i + 1L) % n, i.toLong)))
-        .toDF("src", "dst")
-      graft.analytics.EdgeFold.fold(sliver, 2L, store, buckets)
+      val sliver = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+      graft.analytics.EdgeFold.fold(sliver, 2L, store, 64)
       val changed = sliver.select(col("src")).distinct()
 
       def timeMin(f: => Long): Double = (1 to reps).map { _ =>
@@ -70,8 +71,8 @@ object DeltaServeBench {
       val tFull = timeMin(
         graft.analytics.ExtendedQueries.withMaintainedPagerankRanks(
           s, store)(_.count()))
-      println(f"$n%9d ${2 * n}%9d $tDelta%7.2fs $tFull%7.2fs " +
-        f"${tFull / tDelta}%5.1fx $mode%6s")
+      println(f"$c%8d ${c * k}%9d ${c * k * (k - 1)}%10d " +
+        f"$tDelta%7.2fs $tFull%7.2fs ${tFull / tDelta}%9.1fx $mode%6s")
     }
     graft.text.Artifacts.deleteRecursively(tmp)
     s.stop()
