@@ -117,7 +117,13 @@ object Bench {
     // per-pass "heavy last" would still put pass N's GC debt under
     // pass N+1's first queries
     for (_ <- 1 to runs) timePass(normal)
-    release(); System.gc() // settle: the heavy phase owns its own debt
+    release()
+    // mid-phase stamp: machine speed AFTER the normal phase and BEFORE
+    // the trailing heavy phase — quantifies the heavy phase's heap/GC
+    // shadow on the end stamp (r19: the 100× end stamp drifted
+    // 0.097→0.072 in-run and polluted the normalization)
+    val calibMid = calibrate()
+    System.gc() // settle: the heavy phase owns its own debt
     for (_ <- 1 to runs) timePass(heavy)
     release()
     def agg(f: List[Double] => Double) = samples.toSeq.sortBy(_._1).map {
@@ -155,26 +161,43 @@ object Bench {
       s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val totalMed = medians.map(_._2).sum
+    // the total WITHOUT the trailing heavy phase (q180 was 1050 s of
+    // the r19 100× total of 1459 s — the other queries' scale story
+    // must be machine-readable without hand subtraction; r19 verdict #6)
+    val totalExHeavy = mins.filterNot { case (k, _) => gcHeavy(k) }
+      .map(_._2).sum
     val calibEnd = calibrate()
     val ctx = s""""load":[${r3(loadStart)},${r3(loadAvg)}],""" +
       s""""gc_ms":${gcMs - gcStart},"cpus":$cpus,""" +
-      s""""calib":[${r3(calibStart)},${r3(calibEnd)}]"""
+      s""""calib":[${r3(calibStart)},${r3(calibMid)},${r3(calibEnd)}]"""
     // Calibration-NORMALIZED round-over-round deltas (r18 directive):
     // when SPARK_GRAFT_BENCH_PREV points at a previous bench record
     // (BENCH_DETAIL_r<N>.json / bench_latest.json — must carry "calib"
     // and "queries"), each shared query's min-ratio divides by the
-    // calib ratio (machine speed now / machine speed then, each the
-    // mean of the run's start/end stamps), turning "is this drift or a
-    // regression" from a narrated argument into one computed column:
-    // normalized ≈ 1.0 → pure environment; normalized ≫ 1.0 → the
-    // plan/code changed. File-record only (stdout budget).
+    // calib ratio (machine speed now / machine speed then), turning
+    // "is this drift or a regression" from a narrated argument into one
+    // computed column: normalized ≈ 1.0 → pure environment;
+    // normalized ≫ 1.0 → the plan/code changed.
+    //
+    // Each side's speed is the MIN of its run's stamps, NOT the mean
+    // (r19 verdict #3): the stamps drift IN-RUN when a trailing phase
+    // leaves heap/GC shadow (r18's 100× end stamp carried q180's; the
+    // mean then under/overstates the machine and the whole column reads
+    // as a uniform bogus regression band). Min is the same convention
+    // as the per-query min-of-3 — the least-loaded observation of the
+    // same machine. An in-run stamp spread >15% on either side is
+    // additionally flagged "calib_unstable" — read the column with that
+    // caveat. File-record only (stdout budget).
     val normField = sys.env.get("SPARK_GRAFT_BENCH_PREV").flatMap { p =>
       try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(new java.io.File(p))
         val pc = root.get("calib")
-        val prevCalib = (pc.get(0).asDouble + pc.get(1).asDouble) / 2
-        val calibRatio = ((calibStart + calibEnd) / 2) / prevCalib
+        val prevStamps = (0 until pc.size).map(pc.get(_).asDouble)
+        val ourStamps = Seq(calibStart, calibMid, calibEnd)
+        val calibRatio = ourStamps.min / prevStamps.min
+        val drift = Seq(ourStamps, prevStamps)
+          .map(st => st.max / st.min - 1).max
         val pq = root.get("queries")
         val norms = mins.flatMap { case (k, v) =>
           Option(pq.get(k)).map(_.asDouble)
@@ -182,15 +205,26 @@ object Bench {
             .map(pv => k -> (v / pv) / calibRatio)
         }
         Some(s""""calib_ratio_vs_prev":${f"$calibRatio%.3f"},""" +
+          (if (drift > 0.15)
+            s""""calib_unstable":${f"$drift%.3f"},""" else "") +
           s""""normalized_delta":${js(norms)},""")
       } catch { case e: Throwable =>
         System.err.println(s"bench: could not normalize vs $p: $e")
         None
       }
     }.getOrElse("")
+    // which path the last q210 serve took ("delta"/"full" saturation
+    // fallback) — the 100× cell must say WHICH operator it measured
+    // (r19 verdict #1); empty when q210 is not in the timed set
+    val modeField = {
+      val m = graft.analytics.RankHistory.lastServeMode
+      if (m.nonEmpty && samples.contains("q210_pagerank_delta_serve"))
+        s""""q210_serve_mode":"$m",""" else ""
+    }
     val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,""" +
-      s""""sf":"$sfDir","total_median":${r3(totalMed)},$ctx,$normField""" +
+      s""""sf":"$sfDir","total_median":${r3(totalMed)},""" +
+      s""""total_ex_q180":${r3(totalExHeavy)},$ctx,$normField$modeField""" +
       s""""queries":${js(mins)},"queries_median":${js(medians)}}"""
     val outFile = java.nio.file.Paths.get("target", "bench_latest.json")
     java.nio.file.Files.createDirectories(outFile.getParent)

@@ -128,7 +128,25 @@ object EdgeFold {
     * with ZERO |E|-scale exchange — no per-serve repartition, no
     * degree self-join. */
   def fold(edges: DataFrame, id: Long, storeDir: String,
-           buckets: Int = 64): BucketedStateStore.FoldStats =
+           buckets: Int = 64): BucketedStateStore.FoldStats = {
+    // layout guard (r19 ADVICE, high): folding a (src, dst, w, d) slice
+    // on top of a pre-degree (src, dst, w) store would leave UNTOUCHED
+    // buckets 3-column — readers null-fill d (schema union), a
+    // compaction bakes the nulls in permanently, and stepRank's
+    // `w * (r div d)` contributions silently vanish (sum skips nulls).
+    // Refuse before any write, against the version this fold would read.
+    val root = java.nio.file.Paths.get(storeDir)
+    BucketedStateStore.prevVersion(root, id).foreach { v =>
+      require(BucketedStateStore.storedSchema(root, v)
+          .fieldNames.contains("d"),
+        s"edge state at $storeDir (v$v) has the pre-degree " +
+          "(src, dst, w) layout — folding a degreed slice on top would " +
+          "leave untouched buckets without d, and their rank " +
+          "contributions would silently vanish on serve. Run " +
+          "EdgeFold.migrateDegrees(spark, storeDir) once: it recomputes " +
+          "d for every bucket and republishes the full state as a " +
+          "bucketed-files compaction.")
+    }
     BucketedStateStore.foldBatch(
       edges.select(col("src"), col("dst")), id, storeDir,
       Seq("src"), buckets,
@@ -137,6 +155,26 @@ object EdgeFold {
         slice.select(col("src"), col("dst"), col("w"))
           .unionByName(unit(b))),
       bucketedFiles = true)
+  }
+
+  /** One-time layout migration for a pre-degree (src, dst, w) store
+    * (the r18 fold format): recompute d = Σw per src for EVERY bucket
+    * and republish the complete state as a bucketed-files compaction
+    * (odd slot — later folds layer on top normally). Re-merging
+    * already-merged rows is idempotent, so [[merged]] is reused
+    * verbatim — the migration cannot drift from the fold's own degree
+    * arithmetic. A store whose schema already carries d returns its
+    * latest version untouched. */
+  def migrateDegrees(s: SparkSession, storeDir: String): Long = {
+    val root = java.nio.file.Paths.get(storeDir)
+    val latest = BucketedStateStore.latestVersion(root)
+      .getOrElse(sys.error(s"no edge state under $storeDir"))
+    if (BucketedStateStore.storedSchema(root, latest)
+        .fieldNames.contains("d")) latest
+    else BucketedStateStore.compactWith(s, storeDir, Seq("src"),
+      all => merged(all.select(col("src"), col("dst"), col("w"))),
+      bucketedFiles = true)
+  }
 
   /** Batch edges as unit-weight rows — the associative input shape. */
   private def unit(b: DataFrame): DataFrame =
@@ -200,7 +238,10 @@ object EdgeFold {
   * out-edges of A reversed — a src-key join against the bucketed state
   * (zero edge-side exchange), with d(s) joined from the maintained
   * per-src degree. The contract is therefore symmetric-weight graphs;
-  * an asymmetric graph must serve fully.
+  * an asymmetric graph must serve fully — ENFORCED (r19 ADVICE): the
+  * delta path verifies equal-weight reverse edges for the changed
+  * sources' out-edges (neighborhood-scale) and aborts loudly on a
+  * mismatch.
   *
   * Two loud aborts guard staleness: (1) the node set must be unchanged
   * since publish (a new node changes rInit = scale/|V| and hence EVERY
@@ -243,7 +284,19 @@ object RankHistory {
     * .ExtendedQueries.withMaintainedPagerankRanks]]'s integers) from
     * the CURRENT latest state version and persist the per-iteration
     * rank tables r1..r3 (|V| rows each — rank-scale) plus
-    * (state_version, n_nodes) under `historyDir`, by staged swap. */
+    * (state_version, n_nodes) under `historyDir`.
+    *
+    * Publication is the state store's staged-claim/versioned-dir idiom
+    * (r19 ADVICE — the previous delete-before-move left NO readable
+    * history between the delete and the move, and a crash there lost it
+    * until a republish): each publish stages a complete payload and
+    * claims the next `v<N>` subdir atomically ([[graft.etl
+    * .VersionedDir.claim]]); readers resolve the highest version, so a
+    * history is readable at every instant. The claimed version plus one
+    * predecessor are retained (in-flight readers keep the dir they
+    * resolved); older ones are pruned. The pre-versioned FLAT layout
+    * (payload directly under `historyDir`) stays readable until the
+    * first versioned publish supersedes it. */
   def publish(s: SparkSession, storeDir: String,
               historyDir: String): Unit = {
     val root = Paths.get(storeDir)
@@ -252,8 +305,9 @@ object RankHistory {
     val ed = EdgeFold.degreedEdgesBucketed(s, storeDir).persist()
     val nodes = ed.select(col("src").as("node")).distinct().persist()
     val hroot = Paths.get(historyDir)
-    val tmp = hroot.resolveSibling(
-      hroot.getFileName.toString + "._stage-" + java.util.UUID.randomUUID)
+    Files.createDirectories(hroot)
+    graft.etl.VersionedDir.sweep(hroot, "._stage-")
+    val tmp = hroot.resolve("._stage-" + java.util.UUID.randomUUID)
     try {
       val nNodes = nodes.count()
       val rInit = scale / nNodes
@@ -267,14 +321,23 @@ object RankHistory {
       }
       Files.writeString(tmp.resolve("state_version"), version.toString)
       Files.writeString(tmp.resolve("n_nodes"), nNodes.toString)
-      graft.text.Artifacts.deleteRecursively(hroot)
-      Files.move(tmp, hroot,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      graft.etl.VersionedDir.claim(hroot, tmp)
+      graft.etl.VersionedDir.versions(hroot)
+        .sorted(Ordering[Long].reverse).drop(2)
+        .foreach(v => graft.text.Artifacts.deleteRecursively(
+          hroot.resolve(s"v$v")))
     } finally {
       nodes.unpersist(false); ed.unpersist(false)
       graft.text.Artifacts.deleteRecursively(tmp)
     }
   }
+
+  /** The newest published history payload dir: the highest `v<N>` when
+    * versioned, else the legacy flat layout (`historyDir` itself). */
+  private def latestHistory(
+      hroot: java.nio.file.Path): java.nio.file.Path =
+    graft.etl.VersionedDir.versions(hroot).maxOption
+      .map(v => hroot.resolve(s"v$v")).getOrElse(hroot)
 
   /** The q136-shaped rank table ((node string, rank_scaled)) served by
     * recomputing ONLY the changed sources' ≤3-hop out-neighborhood and
@@ -301,7 +364,7 @@ object RankHistory {
       saturationFrac: Double = 0.34)
       (use: DataFrame => T): T = {
     val root = Paths.get(storeDir)
-    val hroot = Paths.get(historyDir)
+    val hroot = latestHistory(Paths.get(historyDir))
     val histVersion =
       Files.readString(hroot.resolve("state_version")).trim.toLong
     val histNodes = Files.readString(hroot.resolve("n_nodes")).trim.toLong
@@ -338,6 +401,39 @@ object RankHistory {
       val deg = pin(ed.groupBy(col("src")).agg(first(col("d")).as("ds"))
         .withColumnRenamed("src", "s"))
       val degByNode = deg.withColumnRenamed("s", "node")
+      // w-symmetry guard (r19 ADVICE): the in-edge reversal below is
+      // exact ONLY on symmetric-weight graphs — on an asymmetric one
+      // the inner joins silently drop/fabricate contributions. Verify
+      // on the CHANGED SOURCES' out-edges only (neighborhood-scale, the
+      // documented cheap proxy): every (s→n, w) with s ∈ C must have an
+      // equal-weight (n→s, w). Both probes of the cached edges keep the
+      // edge side exchange-free (src-keyed shuffle_hash rides the
+      // bucketing; the dst-keyed probe broadcasts the tiny C instead).
+      // Lazily, once, on the delta path only — the saturation fallback
+      // never reverses an edge.
+      var symmetryChecked = false
+      def requireSymmetric(): Unit = if (!symmetryChecked) {
+        val cOut = ed.join(c.hint("shuffle_hash"),
+            ed("src") === c("node"))
+          .select(ed("src").as("cs"), ed("dst").as("cd"),
+            ed("w").as("cw"))
+        val rev = ed.join(
+            org.apache.spark.sql.functions.broadcast(c),
+            ed("dst") === c("node"))
+          .select(ed("src").as("rs"), ed("dst").as("rd"),
+            ed("w").as("rw"))
+        val asym = cOut.join(rev,
+          col("cs") === col("rd") && col("cd") === col("rs") &&
+            col("cw") === col("rw"), "left_anti").count()
+        require(asym == 0L,
+          s"$asym out-edge(s) of the changed sources have no " +
+            "equal-weight reverse edge — the graph is not " +
+            "weight-symmetric, so the in-edge-reversal delta serve " +
+            "would silently drop or fabricate contributions. Serve " +
+            "fully (withMaintainedPagerankRanks) or fix the fold to " +
+            "emit both directions per pair.")
+        symmetryChecked = true
+      }
       var affectedPrev: DataFrame = null // A_{i-1}
       var rNewPrev: DataFrame = null     // recomputed r_{i-1} on A_{i-1}
       var served: DataFrame = null
@@ -366,6 +462,7 @@ object RankHistory {
           for (_ <- 1 to iters) rank = stepRank(ed, rank, base)
           served = rank
         } else {
+          requireSymmetric()
           // A_i = out-neighbors(new) of (A_{i-1} ∪ C); pinned — it
           // keys this iteration's in-edge join and the next overlay
           val affected = pin(ed.join(sources.hint("shuffle_hash"),

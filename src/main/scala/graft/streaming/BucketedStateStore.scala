@@ -167,6 +167,17 @@ object BucketedStateStore {
   def latestVersion(root: Path): Option[Long] =
     VersionedDir.versions(root).maxOption
 
+  /** The stored state schema of `version` (the `_schema.json` sidecar
+    * empty-slice reads use). Consumers: fold-time LAYOUT guards that
+    * must refuse a previous version whose schema predates a column the
+    * fold now maintains ([[graft.analytics.EdgeFold]]'s degree column
+    * — an old 3-column layer under a new 4-column fold would null-fill
+    * the missing column on read and silently corrupt downstream
+    * aggregates). */
+  def storedSchema(root: Path, version: Long): StructType =
+    DataType.fromJson(Files.readString(
+      schemaPath(root.resolve(s"v$version")))).asInstanceOf[StructType]
+
   /** The complete state at the latest version; loud error when the
     * store has no version yet. */
   def readAll(s: SparkSession, root: Path, what: String): DataFrame = {
@@ -276,14 +287,35 @@ object BucketedStateStore {
     val latest = VersionedDir.versions(root).maxOption
       .getOrElse(sys.error(s"no state to compact under $root"))
     if (latest % 2 == 1) return latest // already a compaction
-    val vdir = root.resolve(s"v$latest")
-    val buckets = readManifest(vdir)._1
-    val all = readAllAt(s, root, latest)
     // a bucketed-files store stays bucketed-files across compaction —
     // the readLatestBucketedTable contract must survive lineage hygiene
-    publishAt(all, root, latest + 1, Map.empty, (0 until buckets),
-      keyCols, buckets,
-      bucketedFiles = bucketedKeys(vdir).isDefined).version
+    compactWith(s, storeDir, keyCols, identity,
+      bucketedFiles = bucketedKeys(root.resolve(s"v$latest")).isDefined)
+  }
+
+  /** [[compact]] with a state TRANSFORM — the layout-migration
+    * primitive: rewrite the latest version's FULL state through
+    * `transform` into one self-contained version in the compaction
+    * (odd-slot) namespace ([[graft.analytics.EdgeFold]]'s
+    * `migrateDegrees` recomputes a maintained column for every bucket
+    * this way, and can flip a plain store to `bucketedFiles`). Unlike
+    * [[compact]] it never no-ops: an odd latest claims the next ODD
+    * slot above it (`latest + 2`), staying outside the batch-id
+    * namespace either way. The transform must preserve the key
+    * columns' values (the key-locality guard enforces the bucket side
+    * of that). */
+  def compactWith(s: SparkSession, storeDir: String,
+                  keyCols: Seq[String],
+                  transform: DataFrame => DataFrame,
+                  bucketedFiles: Boolean): Long = {
+    val root = Paths.get(storeDir)
+    val latest = VersionedDir.versions(root).maxOption
+      .getOrElse(sys.error(s"no state to compact under $root"))
+    val buckets = readManifest(root.resolve(s"v$latest"))._1
+    val target = if (latest % 2 == 1) latest + 2 else latest + 1
+    publishAt(transform(readAllAt(s, root, latest)), root, target,
+      Map.empty, (0 until buckets), keyCols, buckets,
+      bucketedFiles).version
   }
 
   private def schemaPath(vdir: Path) = vdir.resolve("_schema.json")
@@ -420,8 +452,28 @@ object BucketedStateStore {
           s"PARTITION (_sb=$b) LOCATION '$loc'")
     }
     s.sql(s"REFRESH TABLE $name")
+    // catalog hygiene (r19 ADVICE): a serve-after-every-fold loop
+    // otherwise grows the session catalog one table per (root, version)
+    // forever. The superseded version's name is recorded here (JVM-
+    // scoped, like the in-memory catalog itself) and dropped on the
+    // next registration — external table, so no file is touched.
+    // Contract: the previous version's frame must have been FORCED
+    // before the next fold+read cycle (the managed-scope serves
+    // already guarantee this); a truly concurrent older-version read
+    // keeps its newer sibling registered and leaks nothing new.
+    Option(registeredTables.put(root.toString, (version, name)))
+      .foreach { case (pv, pname) =>
+        if (pv > version) registeredTables.put(root.toString, (pv, pname))
+        else if (pname != name) s.sql(s"DROP TABLE IF EXISTS $pname")
+      }
     s.table(name).select(schema.fieldNames.map(col): _*)
   }
+
+  /** store root → (version, catalog table) of the latest
+    * [[readLatestBucketedTable]] registration, for superseded-table
+    * cleanup. */
+  private val registeredTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, String)]()
 
   /** One-time scheme-tag migration for stores written by the slot-
     * layout release that PREDATES the `scheme` manifest property (their

@@ -1302,6 +1302,148 @@ class OperatorSpec extends SparkSpec {
     } finally graft.text.Artifacts.deleteRecursively(tmp)
   }
 
+  test("EdgeFold refuses a pre-degree (src, dst, w) store loudly; " +
+      "migrateDegrees rebuilds d for every bucket (r20)") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    import graft.analytics.EdgeFold
+    import graft.streaming.BucketedStateStore
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-predegree")
+    val dir = tmp.resolve("state").toString
+    try {
+      // a store exactly as the r18 fold format wrote it: (src, dst, w),
+      // no degree column, plain (non-bucketed-files) publication
+      def weighted(b: org.apache.spark.sql.DataFrame) =
+        b.select(col("src"), col("dst"), lit(1L).as("w"))
+          .repartition(col("src"))
+          .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      val base = Seq((0L, 1L), (0L, 1L), (0L, 2L), (1L, 0L), (2L, 0L))
+        .toDF("src", "dst")
+      BucketedStateStore.foldBatch(base, 1L, dir, Seq("src"), 8,
+        init = b => weighted(b),
+        fold = (sl, b) => weighted(
+          sl.selectExpr("src", "dst").unionByName(b)))
+      // folding the new degreed shape on top must refuse BEFORE any
+      // write: untouched buckets would keep 3-column parquet, readers
+      // null-fill d, and rank contributions silently vanish
+      val err = intercept[IllegalArgumentException] {
+        EdgeFold.fold(Seq((0L, 2L), (2L, 0L)).toDF("src", "dst"),
+          2L, dir, buckets = 8)
+      }
+      assert(err.getMessage.contains("migrateDegrees"),
+        s"pre-degree store must point at the migration: ${err.getMessage}")
+      assert(BucketedStateStore.latestVersion(
+        java.nio.file.Paths.get(dir)).contains(2L),
+        "the refused fold must not have published anything")
+      // the migration recomputes d for EVERY bucket and flips the store
+      // to bucketed-files; the previously refused fold then layers on
+      EdgeFold.migrateDegrees(spark, dir)
+      EdgeFold.fold(Seq((0L, 2L), (2L, 0L)).toDF("src", "dst"),
+        2L, dir, buckets = 8)
+      val got = EdgeFold.degreedEdgesBucketed(spark, dir)
+        .collect().map(_.toSeq).toSet
+      // one-shot reference over the union of both batches
+      val oneShot = tmp.resolve("oneshot").toString
+      EdgeFold.fold(base.unionByName(
+        Seq((0L, 2L), (2L, 0L)).toDF("src", "dst")), 1L, oneShot, 8)
+      val want = EdgeFold.degreedEdgesBucketed(spark, oneShot)
+        .collect().map(_.toSeq).toSet
+      assert(got === want,
+        "migrate + fold must equal the one-shot degreed fold")
+      // idempotent: a store that already carries d is left untouched
+      val before = BucketedStateStore.latestVersion(
+        java.nio.file.Paths.get(dir)).get
+      assert(EdgeFold.migrateDegrees(spark, dir) === before,
+        "migrating a degreed store must be a no-op")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
+  test("RankHistory delta-serve aborts loudly on an asymmetric-weight " +
+      "graph instead of serving wrong ranks (r20)") {
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.{EdgeFold, RankHistory}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-asym")
+    val store = tmp.resolve("state").toString
+    val hist = tmp.resolve("history").toString
+    try {
+      // a ring with ONE direction missing its twin: node 0 → 1 exists,
+      // 1 → 0 does not — the in-edge-reversal contract is violated
+      val n = 64
+      val ring = (0 until n).flatMap { i =>
+        val j = (i + 1) % n
+        if (i == 0) Seq((i.toLong, j.toLong), (j.toLong, 2L), (2L, j.toLong))
+        else Seq((i.toLong, j.toLong), (j.toLong, i.toLong))
+      }
+      EdgeFold.fold(ring.toDF("src", "dst"), 1L, store, 16)
+      RankHistory.publish(spark, store, hist)
+      val sliver = Seq((5L, 6L), (6L, 5L)).toDF("src", "dst")
+      EdgeFold.fold(sliver, 2L, store, 16)
+      // the changed sources' own out-edges are symmetric, so extend the
+      // changed set to touch the asymmetric node (coverage guard aside,
+      // the caller declares what changed)
+      val changed = Seq(5L, 6L, 0L).toDF("src")
+      val err = intercept[IllegalArgumentException] {
+        RankHistory.withDeltaServedRanks(spark, store, hist, changed)(
+          _.count())
+      }
+      assert(err.getMessage.contains("weight-symmetric"),
+        s"asymmetric graph must abort the delta serve: ${err.getMessage}")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
+  test("RankHistory.publish is versioned: a republish keeps a readable " +
+      "history at every instant; the legacy flat layout still serves (r20)") {
+    import org.apache.spark.sql.functions.col
+    import graft.analytics.{EdgeFold, ExtendedQueries, RankHistory}
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-histver")
+    val store = tmp.resolve("state").toString
+    val hist = tmp.resolve("history")
+    try {
+      val n = 200
+      val ring = (0 until n).flatMap { i =>
+        val j = (i + 1) % n
+        Seq((i.toLong, j.toLong), (j.toLong, i.toLong))
+      }
+      EdgeFold.fold(ring.toDF("src", "dst"), 1L, store, 16)
+      RankHistory.publish(spark, store, hist.toString)
+      assert(java.nio.file.Files.isDirectory(hist.resolve("v1")),
+        "first publish must claim v1")
+      EdgeFold.fold(Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"),
+        2L, store, 16)
+      RankHistory.publish(spark, store, hist.toString)
+      // both versions present — the republish never deleted the live one
+      assert(java.nio.file.Files.isDirectory(hist.resolve("v1")) &&
+        java.nio.file.Files.isDirectory(hist.resolve("v2")),
+        "republish must retain the predecessor for in-flight readers")
+      EdgeFold.fold(Seq((4L, 5L), (5L, 4L)).toDF("src", "dst"),
+        3L, store, 16)
+      val changed = Seq(4L, 5L).toDF("src")
+      val delta = RankHistory.withDeltaServedRanks(spark, store,
+        hist.toString, changed)(_.collect().map(_.toSeq).toSet)
+      assert(RankHistory.lastServeMode === "delta")
+      val full = ExtendedQueries.withMaintainedPagerankRanks(
+        spark, store)(_.collect().map(_.toSeq).toSet)
+      assert(delta === full, "versioned history must serve exactly")
+      // a third publish prunes v1 (keep = claimed + one predecessor)
+      RankHistory.publish(spark, store, hist.toString)
+      assert(!java.nio.file.Files.isDirectory(hist.resolve("v1")) &&
+        java.nio.file.Files.isDirectory(hist.resolve("v2")) &&
+        java.nio.file.Files.isDirectory(hist.resolve("v3")),
+        "older history versions must be pruned")
+      // legacy FLAT layout (the pre-versioned publish wrote the payload
+      // directly under historyDir) still serves: flatten v3 in place
+      val flat = tmp.resolve("flat-history")
+      java.nio.file.Files.move(hist.resolve("v3"), flat)
+      graft.text.Artifacts.deleteRecursively(hist)
+      val legacy = RankHistory.withDeltaServedRanks(spark, store,
+        flat.toString, spark.range(0).selectExpr("id as src"))(
+        _.collect().map(_.toSeq).toSet)
+      assert(legacy === full, "the flat pre-versioned layout must serve")
+    } finally graft.text.Artifacts.deleteRecursively(tmp)
+  }
+
   test("salted join: identical result to the plain join, spread over salts") {
     val fact = spark.range(1000).select(
       col("id").as("event_id"), (col("id") % 3).as("key"))

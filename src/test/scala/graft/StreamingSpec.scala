@@ -2073,6 +2073,33 @@ class StreamingSpec extends SparkSpec {
       s"plain store must refuse with the re-publish hint: ${err.getMessage}")
   }
 
+  test("readLatestBucketedTable drops the superseded version's catalog " +
+      "table — a fold+serve loop keeps the session catalog bounded (r20)") {
+    import spark.implicits._
+    import graft.analytics.EdgeFold
+    import graft.streaming.BucketedStateStore
+    val dir = tmp("bktcatalog")
+    def stateTables() = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_state_")).toSet
+    val before = stateTables()
+    // a serve-after-every-fold loop: without the drop, each iteration
+    // leaves one more graft_state_<hash> table in the session catalog
+    (1 to 4).foreach { i =>
+      EdgeFold.fold(Seq((i.toLong, 0L), (0L, i.toLong))
+        .toDF("src", "dst"), i.toLong, dir, buckets = 8)
+      // force the serve inside the cycle — the drop contract requires
+      // the previous frame to have been consumed before the next read
+      assert(EdgeFold.degreedEdgesBucketed(spark, dir).count() === 2L * i)
+    }
+    val grown = stateTables() -- before
+    assert(grown.size === 1,
+      s"expected ONE live table for this store, got: $grown")
+    // re-reading the same version re-registers the same table — no churn
+    EdgeFold.degreedEdgesBucketed(spark, dir).count()
+    assert((stateTables() -- before) === grown,
+      "a same-version re-read must reuse the registration")
+  }
+
   test("bucketed state store: pre-slot-scheme layouts are rejected " +
       "loudly, never silently double-folded (r18)") {
     import spark.implicits._
