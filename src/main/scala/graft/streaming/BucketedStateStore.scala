@@ -439,17 +439,35 @@ object BucketedStateStore {
       .getInstance("MD5")
       .digest(s"$root#v$version".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(16)
-    try s.sql(
-      s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}, _sb INT)
-          USING parquet PARTITIONED BY (_sb)
-          CLUSTERED BY (${keyCols.mkString(", ")}) INTO $buckets BUCKETS
-          LOCATION '$root'""")
-    catch { case _: org.apache.spark.sql.AnalysisException => () }
-    owners.toSeq.sortBy(_._1).foreach { case (b, v) =>
-      val loc = root.resolve(s"v$v").resolve(s"_sb=$b")
-      if (Files.isDirectory(loc)) // a missing dir is an emptied bucket
-        s.sql(s"ALTER TABLE $name ADD IF NOT EXISTS " +
-          s"PARTITION (_sb=$b) LOCATION '$loc'")
+    // registration fast path: the name keys on (root, version) and a
+    // version's owner map is immutable (a same-path replay rebuilds it
+    // identically), so a table already registered in this JVM needs no
+    // re-DDL — a serve-after-every-fold loop pays registration once per
+    // version, not once per read (the r20 serve-only probe measured the
+    // per-read DDL at ~1 s of the maintained serve's cost). REFRESH
+    // still runs every read: it is one cheap call and drops any stale
+    // file listing a same-path replay left behind.
+    val already = Option(registeredTables.get(root.toString))
+      .exists { case (v, n) => v == version && n == name } &&
+      s.catalog.tableExists(name)
+    if (!already) {
+      try s.sql(
+        s"""CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}, _sb INT)
+            USING parquet PARTITIONED BY (_sb)
+            CLUSTERED BY (${keyCols.mkString(", ")}) INTO $buckets BUCKETS
+            LOCATION '$root'""")
+      catch { case _: org.apache.spark.sql.AnalysisException => () }
+      // ONE batched ADD for all owned buckets (64 single-partition DDL
+      // round trips measured as the bulk of the registration cost)
+      val parts = owners.toSeq.sortBy(_._1).flatMap { case (b, v) =>
+        val loc = root.resolve(s"v$v").resolve(s"_sb=$b")
+        // a missing dir is an emptied bucket
+        if (Files.isDirectory(loc))
+          Some(s"PARTITION (_sb=$b) LOCATION '$loc'")
+        else None
+      }
+      if (parts.nonEmpty)
+        s.sql(s"ALTER TABLE $name ADD IF NOT EXISTS ${parts.mkString(" ")}")
     }
     s.sql(s"REFRESH TABLE $name")
     // catalog hygiene (r19 ADVICE): a serve-after-every-fold loop
