@@ -207,6 +207,16 @@ object EdgeFold {
     BucketedStateStore.readLatestBucketedTable(s, storeDir, "edge")
       .select(col("src"), col("dst"), col("w"), col("d"))
 
+  /** [[degreedEdgesBucketed]] restricted to the given buckets — a
+    * partition-pruned scan (IO ∝ slice, never |E|) that still reports
+    * `HashPartitioning(src)`. The [[RankHistory]] delta serve reads
+    * each hop's frontier buckets through this, which is what makes its
+    * cost neighborhood-proportional rather than |E|-proportional. */
+  def degreedEdgesBucketedSlice(s: SparkSession, storeDir: String,
+                                slice: Seq[Int]): DataFrame =
+    BucketedStateStore.readLatestBucketedSlice(s, storeDir, "edge", slice)
+      .select(col("src"), col("dst"), col("w"), col("d"))
+
   /** Drop superseded state versions (the store's layered prune). */
   def prune(storeDir: String, keep: Int = 2): Unit =
     BucketedStateStore.prune(storeDir, keep)
@@ -242,6 +252,20 @@ object EdgeFold {
   * delta path verifies equal-weight reverse edges for the changed
   * sources' out-edges (neighborhood-scale) and aborts loudly on a
   * mismatch.
+  *
+  * Every delta-path read is PARTITION-PRUNED (r20): each hop collects
+  * its frontier's bucket ids (bounded driver collect — the
+  * touchedBuckets discipline) and reads exactly those `_sb` dirs of
+  * the composed bucketed table
+  * ([[EdgeFold.degreedEdgesBucketedSlice]]), so hop IO is
+  * ∝ frontier buckets, never |E| — including the guards (node-set
+  * identity checks only the buckets rewritten since publish; degrees
+  * aggregate from the frontier's buckets). Serve cost therefore
+  * tracks the affected neighborhood PROVIDED the store's bucket count
+  * is sized ∝ |E| (the LabelStore sizing rule — rows-per-bucket
+  * roughly constant); with fixed buckets the slice converges to the
+  * full table and only the saturation fallback's economics remain.
+  * The full |E| relation is materialized only on that fallback.
   *
   * Two loud aborts guard staleness: (1) the node set must be unchanged
   * since publish (a new node changes rInit = scale/|V| and hence EVERY
@@ -383,45 +407,73 @@ object RankHistory {
         "changedSrcs (or a compaction ran); republish the rank history.")
     val pinned = collection.mutable.ListBuffer.empty[DataFrame]
     def pin(df: DataFrame): DataFrame = { pinned += df.persist(); df }
-    val ed = pin(EdgeFold.degreedEdgesBucketed(s, storeDir))
+    // the FULL |E| relation is materialized ONLY on the saturation
+    // fallback; the delta path reads partition-pruned bucket SLICES —
+    // the r20 fix that made serve cost neighborhood-proportional in
+    // fact, not only in join output (the r19 implementation streamed
+    // the whole cached |E| relation through every hop join and its
+    // guards, so the delta path LOST to the full serve at every scale
+    // — DeltaServeBench measured 0.2–0.5×)
+    lazy val edFull = pin(EdgeFold.degreedEdgesBucketed(s, storeDir))
+    // a pruned slice is neighborhood-scale: collapse the per-bucket
+    // task grain to the session's shuffle parallelism — slice joins
+    // gain nothing from the store's bucketing (both sides are small),
+    // and under the |E|-proportional bucket sizing one task per bucket
+    // would bury the serve in scheduling overhead (coalesce is a
+    // task-merge, not a shuffle)
+    def slice(bs: Seq[Int]): DataFrame =
+      EdgeFold.degreedEdgesBucketedSlice(s, storeDir, bs)
+        .coalesce(s.sessionState.conf.numShufflePartitions)
+    // the distinct buckets a node frame hashes into — bounded driver
+    // collect (≤ buckets ints, the touchedBuckets discipline); every
+    // frame passed here is pinned, so the collect never re-runs work
+    def bucketsOf(nodes: DataFrame): Seq[Int] =
+      BucketedStateStore.touchedBuckets(
+        nodes.select(col("node").as("src")), Seq("src"), buckets)
     val c = pin(changedSrcs.select(col("src").as("node")).distinct())
     try {
-      // node-set guard: a new node changes rInit and hence every rank
-      val nNodes = ed.select(col("src")).distinct().count()
-      require(nNodes == histNodes,
-        s"node set changed since the rank history was published " +
-          s"($histNodes -> $nNodes) — rInit = scale/|V| shifts every " +
-          "rank; republish the history (RankHistory.publish).")
+      // node-set guard, SLICE-scale (was a full |E| distinct-count):
+      // folds only ADD edges, so the node set can only change by NEW
+      // nodes, and a new node's rows live in buckets rewritten after
+      // the history's version — every src there must already be ranked
+      // by the stored history (r1 carries one row per node).
+      if (touchedSince.nonEmpty) {
+        val novel = slice(touchedSince.toSeq.sorted)
+          .select(col("src").as("node")).distinct()
+          .join(s.read.parquet(hroot.resolve("r1").toString)
+            .select(col("node")), Seq("node"), "left_anti")
+          .count()
+        require(novel == 0,
+          s"node set changed since the rank history was published " +
+            s"($novel new node(s) in the folded buckets) — rInit = " +
+            "scale/|V| shifts every rank; republish the history " +
+            "(RankHistory.publish).")
+      }
+      val nNodes = histNodes
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
-      // per-src degree from the maintained state: first(d) per src
-      // rides the bucketing (zero exchange), |V| rows — PINNED: three
-      // hops join it (an unpinned frame re-aggregates the |E| cache
-      // per evaluation)
-      val deg = pin(ed.groupBy(col("src")).agg(first(col("d")).as("ds"))
-        .withColumnRenamed("src", "s"))
-      val degByNode = deg.withColumnRenamed("s", "node")
       // w-symmetry guard (r19 ADVICE): the in-edge reversal below is
       // exact ONLY on symmetric-weight graphs — on an asymmetric one
       // the inner joins silently drop/fabricate contributions. Verify
       // on the CHANGED SOURCES' out-edges only (neighborhood-scale, the
-      // documented cheap proxy): every (s→n, w) with s ∈ C must have an
-      // equal-weight (n→s, w). Both probes of the cached edges keep the
-      // edge side exchange-free (src-keyed shuffle_hash rides the
-      // bucketing; the dst-keyed probe broadcasts the tiny C instead).
-      // Lazily, once, on the delta path only — the saturation fallback
-      // never reverses an edge.
+      // documented cheap proxy), read from pruned bucket slices: C's
+      // own buckets for the out-edges, N(C)'s buckets for the reverse
+      // candidates. Lazily, once, on the delta path only — the
+      // saturation fallback never reverses an edge.
       var symmetryChecked = false
       def requireSymmetric(): Unit = if (!symmetryChecked) {
-        val cOut = ed.join(c.hint("shuffle_hash"),
-            ed("src") === c("node"))
-          .select(ed("src").as("cs"), ed("dst").as("cd"),
-            ed("w").as("cw"))
-        val rev = ed.join(
+        val edC = slice(bucketsOf(c))
+        val cOut = pin(edC.join(c.hint("shuffle_hash"),
+            edC("src") === c("node"))
+          .select(edC("src").as("cs"), edC("dst").as("cd"),
+            edC("w").as("cw")))
+        val edN = slice(BucketedStateStore.touchedBuckets(
+          cOut.select(col("cd").as("src")), Seq("src"), buckets))
+        val rev = edN.join(
             org.apache.spark.sql.functions.broadcast(c),
-            ed("dst") === c("node"))
-          .select(ed("src").as("rs"), ed("dst").as("rd"),
-            ed("w").as("rw"))
+            edN("dst") === c("node"))
+          .select(edN("src").as("rs"), edN("dst").as("rd"),
+            edN("w").as("rw"))
         val asym = cOut.join(rev,
           col("cs") === col("rd") && col("cd") === col("rs") &&
             col("cw") === col("rw"), "left_anti").count()
@@ -441,38 +493,48 @@ object RankHistory {
       while (i <= iters && served == null) {
         val sources =
           if (i == 1) c
-          else affectedPrev.unionByName(c).distinct()
-        // saturation pre-check on the UPPER BOUND |A_i| ≤ Σ deg(src):
-        // a rank-scale join instead of materializing A_i first — in
-        // the sparse regime (the delta path's reason to exist) the sum
-        // is tiny and the exact path proceeds untouched; past the bar
-        // we fall back WITHOUT paying the |A_i| expansion (a
-        // hub-concentrated 1-hop could be bounded below the sum, but
-        // its rank changes fan out next hop anyway — documented trade)
-        val degUb = sources.join(degByNode.hint("shuffle_hash"), "node")
-          .agg(sum(col("ds"))).collect()(0)
-        val ub = if (degUb.isNullAt(0)) 0L else degUb.getLong(0)
-        if (ub >= saturationFrac * nNodes) {
+          else pin(affectedPrev.unionByName(c).distinct())
+        // this hop's candidate sources' buckets — every read below is
+        // pruned to a bucket set collected from a pinned frame
+        val edS = slice(bucketsOf(sources))
+        // A_i = out-neighbors(new) of (A_{i-1} ∪ C); pinned — it
+        // keys the saturation decision (its exact count — ONE job,
+        // fused with the cache materialization; the r19 Σ-deg upper
+        // bound cost a job of its own and overestimated wildly on
+        // clustered graphs), this iteration's in-edge join, and the
+        // next overlay. In the dense regime the expansion is one
+        // slice-turned-full pass — the same work as one fallback
+        // iteration.
+        val affected = pin(edS.join(sources.hint("shuffle_hash"),
+            edS("src") === sources("node"))
+          .select(edS("dst").as("node")).distinct())
+        if (affected.count() >= saturationFrac * nNodes) {
           // the neighborhood reached most of the graph — the overlay
           // path is now full-graph work PLUS joins; serve fully from
-          // the same pinned edges instead (identical integers)
+          // the complete pinned edges instead (identical integers)
           RankHistory.lastServeMode = "full"
-          var rank = ed.select(col("src").as("node")).distinct()
+          var rank = edFull.select(col("src").as("node")).distinct()
             .select(col("node"), lit(rInit).as("r"))
-          for (_ <- 1 to iters) rank = stepRank(ed, rank, base)
+          for (_ <- 1 to iters) rank = stepRank(edFull, rank, base)
           served = rank
         } else {
           requireSymmetric()
-          // A_i = out-neighbors(new) of (A_{i-1} ∪ C); pinned — it
-          // keys this iteration's in-edge join and the next overlay
-          val affected = pin(ed.join(sources.hint("shuffle_hash"),
-              ed("src") === sources("node"))
-            .select(ed("dst").as("node")).distinct())
           // in-edges of A_i: out-edges of A_i reversed (w symmetric),
-          // d(s) from the maintained degree — edge side never exchanged
-          val inE = ed.join(affected.hint("shuffle_hash"),
-              ed("src") === affected("node"))
-            .select(ed("src").as("n"), ed("dst").as("s"), ed("w").as("w"))
+          // read from A_i's own buckets — pruned, never |E|. Pinned:
+          // the in-edge-source bucket collect and the contribution
+          // join both consume it.
+          val edA = slice(bucketsOf(affected))
+          val inE = pin(edA.join(affected.hint("shuffle_hash"),
+              edA("src") === affected("node"))
+            .select(edA("src").as("n"), edA("dst").as("s"),
+              edA("w").as("w")))
+          // d(x) for the in-edge sources x ∈ N(A_i): first(d) per src
+          // from exactly their buckets (d is src-constant and every
+          // row of a src lives in one bucket)
+          val deg = slice(BucketedStateStore.touchedBuckets(
+              inE.select(col("s").as("src")), Seq("src"), buckets))
+            .groupBy(col("src")).agg(first(col("d")).as("ds"))
+            .withColumnRenamed("src", "s")
           // r_{i-1} for the in-edge SOURCES: uniform at i=1, else the
           // stored table overlaid with the recomputed values on A_{i-1}
           val withR =

@@ -255,6 +255,13 @@ object BucketedStateStore {
     val dest = root.resolve(s"v$version")
     Artifacts.deleteRecursively(dest) // stale replay output
     Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // any landed version (new slot OR same-path replay) invalidates
+    // this JVM's table-registration fast path for the root — the next
+    // bucketed read re-registers and re-lists (REFRESH). The NAME is
+    // kept (version flipped to the -1 sentinel): the next registration
+    // still drops the superseded version's table through it.
+    registeredTables.computeIfPresent(root.toString,
+      (_, e) => (-1L, e._2))
     FoldStats(version, buckets, touched.size, bytes)
   }
 
@@ -413,6 +420,30 @@ object BucketedStateStore {
     * are registered by reference, no file is copied or linked. */
   def readLatestBucketedTable(s: SparkSession, storeDir: String,
                               what: String): DataFrame = {
+    val (name, schema) = latestBucketedTable(s, storeDir, what)
+    s.table(name).select(schema.fieldNames.map(col): _*)
+  }
+
+  /** The latest state RESTRICTED to the given buckets, as a
+    * partition-pruned scan of the same composed bucketed table: the
+    * scan lists and reads ONLY the named `_sb` dirs (static partition
+    * pruning) and still reports `HashPartitioning(keys, buckets)` —
+    * bucketing is per-file, so a subset of partitions stays correctly
+    * bucketed. THE slice-scale read for serves whose working set is a
+    * key neighborhood, not the corpus (the q210 rank delta-serve's hop
+    * reads): IO ∝ touched buckets, never |state|. */
+  def readLatestBucketedSlice(s: SparkSession, storeDir: String,
+                              what: String,
+                              slice: Seq[Int]): DataFrame = {
+    val (name, schema) = latestBucketedTable(s, storeDir, what)
+    val cond = if (slice.isEmpty) lit(false) // an empty slice is empty
+               else col("_sb").isin(slice: _*)
+    s.table(name).filter(cond)
+      .select(schema.fieldNames.map(col): _*)
+  }
+
+  private def latestBucketedTable(s: SparkSession, storeDir: String,
+                                  what: String): (String, StructType) = {
     val root = Paths.get(storeDir)
     val version = VersionedDir.versions(root).maxOption
       .getOrElse(sys.error(s"no $what state under $root"))
@@ -442,11 +473,13 @@ object BucketedStateStore {
     // registration fast path: the name keys on (root, version) and a
     // version's owner map is immutable (a same-path replay rebuilds it
     // identically), so a table already registered in this JVM needs no
-    // re-DDL — a serve-after-every-fold loop pays registration once per
-    // version, not once per read (the r20 serve-only probe measured the
-    // per-read DDL at ~1 s of the maintained serve's cost). REFRESH
-    // still runs every read: it is one cheap call and drops any stale
-    // file listing a same-path replay left behind.
+    // re-DDL and no REFRESH — a serve loop pays registration (DDL +
+    // partition/file listing) once per version, not once per read (the
+    // r20 probes measured per-read DDL at ~1 s and per-read REFRESH as
+    // the delta serve's dominant cost: every REFRESH forces the next
+    // scan to re-list all partitions). [[publishAt]] invalidates the
+    // entry when it lands ANY version under the root, so a same-path
+    // replay in this JVM re-registers and re-lists.
     val already = Option(registeredTables.get(root.toString))
       .exists { case (v, n) => v == version && n == name } &&
       s.catalog.tableExists(name)
@@ -468,8 +501,10 @@ object BucketedStateStore {
       }
       if (parts.nonEmpty)
         s.sql(s"ALTER TABLE $name ADD IF NOT EXISTS ${parts.mkString(" ")}")
+      // drops any stale file listing a same-path replay left behind —
+      // registration-time only (see the fast-path note above)
+      s.sql(s"REFRESH TABLE $name")
     }
-    s.sql(s"REFRESH TABLE $name")
     // catalog hygiene (r19 ADVICE): a serve-after-every-fold loop
     // otherwise grows the session catalog one table per (root, version)
     // forever. The superseded version's name is recorded here (JVM-
@@ -484,7 +519,7 @@ object BucketedStateStore {
         if (pv > version) registeredTables.put(root.toString, (pv, pname))
         else if (pname != name) s.sql(s"DROP TABLE IF EXISTS $pname")
       }
-    s.table(name).select(schema.fieldNames.map(col): _*)
+    (name, schema)
   }
 
   /** store root → (version, catalog table) of the latest

@@ -330,6 +330,51 @@ class PlanSpec extends SparkSpec {
     } finally graft.text.Artifacts.deleteRecursively(tmpd)
   }
 
+  test("q210 hop reads are partition-PRUNED bucket slices: IO ∝ frontier " +
+      "buckets, bucketing preserved, no exchange (r20)") {
+    import spark.implicits._
+    import graft.analytics.EdgeFold
+    import graft.streaming.BucketedStateStore
+    val tmpd = java.nio.file.Files.createTempDirectory("graft-plan-slice")
+    try {
+      val store = tmpd.resolve("state").toString
+      val n = 512
+      val ring = (0 until n).flatMap { i =>
+        val j = (i + 1) % n
+        Seq((i.toLong, j.toLong), (j.toLong, i.toLong))
+      }
+      EdgeFold.fold(ring.toDF("src", "dst"), 1L, store, 64)
+      val frontier = Seq(7L).toDF("src")
+      val bs = BucketedStateStore.touchedBuckets(frontier, Seq("src"), 64)
+      val sl = EdgeFold.degreedEdgesBucketedSlice(spark, store, bs)
+      val p = sl.queryExecution.executedPlan.toString
+      // static partition pruning: the scan must read ONLY the named
+      // _sb dirs — visible as a partition filter and a pruned count.
+      // (The standalone scan reports "Bucketed: false (disabled by
+      // query planner)" — auto-bucketed-scan only engages the bucketed
+      // layout when a join/agg needs it, which the join below pins.)
+      assert(!p.contains("Exchange"),
+        s"a pruned slice must carry no exchange:\n${p.take(1200)}")
+      assert(p.contains("PartitionFilters: [isnotnull(_sb") ||
+        p.contains("PartitionFilters: [(_sb"),
+        s"the partition filter must reach the scan:\n${p.take(1200)}")
+      val sliceRows = sl.count()
+      val allRows = EdgeFold.edges(spark,
+        store).count()
+      assert(sliceRows > 0 && sliceRows < allRows / 8,
+        s"one frontier bucket of 64 must read a small fraction: " +
+          s"$sliceRows of $allRows")
+      // the slice joins like the full bucketed read: frontier-keyed
+      // join exchanges ONLY the frontier side
+      val j = sl.join(frontier.hint("shuffle_hash").withColumnRenamed(
+        "src", "node"), sl("src") === org.apache.spark.sql.functions
+          .col("node"))
+      val jp = j.queryExecution.executedPlan.toString
+      assert(jp.contains("Bucketed: true"),
+        s"the pruned slice must join as a bucketed scan:\n${jp.take(1500)}")
+    } finally graft.text.Artifacts.deleteRecursively(tmpd)
+  }
+
   test("q138 cohort retention: one scan, dedup and first-day window ride one exchange") {
     val df = SparkEntry.queries("q138_cohort_retention")(spark, sf)
     // ONE events scan: the cohort-size denominator must come from a
