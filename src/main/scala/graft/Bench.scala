@@ -166,7 +166,13 @@ object Bench {
     // must be machine-readable without hand subtraction; r19 verdict #6)
     val totalExHeavy = mins.filterNot { case (k, _) => gcHeavy(k) }
       .map(_._2).sum
-    val calibEnd = calibrate()
+    // the end stamp must never cost the run its record: the r20 100×
+    // run completed all six passes and then died in THIS call (a
+    // post-q180 heartbeat storm stopped the context), losing ~70 min
+    // of samples. A failed stamp reports -1 and the record still
+    // lands; the normalizer ignores non-positive stamps.
+    val calibEnd = try calibrate() catch { case e: Throwable =>
+      System.err.println(s"bench: end calibration failed: $e"); -1.0 }
     val ctx = s""""load":[${r3(loadStart)},${r3(loadAvg)}],""" +
       s""""gc_ms":${gcMs - gcStart},"cpus":$cpus,""" +
       s""""calib":[${r3(calibStart)},${r3(calibMid)},${r3(calibEnd)}]"""
@@ -194,7 +200,9 @@ object Bench {
         val root = om.readTree(new java.io.File(p))
         val pc = root.get("calib")
         val prevStamps = (0 until pc.size).map(pc.get(_).asDouble)
+          .filter(_ > 0)
         val ourStamps = Seq(calibStart, calibMid, calibEnd)
+          .filter(_ > 0)
         val calibRatio = ourStamps.min / prevStamps.min
         val drift = Seq(ourStamps, prevStamps)
           .map(st => st.max / st.min - 1).max
