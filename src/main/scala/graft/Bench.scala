@@ -18,14 +18,30 @@ object Bench {
       // 16 M elements bounds every single allocation to ~128 MB, so
       // the trailing q180 phase survives the dirty heap at a small
       // spill-IO cost on the very biggest sorts.
-      .config("spark.buffer.pageSize", "16m")
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "16m"))
       .config("spark.shuffle.spill.numElementsForceSpillThreshold",
         (16 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf overlay for measurement experiments (the
+    // GraftSession.create convention): SPARK_GRAFT_CONF="k=v;k2=v2".
+    // The driver never sets it, so the contract run is unchanged.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';')
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Headline queries only (QuerySpec.bench) — one representative per
     // operator family; correctness of the full surface is Verify's job.
+    // SPARK_GRAFT_BENCH_ONLY (comma list of names/prefixes) narrows the
+    // timed set for iterating on specific queries WITH the full
+    // methodology (warmup, min-of-N passes, calibration stamps) — the
+    // driver never sets it, so the default run is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val headline = SparkEntry.specs.filter(_._2.bench).keySet
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // Deterministic name order (a hash-ordered Map reshuffles neighbors
     // every time a query is added, confounding round-over-round
     // comparisons), with the GC-heavy output-scale queries (q180's 83 s

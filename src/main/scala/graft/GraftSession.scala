@@ -37,7 +37,10 @@ object GraftSession {
       // forced spill at 16 M elements) to ~128 MB so output-quadratic
       // operators (q180) survive a long-lived, fragmented JVM heap
       // instead of OOMing on a 1 GiB single allocation.
-      .config("spark.buffer.pageSize", "16m")
+      // SPARK_GRAFT_PAGE_SIZE overrides for measurement (static conf —
+      // SPARK_GRAFT_CONF cannot reach it after session start).
+      .config("spark.buffer.pageSize",
+        sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "16m"))
       .config("spark.shuffle.spill.numElementsForceSpillThreshold",
         (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

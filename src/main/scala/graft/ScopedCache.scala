@@ -54,16 +54,40 @@ object ScopedCache {
       : DataFrame = {
     val p = mid.persist()
     val out = build(p)
+    arm(p, consumers = 1)
+    out
+  }
+
+  /** Persist `mid` and arm a release listener expecting `consumers`
+    * DISTINCT consuming actions (r20, the fold-chain case): q197's
+    * per-fold timeline is read by exactly TWO actions — the eager
+    * state checkpoint during query build, then the final credits
+    * aggregation — and the single-consumer scope would release after
+    * the first, putting the second back on the recompute path (the
+    * double evaluation the pin exists to remove). The listener
+    * decrements per successful consuming action and unpersists at
+    * zero; the failure bound is per-[[MaxObservedFailures]], as for
+    * the single-consumer scope. Returns the persisted frame. */
+  def pinned(mid: DataFrame, consumers: Int): DataFrame = {
+    val p = mid.persist()
+    arm(p, consumers)
+    p
+  }
+
+  private def arm(p: DataFrame, consumers: Int): Unit = {
     val session = p.sparkSession
     val target = p.queryExecution.analyzed
     val listener: QueryExecutionListener = new QueryExecutionListener {
       private def consumed(qe: QueryExecution): Boolean =
         try qe.analyzed.exists(_.sameResult(target))
         catch { case scala.util.control.NonFatal(_) => false }
-      private def fire(qe: QueryExecution): Unit = if (consumed(qe)) {
-        p.unpersist(blocking = false)
-        session.listenerManager.unregister(this)
-      }
+      private val remaining =
+        new java.util.concurrent.atomic.AtomicInteger(consumers)
+      private def fire(qe: QueryExecution): Unit =
+        if (consumed(qe) && remaining.decrementAndGet() <= 0) {
+          p.unpersist(blocking = false)
+          session.listenerManager.unregister(this)
+        }
       // A transient failure of the first consuming action must NOT
       // release the cache (the r11 advisor's catch) — the retry of
       // that same action is exactly the second pass the persist
@@ -85,6 +109,5 @@ object ScopedCache {
         }
     }
     session.listenerManager.register(listener)
-    out
   }
 }

@@ -554,13 +554,17 @@ object Attribution {
     // horizon touches — see the fold contract in the scaladoc
     val touchedH = touchedAll.filter(col("channel").isNotNull)
     val markers = touchedAll.filter(col("channel").isNull)
-    val front = touchedH.groupBy(col("user"))
-      .agg(max(struct(col("ts"), col("tie"))).as("_bfront"))
-    val cfront = markers.groupBy(col("user"))
-      .agg(max(col("ts")).as("_cfront"))
+    // ONE per-user two-frontier aggregate over touchedAll (r20, the
+    // foldImpl restructure): the channel-null marker convention splits
+    // the touch frontier from the conversion frontier inside one
+    // aggregate — one broadcast build instead of two per fold, and the
+    // guards join once instead of twice.
+    val info = touchedAll.groupBy(col("user")).agg(
+      max(when(col("channel").isNotNull, struct(col("ts"), col("tie"))))
+        .as("_bfront"),
+      max(when(col("channel").isNull, col("ts"))).as("_cfront"))
     val guardedT = touches
-      .join(broadcast(front), Seq("user"), "left")
-      .join(broadcast(cfront), Seq("user"), "left")
+      .join(broadcast(info), Seq("user"), "left")
       .filter(when((col("_bfront").isNull ||
             struct(col("ts"), col("tie")) > col("_bfront")) &&
           (col("_cfront").isNull || col("ts") > col("_cfront")), lit(true))
@@ -576,7 +580,7 @@ object Attribution {
       .drop("_bfront", "_cfront")
       .select(col("user"), col("ts"), col("channel"), col("tie"))
     val guardedC = conversions
-      .join(broadcast(front), Seq("user"), "left")
+      .join(broadcast(info), Seq("user"), "left")
       .filter(when(col("_bfront").isNull ||
           col("ts") >= col("_bfront").getField("ts"), lit(true))
         .otherwise(raise_error(concat(
@@ -584,7 +588,7 @@ object Attribution {
           col("ts").cast("string"), lit(" before stored frontier "),
           col("_bfront").cast("string"),
           lit(" — its window needs pruned history; replay instead")))))
-      .drop("_bfront")
+      .drop("_bfront", "_cfront")
     val timeline = pin(touchedH.unionByName(guardedT))
     // next conversion frontier per touched user: max(stored marker,
     // batch conversions) — one bounded row per converted user, tie =
@@ -684,7 +688,7 @@ object Attribution {
   /** The (1+|channels|)·(|channels|+2)-cell count frame from WEIGHTED
     * transition rows — [[countCells2]]'s N-channel sibling, with the
     * same loud stray-state guard ([[strayAgg]]). */
-  private[analytics] def countCellsN(cells: DataFrame,
+  private[graft] def countCellsN(cells: DataFrame,
                                      channels: Seq[String]): DataFrame = {
     def nm(f: String, t: String) = s"n_${f}_$t"
     val froms = "S" +: channels
@@ -695,9 +699,85 @@ object Attribution {
     strayGuard(cells.agg(aggs.head, aggs.tail: _*))
   }
 
-  private[analytics] def markovNFromCounts(m: DataFrame,
+  /** The N-channel report from a guarded 1-row count frame, evaluated
+    * ON THE DRIVER (r20 optimization): the count frame is BOUNDED —
+    * (1+|channels|)·(|channels|+2) bigint cells, scale-independent (the
+    * localTop20 / saturation-scalar precedent) — while the unrolled
+    * Jacobi expression chain was ~26 stacked projection layers · ~13
+    * aliases each that Catalyst re-analyzed and partially inlined on
+    * every run (~0.5 s optimizer + ~1.5 s under AQE at ANY data size,
+    * measured via PhaseProbe; pure per-query overhead, growing with
+    * |channels|³·rounds, never with data). The collect triggers
+    * [[strayGuard]] exactly as the expression path did, and the local
+    * arithmetic is bit-identical: Spark's `div` is Long division
+    * truncating toward zero — exactly Scala's `Long./` (verified:
+    * `-7 div 2 = -3`) — `greatest(x, 1)` is `math.max(x, 1L)`, and Long
+    * overflow wraps identically in both (ANSI off). The retired
+    * expression chain survives as [[markovNFromCountsExpr]], pinned
+    * equal on randomized counts by OperatorSpec — the two
+    * implementations cannot drift silently. */
+  private[graft] def markovNFromCounts(m: DataFrame,
                                            channels: Seq[String],
                                            rounds: Int): DataFrame = {
+    require(channels.nonEmpty && channels.forall(_.matches("[a-z0-9]+")),
+      "channel names must be lowercase alphanumeric (no underscores — " +
+        "the generated alias scheme joins parts with '_')")
+    def nm(f: String, t: String) = s"n_${f}_$t"
+    val row = m.collect()(0) // bounded 1-row frame; stray guard fires here
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val outSchema = StructType(Seq(
+      StructField("channel", StringType, nullable = false),
+      StructField("removal_e6", LongType),
+      StructField("credited_conv", LongType),
+      StructField("p_conv_e6", LongType)))
+    // a global agg over an EMPTY cells frame is one all-NULL row; the
+    // expression chain propagated those nulls into every output column
+    // — mirror it (the q202/q207 inputs are never empty, but the
+    // degenerate case must not change shape)
+    if (row.isNullAt(0))
+      return m.sparkSession.createDataFrame(
+        java.util.Arrays.asList(channels.sorted.map(x =>
+          org.apache.spark.sql.Row(x, null, null, null)): _*), outSchema)
+    val cnt: Map[String, Long] = row.schema.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> row.getLong(i) }.toMap
+    val tos = channels ++ Seq("CONV", "NULL")
+    def r(f: String) = tos.map(t => cnt(nm(f, t))).sum
+    val systems: Seq[(String, Seq[String])] =
+      ("full" -> channels) +:
+        channels.map(x => s"no_$x" -> channels.filterNot(_ == x))
+    // the SAME fixed-point recipe markovNSteps generates: per round and
+    // transient f, a_f ← (n_fK·10^6 + Σ_j n_fj·a_j) div max(r_f, 1)
+    val aS: Map[String, Long] = systems.map { case (sys, kept) =>
+      var a: Map[String, Long] = kept.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) a = kept.map { f =>
+        val flow = kept.map(j => cnt(nm(f, j)) * a(j)).sum
+        f -> (cnt(nm(f, "CONV")) * 1000000L + flow) / math.max(r(f), 1L)
+      }.toMap
+      val flowS = kept.map(j => cnt(nm("S", j)) * a(j)).sum
+      sys -> (cnt(nm("S", "CONV")) * 1000000L + flowS) / math.max(r("S"), 1L)
+    }.toMap
+    val totalConv = ("S" +: channels).map(f => cnt(nm(f, "CONV"))).sum
+    val re: Map[String, Long] = channels.map(x => x ->
+      (1000000L - (aS(s"no_$x") * 1000000L) / math.max(aS("full"), 1L)))
+      .toMap
+    val reSum = channels.map(re).sum
+    val out = channels.sorted.map { x =>
+      org.apache.spark.sql.Row(x, re(x),
+        (totalConv * re(x)) / math.max(reSum, 1L), aS("full"))
+    }
+    m.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*), outSchema)
+  }
+
+  /** The retired Spark-expression lowering of [[markovNFromCounts]] —
+    * kept (tests only) as the drift oracle: OperatorSpec asserts the
+    * driver-local arithmetic equals this chain on randomized count
+    * frames, and [[markovNOracleSql]] still generates the DuckDB twin
+    * from the same [[markovNSteps]] formula source. */
+  private[graft] def markovNFromCountsExpr(m: DataFrame,
+                                               channels: Seq[String],
+                                               rounds: Int): DataFrame = {
     // no underscores: generated aliases are a_<system>_<state>_<round>
     // with '_'-joined parts, and channels like ("a", "a_a") would
     // collide (system no_a + state a_a == system no_a_a + state a)
@@ -898,6 +978,23 @@ object Attribution {
     (credits, next, () => pinned.foreach(_.unpersist(false)))
   }
 
+  /** [[fold]] with the shared timeline pinned under a TWO-consumer
+    * [[graft.ScopedCache]] scope (r20) — the batch-chain caller's
+    * shape (q197): the new state is checkpointed eagerly during query
+    * BUILD (consumer 1) while the credits stay lazy until the final
+    * report action (consumer 2). [[foldPinned]]'s release thunk cannot
+    * serve that shape (nothing runs after the final action to call
+    * it), and an unscoped persist would leak the timeline for the
+    * session lifetime; the scoped pin releases itself after the second
+    * consuming action. Without any pin, every fold's state read +
+    * batch window + guards evaluate TWICE (once in the checkpoint,
+    * once under the final report) — measured as most of q197's wall. */
+  def foldScoped(state: DataFrame, touches: DataFrame,
+                 conversions: DataFrame, channels: Seq[String],
+                 lookback: Column): (DataFrame, DataFrame) =
+    foldImpl(state, touches, conversions, channels, lookback,
+      tl => graft.ScopedCache.pinned(tl, consumers = 2))
+
   private def foldImpl(state: DataFrame, touches: DataFrame,
                        conversions: DataFrame, channels: Seq[String],
                        lookback: Column, pin: DataFrame => DataFrame)
@@ -910,20 +1007,26 @@ object Attribution {
     // [[decayFold]], the same enforcement) vs real annotated touches
     val touchedState = touchedAll.filter(col("channel").isNotNull)
     val markers = touchedAll.filter(col("channel").isNull)
-    val baseAggs = Seq(
-      max(struct(col("ts"), col("tie"))).as("_bfront"),
+    // ONE per-user guard/offset aggregate over touchedAll (r20 — was
+    // three: base over the touch rows, cfront over the markers, plus
+    // their projections front/offsets, each its own broadcast BUILD
+    // subjob per fold): markers carry null idx/cum so the offset maxes
+    // ignore them for free, and the conditional maxes split the two
+    // frontiers by the channel-null marker convention. One aggregate,
+    // one identical broadcast subtree for all three consumer joins
+    // (exchange-reused within an action).
+    val infoAggs = Seq(
+      max(when(col("channel").isNotNull, struct(col("ts"), col("tie"))))
+        .as("_bfront"),
+      max(when(col("channel").isNull, col("ts"))).as("_cfront"),
       max(col("idx")).as("_bidx")) ++
       channels.map(ch => max(col(s"cum_$ch")).as(s"_bcum_$ch"))
-    val base = touchedState.groupBy(col("user"))
-      .agg(baseAggs.head, baseAggs.tail: _*)
-    val front = base.select(col("user"), col("_bfront"))
-    val cfront = markers.groupBy(col("user"))
-      .agg(max(col("ts")).as("_cfront"))
+    val info = touchedAll.groupBy(col("user"))
+      .agg(infoAggs.head, infoAggs.tail: _*)
     // when().otherwise(raise_error) — the guard's pass/raise split is
     // branch-structural, not reliant on Or-disjunct evaluation order
     val guardedTouches = touches
-      .join(broadcast(front), Seq("user"), "left")
-      .join(broadcast(cfront), Seq("user"), "left")
+      .join(broadcast(info), Seq("user"), "left")
       .filter(when((col("_bfront").isNull ||
             struct(col("ts"), col("tie")) > col("_bfront")) &&
           (col("_cfront").isNull || col("ts") > col("_cfront")), lit(true))
@@ -936,9 +1039,9 @@ object Attribution {
           coalesce(col("_cfront").cast("string"), lit("none")),
           lit(") — an already-credited conversion's window would have " +
             "included it; backfill requires a replay from the raw log")))))
-      .drop("_bfront", "_cfront")
+      .drop(info.columns.filter(_ != "user"): _*)
     val guardedConvs = conversions
-      .join(broadcast(front), Seq("user"), "left")
+      .join(broadcast(info), Seq("user"), "left")
       .filter(when(col("_bfront").isNull ||
           col("ts") >= col("_bfront").getField("ts"), lit(true))
         .otherwise(raise_error(concat(
@@ -946,10 +1049,9 @@ object Attribution {
           col("ts").cast("string"), lit(" before stored frontier "),
           col("_bfront").cast("string"),
           lit(" — its window needs pruned history; replay instead")))))
-      .drop("_bfront")
-    val offsets = base.drop("_bfront")
+      .drop(info.columns.filter(_ != "user"): _*)
     val newAnnot = annotate(guardedTouches, channels)
-      .join(broadcast(offsets), Seq("user"), "left")
+      .join(broadcast(info), Seq("user"), "left")
       .withColumn("idx", col("idx") + coalesce(col("_bidx"), lit(0L)))
       .withColumns(channels.map(ch => s"cum_$ch" ->
         (col(s"cum_$ch") + coalesce(col(s"_bcum_$ch"), lit(0L)))).toMap)

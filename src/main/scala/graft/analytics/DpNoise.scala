@@ -136,6 +136,22 @@ object DpNoise {
     pmod(h, n)
   }
 
+  /** Driver-side twin of [[uniformModFor]] for the bounded
+    * LocalRelation mechanisms (q169/q173 — candidate frames are ≤ a
+    * few hundred rows by their PUBLIC domain, already collected): MD5
+    * over the same `secret|dpq0|key` bytes, same 15-hex-char 60-bit
+    * prefix, same mod — bit-identical to the Column path (the 60-bit
+    * value is non-negative, so `%` ≡ `pmod`). OperatorSpec pins the
+    * two equal over random keys/moduli. */
+  def uniformModLocal(key: String, secret: String, n: Long): Long = {
+    require(secret.nonEmpty, "DP noise requires non-empty secret key material")
+    require(n >= 1, "uniform modulus must be positive")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest((secret + "|dpq0|" + key).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % n
+  }
+
   /** The DuckDB twin of [[uniformModFor]] — `nSql` is a SQL expression
     * for the (positive) modulus column. */
   def duckUniformModSql(keySql: String, nSql: String,

@@ -1103,49 +1103,45 @@ object EventQueries {
     // Scale shape: ONE event-scale map-side-combined rollup, then ONE
     // |types|-bounded driver collect (the convention every DP release
     // here uses — the released frame IS bounded by the public
-    // candidate domain); the k peels run as the SAME column
-    // expressions over the collected rows as a LocalRelation, so the
-    // mechanism costs k rounds of local arithmetic, not k² re-plans
-    // whose every max/total broadcast subjob re-touches the rollup
-    // (measured: 6.3 s → sub-second at sf0.1; the events table is
-    // scanned exactly once either way).
+    // candidate domain); the k peels run ENTIRELY on the driver over
+    // the collected rows (r20 — they previously ran as column
+    // expressions over a LocalRelation, and the 3 rounds × (2
+    // crossJoin subjobs + global window + anti-join) cost ~1.5-2 s of
+    // pure Catalyst/AQE overhead at ANY data size; the events table is
+    // scanned exactly once either way, and the driver arithmetic is
+    // bit-identical: shiftleft = Long <<, pmod of the non-negative
+    // 60-bit PRF = %, DpNoise.uniformModLocal is the same MD5 bytes).
     "q169_dp_topk_select" -> QuerySpec(
       build = (s, d) => {
         val k = 3
         val countRows = ev(s, d).groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        import s.implicits._
-        val local = s.createDataset(countRows.toSeq)
-          .toDF("event_type", "n")
-        def round(cands: DataFrame, r: Int): DataFrame = {
-          val m = cands.agg(max(col("n")).as("_m"))
-          val scored = cands.crossJoin(m)
-            .withColumn("weight", call_function("shiftleft", lit(1L),
-              (lit(40L) - least(col("_m") - col("n"), lit(40L)))
-                .cast("int")))
-          val tot = scored.agg(sum(col("weight")).as("total_weight"))
-          scored.crossJoin(tot)
-            .withColumn("cum", sum(col("weight")).over(
-              Window.orderBy(col("event_type"))
-                .rowsBetween(Window.unboundedPreceding,
-                  Window.currentRow)))
-            .withColumn("draw", DpNoise.uniformModFor(
-              lit(s"topk|r$r"), DpNoise.OracleSecret,
-              col("total_weight")))
-            .filter(col("draw") >= col("cum") - col("weight") &&
-              col("draw") < col("cum"))
-            .select(lit(r.toLong).as("topk_rank"), col("event_type"),
-              col("n"), col("weight"), col("total_weight"), col("draw"))
+        // alphabetical candidate order = the cumulative-interval order
+        var cands = countRows.sortBy(_._1).toSeq
+        val rows = (1 to k).map { r =>
+          val m = cands.map(_._2).max
+          val weighted = cands.map { case (t, n) =>
+            (t, n, 1L << (40L - math.min(m - n, 40L)).toInt) }
+          val tot = weighted.map(_._3).sum
+          val draw = DpNoise.uniformModLocal(s"topk|r$r",
+            DpNoise.OracleSecret, tot)
+          var cum = 0L
+          val win = weighted.map { case (t, n, w) =>
+            cum += w; (t, n, w, cum)
+          }.find { case (_, _, w, c) => draw >= c - w && draw < c }.get
+          cands = cands.filterNot(_._1 == win._1)
+          org.apache.spark.sql.Row(
+            r.toLong, win._1, win._2, win._3, tot, draw)
         }
-        var cands: DataFrame = local
-        val winners = (1 to k).map { r =>
-          val w = round(cands, r)
-          cands = cands.join(w.select(col("event_type")),
-            Seq("event_type"), "left_anti")
-          w
-        }
-        winners.reduce(_ unionByName _).orderBy("topk_rank")
+        import org.apache.spark.sql.types.{LongType, StringType,
+          StructField, StructType}
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(StructField("topk_rank", LongType),
+            StructField("event_type", StringType),
+            StructField("n", LongType), StructField("weight", LongType),
+            StructField("total_weight", LongType),
+            StructField("draw", LongType))))
       },
       oracle = Some(s"""
         WITH g1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
@@ -1186,9 +1182,13 @@ object EventQueries {
     // oracle audit — a production view releases (q_pct, lo_cents,
     // hi_cents) only.
     // Scale shape: ONE event-scale map-side-combined bucket rollup,
-    // then a ≤256-row collect and three rounds of LocalRelation
-    // arithmetic (the q169 lesson: windows and 1-row aggs on the
-    // bounded frame, never re-plans against the scan).
+    // then a ≤256-row collect and three draws of DRIVER arithmetic
+    // (r20, the q169 lesson completed: the LocalRelation column
+    // version still paid 3 × (2 crossJoin subjobs + 2 global windows)
+    // of Catalyst/AQE overhead at any data size; the driver integers
+    // are bit-identical — shiftleft = Long <<, pmod of the
+    // non-negative 60-bit PRF = %, same MD5 bytes via
+    // DpNoise.uniformModLocal).
     "q173_dp_quantile" -> QuerySpec(
       build = (s, d) => {
         val W = 200L // bucket width in cents; 256 buckets over [0, 512)
@@ -1198,39 +1198,34 @@ object EventQueries {
           .select(call_function("div", col("cents"), lit(W)).as("b"))
           .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
           .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .sortBy(_._1) // bucket order = the cumulative-interval order
         val n = bcounts.map(_._2).sum
-        import s.implicits._
-        val local = s.createDataset(bcounts.toSeq).toDF("b", "cnt")
-        def draw(qpct: Int): DataFrame = {
+        val rows = Seq(25, 50, 90).map { qpct =>
           val t = (n * qpct + 99) / 100 // ceil(q·n), driver integers
-          val cum = local.withColumn("cum",
-              sum(col("cnt")).over(Window.orderBy(col("b"))
-                .rowsBetween(Window.unboundedPreceding,
-                  Window.currentRow)))
-            .withColumn("d", abs(col("cum") - lit(t)))
-          val scored = cum.crossJoin(cum.agg(min(col("d")).as("_dm")))
-            .withColumn("weight", call_function("shiftleft", lit(1L),
-              (lit(40L) - least(col("d") - col("_dm"), lit(40L)))
-                .cast("int")))
-          scored.crossJoin(scored.agg(sum(col("weight"))
-              .as("total_weight")))
-            .withColumn("cw", sum(col("weight")).over(
-              Window.orderBy(col("b"))
-                .rowsBetween(Window.unboundedPreceding,
-                  Window.currentRow)))
-            .withColumn("draw", DpNoise.uniformModFor(
-              lit(s"quantile|p$qpct"), DpNoise.OracleSecret,
-              col("total_weight")))
-            .filter(col("draw") >= col("cw") - col("weight") &&
-              col("draw") < col("cw"))
-            .select(lit(qpct.toLong).as("q_pct"), col("b").as("bucket"),
-              (col("b") * W).as("lo_cents"),
-              (col("b") * W + W).as("hi_cents"),
-              col("cnt"), col("cum"), lit(t).as("target_rank"),
-              col("weight"), col("total_weight"), col("draw"))
+          var cr = 0L
+          val cum = bcounts.map { case (b, cnt) =>
+            cr += cnt; (b, cnt, cr, math.abs(cr - t))
+          }
+          val dm = cum.map(_._4).min
+          val weighted = cum.map { case (b, cnt, c, dist) =>
+            (b, cnt, c, 1L << (40L - math.min(dist - dm, 40L)).toInt)
+          }
+          val tot = weighted.map(_._4).sum
+          val draw = DpNoise.uniformModLocal(s"quantile|p$qpct",
+            DpNoise.OracleSecret, tot)
+          var cw = 0L
+          val win = weighted.map { case (b, cnt, c, w) =>
+            cw += w; (b, cnt, c, w, cw)
+          }.find { case (_, _, _, w, c) => draw >= c - w && draw < c }.get
+          org.apache.spark.sql.Row(qpct.toLong, win._1, win._1 * W,
+            win._1 * W + W, win._2, win._3, t, win._4, tot, draw)
         }
-        Seq(25, 50, 90).map(draw).reduce(_ unionByName _)
-          .orderBy("q_pct")
+        import org.apache.spark.sql.types.{LongType, StructField,
+          StructType}
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq("q_pct", "bucket", "lo_cents", "hi_cents",
+            "cnt", "cum", "target_rank", "weight", "total_weight",
+            "draw").map(StructField(_, LongType))))
       },
       oracle = Some(s"""
         WITH bg AS (SELECT CAST(least(greatest(floor(value * 100), 0),
@@ -1519,9 +1514,22 @@ object EventQueries {
           f.filter(col("ts") >= lo && col("ts") < hi)
         var state = Attribution.initState(touches, attributionChannels)
         val credits = bounds.zipWithIndex.map { case ((lo, hi), i) =>
-          val (cr, next) = Attribution.fold(state,
-            slice(touches, lo, hi), slice(conversions, lo, hi),
-            attributionChannels, attributionLookback)
+          // non-final folds pin the shared timeline under a 2-consumer
+          // scope (r20): the eager state checkpoint below is consumer 1
+          // and the final credits aggregation consumer 2 — without the
+          // pin every fold's state read + batch window + guards
+          // evaluated TWICE (once per consumer), measured as most of
+          // q197's wall (PhaseProbe: 4.6 s build + 4.1 s exec at sf0.1,
+          // both re-running the same timelines). The LAST fold's state
+          // is never read, so its credits are the timeline's single
+          // consumer — plain fold, no pin to manage.
+          val (cr, next) =
+            if (i < bounds.size - 1) Attribution.foldScoped(state,
+              slice(touches, lo, hi), slice(conversions, lo, hi),
+              attributionChannels, attributionLookback)
+            else Attribution.fold(state,
+              slice(touches, lo, hi), slice(conversions, lo, hi),
+              attributionChannels, attributionLookback)
           // cut each INTERMEDIATE state's lineage (horizon-bounded, so
           // the materialization is small): lazily chained, state N's
           // subtree would re-evaluate inside every later fold's
@@ -1796,15 +1804,29 @@ object EventQueries {
         var (frontier, cells) =
           Attribution.markovInitState(touches, conversions)
         bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-          val (nf, nc) = Attribution.markovFold(frontier, cells,
-            slice(touches, lo, hi), slice(conversions, lo, hi))
-          // cut intermediate state lineage (the q197 lesson): lazily
-          // chained, fold N's window would re-evaluate inside every
-          // later fold. Frontier is user-grain, cells ~20 rows.
-          frontier = if (i < bounds.size - 1) graft.Checkpoints.cut(nf)
-                     else nf
-          cells = if (i < bounds.size - 1) graft.Checkpoints.cut(nc)
-                  else nc
+          // non-final folds pin the shared chain window (r20): both
+          // state cuts below read it, and unpinned it evaluated twice
+          // per fold (PhaseProbe: ~70% of q205's wall was these build-
+          // time cuts). Cuts run eagerly, so the release thunk fires
+          // right here. The LAST fold's cells are the window's single
+          // consumer (the serve; its frontier is never read) — plain
+          // fold.
+          if (i < bounds.size - 1) {
+            val (nf, nc, release) = Attribution.markovFoldPinned(
+              frontier, cells,
+              slice(touches, lo, hi), slice(conversions, lo, hi))
+            // cut intermediate state lineage (the q197 lesson): lazily
+            // chained, fold N's window would re-evaluate inside every
+            // later fold. Frontier is user-grain, cells ~20 rows.
+            frontier = graft.Checkpoints.cut(nf)
+            cells = graft.Checkpoints.cut(nc)
+            release()
+          } else {
+            val (nf, nc) = Attribution.markovFold(frontier, cells,
+              slice(touches, lo, hi), slice(conversions, lo, hi))
+            frontier = nf
+            cells = nc
+          }
         }
         Attribution.markovServe(cells, chA = "click", chB = "view")
       },
@@ -1830,15 +1852,29 @@ object EventQueries {
           f.filter(col("ts") >= lo && col("ts") < hi)
         var (horizon, totals) = Attribution.decayInitState(touches)
         bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-          val (nh, nt) = Attribution.decayFold(horizon, totals,
-            slice(touches, lo, hi), slice(conversions, lo, hi),
-            lookbackUs = 7L * 86400000000L)
-          // cut intermediate state lineage (the q197 lesson); horizon
-          // is user-grain, totals |channels| rows
-          horizon = if (i < bounds.size - 1) graft.Checkpoints.cut(nh)
-                    else nh
-          totals = if (i < bounds.size - 1) graft.Checkpoints.cut(nt)
-                   else nt
+          // non-final folds pin the shared timeline (r20, the q205
+          // shape): both state cuts read it — unpinned, the guards +
+          // horizon union evaluated twice per fold (PhaseProbe: q206
+          // was 2.6 s build vs 0.09 s exec — nearly ALL the wall was
+          // these duplicated build-time cuts). The LAST fold's totals
+          // are the timeline's single consumer (horizon never read).
+          if (i < bounds.size - 1) {
+            val (nh, nt, release) = Attribution.decayFoldPinned(
+              horizon, totals,
+              slice(touches, lo, hi), slice(conversions, lo, hi),
+              lookbackUs = 7L * 86400000000L)
+            // cut intermediate state lineage (the q197 lesson); horizon
+            // is user-grain, totals |channels| rows
+            horizon = graft.Checkpoints.cut(nh)
+            totals = graft.Checkpoints.cut(nt)
+            release()
+          } else {
+            val (nh, nt) = Attribution.decayFold(horizon, totals,
+              slice(touches, lo, hi), slice(conversions, lo, hi),
+              lookbackUs = 7L * 86400000000L)
+            horizon = nh
+            totals = nt
+          }
         }
         Attribution.decayServe(totals, attributionChannels)
       },
@@ -1869,12 +1905,20 @@ object EventQueries {
         var (frontier, cells) =
           Attribution.markovInitState(touches, conversions)
         bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
-          val (nf, nc) = Attribution.markovFold(frontier, cells,
-            slice(touches, lo, hi), slice(conversions, lo, hi))
-          frontier = if (i < bounds.size - 1) graft.Checkpoints.cut(nf)
-                     else nf
-          cells = if (i < bounds.size - 1) graft.Checkpoints.cut(nc)
-                  else nc
+          // pinned non-final folds — the q205 shape (see that entry)
+          if (i < bounds.size - 1) {
+            val (nf, nc, release) = Attribution.markovFoldPinned(
+              frontier, cells,
+              slice(touches, lo, hi), slice(conversions, lo, hi))
+            frontier = graft.Checkpoints.cut(nf)
+            cells = graft.Checkpoints.cut(nc)
+            release()
+          } else {
+            val (nf, nc) = Attribution.markovFold(frontier, cells,
+              slice(touches, lo, hi), slice(conversions, lo, hi))
+            frontier = nf
+            cells = nc
+          }
         }
         Attribution.markovNServe(cells, chs)
       },

@@ -27,7 +27,49 @@ object PhaseProbe {
       require(matched.nonEmpty, s"no query matches '$q'")
       matched
     }
+    // Deterministic structural counters beside the wall clocks: wall
+    // time on a shared host carries contention noise, but the number
+    // of jobs/stages/tasks a query schedules — and to a lesser degree
+    // its summed executor task time — is a property of the PLAN, so a
+    // structural optimization (a removed duplicate evaluation, a
+    // reused cache) shows up here even when the wall clock lies.
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          tasks.incrementAndGet()
+          Option(t.taskMetrics).foreach(m =>
+            taskMs.addAndGet(m.executorRunTime))
+        }
+        // per-stage attribution (printed when PHASE_STAGES=1): which
+        // stage a query's task time actually lands in
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          stages.incrementAndGet()
+          if (sys.env.get("PHASE_STAGES").contains("1")) {
+            val i = s.stageInfo
+            val ms = i.taskMetrics.executorRunTime
+            if (ms > 200) {
+              println(
+                f"[stage] ${i.stageId}%4d ${ms}%7d ms ${i.numTasks}%4d tasks " +
+                  i.name.take(110))
+              if (ms > 5000) i.details.linesIterator.take(6)
+                .foreach(l => println(s"[stage]        $l"))
+            }
+          }
+        }
+      })
     for (q <- names; i <- 1 to runs) {
+      def snap() = (jobs.get, stages.get, tasks.get, taskMs.get)
+      val s0 = snap()
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(q)(spark, d)
       val t1 = System.nanoTime()
@@ -35,9 +77,12 @@ object PhaseProbe {
       val t2 = System.nanoTime()
       val n = df.count()
       val t3 = System.nanoTime()
+      Thread.sleep(300) // listener bus drain (no public flush API)
+      val s1 = snap()
       println(f"[phase] $q run$i: build ${(t1 - t0) / 1e9}%.2f s, " +
         f"plan ${(t2 - t1) / 1e9}%.2f s, exec ${(t3 - t2) / 1e9}%.2f s " +
-        f"($n rows)")
+        f"($n rows) jobs ${s1._1 - s0._1} stages ${s1._2 - s0._2} " +
+        f"tasks ${s1._3 - s0._3} taskMs ${s1._4 - s0._4}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }

@@ -2002,6 +2002,62 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("markovNFromCounts: driver-local eval == retired expression chain " +
+      "on randomized counts (r20)") {
+    import graft.analytics.Attribution
+    import org.apache.spark.sql.functions.{col, lit}
+    // the r20 optimization replaced the ~26-layer unrolled Jacobi
+    // selectExpr chain (pure per-query plan overhead — the frame is one
+    // bounded row) with driver-local Long arithmetic; this pins the two
+    // implementations equal over randomized transition-count frames so
+    // they cannot drift silently (the expression chain shares its
+    // formula generator with the DuckDB oracle — equality here extends
+    // the one-generator guarantee to the local path)
+    val chs = Seq("click", "signup", "view")
+    val states = "S" +: chs
+    val tos = chs ++ Seq("CONV", "NULL")
+    val rnd = new scala.util.Random(20250819L)
+    for (trial <- 1 to 5) {
+      // skewed magnitudes: small counts, zero rows (degenerate
+      // denominators), and large counts near the e6-product scale
+      val cells = for (f <- states; t <- tos) yield {
+        val n = rnd.nextInt(4) match {
+          case 0 => 0L
+          case 1 => rnd.nextInt(5).toLong
+          case 2 => rnd.nextInt(1000).toLong
+          case _ => rnd.nextInt(1000000).toLong
+        }
+        (f, t, n)
+      }
+      val cellsDf = cells.toDF("from_st", "to_st", "n")
+        .filter(col("n") > 0 || lit(trial % 2 == 0)) // some all-sparse frames
+      val m = () => Attribution.countCellsN(cellsDf, chs)
+      val local = Attribution.markovNFromCounts(m(), chs, rounds = 24)
+        .collect().map(_.toSeq)
+      val expr = Attribution.markovNFromCountsExpr(m(), chs, rounds = 24)
+        .collect().map(_.toSeq)
+      assert(local.toSeq === expr.toSeq,
+        s"trial $trial: local Jacobi drifted from the expression chain")
+    }
+  }
+
+  test("DpNoise.uniformModLocal == uniformModFor over random keys/moduli (r20)") {
+    import graft.analytics.DpNoise
+    val rnd = new scala.util.Random(42)
+    val cases = (1 to 24).map { i =>
+      (s"topk|r$i-${rnd.nextInt(1000)}", 1L + rnd.nextLong(1L << 47))
+    }
+    val df = cases.toDF("key", "n")
+      .withColumn("u", DpNoise.uniformModFor(
+        col("key"), DpNoise.OracleSecret, col("n")))
+    val viaColumn = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (k, n) =>
+      assert(DpNoise.uniformModLocal(k, DpNoise.OracleSecret, n) ===
+        viaColumn((k, n)), s"draw for ($k, $n) drifted")
+    }
+  }
+
   test("Attribution.fold: backfill throws; conversions may tie the frontier (r16)") {
     import graft.analytics.Attribution
     val chs = Seq("view", "click")
