@@ -297,7 +297,7 @@ object MediaQueries {
     // 4-md5/64-conv embed expression into each of the 24 band
     // cosines above (24× recompute of the embed per row); one
     // narrow shuffle materializes the vector once instead
-    q85Bytes(s, d)
+    graft.plans.Spread.byKey(q85Bytes(s, d), col("vec_id"))
       .select(col("vec_id"), col("kind"), col("blen"),
         md5Embed(col("bytes")).as("embedding"))
       .repartition(col("vec_id"))
@@ -374,10 +374,18 @@ object MediaQueries {
     // (pair-scale, checkpoint-backed) result returns. This replaced a
     // second raw-bytes corpus pass for the harvest (min-of-4 warm at
     // 100×: 14.6 → 12.9 s, and one corpus pass fewer either way).
-    val clean = emb
+    // cache BELOW the degenerate-vector filter: a filter on the
+    // embedding column pushes through the repartition barrier and
+    // below the embed projection (alias substitution), re-running the
+    // whole fingerprint embed once per conjunct in the scan stage
+    // (guide §4.4's duplication, expression flavor). The
+    // InMemoryRelation is a pushdown barrier, so caching the raw embed
+    // output evaluates the kernel exactly once; the filter then costs
+    // an exists() over 64 cached doubles per consumer scan.
+    val cleanBase = emb.persist()
+    val clean = cleanBase
       .filter(col("embedding").isNotNull &&
         exists(col("embedding"), x => x =!= 0.0f))
-      .persist()
     try {
       // Rerank join shape: joining the corpus-scale embedding frame to
       // the pair list twice plans two sort-merge joins — two full sorts
@@ -412,7 +420,7 @@ object MediaQueries {
           graft.analytics.StableRound.r4(cosine(col("ea"), col("eb"))).as("cos"))
         .filter(col("cos") > 0.9)
         .orderBy("ma", "mb")
-    } finally clean.unpersist(false)
+    } finally cleanBase.unpersist(false)
   }
 
   /** The declarative candidate-pair pipeline under [[mediaNearDupPairs]]

@@ -1460,7 +1460,12 @@ object CurationQueries {
     // window arithmetic and a broadcast join back onto the corpus.
     "q130_unimax_mixture" -> QuerySpec(
       build = (s, d) => {
-        val base = Tables.documents(s, d).filter(col("text").isNotNull)
+        // spread before the token-count kernel (guide §2.5; no-op at
+        // scale) — base is evaluated by the allocation subtree AND the
+        // final join, each a corpus pass
+        val base = graft.plans.Spread.byKey(
+            Tables.documents(s, d).filter(col("text").isNotNull),
+            col("doc_id"))
           .select(col("doc_id"), col("lang"),
             graft.text.TextFunctions.token_count(col("text"))
               .cast("long").as("tc"))
@@ -1996,7 +2001,13 @@ object CurationQueries {
     // heaps — never a row_number window over the corpus.
     "q111_bm25_topk" -> QuerySpec(
       build = (s, d) => {
-        val dtoks = Tables.documents(s, d).filter(col("text").isNotNull)
+        // spread before the tokenize kernel (guide §2.5; no-op at
+        // scale): dtoks is evaluated by three subtrees (terms, dl,
+        // stats) and each would otherwise run single-task on a
+        // single-row-group local file
+        val dtoks = graft.plans.Spread.byKey(
+            Tables.documents(s, d).filter(col("text").isNotNull),
+            col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
         val dl = dtoks.select(col("doc_id"), size(col("toks")).as("dl"))
         // corpus size + average doc length as a LAZY 1-row crossJoin
@@ -2016,8 +2027,13 @@ object CurationQueries {
         // scores are unchanged. Persisted (scoped — released after
         // the query's action): the df rollup and the scoring join
         // both read it.
+        // explode_OUTER: the non-outer form makes the optimizer infer
+        // `size(toks) > 0` and push it below the projection,
+        // re-tokenizing the corpus per conjunct (q24's duplication);
+        // the null rows an outer explode adds vanish in the inner
+        // token join
         graft.ScopedCache.withScopedCache(dtoks
-          .select(col("doc_id"), explode(col("toks")).as("t"))
+          .select(col("doc_id"), explode_outer(col("toks")).as("t"))
           .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
           .groupBy(col("doc_id"), col("t"))
           .agg(count(lit(1)).as("tf"))) { terms =>
@@ -2095,13 +2111,23 @@ object CurationQueries {
     "q194_chunk_retrieval" -> QuerySpec(
       build = (s, d) => {
         val W = 32; val S = 24
-        val dt = Tables.documents(s, d).filter(col("text").isNotNull)
+        // spread before the tokenize kernel (guide §2.5; no-op at
+        // scale). The l > 0 gate lives INSIDE the generator expression
+        // (when(l > 0, …) + outer explode + null filter) instead of a
+        // dt-level filter: a filter on the derived column pushes below
+        // the projection and re-tokenizes the corpus per conjunct
+        // (q24's duplication), and the non-outer explode's inferred
+        // size filter did the same once more.
+        val dt = graft.plans.Spread.byKey(
+            Tables.documents(s, d).filter(col("text").isNotNull),
+            col("doc_id"))
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .withColumn("l", size(col("toks")))
-          .filter(col("l") > 0)
         val chunks = dt.select(col("doc_id"), col("toks"), col("l"),
-            explode(expr(s"""filter(sequence(0, l - 1, $S),
-              p -> p = 0 OR p + ${W - S} < l)""")).as("p"))
+            explode_outer(when(col("l") > 0,
+              expr(s"""filter(sequence(0, l - 1, $S),
+              p -> p = 0 OR p + ${W - S} < l)"""))).as("p"))
+          .filter(col("p").isNotNull)
           .select(col("doc_id"), expr(s"p div $S").as("ci"),
             expr(s"slice(toks, p + 1, $W)").as("ctoks"))
           .withColumn("dl", size(col("ctoks")))
@@ -2110,7 +2136,7 @@ object CurationQueries {
         val qterms = bm25QueryTerms(s, d)
         graft.ScopedCache.withScopedCache(chunks
           .select(col("doc_id"), col("ci"), col("dl"),
-            explode(col("ctoks")).as("t"))
+            explode_outer(col("ctoks")).as("t"))
           .join(broadcast(qterms.select(col("t")).distinct()), Seq("t"))
           .groupBy(col("doc_id"), col("ci"), col("dl"), col("t"))
           .agg(count(lit(1)).as("tf"))) { terms =>
@@ -2383,12 +2409,18 @@ object CurationQueries {
     // zero scoring exchange; the rollup is |sources|-bounded.
     "q115_importance_resample" -> QuerySpec(
       build = (s, d) => {
-        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+        // spread before the tokenize kernels (guide §2.5; no-op at
+        // scale) — docs feeds the bucket-count collect AND the
+        // resample pass, each tokenizing the corpus
+        val docs = graft.plans.Spread.byKey(
+            Tables.documents(s, d).filter(col("text").isNotNull),
+            col("doc_id"))
           .withColumn("band", hashBand100)
         def bucketOf(t: org.apache.spark.sql.Column) =
           TextQueries.md5Hash60(t).bitwiseAND(lit(255L))
         val bcounts = docs
-          .select(col("band"), explode(tokens(col("text"))).as("t"))
+          .select(col("band"), explode_outer(tokens(col("text"))).as("t"))
+          .filter(col("t").isNotNull)
           .groupBy(bucketOf(col("t")).as("b"))
           .agg(sum(when(col("band") < 3, 1L).otherwise(0L)).as("tc"),
             sum(when(col("band") >= 3, 1L).otherwise(0L)).as("rc"))
@@ -3053,9 +3085,16 @@ object CurationQueries {
     * stage. */
   private[graft] def docBigrams(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    docs.filter(col("text").isNotNull)
+    // spread before the shingle kernel (guide §2.5; no-op at scale);
+    // explode_OUTER + null filter keeps the optimizer from inferring a
+    // size filter that re-runs the kernel below the projection (the
+    // q24 duplication — shingle arrays are containsNull=false, so the
+    // forms are row-identical)
+    graft.plans.Spread.byKey(docs.filter(col("text").isNotNull),
+        col("doc_id"))
       .select(col("doc_id"), col("source"),
-        explode(shingles(col("text"), 2)).as("sh"))
+        explode_outer(shingles(col("text"), 2)).as("sh"))
+      .filter(col("sh").isNotNull)
       .select(col("doc_id"), col("source"),
         split(col("sh"), " ").getItem(0).as("head"),
         split(col("sh"), " ").getItem(1).as("next_tok"))

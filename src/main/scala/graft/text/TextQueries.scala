@@ -135,7 +135,10 @@ object TextQueries {
     * pair rule are unchanged. Shared with tools.Q24Probe so the
     * probe's stage timings can never drift from the shipped query. */
   private[graft] def jaccardIndexRows(docs: DataFrame): DataFrame =
-    jaccardIndexRowsFromHs(docs
+    // spread BEFORE the kernel: a single-row-group local file would
+    // otherwise serialize the per-shingle md5 kernel onto one core
+    // (guide §2.5 input skew; no-op at scale — see plans.Spread)
+    jaccardIndexRowsFromHs(graft.plans.Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"), col("lang"),
         shingle_hashes(col("text"), 3).as("hs")))
 
@@ -158,8 +161,17 @@ object TextQueries {
             lit(" has too many shingles to pack"))))
           .otherwise(shiftleft(col("doc_id"), 20) + size(col("hs")))
           .as("dn"),
-        explode(col("hs")).as("sh"),
+        // explode_OUTER + null filter ≡ explode here (the kernel never
+        // emits null elements; null/empty arrays yield one null row,
+        // dropped below) — but the non-outer form makes the optimizer
+        // infer `size(hs) > 0 AND isnotnull(hs)` and push it below the
+        // hs projection, re-evaluating the WHOLE shingle-md5 kernel
+        // once per conjunct in the scan stage (the q24 before-plan:
+        // 3 evaluations per row). Guide §4.4's duplication, expression
+        // flavor.
+        explode_outer(col("hs")).as("sh"),
         md5Hash60(col("lang")).as("lk"))
+      .filter(col("sh").isNotNull)
       .select(col("dn"), col("sh").bitwiseXOR(col("lk")).as("skey"))
 
   /** Posting lists over [[jaccardIndexRows]], df-capped. */
@@ -264,11 +276,17 @@ object TextQueries {
     * running minima inside one expression): the only shuffles are the
     * tiny bucket groupBy and the pair distinct. */
   private[graft] def minhashCandidatePairs(docs: DataFrame): DataFrame = {
-    val mh = docs
+    // spread before the signature kernel (guide §2.5; no-op at scale).
+    // The null-signature drop happens AFTER the band explode, on the
+    // generated ha attribute (sig null ⇔ ha null — the signature array
+    // is containsNull=false): a sig-level filter pushes below the
+    // projection and evaluates the whole minhash kernel twice per row
+    // (the q25 before-plan), while a generator-output filter cannot
+    // move below the kernel.
+    val mh = graft.plans.Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         minhash_signature(col("text"), 3).as("sig"))
-      .filter(col("sig").isNotNull)
-    candidatePairsFromBands(explodeBands(mh))
+    candidatePairsFromBands(explodeBands(mh).filter(col("ha").isNotNull))
   }
 
   /** The q25 tail over an already-banded frame (doc_id, band, ha, hb)

@@ -58,9 +58,15 @@ object PhaseProbe {
             val i = s.stageInfo
             val ms = i.taskMetrics.executorRunTime
             if (ms > 200) {
+              val m = i.taskMetrics
               println(
                 f"[stage] ${i.stageId}%4d ${ms}%7d ms ${i.numTasks}%4d tasks " +
-                  i.name.take(110))
+                  f"cpu ${m.executorCpuTime / 1000000}%d gc ${m.jvmGCTime}%d " +
+                  f"deser ${m.executorDeserializeTime}%d " +
+                  f"fetch ${m.shuffleReadMetrics.fetchWaitTime}%d " +
+                  f"in ${m.inputMetrics.recordsRead}%d " +
+                  f"sr ${m.shuffleReadMetrics.recordsRead}%d " +
+                  i.name.take(60))
               if (ms > 5000) i.details.linesIterator.take(6)
                 .foreach(l => println(s"[stage]        $l"))
             }
