@@ -63,8 +63,15 @@ object Attribution {
   def perConversion(touches: DataFrame, conversions: DataFrame,
                     channels: Seq[String], lookback: Column,
                     keepCounts: Boolean = false): DataFrame = {
-    val credited = creditsFromAnnotated(annotate(touches, channels),
-      conversions, channels, lookback)
+    // SCOPED-cache the annotated timeline: creditsFromAnnotated reads
+    // it from two branches (the tie-group rollup and the first-touch
+    // probe), which re-ran the scan + user exchange + window chain
+    // twice per report (r20). The fold path pins its timeline the same
+    // way (foldScoped); this is the direct-replay twin of that pin —
+    // released right after the report's action.
+    val credited = graft.ScopedCache.withScopedCache(
+        annotate(touches, channels))(a =>
+      creditsFromAnnotated(a, conversions, channels, lookback))
     if (keepCounts) credited
     else credited.drop(channels.map(ch => s"k_$ch"): _*)
   }

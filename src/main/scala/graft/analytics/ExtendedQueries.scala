@@ -2181,8 +2181,18 @@ object ExtendedQueries {
       val nNodes = nodes.count() // bounded scalar: |suppliers|+|customers|
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
-      var rank = nodes.select(col("node"), lit(rInit).as("r"))
-      for (_ <- 1 to iters) {
+      // iteration 1 is a constant-rank substitution (`nodes` = the
+      // distinct src of `ed`, so the r0 join matches every edge row at
+      // r = rInit): contrib = rInit div d straight off the edge scan —
+      // no rank-side exchange, no join, integer-identical (the
+      // RankHistory.firstStepRank argument, unweighted flavor)
+      var rank = ed
+        .select(col("dst"), expr(s"$rInit div d").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("sc"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * sc) div 100")).as("r"))
+      for (_ <- 2 to iters) {
         // shuffle_hash, not broadcast: at 100x the |V|-row rank table
         // is 1.6M rows — building and shipping that broadcast 3x
         // measured ~25% slower than hash-exchanging it against the
@@ -2261,8 +2271,10 @@ object ExtendedQueries {
       val nNodes = nodes.count()
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
-      var rank = nodes.select(col("node"), lit(rInit).as("r"))
-      for (_ <- 1 to iters)
+      // iteration 1 is a constant-rank substitution — no rank frame,
+      // no join, one |V|-scale exchange (RankHistory.firstStepRank)
+      var rank = RankHistory.firstStepRank(ed, rInit, base)
+      for (_ <- 2 to iters)
         rank = RankHistory.stepRank(ed, rank, base)
       use(rank.select(
         concat(when(col("node") % 2 === 0, "s").otherwise("c"),

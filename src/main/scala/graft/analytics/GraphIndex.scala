@@ -300,6 +300,24 @@ object RankHistory {
       .select(col("dst").as("node"),
         (lit(base) + expr("(85 * sc) div 100")).as("r"))
 
+  /** [[stepRank]] specialised to the FIRST iteration, where the rank
+    * frame is `nodes × rInit` — a constant per matched row. The join
+    * is a no-op substitution there (`nodes` = distinct src of `ed`, so
+    * EVERY edge row matches and reads r = rInit), so the first step
+    * needs no rank-side exchange and no join at all: contrib =
+    * `w · (rInit div d)` directly off the edge scan — integer-
+    * identical, one |V|-scale exchange (the groupBy) instead of two.
+    * Shared by the full maintained serve, [[publish]], and the
+    * saturation fallback, like [[stepRank]]. */
+  private[analytics] def firstStepRank(ed: DataFrame, rInit: Long,
+                                       base: Long): DataFrame =
+    ed.select(col("dst"),
+        (col("w") * expr(s"$rInit div d")).as("contrib"))
+      .groupBy(col("dst"))
+      .agg(sum(col("contrib")).as("sc"))
+      .select(col("dst").as("node"),
+        (lit(base) + expr("(85 * sc) div 100")).as("r"))
+
   /** Which path the last [[withDeltaServedRanks]] call took — "delta"
     * or "full" (saturation fallback). Test seam, not an API. */
   @volatile private[graft] var lastServeMode: String = ""
@@ -336,10 +354,11 @@ object RankHistory {
       val nNodes = nodes.count()
       val rInit = scale / nNodes
       val base = rInit * 15 / 100
-      var rank = nodes.select(col("node"), lit(rInit).as("r"))
+      var rank: DataFrame = null
       Files.createDirectories(tmp)
       for (i <- 1 to iters) {
-        rank = stepRank(ed, rank, base)
+        rank = if (i == 1) firstStepRank(ed, rInit, base)
+               else stepRank(ed, rank, base)
         rank.write.parquet(tmp.resolve(s"r$i").toString)
         rank = s.read.parquet(tmp.resolve(s"r$i").toString)
       }
@@ -513,9 +532,11 @@ object RankHistory {
           // path is now full-graph work PLUS joins; serve fully from
           // the complete pinned edges instead (identical integers)
           RankHistory.lastServeMode = "full"
-          var rank = edFull.select(col("src").as("node")).distinct()
-            .select(col("node"), lit(rInit).as("r"))
-          for (_ <- 1 to iters) rank = stepRank(edFull, rank, base)
+          // first iteration needs neither the node frame nor a join
+          // (constant rank substitution — firstStepRank), which also
+          // retires the full-|E| distinct pass the node frame cost
+          var rank = firstStepRank(edFull, rInit, base)
+          for (_ <- 2 to iters) rank = stepRank(edFull, rank, base)
           served = rank
         } else {
           requireSymmetric()

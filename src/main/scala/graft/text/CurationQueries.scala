@@ -1460,12 +1460,11 @@ object CurationQueries {
     // window arithmetic and a broadcast join back onto the corpus.
     "q130_unimax_mixture" -> QuerySpec(
       build = (s, d) => {
-        // spread before the token-count kernel (guide §2.5; no-op at
-        // scale) — base is evaluated by the allocation subtree AND the
-        // final join, each a corpus pass
-        val base = graft.plans.Spread.byKey(
-            Tables.documents(s, d).filter(col("text").isNotNull),
-            col("doc_id"))
+        // NOT spread (r20): token_count is too cheap to buy back the
+        // text shuffle — the spread variant measured ~1.35× net at
+        // sf0.1 (the Spread rule: kernel CPU must dominate the
+        // repartition, as with the md5/minhash kernels)
+        val base = Tables.documents(s, d).filter(col("text").isNotNull)
           .select(col("doc_id"), col("lang"),
             graft.text.TextFunctions.token_count(col("text"))
               .cast("long").as("tc"))
@@ -2409,12 +2408,11 @@ object CurationQueries {
     // zero scoring exchange; the rollup is |sources|-bounded.
     "q115_importance_resample" -> QuerySpec(
       build = (s, d) => {
-        // spread before the tokenize kernels (guide §2.5; no-op at
-        // scale) — docs feeds the bucket-count collect AND the
-        // resample pass, each tokenizing the corpus
-        val docs = graft.plans.Spread.byKey(
-            Tables.documents(s, d).filter(col("text").isNotNull),
-            col("doc_id"))
+        // NOT spread (r20): one whitespace tokenize per pass is too
+        // cheap to buy back the text shuffle (measured ~1.1-1.2× net
+        // at sf0.1 when spread); the explode_outer below still keeps
+        // the kernel single-evaluation
+        val docs = Tables.documents(s, d).filter(col("text").isNotNull)
           .withColumn("band", hashBand100)
         def bucketOf(t: org.apache.spark.sql.Column) =
           TextQueries.md5Hash60(t).bitwiseAND(lit(255L))

@@ -1396,7 +1396,15 @@ object TextQueries {
     "q73_clean_funnel" -> QuerySpec(
       build = (s, d) => {
         val qmin = 0.55
-        val staged = Tables.documents(s, d)
+        // spread before the kernels (guide §2.5; no-op at scale). A
+        // scoped cache of the staged kernel columns was tried and
+        // REVERTED (r20): it forces one UNPRUNED pass — the minhash
+        // signature computed for every doc although only the final
+        // near-dup branch reads it — where the union branches' column
+        // pruning keeps each pass at exactly the kernels its stage
+        // needs (bench: the cached variant measured ~1.2× net).
+        val staged = graft.plans.Spread.byKey(
+            Tables.documents(s, d), col("doc_id"))
           .withColumn("_toks", tokens(col("text")))
           .select(col("doc_id"), col("lang"),
             quality_score_t(col("text"), col("_toks")).as("q"),

@@ -130,12 +130,14 @@ class PlanSpec extends SparkSpec {
           case other => other
         }
       val p = plan.toString
-      // all 3 iteration joins hash-join under the hint (measured:
+      // iterations 2..3 hash-join under the hint (measured:
       // broadcasting a 100x-scale |V|-row rank table per iteration was
-      // ~25% slower cold AND warm)
+      // ~25% slower cold AND warm); iteration 1 is JOINLESS since r20
+      // (constant-rank substitution — RankHistory.firstStepRank), so
+      // exactly 2 joins remain
       val joins = plan.collect { case j: ShuffledHashJoinExec => j }
-      assert(joins.length == 3,
-        s"expected the 3 iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
+      assert(joins.length == 2,
+        s"expected the 2 post-first iteration joins as ShuffledHashJoin:\n${p.take(1500)}")
       // the edge side (streamed/left) is the src-BUCKETED EdgeIndex
       // artifact CACHED: HashPartitioning(src) survives persist(), so
       // the |E|-row edge table is NEVER exchanged — every shuffle in
@@ -266,8 +268,12 @@ class PlanSpec extends SparkSpec {
         assert(p.contains("TakeOrderedAndProject"),
           "top-20 must plan as TakeOrdered, not a full sort")
       }
+      // the global serve's iteration 1 is JOINLESS since r20
+      // (constant-rank substitution — RankHistory.firstStepRank):
+      // 2 joins; the personalized serve keeps all 3 (its r0 is the
+      // seed frame, not a constant over every source)
       graft.analytics.ExtendedQueries.withMaintainedPagerankRanks(
-        spark, store)(pinIterations(_, 3))
+        spark, store)(pinIterations(_, 2))
       graft.analytics.ExtendedQueries.withMaintainedPprRanks(
         spark, store)(pinIterations(_, 3))
     } finally graft.text.Artifacts.deleteRecursively(tmpd)
